@@ -1,0 +1,72 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query timing = full plan execution to a count-style action (the
+result is consumed, not collected to the driver). Session build/JVM
+start is excluded from per-query numbers but a `startup_sec` field is
+reported for transparency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j2_star_join_revenue",
+    "w1_latest_wins",
+    "s8_upsert_merge",
+    "j1_full_diff",
+    "p1_ddb_decode_roundtrip",
+    "t2_tumbling_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_knn_bruteforce",
+    "text_stats",
+    "multimodal_features",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    t0 = time.time()
+    from dynamodb_to_datalake_project_spark import catalog, get_spark
+
+    catalog.load_all()
+    spark = get_spark("bench")
+    # JVM + session warm-up on a trivial action so q1 doesn't pay it
+    spark.range(1).count()
+    startup = time.time() - t0
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        builder = catalog.QUERIES[name]
+        t = time.time()
+        df = builder(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "startup_sec": round(startup, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""CDC micro-batch streaming (SURVEY.md §2.8 T1-T9) on Structured
+Streaming.
+
+The reference implements streaming *manually*: a consumer Lambda
+buffers DynamoDB Stream records (100 records / 10 s), writes
+minute-partitioned JSON drops, and a 330-line tracker state machine
+(incremental_load_orchestration.py:39-154) plus a cron loop schedules
+bounded Glue runs with a 2-minute late-data lag. All of that collapses
+into one Structured Streaming query:
+
+- T1 trigger            → `trigger(processingTime=...)`
+- T2 event-time windows → `F.window(ts, "1 minute")`
+- T3 late-data lag      → `withWatermark(ts, "2 minutes")`
+- T4 offset tracker     → `option("checkpointLocation", ...)`
+- T5 single-flight      → one streaming query = serial micro-batches
+- T6 bounded batches    → `maxFilesPerTrigger`
+- T7 stateful upsert    → `foreachBatch(merge)`
+- T8 delete policy      → REMOVE filter inside the batch fn
+- T9 snapshot handoff   → overlap safe because the merge is idempotent
+                          on (key, precombine)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dynamodb_to_datalake_project_spark import merge as merge_mod
+
+
+def read_cdc_stream(
+    spark: SparkSession,
+    cdc_dir: str,
+    schema: T.StructType,
+    max_files_per_trigger: int = 100,
+) -> DataFrame:
+    """S6: file-source CDC stream over JSON drops (the reference's
+    Lambda output layout). In AWS this source swaps for Kinesis; the
+    downstream plan is identical."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .json(cdc_dir)
+    )
+
+
+def start_cdc_merge(
+    spark: SparkSession,
+    cdc_dir: str,
+    schema: T.StructType,
+    table_path: str,
+    keys: list[str],
+    precombine: list[str],
+    partition_cols: list[str],
+    checkpoint_dir: str,
+    event_type_col: str | None = None,
+    drop_event_types: tuple[str, ...] = ("REMOVE",),
+    max_files_per_trigger: int = 100,
+    processing_time: str = "0 seconds",
+):
+    """The whole incremental pipeline as one streaming query.
+
+    Each micro-batch: filter deletes (T8/F1) → in-batch latest-wins
+    dedup happens inside the merge → partition-pruned upsert into the
+    lake table (T7). Restarting from `checkpoint_dir` neither loses nor
+    re-applies batches beyond idempotent re-merge (T4/T9).
+    """
+    stream = read_cdc_stream(spark, cdc_dir, schema, max_files_per_trigger)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if event_type_col and event_type_col in batch_df.columns:
+            batch_df = batch_df.filter(
+                ~F.col(event_type_col).isin(*drop_event_types)
+            ).drop(event_type_col)
+        merge_mod.merge_into_parquet(
+            batch_df.sparkSession,
+            table_path,
+            batch_df,
+            keys=keys,
+            precombine=precombine,
+            partition_cols=partition_cols,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=processing_time)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "1 minute",
+    watermark: str = "2 minutes",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """T2+T3: tumbling event-time aggregation with late-data watermark —
+    the reference's minute-bucketing of CDC records
+    (dynamodb_stream_consumer.py:61-68) plus its 2-minute on-the-fly
+    allowance (incremental_load_orchestration.py:204), natively."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len).alias("w"), *group_cols)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            *group_cols,
+            "n",
+        )
+    )

@@ -1,0 +1,163 @@
+"""Lake-table IO: scans, sinks, catalog registration.
+
+Covers SURVEY.md §2.1 S1-S12 Spark-first:
+
+- S1/S3/S4  JSON scans (gzip transparent, explicit schema, multi-path,
+  recursive) — `read_json_lines`.
+- S5 + test fixtures — `load_table` over the driver parquet fixtures.
+- S7/S8     partitioned lake writes — `write_table` (overwrite) here;
+  keyed upsert lives in `merge.py`.
+- S9/S10    partitioned / gzip JSON sinks — `write_json_lines`.
+- S11       CSV scan/sink — `read_csv` / `write_csv`.
+- S12       catalog registration — `register_table`.
+
+Scale notes: all readers take explicit schemas (no inference job over
+100 TB), writers always `partitionBy` the lake layout so partition
+pruning works for downstream readers, and `repartition` before write
+controls the small-file problem (reference: 1-minute CDC drops
+compacted by Hudi COW rewrite — SURVEY §4 "small-file problem").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dynamodb_to_datalake_project_spark.session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcast-join these, never shuffle them.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table as parquet.
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
+    reads as a long (nanosAsLong); normalize to a µs TimestampType column
+    the same way DuckDB does (truncation), so both engines see identical
+    values. All other tables pass through untouched — column pruning and
+    predicate pushdown reach the parquet scan.
+    """
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def read_json_lines(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: T.StructType | str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """JSON-lines scan (S1/S3/S4). gzip (`.json.gz`) is transparent.
+
+    Explicit schema avoids a full inference pass — mandatory at scale;
+    `recursive` subsumes the reference's prefix walk
+    (glue_jobs/initial_load.py:95-106).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    if isinstance(paths, str):
+        return reader.json(paths)
+    return reader.json(paths)
+
+
+def write_json_lines(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    gzip: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned JSON-lines sink (S9) / gz JSON sink (S10).
+
+    The reference names each CDC drop `uuid4().hex + '.json'`
+    (lambda_functions/dynamodb_stream_consumer.py:74-90); Spark task
+    files are already unique, so the naming trick disappears.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if gzip:
+        w = w.option("compression", "gzip")
+    w.json(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    target_files_per_partition: int | None = None,
+) -> None:
+    """Initial-load lake write (S7): partitioned parquet, overwrite.
+
+    Equivalent of the reference's Hudi bulk-insert
+    (glue_jobs/initial_load.py:163-186) minus Hudi: plain partitioned
+    parquet + (optionally) catalog registration via `register_table`.
+    `target_files_per_partition` repartitions by the partition columns to
+    bound output file count (small-file control).
+    """
+    if partition_by and target_files_per_partition:
+        df = df.repartition(target_files_per_partition, *partition_by)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def register_table(
+    spark: SparkSession, name: str, path: str, database: str = "default"
+) -> None:
+    """Catalog sync (S12): register a parquet path as a queryable table.
+
+    Replaces the reference's Hudi hive-sync options
+    (glue_jobs/initial_load.py:171-177) and Glue-catalog database create
+    (glue_catalog.py:87-97) with the Spark catalog.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    spark.sql(f"DROP TABLE IF EXISTS {database}.{name}")
+    spark.sql(
+        f"CREATE TABLE {database}.{name} USING PARQUET LOCATION '{path}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {database}.{name}")

@@ -1,0 +1,245 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- `knn_bruteforce`: exact top-k cosine — the baseline. Query side is
+  broadcast; candidates stream through executors; per-query top-k via
+  window. At scale: cost is |queries| × |corpus| dot products, all
+  JVM-side `aggregate`/`zip_with` expressions (no Python).
+- `ann_lsh`: random-hyperplane LSH scale path — deterministic
+  hash-derived hyperplanes, sign-bit bucketing, candidates only within
+  a bucket, exact cosine rerank. Candidate generation is an equi-join
+  on (bucket), so the all-pairs product never materializes.
+- `label_centroid_stats`: element-wise aggregate shape (the "average
+  embedding per class" pipeline op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark.catalog import query
+from dynamodb_to_datalake_project_spark.lake import load_table
+
+
+def as_double_vec(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> F.Column:
+    """Sequential-fold dot product (deterministic accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Ranking uses the cosine ROUNDED to 6 dp with id tiebreak so results
+    are reproducible across engines/float-accumulation orders.
+    """
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Random-hyperplane LSH: one bucket id per (vector, table).
+
+    `n_tables` independent tables of `n_planes` hyperplanes each —
+    multiple tables are the standard recall lever (a true neighbor is a
+    candidate if it collides in ANY table). Hyperplane coefficients are
+    ±1 derived from xxhash64(table, plane, dim) — deterministic, no
+    driver-side randomness, generated as a tiny broadcast-joined table.
+    Output: (id, tbl, bucket).
+    """
+    spark = df.sparkSession
+    planes = (
+        spark.range(n_tables)
+        .withColumnRenamed("id", "tbl")
+        .crossJoin(spark.range(n_planes).withColumnRenamed("id", "plane"))
+        .crossJoin(spark.range(dim).withColumnRenamed("id", "d"))
+        .withColumn(
+            "coef",
+            F.when(F.xxhash64("tbl", "plane", "d") % 2 == 0, F.lit(1.0)).otherwise(
+                F.lit(-1.0)
+            ),
+        )
+    )
+    comps = df.select(id_col, F.posexplode(vec_col).alias("d", "x"))
+    proj = (
+        comps.join(F.broadcast(planes), "d")
+        .groupBy(id_col, "tbl", "plane")
+        .agg(F.sum(F.col("x") * F.col("coef")).alias("proj"))
+    )
+    return (
+        proj.withColumn(
+            "bit",
+            F.expr(
+                "CASE WHEN proj > 0"
+                " THEN shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .groupBy(id_col, "tbl")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+
+
+def ann_lsh(
+    embeddings: DataFrame,
+    query_ids_below: int = 8,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """ANN: LSH-bucketed candidates, exact cosine rerank, top-k.
+
+    Recall < 1 by construction (bucket collisions only); the exact
+    baseline is `knn_bruteforce`. Candidate generation is an equi-join
+    on (tbl, bucket) with candidates deduped before the rerank — the
+    all-pairs product never materializes.
+    """
+    dim = len(embeddings.select("embedding").first()[0])
+    e = embeddings.select("vec_id", as_double_vec("embedding").alias("v"))
+    b = lsh_buckets(e, dim, n_planes, n_tables)
+    q = b.filter(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    c = b.filter(F.col("vec_id") >= query_ids_below).select(
+        F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
+    )
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            F.broadcast(e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))),
+            "query_id",
+        )
+        .join(e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog entries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_knn_bruteforce",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < 8),
+       c AS (SELECT * FROM e WHERE vec_id >= 8),
+       p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM p
+    ) WHERE rnk <= 5
+    """,
+)
+def q_knn_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double_vec("embedding").alias("v"))
+    return knn_bruteforce(
+        e.filter(F.col("vec_id") < 8), e.filter(F.col("vec_id") >= 8), k=5
+    )
+
+
+@query("sim_ann_lsh")  # rows-only: hash-derived hyperplanes not ANSI-SQL
+def q_ann_lsh(spark, sf_dir):
+    return ann_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "sim_label_norm_stats",
+    oracle="""
+    WITH e AS (
+      SELECT label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n,
+           CAST(sum(CAST(nrm AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS avg_norm,
+           max(nrm) AS max_norm
+    FROM e GROUP BY label
+    """,
+)
+def q_label_norm_stats(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = norm(as_double_vec("embedding"))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.col("nrm").cast("decimal(18,8)")).cast("double") / F.count("*")).alias(
+                "avg_norm"
+            ),
+            F.max("nrm").alias("max_norm"),
+        )
+    )

@@ -1,0 +1,539 @@
+"""Relational query surface (SURVEY.md §2.2-2.7): scans, filters,
+joins, aggregations, windows, sorts, set ops, scalar functions.
+
+Everything here is declarative DataFrame API — Catalyst handles
+predicate pushdown, column pruning, join strategy (broadcast hints on
+known-small dims), and AQE handles runtime re-planning. Query literals
+are fixed (deterministic) and sit inside the fixtures' value ranges at
+every scale factor (lineitem ship 1995-2001, orders 1995-2001, events
+2024-01).
+
+Float determinism policy (oracle comparison is an exact value hash):
+- NEVER `round()` doubles — Spark (HALF_UP over the shortest decimal
+  repr) and DuckDB (binary arithmetic) disagree on .005-boundary
+  values.
+- Per-row arithmetic on doubles is bit-identical across engines (same
+  IEEE ops, same order) → emit raw.
+- SUMs of non-integral doubles are order-dependent → cast operands to
+  exact DECIMAL on BOTH sides, sum exactly, cast the total to double.
+- AVG = exact-sum-as-double / count: one deterministic division.
+- Sums of integral-valued doubles (l_quantity) are exact in fp at any
+  order → raw sum is safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark.catalog import query
+from dynamodb_to_datalake_project_spark.lake import load_table
+
+#: exact-money type: covers |x| < 1e10 with cent precision
+MONEY = "decimal(12,2)"
+#: 0.xx factors (discount/tax)
+PCT = "decimal(4,2)"
+
+
+def money_sum(col) -> F.Column:
+    """Order-independent exact sum of a 2-decimal money double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(MONEY)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Flagship aggregation (A1/A3-family; TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                    * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+                AS DOUBLE) AS sum_charge,
+           sum(l_quantity) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(MONEY)
+    one_minus_disc = (F.lit(1) - F.col("l_discount").cast(PCT)).cast(PCT)
+    one_plus_tax = (F.lit(1) + F.col("l_tax").cast(PCT)).cast(PCT)
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * one_minus_disc).cast("double").alias("sum_disc_price"),
+            F.sum(price * one_minus_disc * one_plus_tax).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast(PCT)).cast("double") / n).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters (S1, P5, F1, F3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s1_scan_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_discount > 0.05
+    """,
+)
+def q_scan_pushdown(spark, sf_dir):
+    """Projection + predicate that must reach the parquet scan
+    (PushedFilters on l_shipdate/l_discount; ReadSchema of 6 columns).
+    Revenue is raw per-row double arithmetic — bit-identical across
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "f1_cdc_event_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_type <> 'error' AND value > 0
+    """,
+)
+def q_cdc_event_filter(spark, sf_dir):
+    """F1: the reference drops REMOVE CDC events
+    (dynamodb_stream_consumer.py:38-39); same shape on the events
+    fixture."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter((F.col("event_type") != "error") & (F.col("value") > 0)).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@query(
+    "f3_time_range_prune",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def q_time_range_prune(spark, sf_dir):
+    """F3: the reference's manual S3 key-range selection
+    (incremental_load_orchestration.py:194-225) becomes a time-range
+    predicate Catalyst can prune partitions/row-groups with."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J2): star join with broadcast dims, semi/anti
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j2_star_join_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_star_join_revenue(spark, sf_dir):
+    """Multi-way star join. Dims (region/nation) are broadcast —
+    lineitem⋈orders is the only shuffle pair, and AQE may convert even
+    that to broadcast at small SF. Filters push below the joins."""
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(MONEY)
+    one_minus_disc = (F.lit(1) - F.col("l_discount").cast(PCT)).cast(PCT)
+    return (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * one_minus_disc).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "j3_semi_anti_join",
+    oracle="""
+    SELECT c_mktsegment, 'with_orders' AS cohort, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT c_mktsegment, 'without_orders' AS cohort, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_semi_anti_join(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    okeys = load_table(spark, sf_dir, "orders").select("o_custkey")
+    on = customer.c_custkey == okeys.o_custkey
+    semi = (
+        customer.join(okeys, on, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .withColumn("cohort", F.lit("with_orders"))
+    )
+    anti = (
+        customer.join(okeys, on, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .withColumn("cohort", F.lit("without_orders"))
+    )
+    return semi.unionByName(anti).select("c_mktsegment", "cohort", "n_customers")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A2, A5) + grouping sets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a2_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q_distinct(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "a5_agg_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q_agg_stats(spark, sf_dir):
+    n = F.count("*")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            money_sum("o_totalprice").alias("sum_price"),
+            (money_sum("o_totalprice") / n).alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "a6_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "a7_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(money_sum("o_totalprice").alias("sum_price"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window family beyond W1/W2 (dedup.py): running aggs, lag/lead
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w3_window_family",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value,
+           lag(event_type, 1)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+    FROM events
+    """,
+)
+def q_window_family(spark, sf_dir):
+    """Running sums go through DECIMAL: engines may use different frame
+    accumulation structures (DuckDB segment trees vs Spark sequential),
+    so only exact arithmetic is comparable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_value"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits (O1/O2) and set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o1_topn_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+)
+def q_topn_orders(spark, sf_dir):
+    """Global top-N: Spark plans TakeOrderedAndProject — per-partition
+    heap + driver merge of N, never a full global sort."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "set_intersect_except",
+    oracle="""
+    SELECT user_id FROM (
+      (SELECT user_id FROM events WHERE event_type = 'purchase'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'click')
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    """,
+)
+def q_set_intersect_except(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    uid = lambda t: ev.filter(F.col("event_type") == t).select("user_id")  # noqa: E731
+    return uid("purchase").intersect(uid("click")).subtract(uid("error"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (C1-C12)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c_scalar_funcs",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           upper(substr(c_name, 1, 8)) AS name_prefix,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_pad,
+           abs(c_acctbal) AS abs_bal,
+           CAST(length(c_mktsegment) AS BIGINT) AS seg_len,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_key
+    FROM customer
+    """,
+)
+def q_scalar_funcs(spark, sf_dir):
+    """C1/C2/C5/C12 + casts: concat, substring, zero-pad, md5,
+    arithmetic — the reference's scalar surface (SURVEY §2.7) in one
+    projection."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_pad"),
+        F.abs("c_acctbal").alias("abs_bal"),
+        F.length("c_mktsegment").cast("long").alias("seg_len"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_key"),
+    )
+
+
+@query(
+    "c3_datetime_funcs",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d') AS d,
+           date_trunc('minute', ts) AS minute_bucket,
+           ts + INTERVAL 1 MINUTE AS ts_plus_1m,
+           least(ts, TIMESTAMP '2024-01-15 00:00:00') AS ts_capped,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(hour(ts) AS BIGINT) AS h
+    FROM events
+    """,
+)
+def q_datetime_funcs(spark, sf_dir):
+    """C3/C4/C10: parse/format, truncation, interval arithmetic,
+    least — the timestamp manipulation surface."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        F.date_trunc("minute", F.col("ts")).alias("minute_bucket"),
+        (F.col("ts") + F.expr("INTERVAL 1 MINUTE")).alias("ts_plus_1m"),
+        F.least(F.col("ts"), F.lit("2024-01-15 00:00:00").cast("timestamp")).alias("ts_capped"),
+        F.year("ts").cast("long").alias("y"),
+        F.hour("ts").cast("long").alias("h"),
+    )
+
+
+@query(
+    "c7_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
+    FROM events
+    GROUP BY k_val
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """C7: semi-structured JSON payload extraction (the events fixture's
+    `props` column), then aggregate on the extracted key."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k_val"), "value"
+        )
+        .groupBy("k_val")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time bucketing (T2 batch shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t2_tumbling_window",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def q_tumbling_window(spark, sf_dir):
+    """T2: 1-minute tumbling event-time windows, batch form (the
+    streaming form over the same semantics lives in cdc.py and is
+    covered by streaming tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

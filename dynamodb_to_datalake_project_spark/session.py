@@ -1,0 +1,77 @@
+"""SparkSession factory.
+
+Single place where execution-relevant config is decided so every entry
+point (tests, bench, driver harness) gets the same tuned session:
+
+- AQE on (runtime re-plan: broadcast conversion, partition coalescing,
+  skew-join splitting) — at 100 TB this is what keeps a static plan from
+  being the bottleneck.
+- shuffle partitions sized to the local core count (overridable); on a
+  real cluster this would be ~2-3x total cores or left to AQE coalescing.
+- UTC session timezone — oracle comparison (DuckDB is UTC-naive) and the
+  reference's ISO-8601 string timestamps both require it.
+- Arrow enabled for the Pandas-UDF slow path (LLM operators).
+- `nanosAsLong` so parquet TIMESTAMP(NANOS) columns (the `events`
+  fixture) are readable; `lake.load_table` converts ns → µs timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Applied at session build AND re-applied (runtime-settable ones) on an
+# existing session, since the driver may hand us a session it built.
+RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an existing session.
+
+    Called by every query builder so the engine behaves identically under
+    a driver-provided SparkSession.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable under this build; builder path sets it
+    return spark
+
+
+def get_spark(
+    app_name: str = "ddb2dl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    )
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONF.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

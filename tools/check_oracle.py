@@ -1,0 +1,116 @@
+"""Mirror of the driver's correctness gate, runnable locally at any SF.
+
+For every catalog query with an oracle: run the Spark builder and the
+DuckDB SQL over the same parquet fixtures, then compare row count,
+sorted column names, and the order-insensitive multiset of values
+(floats within 1e-6). Queries without an oracle get a rows-only run.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import Counter
+from datetime import date, datetime
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connect(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def norm_value(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_value(x) for x in v)
+    return v
+
+
+def row_multiset(rows, col_order):
+    return Counter(
+        tuple(norm_value(r[i]) for i in col_order) for r in rows
+    )
+
+
+def compare_query(spark, con, name, builder, sql, sf_dir):
+    sdf = builder(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    if sql is None:
+        return {"name": name, "mode": "rows_only", "rows": len(srows), "ok": True}
+    ores = con.execute(sql)
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    problems = []
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if not problems:
+        order = sorted(range(len(scols)), key=lambda i: scols[i])
+        sset = row_multiset(srows, order)
+        oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        oset = row_multiset(orows, oorder)
+        if sset != oset:
+            extra_s = list((sset - oset).items())[:3]
+            extra_o = list((oset - sset).items())[:3]
+            problems.append(f"values spark_only={extra_s} oracle_only={extra_o}")
+    return {
+        "name": name,
+        "mode": "oracle",
+        "rows": len(srows),
+        "ok": not problems,
+        "problems": problems,
+    }
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from dynamodb_to_datalake_project_spark import catalog, get_spark
+
+    catalog.load_all()
+    spark = get_spark("oracle-check")
+    con = duck_connect(sf_dir)
+    failed = []
+    for name, builder in sorted(catalog.QUERIES.items()):
+        if only and name not in only:
+            continue
+        try:
+            res = compare_query(
+                spark, con, name, builder, catalog.ORACLE.get(name), sf_dir
+            )
+        except Exception as e:  # noqa: BLE001
+            res = {"name": name, "ok": False, "problems": [f"EXCEPTION {e}"]}
+        status = "OK " if res["ok"] else "FAIL"
+        print(f"[{status}] {name} ({res.get('mode','?')}, rows={res.get('rows','?')})")
+        for p in res.get("problems", []):
+            print(f"       {p}")
+        if not res["ok"]:
+            failed.append(name)
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
