@@ -23,11 +23,28 @@ from pyspark.sql import functions as F
 
 from dynamodb_to_datalake_project_spark.catalog import query
 from dynamodb_to_datalake_project_spark.lake import load_table
-from dynamodb_to_datalake_project_spark.llm.text import shingle_set, tokens
+from dynamodb_to_datalake_project_spark.llm.text import shingles_from_tokens, tokens
 
 
 def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
-    return docs.select("doc_id", shingle_set(F.col("text"), n).alias("w"))
+    """Shingle sets with two deliberate physical properties:
+
+    1. Tokenize BEFORE a repartition exchange, build shingles AFTER it.
+       The exchange materializes the token array, so the shingle
+       lambda's 3n element_at() calls read an attribute instead of
+       re-inlining (and re-executing) the split() — without the
+       barrier, projection collapse makes tokenization O(n_shingles)
+       per row instead of O(1).
+    2. The repartition also spreads a small single-split corpus file
+       across all cores before the ~100x explode (at 100 TB the input
+       is already many-split; the thin (id, toks) shuffle is noise)."""
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .repartition(par, "doc_id")
+        .select("doc_id", shingles_from_tokens(F.col("toks"), n).alias("w"))
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
@@ -55,8 +72,12 @@ def blocked_jaccard_pairs(
 ) -> DataFrame:
     """Candidate pairs via blocking-key equi-join + exact
     shingle-Jaccard verify."""
-    d = docs.select(
-        "doc_id", block_key.alias("blk"), shingle_set(F.col("text"), shingle_n).alias("w")
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        docs.select("doc_id", block_key.alias("blk"), tokens(F.col("text")).alias("toks"))
+        .repartition(par, "doc_id")
+        .select("doc_id", "blk", shingles_from_tokens(F.col("toks"), shingle_n).alias("w"))
     )
     a, b = d.alias("a"), d.alias("b")
     pair = a.join(
@@ -75,18 +96,113 @@ def blocked_jaccard_pairs(
     )
 
 
+def _bucket_pairs(
+    df: DataFrame, bucket_cols: list[str], id_col: str, max_bucket: int = 1000
+) -> DataFrame:
+    """Distinct within-bucket id pairs (a < b), computing the upstream
+    plan once (no self-join). Buckets larger than `max_bucket` are
+    dropped: for LSH banding they indicate a degenerate band with no
+    discriminative signal, and expanding them is O(n²) for nothing."""
+    buckets = (
+        df.groupBy(*bucket_cols)
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))),"
+                " p -> p.a < p.b)"
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id")).distinct()
+
+
+def _minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) universal-hash constants, derived from
+    sha256 so they are stable across runs/processes (no RNG state)."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int.from_bytes(hashlib.sha256(f"minhash-a-{i}".encode()).digest()[:4], "big")
+        b = int.from_bytes(hashlib.sha256(f"minhash-b-{i}".encode()).digest()[:5], "big")
+        out.append(((a % (1 << 20)) | 1, b))
+    return out
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 32, id_col: str = "doc_id", tokens_col: str = "w"
 ) -> DataFrame:
-    """Per-doc MinHash signature: mh_i = min over tokens of
-    xxhash64(i, token). One explode + one partial-aggregated min-shuffle;
-    no UDFs, deterministic across runs/engines."""
-    tok = docs.select(id_col, F.explode(tokens_col).alias("tok"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return tok.groupBy(id_col).agg(*aggs)
+    """Per-doc MinHash signature frame: (id, sig_arr: array<bigint>),
+    sig_arr[i] = min over tokens of (a_i * h32(token) + b_i).
+
+    Shuffle-free by design: the alternative (explode + num_hashes
+    min-aggregations) costs a 100x row explosion, a shuffle, and a
+    wide-agg codegen compile; this is a pure per-row map that scales
+    embarrassingly parallel. Each token string is hashed ONCE
+    (xxhash64, truncated to 32 bits so `a*h+b` stays < 2^53 — ANSI-safe,
+    no overflow); the num_hashes variants are flat arithmetic transforms
+    over the materialized hash array (no nested lambdas, no per-seed
+    re-hashing)."""
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hs = docs.select(
+        id_col,
+        F.transform(
+            F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col,
+            lambda t: F.xxhash64(t).bitwiseAND(F.lit(0xFFFFFFFF)),
+        ).alias("hs"),
+    ).repartition(par, id_col)  # barrier: hash each token once, then fan out
+    sig = F.array(
+        *[
+            F.array_min(F.transform("hs", lambda h: h * F.lit(a) + F.lit(b)))
+            for a, b in _minhash_constants(num_hashes)
+        ]
+    )
+    return hs.select(id_col, sig.alias("sig_arr"))
+
+
+def minhash_signatures_pandas(
+    docs: DataFrame, num_hashes: int = 64, id_col: str = "doc_id", tokens_col: str = "w"
+) -> DataFrame:
+    """Vectorized MinHash signatures via Arrow + numpy (mapInPandas).
+
+    Semantics match `minhash_signatures` (same (a,b) constants; token
+    hash is crc32 instead of xxhash64-truncated — both deterministic).
+    This is the hot path: one crc32 per token plus a single (n_tokens x
+    num_hashes) broadcasted multiply-add and a segment-min
+    (`np.minimum.reduceat`) per Arrow batch — orders of magnitude less
+    per-element overhead than interpreted higher-order expressions, and
+    still embarrassingly parallel per partition at cluster scale."""
+    import numpy as np
+    import pandas as pd
+    import zlib
+
+    consts = _minhash_constants(num_hashes)
+    A = np.array([a for a, _ in consts], dtype=np.uint64)
+    B = np.array([b for _, b in consts], dtype=np.uint64)
+
+    def op(batches):
+        for pdf in batches:
+            tok_lists = pdf[tokens_col]
+            lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            flat = np.fromiter(
+                (zlib.crc32(s.encode()) for toks in tok_lists for s in toks),
+                dtype=np.uint64,
+                count=int(lens.sum()),
+            )
+            # (n_tokens, K) universal hashes; uint64 wrap is well-defined
+            hv = flat[:, None] * A[None, :] + B[None, :]
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sigs = np.minimum.reduceat(hv, starts, axis=0).astype(np.int64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "sig_arr": list(sigs)}
+            )
+
+    return docs.mapInPandas(op, schema=f"{id_col} long, sig_arr array<bigint>")
 
 
 def minhash_lsh_pairs(
@@ -94,20 +210,38 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    use_pandas: bool = True,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
 
     docs_with_tokens: (doc_id, w: array<string> distinct tokens).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs_with_tokens, num_hashes)
+    spark = docs_with_tokens.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if use_pandas:
+        # mapInPandas output is materialized columns — no projection
+        # collapse can re-inline the signature computation into the
+        # banding references.
+        sig = minhash_signatures_pandas(docs_with_tokens, num_hashes)
+    else:
+        # Exchange barrier: materialize sig_arr before banding. Without
+        # it, projection collapse inlines the signature computation into
+        # every one of the num_hashes element_at() references below — a
+        # 64x recompute. The shuffled frame is (id, 64 longs) — tiny.
+        sig = minhash_signatures(docs_with_tokens, num_hashes).repartition(
+            par, "doc_id"
+        )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.xxhash64(*[F.col(f"mh_{bi * rows + r}") for r in range(rows)]).alias(
-                    "sig"
-                ),
+                F.xxhash64(
+                    *[
+                        F.element_at("sig_arr", bi * rows + r + 1)
+                        for r in range(rows)
+                    ]
+                ).alias("sig"),
             )
             for bi in range(bands)
         ]
@@ -115,21 +249,24 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
+    # Bucket-local pair expansion instead of a self-join: a self-join
+    # would recompute the whole signature pipeline for each side; here
+    # the signatures are computed once and pairs come from a per-bucket
+    # collect_list. Degenerate buckets are capped (a band whose bucket
+    # holds >1000 docs carries no dedup signal, only quadratic cost).
+    cand = _bucket_pairs(banded, ["band", "sig"], "doc_id")
     d = docs_with_tokens
+    # Broadcast the TINY candidate-pair frame and stream the corpus
+    # through both joins. Broadcasting the corpus side instead would
+    # build its shingle arrays single-threaded inside the broadcast
+    # exchange — the scan order below keeps the array computation
+    # distributed.
+    step1 = d.select(F.col("doc_id").alias("a_id"), F.col("w").alias("wa")).join(
+        F.broadcast(cand), "a_id"
+    )
     verified = (
-        cand.join(d.select(F.col("doc_id").alias("a_id"), F.col("w").alias("wa")), "a_id")
-        .join(d.select(F.col("doc_id").alias("b_id"), F.col("w").alias("wb")), "b_id")
+        d.select(F.col("doc_id").alias("b_id"), F.col("w").alias("wb"))
+        .join(F.broadcast(step1), "b_id")
         .withColumn("j", jaccard(F.col("wa"), F.col("wb")))
         .filter(F.col("j") >= threshold)
         .select("a_id", "b_id", F.col("j").alias("jaccard"))
@@ -138,25 +275,27 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(docs_with_tokens: DataFrame, bits: int = 32) -> DataFrame:
-    """32-bit SimHash: bit i of the signature is the sign of
-    sum over tokens of (token-hash bit i ? +1 : -1)."""
-    tok = docs_with_tokens.select("doc_id", F.explode("w").alias("tok")).select(
-        "doc_id", F.xxhash64("tok").alias("h")
-    )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b_{i}")
-        for i in range(bits)
-    ]
-    sums = tok.groupBy("doc_id").agg(*bit_sums)
-    sig = functools.reduce(
-        lambda acc, i: acc
-        + F.when(F.col(f"b_{i}") > 0, F.lit(2**i).cast("long")).otherwise(0),
-        range(bits),
-        F.lit(0).cast("long"),
-    )
-    return sums.select("doc_id", sig.alias("simhash"))
+    """SimHash: bit i of the signature is the sign of sum over tokens
+    of (token-hash bit i ? +1 : -1).
+
+    Shuffle-free per-row form (cf. minhash_signature_col): token hashes
+    and all bit-sums are array expressions inside one SQL `aggregate`,
+    so there is no explode, no wide aggregation, no exchange. The
+    alternative (explode + `bits` conditional sums) pays a shuffle plus
+    a giant codegen compile."""
+    sig_sql = f"""
+    aggregate(
+      sequence(0, {bits - 1}), CAST(0 AS BIGINT),
+      (acc, i) -> acc + IF(
+        aggregate(hs, 0, (a, h) -> a + IF(((h >> i) & 1) = 1, 1, -1)) > 0,
+        shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), CAST(0 AS BIGINT)))
+    """
+    spark = docs_with_tokens.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hs = docs_with_tokens.select(
+        "doc_id", F.transform("w", lambda t: F.xxhash64(t)).alias("hs")
+    ).repartition(par, "doc_id")  # barrier: hash each token string once
+    return hs.select("doc_id", F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_pairs(
@@ -168,7 +307,11 @@ def simhash_pairs(
     band is identical), so candidate generation is an equi-join, never
     all-pairs.
     """
-    sig = simhash_signatures(docs_with_tokens, bits)
+    spark = docs_with_tokens.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # barrier: banding references `simhash` once per band — without
+    # materialization each reference re-inlines the signature aggregate
+    sig = simhash_signatures(docs_with_tokens, bits).repartition(par, "doc_id")
     n_bands = bits // 8
     band_structs = F.array(
         *[
@@ -182,20 +325,29 @@ def simhash_pairs(
     banded = sig.select("doc_id", "simhash", F.explode(band_structs).alias("bs")).select(
         "doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bv").alias("bv")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # Per-bucket pair expansion carrying (doc_id, simhash) structs: one
+    # pass computes signatures, buckets, pairs AND the hamming verify —
+    # no self-join, no signature re-join.
+    buckets = (
+        banded.groupBy("band", "bv")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= 1000))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))),"
+                " p -> p.a.doc_id < p.b.doc_id)"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("long").alias("hamming"),
+        pairs.select(
+            F.col("p.a.doc_id").alias("a_id"),
+            F.col("p.b.doc_id").alias("b_id"),
+            F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -29,11 +29,14 @@ def word_tokens(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(r"\w+"), 0)
 
 
-def shingle_set(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (order-sensitive n-grams). The unit for
-    near-dup Jaccard/MinHash: unigram sets saturate on small
-    vocabularies, shingles don't."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from a token-array column.
+
+    PERF: pass a *materialized column attribute*, not the split()
+    expression — projection collapse inlines an expression argument into
+    every element_at() call here (3n per shingle), turning one
+    tokenization per row into hundreds. See `llm.dedup._shingle_sets`
+    for the exchange-barrier pattern that materializes it."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
@@ -41,6 +44,14 @@ def shingle_set(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
+
+
+def shingle_set(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column. The unit for near-dup
+    Jaccard/MinHash: unigram sets saturate on small vocabularies,
+    shingles don't. (For hot paths prefer materializing `tokens()`
+    first — see `shingles_from_tokens`.)"""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def stopword_count(toks: Column, stopwords=STOPWORDS) -> Column:
