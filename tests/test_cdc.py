@@ -1,0 +1,167 @@
+"""CDC streaming end-to-end (T1-T9): file-source stream over JSON
+drops, foreachBatch merge into a partitioned lake table, checkpoint
+restart without duplicates, REMOVE filtering, windowed aggregation with
+watermark — the reference's whole incremental pipeline
+(dynamodb_stream_consumer.py + incremental_load_orchestration.py +
+glue_jobs/incremental.py) as one streaming query.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dynamodb_to_datalake_project_spark import cdc, diff
+
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("update_at", T.StringType()),
+        T.StructField("note", T.StringType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("event_name", T.StringType()),
+    ]
+)
+
+
+def _write_drop(cdc_dir, name, records):
+    cdc_dir.mkdir(parents=True, exist_ok=True)
+    (cdc_dir / name).write_text(
+        "\n".join(json.dumps(r) for r in records) + "\n"
+    )
+
+
+def _run_stream(spark, cdc_dir, table, ckpt):
+    q = cdc.start_cdc_merge(
+        spark,
+        str(cdc_dir),
+        CDC_SCHEMA,
+        str(table),
+        keys=["id"],
+        precombine=["update_at"],
+        partition_cols=["day"],
+        checkpoint_dir=str(ckpt),
+        event_type_col="event_name",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_cdc_stream_merge_and_restart(spark, tmp_path):
+    cdc_dir = tmp_path / "cdc"
+    table = tmp_path / "lake"
+    ckpt = tmp_path / "ckpt"
+
+    # epoch snapshot (initial load, S7)
+    snapshot = spark.createDataFrame(
+        [
+            ("a", "2023-01-01T00:00:00", "v1", "2023-01-01"),
+            ("b", "2023-01-01T00:00:00", "v1", "2023-01-01"),
+        ],
+        ["id", "update_at", "note", "day"],
+    )
+    snapshot.write.partitionBy("day").parquet(str(table))
+
+    # batch 1: update a (newer), REMOVE b (must be ignored), insert c
+    _write_drop(
+        cdc_dir,
+        "b1.json",
+        [
+            {"id": "a", "update_at": "2023-01-01T01:00:00", "note": "v2",
+             "day": "2023-01-01", "event_name": "MODIFY"},
+            {"id": "b", "update_at": "2023-01-01T01:00:00", "note": "gone",
+             "day": "2023-01-01", "event_name": "REMOVE"},
+            {"id": "c", "update_at": "2023-01-01T01:00:00", "note": "new",
+             "day": "2023-01-02", "event_name": "INSERT"},
+        ],
+    )
+    _run_stream(spark, cdc_dir, table, ckpt)
+
+    state = {r.id: r.note for r in spark.read.parquet(str(table)).collect()}
+    assert state == {"a": "v2", "b": "v1", "c": "new"}
+
+    # batch 2 after restart: late stale update for a (loses), new d
+    _write_drop(
+        cdc_dir,
+        "b2.json",
+        [
+            {"id": "a", "update_at": "2023-01-01T00:30:00", "note": "stale",
+             "day": "2023-01-01", "event_name": "MODIFY"},
+            {"id": "d", "update_at": "2023-01-01T02:00:00", "note": "late-add",
+             "day": "2023-01-02", "event_name": "INSERT"},
+        ],
+    )
+    _run_stream(spark, cdc_dir, table, ckpt)  # same checkpoint -> only b2 processed
+
+    final = spark.read.parquet(str(table))
+    state = {r.id: (r.update_at, r.note) for r in final.collect()}
+    assert state == {
+        "a": ("2023-01-01T01:00:00", "v2"),
+        "b": ("2023-01-01T00:00:00", "v1"),
+        "c": ("2023-01-01T01:00:00", "new"),
+        "d": ("2023-01-01T02:00:00", "late-add"),
+    }
+    assert final.count() == 4  # no duplicate rows from restart
+
+    # differential check (J1): lake vs expected oracle state is clean
+    expected = spark.createDataFrame(
+        [
+            ("a", "2023-01-01T01:00:00", "v2", "2023-01-01"),
+            ("b", "2023-01-01T00:00:00", "v1", "2023-01-01"),
+            ("c", "2023-01-01T01:00:00", "new", "2023-01-02"),
+            ("d", "2023-01-01T02:00:00", "late-add", "2023-01-02"),
+        ],
+        ["id", "update_at", "note", "day"],
+    )
+    summary, samples = diff.compare(expected, final.select("id", "update_at", "note", "day"))
+    assert summary.identical, samples
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    """T2/T3: tumbling 1-minute windows + 2-minute watermark over a
+    file-source stream."""
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        {"id": "x", "ts": "2024-01-01T00:00:10", "event_type": "click"},
+        {"id": "y", "ts": "2024-01-01T00:00:50", "event_type": "click"},
+        {"id": "z", "ts": "2024-01-01T00:01:10", "event_type": "view"},
+        {"id": "w", "ts": "2024-01-01T00:10:00", "event_type": "view"},  # advances watermark
+    ]
+    (src / "f1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = cdc.windowed_event_counts(stream, group_cols=("event_type",))
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (str(r.window_start), r.event_type): r.n
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # windows closed by the watermark (last event 00:10 - 2min = 00:08)
+    assert got[("2024-01-01 00:00:00", "click")] == 2
+    assert got[("2024-01-01 00:01:00", "view")] == 1

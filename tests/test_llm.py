@@ -1,0 +1,142 @@
+"""LLM-pipeline operator tests: dedup sketches find planted
+duplicates, similarity search ranks true neighbors first, text stats
+compute exact values, multimodal plumbing round-trips bytes."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark.llm import dedup as ldedup
+from dynamodb_to_datalake_project_spark.llm import multimodal, similarity
+from dynamodb_to_datalake_project_spark.llm import text as ltext
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the dog dreams of bones all night long"
+)
+NEAR = BASE.replace("warm fire", "cold floor")  # near-dup of BASE
+OTHER = (
+    "completely different content about spark query engines and large "
+    "scale distributed data processing with columnar storage formats"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)],  # 4 = exact dup of 1
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark, corpus):
+    out = ldedup.exact_dedup(corpus, "doc_id", "text").collect()
+    by_hash = {r.text_hash: (r.keep_id, r.n_copies) for r in out}
+    assert len(by_hash) == 3
+    assert (1, 2) in by_hash.values()  # BASE kept as doc 1, two copies
+
+
+def test_minhash_finds_planted_near_dup(spark, corpus):
+    pairs = ldedup.minhash_lsh_pairs(
+        ldedup._shingle_sets(corpus), num_hashes=64, bands=4, threshold=0.5
+    ).collect()
+    got = {(r.a_id, r.b_id) for r in pairs}
+    assert (1, 2) in got  # near-dup pair
+    assert (1, 4) in got  # exact dup pair
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_near_dup_and_jvm_minhash_agree(spark, corpus):
+    sh = ldedup.simhash_pairs(ldedup._shingle_sets(corpus), bits=48, max_hamming=0)
+    got = {(r.a_id, r.b_id): r.hamming for r in sh.collect()}
+    assert got[(1, 4)] == 0  # identical docs -> identical simhash
+    # signature distances order by similarity: near-dup < unrelated
+    sigs = {
+        r.doc_id: r.simhash
+        for r in ldedup.simhash_signatures(ldedup._shingle_sets(corpus), 48).collect()
+    }
+    ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")  # noqa: E731
+    assert ham(1, 2) < ham(1, 3)
+    # JVM expression path produces the same verified pairs as pandas path
+    jvm = ldedup.minhash_lsh_pairs(
+        ldedup._shingle_sets(corpus), 64, 4, threshold=0.5, use_pandas=False
+    )
+    pd_pairs = ldedup.minhash_lsh_pairs(
+        ldedup._shingle_sets(corpus), 64, 4, threshold=0.5, use_pandas=True
+    )
+    assert {(r.a_id, r.b_id) for r in jvm.collect()} == {
+        (r.a_id, r.b_id) for r in pd_pairs.collect()
+    }
+
+
+def test_blocked_jaccard(spark, corpus):
+    pairs = ldedup.blocked_jaccard_pairs(
+        corpus, F.substring("text", 1, 16), threshold=0.5
+    ).collect()
+    got = {(r.a_id, r.b_id): r.jaccard for r in pairs}
+    assert got[(1, 4)] == 1.0
+    assert 0.5 <= got[(1, 2)] < 1.0
+
+
+def test_knn_ranks_true_neighbor_first(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),       # query
+        (10, [0.9, 0.1, 0.0, 0.0]),      # near neighbor
+        (11, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (12, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "v"]).withColumn(
+        "v", F.col("v").cast("array<double>")
+    )
+    out = similarity.knn_bruteforce(
+        e.filter("vec_id = 0"), e.filter("vec_id > 0"), k=3
+    ).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rnk)]
+    assert ranked == [10, 11, 12]
+    assert abs(out[0].cosine - 0.993884) < 1e-5
+
+
+def test_ann_lsh_subset_of_bruteforce_universe(spark):
+    from dynamodb_to_datalake_project_spark.lake import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ann = similarity.ann_lsh(emb, query_ids_below=4, k=3).collect()
+    assert len(ann) > 0
+    assert all(r.neighbor_id >= 4 and r.query_id < 4 for r in ann)
+    assert all(-1.0 <= r.cosine <= 1.0 for r in ann)
+
+
+def test_text_stats_exact_values(spark):
+    df = spark.createDataFrame([(1, "the cat and the hat ")], ["doc_id", "text"])
+    row = ltext.add_text_stats(df).first()
+    assert row.n_tokens == 5
+    assert row.n_uniq_tokens == 4  # the, cat, and, hat
+    assert row.n_stopwords == 3    # the, and, the
+    assert abs(row.stopword_ratio - 0.6) < 1e-12
+    assert row.fingerprint == hashlib.md5(b"the cat and the hat").hexdigest()
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    rows = df.select(ltext.shingle_set(F.col("text"), 3).alias("s")).collect()
+    assert rows[0].s == ["a b c", "b c d"]
+    assert rows[1].s == ["a b"]  # shorter than n -> whole text
+
+
+def test_multimodal_roundtrip_and_stub(spark):
+    docs = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    bin_docs = multimodal.to_binary_docs(docs)
+    meta = bin_docs.first().meta
+    assert meta.n_bytes == 11
+    assert meta.checksum == hashlib.md5(b"hello world").hexdigest()
+    feat = multimodal.extract_features(bin_docs).first()
+    assert feat.n_bytes == 11
+    assert feat.checksum == meta.checksum
+    assert feat.fake_feature == (11 * 7 + ord("h")) % 997
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF")

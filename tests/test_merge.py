@@ -1,0 +1,142 @@
+"""Upsert/precombine semantics (S8) — the FIXTURES.md merge cases:
+insert-only, update-only, mixed batch with in-batch duplicate keys,
+late-arriving older update must lose, idempotency (T9 overlap), and
+touched-partition-only rewrite for the lake-table merge.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark import merge
+from dynamodb_to_datalake_project_spark.transform import with_partition_columns
+
+COLS = ["id", "update_at", "note"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id string, update_at string, note string")
+
+
+def _state(df):
+    return {r.id: (r.update_at, r.note) for r in df.collect()}
+
+
+def test_insert_and_update(spark):
+    target = _df(spark, [("a", "2023-01-01T00:00:00", "v1"), ("b", "2023-01-01T00:00:00", "v1")])
+    source = _df(spark, [("b", "2023-01-02T00:00:00", "v2"), ("c", "2023-01-01T00:00:00", "new")])
+    out = merge.upsert_dataframes(target, source, ["id"], ["update_at"])
+    assert _state(out) == {
+        "a": ("2023-01-01T00:00:00", "v1"),
+        "b": ("2023-01-02T00:00:00", "v2"),
+        "c": ("2023-01-01T00:00:00", "new"),
+    }
+
+
+def test_late_arriving_older_update_loses(spark):
+    target = _df(spark, [("a", "2023-01-05T00:00:00", "newer")])
+    source = _df(spark, [("a", "2023-01-01T00:00:00", "stale")])
+    out = merge.upsert_dataframes(target, source, ["id"], ["update_at"])
+    assert _state(out) == {"a": ("2023-01-05T00:00:00", "newer")}
+
+
+def test_in_batch_duplicate_keys_collapse(spark):
+    target = _df(spark, [])
+    source = _df(
+        spark,
+        [
+            ("a", "2023-01-01T00:00:01", "first"),
+            ("a", "2023-01-01T00:00:02", "second"),
+            ("a", "2023-01-01T00:00:02", "tie-second"),
+        ],
+    )
+    out = merge.upsert_dataframes(target, source, ["id"], ["update_at"])
+    assert out.count() == 1
+    assert _state(out)["a"][0] == "2023-01-01T00:00:02"
+
+
+def test_precombine_tie_prefers_source(spark):
+    target = _df(spark, [("a", "2023-01-01T00:00:00", "old")])
+    source = _df(spark, [("a", "2023-01-01T00:00:00", "resent")])
+    out = merge.upsert_dataframes(target, source, ["id"], ["update_at"])
+    assert _state(out) == {"a": ("2023-01-01T00:00:00", "resent")}
+
+
+def test_idempotent_reapply(spark):
+    """T9: re-merging the same batch changes nothing."""
+    target = _df(spark, [("a", "2023-01-01T00:00:00", "v1")])
+    source = _df(spark, [("a", "2023-01-02T00:00:00", "v2"), ("b", "2023-01-01T00:00:00", "x")])
+    once = merge.upsert_dataframes(target, source, ["id"], ["update_at"])
+    twice = merge.upsert_dataframes(once, source, ["id"], ["update_at"])
+    assert _state(once) == _state(twice)
+
+
+def _ts_rows(rows):
+    return [(i, ts, note, ts[:10]) for (i, ts, note) in rows]
+
+
+def test_merge_into_parquet_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+    initial = spark.createDataFrame(
+        _ts_rows(
+            [
+                ("a", "2023-01-01T10:00:00", "v1"),
+                ("b", "2023-01-02T10:00:00", "v1"),
+                ("c", "2023-01-03T10:00:00", "v1"),
+            ]
+        ),
+        cols,
+    )
+    initial.write.partitionBy("day").parquet(path)
+    untouched = os.path.join(path, "day=2023-01-03")
+    before = {
+        f: os.path.getmtime(os.path.join(untouched, f))
+        for f in os.listdir(untouched)
+        if f.endswith(".parquet")
+    }
+
+    batch = spark.createDataFrame(
+        _ts_rows(
+            [
+                ("a", "2023-01-01T12:00:00", "v2"),   # update in day=01
+                ("d", "2023-01-02T09:00:00", "new"),  # insert in day=02
+            ]
+        ),
+        cols,
+    )
+    merge.merge_into_parquet(
+        spark, path, batch, keys=["id"], precombine=["update_at"], partition_cols=["day"]
+    )
+
+    result = {r.id: (r.update_at, r.note) for r in spark.read.parquet(path).collect()}
+    assert result == {
+        "a": ("2023-01-01T12:00:00", "v2"),
+        "b": ("2023-01-02T10:00:00", "v1"),
+        "c": ("2023-01-03T10:00:00", "v1"),
+        "d": ("2023-01-02T09:00:00", "new"),
+    }
+    after = {
+        f: os.path.getmtime(os.path.join(untouched, f))
+        for f in os.listdir(untouched)
+        if f.endswith(".parquet")
+    }
+    assert before == after, "untouched partition files must not be rewritten"
+
+
+def test_partition_derivation_roundtrip(spark):
+    """P3/P4: zero-padded partition strings derived from both timestamp
+    and ISO-string columns agree."""
+    df = spark.createDataFrame(
+        [("2023-07-30T16:49:47.237081",)], ["create_at"]
+    ).withColumn("ts", F.to_timestamp("create_at"))
+    from_str = with_partition_columns(df, "create_at", prefix="s_")
+    both = with_partition_columns(from_str, "ts", prefix="t_").first()
+    assert (both.s_year, both.s_month, both.s_day, both.s_hour, both.s_minute) == (
+        "2023", "07", "30", "16", "49"
+    )
+    assert (both.t_year, both.t_month, both.t_day, both.t_hour, both.t_minute) == (
+        "2023", "07", "30", "16", "49"
+    )
