@@ -537,3 +537,217 @@ def q_tumbling_window(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended window family: ranking, frames (W2 family completion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w4_ranking_family",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(rank()       OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS quartile,
+           first_value(event_id) OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS top_event
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    """,
+)
+def q_ranking_family(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first("event_id").over(w).alias("top_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide aggregation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_event_counts(spark, sf_dir):
+    """Pivot: per-user event-type count matrix. Spark's pivot() with an
+    explicit value list is a single hash aggregation (no extra pass to
+    discover values)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error", "signup"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    # pivot yields nullable counts; DuckDB FILTER yields 0 — normalize
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based) — lag + running conditional sum
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM g
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization: a session breaks after a 30-minute idle gap.
+    lag -> new-session flag -> running sum = session id; then one
+    aggregation per (user, session). Single shuffle on user_id reused
+    by both windows and the final group-by."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_seq",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (Spark has no native one: composition via ignore-nulls
+# last_value over a unioned, event-ordered frame)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_views",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_ts
+      FROM events
+    )
+    SELECT user_id, event_id, ts, prev_view_ts
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_join_views(spark, sf_dir):
+    """As-of join: for each purchase, the most recent strictly-earlier
+    'view' of the same user. Expressed as ignore-nulls last_value over
+    an event-ordered window — one shuffle on user_id, no range-join
+    blowup (the classic Spark workaround for a missing ASOF JOIN)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("prev_view_ts", prev_view)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "prev_view_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (A-family completion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a8_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5)  AS median_price,
+           quantile_cont(o_totalprice, 0.95) AS p95_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`): both sort the group and interpolate the same two
+    order statistics — deterministic across engines."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-file accounting (A4/S2) and approximate aggregates — rows-only
+# ---------------------------------------------------------------------------
+
+
+@query("a4_per_file_counts")  # rows-only: file paths are env-specific
+def q_per_file_counts(spark, sf_dir):
+    """A4: manifest-style per-data-file row counts
+    (vendor/aws_dynamodb_export_to_s3.py:42,74,339) via
+    input_file_name() — Spark's file index replaces the manifest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.input_file_name().alias("file"))
+        .agg(F.count("*").alias("item_count"))
+        .select(F.regexp_extract("file", r"([^/]+)$", 1).alias("file_name"), "item_count")
+    )
+
+
+@query("a9_approx_aggs")  # rows-only: sketch internals differ per engine
+def q_approx_aggs(spark, sf_dir):
+    """Approximate aggregates for interactive scale: HLL distinct +
+    quantile sketch. Rows-only (sketches are engine-specific);
+    tests bound the error against exact values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )

@@ -1,0 +1,101 @@
+"""Lake IO (S9/S10/S11/S12) and physical-plan shape assertions.
+
+The plan tests pin the properties that matter at 100 TB: filters reach
+the parquet scan, small dims broadcast, global top-N never does a full
+sort, scans only read projected columns.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark import catalog, lake
+from dynamodb_to_datalake_project_spark.catalog import QUERIES
+
+catalog.load_all()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_partitioned_json_sink_roundtrip(spark, tmp_path):
+    """S9: CDC-drop layout year=…/minute=… readable back with partition
+    columns recovered from the path."""
+    df = spark.createDataFrame(
+        [("a", 1, "2024", "01"), ("b", 2, "2024", "02")],
+        ["id", "v", "year", "month"],
+    )
+    out = str(tmp_path / "drops")
+    lake.write_json_lines(df, out, partition_by=["year", "month"])
+    assert glob.glob(os.path.join(out, "year=2024", "month=01", "*.json"))
+    back = spark.read.json(out)
+    assert {(r.id, str(r.year), str(r.month)) for r in back.collect()} == {
+        ("a", "2024", "1"), ("b", "2024", "2")
+    }
+
+
+def test_gzip_json_sink(spark, tmp_path):
+    df = spark.createDataFrame([("x", 1)], ["id", "v"])
+    out = str(tmp_path / "gz")
+    lake.write_json_lines(df, out, gzip=True)
+    assert glob.glob(os.path.join(out, "*.json.gz"))
+    assert spark.read.json(out).first().id == "x"
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+    out = str(tmp_path / "csv")
+    lake.write_csv(df, out)
+    back = lake.read_csv(spark, out, schema="k int, s string")
+    assert sorted((r.k, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_register_table_and_sql(spark, tmp_path):
+    """S12: catalog registration replaces Hudi hive-sync; partitions
+    discoverable, table queryable through spark.sql."""
+    df = spark.createDataFrame(
+        [("a", "2024", 1.0), ("b", "2025", 2.0)], ["id", "year", "v"]
+    )
+    path = str(tmp_path / "tbl")
+    lake.write_table(df, path, partition_by=["year"])
+    lake.register_table(spark, "t_reg_test", path)
+    got = spark.sql(
+        "SELECT id, v FROM default.t_reg_test WHERE year = '2025'"
+    ).collect()
+    assert [(r.id, r.v) for r in got] == [("b", 2.0)]
+    spark.sql("DROP TABLE default.t_reg_test")
+
+
+def test_scan_pushdown_plan(spark):
+    plan = QUERIES["s1_scan_pushdown"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "l_discount" in plan.split("PushedFilters")[1][:200]
+    # column pruning: scan schema must not include untouched columns
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = QUERIES["j2_star_join_revenue"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topn_avoids_global_sort(spark):
+    df = QUERIES["o1_topn_orders"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_approx_aggs_within_tolerance(spark):
+    row = QUERIES["a9_approx_aggs"](spark, SF_DIR).first()
+    exact = (
+        lake.load_table(spark, SF_DIR, "lineitem")
+        .agg(F.countDistinct("l_orderkey").alias("d"))
+        .first()
+        .d
+    )
+    # default HLL rsd is 5%; allow 3 sigma
+    assert abs(row.approx_orders - exact) / exact < 0.15
