@@ -59,13 +59,16 @@ def start_cdc_merge(
     drop_event_types: tuple[str, ...] = ("REMOVE",),
     max_files_per_trigger: int = 100,
     processing_time: str = "0 seconds",
+    batch_transform=None,
 ):
     """The whole incremental pipeline as one streaming query.
 
-    Each micro-batch: filter deletes (T8/F1) → in-batch latest-wins
-    dedup happens inside the merge → partition-pruned upsert into the
-    lake table (T7). Restarting from `checkpoint_dir` neither loses nor
-    re-applies batches beyond idempotent re-merge (T4/T9).
+    Each micro-batch: filter deletes (T8/F1) → optional
+    `batch_transform` (derive surrogate key / partition columns) →
+    in-batch latest-wins dedup happens inside the merge →
+    partition-pruned upsert into the lake table (T7). Restarting from
+    `checkpoint_dir` neither loses nor re-applies batches beyond
+    idempotent re-merge (T4/T9).
     """
     stream = read_cdc_stream(spark, cdc_dir, schema, max_files_per_trigger)
 
@@ -74,6 +77,8 @@ def start_cdc_merge(
             batch_df = batch_df.filter(
                 ~F.col(event_type_col).isin(*drop_event_types)
             ).drop(event_type_col)
+        if batch_transform is not None:
+            batch_df = batch_transform(batch_df)
         merge_mod.merge_into_parquet(
             batch_df.sparkSession,
             table_path,

@@ -1,0 +1,120 @@
+"""The reference's end-to-end topology, Spark-native (SURVEY §3):
+
+initial load   export typed-JSON  →  decode → hudify → partitioned lake
+               (one batch job — replaces DynamoDB Export + coordinator/
+               worker Lambdas + glue_jobs/initial_load.py)
+incremental    CDC JSON drops     →  stream → derive → keyed merge
+               (one Structured Streaming query — replaces consumer
+               Lambda + cron orchestrator + tracker + incremental.py)
+analytics      spark.sql over the registered lake table (replaces
+               Athena polling + CSV hop, athena.py)
+validation     differential compare (compare.py), distributed
+
+The lake table carries the reference's exact derived schema: surrogate
+`id` = "account:{account},create_at:{create_at}" plus zero-padded
+create_year/month/day/hour/minute partition strings — 13 columns
+(glue_jobs/initial_load.py:124-154, README.rst:171-192).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dynamodb_to_datalake_project_spark import cdc, ddbjson, diff, lake, transform
+
+#: source schema of the `transactions` table (dynamodb_table.py:13-29);
+#: N decodes via DecimalType — lossless, unlike the reference's int cast
+TXN_SCHEMA = T.StructType(
+    [
+        T.StructField("account", T.StringType()),
+        T.StructField("create_at", T.StringType()),
+        T.StructField("update_at", T.StringType()),
+        T.StructField("entity", T.StringType()),
+        T.StructField("amount", T.DecimalType(38, 9)),
+        T.StructField("is_credit", T.LongType()),
+        T.StructField("note", T.StringType()),
+    ]
+)
+
+#: CDC drop schema = flat row + stream event type
+CDC_SCHEMA = T.StructType(
+    list(TXN_SCHEMA.fields) + [T.StructField("event_name", T.StringType())]
+)
+
+PARTITION_COLS = [
+    "create_year",
+    "create_month",
+    "create_day",
+    "create_hour",
+    "create_minute",
+]
+
+RECORD_KEY = ["id"]
+PRECOMBINE = ["update_at"]
+
+
+def hudify(df: DataFrame) -> DataFrame:
+    """Derive the lake-side columns (P2+P3): surrogate id + partition
+    strings (initial_load.py:124-154; mirrors dynamodb_table.py:31-44)."""
+    df = df.withColumn(
+        "id",
+        transform.surrogate_key(("account", F.col("account")), ("create_at", F.col("create_at"))),
+    )
+    return transform.with_partition_columns(df, "create_at", prefix="create_")
+
+
+def initial_load(
+    spark: SparkSession,
+    export_dir: str,
+    lake_path: str,
+    table_name: str | None = None,
+) -> None:
+    """Snapshot ingestion (S1/S4/P1-P3/S7 + S12): typed-JSON export →
+    relational rows → derived columns → partitioned parquet lake table,
+    optionally registered in the catalog."""
+    rows = ddbjson.read_export(spark, export_dir, TXN_SCHEMA, recursive=True)
+    lake.write_table(hudify(rows), lake_path, partition_by=PARTITION_COLS)
+    if table_name:
+        lake.register_table(spark, table_name, lake_path)
+
+
+def start_incremental(
+    spark: SparkSession,
+    cdc_dir: str,
+    lake_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 100,
+):
+    """CDC micro-batch stream (T1-T9): each batch is filtered
+    (REMOVE dropped), hudified, and merged into only the partitions it
+    touches."""
+    return cdc.start_cdc_merge(
+        spark,
+        cdc_dir,
+        CDC_SCHEMA,
+        lake_path,
+        keys=RECORD_KEY,
+        precombine=PRECOMBINE,
+        partition_cols=PARTITION_COLS,
+        checkpoint_dir=checkpoint_dir,
+        event_type_col="event_name",
+        max_files_per_trigger=max_files_per_trigger,
+        batch_transform=hudify,
+    )
+
+
+def preview(spark: SparkSession, lake_path: str, limit: int = 10):
+    """Analytics preview (athena.py:67-90): total count + first rows by
+    id — no Athena polling, no CSV hop."""
+    t = spark.read.parquet(lake_path)
+    return t.count(), t.orderBy("id").limit(limit)
+
+
+def validate(spark: SparkSession, source_truth: DataFrame, lake_path: str):
+    """Differential correctness check (compare.py:50-79): canonical
+    column order, compare as bags; returns (summary, sample_diffs)."""
+    lake_df = spark.read.parquet(lake_path)
+    cols = source_truth.columns
+    return diff.compare(source_truth.select(*cols), lake_df.select(*cols))

@@ -31,6 +31,11 @@ RUNTIME_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # Partition values are zero-padded strings by contract (the
+    # reference's year=YYYY/.../minute=MM layout). Type inference would
+    # read minute=07 back as int 7, so a merge write-back would target a
+    # DIFFERENT directory (minute=7) and leave stale rows in minute=07.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
 }
 
 

@@ -31,8 +31,10 @@ def test_partitioned_json_sink_roundtrip(spark, tmp_path):
     lake.write_json_lines(df, out, partition_by=["year", "month"])
     assert glob.glob(os.path.join(out, "year=2024", "month=01", "*.json"))
     back = spark.read.json(out)
-    assert {(r.id, str(r.year), str(r.month)) for r in back.collect()} == {
-        ("a", "2024", "1"), ("b", "2024", "2")
+    # partition type inference is disabled engine-wide (see session.py):
+    # zero-padded partition values must survive as strings
+    assert {(r.id, r.year, r.month) for r in back.collect()} == {
+        ("a", "2024", "01"), ("b", "2024", "02")
     }
 
 

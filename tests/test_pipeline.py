@@ -1,0 +1,100 @@
+"""The reference's own correctness strategy, end-to-end (SURVEY §5):
+a deterministic insert/update/delete workload runs through the full
+pipeline — typed-JSON export → initial load → CDC drops → streaming
+incremental merge — and the lake table must differentially match the
+independently-computed expected state. Includes the T9 snapshot/stream
+overlap (events present in BOTH the export and the CDC drops) which
+idempotent merge must reconcile.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark import pipeline, transform, workload
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return workload.generate_events(spark, n_base=200, updates_per_txn=2).cache()
+
+
+def test_workload_shape(events):
+    by_type = {r.event_name: r.n for r in events.groupBy("event_name").agg(F.count("*").alias("n")).collect()}
+    assert by_type["INSERT"] == 200
+    assert by_type["MODIFY"] == 2 * 60  # 30% of 200 keys, 2 updates each
+    assert by_type["REMOVE"] == 4
+    # keys are unique per INSERT
+    assert events.filter("event_name = 'INSERT'").select("account", "create_at").distinct().count() == 200
+
+
+def test_full_pipeline_differential(spark, tmp_path, events):
+    export_dir = tmp_path / "export"
+    cdc_dir = tmp_path / "cdc"
+    lake_path = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    # --- snapshot at T0 = 60% into the insert timeline -----------------
+    t0_epoch = workload.BASE_EPOCH + int(200 * 7 * 0.6)
+    t0_iso = spark.range(1).select(
+        F.date_format(F.timestamp_seconds(F.lit(t0_epoch)), workload.ISO_FMT)
+    ).first()[0]
+
+    snap_events = events.filter(
+        (F.col("update_at") <= t0_iso) & (F.col("event_name") != "REMOVE")
+    )
+    snapshot_state = workload.expected_final_state(
+        events.filter(F.col("update_at") <= t0_iso)
+    )
+    # export = typed-JSON gz of the snapshot table state (S1 wire format)
+    from dynamodb_to_datalake_project_spark import ddbjson
+
+    wire = ddbjson.encode_export_json(
+        snapshot_state.select([f.name for f in pipeline.TXN_SCHEMA.fields])
+    )
+    wire.write.option("compression", "gzip").text(str(export_dir / "data"))
+    assert glob.glob(str(export_dir / "data" / "*.txt.gz")) or glob.glob(
+        str(export_dir / "data" / "*.gz")
+    )
+
+    # --- CDC drops: everything after T0 minus 30min (overlap with the
+    # snapshot exercises T9 idempotent reconciliation), minute-partitioned
+    overlap_iso = t0_iso[:17] + "00.000000"  # pull back to minute start
+    stream_events = events.filter(F.col("update_at") >= overlap_iso).drop("seq")
+    drops = transform.with_partition_columns(stream_events, "update_at", prefix="u_")
+    drops.write.partitionBy("u_year", "u_month", "u_day", "u_hour", "u_minute").json(
+        str(cdc_dir)
+    )
+
+    # --- run the pipeline ----------------------------------------------
+    pipeline.initial_load(spark, str(export_dir), lake_path)
+    assert spark.read.parquet(lake_path).count() == snapshot_state.count()
+
+    q = pipeline.start_incremental(spark, str(cdc_dir), lake_path, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # --- differential validation (compare.py parity) -------------------
+    expected = workload.expected_final_state(events).withColumn(
+        "amount", F.col("amount").cast("decimal(38,9)")
+    )
+    summary, samples = pipeline.validate(spark, expected, lake_path)
+    assert summary.identical, (summary, samples)
+
+    # lake schema is the reference's 13-column shape
+    lake_df = spark.read.parquet(lake_path)
+    assert len(lake_df.columns) == 13
+    assert set(pipeline.PARTITION_COLS) <= set(lake_df.columns)
+    # surrogate id format (initial_load.py:124-133)
+    row = lake_df.first()
+    assert row.id == f"account:{row.account},create_at:{row.create_at}"
+
+    # preview (athena.py parity)
+    n, head = pipeline.preview(spark, lake_path, limit=5)
+    assert n == expected.count()
+    assert head.count() == 5
