@@ -108,6 +108,21 @@ def write_json_lines(
     w.json(path)
 
 
+def manifest_paths(spark: SparkSession, manifest_file: str, base_dir: str | None = None) -> list[str]:
+    """S2: manifest-driven file enumeration. DynamoDB exports ship a
+    `manifest-files.json` (one `{"dataFileS3Key": …, "itemCount": …,
+    "md5Checksum": …}` per line — vendor/aws_dynamodb_export_to_s3.py:
+    348-375); return the data-file paths it lists so a scan reads
+    exactly the manifest's files (not whatever happens to be in the
+    prefix). The manifest itself is tiny — a driver-side read is
+    correct at any scale."""
+    import os as _os
+
+    rows = spark.read.json(manifest_file).select("dataFileS3Key").collect()
+    base = base_dir or _os.path.dirname(manifest_file)
+    return [_os.path.join(base, r.dataFileS3Key) for r in rows]
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: T.StructType | str | None = None
 ) -> DataFrame:
@@ -144,6 +159,23 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed catalog table: co-locates rows by hash(bucket_cols) at
+    WRITE time so later equi-joins/aggregations on those columns need no
+    shuffle — the scale lever for repeatedly-joined big tables (two
+    tables bucketed the same way join with zero Exchange)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(name)
 
 
 def register_table(

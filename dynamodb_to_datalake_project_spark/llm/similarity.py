@@ -54,16 +54,24 @@ def knn_bruteforce(
     Ranking uses the cosine ROUNDED to 6 dp with id tiebreak so results
     are reproducible across engines/float-accumulation orders.
     """
+    # Precompute each side's norm ONCE — cosine() per pair would fold
+    # the norm of every vector |queries| resp. |corpus| times over.
     q = queries_df.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
     )
     c = corpus_df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
     )
     pairs = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

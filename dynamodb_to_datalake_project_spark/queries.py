@@ -751,3 +751,43 @@ def q_approx_aggs(spark, sf_dir):
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_median_price"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-API surface (Athena parity, SURVEY §3.3): spark.sql over
+# registered views — same Catalyst plan as the DataFrame form
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_late_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_late_orders(spark, sf_dir):
+    """Analytics through the SQL entry point (spark.sql + temp views),
+    with a correlated EXISTS that Catalyst rewrites to a semi join —
+    replaces the reference's Athena string-SQL path (athena.py:16-64)
+    with no polling or CSV hop."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders_v o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem_v l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00')
+        GROUP BY o_orderpriority
+        """
+    )

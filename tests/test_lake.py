@@ -101,3 +101,51 @@ def test_approx_aggs_within_tolerance(spark):
     )
     # default HLL rsd is 5%; allow 3 sigma
     assert abs(row.approx_orders - exact) / exact < 0.15
+
+
+def test_manifest_driven_scan(spark, tmp_path):
+    """S2: scan exactly the files listed in manifest-files.json —
+    a file in the prefix but absent from the manifest is not read."""
+    import json
+
+    d = tmp_path / "exp"
+    d.mkdir()
+    (d / "f1.json").write_text('{"k": 1}\n')
+    (d / "f2.json").write_text('{"k": 2}\n')
+    (d / "orphan.json").write_text('{"k": 99}\n')
+    (d / "manifest-files.json").write_text(
+        json.dumps({"dataFileS3Key": "f1.json", "itemCount": 1}) + "\n"
+        + json.dumps({"dataFileS3Key": "f2.json", "itemCount": 1}) + "\n"
+    )
+    paths = lake.manifest_paths(spark, str(d / "manifest-files.json"))
+    assert len(paths) == 2
+    got = lake.read_json_lines(spark, paths, schema="k long")
+    assert sorted(r.k for r in got.collect()) == [1, 2]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketed co-located join: both sides bucketed by the join key ->
+    SortMergeJoin with zero Exchange in the plan."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = lake.load_table(spark, SF_DIR, "orders")
+        li = lake.load_table(spark, SF_DIR, "lineitem")
+        lake.write_bucketed_table(orders, "b_orders", ["o_orderkey"], 4, ["o_orderkey"])
+        lake.write_bucketed_table(li, "b_lineitem", ["l_orderkey"], 4, ["l_orderkey"])
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_uuid_generation(spark):
+    """C8: unique id generation (uuid()) — the reference names CDC drop
+    files uuid4().hex (dynamodb_stream_consumer.py:81)."""
+    ids = [r.u for r in spark.range(100).select(F.expr("uuid()").alias("u")).collect()]
+    assert len(set(ids)) == 100
