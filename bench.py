@@ -17,6 +17,8 @@ import time
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q10_returned_items",
     "j2_star_join_revenue",
     "w1_latest_wins",
     "s8_upsert_merge",

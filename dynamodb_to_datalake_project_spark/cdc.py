@@ -117,3 +117,44 @@ def windowed_event_counts(
             "n",
         )
     )
+
+
+def stateful_latest(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+):
+    """Custom stateful streaming operator: per-key latest (ts, value),
+    maintained in GroupState across micro-batches via
+    `applyInPandasWithState` — the arbitrary-stateful escape hatch for
+    semantics `groupBy(window)` can't express (here: emit the CURRENT
+    winner per key every batch, late/stale events never regress state).
+
+    Unlike the foreachBatch+merge sink (which persists state in the
+    lake table itself), this keeps state in the streaming state store —
+    the shape a low-latency materialized view uses.
+    """
+    import pandas as pd
+
+    out_schema = f"{key_col} string, {ts_col} string, {value_col} string"
+    state_schema = f"{ts_col} string, {value_col} string"
+
+    def update_fn(key, pdfs, state):
+        best_ts, best_val = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                if best_ts is None or ts > best_ts:
+                    best_ts, best_val = ts, val
+        state.update((best_ts, best_val))
+        yield pd.DataFrame(
+            {key_col: [key[0]], ts_col: [best_ts], value_col: [best_val]}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

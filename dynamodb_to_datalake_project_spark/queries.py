@@ -791,3 +791,124 @@ def q_sql_late_orders(spark, sf_dir):
         GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Join+agg+topN combinations (TPC-H Q3/Q10 shapes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+                AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> two joins -> grouped
+    revenue -> global top-10. Customer filter cuts the build side
+    before the join; top-N is TakeOrderedAndProject."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp")
+    )
+    price = F.col("l_extendedprice").cast(MONEY)
+    one_minus_disc = (F.lit(1) - F.col("l_discount").cast(PCT)).cast(PCT)
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(price * one_minus_disc).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+                AS DOUBLE) AS revenue
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN orders ON o_custkey = c_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: lost-revenue report over returned items —
+    broadcast nation dim, selective date window, top-20 customers."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    price = F.col("l_extendedprice").cast(MONEY)
+    one_minus_disc = (F.lit(1) - F.col("l_discount").cast(PCT)).cast(PCT)
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(price * one_minus_disc).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide -> long)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT o_orderkey, metric, val FROM (
+      SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS val FROM orders
+    ) WHERE o_orderkey % 100 = 0
+    """,
+)
+def q_unpivot_metrics(spark, sf_dir):
+    """Unpivot (wide->long) via the native melt operator — the inverse
+    of pivot_event_counts; stack() is the SQL spelling."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return orders.select(
+        "o_orderkey", F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).melt(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

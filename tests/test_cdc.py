@@ -165,3 +165,47 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
     # windows closed by the watermark (last event 00:10 - 2min = 00:08)
     assert got[("2024-01-01 00:00:00", "click")] == 2
     assert got[("2024-01-01 00:01:00", "view")] == 1
+
+
+def test_stateful_latest_across_batches(spark, tmp_path):
+    """Custom stateful operator: state survives micro-batches; stale
+    updates never regress it."""
+    src = tmp_path / "stateful_src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("update_at", T.StringType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    out = cdc.stateful_latest(stream, "id", "update_at", "note")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("latest_state")
+        .option("checkpointLocation", str(tmp_path / "st_ck"))
+        .start()
+    )
+    try:
+        (src / "b1.json").write_text(
+            '{"id": "a", "update_at": "2023-01-01T10:00:00", "note": "v1"}\n'
+            '{"id": "b", "update_at": "2023-01-01T10:00:00", "note": "v1"}\n'
+        )
+        q.processAllAvailable()
+        # batch 2: newer for a, STALE for b
+        (src / "b2.json").write_text(
+            '{"id": "a", "update_at": "2023-01-01T12:00:00", "note": "v2"}\n'
+            '{"id": "b", "update_at": "2023-01-01T09:00:00", "note": "stale"}\n'
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM latest_state").collect()
+    # memory sink in update mode appends each update; take last per key
+    last = {}
+    for r in rows:
+        last[r.id] = (r.update_at, r.note)
+    assert last["a"] == ("2023-01-01T12:00:00", "v2")
+    assert last["b"] == ("2023-01-01T10:00:00", "v1")
