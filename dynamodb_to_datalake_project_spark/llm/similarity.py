@@ -251,3 +251,75 @@ def q_label_norm_stats(spark, sf_dir):
             F.max("nrm").alias("max_norm"),
         )
     )
+
+
+def ann_ivf(
+    embeddings: DataFrame,
+    query_ids_below: int = 8,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the clustering-based scale path.
+
+    Train: KMeans (MLlib, fixed seed) partitions the corpus into
+    `n_lists` cells; each vector is assigned to its nearest centroid
+    (the "inverted list"). Query: score the n_lists centroids (tiny,
+    broadcast), probe the `n_probe` nearest cells, exact-rerank only
+    those cells' members. Search cost drops by ~n_lists/n_probe vs
+    brute force while the per-cell scan stays embarrassingly parallel.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = embeddings.select("vec_id", as_double_vec("embedding").alias("v"))
+    corpus = e.filter(F.col("vec_id") >= query_ids_below)
+    queries = e.filter(F.col("vec_id") < query_ids_below)
+
+    ml = corpus.select("vec_id", array_to_vector("v").alias("features"))
+    model = KMeans(k=n_lists, seed=42, maxIter=10).fit(ml)
+    assigned = (
+        model.transform(ml)
+        .select("vec_id", F.col("prediction").alias("cell"))
+        .join(corpus, "vec_id")
+    )
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cell", "cv"],
+    )
+    # probe the n_probe closest cells per query (euclidean on centroids)
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        F.col("vec_id").alias("query_id"),
+        "v",
+        "cell",
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dist2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("cell").asc())
+    probes = (
+        qc.withColumn("prb", F.row_number().over(wq))
+        .filter(F.col("prb") <= n_probe)
+        .select("query_id", F.col("v").alias("qv"), "cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
+
+
+@query("sim_ann_ivf")  # rows-only: KMeans cells are engine-specific
+def q_ann_ivf(spark, sf_dir):
+    return ann_ivf(load_table(spark, sf_dir, "embeddings"))

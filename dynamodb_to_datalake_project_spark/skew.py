@@ -1,0 +1,72 @@
+"""Skew mitigation primitives.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime; these helpers cover the two cases it can't:
+
+- `salted_aggregate`: a single hot group key overwhelms one reducer
+  during a shuffle aggregation. Two-phase: aggregate on (key, salt)
+  first (spreads the hot key over `n_salts` reducers with map-side
+  partial aggregation), then combine partials per key. Works for any
+  algebraic aggregate given its (partial, combine) pair.
+- `salted_broadcast_left_join`: a large fact side with hot join keys
+  against a small-but-not-tiny dim. The dim is exploded n_salts times
+  (replicated per salt), the fact side gets a random-but-deterministic
+  salt from a row hash — every fact row still meets its dim row exactly
+  once, but a hot key's rows are spread across n_salts tasks.
+
+At 100 TB, skew is the difference between a 20-minute job and a
+6-hour straggler; these keep the hot-key path O(rows/n_salts) per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic per-row salt in [0, n_salts) from a full-row hash
+    (no rand(): deterministic across retries, which a recomputed task
+    requires for correctness)."""
+    h = F.abs(F.xxhash64(*[F.col(c) for c in df.columns]))
+    return df.withColumn(salt_col, (h % n_salts).cast("int"))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: groupBy(keys + salt) with `partial_aggs`,
+    then groupBy(keys) with `final_aggs` over the partial columns.
+
+    Example (count + sum):
+        partial = [F.count("*").alias("c"), F.sum("v").alias("s")]
+        final   = [F.sum("c").alias("n"), F.sum("s").alias("total")]
+    """
+    # Mix a per-row ordinal into the salt: a hot key of fully-identical
+    # rows would otherwise hash to ONE salt and not spread at all. Any
+    # salt assignment yields correct aggregates (the final phase
+    # re-combines), so the ordinal's partition-layout sensitivity is
+    # harmless here — do NOT reuse this for joins.
+    h = F.abs(F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in df.columns]))
+    salted = df.withColumn("__salt", (h % n_salts).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_broadcast_left_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Inner equi-join resilient to hot fact keys: replicate the dim
+    once per salt, salt the fact rows, join on (keys + salt)."""
+    dim_rep = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    fact_s = with_salt(fact, n_salts)
+    return fact_s.join(F.broadcast(dim_rep), on + ["__salt"]).drop("__salt")

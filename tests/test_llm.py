@@ -140,3 +140,22 @@ def test_multimodal_roundtrip_and_stub(spark):
         multimodal.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"RIFF")
+
+
+def test_ann_ivf_recall_against_bruteforce(spark):
+    from dynamodb_to_datalake_project_spark.lake import load_table
+    from dynamodb_to_datalake_project_spark.llm.similarity import (
+        ann_ivf, as_double_vec, knn_bruteforce)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    e = emb.select("vec_id", as_double_vec("embedding").alias("v"))
+    exact = knn_bruteforce(
+        e.filter(F.col("vec_id") < 4), e.filter(F.col("vec_id") >= 4), k=3
+    ).collect()
+    approx = ann_ivf(emb, query_ids_below=4, k=3, n_lists=8, n_probe=3).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    # probing 3/8 cells must recover a meaningful fraction of true top-3
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, (recall, exact_set, approx_set)
+    assert all(r.query_id < 4 and r.neighbor_id >= 4 for r in approx)
