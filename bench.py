@@ -42,8 +42,12 @@ def main():
 
     catalog.load_all()
     spark = get_spark("bench")
-    # JVM + session warm-up on a trivial action so q1 doesn't pay it
+    # JVM + session warm-up on a trivial action so q1 doesn't pay it;
+    # also fork the Arrow python workers once (resident-cluster shape)
     spark.range(1).count()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
     startup = time.time() - t0
 
     timings: dict[str, float] = {}

@@ -161,6 +161,39 @@ def write_table(
     w.parquet(path)
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    shuffle_parallelism: int | None = None,
+    partition_filter=None,
+) -> None:
+    """Small-file compaction (the reference's Hudi-COW rewrite concern,
+    SURVEY §4): rewrite each (selected) partition into ONE file. CDC
+    micro-batches drop many tiny files per minute partition; scan cost
+    at 100 TB is dominated by file count, so periodic compaction keeps
+    the table scannable.
+
+    Hash-repartitioning on the partition columns puts every row of a
+    partition value into exactly one task (tasks may hold several
+    values), so each partition value is written as a single file while
+    the rewrite itself runs `shuffle_parallelism`-wide. Dynamic
+    partition overwrite rewrites only partitions present in the
+    (optionally filtered) input.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    par = shuffle_parallelism or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = spark.read.parquet(path)
+    if partition_filter is not None:
+        df = df.filter(partition_filter)
+    (
+        df.repartition(par, *partition_cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

@@ -912,3 +912,54 @@ def q_unpivot_metrics(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (explicit) and array-aggregation functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a10_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status
+    and grand-total aggregates in one pass."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_array_funcs",
+    oracle="""
+    SELECT user_id,
+           list_sort(list_distinct(list(event_type))) AS types,
+           CAST(len(list_distinct(list(event_type))) AS BIGINT) AS n_types,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS type_csv
+    FROM events GROUP BY user_id
+    """,
+)
+def q_agg_array_funcs(spark, sf_dir):
+    """Array-valued aggregation: collect_set + array_sort makes the
+    nondeterministic collection order canonical on both engines;
+    string_agg expressed over the sorted array."""
+    ev = load_table(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        types.alias("types"),
+        F.size(types).cast("long").alias("n_types"),
+        F.array_join(types, ",").alias("type_csv"),
+    )

@@ -149,3 +149,29 @@ def test_uuid_generation(spark):
     files uuid4().hex (dynamodb_stream_consumer.py:81)."""
     ids = [r.u for r in spark.range(100).select(F.expr("uuid()").alias("u")).collect()]
     assert len(set(ids)) == 100
+
+
+def test_compact_partitions(spark, tmp_path):
+    """Many small files per partition -> exactly one after compaction,
+    with identical data and untouched filtered-out partitions."""
+    path = str(tmp_path / "frag")
+    # write 5 separate appends -> 5+ files per partition
+    for i in range(5):
+        spark.createDataFrame(
+            [(f"r{i}-{j}", "2024-01-0%d" % (j + 1)) for j in range(2)],
+            ["v", "day"],
+        ).write.mode("append").partitionBy("day").parquet(path)
+    day1 = os.path.join(path, "day=2024-01-01")
+    assert len(glob.glob(os.path.join(day1, "*.parquet"))) >= 5
+    before = set(r.v for r in spark.read.parquet(path).collect())
+
+    lake.compact_partitions(spark, path, ["day"], partition_filter=F.col("day") == "2024-01-01")
+    assert len(glob.glob(os.path.join(day1, "*.parquet"))) == 1
+    # untouched partition keeps its file count
+    day2 = os.path.join(path, "day=2024-01-02")
+    assert len(glob.glob(os.path.join(day2, "*.parquet"))) >= 5
+    assert set(r.v for r in spark.read.parquet(path).collect()) == before
+
+    lake.compact_partitions(spark, path, ["day"])
+    assert len(glob.glob(os.path.join(day2, "*.parquet"))) == 1
+    assert set(r.v for r in spark.read.parquet(path).collect()) == before
