@@ -238,3 +238,65 @@ def encode_export_json(
     return df.select(
         F.to_json(F.struct(item.alias("Item")), {"ignoreNullFields": "true"}).alias("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# DynamoDB Streams record shape (distinct from the export shape): the
+# stream consumer receives {"eventID", "eventName",
+# "dynamodb": {"Keys": {...}, "NewImage": {...typed item...}}}
+# (lambda_functions/dynamodb_stream_consumer.py:31-49).
+# ---------------------------------------------------------------------------
+
+
+def stream_record_schema(target: T.StructType) -> T.StructType:
+    """Schema of one raw DynamoDB Streams record carrying a NewImage."""
+    return T.StructType(
+        [
+            T.StructField("eventID", T.StringType()),
+            T.StructField("eventName", T.StringType()),
+            T.StructField(
+                "dynamodb",
+                T.StructType([T.StructField("NewImage", item_schema(target))]),
+            ),
+        ]
+    )
+
+
+def decode_stream_records(
+    df: DataFrame,
+    target: T.StructType,
+    ts_format: str | None = None,
+) -> DataFrame:
+    """Decode a DataFrame of parsed stream records (schema =
+    `stream_record_schema(target)`, e.g. from `spark.read.json` or a
+    `readStream` file/Kinesis source) into flat relational rows plus
+    `event_name` — the reference's consumer unwrap
+    (dynamodb_stream_consumer.py:42-59), minus the REMOVE filter, which
+    belongs to the sink policy (T8)."""
+    return df.select(
+        F.col("eventName").alias("event_name"),
+        *decode_item(F.col("dynamodb.NewImage"), target, ts_format),
+    )
+
+
+def read_stream_records(
+    spark,
+    paths,
+    target: T.StructType,
+    ts_format: str | None = None,
+    streaming: bool = False,
+    max_files_per_trigger: int = 100,
+) -> DataFrame:
+    """S6 at the wire level: read raw DynamoDB Streams JSON records
+    (batch or as a Structured Streaming file source) straight into
+    typed rows + event_name."""
+    schema = stream_record_schema(target)
+    if streaming:
+        reader = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("recursiveFileLookup", "true")
+        )
+    else:
+        reader = spark.read.schema(schema).option("recursiveFileLookup", "true")
+    return decode_stream_records(reader.json(paths), target, ts_format)

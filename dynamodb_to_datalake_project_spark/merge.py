@@ -90,7 +90,14 @@ def merge_into_parquet(
     parts = touched_partitions(source, partition_cols)
     if not parts:
         return
-    target = spark.read.parquet(table_path)
+    try:
+        target = spark.read.parquet(table_path)
+    except Exception:
+        # first batch against an empty/uninitialized table: nothing to
+        # merge with — dedupe the batch and write it as the table
+        deduped = dedup.latest_wins(source, keys, [F.col(c).desc() for c in precombine])
+        deduped.write.mode("overwrite").partitionBy(*partition_cols).parquet(table_path)
+        return
     pred = F.lit(False)
     for p in parts:
         clause = F.lit(True)

@@ -209,3 +209,77 @@ def test_stateful_latest_across_batches(spark, tmp_path):
         last[r.id] = (r.update_at, r.note)
     assert last["a"] == ("2023-01-01T12:00:00", "v2")
     assert last["b"] == ("2023-01-01T10:00:00", "v1")
+
+
+def test_raw_stream_records_end_to_end(spark, tmp_path):
+    """Full wire-level CDC: raw DynamoDB Streams records (typed-JSON
+    NewImage) -> streaming decode -> merge. INSERT/MODIFY applied,
+    REMOVE ignored."""
+    from dynamodb_to_datalake_project_spark import ddbjson, merge
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("update_at", T.StringType()),
+            T.StructField("amount", T.LongType()),
+        ]
+    )
+    src = tmp_path / "raw_stream"
+    src.mkdir()
+
+    def rec(eid, name, id_, ts, amount):
+        return json.dumps(
+            {
+                "eventID": eid,
+                "eventName": name,
+                "dynamodb": {
+                    "NewImage": {
+                        "id": {"S": id_},
+                        "update_at": {"S": ts},
+                        "amount": {"N": str(amount)},
+                    }
+                },
+            }
+        )
+
+    (src / "r1.json").write_text(
+        "\n".join(
+            [
+                rec("e1", "INSERT", "a", "2023-01-01T00:00:00", 10),
+                rec("e2", "INSERT", "b", "2023-01-01T00:00:00", 20),
+                rec("e3", "MODIFY", "a", "2023-01-01T01:00:00", 11),
+                rec("e4", "REMOVE", "b", "2023-01-01T02:00:00", 0),
+            ]
+        )
+    )
+    table = str(tmp_path / "raw_lake")
+    spark.createDataFrame([], "id string, update_at string, amount long, day string").write.partitionBy("day").parquet(table)
+
+    stream = ddbjson.read_stream_records(spark, str(src), target, streaming=True)
+
+    def apply_batch(batch_df, _epoch):
+        batch = (
+            batch_df.filter(F.col("event_name") != "REMOVE")
+            .drop("event_name")
+            .withColumn("day", F.substring("update_at", 1, 10))
+        )
+        merge.merge_into_parquet(
+            batch.sparkSession, table, batch,
+            keys=["id"], precombine=["update_at"], partition_cols=["day"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "raw_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = {r.id: (r.update_at, r.amount) for r in spark.read.parquet(table).collect()}
+    assert state == {
+        "a": ("2023-01-01T01:00:00", 11),
+        "b": ("2023-01-01T00:00:00", 20),
+    }
