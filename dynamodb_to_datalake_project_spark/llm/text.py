@@ -127,37 +127,144 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+#: per-language marker-word profiles for the lang-id scorer. Real
+#: systems use char-n-gram profiles; the scoring machinery (per-profile
+#: hit counts → deterministic argmax) is identical.
+LANG_PROFILES = {
+    "en": ("the", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "es": ("el", "los", "que", "y", "una", "por"),
+    "fr": ("le", "les", "est", "dans", "pour", "avec"),
+}
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {lang: stopword_count(toks, words) for lang, words in LANG_PROFILES.items()}
+
+
+def predict_lang(toks: Column) -> Column:
+    """Deterministic argmax over language profile scores (tie order =
+    profile declaration order; all-zero → 'unk')."""
+    s = lang_scores(toks)
+    best = F.greatest(*s.values())
+    out = F.lit("unk")
+    for lang in reversed(list(LANG_PROFILES)):
+        out = F.when((best > 0) & (s[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def _duck_score(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),"
+        f" x -> x IN ({lst})))"
+    )
+
+
 @query(
     "lang_id_heuristic",
-    oracle="""
+    oracle=f"""
     WITH d AS (
       SELECT doc_id, lang,
-             len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
-                 x -> x IN ('the','a','of','and','to','in'))) AS n_stop,
-             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+             {_duck_score(LANG_PROFILES["en"])} AS s_en,
+             {_duck_score(LANG_PROFILES["de"])} AS s_de,
+             {_duck_score(LANG_PROFILES["es"])} AS s_es,
+             {_duck_score(LANG_PROFILES["fr"])} AS s_fr
       FROM documents
     )
     SELECT doc_id, lang,
-           CASE WHEN n_tok > 0 AND n_stop * 1.0 / n_tok >= 0.05 THEN 'en'
-                ELSE 'unk' END AS predicted_lang
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unk'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS predicted_lang
     FROM d
     """,
 )
 def q_lang_id(spark, sf_dir):
-    """N-gram/stopword language-ID heuristic: score = stopword density.
+    """Profile-based language ID: per-language marker-word hit counts,
+    deterministic argmax. (The synthetic corpus is English-ish whatever
+    its `lang` label says, so the graded property is the deterministic
+    scoring machinery, not accuracy.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", predict_lang(tokens(F.col("text"))).alias("predicted_lang")
+    )
 
-    (The synthetic corpus is English-ish regardless of its `lang` label,
-    so the interesting property is determinism of the scoring rule, not
-    accuracy.)
-    """
+
+@query(
+    "text_quality_filter",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS ttr,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))
+                 * 1.0 / greatest(len(toks), 1) AS stopword_ratio,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                 / greatest(len(toks), 1) AS avg_token_len
+      FROM d
+    )
+    SELECT doc_id, n_tokens, ttr, stopword_ratio, avg_token_len,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN ttr < 0.2 THEN 'repetitive'
+                WHEN stopword_ratio > 0.6 THEN 'stopword_heavy'
+                WHEN avg_token_len < 2.0 OR avg_token_len > 12.0 THEN 'token_shape'
+                END AS drop_reason,
+           CASE WHEN n_tokens >= 10 AND ttr >= 0.2 AND stopword_ratio <= 0.6
+                     AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+                THEN 1 ELSE 0 END AS keep
+    FROM s
+    """,
+)
+def q_text_quality_filter(spark, sf_dir):
+    """Quality scoring + filter decision — the LLM-corpus gatekeeper:
+    length / diversity (type-token ratio) / stopword density / token
+    shape rules, each row tagged keep=1/0 with the first failing rule as
+    drop_reason. All integer-exact or single-division arithmetic (see
+    queries.py float policy)."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
-    n_tok = F.size(t)
-    n_stop = stopword_count(t)
-    return docs.select(
+    n_tok = F.size(t).cast("long")
+    denom = F.greatest(F.size(t), F.lit(1))
+    ttr = F.size(F.array_distinct(t)) / denom
+    stop_ratio = stopword_count(t) / denom
+    avg_len = (
+        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double") / denom
+    )
+    s = docs.select(
         "doc_id",
-        "lang",
-        F.when((n_tok > 0) & (n_stop / n_tok >= 0.05), F.lit("en"))
-        .otherwise(F.lit("unk"))
-        .alias("predicted_lang"),
+        n_tok.alias("n_tokens"),
+        ttr.alias("ttr"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_len.alias("avg_token_len"),
+    )
+    keep = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("ttr") >= 0.2)
+        & (F.col("stopword_ratio") <= 0.6)
+        & (F.col("avg_token_len") >= 2.0)
+        & (F.col("avg_token_len") <= 12.0)
+    )
+    drop_reason = (
+        F.when(F.col("n_tokens") < 10, "too_short")
+        .when(F.col("ttr") < 0.2, "repetitive")
+        .when(F.col("stopword_ratio") > 0.6, "stopword_heavy")
+        .when(
+            (F.col("avg_token_len") < 2.0) | (F.col("avg_token_len") > 12.0),
+            "token_shape",
+        )
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "ttr",
+        "stopword_ratio",
+        "avg_token_len",
+        drop_reason.alias("drop_reason"),
+        keep.cast("int").alias("keep"),
     )
