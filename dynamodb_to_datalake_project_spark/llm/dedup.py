@@ -429,3 +429,46 @@ def q_dedup_minhash(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     docs = _shingle_sets(load_table(spark, sf_dir, "documents"))
     return simhash_pairs(docs, bits=48, max_hamming=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact baseline): all
+    pairs with cosine >= 0.4 (this corpus has no planted embedding
+    dups — max pairwise cosine ~0.51 — so the threshold selects the
+    most-similar tail). Scale path for real corpora = LSH/IVF candidate
+    generation (`sim_ann_lsh`/`sim_ann_ivf`) feeding the same exact
+    verify."""
+    from dynamodb_to_datalake_project_spark.llm.similarity import as_double_vec, dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        as_double_vec("embedding").alias("v"),
+    ).withColumn("nrm", norm(F.col("v")))
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            cos.alias("c"),
+        )
+        .filter(F.col("c") >= 0.4)
+        .select("a_id", "b_id", F.round("c", 6).alias("cosine"))
+    )

@@ -963,3 +963,41 @@ def q_agg_array_funcs(spark, sf_dir):
         F.size(types).cast("long").alias("n_types"),
         F.array_join(types, ",").alias("type_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-level timeseries rollup (continuous-aggregate / hypertable shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rollup_timeseries",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY day, event_type
+    """,
+)
+def q_rollup_timeseries(spark, sf_dir):
+    """Hypertable-style continuous aggregate: daily rollup computed by
+    RE-AGGREGATING hourly partials (count-of-counts, sum-of-sums in
+    exact decimal), not by rescanning raw events — the pattern that
+    keeps a 100 TB event table's dashboards O(hours), with correctness
+    proven against the direct daily oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        )
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("hour")).alias("day"), "event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").cast("double").alias("sum_value"),
+        )
+    )
