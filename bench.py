@@ -27,6 +27,7 @@ HEADLINE = [
     "t2_tumbling_window",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "corpus_clean",
     "sim_knn_bruteforce",
     "text_stats",
     "multimodal_features",

@@ -472,3 +472,74 @@ def q_dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("c") >= 0.4)
         .select("a_id", "b_id", F.round("c", 6).alias("cosine"))
     )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    jaccard_threshold: float = 0.8,
+    block_prefix: int = 32,
+) -> DataFrame:
+    """The full corpus-cleaning pipeline in one plan: quality filter →
+    exact dedup (keep smallest doc_id per content) → near-dup prune
+    (greedy: of each blocked-Jaccard pair, the larger doc_id is
+    dropped). Returns the surviving documents.
+
+    Every stage is a bounded-key shuffle or a broadcast anti-join —
+    nothing all-pairs, nothing driver-side; this composition is the
+    shape a 100 TB pretraining-corpus pass takes.
+    """
+    from dynamodb_to_datalake_project_spark.llm.text import tokens as _tokens
+
+    quality = docs.filter(F.size(_tokens(F.col("text"))) >= min_tokens)
+    exact_survivors = quality.join(
+        exact_dedup(quality, "doc_id", "text").select(
+            F.col("keep_id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    near_pairs = blocked_jaccard_pairs(
+        exact_survivors, F.substring("text", 1, block_prefix), jaccard_threshold
+    )
+    drop = near_pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    return exact_survivors.join(F.broadcast(drop), "doc_id", "left_anti")
+
+
+@query(
+    "corpus_clean",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), quality AS (
+      SELECT * FROM toks WHERE len(tk) >= 10
+    ), exact_keep AS (
+      SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ), survivors AS (
+      SELECT q.* FROM quality q JOIN exact_keep k ON q.doc_id = k.doc_id
+    ), sh AS (
+      SELECT doc_id, substr(text, 1, 32) AS blk,
+             CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                  ELSE [array_to_string(tk, ' ')] END AS w
+      FROM survivors
+    ), drops AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.w, b.w)) * 1.0
+            / len(list_distinct(list_concat(a.w, b.w))) >= 0.8
+    )
+    SELECT s.doc_id, s.lang, s.source, s.n_chars
+    FROM survivors s
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+)
+def q_corpus_clean(spark, sf_dir):
+    """Capstone LLM-pipeline query: quality gate + exact dedup +
+    near-dup prune composed into one job, checked against an
+    independent SQL formulation of the same policy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_corpus(docs).select("doc_id", "lang", "source", "n_chars")
