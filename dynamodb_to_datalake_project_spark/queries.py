@@ -1001,3 +1001,53 @@ def q_rollup_timeseries(spark, sf_dir):
             F.sum("pv").cast("double").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map Pandas operator (applyInPandas)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouped_pct_rank",
+    oracle="""
+    SELECT user_id, event_id,
+           CASE WHEN cnt > 1
+                THEN (rn - 1) * 1.0 / (cnt - 1)
+                ELSE 0.0 END AS pct_rank
+    FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+             count(*)     OVER (PARTITION BY user_id) AS cnt
+      FROM events
+    )
+    """,
+)
+def q_grouped_pct_rank(spark, sf_dir):
+    """Grouped-map Pandas operator (`applyInPandas`): per-user
+    percentile rank of event value, computed with numpy inside an Arrow
+    batch per group. Rank arithmetic is pure integers, so the Python
+    path is bit-comparable to the window-function oracle — the pattern
+    for custom per-group logic (normalization, resampling, model
+    scoring) that built-ins can't express."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def pct_rank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        ranks = (
+            pdf.index.to_numpy() / (n - 1) if n > 1 else [0.0] * n
+        )
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "pct_rank": ranks,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        pct_rank, schema="user_id long, event_id long, pct_rank double"
+    )
