@@ -16,7 +16,6 @@ all-pairs):
 
 from __future__ import annotations
 
-import functools
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -270,7 +270,7 @@ def ann_ivf(
     brute force while the per-cell scan stays embarrassingly parallel.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     e = embeddings.select("vec_id", as_double_vec("embedding").alias("v"))
     corpus = e.filter(F.col("vec_id") >= query_ids_below)

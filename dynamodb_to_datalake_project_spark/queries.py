@@ -1051,3 +1051,42 @@ def q_grouped_pct_rank(spark, sf_dir):
     return ev.groupBy("user_id").applyInPandas(
         pct_rank, schema="user_id long, event_id long, pct_rank double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit A1/O2/O3 parity (athena.py preview surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_count_preview",
+    oracle="""
+    SELECT (SELECT count(*) FROM lineitem) AS n_lineitem,
+           (SELECT count(*) FROM orders)   AS n_orders
+    """,
+)
+def q_count_preview(spark, sf_dir):
+    """A1: the reference's preview COUNT(*) (athena.py:75-81), two
+    tables in one row."""
+    li_n = load_table(spark, sf_dir, "lineitem").count()
+    o_n = load_table(spark, sf_dir, "orders").count()
+    return spark.createDataFrame([(li_n, o_n)], "n_lineitem long, n_orders long")
+
+
+@query(
+    "o3_reverse_listing",
+    oracle="""
+    SELECT event_id, ts FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 50
+    """,
+)
+def q_reverse_listing(spark, sf_dir):
+    """O3: newest-first listing — the reference fakes this with
+    `(1e9 - seq)` file names (incremental_load_orchestration.py:163-176);
+    a descending sort + limit needs no naming trick."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(50)
+        .select("event_id", "ts")
+    )
