@@ -268,3 +268,69 @@ def q_text_quality_filter(spark, sf_dir):
         drop_reason.alias("drop_reason"),
         keep.cast("int").alias("keep"),
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))) AS term,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS doc_len
+      FROM documents
+    ), tf AS (
+      SELECT t.doc_id, t.term, t.doc_len,
+             len(list_filter(list_filter(string_split(d.text, ' '), x -> x <> ''),
+                 x -> x = t.term)) AS tf
+      FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+    ), df AS (
+      SELECT term, count(*) AS df FROM tok GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round((tf.tf * 1.0 / tf.doc_len)
+                   * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, df, tfidf,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document: explode distinct terms, count
+    per-doc tf and corpus df (two bounded-key shuffles), score
+    tf/doc_len * ln(N/df), rank per doc. All counts are exact integers;
+    the single ln+multiply is rounded to 6 dp before ranking so both
+    engines rank identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("tk")).select(
+        "doc_id",
+        F.size("tk").alias("doc_len"),
+        F.explode("tk").alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term", "doc_len").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            (F.col("tf") / F.col("doc_len")) * F.log(F.lit(float(n_docs)) / F.col("df")),
+            6,
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )

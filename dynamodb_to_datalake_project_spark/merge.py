@@ -70,6 +70,7 @@ def merge_into_parquet(
     keys: list[str],
     precombine: list[str],
     partition_cols: list[str],
+    max_touched_partitions: int = 2000,
 ) -> None:
     """Merge a batch into a partitioned parquet lake table, rewriting
     only touched partitions.
@@ -90,6 +91,12 @@ def merge_into_parquet(
     parts = touched_partitions(source, partition_cols)
     if not parts:
         return
+    if len(parts) > max_touched_partitions:
+        # A batch touching thousands of partitions (e.g. a backfill)
+        # degrades to a full-table merge: one OR-clause per partition
+        # would bloat analysis and the write rewrites most of the table
+        # anyway. Correctness is identical; only pruning is skipped.
+        parts = None
     try:
         target = spark.read.parquet(table_path)
     except Exception:
@@ -98,13 +105,16 @@ def merge_into_parquet(
         deduped = dedup.latest_wins(source, keys, [F.col(c).desc() for c in precombine])
         deduped.write.mode("overwrite").partitionBy(*partition_cols).parquet(table_path)
         return
-    pred = F.lit(False)
-    for p in parts:
-        clause = F.lit(True)
-        for c in partition_cols:
-            clause = clause & (F.col(c) == F.lit(p[c]))
-        pred = pred | clause
-    existing = target.filter(pred)
+    if parts is None:
+        existing = target
+    else:
+        pred = F.lit(False)
+        for p in parts:
+            clause = F.lit(True)
+            for c in partition_cols:
+                clause = clause & (F.col(c) == F.lit(p[c]))
+            pred = pred | clause
+        existing = target.filter(pred)
     merged = upsert_dataframes(existing, source.select(*target.columns), keys, precombine)
     (
         merged.write.mode("overwrite")
