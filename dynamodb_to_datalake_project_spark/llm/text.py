@@ -334,3 +334,70 @@ def q_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
     )
+
+
+#: PII patterns: identical semantics in Java regex (Spark) and RE2
+#: (DuckDB) — fixed classes and counted repetitions only.
+PII_PATTERNS = {
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "email": r"[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}",
+}
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace phone/email matches with typed placeholders."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+@query(
+    "pii_scrub",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 10 = 0
+                          THEN ' call 555-123-4567 or mail a.b@example.com'
+                          ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(text,
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'))
+             AS scrubbed_md5,
+           CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing — the redaction stage of a training-data pipeline:
+    phone/email patterns replaced with typed placeholders, plus match
+    counts. The fixture corpus carries no PII, so every 10th doc is
+    deterministically augmented with synthetic contact info; the oracle
+    applies the same augmentation and patterns."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.lit(" call 555-123-4567 or mail a.b@example.com"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.md5(scrub_pii(F.col("text"))).alias("scrubbed_md5"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PATTERNS["phone"]), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PATTERNS["email"]), 0))
+        .cast("long")
+        .alias("n_emails"),
+    )

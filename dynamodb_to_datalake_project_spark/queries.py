@@ -1090,3 +1090,41 @@ def q_reverse_listing(spark, sf_dir):
         .limit(50)
         .select("event_id", "ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Outer-join completeness (left/full with null-side handling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j4_outer_join",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(o.n_orders, 0) AS n_orders,
+           CASE WHEN o.n_orders IS NULL THEN 'inactive' ELSE 'active' END AS status
+    FROM customer c
+    LEFT OUTER JOIN (
+      SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_outer_join(spark, sf_dir):
+    """Left outer join with null-side handling: every customer with
+    their order count, zero-filled — aggregate-then-join keeps the
+    build side small (one row per customer with orders), not
+    join-then-aggregate."""
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    joined = customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left_outer"
+    )
+    return joined.select(
+        "c_custkey",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.when(F.col("n_orders").isNull(), "inactive").otherwise("active").alias("status"),
+    )
