@@ -254,23 +254,30 @@ def minhash_lsh_pairs(
     # collect_list. Degenerate buckets are capped (a band whose bucket
     # holds >1000 docs carries no dedup signal, only quadratic cost).
     cand = _bucket_pairs(banded, ["band", "sig"], "doc_id")
-    d = docs_with_tokens
-    # Broadcast the TINY candidate-pair frame and stream the corpus
-    # through both joins. Broadcasting the corpus side instead would
-    # build its shingle arrays single-threaded inside the broadcast
-    # exchange — the scan order below keeps the array computation
-    # distributed.
-    step1 = d.select(F.col("doc_id").alias("a_id"), F.col("w").alias("wa")).join(
-        F.broadcast(cand), "a_id"
+    # Exact-Jaccard verify with ONE corpus scan: unpivot each candidate
+    # pair to two (doc_id, pair) membership rows, broadcast-join them
+    # against the corpus (streaming side — its shingle arrays are built
+    # distributed, never inside a broadcast exchange), then regroup per
+    # pair collecting both sides' shingle sets. Shuffle volume = shingle
+    # arrays of candidate docs only.
+    sides = cand.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a_id").alias("doc_id"), F.col("a_id"), F.col("b_id")),
+                F.struct(F.col("b_id").alias("doc_id"), F.col("a_id"), F.col("b_id")),
+            )
+        ).alias("m")
+    ).select("m.doc_id", "m.a_id", "m.b_id")
+    joined = docs_with_tokens.join(F.broadcast(sides), "doc_id")
+    pairs = joined.groupBy("a_id", "b_id").agg(
+        F.first(F.when(F.col("doc_id") == F.col("a_id"), F.col("w")), ignorenulls=True).alias("wa"),
+        F.first(F.when(F.col("doc_id") == F.col("b_id"), F.col("w")), ignorenulls=True).alias("wb"),
     )
-    verified = (
-        d.select(F.col("doc_id").alias("b_id"), F.col("w").alias("wb"))
-        .join(F.broadcast(step1), "b_id")
-        .withColumn("j", jaccard(F.col("wa"), F.col("wb")))
+    return (
+        pairs.withColumn("j", jaccard(F.col("wa"), F.col("wb")))
         .filter(F.col("j") >= threshold)
         .select("a_id", "b_id", F.col("j").alias("jaccard"))
     )
-    return verified
 
 
 def simhash_signatures(docs_with_tokens: DataFrame, bits: int = 32) -> DataFrame:

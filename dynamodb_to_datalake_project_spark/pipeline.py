@@ -118,3 +118,43 @@ def validate(spark: SparkSession, source_truth: DataFrame, lake_path: str):
     lake_df = spark.read.parquet(lake_path)
     cols = source_truth.columns
     return diff.compare(source_truth.select(*cols), lake_df.select(*cols))
+
+
+def start_incremental_raw(
+    spark: SparkSession,
+    stream_dir: str,
+    lake_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 100,
+):
+    """§3.2 at full wire fidelity: raw DynamoDB Streams records (typed
+    NewImage JSON) → streaming decode → REMOVE filter → hudify →
+    partition-pruned merge. The flat-drop variant (`start_incremental`)
+    models the reference's intermediate S3 layout; this one consumes
+    what the stream itself carries."""
+    stream = ddbjson.read_stream_records(
+        spark,
+        stream_dir,
+        TXN_SCHEMA,
+        streaming=True,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+    def process_batch(batch_df, _epoch):
+        batch = batch_df.filter(F.col("event_name") != "REMOVE").drop("event_name")
+        from dynamodb_to_datalake_project_spark import merge as merge_mod
+
+        merge_mod.merge_into_parquet(
+            batch.sparkSession,
+            lake_path,
+            hudify(batch),
+            keys=RECORD_KEY,
+            precombine=PRECOMBINE,
+            partition_cols=PARTITION_COLS,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

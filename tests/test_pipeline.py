@@ -98,3 +98,47 @@ def test_full_pipeline_differential(spark, tmp_path, events):
     n, head = pipeline.preview(spark, lake_path, limit=5)
     assert n == expected.count()
     assert head.count() == 5
+
+
+def test_incremental_raw_wire_format(spark, tmp_path, events):
+    """§3.2 full fidelity: encode a slice of the workload as raw
+    Streams records (typed NewImage), run the raw incremental pipeline
+    against an empty lake, and differentially match the expected state."""
+    import json as _json
+
+    from pyspark.sql import functions as F2
+
+    from dynamodb_to_datalake_project_spark import ddbjson
+
+    slice_df = events.filter(F2.col("seq") < 3000).drop("seq")
+    wire = ddbjson.encode_export_json(
+        slice_df.drop("event_name"), ts_format=None
+    )
+    # wrap each Item as a stream record with its event name
+    items = [r.value for r in wire.collect()]
+    names = [r.event_name for r in slice_df.select("event_name").collect()]
+    src = tmp_path / "raw_records"
+    src.mkdir()
+    lines = []
+    for i, (item_json, name) in enumerate(zip(items, names)):
+        item = _json.loads(item_json)["Item"]
+        lines.append(_json.dumps({
+            "eventID": f"e{i}", "eventName": name,
+            "dynamodb": {"NewImage": item},
+        }))
+    (src / "records.json").write_text("\n".join(lines))
+
+    lake_path = str(tmp_path / "raw_lake")
+    q = pipeline.start_incremental_raw(
+        spark, str(src), lake_path, str(tmp_path / "raw_ck")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    expected = workload.expected_final_state(
+        events.filter(F2.col("seq") < 3000)
+    ).withColumn("amount", F2.col("amount").cast("decimal(38,9)"))
+    summary, samples = pipeline.validate(spark, expected, lake_path)
+    assert summary.identical, (summary, samples)

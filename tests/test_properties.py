@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis): the decoder round-trip and the
+merge algebra hold for arbitrary inputs, not just the curated cases.
+
+Spark jobs are expensive per example, so each hypothesis example is a
+whole batch of rows and example counts are small — the properties still
+cover far more of the input space than fixed fixtures.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dynamodb_to_datalake_project_spark import ddbjson, dedup, merge
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# printable-ish strings without the JSON-hostile control plane
+text_st = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    min_size=0,
+    max_size=40,
+)
+
+row_st = st.tuples(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.one_of(st.none(), text_st),
+    st.booleans(),
+    st.lists(text_st, max_size=4),
+    st.one_of(st.none(), st.integers(min_value=-(10**12), max_value=10**12)),
+)
+
+ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("flag", T.BooleanType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+@given(rows=st.lists(row_st, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_ddbjson_roundtrip_property(spark, rows):
+    """decode(encode(x)) == x for arbitrary rows across the scalar,
+    null, boolean, array and long surfaces of the typed-JSON codec."""
+    src = spark.createDataFrame(rows, ROUNDTRIP_SCHEMA)
+    back = ddbjson.decode_export_json(
+        ddbjson.encode_export_json(src), ROUNDTRIP_SCHEMA
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+merge_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # key (small: force collisions)
+        st.integers(min_value=0, max_value=100),  # precombine version
+        st.integers(min_value=0, max_value=10**6),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(f"k{k}", v, p) for k, v, p in rows], "id string, ver long, payload long"
+    )
+
+
+@given(target=merge_rows_st, source=merge_rows_st)
+@settings(**SETTINGS)
+def test_merge_properties(spark, target, source):
+    """For arbitrary target/source batches with colliding keys:
+    1. result has exactly one row per key;
+    2. every surviving row carries the max precombine version seen for
+       its key (latest-wins);
+    3. re-applying the same source is a no-op (idempotency, T9)."""
+    t = dedup.latest_wins(_mk(spark, target), ["id"], ["ver", "payload"])
+    s = _mk(spark, source)
+    merged = merge.upsert_dataframes(t, s, ["id"], ["ver"])
+    out = merged.collect()
+
+    keys = {r.id for r in out}
+    assert len(out) == len(keys)
+
+    max_ver: dict[str, int] = {}
+    for k, v, _ in list(target) + list(source):
+        kk = f"k{k}"
+        max_ver[kk] = max(max_ver.get(kk, -1), v)
+    assert {r.id: r.ver for r in out} == {k: v for k, v in max_ver.items()}
+
+    again = merge.upsert_dataframes(merged, s, ["id"], ["ver"])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out))
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_latest_wins_is_subset_and_covers_keys(spark, rows):
+    df = spark.createDataFrame(
+        [(f"k{k}", v) for k, v in rows], "id string, ver long"
+    )
+    out = dedup.latest_wins(df, ["id"], ["ver"]).collect()
+    src = set(map(tuple, df.collect()))
+    assert all((r.id, r.ver) in src for r in out)          # subset of input
+    assert {r.id for r in out} == {f"k{k}" for k, _ in rows}  # all keys kept
