@@ -43,26 +43,35 @@ CDC_SCHEMA = T.StructType(
     list(TXN_SCHEMA.fields) + [T.StructField("event_name", T.StringType())]
 )
 
-PARTITION_COLS = [
-    "create_year",
-    "create_month",
-    "create_day",
-    "create_hour",
-    "create_minute",
-]
+#: Reference-faithful 5-level partition layout
+#: (glue_jobs/initial_load.py:169-170). Minute grain is right for the
+#: reference's CDC selection trick but produces one partition per
+#: active minute — at 100 TB prefer `partition_levels=4` (hourly) or 3
+#: (daily): merge pruning stays effective and file counts drop ~60x
+#: (see lake.compact_partitions for the complementary rewrite).
+PARTITION_LEVELS = ["year", "month", "day", "hour", "minute"]
+PARTITION_COLS = [f"create_{lvl}" for lvl in PARTITION_LEVELS]
+
+
+def partition_cols(levels: int = 5) -> list[str]:
+    """First `levels` of the create-time partition hierarchy."""
+    return PARTITION_COLS[:levels]
 
 RECORD_KEY = ["id"]
 PRECOMBINE = ["update_at"]
 
 
-def hudify(df: DataFrame) -> DataFrame:
+def hudify(df: DataFrame, levels: int = 5) -> DataFrame:
     """Derive the lake-side columns (P2+P3): surrogate id + partition
     strings (initial_load.py:124-154; mirrors dynamodb_table.py:31-44)."""
     df = df.withColumn(
         "id",
         transform.surrogate_key(("account", F.col("account")), ("create_at", F.col("create_at"))),
     )
-    return transform.with_partition_columns(df, "create_at", prefix="create_")
+    return transform.with_partition_columns(
+        df, "create_at", prefix="create_",
+        levels=tuple(PARTITION_LEVELS[:levels]),
+    )
 
 
 def initial_load(
