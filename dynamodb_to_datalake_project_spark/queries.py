@@ -1128,3 +1128,37 @@ def q_outer_join(spark, sf_dir):
         F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
         F.when(F.col("n_orders").isNull(), "inactive").otherwise("active").alias("status"),
     )
+
+
+@query(
+    "a5_fixed_chunking",
+    oracle="""
+    SELECT chunk, count(*) AS n_files,
+           min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+    FROM (
+      SELECT o_orderkey,
+             CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 100)
+                  AS BIGINT) AS chunk
+      FROM orders
+    ) GROUP BY chunk
+    """,
+)
+def q_fixed_chunking(spark, sf_dir):
+    """A5: the reference's coordinator chunks work into groups of 100
+    for Lambda fan-out (grouper_list, coordinator lambda:22-41). Spark's
+    task splitting makes this unnecessary, but the equivalent
+    fixed-size chunk assignment is one window expression."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.floor((F.row_number().over(w) - 1) / 100).cast("long").alias("chunk"),
+        )
+        .groupBy("chunk")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+    )
