@@ -74,8 +74,12 @@ def start_cdc_merge(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if event_type_col and event_type_col in batch_df.columns:
+            # keep NULL event types: ~isin() alone is three-valued NULL
+            # for them, which filter() would silently drop — only the
+            # listed types are deletes (T8)
             batch_df = batch_df.filter(
-                ~F.col(event_type_col).isin(*drop_event_types)
+                (~F.col(event_type_col).isin(*drop_event_types))
+                | F.col(event_type_col).isNull()
             ).drop(event_type_col)
         if batch_transform is not None:
             batch_df = batch_transform(batch_df)

@@ -214,12 +214,19 @@ def _encode_attr(col: Column, dt: T.DataType, ts_format: str | None) -> Column:
             F.transform(col, lambda x: _encode_attr(x, dt.elementType, ts_format)).alias("L")
         )
     if isinstance(dt, T.StructType):
+        inner = F.struct(
+            *[
+                _encode_attr(col[f.name], f.dataType, ts_format).alias(f.name)
+                for f in dt.fields
+            ]
+        )
+        # a NULL struct must encode as an absent attribute, not a
+        # struct of nulls (decode's isNotNull guard relies on it)
+        return F.struct(F.when(col.isNotNull(), inner).alias("M"))
+    if isinstance(dt, T.MapType):
         return F.struct(
-            F.struct(
-                *[
-                    _encode_attr(col[f.name], f.dataType, ts_format).alias(f.name)
-                    for f in dt.fields
-                ]
+            F.transform_values(
+                col, lambda _, v: _encode_attr(v, dt.valueType, ts_format)
             ).alias("M")
         )
     raise TypeError(f"unsupported type for DynamoDB encode: {dt}")

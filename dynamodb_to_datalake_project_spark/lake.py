@@ -41,10 +41,6 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimension tables: always broadcast-join these, never shuffle them.
-BROADCAST_TABLES = frozenset({"region", "nation"})
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table as parquet.
 
@@ -220,9 +216,14 @@ def register_table(
     (glue_jobs/initial_load.py:171-177) and Glue-catalog database create
     (glue_catalog.py:87-97) with the Spark catalog.
     """
+    from pyspark.errors import AnalysisException
+
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     spark.sql(f"DROP TABLE IF EXISTS {database}.{name}")
     spark.sql(
         f"CREATE TABLE {database}.{name} USING PARQUET LOCATION '{path}'"
     )
-    spark.sql(f"MSCK REPAIR TABLE {database}.{name}")
+    try:
+        spark.sql(f"MSCK REPAIR TABLE {database}.{name}")
+    except AnalysisException:
+        pass  # unpartitioned layout: nothing to repair

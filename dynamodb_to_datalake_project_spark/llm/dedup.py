@@ -185,7 +185,10 @@ def minhash_signatures_pandas(
 
     def op(batches):
         for pdf in batches:
-            tok_lists = pdf[tokens_col]
+            # empty token lists break reduceat (zero-length segment
+            # borrows the next doc's first row / overflows at the end);
+            # treat an empty doc as [''] — same fallback shingle_set uses
+            tok_lists = [t if len(t) else [""] for t in pdf[tokens_col]]
             lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
             flat = np.fromiter(
                 (zlib.crc32(s.encode()) for toks in tok_lists for s in toks),

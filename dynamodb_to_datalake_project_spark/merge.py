@@ -97,11 +97,19 @@ def merge_into_parquet(
         # would bloat analysis and the write rewrites most of the table
         # anyway. Correctness is identical; only pruning is skipped.
         parts = None
+    from pyspark.errors import AnalysisException
+
     try:
         target = spark.read.parquet(table_path)
-    except Exception:
-        # first batch against an empty/uninitialized table: nothing to
-        # merge with — dedupe the batch and write it as the table
+    except AnalysisException as e:
+        # ONLY a missing/uninitialized table means "first batch": write
+        # the deduped batch as the table. Any other failure (transient
+        # IO, permissions, corrupt footer) must propagate — treating it
+        # as first-batch would overwrite real partitions with batch-only
+        # rows.
+        cond = getattr(e, "getErrorClass", lambda: "")() or str(e)
+        if not ("PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond):
+            raise
         deduped = dedup.latest_wins(source, keys, [F.col(c).desc() for c in precombine])
         deduped.write.mode("overwrite").partitionBy(*partition_cols).parquet(table_path)
         return
@@ -112,7 +120,11 @@ def merge_into_parquet(
         for p in parts:
             clause = F.lit(True)
             for c in partition_cols:
-                clause = clause & (F.col(c) == F.lit(p[c]))
+                # eqNullSafe: a null partition value (e.g. from an
+                # unparseable timestamp) must still match its existing
+                # partition — plain == excludes those rows and the
+                # dynamic overwrite would then drop them.
+                clause = clause & F.col(c).eqNullSafe(F.lit(p[c]))
             pred = pred | clause
         existing = target.filter(pred)
     merged = upsert_dataframes(existing, source.select(*target.columns), keys, precombine)

@@ -636,9 +636,13 @@ def q_sessionize_events(spark, sf_dir):
     by both windows and the final group-by."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # microsecond precision: cast('long') floors to seconds, which can
+    # disagree with the oracle's full-precision INTERVAL comparison for
+    # gaps inside the (1800s, 1801s) truncation window
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > 30 * 60), F.lit(1)
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     sess = ev.withColumn("new_session", new_session).withColumn(
         "session_seq",

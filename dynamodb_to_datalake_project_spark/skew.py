@@ -8,7 +8,7 @@ runtime; these helpers cover the two cases it can't:
   first (spreads the hot key over `n_salts` reducers with map-side
   partial aggregation), then combine partials per key. Works for any
   algebraic aggregate given its (partial, combine) pair.
-- `salted_broadcast_left_join`: a large fact side with hot join keys
+- `salted_broadcast_join`: a large fact side with hot join keys
   against a small-but-not-tiny dim. The dim is exploded n_salts times
   (replicated per salt), the fact side gets a random-but-deterministic
   salt from a row hash — every fact row still meets its dim row exactly
@@ -57,16 +57,21 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(*final_aggs)
 
 
-def salted_broadcast_left_join(
+def salted_broadcast_join(
     fact: DataFrame,
     dim: DataFrame,
     on: list[str],
     n_salts: int = 8,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner equi-join resilient to hot fact keys: replicate the dim
-    once per salt, salt the fact rows, join on (keys + salt)."""
+    """Equi-join resilient to hot fact keys: replicate the dim once per
+    salt, salt the fact rows, join on (keys + salt). `how` supports
+    'inner' and 'left' (fact side preserved; each fact row meets its
+    dim row in exactly one salt replica, so no duplication either way)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_broadcast_join supports inner/left, got {how}")
     dim_rep = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))
     fact_s = with_salt(fact, n_salts)
-    return fact_s.join(F.broadcast(dim_rep), on + ["__salt"]).drop("__salt")
+    return fact_s.join(F.broadcast(dim_rep), on + ["__salt"], how).drop("__salt")

@@ -326,3 +326,20 @@ def test_stream_drop_duplicates_within_watermark(spark, tmp_path):
         q.stop()
     rows = spark.sql("SELECT id FROM dedup_stream").collect()
     assert sorted(r.id for r in rows) == ["a", "b"]
+
+
+def test_null_event_name_is_kept(spark, tmp_path):
+    """Regression: a CDC record with missing/null event_name is an
+    upsert, not a silent drop (three-valued ~isin)."""
+    cdc_dir = tmp_path / "nullev"
+    table = tmp_path / "nullev_lake"
+    spark.createDataFrame(
+        [("x", "2023-01-01T00:00:00", "v0", "2023-01-01")],
+        ["id", "update_at", "note", "day"],
+    ).write.partitionBy("day").parquet(str(table))
+    _write_drop(cdc_dir, "b.json", [
+        {"id": "y", "update_at": "2023-01-01T01:00:00", "note": "no-event-name",
+         "day": "2023-01-01"},
+    ])
+    _run_stream(spark, cdc_dir, table, tmp_path / "nullev_ck")
+    assert {r.id for r in spark.read.parquet(str(table)).collect()} == {"x", "y"}

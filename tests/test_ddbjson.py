@@ -205,3 +205,27 @@ def test_read_export_gzip_files(spark, tmp_path):
     )
     assert out.count() == 1
     assert out.first().account == "651-232-2439"
+
+
+def test_null_struct_roundtrips_as_null(spark):
+    """Regression: encoding a NULL struct column must produce an absent
+    attribute, not a struct of nulls."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("m", T.StructType([T.StructField("x", T.LongType())])),
+    ])
+    src = spark.createDataFrame([(1, None), (2, (7,))], schema)
+    back = ddbjson.decode_export_json(ddbjson.encode_export_json(src), schema)
+    got = {r.k: r.m for r in back.collect()}
+    assert got[1] is None
+    assert got[2].x == 7
+
+
+def test_map_type_roundtrip(spark):
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+    ])
+    src = spark.createDataFrame([(1, {"a": 10, "b": 20})], schema)
+    back = ddbjson.decode_export_json(ddbjson.encode_export_json(src), schema)
+    assert back.first().m == {"a": 10, "b": 20}

@@ -140,3 +140,20 @@ def test_partition_derivation_roundtrip(spark):
     assert (both.t_year, both.t_month, both.t_day, both.t_hour, both.t_minute) == (
         "2023", "07", "30", "16", "49"
     )
+
+
+def test_merge_preserves_null_partition_rows(spark, tmp_path):
+    """Regression: rows in a NULL-valued partition must survive a merge
+    touching that partition (eqNullSafe pruning)."""
+    path = str(tmp_path / "nulllake")
+    spark.createDataFrame(
+        [("a", "2023-01-01T00:00:00", "v1", None), ("b", "2023-01-01T00:00:00", "v1", "d1")],
+        "id string, update_at string, note string, day string",
+    ).write.partitionBy("day").parquet(path)
+    batch = spark.createDataFrame(
+        [("c", "2023-01-01T01:00:00", "new", None)],
+        "id string, update_at string, note string, day string",
+    )
+    merge.merge_into_parquet(spark, path, batch, ["id"], ["update_at"], ["day"])
+    state = {r.id for r in spark.read.parquet(path).collect()}
+    assert state == {"a", "b", "c"}  # 'a' (null partition) must survive

@@ -50,7 +50,14 @@ def test_salted_join_matches_direct(spark):
     )
     salted = sorted(
         (r.k, r.v, r.label)
-        for r in skew.salted_broadcast_left_join(fact, dim, ["k"]).collect()
+        for r in skew.salted_broadcast_join(fact, dim, ["k"]).collect()
     )
     assert salted == direct
     assert len(direct) == 10000 + 10 + 10  # HOT + c1 + c3 matches
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    fact = spark.createDataFrame([("HOT", 1.0), ("orphan", 2.0)], ["k", "v"])
+    dim = spark.createDataFrame([("HOT", "d")], ["k", "label"])
+    out = {(r.k, r.label) for r in skew.salted_broadcast_join(fact, dim, ["k"], how="left").collect()}
+    assert out == {("HOT", "d"), ("orphan", None)}
