@@ -552,3 +552,29 @@ def q_corpus_clean(spark, sf_dir):
     independent SQL formulation of the same policy."""
     docs = load_table(spark, sf_dir, "documents")
     return clean_corpus(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "dedup_per_source_best",
+    oracle="""
+    SELECT source, doc_id AS keep_id, n_chars
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_per_source_best(spark, sf_dir):
+    """Keep-best-representative dedup: one document per source, the
+    longest (ties to the smallest id) — the 'canonical page per URL'
+    policy of web-corpus pipelines, as a single W1-family window."""
+    from dynamodb_to_datalake_project_spark import dedup as _dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.latest_wins(
+        docs.select("source", "doc_id", "n_chars"),
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    ).select("source", F.col("doc_id").alias("keep_id"), "n_chars")

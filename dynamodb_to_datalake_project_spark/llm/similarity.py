@@ -323,3 +323,55 @@ def ann_ivf(
 @query("sim_ann_ivf")  # rows-only: KMeans cells are engine-specific
 def q_ann_ivf(spark, sf_dir):
     return ann_ivf(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e
+    ), q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)) AS qv
+      FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           scale,
+           CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_absmax,
+           list_max(list_transform(range(1, len(v) + 1),
+                 i -> abs(v[i] - qv[i] * scale / 127))) AS max_abs_err
+    FROM q
+    """,
+)
+def q_embed_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization of embeddings (max-abs per-vector
+    scale) with reconstruction-error reporting — the vector-compression
+    step of a large retrieval index. floor(x+0.5) keeps the
+    double->int rounding identical across engines (round() would not
+    be); error metrics rounded to 6 dp (noise ~1e-16 vs quantum 1e-6)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double_vec("embedding").alias("v"))
+    scale = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    s = e.withColumn("scale", scale).filter(F.col("scale") > 0)
+    qv = F.transform(
+        "v", lambda x: F.floor(x / F.col("scale") * 127 + F.lit(0.5)).cast("long")
+    )
+    sq = s.withColumn("qv", qv)
+    err = F.array_max(
+        F.zip_with(
+            "v", "qv", lambda x, q: F.abs(x - q * F.col("scale") / F.lit(127.0))
+        )
+    )
+    # scale is a selection (max of stored values) and the error is
+    # per-row arithmetic — both bit-identical across engines RAW;
+    # round() would reintroduce the .5-boundary divergence.
+    return sq.select(
+        "vec_id",
+        "scale",
+        F.array_max(F.transform("qv", lambda x: F.abs(x))).cast("long").alias("q_absmax"),
+        err.alias("max_abs_err"),
+    )

@@ -401,3 +401,61 @@ def q_pii_scrub(spark, sf_dir):
         .cast("long")
         .alias("n_emails"),
     )
+
+
+@query(
+    "corpus_vocab_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    )
+    SELECT count(*) AS total_tokens,
+           CAST(count(DISTINCT term) AS BIGINT) AS vocab_size,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS avg_doc_tokens
+    FROM tok
+    """,
+)
+def q_corpus_vocab_stats(spark, sf_dir):
+    """Corpus-level vocabulary statistics (the Heaps'-law numbers a
+    tokenizer-training run needs): total tokens, vocabulary size,
+    average document length — one explode + one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    return tok.agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("term").alias("vocab_size"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.count("*").cast("double") / F.countDistinct("doc_id")).alias("avg_doc_tokens"),
+    )
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+    SELECT bucket, bucket * 50 AS bucket_lo,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM (
+      SELECT n_chars, CAST(floor(n_chars / 50) AS BIGINT) AS bucket
+      FROM documents
+    ) GROUP BY bucket
+    """,
+)
+def q_doc_length_histogram(spark, sf_dir):
+    """Document-length histogram (fixed 50-char buckets) — the
+    length-distribution profile used to pick truncation/packing
+    thresholds; integer arithmetic only."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 50).cast("long")
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn("bucket_lo", (F.col("bucket") * 50).cast("long"))
+        .select("bucket", "bucket_lo", "n_docs", "min_chars", "max_chars")
+    )

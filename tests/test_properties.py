@@ -53,11 +53,21 @@ ROUNDTRIP_SCHEMA = T.StructType(
 def test_ddbjson_roundtrip_property(spark, rows):
     """decode(encode(x)) == x for arbitrary rows across the scalar,
     null, boolean, array and long surfaces of the typed-JSON codec."""
+    from collections import Counter
+
     src = spark.createDataFrame(rows, ROUNDTRIP_SCHEMA)
     back = ddbjson.decode_export_json(
         ddbjson.encode_export_json(src), ROUNDTRIP_SCHEMA
     )
-    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # Counter, not sorted(): rows may mix None and str in one column,
+    # which tuple ordering can't compare
+    def norm(df):
+        return Counter(
+            (r.k, r.s, r.flag, tuple(r.tags) if r.tags is not None else None, r.n)
+            for r in df.collect()
+        )
+
+    assert norm(back) == norm(src)
 
 
 merge_rows_st = st.lists(
