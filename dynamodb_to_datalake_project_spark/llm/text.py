@@ -459,3 +459,79 @@ def q_doc_length_histogram(spark, sf_dir):
         .withColumn("bucket_lo", (F.col("bucket") * 50).cast("long"))
         .select("bucket", "bucket_lo", "n_docs", "min_chars", "max_chars")
     )
+
+
+@query(
+    "doc_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM t
+    )
+    SELECT CAST(floor((cum_tokens - 1) / 512) AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           sum(n_tokens) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY pack_id
+    """,
+)
+def q_doc_packing(spark, sf_dir):
+    """Sequence packing: assign documents (in stable doc_id order) to
+    fixed 512-token training packs by running token count — documents
+    may straddle pack boundaries, as training packing allows. Integer
+    cumsum + floor division, engine-identical."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn("pack_id", F.floor((F.col("cum_tokens") - 1) / 512).cast("long"))
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "dataset_split",
+    oracle="""
+    SELECT lang,
+           CASE WHEN doc_id % 10 < 8 THEN 'train'
+                WHEN doc_id % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents GROUP BY lang, split
+    """,
+)
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10 by id residue) with
+    per-language counts — the reproducible dataset-split assignment of
+    a training pipeline (id-hash splits beat random sampling: stable
+    under corpus growth, no RNG state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .when(F.col("doc_id") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.groupBy("lang", split.alias("split"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
