@@ -487,7 +487,13 @@ def q_doc_packing(spark, sf_dir):
     """Sequence packing: assign documents (in stable doc_id order) to
     fixed 512-token training packs by running token count — documents
     may straddle pack boundaries, as training packing allows. Integer
-    cumsum + floor division, engine-identical."""
+    cumsum + floor division, engine-identical.
+
+    SCALE NOTE: the no-partition window is sequential by definition
+    (packing is order-dependent); at corpus scale, pack per shard —
+    Window.partitionBy(shard_id) with shard-local pack ids — which is
+    embarrassingly parallel and what training-data layouts use anyway
+    (packs never cross file shards)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
