@@ -375,3 +375,34 @@ def q_embed_quantize_int8(spark, sf_dir):
         F.array_max(F.transform("qv", lambda x: F.abs(x))).cast("long").alias("q_absmax"),
         err.alias("max_abs_err"),
     )
+
+
+@query(
+    "embed_dim_stats",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+               i -> {'dim': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+      FROM embeddings
+    )
+    SELECT u.dim AS dim, count(*) AS n,
+           CAST(sum(CAST(u.x AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS mean_x,
+           min(u.x) AS min_x, max(u.x) AS max_x
+    FROM d GROUP BY u.dim
+    """,
+)
+def q_embed_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (the feature-normalization
+    profile): posexplode the vector, aggregate per dimension index —
+    one explode + one bounded-key (n_dims) aggregation. Mean through
+    exact decimal; min/max are selections (raw doubles)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", F.posexplode(as_double_vec("embedding")).alias("dim", "x"))
+    return d.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count("*")).alias(
+            "mean_x"
+        ),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )

@@ -1166,3 +1166,42 @@ def q_fixed_chunking(spark, sf_dir):
             F.max("o_orderkey").alias("last_key"),
         )
     )
+
+
+@query(
+    "a11_variance_stats",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                  AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           sx / n AS mean_value,
+           (sxx - sx * sx / n) / (n - 1) AS var_value
+    FROM s
+    """,
+)
+def q_variance_stats(spark, sf_dir):
+    """Variance/stddev family, engine-exact: sums of x and x² in exact
+    decimal, then the two-pass-free variance formula evaluated in a
+    fixed double expression — built-in var_samp would accumulate doubles
+    in engine-specific orders."""
+    ev = load_table(spark, sf_dir, "events")
+    xd = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean_value"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var_value"
+        ),
+    )

@@ -343,3 +343,49 @@ def test_null_event_name_is_kept(spark, tmp_path):
     ])
     _run_stream(spark, cdc_dir, table, tmp_path / "nullev_ck")
     assert {r.id for r in spark.read.parquet(str(table)).collect()} == {"x", "y"}
+
+
+def test_session_window_streaming(spark, tmp_path):
+    """session_window(ts, gap): dynamic-length session aggregation in a
+    stream — two bursts for user a separated by > gap become two
+    sessions once the watermark closes them."""
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    rows = [
+        {"uid": "a", "ts": "2024-01-01T00:00:00"},
+        {"uid": "a", "ts": "2024-01-01T00:00:30"},   # same session (gap 30s < 1m)
+        {"uid": "a", "ts": "2024-01-01T00:05:00"},   # new session (gap 4m30s)
+        {"uid": "b", "ts": "2024-01-01T00:00:10"},
+        {"uid": "w", "ts": "2024-01-01T01:00:00"},   # watermark pusher
+    ]
+    (src / "f.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [T.StructField("uid", T.StringType()), T.StructField("ts", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "2 minutes")
+        .groupBy(F.session_window("ts", "1 minute").alias("w"), "uid")
+        .agg(F.count("*").alias("n"))
+        .select("uid", F.col("w.start").alias("start"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.uid, str(r.start)): r.n
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert got[("a", "2024-01-01 00:00:00")] == 2
+    assert got[("a", "2024-01-01 00:05:00")] == 1
+    assert got[("b", "2024-01-01 00:00:10")] == 1
