@@ -541,3 +541,43 @@ def q_dataset_split(spark, sf_dir):
         docs.groupBy("lang", split.alias("split"))
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
+
+
+@query(
+    "bigram_top20",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT unnest(list_transform(range(1, len(tk)),
+               i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM t WHERE len(tk) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM g GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+)
+def q_bigram_top20(spark, sf_dir):
+    """Corpus-level top bigrams (language-model co-occurrence stats):
+    adjacent token pairs (NON-distinct, unlike dedup shingles) counted
+    across the corpus, global top-20 with deterministic tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(tokens(F.col("text")).alias("tk")).filter(F.size("tk") >= 2)
+    grams = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("tk", i), F.element_at("tk", i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )

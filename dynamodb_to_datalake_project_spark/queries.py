@@ -1205,3 +1205,55 @@ def q_variance_stats(spark, sf_dir):
             "var_value"
         ),
     )
+
+
+@query(
+    "events_anomaly_flags",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                  AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    ), p AS (
+      SELECT event_type, sx / n AS mean_v,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_v
+      FROM s
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN abs((e.value - p.mean_v) / p.sd_v) > 2.5 THEN 1 ELSE 0 END
+             AS is_anomaly
+    FROM events e JOIN p ON e.event_type = p.event_type
+    """,
+)
+def q_events_anomaly_flags(spark, sf_dir):
+    """Analytic composition: per-type mean/stddev derived once
+    (engine-exact decimal sums), broadcast-joined back onto the event
+    stream, each row z-scored and flagged — the aggregate-then-enrich
+    pattern that avoids a second scan-wide window."""
+    ev = load_table(spark, sf_dir, "events")
+    xd = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+    )
+    p = s.select(
+        "event_type",
+        (F.col("sx") / F.col("n")).alias("mean_v"),
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)).alias(
+            "sd_v"
+        ),
+    )
+    return ev.join(F.broadcast(p), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.abs((F.col("value") - F.col("mean_v")) / F.col("sd_v")) > 2.5, 1
+        )
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )
