@@ -71,12 +71,40 @@ def start_cdc_merge(
     idempotent re-merge (T4/T9).
     """
     stream = read_cdc_stream(spark, cdc_dir, schema, max_files_per_trigger)
+    process_batch = make_merge_batch_fn(
+        table_path, keys, precombine, partition_cols,
+        event_type_col=event_type_col,
+        drop_event_types=drop_event_types,
+        batch_transform=batch_transform,
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=processing_time)
+        .start()
+    )
+
+
+def make_merge_batch_fn(
+    table_path: str,
+    keys: list[str],
+    precombine: list[str],
+    partition_cols: list[str],
+    event_type_col: str | None = None,
+    drop_event_types: tuple[str, ...] = ("REMOVE",),
+    batch_transform=None,
+):
+    """The single foreachBatch body both incremental pipelines share
+    (flat drops and wire-level records) — one place for the T8 delete
+    policy and the merge call, so fixes can't drift between copies.
+
+    NULL event types are KEPT: ~isin() alone is three-valued NULL for
+    them, which filter() would silently drop — only the listed types
+    are deletes (T8).
+    """
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if event_type_col and event_type_col in batch_df.columns:
-            # keep NULL event types: ~isin() alone is three-valued NULL
-            # for them, which filter() would silently drop — only the
-            # listed types are deletes (T8)
             batch_df = batch_df.filter(
                 (~F.col(event_type_col).isin(*drop_event_types))
                 | F.col(event_type_col).isNull()
@@ -92,12 +120,7 @@ def start_cdc_merge(
             partition_cols=partition_cols,
         )
 
-    return (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=processing_time)
-        .start()
-    )
+    return process_batch
 
 
 def windowed_event_counts(

@@ -225,5 +225,10 @@ def register_table(
     )
     try:
         spark.sql(f"MSCK REPAIR TABLE {database}.{name}")
-    except AnalysisException:
-        pass  # unpartitioned layout: nothing to repair
+    except AnalysisException as e:
+        # only the unpartitioned-layout case is benign; a real repair
+        # failure on a partitioned table must surface (a silently
+        # partitionless registration reads as 0 rows downstream)
+        cond = getattr(e, "getErrorClass", lambda: "")() or str(e)
+        if "NOT_A_PARTITIONED_TABLE" not in cond:
+            raise

@@ -352,7 +352,9 @@ def q_embed_quantize_int8(spark, sf_dir):
     scale) with reconstruction-error reporting — the vector-compression
     step of a large retrieval index. floor(x+0.5) keeps the
     double->int rounding identical across engines (round() would not
-    be); error metrics rounded to 6 dp (noise ~1e-16 vs quantum 1e-6)."""
+    be); scale and error emit RAW doubles — selection and per-row
+    arithmetic are bit-identical across engines, rounding is what
+    diverges."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double_vec("embedding").alias("v"))
     scale = F.array_max(F.transform("v", lambda x: F.abs(x)))

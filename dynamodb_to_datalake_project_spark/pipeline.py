@@ -79,12 +79,17 @@ def initial_load(
     export_dir: str,
     lake_path: str,
     table_name: str | None = None,
+    levels: int = 5,
 ) -> None:
     """Snapshot ingestion (S1/S4/P1-P3/S7 + S12): typed-JSON export →
     relational rows → derived columns → partitioned parquet lake table,
-    optionally registered in the catalog."""
+    optionally registered in the catalog. `levels` picks the partition
+    grain (5 = reference-faithful minute, 4 = hourly for large
+    deployments — see SCALE.md)."""
     rows = ddbjson.read_export(spark, export_dir, TXN_SCHEMA, recursive=True)
-    lake.write_table(hudify(rows), lake_path, partition_by=PARTITION_COLS)
+    lake.write_table(
+        hudify(rows, levels), lake_path, partition_by=partition_cols(levels)
+    )
     if table_name:
         lake.register_table(spark, table_name, lake_path)
 
@@ -95,10 +100,11 @@ def start_incremental(
     lake_path: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 100,
+    levels: int = 5,
 ):
     """CDC micro-batch stream (T1-T9): each batch is filtered
     (REMOVE dropped), hudified, and merged into only the partitions it
-    touches."""
+    touches. `levels` must match the grain the table was created with."""
     return cdc.start_cdc_merge(
         spark,
         cdc_dir,
@@ -106,11 +112,11 @@ def start_incremental(
         lake_path,
         keys=RECORD_KEY,
         precombine=PRECOMBINE,
-        partition_cols=PARTITION_COLS,
+        partition_cols=partition_cols(levels),
         checkpoint_dir=checkpoint_dir,
         event_type_col="event_name",
         max_files_per_trigger=max_files_per_trigger,
-        batch_transform=hudify,
+        batch_transform=lambda df: hudify(df, levels),
     )
 
 
@@ -135,12 +141,15 @@ def start_incremental_raw(
     lake_path: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 100,
+    levels: int = 5,
 ):
     """§3.2 at full wire fidelity: raw DynamoDB Streams records (typed
     NewImage JSON) → streaming decode → REMOVE filter → hudify →
     partition-pruned merge. The flat-drop variant (`start_incremental`)
     models the reference's intermediate S3 layout; this one consumes
-    what the stream itself carries."""
+    what the stream itself carries. Shares the exact batch body with
+    the flat-drop path (cdc.make_merge_batch_fn) so the delete/null
+    policy cannot drift between the two pipelines."""
     stream = ddbjson.read_stream_records(
         spark,
         stream_dir,
@@ -148,20 +157,14 @@ def start_incremental_raw(
         streaming=True,
         max_files_per_trigger=max_files_per_trigger,
     )
-
-    def process_batch(batch_df, _epoch):
-        batch = batch_df.filter(F.col("event_name") != "REMOVE").drop("event_name")
-        from dynamodb_to_datalake_project_spark import merge as merge_mod
-
-        merge_mod.merge_into_parquet(
-            batch.sparkSession,
-            lake_path,
-            hudify(batch),
-            keys=RECORD_KEY,
-            precombine=PRECOMBINE,
-            partition_cols=PARTITION_COLS,
-        )
-
+    process_batch = cdc.make_merge_batch_fn(
+        lake_path,
+        keys=RECORD_KEY,
+        precombine=PRECOMBINE,
+        partition_cols=partition_cols(levels),
+        event_type_col="event_name",
+        batch_transform=lambda df: hudify(df, levels),
+    )
     return (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -1182,7 +1182,7 @@ def q_fixed_chunking(spark, sf_dir):
     SELECT event_type, n,
            sx / n AS mean_value,
            (sxx - sx * sx / n) / (n - 1) AS var_value
-    FROM s
+    FROM s WHERE n > 1
     """,
 )
 def q_variance_stats(spark, sf_dir):
@@ -1197,7 +1197,9 @@ def q_variance_stats(spark, sf_dir):
         F.sum(xd).cast("double").alias("sx"),
         F.sum(xd * xd).cast("double").alias("sxx"),
     )
-    return s.select(
+    # n > 1 guard: a single-row group divides by zero, which Spark
+    # (NULL) and DuckDB (NaN) disagree on
+    return s.filter(F.col("n") > 1).select(
         "event_type",
         "n",
         (F.col("sx") / F.col("n")).alias("mean_value"),
@@ -1220,7 +1222,7 @@ def q_variance_stats(spark, sf_dir):
     ), p AS (
       SELECT event_type, sx / n AS mean_v,
              sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_v
-      FROM s
+      FROM s WHERE n > 1
     )
     SELECT e.event_id, e.event_type, e.value,
            CASE WHEN abs((e.value - p.mean_v) / p.sd_v) > 2.5 THEN 1 ELSE 0 END
@@ -1240,7 +1242,7 @@ def q_events_anomaly_flags(spark, sf_dir):
         F.sum(xd).cast("double").alias("sx"),
         F.sum(xd * xd).cast("double").alias("sxx"),
     )
-    p = s.select(
+    p = s.filter(F.col("n") > 1).select(
         "event_type",
         (F.col("sx") / F.col("n")).alias("mean_v"),
         F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)).alias(
