@@ -142,3 +142,32 @@ def test_incremental_raw_wire_format(spark, tmp_path, events):
     ).withColumn("amount", F2.col("amount").cast("decimal(38,9)"))
     summary, samples = pipeline.validate(spark, expected, lake_path)
     assert summary.identical, (summary, samples)
+
+
+def test_pipeline_hourly_grain(spark, tmp_path, events):
+    """The levels=4 (hourly) partition grain works end-to-end: fewer
+    partition directories, same differential correctness."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F2
+
+    from dynamodb_to_datalake_project_spark import ddbjson
+
+    slice_ev = events.filter(F2.col("seq") < 2000)
+    state = workload.expected_final_state(slice_ev)
+    wire = ddbjson.encode_export_json(
+        state.select([f.name for f in pipeline.TXN_SCHEMA.fields])
+    )
+    export = tmp_path / "h_export"
+    wire.write.option("compression", "gzip").text(str(export / "data"))
+
+    lake_path = str(tmp_path / "h_lake")
+    pipeline.initial_load(spark, str(export), lake_path, levels=4)
+
+    # partition tree is 4 levels deep (no create_minute directory)
+    assert _glob.glob(f"{lake_path}/create_year=*/create_month=*/create_day=*/create_hour=*/*.parquet")
+    assert not _glob.glob(f"{lake_path}/**/create_minute=*", recursive=True)
+
+    expected = state.withColumn("amount", F2.col("amount").cast("decimal(38,9)"))
+    summary, samples = pipeline.validate(spark, expected, lake_path)
+    assert summary.identical, (summary, samples)
