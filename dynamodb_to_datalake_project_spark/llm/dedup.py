@@ -4,8 +4,9 @@ SimHash.
 Scale design notes (all operators shuffle on bounded keys, never
 all-pairs):
 - exact: one hash aggregation on content hash.
-- blocked Jaccard: candidate generation via equi-join on a blocking key
-  (text prefix) — the all-pairs O(n²) never materializes.
+- blocked Jaccard: candidate generation via capped blocking buckets
+  (collect_list per block, blocks > max_block dropped as degenerate) —
+  the all-pairs O(n²) never materializes, even within a block.
 - MinHash+LSH: shingle→signature (one explode + min-agg shuffle) →
   band-bucket equi-join → exact verify on candidates only. Classic
   banding: P(candidate) ≈ 1-(1-j^r)^b.
@@ -68,30 +69,76 @@ def blocked_jaccard_pairs(
     block_key,
     threshold: float = 0.8,
     shingle_n: int = 3,
+    max_block: int = 1000,
 ) -> DataFrame:
-    """Candidate pairs via blocking-key equi-join + exact
-    shingle-Jaccard verify."""
+    """Candidate pairs via capped blocking buckets + exact
+    shingle-Jaccard verify.
+
+    Candidate generation goes through `_bucket_pairs` on the cheap
+    (blk, doc_id) projection — never a self-join, and a block larger
+    than `max_block` is dropped instead of expanded: a blocking key
+    shared by 1 M docs (boilerplate prefix) is a degenerate key whose
+    quadratic expansion carries no dedup signal. Inspect what was
+    dropped with `oversized_buckets(docs.select(block_key.alias("blk"),
+    "doc_id"), ["blk"], max_block)`. Shingle sets are built once, only
+    on the verify path.
+    """
     spark = docs.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cand = _bucket_pairs(
+        docs.select(block_key.alias("blk"), "doc_id"), ["blk"], "doc_id", max_block
+    )
     d = (
-        docs.select("doc_id", block_key.alias("blk"), tokens(F.col("text")).alias("toks"))
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
         .repartition(par, "doc_id")
-        .select("doc_id", "blk", shingles_from_tokens(F.col("toks"), shingle_n).alias("w"))
+        .select("doc_id", shingles_from_tokens(F.col("toks"), shingle_n).alias("w"))
     )
-    a, b = d.alias("a"), d.alias("b")
-    pair = a.join(
-        b,
-        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    return _jaccard_verify(cand, d, threshold)
+
+
+def _jaccard_verify(
+    cand: DataFrame, docs_with_tokens: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate (a_id, b_id) pairs with ONE
+    corpus scan: unpivot each pair to two (doc_id, pair) membership
+    rows, equi-join them against the corpus, then regroup per pair
+    collecting both sides' shingle sets. Shuffle volume = shingle
+    arrays of candidate docs only. The membership side is a PLAIN join
+    (candidate volume scales with corpus size and near-dup rate, so a
+    forced broadcast would OOM at scale; AQE converts to broadcast
+    when the runtime size is actually small)."""
+    sides = cand.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a_id").alias("doc_id"), F.col("a_id"), F.col("b_id")),
+                F.struct(F.col("b_id").alias("doc_id"), F.col("a_id"), F.col("b_id")),
+            )
+        ).alias("m")
+    ).select("m.doc_id", "m.a_id", "m.b_id")
+    joined = docs_with_tokens.join(sides, "doc_id")
+    pairs = joined.groupBy("a_id", "b_id").agg(
+        F.first(F.when(F.col("doc_id") == F.col("a_id"), F.col("w")), ignorenulls=True).alias("wa"),
+        F.first(F.when(F.col("doc_id") == F.col("b_id"), F.col("w")), ignorenulls=True).alias("wb"),
     )
-    j = jaccard(F.col("a.w"), F.col("b.w"))
     return (
-        pair.select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            j.alias("j"),
-        )
+        pairs.withColumn("j", jaccard(F.col("wa"), F.col("wb")))
         .filter(F.col("j") >= threshold)
         .select("a_id", "b_id", F.col("j").alias("jaccard"))
+    )
+
+
+def oversized_buckets(
+    df: DataFrame, bucket_cols: list[str], max_bucket: int = 1000
+) -> DataFrame:
+    """Diagnostic companion to `_bucket_pairs`/`blocked_jaccard_pairs`:
+    the buckets the cap dropped, with their sizes. A 100 TB corpus run
+    logs/alerts on this frame rather than silently diverging — an
+    oversized bucket means a degenerate blocking key, and the fix is a
+    better key (longer prefix, minhash band), not quadratic expansion."""
+    return (
+        df.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
     )
 
 
@@ -257,30 +304,11 @@ def minhash_lsh_pairs(
     # collect_list. Degenerate buckets are capped (a band whose bucket
     # holds >1000 docs carries no dedup signal, only quadratic cost).
     cand = _bucket_pairs(banded, ["band", "sig"], "doc_id")
-    # Exact-Jaccard verify with ONE corpus scan: unpivot each candidate
-    # pair to two (doc_id, pair) membership rows, broadcast-join them
-    # against the corpus (streaming side — its shingle arrays are built
-    # distributed, never inside a broadcast exchange), then regroup per
-    # pair collecting both sides' shingle sets. Shuffle volume = shingle
-    # arrays of candidate docs only.
-    sides = cand.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("a_id").alias("doc_id"), F.col("a_id"), F.col("b_id")),
-                F.struct(F.col("b_id").alias("doc_id"), F.col("a_id"), F.col("b_id")),
-            )
-        ).alias("m")
-    ).select("m.doc_id", "m.a_id", "m.b_id")
-    joined = docs_with_tokens.join(F.broadcast(sides), "doc_id")
-    pairs = joined.groupBy("a_id", "b_id").agg(
-        F.first(F.when(F.col("doc_id") == F.col("a_id"), F.col("w")), ignorenulls=True).alias("wa"),
-        F.first(F.when(F.col("doc_id") == F.col("b_id"), F.col("w")), ignorenulls=True).alias("wb"),
-    )
-    return (
-        pairs.withColumn("j", jaccard(F.col("wa"), F.col("wb")))
-        .filter(F.col("j") >= threshold)
-        .select("a_id", "b_id", F.col("j").alias("jaccard"))
-    )
+    # Exact-Jaccard verify on candidates only (shared with the blocked
+    # path): one corpus scan, plain membership join — candidate volume
+    # scales with the corpus, so no forced broadcast (AQE upgrades it
+    # when the runtime size is actually small).
+    return _jaccard_verify(cand, docs_with_tokens, threshold)
 
 
 def simhash_signatures(docs_with_tokens: DataFrame, bits: int = 32) -> DataFrame:
@@ -488,15 +516,19 @@ def clean_corpus(
     min_tokens: int = 10,
     jaccard_threshold: float = 0.8,
     block_prefix: int = 32,
+    max_block: int = 1000,
 ) -> DataFrame:
     """The full corpus-cleaning pipeline in one plan: quality filter →
     exact dedup (keep smallest doc_id per content) → near-dup prune
     (greedy: of each blocked-Jaccard pair, the larger doc_id is
     dropped). Returns the surviving documents.
 
-    Every stage is a bounded-key shuffle or a broadcast anti-join —
-    nothing all-pairs, nothing driver-side; this composition is the
-    shape a 100 TB pretraining-corpus pass takes.
+    Every stage is a bounded-key shuffle or an anti-join — nothing
+    all-pairs (blocks are capped at `max_block` via `_bucket_pairs`),
+    nothing driver-side, no forced broadcasts (the drop set scales
+    with the near-dup rate; AQE broadcasts it only when actually
+    small); this composition is the shape a 100 TB pretraining-corpus
+    pass takes.
     """
     from dynamodb_to_datalake_project_spark.llm.text import tokens as _tokens
 
@@ -509,10 +541,13 @@ def clean_corpus(
         "left_semi",
     )
     near_pairs = blocked_jaccard_pairs(
-        exact_survivors, F.substring("text", 1, block_prefix), jaccard_threshold
+        exact_survivors,
+        F.substring("text", 1, block_prefix),
+        jaccard_threshold,
+        max_block=max_block,
     )
     drop = near_pairs.select(F.col("b_id").alias("doc_id")).distinct()
-    return exact_survivors.join(F.broadcast(drop), "doc_id", "left_anti")
+    return exact_survivors.join(drop, "doc_id", "left_anti")
 
 
 @query(

@@ -83,6 +83,30 @@ def knn_bruteforce(
     )
 
 
+def _lsh_coefs(dim: int, n_planes: int, n_tables: int) -> list[list[list[float]]]:
+    """Deterministic ±1 hyperplane coefficients, derived from sha256 so
+    they are stable across runs/processes (no RNG state). Tiny:
+    n_tables × n_planes × dim floats, baked into the plan as literals
+    (cf. `_minhash_constants` in llm/dedup.py)."""
+    import hashlib
+
+    out = []
+    for t in range(n_tables):
+        tbl = []
+        for p in range(n_planes):
+            bits: list[float] = []
+            ctr = 0
+            while len(bits) < dim:
+                h = hashlib.sha256(f"lsh-plane-{t}-{p}-{ctr}".encode()).digest()
+                for byte in h:
+                    for k in range(8):
+                        bits.append(1.0 if (byte >> k) & 1 else -1.0)
+                ctr += 1
+            tbl.append(bits[:dim])
+        out.append(tbl)
+    return out
+
+
 def lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -95,41 +119,39 @@ def lsh_buckets(
 
     `n_tables` independent tables of `n_planes` hyperplanes each —
     multiple tables are the standard recall lever (a true neighbor is a
-    candidate if it collides in ANY table). Hyperplane coefficients are
-    ±1 derived from xxhash64(table, plane, dim) — deterministic, no
-    driver-side randomness, generated as a tiny broadcast-joined table.
-    Output: (id, tbl, bucket).
+    candidate if it collides in ANY table).
+
+    MAP-ONLY by construction: every (table, plane) projection is a
+    per-row `zip_with`+`aggregate` fold of the vector against a literal
+    ±1 coefficient array, the plane sign bits fold into the bucket id
+    per row, and the (tbl, bucket) rows come from one narrow explode —
+    zero joins, zero shuffles, zero row inflation before bucketing
+    (the earlier posexplode+join form inflated |corpus|×dim rows and
+    shuffled twice for what is per-row arithmetic). Output:
+    (id, tbl, bucket).
     """
-    spark = df.sparkSession
-    planes = (
-        spark.range(n_tables)
-        .withColumnRenamed("id", "tbl")
-        .crossJoin(spark.range(n_planes).withColumnRenamed("id", "plane"))
-        .crossJoin(spark.range(dim).withColumnRenamed("id", "d"))
-        .withColumn(
-            "coef",
-            F.when(F.xxhash64("tbl", "plane", "d") % 2 == 0, F.lit(1.0)).otherwise(
-                F.lit(-1.0)
-            ),
-        )
+    coefs = _lsh_coefs(dim, n_planes, n_tables)
+
+    def bucket(t: int) -> F.Column:
+        b = F.lit(0).cast("long")
+        for p in range(n_planes):
+            carr = F.array(*[F.lit(c) for c in coefs[t][p]])
+            proj = dot(F.col(vec_col), carr)
+            b = b + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return b
+
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("long").alias("tbl"), bucket(t).alias("bucket")
+            )
+            for t in range(n_tables)
+        ]
     )
-    comps = df.select(id_col, F.posexplode(vec_col).alias("d", "x"))
-    proj = (
-        comps.join(F.broadcast(planes), "d")
-        .groupBy(id_col, "tbl", "plane")
-        .agg(F.sum(F.col("x") * F.col("coef")).alias("proj"))
-    )
-    return (
-        proj.withColumn(
-            "bit",
-            F.expr(
-                "CASE WHEN proj > 0"
-                " THEN shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))"
-                " ELSE CAST(0 AS BIGINT) END"
-            ),
-        )
-        .groupBy(id_col, "tbl")
-        .agg(F.sum("bit").alias("bucket"))
+    return df.select(id_col, F.explode(tb).alias("tb")).select(
+        id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
     )
 
 
@@ -139,15 +161,19 @@ def ann_lsh(
     k: int = 5,
     n_planes: int = 8,
     n_tables: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """ANN: LSH-bucketed candidates, exact cosine rerank, top-k.
 
     Recall < 1 by construction (bucket collisions only); the exact
     baseline is `knn_bruteforce`. Candidate generation is an equi-join
     on (tbl, bucket) with candidates deduped before the rerank — the
-    all-pairs product never materializes.
+    all-pairs product never materializes. `dim` is the embedding width
+    (a schema-level property callers know statically — no driver
+    `.first()` round-trip in the plan). Broadcasts are limited to
+    query-derived frames (bounded by the query count); the corpus-side
+    rerank join is a plain equi-join AQE may upgrade.
     """
-    dim = len(embeddings.select("embedding").first()[0])
     e = embeddings.select("vec_id", as_double_vec("embedding").alias("v"))
     b = lsh_buckets(e, dim, n_planes, n_tables)
     q = b.filter(F.col("vec_id") < query_ids_below).select(
@@ -161,11 +187,11 @@ def ann_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    qvecs = e.filter(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
     scored = (
-        cand.join(
-            F.broadcast(e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))),
-            "query_id",
-        )
+        cand.join(F.broadcast(qvecs), "query_id")
         .join(e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")), "neighbor_id")
         .select(
             "query_id",

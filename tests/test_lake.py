@@ -99,8 +99,11 @@ def test_approx_aggs_within_tolerance(spark):
         .first()
         .d
     )
-    # default HLL rsd is 5%; allow 3 sigma
-    assert abs(row.approx_orders - exact) / exact < 0.15
+    assert row.n_orders_exact == exact
+    # the query itself asserts HLL within 3 sigma / sketch-median
+    # within 2% — both must come back TRUE (they are what the DuckDB
+    # oracle hash-checks as literal TRUEs)
+    assert row.hll_ok and row.median_ok
 
 
 def test_manifest_driven_scan(spark, tmp_path):

@@ -81,6 +81,30 @@ def test_blocked_jaccard(spark, corpus):
     assert 0.5 <= got[(1, 2)] < 1.0
 
 
+def test_blocked_jaccard_caps_degenerate_block(spark):
+    """A boilerplate prefix shared by many docs must NOT expand
+    quadratically: with max_block below the degenerate block's size,
+    the block is dropped (and reported by oversized_buckets) while
+    normal-size blocks still dedup."""
+    boiler = "SHARED LICENSE HEADER boilerplate prefix " * 2
+    rows = [(i, boiler + f"unique tail content number {i} " * 3) for i in range(50)]
+    rows += [(100, BASE), (101, BASE)]  # normal block: exact dup pair
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    blk = F.substring("text", 1, 32)
+    pairs = ldedup.blocked_jaccard_pairs(
+        docs, blk, threshold=0.5, max_block=40
+    ).collect()
+    got = {(r.a_id, r.b_id) for r in pairs}
+    assert got == {(100, 101)}  # degenerate block dropped, real dup kept
+    over = ldedup.oversized_buckets(
+        docs.select(blk.alias("blk"), "doc_id"), ["blk"], max_bucket=40
+    ).collect()
+    assert len(over) == 1 and over[0].n == 50
+    # raising the cap re-admits the block without quadratic hazard
+    pairs2 = ldedup.blocked_jaccard_pairs(docs, blk, threshold=0.99, max_block=1000)
+    assert pairs2.count() >= 1
+
+
 def test_knn_ranks_true_neighbor_first(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),       # query
