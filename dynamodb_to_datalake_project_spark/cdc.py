@@ -93,22 +93,38 @@ def make_merge_batch_fn(
     event_type_col: str | None = None,
     drop_event_types: tuple[str, ...] = ("REMOVE",),
     batch_transform=None,
+    delete_mode: str = "drop",
 ):
     """The single foreachBatch body both incremental pipelines share
     (flat drops and wire-level records) — one place for the T8 delete
     policy and the merge call, so fixes can't drift between copies.
 
+    T8 delete policy, two modes:
+    - "drop" (default, reference parity README.rst:62): delete events
+      are filtered out of the batch — the lake keeps the last pre-delete
+      image of the row.
+    - "hard": delete events flow into the merge as `WHEN MATCHED AND
+      op IN drop_event_types THEN DELETE` — a delete newer than the
+      stored row removes the key from the lake (late older deletes are
+      no-ops; see `merge.upsert_dataframes`).
+
     NULL event types are KEPT: ~isin() alone is three-valued NULL for
     them, which filter() would silently drop — only the listed types
     are deletes (T8).
     """
+    if delete_mode not in ("drop", "hard"):
+        raise ValueError(f"delete_mode must be 'drop' or 'hard', got {delete_mode!r}")
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        op_col = None
         if event_type_col and event_type_col in batch_df.columns:
-            batch_df = batch_df.filter(
-                (~F.col(event_type_col).isin(*drop_event_types))
-                | F.col(event_type_col).isNull()
-            ).drop(event_type_col)
+            if delete_mode == "drop":
+                batch_df = batch_df.filter(
+                    (~F.col(event_type_col).isin(*drop_event_types))
+                    | F.col(event_type_col).isNull()
+                ).drop(event_type_col)
+            else:
+                op_col = event_type_col
         if batch_transform is not None:
             batch_df = batch_transform(batch_df)
         merge_mod.merge_into_parquet(
@@ -118,6 +134,8 @@ def make_merge_batch_fn(
             keys=keys,
             precombine=precombine,
             partition_cols=partition_cols,
+            op_col=op_col,
+            delete_types=drop_event_types,
         )
 
     return process_batch

@@ -61,6 +61,79 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+# ---------------------------------------------------------------------------
+# S5: pluggable full-table source seam
+# ---------------------------------------------------------------------------
+
+SOURCE_FORMATS: dict[str, object] = {}
+
+
+def register_source_format(name: str, reader) -> None:
+    """Register a source format: `reader(spark, spec) -> DataFrame`.
+
+    This is the connector plug point for S5 — the reference's oracle
+    side scans the live DynamoDB table (dynamodb_to_datalake/
+    compare.py:17-26); a live-connector deployment registers e.g. a
+    spark-dynamodb or DynamoDB-export-triggering reader here without
+    touching any pipeline code."""
+    SOURCE_FORMATS[name] = reader
+
+
+def read_source(spark: SparkSession, spec: dict) -> DataFrame:
+    """S5 full-table scan behind a format-dispatched seam.
+
+    `spec` is `{"format": <name>, ...format-specific keys}`. Shipped
+    formats (all exercisable in-sandbox):
+    - `parquet`: `{"path"}` — lake/fixture parquet snapshot.
+    - `ddb-export`: `{"path", "schema", "ts_format"?, "recursive"?}` —
+      gzip typed-JSON DynamoDB table export, decoded through the
+      Catalyst typed-JSON unwrap (`ddbjson.read_export`).
+    - `jsonl`: `{"path", "schema"?, "recursive"?}` — plain JSON lines.
+    A future live connector is one `register_source_format` call; every
+    pipeline entry point that takes a source spec then works against
+    the live table unchanged.
+    """
+    fmt = spec["format"]
+    try:
+        reader = SOURCE_FORMATS[fmt]
+    except KeyError:
+        raise ValueError(
+            f"unknown source format {fmt!r}; registered: {sorted(SOURCE_FORMATS)}"
+        ) from None
+    return reader(spark, spec)
+
+
+def _read_source_parquet(spark: SparkSession, spec: dict) -> DataFrame:
+    tune(spark)
+    return spark.read.parquet(spec["path"])
+
+
+def _read_source_ddb_export(spark: SparkSession, spec: dict) -> DataFrame:
+    from dynamodb_to_datalake_project_spark import ddbjson
+
+    return ddbjson.read_export(
+        spark,
+        spec["path"],
+        spec["schema"],
+        ts_format=spec.get("ts_format"),
+        recursive=bool(spec.get("recursive", False)),
+    )
+
+
+def _read_source_jsonl(spark: SparkSession, spec: dict) -> DataFrame:
+    return read_json_lines(
+        spark,
+        spec["path"],
+        schema=spec.get("schema"),
+        recursive=bool(spec.get("recursive", False)),
+    )
+
+
+register_source_format("parquet", _read_source_parquet)
+register_source_format("ddb-export", _read_source_ddb_export)
+register_source_format("jsonl", _read_source_jsonl)
+
+
 def read_json_lines(
     spark: SparkSession,
     paths: str | list[str],

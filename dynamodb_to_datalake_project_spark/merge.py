@@ -20,6 +20,11 @@ Two implementations:
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +38,8 @@ def upsert_dataframes(
     source: DataFrame,
     keys: list[str],
     precombine: list[str],
+    op_col: str | None = None,
+    delete_types: tuple[str, ...] = ("REMOVE",),
 ) -> DataFrame:
     """Latest-wins merge of `source` into `target`.
 
@@ -43,13 +50,31 @@ def upsert_dataframes(
     'same key twice in one partition') collapse in the same pass.
     Precombine ties break toward `source` (`__src` ordinal), matching
     upsert-overwrites-on-equal semantics.
+
+    T8 hard-delete extension: with `op_col` set, source rows whose op is
+    in `delete_types` compete in the same latest-wins window — a delete
+    NEWER than the stored row removes the key (`WHEN MATCHED AND
+    op='REMOVE' THEN DELETE`), an older late-arriving delete loses and
+    is a no-op, and a same-batch newer re-insert resurrects the key.
+    The default (op_col=None) keeps the reference's drop-deletes policy
+    upstream of the merge (README.rst:62).
     """
     cols = target.columns
-    tagged = target.select(*cols).withColumn("__src", F.lit(0)).unionByName(
-        source.select(*cols).withColumn("__src", F.lit(1))
-    )
+    t = target.select(*cols).withColumn("__src", F.lit(0))
+    s = source.select(*cols).withColumn("__src", F.lit(1))
+    if op_col is not None:
+        t = t.withColumn("__op", F.lit(None).cast("string"))
+        s = source.select(
+            *cols, F.col(op_col).cast("string").alias("__op")
+        ).withColumn("__src", F.lit(1))
+    tagged = t.unionByName(s)
     order = [F.col(c).desc() for c in precombine] + [F.col("__src").desc()]
-    return dedup.latest_wins(tagged, keys, order).drop("__src")
+    merged = dedup.latest_wins(tagged, keys, order).drop("__src")
+    if op_col is not None:
+        merged = merged.filter(
+            (~F.col("__op").isin(*delete_types)) | F.col("__op").isNull()
+        ).drop("__op")
+    return merged
 
 
 def touched_partitions(source: DataFrame, partition_cols: list[str]) -> list[dict]:
@@ -63,6 +88,72 @@ def touched_partitions(source: DataFrame, partition_cols: list[str]) -> list[dic
     ]
 
 
+def _apply_commit(table_path: str, commit_id: str) -> None:
+    """Apply (or replay) commit `commit_id`: move each staged partition
+    directory into place. Idempotent — a partition already swapped is
+    absent from staging and skipped, so a crash at ANY point mid-swap is
+    repaired by replaying the same commit."""
+    staging = os.path.join(table_path, "_staging", commit_id)
+    marker = os.path.join(table_path, "_commits", f"{commit_id}.json")
+    with open(marker) as f:
+        manifest = json.load(f)
+    rels = manifest["partitions"]
+    for rel in manifest.get("removed", []):
+        # hard-deletes emptied this partition: no staged replacement,
+        # the commit removes it outright (idempotent: may be gone)
+        gone = os.path.join(table_path, rel)
+        if os.path.isdir(gone):
+            shutil.rmtree(gone)
+    for rel in rels:
+        src = os.path.join(staging, rel)
+        if not os.path.isdir(src):
+            continue  # already applied by a previous (interrupted) replay
+        dst = table_path if rel == "." else os.path.join(table_path, rel)
+        if rel == ".":
+            # unpartitioned table: swap data files at the root
+            for name in os.listdir(dst):
+                p = os.path.join(dst, name)
+                if os.path.isfile(p) and not name.startswith(("_", ".")):
+                    os.remove(p)
+            for name in os.listdir(src):
+                if os.path.isfile(os.path.join(src, name)) and not name.startswith(
+                    ("_", ".")
+                ):
+                    os.rename(os.path.join(src, name), os.path.join(dst, name))
+        else:
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+    os.remove(marker)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def recover_pending_commits(table_path: str) -> list[str]:
+    """Heal a table after a crash: replay every committed-but-unapplied
+    merge (marker present), then garbage-collect pre-commit staging
+    garbage (staged data with no marker — the merge never committed, the
+    table was never touched, the data is safely regenerable from the
+    checkpointed batch). Returns the replayed commit ids.
+
+    Called automatically at the start of every `merge_into_parquet`;
+    safe under the pipeline's single-flight discipline (T5 — one merge
+    writer per table, the reference's orchestration lock)."""
+    cdir = os.path.join(table_path, "_commits")
+    replayed = []
+    if os.path.isdir(cdir):
+        for f in sorted(os.listdir(cdir)):
+            if f.endswith(".json"):
+                _apply_commit(table_path, f[: -len(".json")])
+                replayed.append(f[: -len(".json")])
+    sdir = os.path.join(table_path, "_staging")
+    if os.path.isdir(sdir):
+        for d in os.listdir(sdir):
+            if not os.path.exists(os.path.join(cdir, d + ".json")):
+                shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
+    return replayed
+
+
 def merge_into_parquet(
     spark: SparkSession,
     table_path: str,
@@ -71,23 +162,39 @@ def merge_into_parquet(
     precombine: list[str],
     partition_cols: list[str],
     max_touched_partitions: int = 2000,
+    op_col: str | None = None,
+    delete_types: tuple[str, ...] = ("REMOVE",),
 ) -> None:
     """Merge a batch into a partitioned parquet lake table, rewriting
-    only touched partitions.
+    only touched partitions, with an ATOMIC commit protocol.
 
-    1. derive touched partition tuples from the batch (small collect);
-    2. read only those partitions of the target (partition pruning via
+    1. replay any interrupted prior commit (`recover_pending_commits`);
+    2. derive touched partition tuples from the batch (small collect);
+    3. read only those partitions of the target (partition pruning via
        predicate on partition columns);
-    3. union + latest-wins dedup;
-    4. dynamic-partition-overwrite write-back — untouched partitions'
-       files are never read or rewritten.
+    4. union + latest-wins dedup (optionally honoring `op_col` hard
+       deletes — see `upsert_dataframes`);
+    5. write the rewritten partitions to `_staging/<commit_id>/`, then
+       atomically create `_commits/<commit_id>.json` (the commit
+       point), then swap each staged partition directory into place.
+
+    Crash safety (the Hudi-timeline property, minimally): before the
+    marker exists the table is untouched (staged files are garbage-
+    collected on the next merge); after the marker exists the swap is
+    replayed idempotently — previously-merged rows can never be lost to
+    a failure inside the overwrite window, unlike a read-and-overwrite
+    of the live path. Assumes a rename-capable filesystem (local/HDFS);
+    on S3-like stores use a real table format (Delta/Hudi/Iceberg).
+    Underscore-prefixed dirs are invisible to parquet readers, so
+    `_staging`/`_commits` never pollute scans.
 
     NOTE: assumes the partition columns are derived from immutable key
     fields (the reference partitions the lake by create_at — immutable
     per README.rst:137 — exactly so updates can't move a row across
     partitions).
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if os.path.isdir(table_path):
+        recover_pending_commits(table_path)
     parts = touched_partitions(source, partition_cols)
     if not parts:
         return
@@ -110,7 +217,13 @@ def merge_into_parquet(
         cond = getattr(e, "getErrorClass", lambda: "")() or str(e)
         if not ("PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond):
             raise
-        deduped = dedup.latest_wins(source, keys, [F.col(c).desc() for c in precombine])
+        # first batch: nothing to lose, write directly (replayable from
+        # the checkpointed batch if interrupted)
+        cols = [c for c in source.columns if c != op_col]
+        empty = source.select(*cols).limit(0)
+        deduped = upsert_dataframes(
+            empty, source, keys, precombine, op_col=op_col, delete_types=delete_types
+        )
         deduped.write.mode("overwrite").partitionBy(*partition_cols).parquet(table_path)
         return
     if parts is None:
@@ -127,12 +240,53 @@ def merge_into_parquet(
                 clause = clause & F.col(c).eqNullSafe(F.lit(p[c]))
             pred = pred | clause
         existing = target.filter(pred)
-    merged = upsert_dataframes(existing, source.select(*target.columns), keys, precombine)
-    (
-        merged.write.mode("overwrite")
-        .partitionBy(*partition_cols)
-        .parquet(table_path)
+    src_cols = list(target.columns) + ([op_col] if op_col else [])
+    merged = upsert_dataframes(
+        existing,
+        source.select(*src_cols),
+        keys,
+        precombine,
+        op_col=op_col,
+        delete_types=delete_types,
     )
+
+    # --- atomic commit: stage, mark, swap ---
+    commit_id = uuid.uuid4().hex[:12]
+    staging = os.path.join(table_path, "_staging", commit_id)
+    writer = merged.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+    rels = sorted(
+        {
+            os.path.relpath(root, staging)
+            for root, _dirs, files in os.walk(staging)
+            if any(f.endswith(".parquet") for f in files)
+        }
+    )
+    removed: list[str] = []
+    if op_col and parts is not None:
+        # hard deletes can empty a touched partition entirely — it then
+        # has no staged replacement and must be dropped at commit time.
+        # Best-effort dir-name reconstruction (partition values here are
+        # pipeline-derived simple strings, P3); an unmatchable name just
+        # leaves the partition for the next compaction.
+        staged = set(rels)
+        for p in parts:
+            rel = "/".join(
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if p[c] is None else p[c]}"
+                for c in partition_cols
+            )
+            if rel not in staged and os.path.isdir(os.path.join(table_path, rel)):
+                removed.append(rel)
+    cdir = os.path.join(table_path, "_commits")
+    os.makedirs(cdir, exist_ok=True)
+    marker_tmp = os.path.join(cdir, f".{commit_id}.json.tmp")
+    with open(marker_tmp, "w") as f:
+        json.dump({"partitions": rels, "removed": removed}, f)
+    # the commit point: a single atomic rename makes the merge durable
+    os.replace(marker_tmp, os.path.join(cdir, f"{commit_id}.json"))
+    _apply_commit(table_path, commit_id)
 
 
 @query(

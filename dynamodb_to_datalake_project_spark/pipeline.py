@@ -76,17 +76,29 @@ def hudify(df: DataFrame, levels: int = 5) -> DataFrame:
 
 def initial_load(
     spark: SparkSession,
-    export_dir: str,
+    export_dir: str | None,
     lake_path: str,
     table_name: str | None = None,
     levels: int = 5,
+    source: dict | None = None,
 ) -> None:
-    """Snapshot ingestion (S1/S4/P1-P3/S7 + S12): typed-JSON export →
+    """Snapshot ingestion (S1/S4/P1-P3/S7 + S12): full-table source →
     relational rows → derived columns → partitioned parquet lake table,
     optionally registered in the catalog. `levels` picks the partition
     grain (5 = reference-faithful minute, 4 = hourly for large
-    deployments — see SCALE.md)."""
-    rows = ddbjson.read_export(spark, export_dir, TXN_SCHEMA, recursive=True)
+    deployments — see SCALE.md).
+
+    The source goes through the S5 seam (`lake.read_source`): by
+    default the gz typed-JSON export at `export_dir`; pass `source`
+    (e.g. `{"format": "parquet", "path": ...}`, or a registered live
+    connector format) to ingest from any other full-table scan."""
+    spec = source or {
+        "format": "ddb-export",
+        "path": export_dir,
+        "schema": TXN_SCHEMA,
+        "recursive": True,
+    }
+    rows = lake.read_source(spark, spec)
     lake.write_table(
         hudify(rows, levels), lake_path, partition_by=partition_cols(levels)
     )
@@ -127,9 +139,16 @@ def preview(spark: SparkSession, lake_path: str, limit: int = 10):
     return t.count(), t.orderBy("id").limit(limit)
 
 
-def validate(spark: SparkSession, source_truth: DataFrame, lake_path: str):
+def validate(spark: SparkSession, source_truth, lake_path: str):
     """Differential correctness check (compare.py:50-79): canonical
-    column order, compare as bags; returns (summary, sample_diffs)."""
+    column order, compare as bags; returns (summary, sample_diffs).
+
+    `source_truth` is a DataFrame, or an S5 source spec dict — the
+    reference's oracle side scans the actual DynamoDB table
+    (compare.py:17-26); here that scan is `lake.read_source`, so a live
+    connector slots in without changing the validation."""
+    if isinstance(source_truth, dict):
+        source_truth = lake.read_source(spark, source_truth)
     lake_df = spark.read.parquet(lake_path)
     cols = source_truth.columns
     return diff.compare(source_truth.select(*cols), lake_df.select(*cols))

@@ -285,6 +285,42 @@ def test_raw_stream_records_end_to_end(spark, tmp_path):
     }
 
 
+def test_hard_delete_mode_batch_fn(spark, tmp_path):
+    """T8 'hard' delete mode: the shared batch fn routes REMOVE events
+    into the merge as deletes — a newer REMOVE removes the key from the
+    lake, while the default 'drop' mode keeps the pre-delete image."""
+    from dynamodb_to_datalake_project_spark import cdc
+
+    schema = "id string, update_at string, note string, day string, event_name string"
+    initial = spark.createDataFrame(
+        [
+            ("a", "2023-01-01T00:00:00", "v1", "2023-01-01", "INSERT"),
+            ("b", "2023-01-01T00:00:00", "v1", "2023-01-01", "INSERT"),
+        ],
+        schema,
+    )
+    batch = spark.createDataFrame(
+        [
+            ("a", "2023-01-02T00:00:00", "v2", "2023-01-01", "MODIFY"),
+            ("b", "2023-01-02T00:00:00", None, "2023-01-01", "REMOVE"),
+        ],
+        schema,
+    )
+    for mode, expect in (
+        ("hard", {"a": "v2"}),
+        ("drop", {"a": "v2", "b": "v1"}),
+    ):
+        table = str(tmp_path / f"lake_{mode}")
+        fn = cdc.make_merge_batch_fn(
+            table, ["id"], ["update_at"], ["day"],
+            event_type_col="event_name", delete_mode=mode,
+        )
+        fn(initial, 0)
+        fn(batch, 1)
+        state = {r.id: r.note for r in spark.read.parquet(table).collect()}
+        assert state == expect, (mode, state)
+
+
 def test_stream_drop_duplicates_within_watermark(spark, tmp_path):
     """Exactly-once-per-id streaming dedup: duplicate CDC records inside
     the watermark window are emitted once."""

@@ -142,6 +142,117 @@ def test_partition_derivation_roundtrip(spark):
     )
 
 
+def test_merge_commit_leaves_no_staging_residue(spark, tmp_path):
+    """The atomic-commit protocol must clean up after itself: no
+    _staging data and no _commits markers after a successful merge, and
+    underscore dirs must be invisible to readers."""
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+    spark.createDataFrame(
+        _ts_rows([("a", "2023-01-01T10:00:00", "v1")]), cols
+    ).write.partitionBy("day").parquet(path)
+    batch = spark.createDataFrame(_ts_rows([("a", "2023-01-01T12:00:00", "v2")]), cols)
+    merge.merge_into_parquet(spark, path, batch, ["id"], ["update_at"], ["day"])
+    assert os.listdir(os.path.join(path, "_staging")) == []
+    assert [f for f in os.listdir(os.path.join(path, "_commits")) if f.endswith(".json")] == []
+    assert {r.note for r in spark.read.parquet(path).collect()} == {"v2"}
+
+
+def test_merge_crash_replay_recovers_committed_swap(spark, tmp_path):
+    """Crash INSIDE the swap window (marker written, partitions not yet
+    moved): replaying the pending commit must finish the swap — the
+    exact window where read-and-overwrite-in-place loses data."""
+    import json
+
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+    spark.createDataFrame(
+        _ts_rows([("a", "2023-01-01T10:00:00", "old")]), cols
+    ).write.partitionBy("day").parquet(path)
+    # hand-build the post-crash state: staged rewrite + commit marker
+    cid = "deadbeef0123"
+    staging = os.path.join(path, "_staging", cid)
+    spark.createDataFrame(
+        _ts_rows([("a", "2023-01-01T12:00:00", "new")]), cols
+    ).write.partitionBy("day").parquet(staging)
+    cdir = os.path.join(path, "_commits")
+    os.makedirs(cdir, exist_ok=True)
+    with open(os.path.join(cdir, f"{cid}.json"), "w") as f:
+        json.dump({"partitions": ["day=2023-01-01"], "removed": []}, f)
+
+    replayed = merge.recover_pending_commits(path)
+    assert replayed == [cid]
+    assert {r.note for r in spark.read.parquet(path).collect()} == {"new"}
+    assert not os.path.isdir(staging)
+
+
+def test_merge_precommit_crash_leaves_table_untouched(spark, tmp_path):
+    """Crash BEFORE the marker exists: staged data is garbage-collected
+    and the table is bit-for-bit what it was."""
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+    spark.createDataFrame(
+        _ts_rows([("a", "2023-01-01T10:00:00", "old")]), cols
+    ).write.partitionBy("day").parquet(path)
+    staging = os.path.join(path, "_staging", "cafecafe0000")
+    spark.createDataFrame(
+        _ts_rows([("a", "2023-01-01T12:00:00", "uncommitted")]), cols
+    ).write.partitionBy("day").parquet(staging)
+
+    assert merge.recover_pending_commits(path) == []
+    assert not os.path.isdir(staging)
+    assert {r.note for r in spark.read.parquet(path).collect()} == {"old"}
+
+
+def test_hard_delete_upsert_semantics(spark):
+    """T8 hard mode: newer REMOVE deletes the key, older late REMOVE is
+    a no-op, same-batch newer re-insert resurrects."""
+    target = _df(
+        spark,
+        [("a", "2023-01-05T00:00:00", "keep"), ("b", "2023-01-01T00:00:00", "doomed"),
+         ("c", "2023-01-01T00:00:00", "reborn-soon")],
+    )
+    source = spark.createDataFrame(
+        [
+            ("a", "2023-01-01T00:00:00", None, "REMOVE"),   # older -> no-op
+            ("b", "2023-01-02T00:00:00", None, "REMOVE"),   # newer -> delete
+            ("c", "2023-01-02T00:00:00", None, "REMOVE"),   # delete...
+            ("c", "2023-01-03T00:00:00", "v2", "INSERT"),   # ...then re-insert
+        ],
+        "id string, update_at string, note string, event_name string",
+    )
+    out = merge.upsert_dataframes(
+        target, source, ["id"], ["update_at"], op_col="event_name"
+    )
+    assert _state(out) == {
+        "a": ("2023-01-05T00:00:00", "keep"),
+        "c": ("2023-01-03T00:00:00", "v2"),
+    }
+
+
+def test_hard_delete_removes_emptied_partition(spark, tmp_path):
+    """A hard delete that empties a partition must remove it from the
+    lake (no staged replacement exists for it)."""
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+    spark.createDataFrame(
+        _ts_rows(
+            [("a", "2023-01-01T10:00:00", "v1"), ("b", "2023-01-02T10:00:00", "v1")]
+        ),
+        cols,
+    ).write.partitionBy("day").parquet(path)
+    batch = spark.createDataFrame(
+        [("a", "2023-01-01T12:00:00", None, "2023-01-01", "REMOVE")],
+        "id string, update_at string, note string, day string, event_name string",
+    )
+    merge.merge_into_parquet(
+        spark, path, batch, ["id"], ["update_at"], ["day"], op_col="event_name"
+    )
+    state = {r.id for r in spark.read.parquet(path).collect()}
+    assert state == {"b"}
+    assert not os.path.isdir(os.path.join(path, "day=2023-01-01"))
+
+
 def test_merge_preserves_null_partition_rows(spark, tmp_path):
     """Regression: rows in a NULL-valued partition must survive a merge
     touching that partition (eqNullSafe pruning)."""

@@ -100,6 +100,34 @@ def test_full_pipeline_differential(spark, tmp_path, events):
     assert head.count() == 5
 
 
+def test_s5_source_seam(spark, tmp_path, events):
+    """S5: initial_load/validate go through lake.read_source, so the
+    same pipeline ingests from a parquet full-table snapshot (the
+    stand-in for the reference's live-table scan, compare.py:17-26) and
+    a live connector is one register_source_format call away."""
+    from dynamodb_to_datalake_project_spark import lake
+
+    state = workload.expected_final_state(events)
+    snap = str(tmp_path / "snap")
+    state.write.parquet(snap)
+    lake_path = str(tmp_path / "lake")
+    pipeline.initial_load(
+        spark, None, lake_path, source={"format": "parquet", "path": snap}
+    )
+    summary, samples = pipeline.validate(
+        spark, {"format": "parquet", "path": snap}, lake_path
+    )
+    assert summary.identical, (summary, samples)
+
+    # the connector plug point: any callable (spark, spec) -> DataFrame
+    lake.register_source_format(
+        "unit-test-src", lambda sp, spec: sp.range(3).withColumnRenamed("id", "k")
+    )
+    assert lake.read_source(spark, {"format": "unit-test-src"}).count() == 3
+    with pytest.raises(ValueError, match="unknown source format"):
+        lake.read_source(spark, {"format": "no-such-format"})
+
+
 def test_incremental_raw_wire_format(spark, tmp_path, events):
     """§3.2 full fidelity: encode a slice of the workload as raw
     Streams records (typed NewImage), run the raw incremental pipeline
