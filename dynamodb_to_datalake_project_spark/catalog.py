@@ -77,6 +77,10 @@ _PRIORITY: list[str] = [
     "agg_array_funcs",
     "a9_approx_aggs",
     "a4_per_file_counts",
+    # new in round 2 (no r01 row yet)
+    "asof_last_click",
+    "sessionization",
+    "range_join_follow_events",
 ]
 
 
@@ -88,6 +92,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.dedup  # noqa: F401
     import dynamodb_to_datalake_project_spark.merge  # noqa: F401
     import dynamodb_to_datalake_project_spark.diff  # noqa: F401
+    import dynamodb_to_datalake_project_spark.timeseries  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.text  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.dedup  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.similarity  # noqa: F401

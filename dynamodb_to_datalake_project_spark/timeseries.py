@@ -1,0 +1,255 @@
+"""Time-series operators Spark lacks as built-ins: as-of join,
+gap-based sessionization, bucketed range join.
+
+All three are expressed so the expensive step is a SINGLE bounded-key
+shuffle — the shapes that survive 100 TB:
+
+- as-of join: union both sides tagged, ONE window per key carries the
+  last right-side value forward (`last(..., ignorenulls)`), filter the
+  left tag back out. No join at all — the naive per-row "max ts <= t"
+  subquery is a quadratic range join; the union-window form is one
+  exchange on the key and a linear pass.
+- sessionization: lag + running sum over one (user, time) window —
+  session ids assigned in a single pass, aggregated with one more
+  bounded-key shuffle.
+- range join: equi-join on (key, time-bucket) after exploding each
+  anchor to the few buckets its window spans — the cross product never
+  materializes; candidate volume is |anchors| × buckets_per_window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark.catalog import query
+from dynamodb_to_datalake_project_spark.lake import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    tiebreak: str,
+    out_value: str = "asof_value",
+) -> DataFrame:
+    """For each left row, the most recent `value_col` from `right`
+    with right.ts <= left.ts (inclusive), per `key`.
+
+    Union-tag + window instead of a range join: right rows sort before
+    left rows at equal timestamps (tag 0 < 1, giving the inclusive
+    bound), `tiebreak` (a unique right-side column) makes same-ts
+    right rows deterministic. Returns the left frame's columns plus
+    `out_value`.
+    """
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("__v"),
+    )
+    r = right.select(
+        *[
+            (F.col(key) if c == key else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__tag"),
+        F.col(tiebreak).alias("__tb"),
+        F.col(value_col).alias("__v"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__t", "__tag", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l.unionByName(r)
+    out = u.withColumn(out_value, F.last("__v", ignorenulls=True).over(w))
+    return out.filter(F.col("__tag") == 1).select(*lcols, out_value)
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    order_tiebreak: str,
+    gap_us: int,
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    previous event of the same `key` exceeds `gap_us` microseconds.
+    Returns (key, session_num, session_start, session_end, n_events) —
+    one ordered window pass plus one bounded-key aggregation.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, order_tiebreak)
+    t = F.unix_micros(F.col(ts_col))
+    gap = t - F.lag(t).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    run = Window.partitionBy(key).orderBy(ts_col, order_tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = events.withColumn("session_num", F.sum(new_sess).over(run))
+    return numbered.groupBy(key, "session_num").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def range_join_bucketed(
+    anchors: DataFrame,
+    events: DataFrame,
+    key: str,
+    anchor_ts: str,
+    event_ts: str,
+    window_us: int,
+    anchor_id: str,
+) -> DataFrame:
+    """Count events per anchor with event_ts in (anchor_ts,
+    anchor_ts + window_us), joined on `key`.
+
+    Scale path: each event belongs to one fixed time bucket of width
+    `window_us`; an anchor's window spans at most 2 such buckets, so the
+    anchor side explodes ×2 and the join is a plain equi-join on
+    (key, bucket) with the exact range applied after. Candidate volume
+    is bounded by bucket co-membership — the inequality-only join Spark
+    would otherwise plan (BroadcastNestedLoop / cartesian) never forms.
+    Anchors with zero followers are absent (inner-join semantics).
+    """
+    a_t = F.unix_micros(F.col(anchor_ts))
+    e_t = F.unix_micros(F.col(event_ts))
+    a = anchors.select(
+        F.col(anchor_id).alias("__aid"),
+        F.col(key).alias("__k"),
+        a_t.alias("__at"),
+        F.explode(
+            F.sequence(
+                F.floor(a_t / window_us), F.floor((a_t + window_us) / window_us)
+            )
+        ).alias("__b"),
+    )
+    e = events.select(
+        F.col(key).alias("__k"),
+        e_t.alias("__et"),
+        F.floor(e_t / window_us).alias("__b"),
+    )
+    return (
+        a.join(e, ["__k", "__b"])
+        .filter((F.col("__et") > F.col("__at")) & (F.col("__et") < F.col("__at") + window_us))
+        .groupBy(F.col("__aid").alias(anchor_id), F.col("__k").alias(key))
+        .agg(F.count("*").alias("n_follow"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog entries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_last_click",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts AS t, 0 AS tag, event_id, value FROM events
+      WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, 1, event_id, NULL FROM events
+      WHERE event_type = 'purchase'
+    ), w AS (
+      SELECT *, last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+      FROM u
+    )
+    SELECT event_id AS purchase_id, user_id, t AS purchase_ts, asof_value
+    FROM w WHERE tag = 1
+    """,
+)
+def q_asof_last_click(spark, sf_dir):
+    """As-of join: for every purchase, the value of the user's most
+    recent click at or before it (NULL when no prior click) — the
+    feature-attribution shape. Union-window form: zero joins, one
+    exchange on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        value_col="value",
+        tiebreak="event_id",
+    )
+
+
+@query(
+    "sessionization",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1
+                  WHEN lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+      FROM g
+    )
+    SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_num
+    """,
+)
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-minute inactivity gap) over the
+    event stream — the user-journey segmentation every behavioral
+    pipeline needs; one window pass + one bounded-key aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(
+        ev, key="user_id", ts_col="ts", order_tiebreak="event_id",
+        gap_us=1800 * 1_000_000,
+    ).withColumn("session_num", F.col("session_num").cast("long"))
+
+
+@query(
+    "range_join_follow_events",
+    oracle="""
+    SELECT a.event_id AS signup_id, a.user_id, count(*) AS n_follow
+    FROM events a JOIN events e
+      ON e.user_id = a.user_id
+     AND epoch_us(e.ts) > epoch_us(a.ts)
+     AND epoch_us(e.ts) < epoch_us(a.ts) + 3600000000
+    WHERE a.event_type = 'signup'
+    GROUP BY 1, 2
+    """,
+)
+def q_range_join_follow(spark, sf_dir):
+    """Range join: events-within-1-hour-after-each-signup, per user —
+    the activation-funnel count. Bucketed equi-join; the inequality
+    cross product never materializes."""
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", "ts"
+    )
+    return range_join_bucketed(
+        anchors, ev, key="user_id", anchor_ts="ts", event_ts="ts",
+        window_us=3600 * 1_000_000, anchor_id="signup_id",
+    )

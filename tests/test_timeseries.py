@@ -1,0 +1,99 @@
+"""Edge semantics of the time-series operators (hand-built frames).
+
+Covers what the catalog oracles can't isolate: the inclusive as-of
+bound at equal timestamps, NULL when no prior right row, same-ts
+right-side tiebreak, exact session-gap boundary, and the strict open
+interval of the bucketed range join (including the cross-bucket case).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from dynamodb_to_datalake_project_spark.timeseries import (
+    asof_join,
+    range_join_bucketed,
+    sessionize,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            ("p1", "u1", _ts("2024-01-01 10:00:00")),  # equal-ts click → inclusive
+            ("p2", "u1", _ts("2024-01-01 11:00:00")),  # later → latest click
+            ("p3", "u2", _ts("2024-01-01 09:00:00")),  # no prior click → NULL
+        ],
+        "purchase_id string, user_id string, purchase_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 09:30:00"), "c1", 1.0),
+            ("u1", _ts("2024-01-01 10:00:00"), "c2", 2.0),  # ties p1's ts
+            ("u1", _ts("2024-01-01 10:00:00"), "c3", 3.0),  # same ts, higher tiebreak
+            ("u2", _ts("2024-01-01 12:00:00"), "c4", 4.0),  # after p3
+        ],
+        "user_id string, ts timestamp, event_id string, value double",
+    )
+    return left, right
+
+
+def test_asof_inclusive_bound_and_tiebreak(frames):
+    left, right = frames
+    out = {
+        r["purchase_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right, key="user_id", left_ts="purchase_ts", right_ts="ts",
+            value_col="value", tiebreak="event_id",
+        ).collect()
+    }
+    # equal-ts click counts (inclusive); among same-ts clicks the highest
+    # tiebreak (c3) wins as "last"
+    assert out == {"p1": 3.0, "p2": 3.0, "p3": None}
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap of exactly gap_us does NOT split; gap_us+1 does
+    ev = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 00:00:00"), "e1"),
+            ("u1", _ts("2024-01-01 00:30:00"), "e2"),  # == 1800 s gap → same session
+            ("u1", _ts("2024-01-01 01:00:01"), "e3"),  # 1801 s gap → new session
+        ],
+        "user_id string, ts timestamp, event_id string",
+    )
+    rows = sessionize(
+        ev, key="user_id", ts_col="ts", order_tiebreak="event_id",
+        gap_us=1800 * 1_000_000,
+    ).collect()
+    by_sess = {int(r["session_num"]): r["n_events"] for r in rows}
+    assert by_sess == {1: 2, 2: 1}
+
+
+def test_range_join_strict_open_interval(spark):
+    anchors = spark.createDataFrame(
+        [("a1", "u1", _ts("2024-01-01 00:00:30"))],  # window spans two buckets
+        "anchor_id string, user_id string, ts timestamp",
+    )
+    events = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 00:00:30")),  # == anchor ts → excluded (strict >)
+            ("u1", _ts("2024-01-01 00:00:31")),  # in window, same bucket
+            ("u1", _ts("2024-01-01 00:01:29")),  # in window, NEXT bucket
+            ("u1", _ts("2024-01-01 00:01:30")),  # == anchor+window → excluded (strict <)
+            ("u2", _ts("2024-01-01 00:00:31")),  # wrong key
+        ],
+        "user_id string, ts timestamp",
+    )
+    rows = range_join_bucketed(
+        anchors, events, key="user_id", anchor_ts="ts", event_ts="ts",
+        window_us=60 * 1_000_000, anchor_id="anchor_id",
+    ).collect()
+    assert len(rows) == 1 and rows[0]["n_follow"] == 2
