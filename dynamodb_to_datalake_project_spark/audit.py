@@ -1,0 +1,151 @@
+"""Data-quality audit operators: referential-integrity orphan scan and
+one-pass column profiling.
+
+The reference validates its lake with a single row-count/column-count
+compare (`s2_operate.py:24` — DynamoDB 58,318×13 vs Hudi 52,596×13);
+these operators generalize that "did the copy lose rows?" check into
+the audits a 100 TB lake actually runs:
+
+- referential audit: one LEFT ANTI join per foreign key, each a plain
+  shuffled-hash/broadcast join Catalyst plans freely; results union
+  into a relation-level scorecard. Anti joins prune to the join keys
+  (ReadSchema is 1-2 columns), so each check scans a fraction of the
+  table bytes.
+- column profile: null count / distinct count / min / max for every
+  profiled column in ONE aggregation pass (no per-column jobs — the
+  naive "loop over columns, run describe()" launches k jobs and k scans;
+  this is exactly one scan). Distincts use exact count(DISTINCT) here;
+  at 100 TB swap to approx_count_distinct (a9 shows that path).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark.catalog import query
+from dynamodb_to_datalake_project_spark.lake import load_table
+
+
+def orphan_counts(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str, relation: str
+) -> DataFrame:
+    """(relation, n_child, n_orphans) for one FK edge via LEFT ANTI."""
+    n_child = child.select(F.count("*").alias("n_child"))
+    orphans = (
+        child.select(F.col(fk).alias(pk))
+        .join(parent.select(pk), pk, "left_anti")
+        .select(F.count("*").alias("n_orphans"))
+    )
+    return (
+        n_child.crossJoin(orphans)
+        .select(F.lit(relation).alias("relation"), "n_child", "n_orphans")
+    )
+
+
+def referential_audit(edges: list[tuple[DataFrame, DataFrame, str, str, str]]) -> DataFrame:
+    """Union of orphan scorecards over every FK edge."""
+    parts = [orphan_counts(*e) for e in edges]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format column profile in one aggregation pass:
+    (column, n_rows, n_null, n_distinct, min_str, max_str)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {args}) as (column, n_rows, n_null, n_distinct, min_str, max_str)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+                    for c in cols
+                ),
+            )
+        )
+    )
+    return stacked
+
+
+# ---------------------------------------------------------------------------
+# Catalog entries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "referential_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    """,
+)
+def q_referential_audit(spark, sf_dir):
+    """FK orphan scorecard over the lake's core relations — the
+    generalized form of the reference's row-count compare."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+    return referential_audit(
+        [
+            (li, orders, "l_orderkey", "o_orderkey", "lineitem->orders"),
+            (li, part, "l_partkey", "p_partkey", "lineitem->part"),
+            (orders, cust, "o_custkey", "c_custkey", "orders->customer"),
+        ]
+    )
+
+
+@query(
+    "column_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS column, count(*) AS n_rows,
+           count(*) - count(o_orderstatus) AS n_null,
+           count(DISTINCT o_orderstatus) AS n_distinct,
+           min(CAST(o_orderstatus AS VARCHAR)) AS min_str,
+           max(CAST(o_orderstatus AS VARCHAR)) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(CAST(o_orderpriority AS VARCHAR)),
+           max(CAST(o_orderpriority AS VARCHAR))
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           min(CAST(o_custkey AS VARCHAR)), max(CAST(o_custkey AS VARCHAR))
+    FROM orders
+    """,
+)
+def q_column_profile(spark, sf_dir):
+    """One-scan long-format profile of three `orders` columns (null /
+    distinct / min / max) — the schema-drift tripwire run after every
+    load."""
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders, ["o_orderstatus", "o_orderpriority", "o_custkey"])

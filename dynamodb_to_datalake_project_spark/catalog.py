@@ -81,6 +81,12 @@ _PRIORITY: list[str] = [
     "asof_last_click",
     "sessionization",
     "range_join_follow_events",
+    "sample_hash_bucket",
+    "sample_stratified_exact",
+    "referential_audit",
+    "column_profile",
+    "decontaminate_ngrams",
+    "pmi_top_bigrams",
 ]
 
 
@@ -93,10 +99,13 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.merge  # noqa: F401
     import dynamodb_to_datalake_project_spark.diff  # noqa: F401
     import dynamodb_to_datalake_project_spark.timeseries  # noqa: F401
+    import dynamodb_to_datalake_project_spark.sampling  # noqa: F401
+    import dynamodb_to_datalake_project_spark.audit  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.text  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.dedup  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.similarity  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.multimodal  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.decontam  # noqa: F401
 
     lead = [n for n in _PRIORITY if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(lead)]

@@ -581,3 +581,80 @@ def q_bigram_top20(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+@query(
+    "pmi_top_bigrams",
+    oracle="""
+    WITH tk AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), uni AS (
+      SELECT unnest(tk) AS w FROM tk
+    ), ucnt AS (
+      SELECT w, count(*) AS c FROM uni GROUP BY w
+    ), bi AS (
+      SELECT unnest(list_transform(range(1, len(tk)),
+               i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM tk WHERE len(tk) >= 2
+    ), bcnt AS (
+      SELECT bigram, count(*) AS c_xy FROM bi GROUP BY bigram
+    )
+    SELECT b.bigram, b.c_xy, x.c AS c_x, y.c AS c_y
+    FROM bcnt b
+    JOIN ucnt x ON x.w = string_split(b.bigram, ' ')[1]
+    JOIN ucnt y ON y.w = string_split(b.bigram, ' ')[2]
+    WHERE b.c_xy >= 5
+    ORDER BY CAST(b.c_xy AS DOUBLE) / (CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE))
+             DESC, b.bigram ASC
+    LIMIT 20
+    """,
+)
+def q_pmi_top_bigrams(spark, sf_dir):
+    """Top bigrams by pointwise mutual information (min count 5) — the
+    collocation detector behind tokenizer-merge and phrase-mining
+    passes. PMI = log P(xy)/(P(x)P(y)); the corpus-size factors are
+    constant across bigrams, so ranking uses the overflow-safe exact
+    ratio c_xy/(c_x*c_y) in pure IEEE doubles (bit-identical in Spark
+    and DuckDB — no libm log whose last bit could flip the cutoff
+    ordering). Two bounded-key aggregations (unigrams, bigrams) + two
+    small joins; emitted columns are exact counts only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(tokens(F.col("text")).alias("tk"))
+    uni = (
+        t.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        t.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("tk", i), F.element_at("tk", i + 1)
+                    ),
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    parts = F.split(F.col("bigram"), " ")
+    scored = (
+        bi.withColumn("__x", parts.getItem(0))
+        .withColumn("__y", parts.getItem(1))
+        .join(uni.select(F.col("w").alias("__x"), F.col("c").alias("c_x")), "__x")
+        .join(uni.select(F.col("w").alias("__y"), F.col("c").alias("c_y")), "__y")
+    )
+    score = F.col("c_xy").cast("double") / (
+        F.col("c_x").cast("double") * F.col("c_y").cast("double")
+    )
+    return (
+        scored.select("bigram", "c_xy", "c_x", "c_y")
+        .orderBy(score.desc(), F.col("bigram").asc())
+        .limit(20)
+    )

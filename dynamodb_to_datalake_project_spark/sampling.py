@@ -1,0 +1,102 @@
+"""Deterministic sampling operators for training-data curation.
+
+`rand()`-based sampling can't be oracle-checked and isn't reproducible
+across retries of a failed stage — at 100 TB a re-executed task that
+re-rolls its sample corrupts the dataset. Both operators here key the
+sampling decision on a hash of a stable ID, so any executor, any retry,
+any engine (Spark or the DuckDB oracle) picks the identical rows:
+
+- hash-bucket sample: keep rows whose md5(id) bucket < pct. Map-only —
+  no shuffle, no state, scales to any size; the sampling rate is exact
+  in expectation and each row's fate is a pure function of its id.
+- exact stratified sample: ceil(fraction × |stratum|) rows per stratum,
+  chosen by md5 order — one window pass per stratum (bounded-key
+  shuffle on (lang, source)), used when per-stratum counts must be
+  exact, e.g. balancing languages in a training mix.
+
+Reference parity: the reference has no sampler (its `data_faker.py`
+generates, never samples); these are north-star training-pipeline ops
+per SURVEY.md §6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark.catalog import query
+from dynamodb_to_datalake_project_spark.lake import load_table
+
+
+def hash_bucket(col, buckets: int = 100):
+    """Deterministic bucket in [0, buckets) from md5 of the column's
+    string form — identical in Spark and DuckDB (`conv` ≡ hex CAST)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 4), 16, 10)
+        .cast("int") % buckets
+    )
+
+
+def sample_hash_bucket(df: DataFrame, id_col: str, pct: int) -> DataFrame:
+    """Keep ~pct% of rows, deterministically, with zero shuffle."""
+    return df.filter(hash_bucket(id_col) < pct)
+
+
+def stratified_sample_exact(
+    df: DataFrame, strata: list[str], id_col: str, fraction: float
+) -> DataFrame:
+    """Exactly ceil(fraction × count) rows per stratum, selected by
+    md5(id) order (deterministic, uniform over the stratum)."""
+    w = Window.partitionBy(*strata).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    cnt = Window.partitionBy(*strata)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__take", F.ceil(F.count("*").over(cnt) * fraction))
+        .filter(F.col("__rn") <= F.col("__take"))
+        .drop("__rn", "__take")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog entries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_hash_bucket",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+          % 100 < 10
+    """,
+)
+def q_sample_hash_bucket(spark, sf_dir):
+    """~10% deterministic document sample — map-only, retry-safe,
+    oracle-identical row set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_hash_bucket(docs, "doc_id", 10).select("doc_id", "lang", "source")
+
+
+@query(
+    "sample_stratified_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, source, doc_id,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang, source) AS n
+      FROM documents
+    )
+    SELECT lang, source, count(*) AS n_sampled
+    FROM ranked WHERE rn <= CAST(ceil(n * 0.2) AS BIGINT)
+    GROUP BY lang, source
+    """,
+)
+def q_sample_stratified_exact(spark, sf_dir):
+    """Exact 20%-per-(lang, source) stratified sample; emits per-stratum
+    sampled counts (the balance sheet a training-mix builder checks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = stratified_sample_exact(docs, ["lang", "source"], "doc_id", 0.2)
+    return s.groupBy("lang", "source").agg(F.count("*").alias("n_sampled"))
