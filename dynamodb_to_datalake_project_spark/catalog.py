@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     "column_profile",
     "decontaminate_ngrams",
     "pmi_top_bigrams",
+    "dedup_clusters_cc",
 ]
 
 
@@ -101,6 +102,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.timeseries  # noqa: F401
     import dynamodb_to_datalake_project_spark.sampling  # noqa: F401
     import dynamodb_to_datalake_project_spark.audit  # noqa: F401
+    import dynamodb_to_datalake_project_spark.graph  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.text  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.dedup  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.similarity  # noqa: F401

@@ -1,0 +1,175 @@
+"""Distributed connected components for duplicate-cluster resolution.
+
+Pairwise near-dup detectors (Jaccard / MinHash / SimHash / cosine —
+`llm/dedup.py`) emit EDGES; keeping one representative per duplicate
+*group* requires the transitive closure of those edges. Spark has no
+built-in CC (GraphFrames is an external package), so this implements
+the alternating large-star / small-star algorithm of Kiveris et al.,
+"Connected Components in MapReduce and Beyond" (SOCC '14):
+
+- converges in O(log² n) rounds on any graph (label propagation is
+  O(diameter) — a chain of re-posted documents makes that linear);
+- each half-round is ONE bounded aggregation (per-node neighborhood
+  min) and ONE join back — no global state, no driver-side graph;
+- every round strictly shrinks edge lengths toward component minima,
+  so intermediate edge counts never exceed the input edge count ×2.
+
+Driver involvement is one small `agg().collect()` per round for the
+convergence check (count + order-insensitive hash-sum of the edge
+set — O(1) rows to the driver). Each round materializes via
+`localCheckpoint` to truncate lineage; on a real cluster with flaky
+executors, swap for reliable `checkpoint()` to survive node loss.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark.catalog import query
+from dynamodb_to_datalake_project_spark.lake import load_table
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected form: (hi, lo), hi > lo, self-loops
+    dropped, deduped."""
+    hi = F.greatest("src", "dst")
+    lo = F.least("src", "dst")
+    return (
+        e.select(hi.alias("hi"), lo.alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """∀u: connect every neighbor v > u to min(Γ(u) ∪ {u})."""
+    directed = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
+        e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    m = directed.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("mn", "u").alias("m"))
+    return _canon(
+        directed.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """∀u: connect u and all smaller neighbors to the minimum of that
+    down-neighborhood."""
+    directed = e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        directed.join(m, "u")
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .unionAll(m.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+    )
+    return _canon(rewired)
+
+
+def _signature(e: DataFrame) -> tuple[int, int]:
+    # order-insensitive, overflow-free (XOR, not SUM — ANSI sum of
+    # random 64-bit hashes overflows); edges are distinct so XOR
+    # cancellation can't occur
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(hi, lo))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 50
+) -> DataFrame:
+    """(node, component) for every node appearing in `edges`, where
+    component = min node id of its connected component."""
+    e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    e = e.localCheckpoint(eager=True)
+    sig = _signature(e)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig2 = _signature(e2)
+        e = e2
+        if sig2 == sig:
+            break
+        sig = sig2
+    else:  # pragma: no cover - max_iter is far above the log² bound
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # converged edge set is a union of stars: hi → component minimum
+    members = e.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+    centers = e.select(F.col("lo").alias("node"), F.col("lo").alias("component"))
+    return members.unionAll(centers).distinct()
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str, a: str, b: str
+) -> DataFrame:
+    """Label every document with its duplicate-cluster id (component
+    minimum; singletons label themselves) and the cluster size."""
+    cc = connected_components(pairs, a, b)
+    labeled = (
+        docs.select(F.col(id_col).alias("node"))
+        .join(cc, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", "node").alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "cluster_id").select(id_col, "cluster_id", "cluster_size")
+
+
+# ---------------------------------------------------------------------------
+# Catalog entry
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_clusters_cc",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, substr(text, 1, 32) AS blk,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), d AS (
+      SELECT doc_id, blk,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  ELSE [array_to_string(toks, ' ')] END AS w
+      FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.w, b.w)) * 1.0
+            / len(list_distinct(list_concat(a.w, b.w))) >= 0.8
+    ), und AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), cl AS (
+      WITH RECURSIVE reach(n, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.n, und.v FROM reach JOIN und ON und.u = reach.m
+      )
+      SELECT n, min(m) AS cluster_id FROM reach GROUP BY n
+    )
+    SELECT n AS doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cl
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate clusters: blocked-Jaccard pairs (the oracle-checked
+    edge detector) resolved to components by alternating star rounds;
+    every document labeled (cluster_id, cluster_size), singletons
+    included. The oracle recomputes the same closure with a recursive
+    CTE — feasible at oracle scale, which is exactly why the Spark
+    side uses large-star/small-star instead."""
+    from dynamodb_to_datalake_project_spark.llm.dedup import blocked_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = blocked_jaccard_pairs(docs, F.substring("text", 1, 32), threshold=0.8)
+    return dedup_clusters(docs, pairs, "doc_id", "a_id", "b_id")
