@@ -88,6 +88,9 @@ _PRIORITY: list[str] = [
     "decontaminate_ngrams",
     "pmi_top_bigrams",
     "dedup_clusters_cc",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "doc_repetition_stats",
 ]
 
 

@@ -658,3 +658,77 @@ def q_pmi_top_bigrams(spark, sf_dir):
         .orderBy(score.desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+@query(
+    "doc_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id, tk,
+             CASE WHEN len(tk) >= 2
+                  THEN list_transform(range(1, len(tk)),
+                       i -> tk[i] || ' ' || tk[i+1])
+                  ELSE [] END AS bg
+      FROM t
+    )
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           len(list_distinct(tk)) AS n_distinct,
+           list_max(list_transform(list_distinct(tk),
+             d -> len(list_filter(tk, x -> x = d)))) AS top_token_n,
+           len(bg) AS n_bigrams,
+           len(list_distinct(bg)) AS n_distinct_bigrams,
+           (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) < 0.3
+            OR CAST(list_max(list_transform(list_distinct(tk),
+                 d -> len(list_filter(tk, x -> x = d)))) AS DOUBLE) / len(tk) > 0.2
+           ) AS flagged
+    FROM g WHERE len(tk) > 0
+    """,
+)
+def q_doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals, computed entirely
+    per-row (map-only, zero shuffle — each document's arrays never
+    leave the row): distinct-token ratio, most-frequent-token count,
+    duplicate-bigram count, and the boolean repetition flag
+    (distinct ratio < 0.3 or top-token fraction > 0.2). The per-row
+    top-token scan is O(distinct x tokens) on bounded-length docs —
+    cheaper at 100 TB than any shuffle-based alternative. Emitted
+    measures are exact integers; ratios appear only inside the
+    boolean (single IEEE division, engine-identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    t = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") > 0)
+    bg = F.when(
+        F.size("tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("tk", i), F.element_at("tk", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_n = F.array_max(
+        F.transform(
+            F.array_distinct("tk"),
+            lambda d: F.size(F.filter("tk", lambda x: x == d)),
+        )
+    )
+    g = t.withColumn("bg", bg).withColumn("top_token_n", top_n)
+    n_tok = F.size("tk").cast("long")
+    n_dist = F.size(F.array_distinct("tk")).cast("long")
+    flagged = (n_dist.cast("double") / n_tok < 0.3) | (
+        F.col("top_token_n").cast("double") / n_tok > 0.2
+    )
+    return g.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dist.alias("n_distinct"),
+        F.col("top_token_n").cast("long").alias("top_token_n"),
+        F.size("bg").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("bg")).cast("long").alias("n_distinct_bigrams"),
+        flagged.alias("flagged"),
+    )
