@@ -31,6 +31,15 @@ HEADLINE = [
     "sim_knn_bruteforce",
     "text_stats",
     "multimodal_features",
+    # round 2
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "asof_last_click",
+    "sessionization",
+    "range_join_follow_events",
+    "dedup_clusters_cc",
+    "decontaminate_ngrams",
+    "doc_repetition_stats",
 ]
 
 

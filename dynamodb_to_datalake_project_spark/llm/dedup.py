@@ -237,16 +237,31 @@ def minhash_signatures_pandas(
             # treat an empty doc as [''] — same fallback shingle_set uses
             tok_lists = [t if len(t) else [""] for t in pdf[tokens_col]]
             lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
-            flat = np.fromiter(
-                (zlib.crc32(s.encode()) for toks in tok_lists for s in toks),
-                dtype=np.uint64,
+            flat_tok = np.fromiter(
+                (s for toks in tok_lists for s in toks),
+                dtype=object,
                 count=int(lens.sum()),
             )
-            # (n_tokens, K) universal hashes; uint64 wrap is well-defined
-            hv = flat[:, None] * A[None, :] + B[None, :]
+            # crc32 once per DISTINCT token in the batch: token
+            # frequencies are power-law, so uniques are a fraction of
+            # occurrences — the scalar hash loop shrinks accordingly
+            uniq, inv = np.unique(flat_tok, return_inverse=True)
+            uh = np.fromiter(
+                (zlib.crc32(s.encode()) for s in uniq),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            flat = uh[inv]
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
-            sigs = np.minimum.reduceat(hv, starts, axis=0).astype(np.int64)
+            # (n_tokens, K) universal hashes, chunked over K to bound
+            # the live matrix (uint64 wrap is well-defined)
+            sigs = np.empty((len(lens), num_hashes), dtype=np.uint64)
+            for k0 in range(0, num_hashes, 16):
+                k1 = min(k0 + 16, num_hashes)
+                hv = flat[:, None] * A[None, k0:k1] + B[None, k0:k1]
+                sigs[:, k0:k1] = np.minimum.reduceat(hv, starts, axis=0)
+            sigs = sigs.astype(np.int64)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "sig_arr": list(sigs)}
             )
