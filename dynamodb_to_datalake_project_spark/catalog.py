@@ -91,6 +91,11 @@ _PRIORITY: list[str] = [
     "q5_local_supplier_volume",
     "q18_large_orders",
     "doc_repetition_stats",
+    "q4_priority_late_ship",
+    "q7_nation_volume",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q19_disjunctive_pushdown",
 ]
 
 
