@@ -96,6 +96,9 @@ _PRIORITY: list[str] = [
     "q14_promo_revenue",
     "q16_supplier_variety",
     "q19_disjunctive_pushdown",
+    "dedup_cluster_best",
+    "doc_chunking",
+    "dataset_mix",
 ]
 
 

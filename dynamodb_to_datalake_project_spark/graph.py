@@ -173,3 +173,74 @@ def q_dedup_clusters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = blocked_jaccard_pairs(docs, F.substring("text", 1, 32), threshold=0.8)
     return dedup_clusters(docs, pairs, "doc_id", "a_id", "b_id")
+
+
+@query(
+    "dedup_cluster_best",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, substr(text, 1, 32) AS blk,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), d AS (
+      SELECT doc_id, blk,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  ELSE [array_to_string(toks, ' ')] END AS w
+      FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.w, b.w)) * 1.0
+            / len(list_distinct(list_concat(a.w, b.w))) >= 0.8
+    ), und AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), cl AS (
+      WITH RECURSIVE reach(n, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.n, und.v FROM reach JOIN und ON und.u = reach.m
+      )
+      SELECT n, min(m) AS cluster_id FROM reach GROUP BY n
+    ), lab AS (
+      SELECT n AS doc_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cl
+    )
+    SELECT cluster_id, doc_id, cluster_size, n_chars
+    FROM (
+      SELECT lab.cluster_id, lab.doc_id, lab.cluster_size, d.n_chars,
+             row_number() OVER (PARTITION BY lab.cluster_id
+                                ORDER BY d.n_chars DESC, lab.doc_id ASC) AS rn
+      FROM lab JOIN documents d ON d.doc_id = lab.doc_id
+    )
+    WHERE rn = 1
+    """,
+)
+def q_dedup_cluster_best(spark, sf_dir):
+    """Capstone: near-dup pairs → connected components → ONE kept
+    representative per duplicate cluster (longest text wins, doc_id
+    breaks ties). This is the full production dedup decision — the
+    pairwise detectors and CC labeling are intermediate products; what
+    a training pipeline actually materializes is this kept-set. The
+    pick is a W1-style window (partial+final WindowGroupLimit around
+    one cluster_id exchange); singleton clusters pass through
+    untouched."""
+    from pyspark.sql import Window
+
+    from dynamodb_to_datalake_project_spark.llm.dedup import blocked_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = blocked_jaccard_pairs(docs, F.substring("text", 1, 32), threshold=0.8)
+    labeled = dedup_clusters(docs, pairs, "doc_id", "a_id", "b_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labeled.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "doc_id", "cluster_size", "n_chars")
+    )

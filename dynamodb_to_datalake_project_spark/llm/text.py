@@ -732,3 +732,56 @@ def q_doc_repetition_stats(spark, sf_dir):
         F.size(F.array_distinct("bg")).cast("long").alias("n_distinct_bigrams"),
         flagged.alias("flagged"),
     )
+
+
+@query(
+    "doc_chunking",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1
+    )
+    SELECT doc_id,
+           CAST(u.start // 48 AS BIGINT) AS chunk_idx,
+           CAST(least(64, n - u.start) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, u.start + 1, least(u.start + 64, n)), ' ')
+             AS chunk_text
+    FROM s, LATERAL (SELECT unnest(range(0, n, 48)) AS start) u
+    """,
+)
+def q_doc_chunking(spark, sf_dir):
+    """RAG-style chunking: fixed 64-token windows with stride 48
+    (16-token overlap so no boundary sentence is lost). Map-only —
+    tokenize once, `posexplode` a stride sequence, `slice` each
+    window out of the carried token array; zero shuffles at any
+    corpus size, and output rows ∝ input tokens / stride so the
+    explode can't amplify beyond ~n/48 rows per doc. The overlap is
+    the retrieval-quality knob: wider overlap = more duplicate index
+    entries downstream (dedup_* handles those)."""
+    width, stride = 64, 48
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+    )
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.posexplode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))).alias(
+            "chunk_idx", "start"
+        ),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(width), F.col("n") - F.col("start"))
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.array_join(F.slice(F.col("toks"), F.col("start") + 1, F.lit(width)), " ").alias(
+            "chunk_text"
+        ),
+    )

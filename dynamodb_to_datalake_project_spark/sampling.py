@@ -100,3 +100,67 @@ def q_sample_stratified_exact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     s = stratified_sample_exact(docs, ["lang", "source"], "doc_id", 0.2)
     return s.groupBy("lang", "source").agg(F.count("*").alias("n_sampled"))
+
+
+#: target training-mix weights in per-mille (integer arithmetic end to
+#: end — no float rounding to diverge between engines)
+MIX_WEIGHTS_PM: dict[str, int] = {"en": 500, "de": 200, "fr": 150, "es": 100, "zh": 50}
+
+
+@query(
+    "dataset_mix",
+    oracle="""
+    WITH c AS (
+      SELECT lang, count(*) AS n_avail FROM documents GROUP BY lang
+    ), w AS (
+      SELECT * FROM (VALUES ('en', 500), ('de', 200), ('fr', 150),
+                            ('es', 100), ('zh', 50)) AS t(lang, w_pm)
+    ), j AS (
+      SELECT c.lang, n_avail, w_pm FROM c JOIN w USING (lang)
+    ), n AS (
+      SELECT min(n_avail * 1000 // w_pm) AS cap FROM j
+    ), k AS (
+      SELECT lang, n_avail, w_pm * cap // 1000 AS n_kept FROM j, n
+    )
+    SELECT lang, CAST(n_avail AS BIGINT) AS n_avail,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(n_kept * 1000 // (SELECT sum(n_kept) FROM k) AS BIGINT) AS mix_pm
+    FROM k ORDER BY lang
+    """,
+)
+def q_dataset_mix(spark, sf_dir):
+    """Weighted training-mix planner: given target language weights,
+    compute the largest total corpus the available documents support
+    at exactly those proportions (cap = min over langs of
+    n_avail/weight) and the per-language keep quota. Pure integer
+    arithmetic (per-mille weights, floor division) so Spark and the
+    oracle agree bit-for-bit; the plan is one bounded-key agg (5
+    langs) + two scalar cross-joins — nothing scales with corpus
+    size except the first count. Row selection against the quota is
+    `stratified_sample_exact` (same module); this query is the
+    planning half that decides each stratum's take."""
+    docs = load_table(spark, sf_dir, "documents")
+    wmap = F.create_map(
+        *[F.lit(x) for kv in MIX_WEIGHTS_PM.items() for x in kv]
+    )
+    j = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_avail"))
+        .withColumn("w_pm", F.element_at(wmap, F.col("lang")))
+        .filter(F.col("w_pm").isNotNull())
+    )
+    cap = j.agg(F.min(F.expr("n_avail * 1000 div w_pm")).alias("cap"))
+    k = j.crossJoin(F.broadcast(cap)).withColumn(
+        "n_kept", F.expr("w_pm * cap div 1000")
+    )
+    tot = k.agg(F.sum("n_kept").alias("tot"))
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n_avail").cast("bigint").alias("n_avail"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.expr("n_kept * 1000 div tot").cast("bigint").alias("mix_pm"),
+        )
+        .orderBy("lang")
+    )
