@@ -40,6 +40,13 @@ HEADLINE = [
     "dedup_clusters_cc",
     "decontaminate_ngrams",
     "doc_repetition_stats",
+    "q4_priority_late_ship",
+    "q7_nation_volume",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q19_disjunctive_pushdown",
+    "doc_chunking",
+    "dataset_mix",
 ]
 
 
