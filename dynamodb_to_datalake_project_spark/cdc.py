@@ -60,12 +60,13 @@ def start_cdc_merge(
     max_files_per_trigger: int = 100,
     processing_time: str = "0 seconds",
     batch_transform=None,
+    delete_mode: str = "drop",
 ):
     """The whole incremental pipeline as one streaming query.
 
-    Each micro-batch: filter deletes (T8/F1) → optional
-    `batch_transform` (derive surrogate key / partition columns) →
-    in-batch latest-wins dedup happens inside the merge →
+    Each micro-batch: filter deletes (T8/F1, policy per `delete_mode`)
+    → optional `batch_transform` (derive surrogate key / partition
+    columns) → in-batch latest-wins dedup happens inside the merge →
     partition-pruned upsert into the lake table (T7). Restarting from
     `checkpoint_dir` neither loses nor re-applies batches beyond
     idempotent re-merge (T4/T9).
@@ -76,6 +77,7 @@ def start_cdc_merge(
         event_type_col=event_type_col,
         drop_event_types=drop_event_types,
         batch_transform=batch_transform,
+        delete_mode=delete_mode,
     )
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -127,6 +129,15 @@ def make_merge_batch_fn(
                 op_col = event_type_col
         if batch_transform is not None:
             batch_df = batch_transform(batch_df)
+            if op_col is not None and op_col not in batch_df.columns:
+                # in hard mode the transform sees the op column (unlike
+                # drop mode, where it's stripped first); a transform
+                # that projects a fixed column list would silently
+                # disable deletes — fail loudly instead
+                raise ValueError(
+                    f"batch_transform dropped {op_col!r}; delete_mode='hard' "
+                    "requires the transform to preserve the event-type column"
+                )
         merge_mod.merge_into_parquet(
             batch_df.sparkSession,
             table_path,

@@ -225,22 +225,17 @@ def q_dedup_cluster_best(spark, sf_dir):
     breaks ties). This is the full production dedup decision — the
     pairwise detectors and CC labeling are intermediate products; what
     a training pipeline actually materializes is this kept-set. The
-    pick is a W1-style window (partial+final WindowGroupLimit around
-    one cluster_id exchange); singleton clusters pass through
-    untouched."""
-    from pyspark.sql import Window
-
+    pick is the shared W1 window helper (partial+final
+    WindowGroupLimit around one cluster_id exchange); singleton
+    clusters pass through untouched."""
+    from dynamodb_to_datalake_project_spark import dedup as core_dedup
     from dynamodb_to_datalake_project_spark.llm.dedup import blocked_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = blocked_jaccard_pairs(docs, F.substring("text", 1, 32), threshold=0.8)
     labeled = dedup_clusters(docs, pairs, "doc_id", "a_id", "b_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
-    return (
-        labeled.join(docs.select("doc_id", "n_chars"), "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("cluster_id", "doc_id", "cluster_size", "n_chars")
-    )
+    return core_dedup.latest_wins(
+        labeled.join(docs.select("doc_id", "n_chars"), "doc_id"),
+        ["cluster_id"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    ).select("cluster_id", "doc_id", "cluster_size", "n_chars")

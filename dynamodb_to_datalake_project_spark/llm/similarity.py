@@ -150,6 +150,19 @@ def lsh_buckets(
             for t in range(n_tables)
         ]
     )
+    # Fail fast on a dim mismatch: zip_with pads the short side with
+    # nulls, the fold would return null, every sign bit would be false
+    # and EVERY vector would silently land in bucket 0 of every table —
+    # degenerating candidate generation to the full cross product. A
+    # declared-vs-actual width check per row is one comparison.
+    tb = F.when(F.size(F.col(vec_col)) == F.lit(dim), tb).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_buckets: vector width != declared dim={dim}: got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
     return df.select(id_col, F.explode(tb).alias("tb")).select(
         id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
     )

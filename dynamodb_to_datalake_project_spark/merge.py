@@ -69,6 +69,19 @@ def upsert_dataframes(
         ).withColumn("__src", F.lit(1))
     tagged = t.unionByName(s)
     order = [F.col(c).desc() for c in precombine] + [F.col("__src").desc()]
+    if op_col is not None:
+        # Deterministic tie policy for T8: on a full precombine+src tie
+        # (same-batch REMOVE vs re-insert with equal update_at), the
+        # delete LOSES — resurrection wins. Without this the window
+        # pick is arbitrary and a micro-batch replay (T9) could flip
+        # the key's existence between attempts.
+        order.append(
+            F.when(F.col("__op").isin(*delete_types), 0).otherwise(1).desc()
+        )
+    # final unique-ish tiebreaker: content hash — identical input rows
+    # hash identically on every retry, so the winner is stable even
+    # when precombine doesn't discriminate
+    order.append(F.xxhash64(*[F.col(c) for c in tagged.columns]).desc())
     merged = dedup.latest_wins(tagged, keys, order).drop("__src")
     if op_col is not None:
         merged = merged.filter(
@@ -110,10 +123,16 @@ def _apply_commit(table_path: str, commit_id: str) -> None:
             continue  # already applied by a previous (interrupted) replay
         dst = table_path if rel == "." else os.path.join(table_path, rel)
         if rel == ".":
-            # unpartitioned table: swap data files at the root
-            for name in os.listdir(dst):
+            # Unpartitioned table: swap data files at the root. Only
+            # files recorded in the manifest at commit time may be
+            # deleted — deriving the delete set from a live listdir
+            # here would, on REPLAY of a half-applied swap, destroy
+            # staged files already moved into place (new file names are
+            # fresh Spark part-…-<uuid> names, disjoint from the old
+            # set, so this is idempotent under any crash point).
+            for name in manifest.get("root_removed", []):
                 p = os.path.join(dst, name)
-                if os.path.isfile(p) and not name.startswith(("_", ".")):
+                if os.path.isfile(p):
                     os.remove(p)
             for name in os.listdir(src):
                 if os.path.isfile(os.path.join(src, name)) and not name.startswith(
@@ -265,25 +284,51 @@ def merge_into_parquet(
         }
     )
     removed: list[str] = []
-    if op_col and parts is not None:
-        # hard deletes can empty a touched partition entirely — it then
-        # has no staged replacement and must be dropped at commit time.
-        # Best-effort dir-name reconstruction (partition values here are
-        # pipeline-derived simple strings, P3); an unmatchable name just
-        # leaves the partition for the next compaction.
+    if op_col and partition_cols:
         staged = set(rels)
-        for p in parts:
-            rel = "/".join(
-                f"{c}={'__HIVE_DEFAULT_PARTITION__' if p[c] is None else p[c]}"
-                for c in partition_cols
-            )
-            if rel not in staged and os.path.isdir(os.path.join(table_path, rel)):
-                removed.append(rel)
+        if parts is not None:
+            # hard deletes can empty a touched partition entirely — it
+            # then has no staged replacement and must be dropped at
+            # commit time. Best-effort dir-name reconstruction
+            # (partition values here are pipeline-derived simple
+            # strings, P3); an unmatchable name just leaves the
+            # partition for the next compaction.
+            for p in parts:
+                rel = "/".join(
+                    f"{c}={'__HIVE_DEFAULT_PARTITION__' if p[c] is None else p[c]}"
+                    for c in partition_cols
+                )
+                if rel not in staged and os.path.isdir(os.path.join(table_path, rel)):
+                    removed.append(rel)
+        else:
+            # full-table merge (touched-partition cap exceeded): the
+            # staged output IS the whole table, so any on-disk leaf
+            # partition without a staged replacement was emptied by
+            # hard deletes and must still be dropped — the cap changes
+            # pruning, never delete semantics.
+            for root, _dirs, files in os.walk(table_path):
+                rel = os.path.relpath(root, table_path)
+                if rel == "." or rel.split(os.sep)[0].startswith(("_", ".")):
+                    continue
+                if any(f.endswith(".parquet") for f in files) and rel not in staged:
+                    removed.append(rel)
+    # unpartitioned tables: record the CURRENT root data files so replay
+    # deletes exactly these and never a freshly-swapped staged file
+    root_removed: list[str] = []
+    if not partition_cols and "." in rels:
+        root_removed = sorted(
+            name
+            for name in os.listdir(table_path)
+            if os.path.isfile(os.path.join(table_path, name))
+            and not name.startswith(("_", "."))
+        )
     cdir = os.path.join(table_path, "_commits")
     os.makedirs(cdir, exist_ok=True)
     marker_tmp = os.path.join(cdir, f".{commit_id}.json.tmp")
     with open(marker_tmp, "w") as f:
-        json.dump({"partitions": rels, "removed": removed}, f)
+        json.dump(
+            {"partitions": rels, "removed": removed, "root_removed": root_removed}, f
+        )
     # the commit point: a single atomic rename makes the merge durable
     os.replace(marker_tmp, os.path.join(cdir, f"{commit_id}.json"))
     _apply_commit(table_path, commit_id)

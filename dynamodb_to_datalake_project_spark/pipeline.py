@@ -113,10 +113,13 @@ def start_incremental(
     checkpoint_dir: str,
     max_files_per_trigger: int = 100,
     levels: int = 5,
+    delete_mode: str = "drop",
 ):
     """CDC micro-batch stream (T1-T9): each batch is filtered
-    (REMOVE dropped), hudified, and merged into only the partitions it
-    touches. `levels` must match the grain the table was created with."""
+    (REMOVE policy per `delete_mode` — 'drop' is reference parity,
+    'hard' removes deleted keys from the lake), hudified, and merged
+    into only the partitions it touches. `levels` must match the grain
+    the table was created with."""
     return cdc.start_cdc_merge(
         spark,
         cdc_dir,
@@ -129,6 +132,7 @@ def start_incremental(
         event_type_col="event_name",
         max_files_per_trigger=max_files_per_trigger,
         batch_transform=lambda df: hudify(df, levels),
+        delete_mode=delete_mode,
     )
 
 
@@ -161,6 +165,7 @@ def start_incremental_raw(
     checkpoint_dir: str,
     max_files_per_trigger: int = 100,
     levels: int = 5,
+    delete_mode: str = "drop",
 ):
     """§3.2 at full wire fidelity: raw DynamoDB Streams records (typed
     NewImage JSON) → streaming decode → REMOVE filter → hudify →
@@ -183,6 +188,7 @@ def start_incremental_raw(
         partition_cols=partition_cols(levels),
         event_type_col="event_name",
         batch_transform=lambda df: hudify(df, levels),
+        delete_mode=delete_mode,
     )
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -268,3 +268,99 @@ def test_merge_preserves_null_partition_rows(spark, tmp_path):
     merge.merge_into_parquet(spark, path, batch, ["id"], ["update_at"], ["day"])
     state = {r.id for r in spark.read.parquet(path).collect()}
     assert state == {"a", "b", "c"}  # 'a' (null partition) must survive
+
+
+def test_unpartitioned_replay_half_applied_swap_loses_nothing(spark, tmp_path):
+    """Regression: replaying a ROOT-level (unpartitioned) swap that
+    crashed half-way must not delete the staged files already moved
+    into place. The delete set comes from the manifest's root_removed
+    list, never from a live listing."""
+    import glob
+    import json
+    import shutil
+
+    path = str(tmp_path / "flatlake")
+    spark.createDataFrame(
+        [("a", "2023-01-01T00:00:00", "old")], "id string, update_at string, note string"
+    ).coalesce(1).write.parquet(path)
+    old_files = [
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(path, "*.parquet"))
+    ]
+    # stage a 2-file rewrite + marker (post-commit crash state)
+    cid = "feedface0042"
+    staging = os.path.join(path, "_staging", cid)
+    spark.createDataFrame(
+        [("a", "2023-01-01T01:00:00", "new"), ("b", "2023-01-01T01:00:00", "new")],
+        "id string, update_at string, note string",
+    ).repartition(2).write.parquet(staging)
+    staged = sorted(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    assert len(staged) == 2
+    cdir = os.path.join(path, "_commits")
+    os.makedirs(cdir, exist_ok=True)
+    with open(os.path.join(cdir, f"{cid}.json"), "w") as f:
+        json.dump(
+            {"partitions": ["."], "removed": [], "root_removed": old_files}, f
+        )
+    # simulate the crash: first replay attempt moved ONE staged file
+    # (and already removed the old ones), then died
+    for name in old_files:
+        os.remove(os.path.join(path, name))
+    shutil.move(os.path.join(staging, staged[0]), os.path.join(path, staged[0]))
+
+    assert merge.recover_pending_commits(path) == [cid]
+    got = {(r.id, r.note) for r in spark.read.parquet(path).collect()}
+    assert got == {("a", "new"), ("b", "new")}  # nothing lost, nothing stale
+
+
+def test_full_merge_fallback_still_removes_emptied_partition(spark, tmp_path):
+    """Regression: when the touched-partition cap degrades the merge to
+    a full-table rewrite, hard deletes must STILL drop partitions they
+    emptied (the cap changes pruning, never delete semantics)."""
+    path = str(tmp_path / "caplake")
+    cols = ["id", "update_at", "note", "day"]
+    spark.createDataFrame(
+        _ts_rows(
+            [("a", "2023-01-01T10:00:00", "v1"), ("b", "2023-01-02T10:00:00", "v1")]
+        ),
+        cols,
+    ).write.partitionBy("day").parquet(path)
+    batch = spark.createDataFrame(
+        [
+            ("a", "2023-01-01T12:00:00", None, "2023-01-01", "REMOVE"),
+            ("b", "2023-01-02T12:00:00", "v2", "2023-01-02", "MODIFY"),
+        ],
+        "id string, update_at string, note string, day string, event_name string",
+    )
+    merge.merge_into_parquet(
+        spark, path, batch, ["id"], ["update_at"], ["day"],
+        op_col="event_name", max_touched_partitions=1,  # force full merge
+    )
+    state = {(r.id, r.note) for r in spark.read.parquet(path).collect()}
+    assert state == {("b", "v2")}
+    assert not os.path.isdir(os.path.join(path, "day=2023-01-01"))
+
+
+def test_hard_delete_tie_is_deterministic_delete_loses(spark):
+    """Regression: a same-batch REMOVE vs re-insert with IDENTICAL
+    precombine must resolve the same way on every (re)run — the delete
+    loses, so micro-batch replay can't flip the key's existence."""
+    target = _df(spark, [("k", "2023-01-01T00:00:00", "v0")])
+    source = spark.createDataFrame(
+        [
+            ("k", "2023-01-02T00:00:00", None, "REMOVE"),
+            ("k", "2023-01-02T00:00:00", "v1", "MODIFY"),
+        ],
+        "id string, update_at string, note string, event_name string",
+    )
+    states = {
+        frozenset(_state(
+            merge.upsert_dataframes(
+                target, source, ["id"], ["update_at"], op_col="event_name"
+            )
+        ).items())
+        for _ in range(3)
+    }
+    assert states == {frozenset({("k", ("2023-01-02T00:00:00", "v1"))})}
