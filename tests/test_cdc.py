@@ -425,3 +425,71 @@ def test_session_window_streaming(spark, tmp_path):
     assert got[("a", "2024-01-01 00:00:00")] == 2
     assert got[("a", "2024-01-01 00:05:00")] == 1
     assert got[("b", "2024-01-01 00:00:10")] == 1
+
+
+def test_hard_delete_mode_end_to_end_stream(spark, tmp_path):
+    """T8 hard mode through the REAL entry point (`start_cdc_merge`,
+    not a hand-built batch fn): a newer REMOVE deletes the key from the
+    lake; an older late REMOVE is a no-op; restart processes only new
+    batches and deletes survive the restart."""
+    cdc_dir = tmp_path / "cdc"
+    table = tmp_path / "lake"
+    ckpt = tmp_path / "ckpt"
+
+    spark.createDataFrame(
+        [
+            ("a", "2023-01-01T00:00:00", "v1", "2023-01-01"),
+            ("b", "2023-01-01T00:00:00", "v1", "2023-01-01"),
+        ],
+        ["id", "update_at", "note", "day"],
+    ).write.partitionBy("day").parquet(str(table))
+
+    _write_drop(
+        cdc_dir,
+        "b1.json",
+        [
+            {"id": "a", "update_at": "2023-01-01T01:00:00", "note": None,
+             "day": "2023-01-01", "event_name": "REMOVE"},   # newer -> gone
+            {"id": "b", "update_at": "2022-12-31T00:00:00", "note": None,
+             "day": "2023-01-01", "event_name": "REMOVE"},   # older -> no-op
+            {"id": "c", "update_at": "2023-01-01T01:00:00", "note": "new",
+             "day": "2023-01-02", "event_name": "INSERT"},
+        ],
+    )
+
+    def run():
+        q = cdc.start_cdc_merge(
+            spark,
+            str(cdc_dir),
+            CDC_SCHEMA,
+            str(table),
+            keys=["id"],
+            precombine=["update_at"],
+            partition_cols=["day"],
+            checkpoint_dir=str(ckpt),
+            event_type_col="event_name",
+            delete_mode="hard",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    state = {r.id: r.note for r in spark.read.parquet(str(table)).collect()}
+    assert state == {"b": "v1", "c": "new"}
+
+    # restart: resurrect a, delete c; a's tombstone must not replay
+    _write_drop(
+        cdc_dir,
+        "b2.json",
+        [
+            {"id": "a", "update_at": "2023-01-01T02:00:00", "note": "back",
+             "day": "2023-01-01", "event_name": "INSERT"},
+            {"id": "c", "update_at": "2023-01-01T02:00:00", "note": None,
+             "day": "2023-01-02", "event_name": "REMOVE"},
+        ],
+    )
+    run()
+    state = {r.id: r.note for r in spark.read.parquet(str(table)).collect()}
+    assert state == {"a": "back", "b": "v1"}
