@@ -99,6 +99,8 @@ _PRIORITY: list[str] = [
     "dedup_cluster_best",
     "doc_chunking",
     "dataset_mix",
+    "corpus_ingest_novel",
+    "fuzzy_name_pairs",
 ]
 
 

@@ -18,7 +18,7 @@ all-pairs):
 from __future__ import annotations
 
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dynamodb_to_datalake_project_spark.catalog import query
@@ -628,3 +628,166 @@ def q_dedup_per_source_best(spark, sf_dir):
         ["source"],
         [F.col("n_chars").desc(), F.col("doc_id").asc()],
     ).select("source", F.col("doc_id").alias("keep_id"), "n_chars")
+
+
+def novel_against(
+    existing: DataFrame,
+    incoming: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Incremental-ingest dedup: the rows of `incoming` that are novel
+    against the already-stored corpus — the continuous-crawl pattern
+    where every new batch must be deduped against 100 TB of history
+    WITHOUT re-deduping the history against itself.
+
+    Two stages, both incremental-sized:
+    1. exact: anti-join on md5(text) — the existing side reduces to a
+       distinct hash set (one narrow column off the lake scan).
+    2. near: prefix-block equi-join (never a cross join) between the
+       incoming batch and the existing corpus, existing side CAPPED at
+       `max_block` rows per block (ordered by doc_id — deterministic;
+       an oversized block is a degenerate key, see `oversized_buckets`),
+       exact shingle-Jaccard verify on the joined rows.
+
+    Cost ∝ |incoming| × (blocks it touches), never ∝ |existing|²; the
+    history is scanned once for hashes and once for the touched-block
+    shingles (Catalyst prunes both scans to the needed columns).
+    """
+    spark = existing.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ex_hash = existing.select(F.md5(F.col("text")).alias("text_hash")).distinct()
+    inc1 = incoming.withColumn("text_hash", F.md5(F.col("text"))).join(
+        ex_hash, "text_hash", "left_anti"
+    )
+
+    def side(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "doc_id",
+                F.substring("text", 1, 32).alias("blk"),
+                tokens(F.col("text")).alias("toks"),
+            )
+            .repartition(par, "doc_id")
+            .select(
+                "doc_id", "blk", shingles_from_tokens(F.col("toks"), shingle_n).alias("w")
+            )
+        )
+
+    w_cap = Window.partitionBy("blk").orderBy("doc_id")
+    ex_side = (
+        side(existing)
+        .withColumn("__rn", F.row_number().over(w_cap))
+        .filter(F.col("__rn") <= max_block)
+        .drop("__rn")
+    )
+    inc_side = side(inc1)
+    dup_ids = (
+        inc_side.alias("i")
+        .join(ex_side.alias("e"), "blk")
+        .filter(jaccard(F.col("i.w"), F.col("e.w")) >= threshold)
+        .select(F.col("i.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return inc1.join(dup_ids, "doc_id", "left_anti").drop("text_hash")
+
+
+@query(
+    "corpus_ingest_novel",
+    oracle="""
+    WITH ex AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+         inc1 AS (
+           SELECT * FROM inc
+           WHERE md5(text) NOT IN (SELECT DISTINCT md5(text) FROM ex)
+         ),
+         shing AS (
+           SELECT doc_id, substr(text, 1, 32) AS blk,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       ELSE [array_to_string(toks, ' ')] END AS w
+           FROM (SELECT doc_id, text,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents)
+         ),
+         exs AS (
+           SELECT * FROM shing WHERE doc_id % 2 = 0
+           QUALIFY row_number() OVER (PARTITION BY blk ORDER BY doc_id) <= 1000
+         ),
+         incs AS (
+           SELECT s.* FROM shing s JOIN inc1 USING (doc_id)
+         ),
+         dup AS (
+           SELECT DISTINCT i.doc_id
+           FROM incs i JOIN exs e ON i.blk = e.blk
+           WHERE len(list_intersect(i.w, e.w)) * 1.0
+                 / len(list_distinct(list_concat(i.w, e.w))) >= 0.8
+         )
+    SELECT doc_id, lang, source, n_chars
+    FROM inc1 WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+    """,
+)
+def q_corpus_ingest_novel(spark, sf_dir):
+    """Incremental ingest: treat even doc_ids as the stored lake and
+    odd doc_ids as the incoming crawl batch; keep only incoming docs
+    that are neither exact (md5) nor near (blocked shingle-Jaccard
+    ≥0.8) duplicates of stored history."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    return novel_against(existing, incoming).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (SELECT p_name, count(*) AS n FROM part GROUP BY p_name),
+    b AS (
+      SELECT substr(p_name, 1, 4) AS blk, p_name, n FROM names
+      QUALIFY count(*) OVER (PARTITION BY blk) <= 1000
+    ),
+    p AS (
+      SELECT a.p_name AS name_a, b2.p_name AS name_b,
+             a.n AS n_a, b2.n AS n_b
+      FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name
+    )
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+    FROM p WHERE levenshtein(name_a, name_b) <= 4
+    """,
+)
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Fuzzy entity resolution: near-identical name pairs by edit
+    distance ≤4 (the fixture vocabulary's near-collision band). Scale discipline: collapse to DISTINCT names first
+    (the quadratic step runs on entities, not rows), block by 4-char
+    prefix through the capped `_bucket_pairs` expansion (oversized
+    blocks dropped, never exploded), and only then pay the
+    `levenshtein` verify on surviving candidates. The expensive edit
+    distance never touches more than |candidates| pairs."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count("*").alias("n"))
+    cand = _bucket_pairs(
+        names.select(F.substring("p_name", 1, 4).alias("blk"), "p_name"),
+        ["blk"],
+        "p_name",
+    )
+    a = names.select(F.col("p_name").alias("a_id"), F.col("n").alias("n_a"))
+    b = names.select(F.col("p_name").alias("b_id"), F.col("n").alias("n_b"))
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("lev", F.levenshtein(F.col("a_id"), F.col("b_id")).cast("bigint"))
+        .filter(F.col("lev") <= 4)
+        .select(
+            F.col("a_id").alias("name_a"),
+            F.col("b_id").alias("name_b"),
+            "lev",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+        )
+    )
