@@ -101,6 +101,7 @@ _PRIORITY: list[str] = [
     "dataset_mix",
     "corpus_ingest_novel",
     "fuzzy_name_pairs",
+    "embed_pca_project",
 ]
 
 

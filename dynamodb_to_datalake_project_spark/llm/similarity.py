@@ -447,3 +447,103 @@ def q_embed_dim_stats(spark, sf_dir):
         F.min("x").alias("min_x"),
         F.max("x").alias("max_x"),
     )
+
+
+def pca_components(
+    embeddings: DataFrame, vec_col: str = "embedding", k: int = 8
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Top-k principal components of an embedding column.
+
+    Distributed part (the only part that scales with data): per-batch
+    Gram/sum/count partials via Arrow `mapInPandas` — each batch ships
+    ONE (d², d, 1) partial upward, so the driver reduce is over
+    n_batches tiny rows, never over vectors. Driver part: assemble the
+    d×d covariance (d is 64 here — microscopic) and `numpy.linalg.eigh`
+    it; sign-fixed (first nonzero coordinate positive) so components
+    are deterministic across runs. Returns (components[k][d],
+    eigenvalues desc, mean[d]).
+
+    This is the standard big-data PCA split: O(n·d²) map-side work
+    Arrow-vectorized, O(d³) eigensolve where d³ is trivial. The same
+    shape scales to 100 TB because nothing but the partials crosses
+    the network.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d_probe = embeddings.select(vec_col).limit(1).toPandas()
+    dim = len(d_probe.iloc[0, 0])
+
+    def partials(batches):
+        for pdf in batches:
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            if len(x) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "gram": [x.T.dot(x).ravel().tolist()],
+                    "s": [x.sum(axis=0).tolist()],
+                    "n": [int(len(x))],
+                }
+            )
+
+    schema = "gram array<double>, s array<double>, n long"
+    parts = embeddings.select(vec_col).mapInPandas(partials, schema).collect()
+    gram = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    n = 0
+    for r in parts:
+        gram += np.array(r["gram"]).reshape(dim, dim)
+        s += np.array(r["s"])
+        n += r["n"]
+    mu = s / n
+    cov = gram / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for i in order:
+        v = vecs[:, i]
+        nz = np.flatnonzero(np.abs(v) > 1e-12)
+        if len(nz) and v[nz[0]] < 0:
+            v = -v  # deterministic sign
+        comps.append(v.tolist())
+    return comps, vals[order].tolist(), mu.tolist()
+
+
+def pca_project(
+    embeddings: DataFrame,
+    components: list[list[float]],
+    mean: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project each vector onto the given components (center first).
+    Pure Catalyst: the k×d component matrix is baked in as literals and
+    each coordinate is one zip_with+aggregate fold — map-only, zero
+    shuffles, whole-stage codegen."""
+    v = as_double_vec(vec_col)
+    mu = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(v, mu, lambda x, m: x - m)
+    cols = [
+        dot(centered, F.array(*[F.lit(float(c)) for c in comp])).alias(f"pc{j}")
+        for j, comp in enumerate(components)
+    ]
+    return embeddings.select(id_col, *cols)
+
+
+@query("embed_pca_project")
+def q_embed_pca_project(spark, sf_dir):
+    """PCA dimensionality reduction (the pre-ANN compression step):
+    top-4 components from the distributed covariance, projection as
+    literal-matrix folds. Rows-only driver check (eigendecomposition
+    is not SQL-expressible); the math invariants — component
+    orthonormality, eigenvalue ordering, projection variance =
+    eigenvalue, reconstruction error monotone in k — are pinned by
+    `tests/test_llm.py::test_pca_invariants`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, _vals, mu = pca_components(emb, k=4)
+    out = pca_project(emb, comps, mu)
+    return out.select(
+        "vec_id",
+        *[F.round(F.col(f"pc{j}"), 6).alias(f"pc{j}") for j in range(4)],
+    )

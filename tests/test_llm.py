@@ -183,3 +183,36 @@ def test_ann_ivf_recall_against_bruteforce(spark):
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, (recall, exact_set, approx_set)
     assert all(r.query_id < 4 and r.neighbor_id >= 4 for r in approx)
+
+
+def test_pca_invariants(spark):
+    """PCA math invariants: orthonormal components, descending
+    eigenvalues, per-component projection variance ≈ eigenvalue, and
+    reconstruction error monotone in k."""
+    import numpy as np
+
+    from dynamodb_to_datalake_project_spark.lake import load_table
+    from dynamodb_to_datalake_project_spark.llm.similarity import (
+        pca_components,
+        pca_project,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    comps, vals, mu = pca_components(emb, k=8)
+    c = np.array(comps)
+    assert np.allclose(c @ c.T, np.eye(8), atol=1e-8)  # orthonormal
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))  # sorted desc
+    assert all(v >= -1e-10 for v in vals)  # PSD covariance
+
+    proj = pca_project(emb, comps, mu).toPandas()
+    x = np.array([list(r) for r in emb.toPandas()["embedding"]], dtype=np.float64)
+    for j in (0, 3, 7):
+        assert abs(proj[f"pc{j}"].var(ddof=0) - vals[j]) < 1e-6 * max(1.0, vals[j])
+
+    # reconstruction error strictly improves as components are added
+    xc = x - np.array(mu)
+    errs = []
+    for k in (1, 4, 8):
+        p = xc @ c[:k].T
+        errs.append(float(((xc - p @ c[:k]) ** 2).sum()))
+    assert errs[0] > errs[1] > errs[2]
