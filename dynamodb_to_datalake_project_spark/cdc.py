@@ -214,3 +214,33 @@ def stateful_latest(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "5 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join (attribution shape): each
+    right event matches left events of the same key that happened at or
+    before it, within `max_delay`.
+
+    Both sides carry watermarks plus the time-range predicate — exactly
+    what Spark requires to BOUND the join state store: a buffered left
+    row is evictable once the right watermark passes its
+    `left_ts + max_delay`, so state is O(key-rate × window), never
+    O(stream). Without the range condition the state store grows
+    unboundedly — that shape is refused here rather than deployed."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, how).drop(rw[key])

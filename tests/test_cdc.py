@@ -493,3 +493,66 @@ def test_hard_delete_mode_end_to_end_stream(spark, tmp_path):
     run()
     state = {r.id: r.note for r in spark.read.parquet(str(table)).collect()}
     assert state == {"a": "back", "b": "v1"}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream event-time interval join (attribution): each click
+    joins the view it followed within 5 minutes, per user; clicks with
+    no preceding view (or too late) don't match. Watermarks + the
+    range predicate bound the join state store."""
+    views_dir = tmp_path / "views"
+    clicks_dir = tmp_path / "clicks"
+    _write_drop(
+        views_dir,
+        "v1.json",
+        [
+            {"user_id": "u1", "view_ts": "2023-01-01T00:00:00", "page": "home"},
+            {"user_id": "u2", "view_ts": "2023-01-01T00:10:00", "page": "docs"},
+        ],
+    )
+    _write_drop(
+        clicks_dir,
+        "c1.json",
+        [
+            {"user_id": "u1", "click_ts": "2023-01-01T00:03:00", "target": "buy"},
+            {"user_id": "u1", "click_ts": "2023-01-01T00:09:00", "target": "late"},
+            {"user_id": "u2", "click_ts": "2023-01-01T00:11:00", "target": "api"},
+            {"user_id": "u3", "click_ts": "2023-01-01T00:01:00", "target": "lost"},
+        ],
+    )
+    vschema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("view_ts", T.TimestampType()),
+            T.StructField("page", T.StringType()),
+        ]
+    )
+    cschema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("click_ts", T.TimestampType()),
+            T.StructField("target", T.StringType()),
+        ]
+    )
+    views = spark.readStream.schema(vschema).json(str(views_dir))
+    clicks = spark.readStream.schema(cschema).json(str(clicks_dir))
+    joined = cdc.stream_interval_join(
+        views, clicks, key="user_id", left_ts="view_ts", right_ts="click_ts",
+        max_delay="5 minutes",
+    ).select("user_id", "page", "target", "click_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.page, r.target)
+        for r in spark.sql("SELECT * FROM attrib_sink").collect()
+    }
+    assert got == {("u1", "home", "buy"), ("u2", "docs", "api")}
