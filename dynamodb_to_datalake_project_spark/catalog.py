@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     "corpus_ingest_novel",
     "fuzzy_name_pairs",
     "embed_pca_project",
+    "multimodal_frame_sample",
 ]
 
 

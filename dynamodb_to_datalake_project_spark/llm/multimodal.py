@@ -123,3 +123,79 @@ def q_multimodal_features(spark, sf_dir):
     so a single flipped byte anywhere in the Arrow round-trip fails."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return extract_features(to_binary_docs(docs))
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB: image resize requires PIL/opencv, not present in this
+    container. Signature + call-site plumbing (binary in → binary out
+    inside `mapInPandas`) are the real contract; swap the body for the
+    codec in a full environment."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frame_bytes", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def frame_sample(
+    binary_docs: DataFrame, frame_chars: int = 64, every: int = 2
+) -> DataFrame:
+    """1:N frame sampling over binary payloads — the video-frame batch
+    shape (one input record → several output rows), as opposed to
+    `extract_features`' 1:1 shape. Deterministic fake framing: the
+    payload decodes to text and "frames" are fixed 64-char windows,
+    every 2nd one sampled — so a SQL oracle can recompute every frame
+    checksum and byte length, proving the Arrow 1:N round-trip exactly.
+    A real video pipeline swaps the window slicing for codec frame
+    extraction (`decode_image`/`resize_image` stubs); partitioning,
+    output schema, and batch mechanics stay identical."""
+    import hashlib as _hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "n_frame_bytes": [], "frame_md5": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = bytes(payload).decode("utf-8")
+                nframes = (len(s) + frame_chars - 1) // frame_chars
+                for i in range(0, nframes, every):
+                    b = s[i * frame_chars : (i + 1) * frame_chars].encode("utf-8")
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["n_frame_bytes"].append(len(b))
+                    out["frame_md5"].append(_hashlib.md5(b).hexdigest())
+            yield pd.DataFrame(out)
+
+    return binary_docs.mapInPandas(op, FRAME_SCHEMA)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 1
+    )
+    SELECT doc_id,
+           CAST(u.i AS BIGINT) AS frame_idx,
+           CAST(octet_length(encode(substring(text, u.i * 64 + 1, 64))) AS BIGINT)
+             AS n_frame_bytes,
+           md5(substring(text, u.i * 64 + 1, 64)) AS frame_md5
+    FROM t, LATERAL (
+      SELECT unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT), 2)) AS i
+    ) u
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """documents → binary payload → 1:N frame sampling; the oracle
+    recomputes every sampled frame's md5 and byte count from the text,
+    so any drift in the Arrow 1:N expansion (frame boundaries, count,
+    bytes) fails the hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return frame_sample(to_binary_docs(docs))
