@@ -103,6 +103,8 @@ _PRIORITY: list[str] = [
     "fuzzy_name_pairs",
     "embed_pca_project",
     "multimodal_frame_sample",
+    "dedup_containment",
+    "skew_salted_event_stats",
 ]
 
 
@@ -118,6 +120,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.sampling  # noqa: F401
     import dynamodb_to_datalake_project_spark.audit  # noqa: F401
     import dynamodb_to_datalake_project_spark.graph  # noqa: F401
+    import dynamodb_to_datalake_project_spark.skew  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.text  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.dedup  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.similarity  # noqa: F401

@@ -791,3 +791,86 @@ def q_fuzzy_name_pairs(spark, sf_dir):
             F.col("n_b").cast("bigint").alias("n_b"),
         )
     )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, substr(text, 1, 32) AS blk,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), d AS (
+      SELECT doc_id, blk,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  ELSE [array_to_string(toks, ' ')] END AS w
+      FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.w AS wa, b.w AS wb
+      FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ), directed AS (
+      SELECT a_id AS contained_id, b_id AS container_id,
+             len(list_intersect(wa, wb)) * 1.0 / len(wa) AS containment
+      FROM pairs
+      UNION ALL
+      SELECT b_id, a_id, len(list_intersect(wa, wb)) * 1.0 / len(wb)
+      FROM pairs
+    )
+    SELECT contained_id, container_id, containment
+    FROM directed WHERE containment >= 0.9
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment dedup: doc A whose shingle set is ≥90%
+    inside doc B (the boilerplate-wrapped / quote-expanded copy that
+    symmetric Jaccard misses — a big B drags the union up and the
+    Jaccard down, but containment stays 1.0). Same capped-block
+    candidate discipline as `blocked_jaccard_pairs`; each surviving
+    pair is scored in BOTH directions from one verify join."""
+    docs = load_table(spark, sf_dir, "documents")
+    spark_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cand = _bucket_pairs(
+        docs.select(F.substring("text", 1, 32).alias("blk"), "doc_id"),
+        ["blk"],
+        "doc_id",
+    )
+    d = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .repartition(spark_par, "doc_id")
+        .select("doc_id", shingles_from_tokens(F.col("toks"), 3).alias("w"))
+    )
+    sides = cand.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a_id").alias("doc_id"), F.col("a_id"), F.col("b_id")),
+                F.struct(F.col("b_id").alias("doc_id"), F.col("a_id"), F.col("b_id")),
+            )
+        ).alias("m")
+    ).select("m.doc_id", "m.a_id", "m.b_id")
+    pairs = (
+        d.join(sides, "doc_id")
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.first(
+                F.when(F.col("doc_id") == F.col("a_id"), F.col("w")), ignorenulls=True
+            ).alias("wa"),
+            F.first(
+                F.when(F.col("doc_id") == F.col("b_id"), F.col("w")), ignorenulls=True
+            ).alias("wb"),
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    directed = pairs.select(
+        F.col("a_id").alias("contained_id"),
+        F.col("b_id").alias("container_id"),
+        (inter / F.size("wa")).alias("containment"),
+    ).unionAll(
+        pairs.select(
+            F.col("b_id").alias("contained_id"),
+            F.col("a_id").alias("container_id"),
+            (inter / F.size("wb")).alias("containment"),
+        )
+    )
+    return directed.filter(F.col("containment") >= 0.9)

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dynamodb_to_datalake_project_spark.catalog import query
+
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
     """Deterministic per-row salt in [0, n_salts) from a full-row hash
@@ -75,3 +77,38 @@ def salted_broadcast_join(
     ).withColumn("__salt", F.col("__salt").cast("int"))
     fact_s = with_salt(fact, n_salts)
     return fact_s.join(F.broadcast(dim_rep), on + ["__salt"], how).drop("__salt")
+
+
+@query(
+    "skew_salted_event_stats",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_skew_salted_event_stats(spark, sf_dir):
+    """Hot-key aggregation through the salted two-phase path: the
+    events table's handful of event_type keys is the canonical skew
+    shape (every row lands on ≤5 reducers in a naive groupBy). The
+    salt spreads phase 1 across n_salts × keys reducers; phase 2
+    recombines the bounded partials. The DuckDB oracle computes the
+    plain group-by — salting must be a pure execution detail with zero
+    semantic footprint, and the hash compare proves it (decimal sums
+    keep the two accumulation orders bit-identical)."""
+    from dynamodb_to_datalake_project_spark.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev.select("event_type", "value"),
+        keys=["event_type"],
+        partial_aggs=[
+            F.count("*").alias("c"),
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("s"),
+        ],
+        final_aggs=[
+            F.sum("c").alias("n"),
+            F.sum("s").cast("double").alias("total_value"),
+        ],
+    )
