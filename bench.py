@@ -47,6 +47,9 @@ HEADLINE = [
     "q19_disjunctive_pushdown",
     "doc_chunking",
     "dataset_mix",
+    "corpus_ingest_novel",
+    "embed_pca_project",
+    "multimodal_frame_sample",
 ]
 
 
