@@ -50,6 +50,9 @@ HEADLINE = [
     "corpus_ingest_novel",
     "embed_pca_project",
     "multimodal_frame_sample",
+    "q2_min_cost_supplier",
+    "q17_small_qty_revenue",
+    "q21_sole_late_supplier",
 ]
 
 

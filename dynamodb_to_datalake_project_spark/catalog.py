@@ -105,6 +105,12 @@ _PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "dedup_containment",
     "skew_salted_event_stats",
+    "q2_min_cost_supplier",
+    "q11_value_concentration",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
 ]
 
 

@@ -305,3 +305,185 @@ def register_table(
         cond = getattr(e, "getErrorClass", lambda: "")() or str(e)
         if "NOT_A_PARTITIONED_TABLE" not in cond:
             raise
+
+
+# ---------------------------------------------------------------------------
+# Rate-limited compaction planning (reference: ≤100 files per run,
+# vendor/aws_dynamodb_export_to_s3.py batch bound + SURVEY §4)
+# ---------------------------------------------------------------------------
+
+
+def plan_compaction(
+    path: str,
+    max_partitions_per_run: int = 100,
+    min_files: int = 2,
+) -> list[tuple[dict[str, str], int]]:
+    """Pick the most-fragmented partitions to compact THIS run.
+
+    Compaction over a 100 TB table cannot rewrite everything every
+    cycle; the reference bounds each run's work (≤100 files/run). Same
+    discipline here: list the table once (the same directory listing
+    Spark's file index performs), rank partitions by file count, and
+    return at most `max_partitions_per_run` partitions having at least
+    `min_files` files — worst-fragmented first, ties broken by
+    partition path for deterministic scheduling. Each entry is
+    (partition-values dict, current file count). The listing is
+    driver-side metadata (one entry per partition), never data.
+    """
+    by_part: dict[str, int] = {}
+    for dirpath, _dirs, files in os.walk(path):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if n:
+            rel = os.path.relpath(dirpath, path)
+            by_part[rel] = by_part.get(rel, 0) + n
+    ranked = sorted(
+        ((rel, n) for rel, n in by_part.items() if n >= min_files),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:max_partitions_per_run]
+    plan = []
+    for rel, n in ranked:
+        values = dict(
+            seg.split("=", 1) for seg in rel.split(os.sep) if "=" in seg
+        )
+        plan.append((values, n))
+    return plan
+
+
+def compact_worst_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    max_partitions_per_run: int = 100,
+    min_files: int = 2,
+    shuffle_parallelism: int | None = None,
+) -> int:
+    """One rate-limited compaction cycle: plan, then rewrite ONLY the
+    planned partitions (dynamic partition overwrite touches nothing
+    else). Returns the number of partitions compacted; callers loop on
+    a cadence, so a backlog drains across runs instead of one
+    unbounded rewrite. Partition values are compared as strings
+    (partition type inference is disabled by engine contract)."""
+    plan = plan_compaction(path, max_partitions_per_run, min_files)
+    if not plan:
+        return 0
+    pred = None
+    for values, _n in plan:
+        clause = None
+        for c in partition_cols:
+            if c in values:
+                term = F.col(c) == F.lit(values[c])
+                clause = term if clause is None else (clause & term)
+        if clause is not None:
+            pred = clause if pred is None else (pred | clause)
+    compact_partitions(
+        spark,
+        path,
+        partition_cols,
+        shuffle_parallelism=shuffle_parallelism,
+        partition_filter=pred,
+    )
+    return len(plan)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered writes: multi-dimensional file pruning
+# ---------------------------------------------------------------------------
+
+
+def zorder_column(
+    df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0.01
+) -> "F.Column":
+    """Z-order (Morton) key over numeric columns as a pure Catalyst
+    expression: quantile-bucket each column into 2^bits ranks (skew-
+    proof, unlike min/max linear bucketing), then interleave the rank
+    bits. Rows close in the z-curve are close in EVERY clustered
+    dimension, so range-partitioning by this key gives parquet files
+    whose min/max footer stats are narrow on ALL the columns at once —
+    a filter on any clustered column prunes files, not just the first
+    sort column. The only non-distributed step is one approxQuantile
+    pass (driver receives 2^bits boundary scalars per column)."""
+    buckets = []
+    for c in cols:
+        bounds = df.approxQuantile(
+            c, [i / (2**bits) for i in range(1, 2**bits)], rel_err
+        )
+        # rank = number of boundaries <= value; strictly increasing
+        # subset keeps the comparison count at <= 2^bits
+        uniq = sorted(set(bounds))
+        expr = None
+        for b in uniq:
+            term = F.when(F.col(c) >= F.lit(b), 1).otherwise(0)
+            expr = term if expr is None else (expr + term)
+        if expr is None:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        # A low-cardinality column yields few distinct boundaries, so
+        # its raw rank only occupies the LOW bits — which the interleave
+        # would bury below every other column's variation (file splits
+        # are decided by high z-bits). Rescale the rank to span the full
+        # 2^bits range so each column's most-significant variation lands
+        # in the top interleaved bits regardless of cardinality.
+        m = len(uniq)
+        scaled = (expr.cast("long") * F.lit((2**bits) - 1) / F.lit(m)).cast("long")
+        buckets.append(scaled)
+    z = F.lit(0).cast("long")
+    k = len(buckets)
+    for bit in range(bits):
+        for j, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * k + j
+            )
+    return z
+
+
+def write_zordered_table(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 16,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Clustered (z-ordered) parquet write. Linear sort layouts prune
+    only the leading sort column; z-order keeps every `cluster_cols`
+    member prunable. repartitionByRange on the z-key bounds the file
+    count AND makes file z-ranges disjoint; the within-partition sort
+    tightens row-group stats inside each file."""
+    z = zorder_column(df, cluster_cols, bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def overlapping_files(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """Diagnostic: (files whose [min,max] footer range intersects
+    [lo,hi], total files). Reads parquet footers only — this is the
+    same pruning decision a parquet reader makes from row-group stats.
+    Driver-side by design: it inspects file METADATA for layout tests
+    and ops checks, never data."""
+    import pyarrow.parquet as pq
+
+    total = hit = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    fmin = fmax = None
+                    break
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+            if fmin is None or (fmax >= lo and fmin <= hi):
+                hit += 1  # unknown stats -> must read the file
+    return hit, total

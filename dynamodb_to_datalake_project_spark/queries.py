@@ -1623,3 +1623,350 @@ def q_disjunctive_pushdown(spark, sf_dir):
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY l_partkey
+    )
+    SELECT p_partkey, p_name, p_type,
+           s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+           unit_cost
+    FROM cost
+      JOIN best ON cost.l_partkey = best.l_partkey AND unit_cost = min_cost
+      JOIN part ON p_partkey = cost.l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size <= 15 AND p_type = 'STANDARD'
+    ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+    LIMIT 100
+    """,
+)
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: no partsupp fixture — observed unit
+    price from lineitem stands in for ps_supplycost): the correlated
+    "supplier with the minimum cost for this part" subquery becomes a
+    per-(part,supplier) MIN aggregate plus a per-part MIN joined back
+    on equality. Both aggregates hash-partition on l_partkey, so the
+    back-join is co-partitioned (no extra exchange under AQE); part and
+    supplier are broadcast dims; per-row double division and MIN are
+    order-independent, so the double equality join is deterministic.
+    The selective part predicate is applied BELOW the aggregation as a
+    broadcast semi-join (a per-part MIN is unchanged by dropping other
+    parts), so the wide agg runs over ~p_selectivity of lineitem
+    instead of all of it — the difference between aggregating 100 TB
+    and aggregating the slice you asked about.
+    Reference parity: relational surface beyond the reference's scans
+    (SURVEY §2.2), same discipline as q18/q4."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wanted = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    li = li.join(F.broadcast(wanted), li.l_partkey == wanted.p_partkey, "left_semi")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name", "p_type")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return (
+        cost.join(
+            best,
+            (cost.l_partkey == best.b_partkey)
+            & (cost.unit_cost == best.min_cost),
+        )
+        .join(F.broadcast(part), cost.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supplier), cost.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_type",
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "unit_cost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey").asc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "q11_value_concentration",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM val
+    WHERE part_value > 0.0005 * (SELECT sum(part_value) FROM val)
+    ORDER BY part_value DESC, l_partkey ASC
+    """,
+)
+def q_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: per-key value share against a global-total
+    scalar subquery in HAVING. The per-part aggregate is computed once
+    and reused for both the rows and the threshold (self-referencing
+    scalar); the one-row total broadcasts into the filter, so the only
+    real shuffle is the single l_partkey aggregation. Exact DECIMAL
+    sums on both engines make the threshold comparison deterministic.
+
+    Scale note: the total is re-aggregated from the (already small,
+    |parts|-row) per-part frame, not from lineitem a second time."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(MONEY)).cast("double").alias("part_value"))
+    )
+    total = val.agg(F.sum("part_value").alias("__total"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("part_value") > 0.0005 * F.col("__total"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+                  AS DOUBLE) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: revenue view + "equal to the maximum of the
+    view" scalar subquery. The quarterly revenue aggregate is built
+    once; its one-row MAX broadcasts back as the equality filter
+    (Spark reuses the shuffle output of `rev` for both consumers
+    under AQE). Exact DECIMAL revenue sums make the double equality
+    against the max deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev_expr = F.col("l_extendedprice").cast(MONEY) * (
+        F.lit(1) - F.col("l_discount").cast(PCT)
+    ).cast(PCT)
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(rev_expr).cast("double").alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .join(F.broadcast(supplier), rev.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, sum(l_quantity) / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN pa ON pa.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < 0.9 * avg_qty
+    """,
+)
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part AVG(quantity) subquery
+    gating a revenue aggregate. The correlated subquery becomes a
+    per-part aggregate joined back to lineitem on l_partkey — both
+    sides hash-partition on the same key, so AQE plans the back-join
+    without re-exchanging the aggregate. The brand filter broadcasts
+    BELOW the per-part aggregate too (a per-part AVG is unchanged by
+    dropping other parts' rows), so both passes over lineitem read
+    only the brand's slice. avg_qty is exact (integral-valued double
+    sum, single division), so the 0.9*avg threshold is bit-identical
+    across engines."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    pa = (
+        li.groupBy("l_partkey")
+        .agg((F.sum("l_quantity") / F.count("*")).alias("avg_qty"))
+        .withColumnRenamed("l_partkey", "a_partkey")
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.a_partkey)
+        .filter(F.col("l_quantity") < 0.9 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(MONEY)).cast("double") / 7.0)
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY
+    ), ns AS (
+      SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp
+      FROM lineitem GROUP BY l_orderkey
+    ), nl AS (
+      SELECT l_orderkey, count(DISTINCT l_suppkey) AS nlate
+      FROM late GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late
+      JOIN ns ON ns.l_orderkey = late.l_orderkey
+      JOIN nl ON nl.l_orderkey = late.l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+    WHERE nsupp >= 2 AND nlate = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+    """,
+)
+def q_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: "late" = shipped >365 days after the
+    order date; the fixture has no commit/receipt dates): suppliers
+    solely responsible for late multi-supplier orders. The classic
+    EXISTS(other supplier) / NOT EXISTS(other LATE supplier) pair of
+    correlated self-joins is re-expressed as per-order aggregates
+    (distinct-supplier count, distinct-LATE-supplier count) —
+    semantically identical (nlate=1 and the outer row being late ⇔ no
+    OTHER late supplier) but without quadratic correlated self-joins.
+    The late-supplier count is a collect_set window over the SAME
+    `late` frame (one exchange on l_orderkey, no recomputed
+    lineitem⋈orders subtree — a groupBy+join-back would evaluate the
+    join twice since Spark shares no CTE subplans); `ns` reuses that
+    l_orderkey partitioning for a co-partitioned join; supplier
+    broadcasts at the end, after the aggregates have shrunk the row
+    count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .withColumn(
+            "nlate",
+            F.size(F.collect_set("l_suppkey").over(Window.partitionBy("l_orderkey"))),
+        )
+    )
+    ns = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late.join(ns, "l_orderkey")
+        .filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9) AND c_acctbal > 0
+    ), thr AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+               AS avg_bal
+      FROM pool
+    )
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM pool, thr
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = pool.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: nationkey stands in for the phone
+    country code; "no orders at all" would be empty in the fixture, so
+    the anti-join is against RECENT orders — same NOT EXISTS shape
+    with a pushed-down predicate inside): above-average-balance
+    customers with no recent orders. The average-balance scalar
+    subquery broadcasts as a one-row frame; the NOT EXISTS is a left
+    anti join against the date-pruned orders projection (two columns
+    cross the shuffle). Threshold determinism: exact DECIMAL sum,
+    single double division on both engines."""
+    pool = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9) & (F.col("c_acctbal") > 0))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    thr = pool.agg(
+        (F.sum(F.col("c_acctbal").cast(MONEY)).cast("double") / F.count("*"))
+        .alias("avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        pool.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, pool.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(MONEY)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -178,3 +178,85 @@ def test_compact_partitions(spark, tmp_path):
     lake.compact_partitions(spark, path, ["day"])
     assert len(glob.glob(os.path.join(day2, "*.parquet"))) == 1
     assert set(r.v for r in spark.read.parquet(path).collect()) == before
+
+
+def test_rate_limited_compaction(spark, tmp_path):
+    """plan_compaction ranks worst-fragmented partitions first and the
+    bounded run compacts ONLY the planned ones; backlog drains across
+    runs."""
+    path = str(tmp_path / "ratelim")
+    # day-01: 6 files, day-02: 3 files, day-03: 1 file (never planned)
+    for day, nfiles in (("2024-01-01", 6), ("2024-01-02", 3), ("2024-01-03", 1)):
+        for i in range(nfiles):
+            spark.createDataFrame(
+                [(f"{day}-{i}", day)], ["v", "day"]
+            ).write.mode("append").partitionBy("day").parquet(path)
+
+    plan = lake.plan_compaction(path, max_partitions_per_run=1)
+    assert [(p["day"], n) for p, n in plan] == [("2024-01-01", 6)]
+    before = set(r.v for r in spark.read.parquet(path).collect())
+
+    # run 1: only the worst partition is rewritten
+    assert lake.compact_worst_partitions(spark, path, ["day"], max_partitions_per_run=1) == 1
+    files = lambda d: len(glob.glob(os.path.join(path, f"day={d}", "*.parquet")))
+    assert files("2024-01-01") == 1
+    assert files("2024-01-02") == 3
+    # run 2 drains the backlog; single-file partition is never touched
+    assert lake.compact_worst_partitions(spark, path, ["day"], max_partitions_per_run=5) == 1
+    assert files("2024-01-02") == 1
+    assert files("2024-01-03") == 1
+    assert lake.compact_worst_partitions(spark, path, ["day"]) == 0
+    assert set(r.v for r in spark.read.parquet(path).collect()) == before
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """A linear (ts-sorted) layout prunes only ts; the z-ordered layout
+    prunes files on BOTH clustered columns via parquet footer stats."""
+    ev = lake.load_table(spark, SF_DIR, "events").select("user_id", "value", "ts")
+    n_files = 16
+
+    linear = str(tmp_path / "linear")
+    (
+        ev.repartitionByRange(n_files, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(linear)
+    )
+    zord = str(tmp_path / "zord")
+    lake.write_zordered_table(ev, zord, ["user_id", "value"], n_files=n_files)
+
+    # same rows either way
+    assert spark.read.parquet(zord).count() == ev.count()
+
+    # narrow slice in each clustered dimension
+    lo_u, hi_u = 10, 12
+    lo_v, hi_v = 1.0, 2.0
+    z_u, tot_z = lake.overlapping_files(zord, "user_id", lo_u, hi_u)
+    z_v, _ = lake.overlapping_files(zord, "value", lo_v, hi_v)
+    l_u, tot_l = lake.overlapping_files(linear, "user_id", lo_u, hi_u)
+    l_v, _ = lake.overlapping_files(linear, "value", lo_v, hi_v)
+    assert tot_z == n_files and tot_l == n_files
+    # ts-sorted layout: user_id/value stats span (nearly) everything ->
+    # no useful pruning on either non-sort dimension
+    assert l_u == n_files and l_v >= n_files - 1
+    # z-order: each dimension alone prunes a strict subset...
+    assert z_u < n_files and z_v < n_files
+    # ...and the conjunctive (both-dimension) scan — the case z-order
+    # exists for — touches only a small fraction of the files
+    import pyarrow.parquet as pq
+
+    def _frange(f, col):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        return mn, mx
+
+    both = 0
+    for f in glob.glob(os.path.join(zord, "*.parquet")):
+        u, v = _frange(f, "user_id"), _frange(f, "value")
+        if u[1] >= lo_u and u[0] <= hi_u and v[1] >= lo_v and v[0] <= hi_v:
+            both += 1
+    assert both <= n_files // 4
