@@ -112,6 +112,13 @@ _PRIORITY: list[str] = [
     "q21_sole_late_supplier",
     "q22_dormant_customers",
     "decontaminate_bloom",
+    # new in round 2 continuation (no driver row yet)
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_priority_count",
+    "q13_order_distribution",
+    "q20_stock_promotion",
 ]
 
 

@@ -1970,3 +1970,317 @@ def q_dormant_customers(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + scalar aggregate, zero joins.
+    All four predicates push to the parquet scan (PushedFilters); the
+    plan is scan -> partial agg -> single-row final agg, the cheapest
+    possible shape and fully whole-stage-codegen. Revenue sums exact
+    DECIMAL products, cast to double once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(MONEY) * F.col("l_discount").cast(PCT))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH v AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM v GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's market share of a part type inside
+    one region, by order year. Seven relations; every dim (part is
+    filtered first, nation x2, region, supplier) broadcasts, so the
+    only shuffles are the fact-fact joins on orderkey/custkey. Share =
+    conditional decimal sum / total decimal sum out of ONE aggregate,
+    divided once as doubles — bit-stable vs the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("n1_key"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice").cast(MONEY) * (
+        F.lit(1) - F.col("l_discount").cast(PCT)
+    ).cast(PCT)
+    nation3 = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+        F.lit(0).cast(MONEY)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (F.sum(nation3).cast("double") / F.sum(volume).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+           CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+             - CAST(p_retailprice AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(0.5 AS DECIMAL(2,1)) AS amount
+      FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: the fixture has no partsupp, so supply
+    cost is proxied as 0.5 x p_retailprice x quantity): profit on
+    'widget' parts per supplier nation per year. The p_name LIKE
+    filter prunes part BEFORE its broadcast; supplier+nation broadcast;
+    the only shuffle is lineitem><orders on orderkey, reused by nothing
+    downstream bigger than a (25 nations x 7 years)-key aggregate.
+    Amount is exact decimal arithmetic summed exactly, one double cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    amount = F.col("l_extendedprice").cast(MONEY) * (
+        F.lit(1) - F.col("l_discount").cast(PCT)
+    ).cast(PCT) - F.col("p_retailprice").cast(MONEY) * F.col("l_quantity").cast(
+        MONEY
+    ) * F.lit(0.5).cast("decimal(2,1)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q12_late_priority_count",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q_late_priority_count(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: the fixture has no
+    shipmode/commitdate/receiptdate, so linestatus stands in for the
+    ship mode and 'late' means shipped >90 days after ordering):
+    high- vs low-priority counts of late lines per group. The
+    shipdate range prunes the lineitem scan; the cross-table lateness
+    predicate evaluates post-join (it can't push down); both
+    conditional counts come out of ONE aggregate over a 2-key group."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    excluding one order class INSIDE the outer-join condition (so
+    excluded-only customers still appear with c_count=0 — the
+    semantics that make this a LEFT JOIN with a join-condition filter,
+    not a WHERE). Two aggregates: the first shuffles on custkey, the
+    second on the tiny c_count domain (tens of keys)."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    return (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q20_stock_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             sum(l_quantity) AS total_qty,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                      THEN l_quantity ELSE 0 END) AS qty_1996
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (2, 4, 6)
+      AND EXISTS (SELECT 1 FROM shipped
+                  WHERE l_suppkey = s_suppkey AND qty_1996 > 0.3 * total_qty)
+    ORDER BY s_suppkey
+    """,
+)
+def q_stock_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: lineitem stands in for partsupp, and
+    'excess availability' means one year's shipments exceed 30% of the
+    part's all-time shipments from that supplier): suppliers in a
+    nation set with a heavily-promoted 'red' part. The p_name prefix
+    filter prunes part before broadcast; ONE aggregate computes both
+    the year-window and all-time quantity sums (no second lineitem
+    pass, unlike the textbook nested-subquery plan); the qualifying
+    (suppkey) set reaches supplier as a LEFT SEMI join. Quantity sums
+    are integral doubles — exact at any accumulation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    in_1996 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.sum(F.when(in_1996, F.col("l_quantity")).otherwise(0.0)).alias(
+                "qty_1996"
+            ),
+        )
+        .filter(F.col("qty_1996") > 0.3 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(2, 4, 6)
+    )
+    return (
+        supplier.join(shipped, supplier.s_suppkey == shipped.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

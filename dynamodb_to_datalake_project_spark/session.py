@@ -30,6 +30,10 @@ RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # tz-less parquet TIMESTAMP(MICROS) must read as TimestampType (UTC
+    # session tz), not TIMESTAMP_NTZ: the oracle (DuckDB) is UTC-naive and
+    # time functions (unix_micros, window, watermark) require TimestampType.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.parquet.filterPushdown": "true",
     # Partition values are zero-padded strings by contract (the
     # reference's year=YYYY/.../minute=MM layout). Type inference would
