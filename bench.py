@@ -53,6 +53,15 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q17_small_qty_revenue",
     "q21_sole_late_supplier",
+    # round 2 continuation
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "text_bm25_topk",
+    "text_novelty_score",
+    "token_count_bpe",
+    "embed_centroid_assign",
 ]
 
 

@@ -119,6 +119,10 @@ _PRIORITY: list[str] = [
     "q12_late_priority_count",
     "q13_order_distribution",
     "q20_stock_promotion",
+    "token_count_bpe",
+    "text_novelty_score",
+    "text_bm25_topk",
+    "embed_centroid_assign",
 ]
 
 

@@ -547,3 +547,93 @@ def q_embed_pca_project(spark, sf_dir):
         "vec_id",
         *[F.round(F.col(f"pc{j}"), 6).alias(f"pc{j}") for j in range(4)],
     )
+
+
+def assign_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+) -> DataFrame:
+    """Nearest-centroid assignment (the k-means assign step / IVF cell
+    routing): each vector gets the centroid with the smallest squared
+    L2 distance, ties to the lowest centroid id.
+
+    Scale path: the centroid table collapses to ONE row carrying a
+    cid-ordered array of (cid, vector) structs, broadcast to every
+    task; the per-vector argmin is a single sequential fold over that
+    array — the corpus never shuffles to be assigned. Distances are
+    sequential-index folds (deterministic fp order on every engine)."""
+    packed = centroids.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(cid_col).alias("cid"), F.col(cvec_col).alias("cv")))
+        ).alias("cs")
+    )
+    v = as_double_vec(F.col(vec_col))
+    d2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = F.aggregate(
+        F.col("cs"),
+        F.struct(
+            F.lit(float("inf")).alias("d2"), F.lit(-1).cast("long").alias("cid")
+        ),
+        lambda acc, c: F.when(d2(c["cv"]) < acc["d2"], F.struct(d2(c["cv"]).alias("d2"), c["cid"].cast("long").alias("cid"))).otherwise(acc),
+    )
+    return embeddings.join(F.broadcast(packed)).select(
+        F.col(id_col),
+        best["cid"].alias("centroid_id"),
+        best["d2"].alias("d2"),
+    )
+
+
+@query(
+    "embed_centroid_assign",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+    ), d AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+      FROM e, c
+    ), a AS (
+      SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM d
+    )
+    SELECT cid AS centroid_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           min(d2) AS min_d2, max(d2) AS max_d2
+    FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid
+    """,
+)
+def q_embed_centroid_assign(spark, sf_dir):
+    """Centroid-assignment stats: vectors with vec_id < 8 act as
+    deterministic seed centroids; every vector routes to its nearest
+    (squared-L2, ties to lowest cid) and the per-centroid population
+    is summarized with order-independent stats (count/min/max — a
+    MEAN of float distances would be accumulation-order-dependent and
+    break the oracle hash). The fold keeps the FIRST centroid on
+    exact distance ties (strict <, cid-ascending array) = the
+    oracle's ORDER BY d2, cid. One scan + broadcast + 8-key agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), as_double_vec(F.col("embedding")).alias("cv")
+    )
+    assigned = assign_centroids(emb, cents)
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.count("*").cast("long").alias("n_assigned"),
+            F.min("d2").alias("min_d2"),
+            F.max("d2").alias("max_d2"),
+        )
+        .orderBy("centroid_id")
+    )

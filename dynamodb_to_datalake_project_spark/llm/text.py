@@ -785,3 +785,185 @@ def q_doc_chunking(spark, sf_dir):
             "chunk_text"
         ),
     )
+
+
+@query(
+    "token_count_bpe",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(text, '\\w+') AS wt FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(wt) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(wt, x -> (length(x) + 3) // 4))
+                AS BIGINT) AS n_bpe_est
+    FROM d ORDER BY doc_id
+    """,
+)
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish token-count estimator: \\w+ regex words, each word
+    contributing ceil(len/4) subword units — the standard 'about 4
+    chars per token' budget estimate used to size training corpora.
+    Pure per-row integer expressions (regexp_extract_all + aggregate),
+    map-only, zero shuffles; at 100 TB this runs at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    wt = word_tokens(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(wt).cast("long").alias("n_words"),
+            F.aggregate(
+                F.transform(wt, lambda x: F.floor((F.length(x) + 3) / 4)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("n_bpe_est"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_novelty_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                  ELSE [array_to_string(tk, ' ')] END AS w
+      FROM toks
+    ), x AS (
+      SELECT doc_id, unnest(w) AS s FROM sh
+    ), df AS (
+      SELECT s, count(*) AS df FROM x GROUP BY s
+    )
+    SELECT x.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE df.df = 1) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS novelty
+    FROM x JOIN df ON x.s = df.s
+    GROUP BY x.doc_id ORDER BY x.doc_id
+    """,
+)
+def q_text_novelty_score(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-word shingles that appear in NO other document (df = 1 — each
+    doc contributes a shingle at most once, so corpus df counts come
+    straight off the exploded frame). High-novelty docs are unique
+    content; low-novelty docs are recombinations — a memorization-risk
+    / templating signal for corpus curation. Plan: one explode, then
+    df as a COUNT OVER (PARTITION BY shingle) window — one shuffle on
+    the shingle key and NO join-back (a join would re-run the
+    expensive shingle explode as its second input) — then one doc-key
+    aggregate. Novelty = one division of two exact counts
+    (bit-stable)."""
+    from pyspark.sql import Window
+
+    from dynamodb_to_datalake_project_spark.llm.dedup import _shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_sets(docs.select("doc_id", "text"))
+    x = sh.select("doc_id", F.explode("w").alias("s"))
+    with_df = x.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+    return (
+        with_df.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            (
+                F.count(F.when(F.col("df") == 1, F.lit(1))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(tk) AS DOUBLE) AS dl,
+             CAST(len(list_filter(tk, x -> x = 'hash')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(tk, x -> x = 'merge')) AS DOUBLE) AS tf2,
+             CAST(len(list_filter(tk, x -> x = 'table')) AS DOUBLE) AS tf3
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS tk
+            FROM documents)
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) AS sumdl,
+             CAST(count(*) FILTER (WHERE tf1 > 0) AS DOUBLE) AS df1,
+             CAST(count(*) FILTER (WHERE tf2 > 0) AS DOUBLE) AS df2,
+             CAST(count(*) FILTER (WHERE tf3 > 0) AS DOUBLE) AS df3
+      FROM t
+    )
+    SELECT doc_id,
+           (n - df1 + 0.5) / (df1 + 0.5)
+             * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+           + (n - df2 + 0.5) / (df2 + 0.5)
+             * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+           + (n - df3 + 0.5) / (df3 + 0.5)
+             * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+             AS score
+    FROM t, s
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 top-20 keyword retrieval (query: 'hash merge table'),
+    k1=1.2, b=0.75 — the lexical-search side of a RAG data pipeline.
+
+    Rational-idf variant: idf_t = (N - df_t + 0.5)/(df_t + 0.5)
+    WITHOUT the usual log. Both engines then evaluate the identical
+    IEEE +,-,*,/ sequence — bit-stable for the oracle hash — whereas
+    ln() may differ in the last ulp between libm implementations.
+    Per-term idf monotonicity (rarer => larger) is preserved.
+
+    Plan: pass 1 aggregates corpus stats (N, total length, per-term
+    document frequencies) into ONE row, broadcast; pass 2 scores each
+    doc with per-row arithmetic and takes top-20 via
+    TakeOrderedAndProject (no global sort). Two corpus scans total —
+    the minimum for any corpus-normalized ranking at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    terms = ["hash", "merge", "table"]
+    def tf(w: str) -> F.Column:
+        # single-arg lambda: a two-arg lambda would be read by PySpark
+        # as the (element, index) filter form
+        return F.size(F.filter(tk, lambda x: x == w)).cast("double")
+
+    t = docs.select(
+        "doc_id",
+        F.size(tk).cast("double").alias("dl"),
+        *[tf(w).alias(f"tf{i+1}") for i, w in enumerate(terms)],
+    )
+    s = t.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("dl").cast("long")).cast("double").alias("sumdl"),
+        *[
+            F.count(F.when(F.col(f"tf{i+1}") > 0, F.lit(1)))
+            .cast("double")
+            .alias(f"df{i+1}")
+            for i in range(len(terms))
+        ],
+    )
+    norm = F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dl") / (F.col("sumdl") / F.col("n"))
+    )
+
+    def term_score(i: int) -> F.Column:
+        tf, dfc = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = (F.col("n") - dfc + 0.5) / (dfc + 0.5)
+        return idf * (tf * 2.2) / (tf + norm)
+
+    score = term_score(1) + term_score(2) + term_score(3)
+    return (
+        t.join(F.broadcast(s))
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )

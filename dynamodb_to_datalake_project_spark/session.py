@@ -40,6 +40,17 @@ RUNTIME_CONF = {
     # read minute=07 back as int 7, so a merge write-back would target a
     # DIFFERENT directory (minute=7) and leave stale rows in minute=07.
     "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+    # InferFiltersFromGenerate adds `size(e)>0 AND isnotnull(e)` above
+    # every Generate, and predicate pushdown then re-inlines the full
+    # generator expression into that filter BELOW any exchange — for an
+    # explode of a computed array (shingles, LSH bands, chunk windows)
+    # the expensive array expression is evaluated 3x per row, one of
+    # them pre-shuffle where the materialization barrier was supposed
+    # to prevent exactly that (measured 10x on the shingle explode).
+    # The filter is semantically redundant: inner explode already emits
+    # nothing for empty/null arrays.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 

@@ -216,3 +216,21 @@ def test_pca_invariants(spark):
         p = xc @ c[:k].T
         errs.append(float(((xc - p @ c[:k]) ** 2).sum()))
     assert errs[0] > errs[1] > errs[2]
+
+
+def test_shingle_explode_no_inferred_filter_reinline(spark):
+    """Pin the Generate plan shape: with InferFiltersFromGenerate
+    excluded (session.py), the tokenize split() must appear ONCE in the
+    optimized plan — the inferred `size(w)>0` filter used to re-inline
+    the whole shingle expression below the materialization exchange
+    (3 evaluations/row, measured 10x wall-clock on the novelty query)."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_to_datalake_project_spark.lake import load_table
+    from dynamodb_to_datalake_project_spark.llm.dedup import _shingle_sets
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = _shingle_sets(docs.select("doc_id", "text"))
+    x = sh.select("doc_id", F.explode("w").alias("s"))
+    plan = x._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan

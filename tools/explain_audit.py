@@ -48,6 +48,14 @@ NOTES = {
     "q2_min_cost_supplier": "correlated-min as per-key aggs sharing l_partkey partitioning; part/supplier broadcast; top-100 heap",
     "q17_small_qty_revenue": "correlated-avg as co-partitioned agg back-join; brand filter broadcast-pruned below the wide join",
     "q21_sole_late_supplier": "EXISTS/NOT-EXISTS pair as one window + one agg on l_orderkey — late frame built once, no self-join",
+    "q6_forecast_revenue": "zero joins: all four predicates pushed to the scan, partial+final scalar agg",
+    "q8_market_share": "seven relations, every dim broadcast — only lineitem⋈orders⋈customer shuffle; share from ONE conditional agg",
+    "q9_product_profit": "LIKE-pruned part broadcast; single fact-fact shuffle on orderkey; 25×years-key agg",
+    "q13_order_distribution": "filter lives in the LEFT JOIN condition; custkey agg then tiny-domain histogram agg",
+    "text_bm25_topk": "pass 1: one-row corpus-stats agg (broadcast); pass 2: per-row score + TakeOrderedAndProject top-20",
+    "text_novelty_score": "explode → count-over-window on shingle key (no join-back) → doc-key agg",
+    "token_count_bpe": "map-only regex + integer fold — zero exchanges at any scale",
+    "embed_centroid_assign": "centroids packed into ONE broadcast row; per-vector argmin fold — corpus never shuffles",
 }
 
 
