@@ -62,6 +62,8 @@ HEADLINE = [
     "text_novelty_score",
     "token_count_bpe",
     "embed_centroid_assign",
+    "rollup_incremental",
+    "heavy_hitter_tokens",
 ]
 
 

@@ -123,6 +123,8 @@ _PRIORITY: list[str] = [
     "text_novelty_score",
     "text_bm25_topk",
     "embed_centroid_assign",
+    "rollup_incremental",
+    "heavy_hitter_tokens",
 ]
 
 
@@ -144,6 +146,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.similarity  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.multimodal  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.decontam  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.sketch  # noqa: F401
 
     lead = [n for n in _PRIORITY if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(lead)]

@@ -1,0 +1,128 @@
+"""Frequency-sketch operators: distributed heavy hitters.
+
+The pattern: a cheap per-partition SKETCH pass bounds the candidate
+set, then one EXACT pass over the data verifies candidates — so the
+result is exact (oracle-checkable) while every shuffle stays bounded
+by the sketch size, never by the vocabulary.
+
+Reference parity: the reference has no frequency analytics at all
+(its Athena layer is COUNT/SELECT previews, dynamodb_to_datalake/
+athena.py); this is north-star corpus tooling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark.catalog import query
+from dynamodb_to_datalake_project_spark.lake import load_table
+from dynamodb_to_datalake_project_spark.llm.text import tokens
+
+
+def _misra_gries_partial(k: int, value_col: str):
+    """mapInPandas op: one Misra-Gries(k) summary per Arrow batch
+    stream (i.e. per partition), emitting surviving (item, est) pairs.
+
+    Guarantee used downstream: an item with partition frequency
+    > n_p / k survives the partition's summary."""
+    import pandas as pd
+
+    def op(batches):
+        counters: dict[str, int] = {}
+        n_seen = 0
+        for pdf in batches:
+            n_seen += len(pdf)
+            for v, c in pdf[value_col].value_counts().items():
+                c = int(c)
+                if v in counters:
+                    counters[v] += c
+                elif len(counters) < k:
+                    counters[v] = c
+                else:
+                    # weighted MG step: decrement everything (incoming
+                    # included) by the smallest involved count; zeros
+                    # drop, any remaining incoming weight takes the
+                    # freed slot. Each discarded unit of incoming
+                    # weight pairs with k counter units, so total
+                    # decrement ≤ n_p/(k+1) — the survival guarantee.
+                    dec = min(min(counters.values()), c)
+                    c -= dec
+                    counters = {
+                        i: n - dec for i, n in counters.items() if n > dec
+                    }
+                    if c > 0 and len(counters) < k:
+                        counters[v] = c
+        # NULL-item row carries the partition's exact row count so the
+        # caller gets N from the same single pass
+        yield pd.DataFrame(
+            {
+                "item": list(counters) + [None],
+                "est": list(counters.values()) + [n_seen],
+            }
+        )
+
+    return op
+
+
+def heavy_hitters(
+    items: DataFrame, value_col: str, phi: float, k: int | None = None
+) -> DataFrame:
+    """EXACT items with frequency > phi * N, at sketch cost.
+
+    Pass 1 (sketch): per-partition Misra-Gries(k) with k = ceil(2/phi).
+    Pigeonhole: an item with global count > N/k ≥ one partition where
+    its local count > n_p/k, so the candidate union is a SUPERSET of
+    every phi-heavy item. Candidate volume ≤ partitions × k — bounded
+    by config, not by vocabulary size.
+    Pass 2 (verify): exact counts of candidates only (broadcast
+    semi-join), then the exact threshold filter. Output is therefore
+    exact — same rows as a full GROUP BY — but the only wide shuffle
+    is over the candidate subset.
+    """
+    k = k or max(2, int(2.0 / phi))
+    # ONE sketch pass produces both the candidates and (via the
+    # NULL-item partition rows) the exact N; checkpoint so neither
+    # consumer re-runs it. Sketch size ≤ partitions × (k+1) rows.
+    sk = items.mapInPandas(
+        _misra_gries_partial(k, value_col), schema="item string, est long"
+    ).localCheckpoint(eager=True)
+    n_total = sk.filter(F.col("item").isNull()).agg(F.sum("est")).first()[0]
+    cand = (
+        sk.filter(F.col("item").isNotNull())
+        .select(F.col("item").alias(value_col))
+        .distinct()
+    )
+    exact = items.join(F.broadcast(cand), value_col, "left_semi").groupBy(
+        value_col
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    return exact.filter(F.col("cnt") > phi * F.lit(float(n_total))).select(
+        value_col, "cnt"
+    )
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle="""
+    WITH x AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS token
+      FROM documents
+    ), n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM x)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM x, n
+    GROUP BY token, total
+    HAVING count(*) > 0.01 * total
+    ORDER BY cnt DESC, token
+    """,
+)
+def q_heavy_hitter_tokens(spark, sf_dir):
+    """Corpus heavy hitters: tokens above 1% frequency, computed via
+    the Misra-Gries sketch + exact-verify plan and proved against the
+    oracle's brute-force GROUP BY. The full-vocabulary aggregation the
+    oracle runs is exactly what this operator avoids at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return heavy_hitters(x, "token", phi=0.01).orderBy(
+        F.desc("cnt"), "token"
+    )

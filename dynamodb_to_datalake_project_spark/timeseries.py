@@ -253,3 +253,66 @@ def q_range_join_follow(spark, sf_dir):
         anchors, ev, key="user_id", anchor_ts="ts", event_ts="ts",
         window_us=3600 * 1_000_000, anchor_id="signup_id",
     )
+
+
+def combine_rollup_partials(
+    stored: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Continuous-aggregate maintenance step: merge a micro-batch's
+    partial aggregates into the stored partials additively (counts add,
+    exact-decimal sums add). Cost ∝ |rollup keys|, NEVER ∝ raw history:
+    the raw event table is not rescanned. All partial columns (every
+    non-key column) must be additive.
+
+    Reference parity: the reference keeps no aggregates at all (every
+    Athena query rescans, README.rst "Analytics query"); this is the
+    Spark-native continuous-aggregate upgrade, same shape as
+    `rollup_timeseries`'s re-aggregation but incremental."""
+    partial_cols = [c for c in stored.columns if c not in keys]
+    return (
+        stored.unionByName(delta)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in partial_cols])
+    )
+
+
+@query(
+    "rollup_incremental",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY hour, event_type
+    """,
+)
+def q_rollup_incremental(spark, sf_dir):
+    """Incremental materialized-rollup refresh, driver-proved: events
+    before 2024-01-20 play the stored rollup, the rest play the
+    arriving CDC micro-batch; the batch's partials merge additively
+    into the stored partials. The oracle aggregates ALL raw events
+    directly — hash-equality proves refresh(stored, batch) ==
+    full_recompute, the invariant that lets a 100 TB event table keep
+    its dashboards incremental. Exact-decimal sums make the additive
+    merge bit-stable in any accumulation order."""
+    from dynamodb_to_datalake_project_spark.lake import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+
+    stored = partials(ev.filter(F.col("ts") < cut))
+    batch = partials(ev.filter(F.col("ts") >= cut))
+    merged = combine_rollup_partials(stored, batch, ["hour", "event_type"])
+    return merged.select(
+        "hour",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )

@@ -234,3 +234,38 @@ def test_shingle_explode_no_inferred_filter_reinline(spark):
     x = sh.select("doc_id", F.explode("w").alias("s"))
     plan = x._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") == 1, plan
+
+
+def test_heavy_hitters_exact_on_skewed_stream(spark):
+    """Misra-Gries + exact-verify must return EXACTLY the phi-heavy
+    items on an adversarial distribution: a few true heavy hitters
+    drowned in a long tail of near-threshold distractors, spread
+    across many partitions so no single partition sees the global
+    picture."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_to_datalake_project_spark.llm.sketch import heavy_hitters
+
+    # 3 heavy items (4%/3%/2%) + 2000-item uniform tail, 100k rows
+    rows = (
+        spark.range(100_000)
+        .select(
+            F.when(F.col("id") % 100 < 4, F.lit("hh_a"))
+            .when(F.col("id") % 100 < 7, F.lit("hh_b"))
+            .when(F.col("id") % 100 < 9, F.lit("hh_c"))
+            .otherwise(F.concat(F.lit("tail_"), (F.col("id") % 2000).cast("string")))
+            .alias("item")
+        )
+        .repartition(16)  # scatter so locality can't help the sketch
+    )
+    got = {
+        r["item"]: r["cnt"] for r in heavy_hitters(rows, "item", phi=0.015).collect()
+    }
+    exact = {
+        r["item"]: r["n"]
+        for r in rows.groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 0.015 * 100_000)
+        .collect()
+    }
+    assert got == exact and set(got) == {"hh_a", "hh_b", "hh_c"}

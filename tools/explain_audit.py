@@ -56,6 +56,8 @@ NOTES = {
     "text_novelty_score": "explode → count-over-window on shingle key (no join-back) → doc-key agg",
     "token_count_bpe": "map-only regex + integer fold — zero exchanges at any scale",
     "embed_centroid_assign": "centroids packed into ONE broadcast row; per-vector argmin fold — corpus never shuffles",
+    "rollup_incremental": "stored + batch hourly partials union → additive re-agg; raw history never rescanned",
+    "heavy_hitter_tokens": "one MG-sketch python pass (checkpointed) → broadcast candidate semi-join → exact counts of candidates only",
 }
 
 
