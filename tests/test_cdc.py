@@ -556,3 +556,111 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM attrib_sink").collect()
     }
     assert got == {("u1", "home", "buy"), ("u2", "docs", "api")}
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _event_rows(start_id, hour, n, etype="click"):
+    return [
+        {
+            "event_id": start_id + i,
+            "ts": f"2024-01-01T{hour:02d}:{i % 60:02d}:00",
+            "event_type": etype,
+            "value": float(i) + 0.25,
+        }
+        for i in range(n)
+    ]
+
+
+def test_streaming_rollup_maintenance_exactly_once(spark, tmp_path):
+    """Continuous aggregate end-to-end: three CDC drops stream into the
+    versioned rollup; a RESTART from checkpoint (which replays nothing
+    new but exercises the epoch fence) plus a fourth drop must leave
+    the rollup equal to a from-scratch batch aggregation of all drops —
+    no double counting, no loss. Time travel: an earlier committed
+    version equals the batch aggregation of the prefix."""
+    from dynamodb_to_datalake_project_spark import rollup as R
+
+    cdc_dir = tmp_path / "events_cdc"
+    rpath = tmp_path / "rollup"
+    ckpt = tmp_path / "rckpt"
+
+    drops = [
+        _event_rows(0, 1, 30, "click"),
+        _event_rows(100, 1, 20, "purchase"),
+        _event_rows(200, 2, 25, "click"),
+    ]
+    import os as _os
+
+    for i, recs in enumerate(drops):
+        _write_drop(cdc_dir, f"d{i}.json", recs)
+        # distinct mtimes pin the file-source batch order (oldest first)
+        _os.utime(cdc_dir / f"d{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run():
+        q = R.start_rollup_maintenance(
+            spark,
+            str(cdc_dir),
+            EVENTS_SCHEMA,
+            str(rpath),
+            str(ckpt),
+            keys=["hour", "event_type"],
+            partials_fn=R.hourly_event_partials,
+            max_files_per_trigger=1,  # one drop per micro-batch
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    versions_after_first = R.list_versions(str(rpath))
+    assert len(versions_after_first) == 3  # one committed version per batch
+
+    # restart (epoch fence must not double-apply) + one more drop
+    _write_drop(cdc_dir, "d3.json", _event_rows(300, 2, 15, "purchase"))
+    run()
+
+    def batch_rollup(rows):
+        df = spark.createDataFrame(
+            [(r["event_id"], r["ts"].replace("T", " "), r["event_type"], r["value"]) for r in rows],
+            ["event_id", "ts_s", "event_type", "value"],
+        ).select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value"
+        )
+        return R.hourly_event_partials(df)
+
+    expect_all = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch_rollup([r for d in drops for r in d] + _event_rows(300, 2, 15, "purchase")).collect()
+    }
+    got_all = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in R.read_rollup(spark, str(rpath)).collect()
+    }
+    assert got_all == expect_all
+
+    # time travel: version committed after the first two drops == prefix rollup
+    v_prefix = versions_after_first[1]
+    expect_prefix = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch_rollup(drops[0] + drops[1]).collect()
+    }
+    got_prefix = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in R.read_rollup(spark, str(rpath), version=v_prefix).collect()
+    }
+    assert got_prefix == expect_prefix
+
+    # vacuum keeps the committed head readable
+    removed = R.vacuum_rollup(str(rpath), keep=1)
+    assert v_prefix in removed
+    assert R.read_rollup(spark, str(rpath)).count() == len(expect_all)
