@@ -1,0 +1,73 @@
+"""Physical-plan regression pins for the newest query shapes.
+
+Each assertion encodes the 100 TB-relevant property of the plan — the
+thing that must NOT silently regress when code or Spark versions move:
+filters reaching the parquet scan, dims broadcasting, semi-joins
+staying semi, top-k staying heap-based, and no BroadcastNestedLoop
+where an equi-join is intended. (Older shapes are pinned in
+test_lake.py / the EXPLAIN.md audit.)
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from dynamodb_to_datalake_project_spark import catalog
+
+SF_DIR = "/root/testdata/sf0.001"
+
+catalog.load_all()
+
+
+def _plan(spark, name: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        catalog.QUERIES[name](spark, SF_DIR).explain("formatted")
+    return buf.getvalue()
+
+
+# (query, must-contain fragments, must-NOT-contain fragments)
+CASES = [
+    # Q6: every predicate reaches the scan; no join at all
+    (
+        "q6_forecast_revenue",
+        ["PushedFilters: [IsNotNull(l_shipdate)", "GreaterThanOrEqual(l_discount,0.05"],
+        ["Join"],
+    ),
+    # Q8: dims broadcast; the fact joins are hash equi-joins
+    ("q8_market_share", ["BroadcastHashJoin"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # Q9: LIKE-filtered part still broadcasts; no nested-loop fallback
+    ("q9_product_profit", ["BroadcastHashJoin"], ["BroadcastNestedLoopJoin", "CartesianProduct"]),
+    # Q12: shipdate range pushed; lateness evaluated post-join, not a BNLJ
+    (
+        "q12_late_priority_count",
+        ["PushedFilters: [IsNotNull(l_shipdate)"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    # Q13: the priority exclusion must stay INSIDE the outer join
+    ("q13_order_distribution", ["LeftOuter"], ["BroadcastNestedLoopJoin"]),
+    # Q20: qualifying suppliers arrive via LEFT SEMI, part prefix pushed
+    (
+        "q20_stock_promotion",
+        ["LeftSemi", "StringStartsWith(p_name,red)"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    # BM25: top-20 is a heap (TakeOrderedAndProject), not a global sort
+    ("text_bm25_topk", ["TakeOrderedAndProject"], ["CartesianProduct"]),
+    # centroid assign: corpus side must not shuffle before the argmin
+    ("embed_centroid_assign", [], ["SortMergeJoin"]),
+    # novelty: df via window — no second explode branch, no join
+    ("text_novelty_score", ["Window"], ["SortMergeJoin", "BroadcastHashJoin"]),
+]
+
+
+@pytest.mark.parametrize("name,require,forbid", CASES, ids=[c[0] for c in CASES])
+def test_plan_properties(spark, name, require, forbid):
+    plan = _plan(spark, name)
+    for frag in require:
+        assert frag in plan, f"{name}: missing {frag!r}\n{plan}"
+    for frag in forbid:
+        assert frag not in plan, f"{name}: unexpected {frag!r}\n{plan}"
