@@ -67,17 +67,41 @@ def main() -> None:
 
     catalog.load_all()
     spark = get_spark("explain-audit")
-    out = ["# EXPLAIN — formatted physical plans of the headline queries",
-           "", f"Generated by `tools/explain_audit.py` at {SF_DIR}.", ""]
+    plans: dict[str, str] = {}
     for name in HEADLINE:
         df = catalog.QUERIES[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
+        plans[name] = buf.getvalue().rstrip()
+
+    # Shuffle-accounting summary: what a reviewer scans first. Counts
+    # come from the initial (pre-AQE) plan — the worst case; AQE only
+    # removes exchanges (coalesce/broadcast conversion) at runtime.
+    summary = [
+        "| query | shuffles | broadcasts | scans | pushdown | top-k heap |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, p in plans.items():
+        op_lines = [ln.strip() for ln in p.splitlines() if ln.strip().startswith("(")]
+        shuffles = sum(1 for ln in op_lines if " Exchange" in ln)
+        bcasts = sum(1 for ln in op_lines if "BroadcastExchange" in ln)
+        scans = sum(1 for ln in op_lines if "Scan parquet" in ln)
+        pushed = "yes" if "PushedFilters: [I" in p or "PushedFilters: [G" in p else "—"
+        heap = "yes" if "TakeOrderedAndProject" in p else "—"
+        summary.append(
+            f"| {name} | {shuffles} | {bcasts} | {scans} | {pushed} | {heap} |"
+        )
+
+    out = ["# EXPLAIN — formatted physical plans of the headline queries",
+           "", f"Generated by `tools/explain_audit.py` at {SF_DIR}.", "",
+           "## Shuffle accounting (initial plan; AQE only removes exchanges)",
+           "", *summary, ""]
+    for name, plan in plans.items():
         out += [f"## {name}", ""]
         if name in NOTES:
             out += [f"*{NOTES[name]}*", ""]
-        out += ["```", buf.getvalue().rstrip(), "```", ""]
+        out += ["```", plan, "```", ""]
     with open("EXPLAIN.md", "w") as f:
         f.write("\n".join(out))
     print(f"wrote EXPLAIN.md ({len(HEADLINE)} plans)")
