@@ -77,6 +77,21 @@ _PRIORITY: list[str] = [
     "agg_array_funcs",
     "a9_approx_aggs",
     "a4_per_file_counts",
+    # newest additions (never seen any driver row) — ahead of the
+    # already-pytest-mature round-2 set in case the driver samples a
+    # bounded prefix again (round 1 checked exactly 50)
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_priority_count",
+    "q13_order_distribution",
+    "q20_stock_promotion",
+    "token_count_bpe",
+    "text_novelty_score",
+    "text_bm25_topk",
+    "embed_centroid_assign",
+    "rollup_incremental",
+    "heavy_hitter_tokens",
     # new in round 2 (no r01 row yet)
     "asof_last_click",
     "sessionization",
@@ -112,19 +127,6 @@ _PRIORITY: list[str] = [
     "q21_sole_late_supplier",
     "q22_dormant_customers",
     "decontaminate_bloom",
-    # new in round 2 continuation (no driver row yet)
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_late_priority_count",
-    "q13_order_distribution",
-    "q20_stock_promotion",
-    "token_count_bpe",
-    "text_novelty_score",
-    "text_bm25_topk",
-    "embed_centroid_assign",
-    "rollup_incremental",
-    "heavy_hitter_tokens",
 ]
 
 
