@@ -123,3 +123,57 @@ def test_latest_wins_is_subset_and_covers_keys(spark, rows):
     src = set(map(tuple, df.collect()))
     assert all((r.id, r.ver) in src for r in out)          # subset of input
     assert {r.id for r in out} == {f"k{k}" for k, _ in rows}  # all keys kept
+
+
+events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**6),          # event_id
+        st.integers(min_value=0, max_value=72),             # hour offset
+        st.sampled_from(["click", "view", "purchase"]),     # event_type
+        st.integers(min_value=-(10**6), max_value=10**6),   # value microunits
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=events_st, cut=st.integers(min_value=0, max_value=72))
+@settings(**SETTINGS)
+def test_rollup_partial_merge_equals_full_recompute(spark, rows, cut):
+    """combine(partials(A), partials(B)) == partials(A ∪ B) for ANY
+    split of the stream — the algebra `rollup.py`'s exactly-once
+    maintenance and `rollup_incremental` rely on. Exact decimal sums
+    make the equality bit-level, not approximate."""
+    from dynamodb_to_datalake_project_spark.rollup import hourly_event_partials
+    from dynamodb_to_datalake_project_spark.timeseries import combine_rollup_partials
+
+    def mk(batch):
+        return spark.createDataFrame(
+            [
+                (i, f"2024-01-{1 + h // 24:02d} {h % 24:02d}:00:00", t, v / 1e6)
+                for (i, h, t, v) in batch
+            ],
+            ["event_id", "ts_s", "event_type", "value"],
+        ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+
+    a = [r for r in rows if r[1] < cut]
+    b = [r for r in rows if r[1] >= cut]
+
+    def canon(df):
+        return {
+            (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in df.collect()
+        }
+
+    full = canon(hourly_event_partials(mk(rows)))
+    if not a or not b:
+        split = canon(hourly_event_partials(mk(a or b)))
+    else:
+        split = canon(
+            combine_rollup_partials(
+                hourly_event_partials(mk(a)),
+                hourly_event_partials(mk(b)),
+                ["hour", "event_type"],
+            )
+        )
+    assert split == full
