@@ -64,6 +64,7 @@ HEADLINE = [
     "embed_centroid_assign",
     "rollup_incremental",
     "heavy_hitter_tokens",
+    "embed_pq_codes",
 ]
 
 

@@ -92,6 +92,8 @@ _PRIORITY: list[str] = [
     "embed_centroid_assign",
     "rollup_incremental",
     "heavy_hitter_tokens",
+    "embed_pq_codes",
+    "sim_ann_ivfpq",
     # new in round 2 (no r01 row yet)
     "asof_last_click",
     "sessionization",

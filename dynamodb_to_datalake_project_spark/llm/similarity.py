@@ -637,3 +637,242 @@ def q_embed_centroid_assign(spark, sf_dir):
         )
         .orderBy("centroid_id")
     )
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic PQ codebook: the first `k` vectors' subvectors act
+    as the per-subspace centroids (same seeding rule as
+    `q_embed_centroid_assign`; a production pipeline would k-means each
+    subspace — the encoding path below is identical either way). The
+    codebook is MODEL PARAMETERS — m×k small vectors — so collecting it
+    driver-side is the same bounded pattern as `pca_components`."""
+    rows = (
+        embeddings.filter(F.col(id_col) < k)
+        .select(id_col, as_double_vec(F.col(vec_col)).alias("v"))
+        .orderBy(id_col)
+        .collect()
+    )
+    dim = len(rows[0]["v"])
+    sub = dim // m
+    return [
+        [(int(r[id_col]), list(r["v"][s * sub : (s + 1) * sub])) for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (the IVF-PQ compression step that
+    makes 100 TB ANN memory-resident: dim×4 bytes → m bytes/vector).
+
+    Map-only: the codebook is baked in as literal arrays and each
+    subspace's nearest-centroid id comes from one sequential fold
+    (strict <, cid-ascending ⇒ ties to lowest cid, matching ORDER BY
+    d2, cid). The corpus never shuffles. Reconstruction error is the
+    fixed-order sum of the m chosen subspace distances — bit-stable
+    for the oracle."""
+    m = len(codebook)
+    sub = len(codebook[0][0][1])
+    v = as_double_vec(F.col(vec_col))
+
+    def sub_best(s: int) -> F.Column:
+        sv = F.slice(v, s * sub + 1, sub)
+        cs = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("long").alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                )
+                for cid, cv in codebook[s]
+            ]
+        )
+        d2 = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(sv, c["cv"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.aggregate(
+            cs,
+            F.struct(
+                F.lit(float("inf")).alias("d2"), F.lit(-1).cast("long").alias("cid")
+            ),
+            lambda acc, c: F.when(
+                d2(c) < acc["d2"],
+                F.struct(d2(c).alias("d2"), c["cid"].alias("cid")),
+            ).otherwise(acc),
+        )
+
+    bests = [sub_best(s).alias(f"b{s}") for s in range(m)]
+    out = embeddings.select(F.col(id_col), *bests)
+    err = F.col("b0.d2")
+    for s in range(1, m):
+        err = err + F.col(f"b{s}.d2")
+    return out.select(
+        id_col,
+        *[F.col(f"b{s}.cid").alias(f"c{s}") for s in range(m)],
+        err.alias("recon_err"),
+    )
+
+
+@query(
+    "embed_pq_codes",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sub AS (
+      SELECT vec_id, s, v[(s*16+1):(s*16+16)] AS sv
+      FROM e, (SELECT unnest([0,1,2,3]) AS s)
+    ), cent AS (
+      SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 8
+    ), d AS (
+      SELECT sub.vec_id, sub.s, cent.cid,
+             list_sum(list_transform(range(1, 17),
+                      i -> (sub.sv[i] - cent.cv[i]) * (sub.sv[i] - cent.cv[i])))
+               AS d2
+      FROM sub JOIN cent ON sub.s = cent.s
+    ), a AS (
+      SELECT vec_id, s, cid, d2,
+             row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+      FROM d
+    ), best AS (SELECT vec_id, s, cid, d2 FROM a WHERE rn = 1)
+    SELECT vec_id,
+           CAST(max(CASE WHEN s = 0 THEN cid END) AS BIGINT) AS c0,
+           CAST(max(CASE WHEN s = 1 THEN cid END) AS BIGINT) AS c1,
+           CAST(max(CASE WHEN s = 2 THEN cid END) AS BIGINT) AS c2,
+           CAST(max(CASE WHEN s = 3 THEN cid END) AS BIGINT) AS c3,
+           max(CASE WHEN s = 0 THEN d2 END) + max(CASE WHEN s = 1 THEN d2 END)
+             + max(CASE WHEN s = 2 THEN d2 END) + max(CASE WHEN s = 3 THEN d2 END)
+             AS recon_err
+    FROM best GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def q_embed_pq_codes(spark, sf_dir):
+    """PQ codes + reconstruction error for every vector, proved against
+    a from-scratch SQL formulation (explicit subspace slicing, per-
+    subspace argmin, fixed-order error sum). 64 dims × 4 bytes →
+    4 one-byte codes per vector at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, m=4, k=8)
+    return pq_encode(emb, cb).orderBy("vec_id")
+
+
+def ann_ivf_pq(
+    embeddings: DataFrame,
+    query_ids_below: int = 8,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    adc_keep: int = 20,
+) -> DataFrame:
+    """IVF-PQ ANN — the composition that makes 100 TB ANN RAM-resident.
+
+    Index: IVF cells (KMeans, fixed seed) + PQ codes (m bytes/vector,
+    `pq_encode`). Query: probe the `n_probe` nearest cells, rank their
+    members by ADC (asymmetric distance computed from the CODES — the
+    full vectors are NOT read), keep `adc_keep`, then exact-rerank only
+    those by true cosine. At scale the probe+ADC stage scans m bytes
+    per candidate instead of dim×4, and the exact vectors are fetched
+    for adc_keep rows per query only.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = embeddings.select("vec_id", as_double_vec("embedding").alias("v"))
+    corpus = e.filter(F.col("vec_id") >= query_ids_below)
+    queries = e.filter(F.col("vec_id") < query_ids_below)
+
+    ml = corpus.select("vec_id", array_to_vector("v").alias("features"))
+    model = KMeans(k=n_lists, seed=42, maxIter=10).fit(ml)
+    cells = model.transform(ml).select("vec_id", F.col("prediction").alias("cell"))
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cell", "cv"],
+    )
+
+    cb = pq_codebook(embeddings, m=m, k=8)
+    sub = len(cb[0][0][1])
+    codes = pq_encode(embeddings, cb).join(cells, "vec_id")
+
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        F.col("vec_id").alias("query_id"),
+        "v",
+        "cell",
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dist2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("cell").asc())
+    probes = (
+        qc.withColumn("prb", F.row_number().over(wq))
+        .filter(F.col("prb") <= n_probe)
+        .select("query_id", F.col("v").alias("qv"), "cell")
+    )
+
+    # ADC: per (query, candidate) the code indexes the literal
+    # per-subspace centroid table — distance from m lookups + folds,
+    # never from the candidate's full vector
+    cb_arrays = [
+        F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cb[s]])
+        for s in range(m)
+    ]
+
+    def adc() -> F.Column:
+        total = F.lit(0.0)
+        for s in range(m):
+            qsv = F.slice(F.col("qv"), s * sub + 1, sub)
+            cv = F.element_at(cb_arrays[s], F.col(f"c{s}").cast("int") + 1)
+            total = total + F.aggregate(
+                F.zip_with(qsv, cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        return total
+
+    cand = codes.join(F.broadcast(probes), "cell").select(
+        "query_id", "qv", F.col("vec_id").alias("neighbor_id"), adc().alias("adc")
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= adc_keep)
+        .select("query_id", "qv", "neighbor_id")
+    )
+    # exact rerank: fetch full vectors for the shortlist only
+    rer = shortlist.join(
+        corpus.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
+
+
+@query("sim_ann_ivfpq")  # rows-only: KMeans cells + PQ codes are engine-specific
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ: probe → code-only ADC shortlist → exact rerank; recall
+    vs brute force pinned by `tests/test_llm.py::test_ivfpq_recall`."""
+    return ann_ivf_pq(load_table(spark, sf_dir, "embeddings"))

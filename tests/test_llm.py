@@ -269,3 +269,36 @@ def test_heavy_hitters_exact_on_skewed_stream(spark):
         .collect()
     }
     assert got == exact and set(got) == {"hh_a", "hh_b", "hh_c"}
+
+
+def test_ivfpq_recall(spark):
+    """IVF-PQ (probe → code-only ADC shortlist → exact rerank) must
+    recover a meaningful fraction of the true top-3, and with a full
+    probe + generous shortlist must MATCH exact search (the lossy step
+    is candidate selection, not the rerank)."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_to_datalake_project_spark.lake import load_table
+    from dynamodb_to_datalake_project_spark.llm.similarity import (
+        ann_ivf_pq, as_double_vec, knn_bruteforce)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    e = emb.select("vec_id", as_double_vec("embedding").alias("v"))
+    exact = knn_bruteforce(
+        e.filter(F.col("vec_id") < 4), e.filter(F.col("vec_id") >= 4), k=3
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+
+    approx = ann_ivf_pq(
+        emb, query_ids_below=4, k=3, n_lists=8, n_probe=3, adc_keep=15
+    ).collect()
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, (recall, exact_set, approx_set)
+    assert all(r.query_id < 4 and r.neighbor_id >= 4 for r in approx)
+
+    # full probe + wide shortlist ⇒ rerank sees every true neighbor
+    full = ann_ivf_pq(
+        emb, query_ids_below=4, k=3, n_lists=8, n_probe=8, adc_keep=10_000
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in full} == exact_set

@@ -58,6 +58,7 @@ NOTES = {
     "embed_centroid_assign": "centroids packed into ONE broadcast row; per-vector argmin fold — corpus never shuffles",
     "rollup_incremental": "stored + batch hourly partials union → additive re-agg; raw history never rescanned",
     "heavy_hitter_tokens": "one MG-sketch python pass (checkpointed) → broadcast candidate semi-join → exact counts of candidates only",
+    "embed_pq_codes": "literal codebook folds per subspace — map-only encode, corpus never shuffles",
 }
 
 
