@@ -57,6 +57,25 @@ def compare_query(spark, con, name, builder, sql, sf_dir):
     scols = sdf.columns
     if sql is None:
         return {"name": name, "mode": "rows_only", "rows": len(srows), "ok": True}
+    # Driver-canonicalizer contract: oracle-compared output must be
+    # scalar columns only — a raw array/map/struct column crashes the
+    # driver's pandas sort_values canonicalization (the round-1
+    # agg_array_funcs failure). Catch it HERE, before the driver does.
+    from pyspark.sql import types as T
+
+    nonscalar = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+    ]
+    if nonscalar:
+        return {
+            "name": name,
+            "mode": "oracle",
+            "rows": len(srows),
+            "ok": False,
+            "problems": [f"non-scalar oracle output columns {nonscalar}"],
+        }
     ores = con.execute(sql)
     ocols = [d[0] for d in ores.description]
     orows = ores.fetchall()
