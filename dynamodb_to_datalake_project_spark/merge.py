@@ -25,7 +25,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamodb_to_datalake_project_spark import dedup
@@ -361,3 +361,67 @@ def q_upsert_merge(spark, sf_dir):
     return upsert_dataframes(
         snapshot, cdc, keys=["user_id"], precombine=["ts", "event_id"]
     )
+
+
+def scd2_merge(
+    history: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tracked: list[str],
+) -> DataFrame:
+    """SCD Type-2 merge: maintain full change history with validity
+    intervals instead of latest-wins overwrite (the reference's Hudi
+    COW keeps only the latest image; this is the audit-trail upgrade).
+
+    `history` schema: keys + tracked + (valid_from, valid_to,
+    is_current) — pass an empty frame with that schema to bootstrap.
+    `batch` schema: keys + tracked + ts_col.
+
+    Semantics (the emulation of `MERGE ... WHEN MATCHED THEN UPDATE
+    SET valid_to = s.ts / INSERT new version` without Delta):
+    - every batch row with a tracked-value CHANGE (or a new key) opens
+      a new version valid from its timestamp;
+    - consecutive batch rows with identical tracked values collapse
+      (no spurious versions);
+    - the previously-current row of a changed key closes at the new
+      version's valid_from; closed history rows are immutable.
+
+    Plan: one window pass over (closed history ∪ current ∪ batch)
+    partitioned by key and ordered by event time — change detection via
+    lag(), interval assembly via lead() — then reunion with the
+    untouched closed rows. Cost ∝ |batch| + |touched keys' open rows|
+    at the partition level; the closed-history side passes through
+    untouched (and in a partitioned lake write would not be rewritten).
+    """
+    kc = [F.col(k) for k in keys]
+    closed = history.filter(~F.col("is_current"))
+    current = history.filter(F.col("is_current"))
+
+    b = batch.select(
+        *keys, *tracked, F.col(ts_col).cast("timestamp").alias("valid_from")
+    )
+    cur = current.select(*keys, *tracked, "valid_from")
+    all_rows = cur.withColumn("__src", F.lit(0)).unionByName(
+        b.withColumn("__src", F.lit(1))
+    )
+
+    w = Window.partitionBy(*kc).orderBy("valid_from", "__src")
+    change = F.lit(False)
+    for c in tracked:
+        prev = F.lag(F.col(c)).over(w)
+        change = change | ~(
+            (F.col(c) == prev) | (F.col(c).isNull() & prev.isNull())
+        )
+    first = F.lag(F.col("valid_from")).over(w).isNull()
+    versions = all_rows.withColumn("__keep", first | change).filter(
+        F.col("__keep")
+    )
+    w2 = Window.partitionBy(*kc).orderBy("valid_from", "__src")
+    out = versions.select(
+        *keys,
+        *tracked,
+        "valid_from",
+        F.lead(F.col("valid_from")).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    return closed.select(out.columns).unionByName(out)

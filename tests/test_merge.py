@@ -364,3 +364,72 @@ def test_hard_delete_tie_is_deterministic_delete_loses(spark):
         for _ in range(3)
     }
     assert states == {frozenset({("k", ("2023-01-02T00:00:00", "v1"))})}
+
+
+def test_scd2_merge_incremental_equals_full(spark):
+    """SCD2: applying two CDC batches sequentially must equal building
+    from the concatenated stream; unchanged values must not open
+    spurious versions; per key exactly one current row and contiguous
+    validity intervals."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dynamodb_to_datalake_project_spark.merge import scd2_merge
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("plan", T.StringType()),
+            T.StructField("region", T.StringType()),
+            T.StructField("valid_from", T.TimestampType()),
+            T.StructField("valid_to", T.TimestampType()),
+            T.StructField("is_current", T.BooleanType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, ["id", "plan", "region", "ts"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    b1 = mk(
+        [
+            ("a", "free", "eu", "2024-01-01 00:00:00"),
+            ("a", "pro", "eu", "2024-01-05 00:00:00"),
+            ("b", "free", "us", "2024-01-02 00:00:00"),
+        ]
+    )
+    b2 = mk(
+        [
+            ("a", "pro", "eu", "2024-01-08 00:00:00"),   # no change — no version
+            ("a", "pro", "ap", "2024-01-09 00:00:00"),   # region change
+            ("b", "team", "us", "2024-01-10 00:00:00"),
+            ("c", "free", "eu", "2024-01-11 00:00:00"),  # new key
+        ]
+    )
+    keys, ts, tracked = ["id"], "ts", ["plan", "region"]
+
+    step = scd2_merge(scd2_merge(empty, b1, keys, ts, tracked), b2, keys, ts, tracked)
+    full = scd2_merge(empty, b1.unionByName(b2), keys, ts, tracked)
+
+    def canon(df):
+        return sorted(
+            (r["id"], r["plan"], r["region"], str(r["valid_from"]),
+             str(r["valid_to"]), r["is_current"])
+            for r in df.collect()
+        )
+
+    assert canon(step) == canon(full)
+
+    rows = step.collect()
+    # a: free→pro→(pro,ap) = 3 versions; b: free→team = 2; c: 1
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["id"], []).append(r)
+    assert {k: len(v) for k, v in per_key.items()} == {"a": 3, "b": 2, "c": 1}
+    for k, vs in per_key.items():
+        vs = sorted(vs, key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in vs) == 1 and vs[-1]["is_current"]
+        for prev, nxt in zip(vs, vs[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]  # contiguous
