@@ -166,11 +166,15 @@ def _bucket_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
+    # j>i expansion: each unordered pair materializes ONCE (canonical
+    # via least/greatest since collect_list order is nondeterministic)
+    # instead of building all n² structs and filtering half away —
+    # halves allocation in the hottest candidate-generation stage.
     pairs = buckets.select(
         F.explode(
             F.expr(
-                "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))),"
-                " p -> p.a < p.b)"
+                "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)),"
+                " b -> struct(least(a, b) AS a, greatest(a, b) AS b))))"
             )
         ).alias("p")
     )
