@@ -94,6 +94,7 @@ _PRIORITY: list[str] = [
     "heavy_hitter_tokens",
     "embed_pq_codes",
     "sim_ann_ivfpq",
+    "agg_argmax_family",
     # new in round 2 (no r01 row yet)
     "asof_last_click",
     "sessionization",

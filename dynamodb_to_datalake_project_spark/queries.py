@@ -2284,3 +2284,35 @@ def q_stock_promotion(spark, sf_dir):
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "agg_argmax_family",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, event_id) AS latest_type,
+           arg_min(event_type, event_id) AS first_type,
+           arg_max(value, event_id) AS latest_value,
+           CAST(max(event_id) AS BIGINT) AS max_event_id,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_agg_argmax_family(spark, sf_dir):
+    """max_by/min_by (SQL arg_max/arg_min) — the modern one-pass
+    'attribute of the extreme row' aggregates that replace the
+    self-join-on-max antipattern. Keyed on the UNIQUE event_id so the
+    argmax row is deterministic on both engines. One hash aggregate,
+    one shuffle on user_id, no join, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "event_id").alias("latest_type"),
+            F.min_by("event_type", "event_id").alias("first_type"),
+            F.max_by("value", "event_id").alias("latest_value"),
+            F.max("event_id").cast("long").alias("max_event_id"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("user_id")
+    )
