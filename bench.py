@@ -65,6 +65,13 @@ HEADLINE = [
     "rollup_incremental",
     "heavy_hitter_tokens",
     "embed_pq_codes",
+    # completes the full 22-shape TPC-H presence in bench + EXPLAIN
+    "q11_value_concentration",
+    "q12_late_priority_count",
+    "q15_top_supplier",
+    "q20_stock_promotion",
+    "q22_dormant_customers",
+    "agg_argmax_family",
 ]
 
 

@@ -59,6 +59,12 @@ NOTES = {
     "rollup_incremental": "stored + batch hourly partials union → additive re-agg; raw history never rescanned",
     "heavy_hitter_tokens": "one MG-sketch python pass (checkpointed) → broadcast candidate semi-join → exact counts of candidates only",
     "embed_pq_codes": "literal codebook folds per subspace — map-only encode, corpus never shuffles",
+    "q11_value_concentration": "per-part agg computed once, reused for rows AND the broadcast scalar threshold",
+    "q12_late_priority_count": "shipdate range pushed; cross-table lateness post-join; both counts from ONE agg",
+    "q15_top_supplier": "revenue agg once; one-row MAX broadcast back as equality filter",
+    "q20_stock_promotion": "one agg yields windowed+total sums; qualifying set reaches supplier as LEFT SEMI",
+    "q22_dormant_customers": "broadcast avg-balance scalar; NOT EXISTS = date-pruned LEFT ANTI",
+    "agg_argmax_family": "single hash agg on user_id — max_by/min_by replace the self-join-on-max antipattern",
 }
 
 
