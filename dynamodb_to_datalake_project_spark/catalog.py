@@ -95,6 +95,7 @@ _PRIORITY: list[str] = [
     "embed_pq_codes",
     "sim_ann_ivfpq",
     "agg_argmax_family",
+    "doc_embedding_coverage",
     # new in round 2 (no r01 row yet)
     "asof_last_click",
     "sessionization",

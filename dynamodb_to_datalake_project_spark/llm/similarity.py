@@ -876,3 +876,49 @@ def q_ann_ivfpq(spark, sf_dir):
     """IVF-PQ: probe → code-only ADC shortlist → exact rerank; recall
     vs brute force pinned by `tests/test_llm.py::test_ivfpq_recall`."""
     return ann_ivf_pq(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "doc_embedding_coverage",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(e.nrm) AS BIGINT) AS n_embedded,
+           CAST(count(e.nrm) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage,
+           min(e.nrm) AS min_norm,
+           max(e.nrm) AS max_norm
+    FROM documents d LEFT JOIN e ON d.doc_id = e.vec_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def q_doc_embedding_coverage(spark, sf_dir):
+    """Cross-modal audit: per source, how much of the document corpus
+    has an embedding (the docs⋈embeddings LEFT join every
+    retrieval-backed training pipeline runs before indexing), plus
+    order-free norm extremes of the embedded subset. Counts are exact,
+    coverage is one division, min/max need no accumulation-order care.
+    Plan: key-only projection of the embedding side (vec_id, norm)
+    into a shuffle join on the id, then a bounded-key (sources) agg."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), norm(as_double_vec("embedding")).alias("nrm")
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id, "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("nrm").alias("n_embedded"),
+            (F.count("nrm").cast("double") / F.count("*").cast("double")).alias(
+                "coverage"
+            ),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+        .orderBy("source")
+    )
