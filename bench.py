@@ -72,6 +72,7 @@ HEADLINE = [
     "q20_stock_promotion",
     "q22_dormant_customers",
     "agg_argmax_family",
+    "doc_embedding_coverage",
 ]
 
 

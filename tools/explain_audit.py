@@ -65,6 +65,7 @@ NOTES = {
     "q20_stock_promotion": "one agg yields windowed+total sums; qualifying set reaches supplier as LEFT SEMI",
     "q22_dormant_customers": "broadcast avg-balance scalar; NOT EXISTS = date-pruned LEFT ANTI",
     "agg_argmax_family": "single hash agg on user_id — max_by/min_by replace the self-join-on-max antipattern",
+    "doc_embedding_coverage": "key-only embedding projection into the id join; 20-source agg",
 }
 
 
