@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     "sim_ann_ivfpq",
     "agg_argmax_family",
     "doc_embedding_coverage",
+    "embed_quality_gate",
     # new in round 2 (no r01 row yet)
     "asof_last_click",
     "sessionization",

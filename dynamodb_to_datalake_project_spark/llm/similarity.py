@@ -922,3 +922,53 @@ def q_doc_embedding_coverage(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "embed_quality_gate",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), f AS (
+      SELECT label,
+             len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS bad_values,
+             list_dot_product(v, v) = 0 AS zero_norm,
+             len(v) <> 64 AS bad_dim
+      FROM e
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE bad_values) AS BIGINT) AS n_nan_inf,
+           CAST(count(*) FILTER (WHERE zero_norm) AS BIGINT) AS n_zero_norm,
+           CAST(count(*) FILTER (WHERE bad_dim) AS BIGINT) AS n_bad_dim,
+           CAST(count(*) FILTER (WHERE NOT (bad_values OR zero_norm OR bad_dim))
+                AS BIGINT) AS n_clean
+    FROM f GROUP BY label ORDER BY label
+    """,
+)
+def q_embed_quality_gate(spark, sf_dir):
+    """Embedding data-quality gate — the validation pass every ANN
+    index build runs first: per label, counts of vectors with NaN/Inf
+    components, exact-zero norm (undefined cosine), or wrong
+    dimensionality, plus the clean remainder. Pure per-row array
+    predicates + a bounded-key aggregate; map-only until the tiny
+    final agg, so it runs at scan speed on 100 TB of vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double_vec(F.col("embedding"))
+    bad_values = F.exists(v, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))
+    zero_norm = dot(v, v) == 0
+    bad_dim = F.size(v) != 64
+    clean = ~(bad_values | zero_norm | bad_dim)
+    cnt = lambda c: F.count(F.when(c, F.lit(1))).cast("long")  # noqa: E731
+    return (
+        emb.select("label", bad_values.alias("bv"), zero_norm.alias("zn"), bad_dim.alias("bd"), clean.alias("ok"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            cnt(F.col("bv")).alias("n_nan_inf"),
+            cnt(F.col("zn")).alias("n_zero_norm"),
+            cnt(F.col("bd")).alias("n_bad_dim"),
+            cnt(F.col("ok")).alias("n_clean"),
+        )
+        .orderBy("label")
+    )

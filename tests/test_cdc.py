@@ -664,3 +664,51 @@ def test_streaming_rollup_maintenance_exactly_once(spark, tmp_path):
     removed = R.vacuum_rollup(str(rpath), keep=1)
     assert v_prefix in removed
     assert R.read_rollup(spark, str(rpath)).count() == len(expect_all)
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: each micro-batch of the CDC event stream
+    enriches against a STATIC dimension read from the lake (the
+    region-lookup shape). The static side re-resolves per batch, joins
+    as a broadcast hash join (no stream state), and the windowed
+    counts per enriched attribute must match a batch recompute."""
+    cdc_dir = tmp_path / "ss_cdc"
+    ckpt = tmp_path / "ss_ckpt"
+    dim_path = tmp_path / "dim"
+    out = []
+
+    spark.createDataFrame(
+        [("click", "engage"), ("view", "engage"), ("purchase", "convert")],
+        ["event_type", "category"],
+    ).write.parquet(str(dim_path))
+
+    rows = _event_rows(0, 1, 30, "click") + _event_rows(100, 1, 10, "purchase")
+    _write_drop(cdc_dir, "d0.json", rows)
+
+    stream = cdc.read_cdc_stream(spark, str(cdc_dir), EVENTS_SCHEMA, 100)
+    dim = spark.read.parquet(str(dim_path))
+    enriched = stream.join(F.broadcast(dim), "event_type")
+
+    def sink(batch_df, epoch_id):
+        out.extend(
+            batch_df.groupBy("category")
+            .agg(F.count("*").alias("n"), F.sum("event_id").alias("sum_id"))
+            .collect()
+        )
+
+    q = (
+        enriched.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["category"]: (r["n"], r["sum_id"]) for r in out}
+    assert got == {
+        "engage": (30, sum(range(30))),
+        "convert": (10, sum(range(100, 110))),
+    }
