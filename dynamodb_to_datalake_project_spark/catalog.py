@@ -97,6 +97,7 @@ _PRIORITY: list[str] = [
     "agg_argmax_family",
     "doc_embedding_coverage",
     "embed_quality_gate",
+    "doc_curriculum_buckets",
     # new in round 2 (no r01 row yet)
     "asof_last_click",
     "sessionization",

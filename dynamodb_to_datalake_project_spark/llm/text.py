@@ -967,3 +967,41 @@ def q_text_bm25_topk(spark, sf_dir):
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "doc_curriculum_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT lang, n_chars,
+             ntile(10) OVER (PARTITION BY lang
+                             ORDER BY n_chars, doc_id) AS bucket
+      FROM documents
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+)
+def q_doc_curriculum_buckets(spark, sf_dir):
+    """Curriculum bucketing: decile buckets of document length within
+    each language (short-to-long training schedules / length-balanced
+    batch sampling). ntile ties break on doc_id so both engines assign
+    identical buckets. One window exchange on lang, then a 10×langs-key
+    aggregate."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.withColumn("bucket", F.ntile(10).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("lang", "bucket")
+    )
