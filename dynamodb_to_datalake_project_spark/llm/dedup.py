@@ -105,18 +105,16 @@ def _jaccard_verify(
     collecting both sides' shingle sets. Shuffle volume = shingle
     arrays of candidate docs only.
 
-    The candidate set is localCheckpoint-ed first (executor-resident,
-    distributed — orders of magnitude smaller than the corpus):
-    without it BOTH membership rows re-run the full candidate pipeline
-    (signatures + banding + bucketing, the most expensive stages)
-    because the two struct branches below each reference `cand`. The
-    checkpoint also yields an exact count for free, which gates the
-    broadcast hint: candidate volume scales with corpus size and
-    near-dup rate, so the hint is only applied under a counted bound
-    (~24 MB of key triples); above it, a plain shuffle join (AQE may
-    still upgrade)."""
-    cand = cand.localCheckpoint(eager=True)
-    n_cand = cand.count()  # already materialized — metadata-cheap
+    The candidate pipeline (signatures + banding + bucketing — the
+    expensive stages) runs exactly ONCE: the explode below emits both
+    membership rows from a single projection over `cand`, so no branch
+    re-references it. The broadcast decision is left to AQE: candidate
+    volume scales with corpus size and near-dup rate, and AQE upgrades
+    the join to broadcast from the candidate side's RUNTIME size — the
+    same gate a driver-side count would apply, without the eager
+    materialization barrier that count costs (the round-2 bench
+    regression: an eager localCheckpoint + count here stalled the
+    pipeline ~1.6x at bench scale)."""
     sides = cand.select(
         F.explode(
             F.array(
@@ -125,8 +123,6 @@ def _jaccard_verify(
             )
         ).alias("m")
     ).select("m.doc_id", "m.a_id", "m.b_id")
-    if n_cand <= 500_000:
-        sides = F.broadcast(sides)
     joined = docs_with_tokens.join(sides, "doc_id")
     pairs = joined.groupBy("a_id", "b_id").agg(
         F.first(F.when(F.col("doc_id") == F.col("a_id"), F.col("w")), ignorenulls=True).alias("wa"),
@@ -594,18 +590,13 @@ def clean_corpus(
         jaccard_threshold,
         max_block=max_block,
     )
-    # Materialize the drop set (executor-resident, sized by the
-    # near-dup rate — tiny next to the corpus): without it the anti
-    # join re-runs the whole candidate+verify pipeline, and with a
-    # counted bound the anti join becomes a broadcast hash join — the
-    # corpus never shuffles. Above the bound: plain shuffle anti-join.
-    drop = (
-        near_pairs.select(F.col("b_id").alias("doc_id"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    if drop.count() <= 1_000_000:
-        drop = F.broadcast(drop)
+    # The drop set is referenced once (the anti-join's build side), so
+    # the candidate+verify pipeline runs once with no materialization
+    # barrier; its size scales with the near-dup rate — tiny next to
+    # the corpus — and AQE converts the anti-join to broadcast from
+    # the RUNTIME size, the same gate a driver-side count would apply
+    # without the eager-checkpoint stall it costs.
+    drop = near_pairs.select(F.col("b_id").alias("doc_id")).distinct()
     return exact_survivors.join(drop, "doc_id", "left_anti")
 
 

@@ -577,12 +577,23 @@ def assign_centroids(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    best = F.aggregate(
+    # Materialize (d2, cid) per centroid via transform() BEFORE the
+    # argmin fold: Catalyst does not CSE inside higher-order-function
+    # lambdas, so referencing d2(c) twice in the fold (condition +
+    # result) would evaluate each squared-L2 fold twice per centroid —
+    # doubling the dominant cost of the assign path.
+    scored = F.transform(
         F.col("cs"),
+        lambda c: F.struct(
+            d2(c["cv"]).alias("d2"), c["cid"].cast("long").alias("cid")
+        ),
+    )
+    best = F.aggregate(
+        scored,
         F.struct(
             F.lit(float("inf")).alias("d2"), F.lit(-1).cast("long").alias("cid")
         ),
-        lambda acc, c: F.when(d2(c["cv"]) < acc["d2"], F.struct(d2(c["cv"]).alias("d2"), c["cid"].cast("long").alias("cid"))).otherwise(acc),
+        lambda acc, dc: F.when(dc["d2"] < acc["d2"], dc).otherwise(acc),
     )
     return embeddings.join(F.broadcast(packed)).select(
         F.col(id_col),
@@ -701,15 +712,18 @@ def pq_encode(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        # transform() first so each subspace distance fold is evaluated
+        # once — no CSE inside higher-order-function lambdas (see
+        # assign_centroids).
+        scored = F.transform(
+            cs, lambda c: F.struct(d2(c).alias("d2"), c["cid"].alias("cid"))
+        )
         return F.aggregate(
-            cs,
+            scored,
             F.struct(
                 F.lit(float("inf")).alias("d2"), F.lit(-1).cast("long").alias("cid")
             ),
-            lambda acc, c: F.when(
-                d2(c) < acc["d2"],
-                F.struct(d2(c).alias("d2"), c["cid"].alias("cid")),
-            ).otherwise(acc),
+            lambda acc, dc: F.when(dc["d2"] < acc["d2"], dc).otherwise(acc),
         )
 
     bests = [sub_best(s).alias(f"b{s}") for s in range(m)]

@@ -32,6 +32,11 @@ def _misra_gries_partial(k: int, value_col: str):
         counters: dict[str, int] = {}
         n_seen = 0
         for pdf in batches:
+            # Drop nulls BEFORE counting: value_counts() skips NaN/None
+            # while len(pdf) would count them, inflating N; and NULL is
+            # reserved as the partition-count sentinel row below. Null
+            # items are excluded from the frequency universe.
+            pdf = pdf[pdf[value_col].notna()]
             n_seen += len(pdf)
             for v, c in pdf[value_col].value_counts().items():
                 c = int(c)
@@ -79,6 +84,10 @@ def heavy_hitters(
     semi-join), then the exact threshold filter. Output is therefore
     exact — same rows as a full GROUP BY — but the only wide shuffle
     is over the candidate subset.
+
+    NULL items are excluded from the frequency universe (dropped in
+    the sketch pass, so they neither inflate N nor collide with the
+    partition-count sentinel).
     """
     k = k or max(2, int(2.0 / phi))
     # ONE sketch pass produces both the candidates and (via the

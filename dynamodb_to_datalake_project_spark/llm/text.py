@@ -465,46 +465,54 @@ def q_doc_length_histogram(spark, sf_dir):
     "doc_packing",
     oracle="""
     WITH t AS (
-      SELECT doc_id,
+      SELECT doc_id, doc_id % 16 AS shard,
              CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
                AS n_tokens
       FROM documents
     ), c AS (
-      SELECT doc_id, n_tokens,
-             sum(n_tokens) OVER (ORDER BY doc_id
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS cum_tokens
       FROM t
     )
-    SELECT CAST(floor((cum_tokens - 1) / 512) AS BIGINT) AS pack_id,
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(floor((cum_tokens - 1) / 512) AS BIGINT) AS pack_id,
            count(*) AS n_docs,
-           sum(n_tokens) AS pack_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
-    FROM c GROUP BY pack_id
+    FROM c GROUP BY shard, pack_id
     """,
 )
 def q_doc_packing(spark, sf_dir):
-    """Sequence packing: assign documents (in stable doc_id order) to
-    fixed 512-token training packs by running token count — documents
-    may straddle pack boundaries, as training packing allows. Integer
-    cumsum + floor division, engine-identical.
+    """Sequence packing, shard-local: documents are deterministically
+    sharded (doc_id % 16) and packed into fixed 512-token training
+    packs by running token count WITHIN each shard — documents may
+    straddle pack boundaries, as training packing allows. Pack ids are
+    (shard, pack_id) pairs, which is what training-data layouts use
+    anyway (packs never cross file shards).
 
-    SCALE NOTE: the no-partition window is sequential by definition
-    (packing is order-dependent); at corpus scale, pack per shard —
-    Window.partitionBy(shard_id) with shard-local pack ids — which is
-    embarrassingly parallel and what training-data layouts use anyway
-    (packs never cross file shards)."""
+    SCALE: the window is partitioned by shard, so packing is
+    embarrassingly parallel — 16 shards here, thousands at 100 TB
+    (shard count is a constant; any deterministic hash of doc_id
+    works). No global order, no single sequential task."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
-        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+        "doc_id",
+        (F.col("doc_id") % 16).cast("long").alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return (
         c.withColumn("pack_id", F.floor((F.col("cum_tokens") - 1) / 512).cast("long"))
-        .groupBy("pack_id")
+        .groupBy("shard", "pack_id")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("pack_tokens"),
@@ -522,7 +530,7 @@ def q_doc_packing(spark, sf_dir):
                 WHEN doc_id % 10 = 8 THEN 'val'
                 ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang, split
     """,
 )

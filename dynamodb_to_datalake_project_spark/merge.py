@@ -409,10 +409,11 @@ def scd2_merge(
     w = Window.partitionBy(*kc).orderBy("valid_from", "__src")
     change = F.lit(False)
     for c in tracked:
-        prev = F.lag(F.col(c)).over(w)
-        change = change | ~(
-            (F.col(c) == prev) | (F.col(c).isNull() & prev.isNull())
-        )
+        # eqNullSafe: a tracked attribute transitioning to/from NULL is
+        # a CHANGE and must open a version. A plain == yields NULL when
+        # exactly one side is NULL, which would poison the OR-chain and
+        # silently drop the row at the filter below.
+        change = change | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
     first = F.lag(F.col("valid_from")).over(w).isNull()
     versions = all_rows.withColumn("__keep", first | change).filter(
         F.col("__keep")

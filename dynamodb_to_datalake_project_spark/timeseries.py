@@ -307,7 +307,10 @@ def q_rollup_incremental(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
         )
 
-    stored = partials(ev.filter(F.col("ts") < cut))
+    # NULL-ts rows fall out of BOTH < and >= branches while the oracle
+    # aggregates them into a NULL hour group — route them into the
+    # stored branch so refresh == full_recompute holds on any fixture.
+    stored = partials(ev.filter((F.col("ts") < cut) | F.col("ts").isNull()))
     batch = partials(ev.filter(F.col("ts") >= cut))
     merged = combine_rollup_partials(stored, batch, ["hour", "event_type"])
     return merged.select(

@@ -433,3 +433,50 @@ def test_scd2_merge_incremental_equals_full(spark):
         assert sum(r["is_current"] for r in vs) == 1 and vs[-1]["is_current"]
         for prev, nxt in zip(vs, vs[1:]):
             assert prev["valid_to"] == nxt["valid_from"]  # contiguous
+
+
+def test_scd2_merge_null_transitions(spark):
+    """SCD2 change detection must be null-safe: a tracked attribute
+    transitioning value→NULL or NULL→value is a CHANGE and opens a new
+    version (a plain == comparison yields NULL and silently DROPS the
+    batch row — the round-2 advice finding)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dynamodb_to_datalake_project_spark.merge import scd2_merge
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("plan", T.StringType()),
+            T.StructField("valid_from", T.TimestampType()),
+            T.StructField("valid_to", T.TimestampType()),
+            T.StructField("is_current", T.BooleanType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    batch = spark.createDataFrame(
+        [
+            ("a", "free", "2024-01-01 00:00:00"),
+            ("a", None, "2024-01-02 00:00:00"),    # value -> NULL: change
+            ("a", None, "2024-01-03 00:00:00"),    # NULL -> NULL: no change
+            ("a", "pro", "2024-01-04 00:00:00"),   # NULL -> value: change
+            ("b", None, "2024-01-01 00:00:00"),    # first version IS null
+            ("b", "team", "2024-01-02 00:00:00"),
+        ],
+        ["id", "plan", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = scd2_merge(empty, batch, ["id"], "ts", ["plan"])
+    rows = sorted(out.collect(), key=lambda r: (r["id"], r["valid_from"]))
+    got = [(r["id"], r["plan"], r["is_current"]) for r in rows]
+    assert got == [
+        ("a", "free", False),
+        ("a", None, False),
+        ("a", "pro", True),
+        ("b", None, False),
+        ("b", "team", True),
+    ]
+    for prev, nxt in zip(rows, rows[1:]):
+        if prev["id"] == nxt["id"]:
+            assert prev["valid_to"] == nxt["valid_from"]

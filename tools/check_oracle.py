@@ -11,11 +11,14 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 from collections import Counter
 from datetime import date, datetime
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -80,6 +83,33 @@ def compare_query(spark, con, name, builder, sql, sf_dir):
     ocols = [d[0] for d in ores.description]
     orows = ores.fetchall()
     problems = []
+    # Driver-canonicalizer contract #2: the driver pulls the oracle
+    # result through pandas, where DuckDB HUGEINT (sum over ints) and
+    # nullable ints land as float64 while Spark sends int64 — the value
+    # hashes then differ even when every value is equal (the round-2
+    # doc_packing/dataset_split failures). Detect the int-vs-float
+    # kind mismatch HERE: compare each Spark column's type kind with
+    # the oracle result's pandas dtype kind.
+    spark_kind = {}
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            spark_kind[f.name] = "i"
+        elif isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            spark_kind[f.name] = "f"
+    odf = con.execute(sql).df()
+    for c in odf.columns:
+        sk, ok_ = spark_kind.get(c), odf[c].dtype.kind
+        if sk == "i" and ok_ == "f":
+            problems.append(
+                f"dtype drift: column {c!r} is integer in Spark but float64 "
+                f"via pandas on the oracle side (DuckDB HUGEINT/nullable-int) "
+                f"— CAST(... AS BIGINT) in the oracle SQL"
+            )
+        elif sk == "f" and ok_ in ("i", "u"):
+            problems.append(
+                f"dtype drift: column {c!r} is float in Spark but {odf[c].dtype} "
+                f"on the oracle side — cast to DOUBLE in the oracle SQL"
+            )
     if sorted(scols) != sorted(ocols):
         problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
     if len(srows) != len(orows):
