@@ -95,6 +95,11 @@ def read_source(spark: SparkSession, spec: dict) -> DataFrame:
       gzip typed-JSON DynamoDB table export, decoded through the
       Catalyst typed-JSON unwrap (`ddbjson.read_export`).
     - `jsonl`: `{"path", "schema"?, "recursive"?}` — plain JSON lines.
+    - `dynamodb`: `{"table", "schema", "total_segments"?,
+      "projection"?, "segment_limit"?}` — segment-parallel table scan
+      with projection/limit pushdown against a DynamoDB-shaped client
+      (`ddbmock.MockDynamoTable` in-sandbox; a live deployment swaps
+      in an SDK-backed client with the same scan contract).
     A future live connector is one `register_source_format` call; every
     pipeline entry point that takes a source spec then works against
     the live table unchanged.
@@ -135,9 +140,16 @@ def _read_source_jsonl(spark: SparkSession, spec: dict) -> DataFrame:
     )
 
 
+def _read_source_dynamodb(spark: SparkSession, spec: dict) -> DataFrame:
+    from dynamodb_to_datalake_project_spark import ddbmock
+
+    return ddbmock.read_source_dynamodb(spark, spec)
+
+
 register_source_format("parquet", _read_source_parquet)
 register_source_format("ddb-export", _read_source_ddb_export)
 register_source_format("jsonl", _read_source_jsonl)
+register_source_format("dynamodb", _read_source_dynamodb)
 
 
 def read_json_lines(

@@ -60,9 +60,61 @@ def decode_image(payload: bytes) -> "object":
     raise NotImplementedError("image codecs not available in this environment")
 
 
+def encode_wav(
+    samples: "list[int]", sample_rate: int = 16_000, n_channels: int = 1
+) -> bytes:
+    """REAL codec (stdlib `wave` + `struct`): encode 16-bit signed PCM
+    samples as a RIFF/WAVE payload. Used to synthesize genuine audio
+    payloads for the decode path below."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL codec (stdlib `wave` + `struct`): parse a RIFF/WAVE payload
+    — header fields AND the PCM frames — into typed features. This is
+    the honest-decode leg of `decode_audio`: no third-party libs, runs
+    end-to-end in this container, and is exercised by the
+    `multimodal_wav_stats` catalog query whose oracle recomputes every
+    stat from first principles."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        sample_rate = w.getframerate()
+        sampwidth = w.getsampwidth()
+        n_frames = w.getnframes()
+        frames = w.readframes(n_frames)
+    if sampwidth != 2:
+        raise NotImplementedError("only 16-bit PCM decode implemented")
+    samples = struct.unpack(f"<{n_frames * n_channels}h", frames)
+    return {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "n_samples": n_frames * n_channels,
+        "sum_abs": sum(abs(s) for s in samples),
+        "peak": max((abs(s) for s in samples), default=0),
+    }
+
+
 def decode_audio(payload: bytes) -> "object":
-    """STUB: see decode_image."""
-    raise NotImplementedError("audio codecs not available in this environment")
+    """Audio decode: RIFF/WAVE payloads are decoded for real via the
+    stdlib parser (`decode_wav`); other containers (mp3/ogg/flac) need
+    codecs not present in this container and stay honestly stubbed."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    raise NotImplementedError("only WAV decode available in this environment")
 
 
 def to_binary_docs(docs: DataFrame, mime: str = "text/plain") -> DataFrame:
@@ -123,6 +175,87 @@ def q_multimodal_features(spark, sf_dir):
     so a single flipped byte anywhere in the Arrow round-trip fails."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return extract_features(to_binary_docs(docs))
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_payload_bytes", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def wav_roundtrip_stats(docs: DataFrame, max_samples: int = 256) -> DataFrame:
+    """Synthesize a REAL 16-bit PCM WAV payload per document
+    (deterministic samples derived from doc_id), then decode it with
+    the stdlib WAV parser and emit the decoded features — the full
+    encode → binary payload → decode → features path with an actual
+    codec, in Arrow batches.
+
+    Samples are sample[i] = ((doc_id*131 + i*7919) % 65536) - 32768
+    over n = min(n_chars, max_samples) — a pure function of
+    (doc_id, n_chars), so an independent SQL oracle can recompute the
+    decoded stats without running the codec: agreement proves the
+    header fields, frame count, payload size, AND every PCM sample
+    survived the WAV container bit-for-bit."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {k.name: [] for k in WAV_STATS_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = min(int(n_chars), max_samples)
+                samples = [
+                    ((int(doc_id) * 131 + i * 7919) % 65536) - 32768
+                    for i in range(n)
+                ]
+                payload = encode_wav(samples)
+                feat = decode_wav(payload)
+                out["doc_id"].append(int(doc_id))
+                out["n_channels"].append(feat["n_channels"])
+                out["sample_rate"].append(feat["sample_rate"])
+                out["n_samples"].append(feat["n_samples"])
+                out["n_payload_bytes"].append(len(payload))
+                out["sum_abs"].append(feat["sum_abs"])
+                out["peak"].append(feat["peak"])
+        yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "n_chars").mapInPandas(op, WAV_STATS_SCHEMA)
+
+
+@query(
+    "multimodal_wav_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, least(n_chars, 256) AS n FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+               i -> abs(((doc_id * 131 + i * 7919) % 65536) - 32768)) AS a
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(44 + 2 * n AS BIGINT) AS n_payload_bytes,
+           CAST(coalesce(list_sum(a), 0) AS BIGINT) AS sum_abs,
+           CAST(coalesce(list_max(a), 0) AS BIGINT) AS peak
+    FROM s
+    """,
+)
+def q_multimodal_wav_stats(spark, sf_dir):
+    """WAV encode → decode round trip over the documents table with
+    the stdlib PCM codec; the oracle recomputes header fields, the
+    44-byte-header payload size, and exact sample statistics from
+    first principles — a flipped byte anywhere in the container or
+    the PCM frames fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_roundtrip_stats(docs)
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:

@@ -364,6 +364,44 @@ def q_ann_ivf(spark, sf_dir):
     return ann_ivf(load_table(spark, sf_dir, "embeddings"))
 
 
+# The brute-force top-5 oracle (identical to sim_knn_bruteforce's):
+# with every cell probed, IVF candidate selection is lossless and the
+# pipeline must reproduce exact kNN bit-for-bit — which upgrades the
+# rows-only ANN path to an independently hash-checked one.
+_BRUTEFORCE_TOP5_SQL = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < 8),
+       c AS (SELECT * FROM e WHERE vec_id >= 8),
+       p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM p
+    ) WHERE rnk <= 5
+    """
+
+
+@query("sim_ann_ivf_fullprobe", oracle=_BRUTEFORCE_TOP5_SQL)
+def q_ann_ivf_fullprobe(spark, sf_dir):
+    """IVF ANN in its LOSSLESS configuration (probe = all cells): the
+    same KMeans-cell routing, centroid scoring, and per-cell exact
+    rerank as `sim_ann_ivf`, but since every cell is probed the
+    candidate set is the full corpus and the result must equal exact
+    brute-force kNN — proven against the brute-force oracle. The fast
+    n_probe<n_lists variant stays rows-only for bench."""
+    return ann_ivf(
+        load_table(spark, sf_dir, "embeddings"), n_lists=16, n_probe=16
+    )
+
+
 @query(
     "embed_quantize_int8",
     oracle="""
@@ -890,6 +928,23 @@ def q_ann_ivfpq(spark, sf_dir):
     """IVF-PQ: probe → code-only ADC shortlist → exact rerank; recall
     vs brute force pinned by `tests/test_llm.py::test_ivfpq_recall`."""
     return ann_ivf_pq(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("sim_ann_ivfpq_fullprobe", oracle=_BRUTEFORCE_TOP5_SQL)
+def q_ann_ivfpq_fullprobe(spark, sf_dir):
+    """IVF-PQ in its LOSSLESS configuration (probe = all cells,
+    unbounded ADC shortlist): the full index pipeline — KMeans cells,
+    PQ encode, ADC scoring, exact rerank — runs end to end, and
+    because candidate selection (the only lossy stage) is disabled the
+    result must equal exact brute-force kNN, proven against the
+    brute-force oracle. The fast probed/shortlisted variant stays
+    rows-only for bench."""
+    return ann_ivf_pq(
+        load_table(spark, sf_dir, "embeddings"),
+        n_lists=16,
+        n_probe=16,
+        adc_keep=1_000_000_000,
+    )
 
 
 @query(

@@ -731,11 +731,24 @@ def q_percentiles(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query("a4_per_file_counts")  # rows-only: file paths are env-specific
+@query(
+    "a4_per_file_counts",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS item_count
+    FROM lineitem
+    """,
+)
 def q_per_file_counts(spark, sf_dir):
     """A4: manifest-style per-data-file row counts
     (vendor/aws_dynamodb_export_to_s3.py:42,74,339) via
-    input_file_name() — Spark's file index replaces the manifest."""
+    input_file_name() — Spark's file index replaces the manifest.
+
+    Paths are relativized to basenames on the Spark side, and every
+    fixture table is a single parquet file, so the oracle pins the
+    (basename, exact count) pair — upgrading this from rows-only to
+    hash-checked. On a multi-file table the Spark side stays genuinely
+    per-file (one row per file)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy(F.input_file_name().alias("file"))

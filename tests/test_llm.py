@@ -163,7 +163,29 @@ def test_multimodal_roundtrip_and_stub(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(b"RIFF")
+        multimodal.decode_audio(b"RIFFxxxxMP3 ")  # non-WAV container
+
+
+def test_wav_codec_roundtrip():
+    """The stdlib WAV codec is real: encode 16-bit PCM, decode_audio
+    dispatches on the RIFF/WAVE magic, and every header field and
+    sample statistic survives the container round trip."""
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    payload = multimodal.encode_wav(samples, sample_rate=8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    assert len(payload) == 44 + 2 * len(samples)  # standard PCM header
+    feat = multimodal.decode_audio(payload)
+    assert feat == {
+        "n_channels": 1,
+        "sample_rate": 8000,
+        "n_samples": 6,
+        "sum_abs": sum(abs(s) for s in samples),
+        "peak": 32768,
+    }
+    # empty payload (zero frames) decodes cleanly
+    empty = multimodal.encode_wav([])
+    assert multimodal.decode_wav(empty)["n_samples"] == 0
+    assert multimodal.decode_wav(empty)["sum_abs"] == 0
 
 
 def test_ann_ivf_recall_against_bruteforce(spark):

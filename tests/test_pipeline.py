@@ -128,6 +128,69 @@ def test_s5_source_seam(spark, tmp_path, events):
         lake.read_source(spark, {"format": "no-such-format"})
 
 
+def test_s5_dynamodb_connector_contract(spark):
+    """S5 live-connector leg against the DynamoDB-shaped mock: the
+    scan contract a real connector must honor — segment-parallel scan
+    (one Spark partition per segment, disjoint complete coverage),
+    projection pushdown (only requested attributes leave the table),
+    per-segment limit pushdown — through the same read_source seam
+    (reference scan: compare.py:17-26)."""
+    from dynamodb_to_datalake_project_spark import ddbmock, lake
+
+    items = [
+        {"id": f"t-{i:04d}", "account": f"acc-{i % 7}", "amount": i * 10, "note": "x" * i}
+        for i in range(100)
+    ]
+    table = ddbmock.MockDynamoTable(items, key_attr="id")
+    schema = "id string, account string, amount long, note string"
+
+    # full scan: every item exactly once, one partition per segment
+    df = lake.read_source(
+        spark,
+        {"format": "dynamodb", "table": table, "schema": schema, "total_segments": 8},
+    )
+    assert df.rdd.getNumPartitions() == 8
+    got = sorted(r["id"] for r in df.collect())
+    assert got == sorted(it["id"] for it in items)
+    assert df.columns == ["id", "account", "amount", "note"]
+
+    # segments are disjoint AND every partition does real work
+    from pyspark.sql import functions as F
+
+    per_part = df.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    assert sum(r["count"] for r in per_part) == 100
+    assert len(per_part) == 8  # no empty segment at this size
+
+    # projection pushdown: the mock only emits projected attributes;
+    # key is always fetched (connector invariant)
+    proj = lake.read_source(
+        spark,
+        {
+            "format": "dynamodb",
+            "table": table,
+            "schema": schema,
+            "total_segments": 4,
+            "projection": ["amount"],
+        },
+    )
+    assert proj.columns == ["id", "amount"]
+    assert proj.count() == 100
+    assert proj.agg(F.sum("amount")).first()[0] == sum(i * 10 for i in range(100))
+
+    # per-segment limit pushdown caps items AT THE SOURCE
+    lim = lake.read_source(
+        spark,
+        {
+            "format": "dynamodb",
+            "table": table,
+            "schema": schema,
+            "total_segments": 4,
+            "segment_limit": 5,
+        },
+    )
+    assert lim.count() == 20  # 4 segments x 5 items
+
+
 def test_incremental_raw_wire_format(spark, tmp_path, events):
     """§3.2 full fidelity: encode a slice of the workload as raw
     Streams records (typed NewImage), run the raw incremental pipeline
