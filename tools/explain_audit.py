@@ -8,8 +8,11 @@ every headline query at sf0.01.
 from __future__ import annotations
 
 import io
+import os
 import sys
 from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -66,6 +69,9 @@ NOTES = {
     "q22_dormant_customers": "broadcast avg-balance scalar; NOT EXISTS = date-pruned LEFT ANTI",
     "agg_argmax_family": "single hash agg on user_id — max_by/min_by replace the self-join-on-max antipattern",
     "doc_embedding_coverage": "key-only embedding projection into the id join; 20-source agg",
+    "multimodal_wav_stats": "real WAV encode→decode in ONE ArrowEvalPython stage — no shuffle; every PCM stat re-derived by the oracle",
+    "doc_packing": "shard-partitioned running-sum window + same-keyed agg — ONE exchange, no single-partition global sort",
+    "dataset_split": "map-only split assignment, one 15-key agg — scan-bound at any scale",
 }
 
 
