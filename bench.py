@@ -77,6 +77,9 @@ HEADLINE = [
     "multimodal_wav_stats",
     "doc_packing",
     "dataset_split",
+    "doc_rare_bigram_filter",
+    "dataset_token_budget_sample",
+    "dedup_semantic_cells",
 ]
 
 

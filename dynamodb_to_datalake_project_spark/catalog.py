@@ -88,6 +88,9 @@ _PRIORITY: list[str] = [
     "sim_ann_ivfpq_fullprobe",
     "a4_per_file_counts",  # upgraded rows-only -> full oracle this round
     "multimodal_wav_stats",
+    "doc_rare_bigram_filter",
+    "dataset_token_budget_sample",
+    "dedup_semantic_cells",
     # --- rows-only entries: a fresh rows row each round is still signal ---
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -546,6 +546,101 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_semantic_cells",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+    ), d AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+      FROM e, c
+    ), a AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), n AS (
+      SELECT a.vec_id, a.cid, e.v,
+             sqrt(list_dot_product(e.v, e.v)) AS nrm
+      FROM a JOIN e USING (vec_id)
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    )
+    SELECT CAST(n.cid AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) FILTER (WHERE dropped.vec_id IS NOT NULL) AS BIGINT)
+             AS n_dropped,
+           CAST(count(*) FILTER (WHERE dropped.vec_id IS NULL) AS BIGINT)
+             AS n_kept
+    FROM n LEFT JOIN dropped ON n.vec_id = dropped.vec_id
+    GROUP BY n.cid ORDER BY n.cid
+    """,
+)
+def q_dedup_semantic_cells(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023: cluster the
+    embedding space, then deduplicate WITHIN cells only): vectors
+    route to their nearest seed centroid (deterministic vec_id < 8
+    seeds, same assignment as `embed_centroid_assign`), pairwise
+    cosine runs only inside each cell, and of every pair >= 0.4 the
+    larger vec_id is dropped. Reported per cell: members, dropped,
+    kept.
+
+    This is the composition that makes semantic dedup tractable at
+    100 TB: all-pairs cost falls from O(N^2) to sum of O(|cell|^2) —
+    with K balanced cells a K-fold reduction, and cells shard the
+    comparison across the cluster (the within-cell join shuffles on
+    the cell key). `dedup_embedding_cosine` is the exact all-pairs
+    baseline; this is its scale path."""
+    from dynamodb_to_datalake_project_spark.llm.similarity import (
+        as_double_vec,
+        assign_centroids,
+        dot,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double_vec("embedding").alias("v"))
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = assign_centroids(emb, cents).select(
+        "vec_id", F.col("centroid_id").alias("cell")
+    )
+    n = e.join(assigned, "vec_id").withColumn("nrm", norm(F.col("v")))
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.4)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        n.join(dropped, "vec_id", "left")
+        .groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.count(F.col("__dropped")).cast("long").alias("n_dropped"),
+            F.count(F.when(F.col("__dropped").isNull(), F.lit(1)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
 def clean_corpus(
     docs: DataFrame,
     min_tokens: int = 10,

@@ -890,6 +890,86 @@ def q_text_novelty_score(spark, sf_dir):
 
 
 @query(
+    "doc_rare_bigram_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), b AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+               i -> tk[i] || ' ' || tk[i+1])) AS bg
+      FROM toks WHERE len(tk) >= 2
+    ), c AS (
+      SELECT doc_id, bg, count(*) OVER (PARTITION BY bg) AS cnt FROM b
+    ), d AS (
+      SELECT doc_id,
+             count(*) AS n_bigrams,
+             count(*) FILTER (WHERE cnt <= 2) AS n_rare,
+             min(cnt) AS min_cnt
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_rare AS BIGINT) AS n_rare,
+           CAST(min_cnt AS BIGINT) AS min_cnt,
+           CAST(n_rare * 1000 // n_bigrams AS BIGINT) AS rare_pm,
+           n_rare * 1000 // n_bigrams < 300 AS keep
+    FROM d ORDER BY doc_id
+    """,
+)
+def q_doc_rare_bigram_filter(spark, sf_dir):
+    """LM-plausibility quality gate (the perplexity-filter shape of
+    CCNet-style pipelines, transcendental-free): score each document
+    by how many of its token bigrams are RARE in the corpus-trained
+    bigram table (count <= 2 across all occurrences). Gibberish, OCR
+    noise, and shuffled text score high rare ratios; natural text
+    reuses the corpus's frequent transitions. Keeping the score as an
+    integer per-mille of exact counts (instead of avg log-prob) makes
+    it bit-stable across engines — same decision boundary, no float
+    accumulation.
+
+    Plan (the text_novelty shape): one bigram explode, corpus counts
+    as COUNT OVER (PARTITION BY bigram) — one shuffle on the bigram
+    key, no join-back — then one doc-key aggregate. At 100 TB the
+    occurrence shuffle is the cost; a two-pass variant (vocab-bounded
+    count agg + broadcast of the frequent tail) trades a second scan
+    for shuffle volume when the bigram vocabulary is small enough to
+    broadcast."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    b = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("tk", i), F.element_at("tk", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    c = b.withColumn("cnt", F.count("*").over(Window.partitionBy("bg")))
+    d = c.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.count(F.when(F.col("cnt") <= 2, F.lit(1))).cast("long").alias("n_rare"),
+        F.min("cnt").cast("long").alias("min_cnt"),
+    )
+    rare_pm = F.expr("n_rare * 1000 div n_bigrams")
+    return d.select(
+        "doc_id",
+        "n_bigrams",
+        "n_rare",
+        "min_cnt",
+        rare_pm.cast("long").alias("rare_pm"),
+        (rare_pm < 300).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@query(
     "text_bm25_topk",
     oracle="""
     WITH t AS (

@@ -164,3 +164,92 @@ def q_dataset_mix(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+TOKEN_BUDGET_PER_SOURCE = 1400
+
+
+@query(
+    "dataset_token_budget_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+               % 1000 AS bucket
+      FROM documents
+    ), tot AS (
+      SELECT source, sum(n_tokens) AS total_tokens FROM d GROUP BY source
+    ), r AS (
+      SELECT source, total_tokens,
+             least(1000, 1400 * 1000 // total_tokens) AS rate_pm
+      FROM tot
+    )
+    SELECT d.source,
+           CAST(r.total_tokens AS BIGINT) AS total_tokens,
+           CAST(r.rate_pm AS BIGINT) AS rate_pm,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE d.bucket < r.rate_pm) AS BIGINT)
+             AS n_sampled,
+           CAST(coalesce(sum(d.n_tokens) FILTER (WHERE d.bucket < r.rate_pm), 0)
+                AS BIGINT) AS sampled_tokens
+    FROM d JOIN r USING (source)
+    GROUP BY d.source, r.total_tokens, r.rate_pm ORDER BY d.source
+    """,
+)
+def q_dataset_token_budget_sample(spark, sf_dir):
+    """Token-budget-constrained corpus sampling — the down-sampling
+    step real pretraining mixes run (budgets are set in TOKENS, not
+    document counts): each source gets a deterministic per-mille keep
+    rate = min(1, budget / its total tokens), and documents are kept
+    by md5-bucket against that rate (`hash_bucket` — retry-stable, no
+    RNG). Output is the per-source plan AND the realized sample in one
+    frame: totals, rate, and sampled doc/token counts. Pure integer
+    arithmetic end to end.
+
+    Plan: map-only token counts -> one bounded-key agg (20 sources)
+    -> 20-row rate table broadcast back onto the corpus -> conditional
+    agg on the same bounded key. The corpus itself never wide-shuffles;
+    at 100 TB both aggregations are map-side-combined counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+        hash_bucket("doc_id", 1000).alias("bucket"),
+    )
+    rates = (
+        d.groupBy("source")
+        .agg(F.sum("n_tokens").alias("total_tokens"))
+        .withColumn(
+            "rate_pm",
+            F.least(
+                F.lit(1000),
+                F.expr(f"{TOKEN_BUDGET_PER_SOURCE} * 1000 div total_tokens"),
+            ),
+        )
+    )
+    kept = F.col("bucket") < F.col("rate_pm")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "total_tokens", "rate_pm")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count(F.when(kept, F.lit(1))).cast("long").alias("n_sampled"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("sampled_tokens"),
+        )
+        .select(
+            "source",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("rate_pm").cast("long").alias("rate_pm"),
+            "n_docs",
+            "n_sampled",
+            "sampled_tokens",
+        )
+        .orderBy("source")
+    )

@@ -72,6 +72,9 @@ NOTES = {
     "multimodal_wav_stats": "real WAV encode→decode in ONE ArrowEvalPython stage — no shuffle; every PCM stat re-derived by the oracle",
     "doc_packing": "shard-partitioned running-sum window + same-keyed agg — ONE exchange, no single-partition global sort",
     "dataset_split": "map-only split assignment, one 15-key agg — scan-bound at any scale",
+    "doc_rare_bigram_filter": "bigram explode → COUNT OVER bigram key (one shuffle, no join-back) → doc-key agg; integer per-mille score",
+    "dataset_token_budget_sample": "map-only token counts → 20-key agg → 20-row rate broadcast back → conditional 20-key agg; corpus never wide-shuffles",
+    "dedup_semantic_cells": "centroid route (broadcast fold) → within-cell self-join on the cell key — O(sum cell²) not O(N²); 8-key agg",
 }
 
 
