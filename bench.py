@@ -80,6 +80,7 @@ HEADLINE = [
     "doc_rare_bigram_filter",
     "dataset_token_budget_sample",
     "dedup_semantic_cells",
+    "decontaminate_exact_substring",
 ]
 
 

@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "doc_rare_bigram_filter",
     "dataset_token_budget_sample",
     "dedup_semantic_cells",
+    "decontaminate_exact_substring",
     # --- rows-only entries: a fresh rows row each round is still signal ---
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -92,6 +92,69 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(train, bench, "doc_id", "text", n=4)
 
 
+@query(
+    "decontaminate_exact_substring",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), needles AS (
+      SELECT DISTINCT array_to_string(tk[1:5], ' ') AS needle
+      FROM tk WHERE source = 'src0' AND len(tk) >= 5
+    )
+    SELECT d.doc_id, CAST(count(DISTINCT n.needle) AS BIGINT) AS n_hits
+    FROM documents d JOIN needles n
+      ON contains(' ' || d.text || ' ', ' ' || n.needle || ' ')
+    WHERE d.source <> 'src0'
+    GROUP BY d.doc_id
+    """,
+)
+def q_decontaminate_exact_substring(spark, sf_dir):
+    """Exact-substring decontamination — the third contamination mode
+    real eval hygiene runs alongside n-gram overlap and bloom
+    prefiltering: a training document is contaminated if a benchmark
+    NEEDLE (here each src0 document's leading 5-token phrase) appears
+    verbatim, token-boundary-anchored, anywhere in its text.
+
+    Spark-first equivalence: boundary-anchored substring containment
+    of a 5-token needle == one of the document's token 5-grams equals
+    the needle — so the plan is a pure 5-gram EQUI-JOIN against the
+    broadcast needle set (per-doc distinct grams bound the explode; no
+    contains() scan, no cross join; candidates shuffle on the gram
+    key). The DuckDB oracle deliberately uses the OTHER formulation —
+    raw string `contains` with boundary padding — so the hash match
+    proves the two are equivalent, not just mirrored."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        "source",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("tk"),
+    )
+    needles = (
+        tk.filter((F.col("source") == "src0") & (F.size("tk") >= 5))
+        .select(F.concat_ws(" ", F.slice("tk", 1, 5)).alias("needle"))
+        .distinct()
+    )
+    train = tk.filter(F.col("source") != "src0").filter(F.size("tk") >= 5)
+    grams = train.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 4),
+                    lambda i: F.concat_ws(" ", F.slice("tk", i, 5)),
+                )
+            )
+        ).alias("needle"),
+    )
+    return (
+        grams.join(F.broadcast(needles), "needle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter decontamination: for benchmark sets too large to
 # broadcast EXACTLY (100M+ n-grams), a fixed-size bit sketch still

@@ -75,6 +75,7 @@ NOTES = {
     "doc_rare_bigram_filter": "bigram explode → COUNT OVER bigram key (one shuffle, no join-back) → doc-key agg; integer per-mille score",
     "dataset_token_budget_sample": "map-only token counts → 20-key agg → 20-row rate broadcast back → conditional 20-key agg; corpus never wide-shuffles",
     "dedup_semantic_cells": "centroid route (broadcast fold) → within-cell self-join on the cell key — O(sum cell²) not O(N²); 8-key agg",
+    "decontaminate_exact_substring": "substring containment rewritten as 5-gram EQUI-join vs broadcast needles — no contains() scan, no cross join",
 }
 
 
