@@ -81,6 +81,7 @@ HEADLINE = [
     "dataset_token_budget_sample",
     "dedup_semantic_cells",
     "decontaminate_exact_substring",
+    "corpus_curate_full",
 ]
 
 

@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "dataset_token_budget_sample",
     "dedup_semantic_cells",
     "decontaminate_exact_substring",
+    "corpus_curate_full",
     # --- rows-only entries: a fresh rows row each round is still signal ---
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -164,6 +165,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.similarity  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.multimodal  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.decontam  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.curate  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.sketch  # noqa: F401
 
     lead = [n for n in _PRIORITY if n in QUERIES]

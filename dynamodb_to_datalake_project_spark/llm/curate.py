@@ -1,0 +1,178 @@
+"""End-to-end corpus curation capstone: the full training-data funnel
+as ONE composed Spark plan.
+
+quality gate → exact dedup → near-dup prune (`clean_corpus`) →
+benchmark decontamination (`decontaminate`) → token-budget sampling
+(per-source md5-bucket rates) → per-source funnel report.
+
+Every stage is an operator proven individually elsewhere in the
+catalog (corpus_clean, decontaminate_ngrams, dataset_token_budget_
+sample); this query proves they COMPOSE — the shape a real
+pretraining-data job takes, raw corpus in, training-ready sample
+stats out, with no materialization barrier between stages. The
+oracle rebuilds the same funnel as DuckDB CTEs, so a drift anywhere
+in the chain fails the hash.
+
+Scale: inherits each stage's discipline — capped Jaccard blocks,
+broadcast benchmark side, bounded-key (20-source) aggregations,
+map-only sampling. Nothing new shuffles; the funnel report itself
+is three tiny source-level aggs joined broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark.catalog import query
+from dynamodb_to_datalake_project_spark.lake import load_table
+
+TOKEN_BUDGET = 1400
+
+
+@query(
+    "corpus_curate_full",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), quality AS (
+      SELECT * FROM toks WHERE len(tk) >= 10
+    ), exact_keep AS (
+      SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ), survivors AS (
+      SELECT q.* FROM quality q JOIN exact_keep k ON q.doc_id = k.doc_id
+    ), sh AS (
+      SELECT doc_id, substr(text, 1, 32) AS blk,
+             CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                  ELSE [array_to_string(tk, ' ')] END AS w
+      FROM survivors
+    ), neardrop AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.w, b.w)) * 1.0
+            / len(list_distinct(list_concat(a.w, b.w))) >= 0.8
+    ), clean AS (
+      SELECT s.* FROM survivors s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM neardrop)
+        AND s.source <> 'src0'
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' ')
+             ))) AS ngram
+      FROM clean WHERE len(tk) >= 4
+    ), bench AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' ')
+             ))) AS ngram
+      FROM toks WHERE source = 'src0' AND len(tk) >= 4
+    ), contaminated AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bench USING (ngram)
+    ), decon AS (
+      SELECT c.doc_id, c.source, CAST(len(c.tk) AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 4)
+                  AS INTEGER) % 1000 AS bucket
+      FROM clean c
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), rates AS (
+      SELECT source, sum(n_tokens) AS total_tokens,
+             least(1000, 1400 * 1000 // sum(n_tokens)) AS rate_pm
+      FROM decon GROUP BY source
+    ), inp AS (
+      SELECT source, count(*) AS n_input FROM documents
+      WHERE source <> 'src0' GROUP BY source
+    ), cl AS (
+      SELECT source, count(*) AS n_clean FROM clean GROUP BY source
+    )
+    SELECT d.source,
+           CAST(inp.n_input AS BIGINT) AS n_input,
+           CAST(cl.n_clean AS BIGINT) AS n_clean,
+           CAST(count(*) AS BIGINT) AS n_decontaminated,
+           CAST(r.total_tokens AS BIGINT) AS total_tokens,
+           CAST(r.rate_pm AS BIGINT) AS rate_pm,
+           CAST(count(*) FILTER (WHERE d.bucket < r.rate_pm) AS BIGINT)
+             AS n_sampled,
+           CAST(coalesce(sum(d.n_tokens) FILTER (WHERE d.bucket < r.rate_pm), 0)
+                AS BIGINT) AS sampled_tokens
+    FROM decon d
+    JOIN rates r USING (source)
+    JOIN inp USING (source) JOIN cl USING (source)
+    GROUP BY d.source, inp.n_input, cl.n_clean, r.total_tokens, r.rate_pm
+    ORDER BY d.source
+    """,
+)
+def q_corpus_curate_full(spark, sf_dir):
+    """The full curation funnel as one composed plan; see module
+    docstring. Reports per source: input docs, docs after
+    clean_corpus (quality + exact dedup + near-dup prune, benchmark
+    source excluded), docs after decontamination, token totals, the
+    integer per-mille sampling rate against the token budget, and the
+    realized sample's doc/token counts."""
+    from dynamodb_to_datalake_project_spark.llm.decontam import decontaminate
+    from dynamodb_to_datalake_project_spark.llm.dedup import clean_corpus
+    from dynamodb_to_datalake_project_spark.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+
+    surv = clean_corpus(docs)
+    train = surv.filter(F.col("source") != "src0")
+    contaminated = decontaminate(train, bench, "doc_id", "text", n=4).select(
+        "doc_id"
+    )
+    decon = train.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+        hash_bucket("doc_id", 1000).alias("bucket"),
+    )
+
+    rates = (
+        decon.groupBy("source")
+        .agg(F.sum("n_tokens").alias("total_tokens"))
+        .withColumn(
+            "rate_pm",
+            F.least(
+                F.lit(1000), F.expr(f"{TOKEN_BUDGET} * 1000 div total_tokens")
+            ),
+        )
+    )
+    n_input = (
+        docs.filter(F.col("source") != "src0")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_input"))
+    )
+    n_clean = train.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_clean")
+    )
+
+    kept = F.col("bucket") < F.col("rate_pm")
+    return (
+        decon.join(F.broadcast(rates), "source")
+        .groupBy("source", "total_tokens", "rate_pm")
+        .agg(
+            F.count("*").cast("long").alias("n_decontaminated"),
+            F.count(F.when(kept, F.lit(1))).cast("long").alias("n_sampled"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("sampled_tokens"),
+        )
+        .join(F.broadcast(n_input), "source")
+        .join(F.broadcast(n_clean), "source")
+        .select(
+            "source",
+            "n_input",
+            "n_clean",
+            "n_decontaminated",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("rate_pm").cast("long").alias("rate_pm"),
+            "n_sampled",
+            "sampled_tokens",
+        )
+        .orderBy("source")
+    )

@@ -76,6 +76,7 @@ NOTES = {
     "dataset_token_budget_sample": "map-only token counts → 20-key agg → 20-row rate broadcast back → conditional 20-key agg; corpus never wide-shuffles",
     "dedup_semantic_cells": "centroid route (broadcast fold) → within-cell self-join on the cell key — O(sum cell²) not O(N²); 8-key agg",
     "decontaminate_exact_substring": "substring containment rewritten as 5-gram EQUI-join vs broadcast needles — no contains() scan, no cross join",
+    "corpus_curate_full": "the full funnel (clean → decontaminate → budget-sample → report) composed in ONE plan; capped blocks, broadcast bench, 20-key aggs",
 }
 
 
