@@ -85,11 +85,18 @@ def read_source_dynamodb(spark: SparkSession, spec: dict) -> DataFrame:
         # reference's scan materializes full items keyed by id
         projection = [table.key_attr, *projection]
 
-    field_order = (
-        projection
-        if projection is not None
-        else [f.name for f in spark.createDataFrame([], schema).schema.fields]
-    )
+    schema_fields = [f.name for f in spark.createDataFrame([], schema).schema.fields]
+    if projection is not None:
+        unknown = [p for p in projection if p not in schema_fields]
+        if unknown:
+            # fail at spec-validation time with the actual problem, not
+            # mid-job with a tuple/schema arity mismatch
+            raise ValueError(
+                f"projection attributes not in schema: {unknown}; "
+                f"schema has {schema_fields}"
+            )
+
+    field_order = projection if projection is not None else schema_fields
 
     def scan_segment(seg_iter):
         for seg in seg_iter:

@@ -25,8 +25,11 @@ from pyspark.sql import functions as F
 
 from dynamodb_to_datalake_project_spark.catalog import query
 from dynamodb_to_datalake_project_spark.lake import load_table
-
-TOKEN_BUDGET = 1400
+from dynamodb_to_datalake_project_spark.sampling import (
+    TOKEN_BUDGET_PER_SOURCE,
+    doc_token_frame,
+    token_budget_aggregate,
+)
 
 
 @query(
@@ -113,7 +116,6 @@ def q_corpus_curate_full(spark, sf_dir):
     realized sample's doc/token counts."""
     from dynamodb_to_datalake_project_spark.llm.decontam import decontaminate
     from dynamodb_to_datalake_project_spark.llm.dedup import clean_corpus
-    from dynamodb_to_datalake_project_spark.sampling import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("source") == "src0")
@@ -123,25 +125,12 @@ def q_corpus_curate_full(spark, sf_dir):
     contaminated = decontaminate(train, bench, "doc_id", "text", n=4).select(
         "doc_id"
     )
-    decon = train.join(contaminated, "doc_id", "left_anti").select(
-        "doc_id",
-        "source",
-        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
-        .cast("long")
-        .alias("n_tokens"),
-        hash_bucket("doc_id", 1000).alias("bucket"),
-    )
+    # sampling stage = the SAME helper pair as dataset_token_budget_
+    # sample, so tokenization, bucketing, and rate arithmetic cannot
+    # drift between the standalone sampler and this funnel
+    decon = doc_token_frame(train.join(contaminated, "doc_id", "left_anti"))
+    stats = token_budget_aggregate(decon, TOKEN_BUDGET_PER_SOURCE)
 
-    rates = (
-        decon.groupBy("source")
-        .agg(F.sum("n_tokens").alias("total_tokens"))
-        .withColumn(
-            "rate_pm",
-            F.least(
-                F.lit(1000), F.expr(f"{TOKEN_BUDGET} * 1000 div total_tokens")
-            ),
-        )
-    )
     n_input = (
         docs.filter(F.col("source") != "src0")
         .groupBy("source")
@@ -150,18 +139,8 @@ def q_corpus_curate_full(spark, sf_dir):
     n_clean = train.groupBy("source").agg(
         F.count("*").cast("long").alias("n_clean")
     )
-
-    kept = F.col("bucket") < F.col("rate_pm")
     return (
-        decon.join(F.broadcast(rates), "source")
-        .groupBy("source", "total_tokens", "rate_pm")
-        .agg(
-            F.count("*").cast("long").alias("n_decontaminated"),
-            F.count(F.when(kept, F.lit(1))).cast("long").alias("n_sampled"),
-            F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
-            .cast("long")
-            .alias("sampled_tokens"),
-        )
+        stats.withColumnRenamed("n_docs", "n_decontaminated")
         .join(F.broadcast(n_input), "source")
         .join(F.broadcast(n_clean), "source")
         .select(
@@ -169,8 +148,8 @@ def q_corpus_curate_full(spark, sf_dir):
             "n_input",
             "n_clean",
             "n_decontaminated",
-            F.col("total_tokens").cast("long").alias("total_tokens"),
-            F.col("rate_pm").cast("long").alias("rate_pm"),
+            "total_tokens",
+            "rate_pm",
             "n_sampled",
             "sampled_tokens",
         )

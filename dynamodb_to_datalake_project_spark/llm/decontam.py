@@ -104,8 +104,13 @@ def q_decontaminate(spark, sf_dir):
       FROM tk WHERE source = 'src0' AND len(tk) >= 5
     )
     SELECT d.doc_id, CAST(count(DISTINCT n.needle) AS BIGINT) AS n_hits
-    FROM documents d JOIN needles n
-      ON contains(' ' || d.text || ' ', ' ' || n.needle || ' ')
+    FROM (
+      SELECT doc_id, source,
+             array_to_string(list_filter(string_split(text, ' '), x -> x <> ''),
+                             ' ') AS norm_text
+      FROM documents
+    ) d JOIN needles n
+      ON contains(' ' || d.norm_text || ' ', ' ' || n.needle || ' ')
     WHERE d.source <> 'src0'
     GROUP BY d.doc_id
     """,
@@ -118,13 +123,16 @@ def q_decontaminate_exact_substring(spark, sf_dir):
     verbatim, token-boundary-anchored, anywhere in its text.
 
     Spark-first equivalence: boundary-anchored substring containment
-    of a 5-token needle == one of the document's token 5-grams equals
-    the needle — so the plan is a pure 5-gram EQUI-JOIN against the
-    broadcast needle set (per-doc distinct grams bound the explode; no
-    contains() scan, no cross join; candidates shuffle on the gram
-    key). The DuckDB oracle deliberately uses the OTHER formulation —
-    raw string `contains` with boundary padding — so the hash match
-    proves the two are equivalent, not just mirrored."""
+    of a 5-token needle in the WHITESPACE-NORMALIZED text == one of
+    the document's token 5-grams equals the needle — so the plan is a
+    pure 5-gram EQUI-JOIN against the broadcast needle set (per-doc
+    distinct grams bound the explode; no contains() scan, no cross
+    join; candidates shuffle on the gram key). The DuckDB oracle
+    deliberately uses the OTHER formulation — string `contains` with
+    boundary padding over the token-rejoined text (normalization
+    makes the equivalence hold under irregular whitespace too) — so
+    the hash match proves the two are equivalent, not just
+    mirrored."""
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select(
         "doc_id",

@@ -208,7 +208,9 @@ def wav_roundtrip_stats(docs: DataFrame, max_samples: int = 256) -> DataFrame:
         out: dict[str, list] = {k.name: [] for k in WAV_STATS_SCHEMA.fields}
         for pdf in batches:
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                n = min(int(n_chars), max_samples)
+                # NULL n_chars arrives as None/NaN — treat as an empty
+                # payload (0 samples), mirroring the oracle's coalesce
+                n = 0 if pd.isna(n_chars) else min(int(n_chars), max_samples)
                 samples = [
                     ((int(doc_id) * 131 + i * 7919) % 65536) - 32768
                     for i in range(n)
@@ -231,7 +233,7 @@ def wav_roundtrip_stats(docs: DataFrame, max_samples: int = 256) -> DataFrame:
     "multimodal_wav_stats",
     oracle="""
     WITH t AS (
-      SELECT doc_id, least(n_chars, 256) AS n FROM documents
+      SELECT doc_id, least(coalesce(n_chars, 0), 256) AS n FROM documents
     ), s AS (
       SELECT doc_id, n,
              list_transform(range(0, n),

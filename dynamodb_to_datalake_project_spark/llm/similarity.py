@@ -227,9 +227,10 @@ def ann_lsh(
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "sim_knn_bruteforce",
-    oracle="""
+# Brute-force top-5 SQL: the ONE oracle shared by exact kNN and the
+# lossless full-probe IVF / IVF-PQ configurations below — a tweak
+# (rounding, tie-break) applied here applies to all three identically.
+_BRUTEFORCE_TOP5_SQL = """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), q AS (SELECT * FROM e WHERE vec_id < 8),
@@ -247,8 +248,10 @@ def ann_lsh(
                                    ORDER BY cosine DESC, neighbor_id ASC) AS rnk
       FROM p
     ) WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@query("sim_knn_bruteforce", oracle=_BRUTEFORCE_TOP5_SQL)
 def q_knn_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double_vec("embedding").alias("v"))
@@ -364,31 +367,11 @@ def q_ann_ivf(spark, sf_dir):
     return ann_ivf(load_table(spark, sf_dir, "embeddings"))
 
 
-# The brute-force top-5 oracle (identical to sim_knn_bruteforce's):
-# with every cell probed, IVF candidate selection is lossless and the
-# pipeline must reproduce exact kNN bit-for-bit — which upgrades the
-# rows-only ANN path to an independently hash-checked one.
-_BRUTEFORCE_TOP5_SQL = """
-    WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), q AS (SELECT * FROM e WHERE vec_id < 8),
-       c AS (SELECT * FROM e WHERE vec_id >= 8),
-       p AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(q.v, c.v)
-                   / (sqrt(list_dot_product(q.v, q.v))
-                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
-      FROM q CROSS JOIN c
-    )
-    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-      FROM p
-    ) WHERE rnk <= 5
-    """
-
-
+# With every cell probed, IVF candidate selection is lossless and the
+# pipeline must reproduce exact kNN bit-for-bit against the SHARED
+# brute-force oracle (`_BRUTEFORCE_TOP5_SQL`, defined above with
+# sim_knn_bruteforce) — which upgrades the rows-only ANN path to an
+# independently hash-checked one.
 @query("sim_ann_ivf_fullprobe", oracle=_BRUTEFORCE_TOP5_SQL)
 def q_ann_ivf_fullprobe(spark, sf_dir):
     """IVF ANN in its LOSSLESS configuration (probe = all cells): the

@@ -169,6 +169,59 @@ def q_dataset_mix(spark, sf_dir):
 TOKEN_BUDGET_PER_SOURCE = 1400
 
 
+def doc_token_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tokens, bucket) — the per-document frame the
+    token-budget sampler operates on; shared with the curation funnel
+    (`llm.curate`) so tokenization and bucketing can't drift between
+    them. Tokenization is the canonical `llm.text.tokens`."""
+    from dynamodb_to_datalake_project_spark.llm.text import tokens
+
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        hash_bucket("doc_id", 1000).alias("bucket"),
+    )
+
+
+def token_budget_aggregate(d: DataFrame, budget: int) -> DataFrame:
+    """Per-source token-budget plan + realized sample over a
+    (source, n_tokens, bucket) frame: keep rate = min(1, budget/total
+    tokens) in integer per-mille, realization by md5 bucket. Returns
+    (source, total_tokens, rate_pm, n_docs, n_sampled, sampled_tokens).
+
+    One bounded-key agg for totals, the rate table broadcast back,
+    one conditional bounded-key agg — the corpus never wide-shuffles."""
+    rates = (
+        d.groupBy("source")
+        .agg(F.sum("n_tokens").alias("total_tokens"))
+        .withColumn(
+            "rate_pm",
+            F.least(F.lit(1000), F.expr(f"{budget} * 1000 div total_tokens")),
+        )
+    )
+    kept = F.col("bucket") < F.col("rate_pm")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "total_tokens", "rate_pm")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count(F.when(kept, F.lit(1))).cast("long").alias("n_sampled"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("sampled_tokens"),
+        )
+        .select(
+            "source",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("rate_pm").cast("long").alias("rate_pm"),
+            "n_docs",
+            "n_sampled",
+            "sampled_tokens",
+        )
+    )
+
+
 @query(
     "dataset_token_budget_sample",
     oracle="""
@@ -213,43 +266,6 @@ def q_dataset_token_budget_sample(spark, sf_dir):
     agg on the same bounded key. The corpus itself never wide-shuffles;
     at 100 TB both aggregations are map-side-combined counts."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        "source",
-        F.size(
-            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-        ).cast("long").alias("n_tokens"),
-        hash_bucket("doc_id", 1000).alias("bucket"),
-    )
-    rates = (
-        d.groupBy("source")
-        .agg(F.sum("n_tokens").alias("total_tokens"))
-        .withColumn(
-            "rate_pm",
-            F.least(
-                F.lit(1000),
-                F.expr(f"{TOKEN_BUDGET_PER_SOURCE} * 1000 div total_tokens"),
-            ),
-        )
-    )
-    kept = F.col("bucket") < F.col("rate_pm")
-    return (
-        d.join(F.broadcast(rates), "source")
-        .groupBy("source", "total_tokens", "rate_pm")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.count(F.when(kept, F.lit(1))).cast("long").alias("n_sampled"),
-            F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
-            .cast("long")
-            .alias("sampled_tokens"),
-        )
-        .select(
-            "source",
-            F.col("total_tokens").cast("long").alias("total_tokens"),
-            F.col("rate_pm").cast("long").alias("rate_pm"),
-            "n_docs",
-            "n_sampled",
-            "sampled_tokens",
-        )
-        .orderBy("source")
-    )
+    return token_budget_aggregate(
+        doc_token_frame(docs), TOKEN_BUDGET_PER_SOURCE
+    ).orderBy("source")

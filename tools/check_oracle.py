@@ -85,30 +85,38 @@ def compare_query(spark, con, name, builder, sql, sf_dir):
     problems = []
     # Driver-canonicalizer contract #2: the driver pulls the oracle
     # result through pandas, where DuckDB HUGEINT (sum over ints) and
-    # nullable ints land as float64 while Spark sends int64 — the value
+    # DECIMAL land as float64 while Spark sends int64 — the value
     # hashes then differ even when every value is equal (the round-2
-    # doc_packing/dataset_split failures). Detect the int-vs-float
-    # kind mismatch HERE: compare each Spark column's type kind with
-    # the oracle result's pandas dtype kind.
+    # doc_packing/dataset_split failures). Detect the TYPE-level
+    # drift from the oracle's DECLARED column types (`con.sql().types`
+    # plans without executing — no second query run). NULL-driven
+    # pandas float64 coercion is deliberately NOT flagged: it hits the
+    # Spark side of the driver identically, so hashes still match.
     spark_kind = {}
     for f in sdf.schema.fields:
         if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
             spark_kind[f.name] = "i"
         elif isinstance(f.dataType, (T.FloatType, T.DoubleType)):
             spark_kind[f.name] = "f"
-    odf = con.execute(sql).df()
-    for c in odf.columns:
-        sk, ok_ = spark_kind.get(c), odf[c].dtype.kind
-        if sk == "i" and ok_ == "f":
+    rel = con.sql(sql)
+    duck_types = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
+    _INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+                  "USMALLINT", "UINTEGER", "UBIGINT"}
+    for c, sk in spark_kind.items():
+        dt = duck_types.get(c, "")
+        wide = dt in ("HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT") or dt.startswith(
+            "DECIMAL"
+        )
+        if sk == "i" and wide:
             problems.append(
-                f"dtype drift: column {c!r} is integer in Spark but float64 "
-                f"via pandas on the oracle side (DuckDB HUGEINT/nullable-int) "
-                f"— CAST(... AS BIGINT) in the oracle SQL"
+                f"dtype drift: column {c!r} is integer in Spark but {dt} on "
+                f"the oracle side (float64 via the driver's pandas path) — "
+                f"CAST(... AS BIGINT) in the oracle SQL"
             )
-        elif sk == "f" and ok_ in ("i", "u"):
+        elif sk == "f" and dt in _INT_TYPES:
             problems.append(
-                f"dtype drift: column {c!r} is float in Spark but {odf[c].dtype} "
-                f"on the oracle side — cast to DOUBLE in the oracle SQL"
+                f"dtype drift: column {c!r} is float in Spark but {dt} on "
+                f"the oracle side — cast to DOUBLE in the oracle SQL"
             )
     if sorted(scols) != sorted(ocols):
         problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
