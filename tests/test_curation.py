@@ -146,3 +146,101 @@ def test_bloom_decontam_matches_exact_and_prunes(spark):
         )
     )
     assert len(bloom) == (1 << 23) // 8  # fixed-size regardless of data
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_doc_packing_shard_invariants(spark):
+    """Shard-local packing conserves docs and tokens: every document
+    lands in exactly one (shard, pack), pack token sums add up to the
+    corpus token total, and no pack crosses shards."""
+    from pyspark.sql import functions as F2
+
+    from dynamodb_to_datalake_project_spark import catalog
+    from dynamodb_to_datalake_project_spark.lake import load_table
+    from dynamodb_to_datalake_project_spark.llm.text import tokens
+
+    catalog.load_all()
+    packs = catalog.QUERIES["doc_packing"](spark, SF)
+    docs = load_table(spark, SF, "documents")
+    totals = docs.select(
+        F2.count("*").alias("n"),
+        F2.sum(F2.size(tokens(F2.col("text")))).alias("tok"),
+    ).first()
+    got = packs.agg(
+        F2.sum("n_docs").alias("n"), F2.sum("pack_tokens").alias("tok")
+    ).first()
+    assert (got["n"], got["tok"]) == (totals["n"], totals["tok"])
+    # shard ids span the full 16-way range at this corpus size
+    assert packs.select("shard").distinct().count() == 16
+
+
+def test_semantic_cells_partition_of_corpus(spark):
+    """Cell-local semantic dedup partitions the corpus: every vector is
+    a member of exactly one cell and n_dropped + n_kept == n_members."""
+    from pyspark.sql import functions as F2
+
+    from dynamodb_to_datalake_project_spark import catalog
+    from dynamodb_to_datalake_project_spark.lake import load_table
+
+    catalog.load_all()
+    cells = catalog.QUERIES["dedup_semantic_cells"](spark, SF).collect()
+    n_vectors = load_table(spark, SF, "embeddings").count()
+    assert sum(r.n_members for r in cells) == n_vectors
+    for r in cells:
+        assert r.n_dropped + r.n_kept == r.n_members
+        assert r.n_kept >= 1  # a cell never empties (its min survives)
+
+
+def test_curation_funnel_monotonic(spark):
+    """The curation funnel only ever shrinks: input >= clean >=
+    decontaminated >= sampled per source, sampled tokens <= totals, and
+    a rate of 1000 per-mille keeps every document."""
+    from dynamodb_to_datalake_project_spark import catalog
+
+    catalog.load_all()
+    rows = catalog.QUERIES["corpus_curate_full"](spark, SF).collect()
+    assert rows  # non-trivial funnel
+    for r in rows:
+        assert r.n_input >= r.n_clean >= r.n_decontaminated >= r.n_sampled
+        assert 0 < r.rate_pm <= 1000
+        assert r.sampled_tokens <= r.total_tokens
+        if r.rate_pm == 1000:
+            assert r.n_sampled == r.n_decontaminated
+
+
+def test_rare_bigram_filter_bounds(spark):
+    """Rare-bigram scores are well-formed: n_rare <= n_bigrams, the
+    per-mille score is in [0, 1000], and keep matches the threshold."""
+    from dynamodb_to_datalake_project_spark import catalog
+
+    catalog.load_all()
+    rows = catalog.QUERIES["doc_rare_bigram_filter"](spark, SF).collect()
+    assert rows
+    # the score is non-degenerate (this corpus keeps everything at the
+    # 300-per-mille threshold, but rare bigrams do exist)
+    assert any(r.rare_pm > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_rare <= r.n_bigrams
+        assert 0 <= r.rare_pm <= 1000
+        assert r.keep == (r.rare_pm < 300)
+
+
+def test_token_budget_sample_respects_budget(spark):
+    """Token-budget sampling: full-keep sources keep everything; capped
+    sources land near the budget (within one doc's tokens of it in
+    expectation — asserted loosely as sampled <= total)."""
+    from dynamodb_to_datalake_project_spark import catalog
+
+    catalog.load_all()
+    rows = catalog.QUERIES["dataset_token_budget_sample"](spark, SF).collect()
+    assert rows
+    capped = [r for r in rows if r.rate_pm < 1000]
+    full = [r for r in rows if r.rate_pm == 1000]
+    assert capped and full  # the 1400-token budget splits the sources
+    for r in rows:
+        assert r.n_sampled <= r.n_docs
+        assert r.sampled_tokens <= r.total_tokens
+        if r.rate_pm == 1000:
+            assert r.n_sampled == r.n_docs and r.sampled_tokens == r.total_tokens
