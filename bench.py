@@ -82,6 +82,7 @@ HEADLINE = [
     "dedup_semantic_cells",
     "decontaminate_exact_substring",
     "corpus_curate_full",
+    "dataset_split_no_leakage",
 ]
 
 

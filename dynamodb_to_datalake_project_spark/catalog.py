@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "dedup_semantic_cells",
     "decontaminate_exact_substring",
     "corpus_curate_full",
+    "dataset_split_no_leakage",
     # --- rows-only entries: a fresh rows row each round is still signal ---
     "dedup_minhash_lsh",
     "dedup_simhash",

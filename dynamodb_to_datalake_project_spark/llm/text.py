@@ -552,6 +552,68 @@ def q_dataset_split(spark, sf_dir):
 
 
 @query(
+    "dataset_split_no_leakage",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS group_rep
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang, group_rep,
+             CASE WHEN CAST('0x' || substr(md5(CAST(group_rep AS VARCHAR)), 1, 4)
+                       AS INTEGER) % 10 < 8 THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(group_rep AS VARCHAR)), 1, 4)
+                       AS INTEGER) % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM g
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT group_rep) AS BIGINT) AS n_groups
+    FROM s GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def q_dataset_split_no_leakage(spark, sf_dir):
+    """Leakage-safe train/val/test split: a naive per-document split
+    (`dataset_split`) lets byte-identical duplicates straddle train
+    and test — the held-out set then scores memorization. Here the
+    split is decided per DUPLICATE GROUP (md5(text) equivalence, rep
+    = min doc_id) by hashing the representative, so every copy of a
+    text lands in the same split by construction. Reported per
+    (lang, split): docs and distinct groups.
+
+    Plan: one window over the md5(text) key (the same exchange
+    exact-dedup uses) + one bounded-key agg; the split decision is a
+    pure function of the group representative — deterministic,
+    retry-stable, engine-portable. The near-dup upgrade routes pairs
+    through `graph.connected_components` and hashes the component id
+    instead — same shape, CC cost on top."""
+    from pyspark.sql import Window
+
+    from dynamodb_to_datalake_project_spark.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        "lang",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("group_rep"),
+    )
+    bucket = hash_bucket("group_rep", 10)
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        g.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("group_rep").cast("long").alias("n_groups"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@query(
     "bigram_top20",
     oracle="""
     WITH t AS (

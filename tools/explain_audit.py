@@ -77,6 +77,7 @@ NOTES = {
     "dedup_semantic_cells": "centroid route (broadcast fold) → within-cell self-join on the cell key — O(sum cell²) not O(N²); 8-key agg",
     "decontaminate_exact_substring": "substring containment rewritten as 5-gram EQUI-join vs broadcast needles — no contains() scan, no cross join",
     "corpus_curate_full": "the full funnel (clean → decontaminate → budget-sample → report) composed in ONE plan; capped blocks, broadcast bench, 20-key aggs",
+    "dataset_split_no_leakage": "group-integrity split: one window on the md5(text) key decides per GROUP — duplicates can't straddle train/test",
 }
 
 
