@@ -86,7 +86,11 @@ def blocked_jaccard_pairs(
     spark = docs.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cand = _bucket_pairs(
-        docs.select(block_key.alias("blk"), "doc_id"), ["blk"], "doc_id", max_block
+        docs.select(block_key.alias("blk"), "doc_id"),
+        ["blk"],
+        "doc_id",
+        max_block,
+        dedup=False,  # single blocking key → no cross-bucket dup pairs
     )
     d = (
         docs.select("doc_id", tokens(F.col("text")).alias("toks"))
@@ -151,12 +155,21 @@ def oversized_buckets(
 
 
 def _bucket_pairs(
-    df: DataFrame, bucket_cols: list[str], id_col: str, max_bucket: int = 1000
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int = 1000,
+    dedup: bool = True,
 ) -> DataFrame:
-    """Distinct within-bucket id pairs (a < b), computing the upstream
-    plan once (no self-join). Buckets larger than `max_bucket` are
-    dropped: for LSH banding they indicate a degenerate band with no
-    discriminative signal, and expanding them is O(n²) for nothing."""
+    """Within-bucket id pairs (a < b), computing the upstream plan once
+    (no self-join). Buckets larger than `max_bucket` are dropped: for
+    LSH banding they indicate a degenerate band with no discriminative
+    signal, and expanding them is O(n²) for nothing.
+
+    `dedup=False` skips the final `.distinct()` (one full shuffle):
+    callers that feed `_jaccard_verify` get pair-dedup for free from
+    the verify's own `groupBy(a_id, b_id)`, so the extra exchange+sort
+    stage buys nothing there."""
     buckets = (
         df.groupBy(*bucket_cols)
         .agg(F.collect_list(id_col).alias("ids"))
@@ -174,7 +187,8 @@ def _bucket_pairs(
             )
         ).alias("p")
     )
-    return pairs.select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id")).distinct()
+    out = pairs.select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+    return out.distinct() if dedup else out
 
 
 def _minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
@@ -293,52 +307,89 @@ def minhash_lsh_pairs(
     docs_with_tokens: (doc_id, w: array<string> distinct tokens).
 
     Signature path default is the pure-Catalyst form: measured at
-    sf0.1/local[32], the JVM path runs the full pipeline in 6.9 s cold
-    / 2.8 s warm vs 22.3 s cold / 2.3 s warm for the Arrow+numpy path —
+    sf0.1/local[32], the JVM path runs the full pipeline in ~4.8 s cold
+    / ~2.5 s warm vs 22.3 s cold / 2.3 s warm for the Arrow+numpy path —
     Python-worker spin-up (one interpreter + numpy import per core)
     dominates any one-shot run. `use_pandas=True` remains the right
     choice for long-lived jobs where workers are already warm and
     signatures re-run many times (workers are reused across stages).
+
+    Plan shape (JVM path): exchange(doc_id) → ONE projection computing
+    token-hash → per-band min-chain signatures (the let-binding
+    `transform(array(x), hs -> ...)` form below) → explode →
+    exchange(band, sig) for bucketing → pair expansion → verify join.
+    Round-3 rework: the earlier form unrolled num_hashes element_at()
+    references plus bands×rows-ary xxhash64 calls into a huge
+    expression tree whose first-execution (analysis + codegen) cost was
+    ~3 s regardless of data size; the compact HOF tree with literal
+    (a, b) constant arrays removes that fixed cost and one exchange
+    (signature barrier and banding now share a single projection).
     """
     rows = num_hashes // bands
     spark = docs_with_tokens.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    consts = _minhash_constants(num_hashes)
     if use_pandas:
         # mapInPandas output is materialized columns — no projection
         # collapse can re-inline the signature computation into the
-        # banding references.
+        # banding references. Band sigs chain-hash the r per-band mins
+        # (same bucket-equality structure as the fused JVM form: two
+        # docs collide iff their r mins are equal, modulo hash
+        # collisions).
         sig = minhash_signatures_pandas(docs_with_tokens, num_hashes)
-    else:
-        # Exchange barrier: materialize sig_arr before banding. Without
-        # it, projection collapse inlines the signature computation into
-        # every one of the num_hashes element_at() references below — a
-        # 64x recompute. The shuffled frame is (id, 64 longs) — tiny.
-        sig = minhash_signatures(docs_with_tokens, num_hashes).repartition(
-            par, "doc_id"
+        band_expr = (
+            f"transform(sequence(0, {bands - 1}), bi -> "
+            f"aggregate(slice(sig_arr, bi * {rows} + 1, {rows}), "
+            f"CAST(42 AS BIGINT), (acc, x) -> xxhash64(acc, x)))"
         )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.element_at("sig_arr", bi * rows + r + 1)
-                        for r in range(rows)
-                    ]
-                ).alias("sig"),
+        banded = sig.select(
+            "doc_id", F.posexplode(F.expr(band_expr)).alias("band", "sig")
+        )
+    else:
+        # Literal constant tables grouped per band: array of bands,
+        # each an array of (a, b) structs — the per-element work reads
+        # lambda-bound struct fields, no element_at bounds checks.
+        bands_lit = (
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(
+                    f"struct({a}L AS a, {b}L AS b)"
+                    for a, b in consts[bi * rows : (bi + 1) * rows]
+                )
+                + ")"
+                for bi in range(bands)
             )
-            for bi in range(bands)
-        ]
-    )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+            + ")"
+        )
+        # One projection from tokens to band signatures. The
+        # `transform(array(<hashes>), hs -> ...)` wrapper is a
+        # let-binding: token strings are xxhash64'd ONCE per row and
+        # bound to `hs`, then every band/row references the bound
+        # array — no repeated tokenization, no materialization
+        # exchange needed between signatures and banding. (&0xFFFFFFFF
+        # keeps a*h+b < 2^53 — ANSI-safe, no overflow.)
+        band_expr = (
+            f"element_at(transform(array(transform(w, t -> xxhash64(t) & 4294967295)), "
+            f"hs -> transform({bands_lit}, bc -> "
+            f"aggregate(bc, CAST(42 AS BIGINT), (acc, c) -> xxhash64(acc, "
+            f"array_min(transform(hs, h -> h * c.a + c.b)))))), 1)"
+        )
+        # The exchange spreads the HOF-heavy projection across all
+        # cores (a parquet scan may have far fewer input splits than
+        # executor slots) and hashes each token exactly once.
+        banded = (
+            docs_with_tokens.repartition(par, "doc_id")
+            .select("doc_id", F.posexplode(F.expr(band_expr)).alias("band", "sig"))
+        )
     # Bucket-local pair expansion instead of a self-join: a self-join
     # would recompute the whole signature pipeline for each side; here
     # the signatures are computed once and pairs come from a per-bucket
     # collect_list. Degenerate buckets are capped (a band whose bucket
     # holds >1000 docs carries no dedup signal, only quadratic cost).
-    cand = _bucket_pairs(banded, ["band", "sig"], "doc_id")
+    # dedup=False: the verify's groupBy(a_id, b_id) dedupes pairs that
+    # collide in multiple bands — no separate distinct() shuffle.
+    cand = _bucket_pairs(banded, ["band", "sig"], "doc_id", dedup=False)
     # Exact-Jaccard verify on candidates only (shared with the blocked
     # path): one corpus scan, plain membership join — candidate volume
     # scales with the corpus, so no forced broadcast (AQE upgrades it
@@ -666,9 +717,7 @@ def clean_corpus(
     # Exact dedup as a W1-family window (keep min doc_id per content
     # hash) — identical semantics to exact_dedup + semi-join but ONE
     # shuffle and no join, and Spark's WindowGroupLimit pushes the
-    # rn=1 cut into the partial phase. The survivors frame is consumed
-    # three times downstream (blocking, verify, final anti-join); a
-    # simpler lineage keeps each recompute one scan + one exchange.
+    # rn=1 cut into the partial phase.
     exact_survivors = (
         quality.withColumn(
             "__rn",
@@ -679,12 +728,33 @@ def clean_corpus(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    near_pairs = blocked_jaccard_pairs(
-        exact_survivors,
-        F.substring("text", 1, block_prefix),
-        jaccard_threshold,
-        max_block=max_block,
+    # Near-dup candidates are blocked on (block key, exact-group
+    # representative) built with a hash AGGREGATE over the cheap
+    # 3-column projection — NOT by re-running the full-row md5 window
+    # (round-2 shape recomputed that window three times; now it runs
+    # exactly once, as the final anti-join's probe side). The agg is
+    # drop-set-equivalent to blocking on the survivors: the block key
+    # is a function of text, so an exact-dup group lands entirely in
+    # one block and `min(doc_id)` is exactly the group's surviving
+    # representative; map-side partial aggregation collapses duplicate
+    # texts before the shuffle, which a window sort cannot.
+    blk = F.substring("text", 1, block_prefix)
+    cand_src = (
+        quality.select(F.md5("text").alias("__h"), blk.alias("blk"), "doc_id")
+        .groupBy("__h", "blk")
+        .agg(F.min("doc_id").alias("doc_id"))
     )
+    cand = _bucket_pairs(cand_src, ["blk"], "doc_id", max_block, dedup=False)
+    # Verify against the QUALITY frame (cheaper lineage than survivors;
+    # candidate ids are survivor ids, so the membership join touches
+    # identical rows and Jaccard values are unchanged).
+    par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        quality.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .repartition(par, "doc_id")
+        .select("doc_id", shingles_from_tokens(F.col("toks"), 3).alias("w"))
+    )
+    near_pairs = _jaccard_verify(cand, d, jaccard_threshold)
     # The drop set is referenced once (the anti-join's build side), so
     # the candidate+verify pipeline runs once with no materialization
     # barrier; its size scales with the near-dup rate — tiny next to
@@ -905,6 +975,7 @@ def q_fuzzy_name_pairs(spark, sf_dir):
         names.select(F.substring("p_name", 1, 4).alias("blk"), "p_name"),
         ["blk"],
         "p_name",
+        dedup=False,  # one blocking key → pairs already unique
     )
     a = names.select(F.col("p_name").alias("a_id"), F.col("n").alias("n_a"))
     b = names.select(F.col("p_name").alias("b_id"), F.col("n").alias("n_b"))
@@ -965,6 +1036,7 @@ def q_dedup_containment(spark, sf_dir):
         docs.select(F.substring("text", 1, 32).alias("blk"), "doc_id"),
         ["blk"],
         "doc_id",
+        dedup=False,  # one blocking key → pairs already unique
     )
     d = (
         docs.select("doc_id", tokens(F.col("text")).alias("toks"))
