@@ -83,6 +83,9 @@ HEADLINE = [
     "decontaminate_exact_substring",
     "corpus_curate_full",
     "dataset_split_no_leakage",
+    "dedup_segments",
+    "text_collapse_repeats",
+    "bpe_train_merges",
 ]
 
 

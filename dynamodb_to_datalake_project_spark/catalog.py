@@ -94,6 +94,9 @@ _PRIORITY: list[str] = [
     "decontaminate_exact_substring",
     "corpus_curate_full",
     "dataset_split_no_leakage",
+    "dedup_segments",
+    "text_collapse_repeats",
+    "bpe_train_merges",
     # --- rows-only entries: a fresh rows row each round is still signal ---
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -168,6 +171,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.decontam  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.curate  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.sketch  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.bpe  # noqa: F401
 
     lead = [n for n in _PRIORITY if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(lead)]

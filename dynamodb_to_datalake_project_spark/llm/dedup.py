@@ -1076,3 +1076,111 @@ def q_dedup_containment(spark, sf_dir):
         )
     )
     return directed.filter(F.col("containment") >= 0.9)
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus segment-level exact dedup — the line/paragraph
+    dedup of CCNet/RefinedWeb-style pipelines, generalized to fixed
+    `seg_tokens`-token segments (this corpus has no line structure).
+    Every segment keeps only its FIRST occurrence corpus-wide (ordered
+    by (doc_id, seg_idx)); each document reports how much of it
+    survived and an md5 fingerprint of the surviving text (NULL when
+    nothing survived — a fully-duplicated document).
+
+    Why sub-document granularity matters: boilerplate (headers,
+    navigation, license blocks) repeats across millions of pages that
+    are NOT document-level duplicates; removing repeated segments
+    recovers that capacity without dropping whole documents.
+
+    Scale shape: tokenize behind one exchange (materializes the token
+    array so the per-segment slice() reads an attribute, and spreads a
+    few-split scan across cores), ONE explode of ~n_tokens/seg_tokens
+    rows per doc, one shuffle keyed on the segment text for the
+    keep-first window (bounded keys; a segment duplicated across the
+    whole corpus makes a hot partition — the window only materializes
+    rank 1, and WindowGroupLimit cuts the rest partial-side), one
+    regroup by doc. Nothing all-pairs, nothing driver-side.
+    """
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        docs.select(id_col, tokens(F.col(text_col)).alias("toks"))
+        .repartition(par, id_col)
+        .filter(F.size("toks") >= 1)
+    )
+    segs = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size("toks") - 1) / seg_tokens).cast("int")
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * seg_tokens + 1, F.lit(seg_tokens)), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy(id_col, "seg_idx")
+    flagged = segs.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_segs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_sort(F.collect_list(kept_struct)).alias("__ks"),
+        )
+        .select(
+            id_col,
+            "n_segs",
+            "n_kept",
+            F.when(
+                F.col("n_kept") > 0,
+                F.md5(
+                    F.array_join(
+                        F.transform("__ks", lambda s: s["seg"]), " "
+                    )
+                ),
+            ).alias("kept_hash"),
+        )
+    )
+
+
+@query(
+    "dedup_segments",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1
+    ), segs AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+             array_to_string(list_slice(toks, u.i * 20 + 1,
+                                        least(u.i * 20 + 20, n)), ' ') AS seg
+      FROM s, LATERAL (SELECT unnest(range(0, (n + 19) // 20)) AS i) u
+    ), r AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx))
+             AS kept_hash
+    FROM r GROUP BY doc_id
+    """,
+)
+def q_dedup_segments(spark, sf_dir):
+    """Segment-level (20-token) cross-corpus exact dedup with per-doc
+    survival stats and surviving-text fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, seg_tokens=20)

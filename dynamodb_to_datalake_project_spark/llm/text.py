@@ -1155,3 +1155,57 @@ def q_doc_curriculum_buckets(spark, sf_dir):
         )
         .orderBy("lang", "bucket")
     )
+
+
+def collapse_repeats(toks: Column, toks_attr: Column) -> Column:
+    """Drop consecutive repeated tokens (keep the first of each run).
+
+    `toks` and `toks_attr` must reference the SAME materialized array
+    attribute: the filter lambda reads the previous element via
+    element_at on `toks_attr`, so passing a raw split() expression
+    would re-tokenize per element (see `shingles_from_tokens` PERF
+    note)."""
+    return F.filter(
+        toks,
+        lambda x, i: (i == F.lit(0)) | (x != F.element_at(toks_attr, i)),
+    )
+
+
+@query(
+    "text_collapse_repeats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), c AS (
+      SELECT doc_id, tk,
+             list_filter(tk, (x, i) -> i = 1 OR x <> tk[i - 1]) AS kept
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(tk) - len(kept) AS BIGINT) AS n_collapsed,
+           md5(array_to_string(kept, ' ')) AS collapsed_hash
+    FROM c
+    """,
+)
+def q_text_collapse_repeats(spark, sf_dir):
+    """Intra-document repetition cleaning: collapse runs of consecutive
+    identical tokens to a single occurrence (the 'remove duplicated
+    lines/words' rule of Gopher/FineWeb-style quality pipelines; this
+    corpus repeats at token granularity). Map-only — one tokenization
+    behind an exchange barrier, one index-aware filter HOF, zero
+    shuffles beyond the spread exchange; runs at scan speed on any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = docs.select("doc_id", tokens(F.col("text")).alias("tk")).repartition(
+        par, "doc_id"
+    )
+    kept = collapse_repeats(F.col("tk"), F.col("tk"))
+    return base.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        (F.size("tk") - F.size(kept)).cast("long").alias("n_collapsed"),
+        F.md5(F.array_join(kept, " ")).alias("collapsed_hash"),
+    )

@@ -324,3 +324,93 @@ def test_ivfpq_recall(spark):
         emb, query_ids_below=4, k=3, n_lists=8, n_probe=8, adc_keep=10_000
     ).collect()
     assert {(r.query_id, r.neighbor_id) for r in full} == exact_set
+
+
+# ---------------------------------------------------------------- round 3
+
+
+def test_segment_dedup_drops_repeated_segments(spark):
+    """Doc 2 opens with doc 1's first 20 tokens (boilerplate), then
+    diverges: its first segment must be dropped, the rest kept; doc 3
+    is a full exact dup of doc 1 and loses everything."""
+    w = [f"w{i}" for i in range(40)]
+    d1 = " ".join(w)
+    d2 = " ".join(w[:20] + [f"x{i}" for i in range(20)])
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d1)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in ldedup.segment_dedup(docs, 20).collect()}
+    assert (out[1].n_segs, out[1].n_kept) == (2, 2)
+    assert (out[2].n_segs, out[2].n_kept) == (2, 1)
+    assert (out[3].n_segs, out[3].n_kept) == (2, 0)
+    assert out[3].kept_hash is None  # fully-duplicated doc
+    assert out[2].kept_hash == hashlib.md5(
+        " ".join(f"x{i}" for i in range(20)).encode()
+    ).hexdigest()
+
+
+def test_collapse_repeats_keeps_first_of_each_run(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c a"), (2, "x y z")], ["doc_id", "text"]
+    )
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = docs.select("doc_id", ltext.tokens(F.col("text")).alias("tk")).repartition(
+        par, "doc_id"
+    )
+    kept = ltext.collapse_repeats(F.col("tk"), F.col("tk"))
+    got = {r.doc_id: r.k for r in base.select("doc_id", kept.alias("k")).collect()}
+    assert got[1] == ["a", "b", "c", "a"]  # runs collapsed, non-adjacent kept
+    assert got[2] == ["x", "y", "z"]
+
+
+def _ref_bpe(texts: list[str], n_merges: int, min_count: int):
+    """Pure-Python reference for `train_bpe_merges`: same counting,
+    same (count desc, left asc, right asc) tie-break, same greedy
+    left-to-right merge."""
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.split() if w)
+    vocab = {w: (list(w), f) for w, f in wf.items()}
+    merges = []
+    for rank in range(n_merges):
+        counts: Counter = Counter()
+        for syms, f in vocab.values():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        merges.append((rank, left, right, cnt))
+        for w, (syms, f) in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            vocab[w] = (out, f)
+    return merges
+
+
+def test_bpe_matches_reference(spark, corpus):
+    from dynamodb_to_datalake_project_spark.llm import bpe
+
+    texts = [BASE, NEAR, OTHER, BASE]
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe.train_bpe_merges(corpus, n_merges=12, min_count=2).collect()
+    ]
+    assert got == _ref_bpe(texts, 12, 2)
+    assert len(got) == 12  # corpus is repetitive enough to fill 12 merges
+
+
+def test_bpe_merge_step_is_greedy_non_overlapping(spark):
+    from dynamodb_to_datalake_project_spark.llm.bpe import _merge_step
+
+    df = spark.createDataFrame([(["a", "a", "a", "a", "a"],)], ["syms"])
+    out = df.select(_merge_step(F.col("syms"), "a", "a").alias("m")).collect()[0].m
+    assert out == ["aa", "aa", "a"]  # left-to-right, no overlap
