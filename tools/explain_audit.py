@@ -78,6 +78,9 @@ NOTES = {
     "decontaminate_exact_substring": "substring containment rewritten as 5-gram EQUI-join vs broadcast needles — no contains() scan, no cross join",
     "corpus_curate_full": "the full funnel (clean → decontaminate → budget-sample → report) composed in ONE plan; capped blocks, broadcast bench, 20-key aggs",
     "dataset_split_no_leakage": "group-integrity split: one window on the md5(text) key decides per GROUP — duplicates can't straddle train/test",
+    "dedup_segments": "one explode (~n_tokens/20 rows), keep-first window on segment keys (WindowGroupLimit), one regroup by doc — nothing all-pairs",
+    "text_collapse_repeats": "index-aware filter HOF behind one spread exchange; map-only, scan speed",
+    "bpe_train_merges": "iterative: per merge one combinable pair-count agg + TakeOrdered argmax (1 driver row) + map-only greedy fold; plan shown is the vocab build",
 }
 
 
