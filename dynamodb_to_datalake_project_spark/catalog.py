@@ -84,6 +84,9 @@ _PRIORITY: list[str] = [
     "doc_packing",
     "dataset_split",
     # --- new in round 3 (no driver row possible yet) ---
+    "dedup_minhash_md5",
+    "dedup_simhash_md5",
+    "sim_ann_lsh_fullprobe",
     "sim_ann_ivf_fullprobe",
     "sim_ann_ivfpq_fullprobe",
     "a4_per_file_counts",  # upgraded rows-only -> full oracle this round

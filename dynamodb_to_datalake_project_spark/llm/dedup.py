@@ -301,6 +301,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     use_pandas: bool = False,
+    token_hash_sql: str = "xxhash64(t)",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
 
@@ -370,7 +371,7 @@ def minhash_lsh_pairs(
         # exchange needed between signatures and banding. (&0xFFFFFFFF
         # keeps a*h+b < 2^53 — ANSI-safe, no overflow.)
         band_expr = (
-            f"element_at(transform(array(transform(w, t -> xxhash64(t) & 4294967295)), "
+            f"element_at(transform(array(transform(w, t -> ({token_hash_sql}) & 4294967295)), "
             f"hs -> transform({bands_lit}, bc -> "
             f"aggregate(bc, CAST(42 AS BIGINT), (acc, c) -> xxhash64(acc, "
             f"array_min(transform(hs, h -> h * c.a + c.b)))))), 1)"
@@ -397,7 +398,23 @@ def minhash_lsh_pairs(
     return _jaccard_verify(cand, docs_with_tokens, threshold)
 
 
-def simhash_signatures(docs_with_tokens: DataFrame, bits: int = 32) -> DataFrame:
+# Cross-engine deterministic 60-bit token hash: both Spark and DuckDB
+# parse the first 15 hex chars of md5 as an integer, so any operator
+# built on it can carry an exact ANSI-SQL oracle (`xxhash64` has no
+# DuckDB counterpart — operators hashed with it are rows-only checkable).
+# Verified bit-identical across engines in tests/test_llm.py.
+MD5_HASH60_SPARK = "CAST(conv(substring(md5({t}),1,15),16,10) AS BIGINT)"
+MD5_HASH60_DUCK = "CAST(concat('0x', substring(md5({t}),1,15)) AS BIGINT)"
+
+
+def md5_hash60(c) -> F.Column:
+    """`MD5_HASH60_SPARK` as a Column transform (for F.transform lambdas)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(
+    docs_with_tokens: DataFrame, bits: int = 32, token_hash=None
+) -> DataFrame:
     """SimHash: bit i of the signature is the sign of sum over tokens
     of (token-hash bit i ? +1 : -1).
 
@@ -405,7 +422,10 @@ def simhash_signatures(docs_with_tokens: DataFrame, bits: int = 32) -> DataFrame
     and all bit-sums are array expressions inside one SQL `aggregate`,
     so there is no explode, no wide aggregation, no exchange. The
     alternative (explode + `bits` conditional sums) pays a shuffle plus
-    a giant codegen compile."""
+    a giant codegen compile.
+
+    `token_hash`: Column→Column token hash (default xxhash64; pass
+    `md5_hash60` for the oracle-replayable variant)."""
     sig_sql = f"""
     aggregate(
       sequence(0, {bits - 1}), CAST(0 AS BIGINT),
@@ -415,26 +435,37 @@ def simhash_signatures(docs_with_tokens: DataFrame, bits: int = 32) -> DataFrame
     """
     spark = docs_with_tokens.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    th = token_hash if token_hash is not None else F.xxhash64
     hs = docs_with_tokens.select(
-        "doc_id", F.transform("w", lambda t: F.xxhash64(t)).alias("hs")
+        "doc_id", F.transform("w", lambda t: th(t)).alias("hs")
     ).repartition(par, "doc_id")  # barrier: hash each token string once
     return hs.select("doc_id", F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_pairs(
-    docs_with_tokens: DataFrame, bits: int = 32, max_hamming: int = 3
+    docs_with_tokens: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    token_hash=None,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Candidates: pigeonhole on 4 byte-bands (ham ≤ 3 over 32 bits ⇒ some
-    band is identical), so candidate generation is an equi-join, never
-    all-pairs.
+    Candidates: pigeonhole on byte-bands (ham ≤ bands-1 ⇒ some band is
+    identical), so candidate generation is an equi-join, never
+    all-pairs. With `max_bucket` large enough to never drop a bucket,
+    the pigeonhole argument makes the result EXACTLY the set of pairs
+    at hamming ≤ max_hamming — a deterministic guarantee, not a
+    probabilistic one — which is what lets `dedup_simhash_md5` carry a
+    full equality oracle.
     """
     spark = docs_with_tokens.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # barrier: banding references `simhash` once per band — without
     # materialization each reference re-inlines the signature aggregate
-    sig = simhash_signatures(docs_with_tokens, bits).repartition(par, "doc_id")
+    sig = simhash_signatures(docs_with_tokens, bits, token_hash).repartition(
+        par, "doc_id"
+    )
     n_bands = bits // 8
     band_structs = F.array(
         *[
@@ -454,7 +485,7 @@ def simhash_pairs(
     buckets = (
         banded.groupBy("band", "bv")
         .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= 1000))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
     pairs = buckets.select(
         F.explode(
@@ -552,6 +583,120 @@ def q_dedup_minhash(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     docs = _shingle_sets(load_table(spark, sf_dir, "documents"))
     return simhash_pairs(docs, bits=48, max_hamming=3)
+
+
+# Shared DuckDB CTE mirroring `_shingle_sets` (tokenize → distinct
+# 3-gram shingles) — identical to the dedup_ngram_jaccard oracle's
+# shingle construction, which is driver-hash-verified.
+_SHINGLE_CTE_SQL = """
+    t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), d AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  ELSE [array_to_string(toks, ' ')] END AS w
+      FROM t
+    )"""
+
+_SIMHASH_MD5_SQL = f"""
+    WITH {_SHINGLE_CTE_SQL}, tok AS (
+      SELECT doc_id, unnest(w) AS s FROM d
+    ), h AS (
+      SELECT doc_id, {MD5_HASH60_DUCK.format(t='s')} AS h FROM tok
+    ), bits AS (
+      SELECT doc_id, i.range AS i,
+             sum(CASE WHEN (h >> CAST(i.range AS INT)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS sgn
+      FROM h CROSS JOIN range(32) i GROUP BY doc_id, i.range
+    ), sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN sgn > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query("dedup_simhash_md5", oracle=_SIMHASH_MD5_SQL)
+def q_dedup_simhash_md5(spark, sf_dir):
+    """SimHash near-dup pairs in the oracle-replayable configuration:
+    md5-derived token hashes (bit-identical in Spark and DuckDB — see
+    `MD5_HASH60_SPARK`/`MD5_HASH60_DUCK`) and an uncapped byte-band
+    pigeonhole, so the output is EXACTLY every pair at hamming ≤ 3 and
+    DuckDB can replay the whole computation: signature bits, banding
+    recall, and hamming verify all get an independent equality check.
+    The production path (`dedup_simhash`) keeps xxhash64 (cheaper: one
+    JVM hash vs md5 + hex parse) and the degenerate-bucket cap; this
+    configuration exists to prove the shared machinery correct."""
+    docs = _shingle_sets(load_table(spark, sf_dir, "documents"))
+    return simhash_pairs(
+        docs, bits=32, max_hamming=3, token_hash=md5_hash60, max_bucket=1 << 30
+    )
+
+
+def _minhash_md5_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    """DuckDB SQL replaying MinHash+LSH end-to-end: per-band minimum
+    vectors compared directly (two docs are band-candidates iff all
+    `rows` per-band mins are equal — Spark compares a chained xxhash64
+    of the same mins, identical up to a ~2^-64 chain collision that the
+    exact-Jaccard verify then rejects), then exact shingle Jaccard."""
+    rows = num_hashes // bands
+    values = ",\n           ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(_minhash_constants(num_hashes))
+    )
+    return f"""
+    WITH {_SHINGLE_CTE_SQL}, tok AS (
+      SELECT doc_id, unnest(w) AS s FROM d
+    ), h AS (
+      SELECT doc_id, {MD5_HASH60_DUCK.format(t='s')} & 4294967295 AS h FROM tok
+    ), consts(j, a, b) AS (
+      VALUES {values}
+    ), mins AS (
+      SELECT doc_id, c.j AS j, min(CAST(c.a AS BIGINT) * h.h + c.b) AS m
+      FROM h CROSS JOIN consts c GROUP BY doc_id, c.j
+    ), bsig AS (
+      SELECT doc_id, CAST(j // {rows} AS INT) AS band, list(m ORDER BY j) AS sig
+      FROM mins GROUP BY doc_id, (j // {rows})
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bsig a JOIN bsig b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           len(list_intersect(da.w, db.w)) * 1.0
+               / len(list_distinct(list_concat(da.w, db.w))) AS jaccard
+    FROM cand c JOIN d da ON da.doc_id = c.a_id JOIN d db ON db.doc_id = c.b_id
+    WHERE len(list_intersect(da.w, db.w)) * 1.0
+          / len(list_distinct(list_concat(da.w, db.w))) >= {threshold}
+    """
+
+
+@query("dedup_minhash_md5", oracle=_minhash_md5_oracle(64, 4, 0.8))
+def q_dedup_minhash_md5(spark, sf_dir):
+    """MinHash+LSH near-dup pairs in the oracle-replayable
+    configuration: md5-derived token hashes let DuckDB recompute the
+    exact per-band minimum vectors, replay the banding candidate set,
+    and re-verify the Jaccard filter — upgrading the flagship sketch
+    dedup from rows-only/self-attested to full driver equality. Same
+    banding parameters as `dedup_minhash_lsh` (b=4, r=16 — tuned for
+    this small-vocab corpus); same `minhash_lsh_pairs` machinery, only
+    the token-hash expression differs."""
+    docs = _shingle_sets(load_table(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(
+        docs,
+        num_hashes=64,
+        bands=4,
+        threshold=0.8,
+        token_hash_sql=MD5_HASH60_SPARK.format(t="t"),
+    )
 
 
 @query(

@@ -265,6 +265,19 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+@query("sim_ann_lsh_fullprobe", oracle=_BRUTEFORCE_TOP5_SQL)
+def q_ann_lsh_fullprobe(spark, sf_dir):
+    """LSH ANN in its lossless configuration: n_planes=0 puts every
+    vector in one bucket of one table, so the candidate set is the full
+    corpus and the result must equal exact brute-force kNN. This runs
+    the SAME bucket-join + dedup + rerank + top-k machinery as the fast
+    `sim_ann_lsh` path (only the plane count differs), so a green driver
+    row here verifies everything about `ann_lsh` except the recall
+    trade-off itself — which `tests/` covers with a recall floor.
+    Companion to `sim_ann_ivf_fullprobe` / `sim_ann_ivfpq_fullprobe`."""
+    return ann_lsh(load_table(spark, sf_dir, "embeddings"), n_planes=0, n_tables=1)
+
+
 @query(
     "sim_label_norm_stats",
     oracle="""

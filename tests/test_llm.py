@@ -72,6 +72,54 @@ def test_simhash_near_dup_and_jvm_minhash_agree(spark, corpus):
     }
 
 
+def test_md5_hash60_bridge_matches_duckdb(spark):
+    """The cross-engine hash contract behind dedup_simhash_md5 /
+    dedup_minhash_md5: Spark's conv(substring(md5,1,15),16,10) and
+    DuckDB's CAST('0x'||substring(md5,1,15) AS BIGINT) are
+    bit-identical, so the oracles replay the exact same token hashes."""
+    import duckdb
+
+    toks = ["hello", "a b", "", "ünïcode", "the quick brown fox", "42"]
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            "SELECT " + ldedup.MD5_HASH60_DUCK.format(t="?"), [t]
+        ).fetchone()[0]
+        for t in toks
+    ]
+    con.close()
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    spk = [r[0] for r in df.select(ldedup.md5_hash60(F.col("t"))).collect()]
+    assert spk == duck
+
+
+def test_simhash_md5_exact_pair_set(spark, corpus):
+    """Uncapped md5-simhash output == brute-force hamming≤k pair set
+    (the pigeonhole guarantee the dedup_simhash_md5 oracle relies on)."""
+    shingled = ldedup._shingle_sets(corpus)
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in ldedup.simhash_pairs(
+            shingled, bits=32, max_hamming=3,
+            token_hash=ldedup.md5_hash60, max_bucket=1 << 30,
+        ).collect()
+    }
+    sigs = {
+        r.doc_id: r.simhash
+        for r in ldedup.simhash_signatures(
+            shingled, 32, token_hash=ldedup.md5_hash60
+        ).collect()
+    }
+    ids = sorted(sigs)
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == want
+
+
 def test_blocked_jaccard(spark, corpus):
     pairs = ldedup.blocked_jaccard_pairs(
         corpus, F.substring("text", 1, 16), threshold=0.5
