@@ -100,6 +100,7 @@ _PRIORITY: list[str] = [
     "dedup_segments",
     "text_collapse_repeats",
     "bpe_train_merges",
+    "dataset_epoch_shuffle",
     # --- rows-only entries: a fresh rows row each round is still signal ---
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -57,9 +57,69 @@ def stratified_sample_exact(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame, id_col: str, seed: str, n_shards: int = 16
+) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: every row gets a
+    (shard_id, shard_pos) — which shard file a data loader reads it
+    from and its position inside that shard — as a pure function of
+    (seed, id). A new seed is a fresh global permutation; the same seed
+    replays bit-identically on any engine, any retry.
+
+    Scale shape: the sort key is map-only md5; the only shuffle is the
+    per-shard position window, whose parallelism IS n_shards — at
+    corpus scale callers size n_shards to the target shard file size
+    (e.g. ~256 MB ⇒ hundreds of thousands of shards at 100 TB), so
+    each window partition stays small and every core has work. A
+    single GLOBAL position (row_number over everything) is deliberately
+    not offered: it serializes into one task for no training benefit —
+    loaders consume (shard, pos) order, not a global sequence
+    (cf. the shard-local `pack_sequences` redesign in llm/text.py).
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    d = df.select(id_col, key.alias("__k")).withColumn(
+        "shard_id",
+        (F.conv(F.substring("__k", 1, 4), 16, 10).cast("int") % n_shards).cast(
+            "long"
+        ),
+    )
+    w = Window.partitionBy("shard_id").orderBy("__k", id_col)
+    return d.withColumn("shard_pos", F.row_number().over(w).cast("long")).select(
+        id_col, "shard_id", "shard_pos"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog entries
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "dataset_epoch_shuffle",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, md5('ep7:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ), s AS (
+      SELECT doc_id, k,
+             CAST(CAST('0x' || substr(k, 1, 4) AS INTEGER) % 16 AS BIGINT)
+               AS shard_id
+      FROM k
+    )
+    SELECT doc_id, shard_id,
+           CAST(row_number() OVER (
+             PARTITION BY shard_id ORDER BY k, doc_id) AS BIGINT) AS shard_pos
+    FROM s
+    """,
+)
+def q_dataset_epoch_shuffle(spark, sf_dir):
+    """Epoch 7's deterministic shuffle of the document corpus into 16
+    loader shards. Retry-safe and engine-independent: the oracle
+    replays the identical permutation from (seed, doc_id) alone."""
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, "doc_id", "ep7", n_shards=16)
 
 
 @query(

@@ -244,3 +244,26 @@ def test_token_budget_sample_respects_budget(spark):
         assert r.sampled_tokens <= r.total_tokens
         if r.rate_pm == 1000:
             assert r.n_sampled == r.n_docs and r.sampled_tokens == r.total_tokens
+
+
+def test_epoch_shuffle_permutation_invariants(spark):
+    """epoch_shuffle is a bijection onto (shard, 1..shard_len), and a
+    different seed produces a genuinely different order."""
+    from dynamodb_to_datalake_project_spark.sampling import epoch_shuffle
+
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = epoch_shuffle(docs, "doc_id", "ep1", n_shards=8).collect()
+    # every doc appears exactly once
+    assert sorted(r.doc_id for r in a) == list(range(300))
+    # per-shard positions are contiguous 1..n
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard_id, []).append(r.shard_pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # deterministic replay
+    b = epoch_shuffle(docs, "doc_id", "ep1", n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # new seed -> new permutation (shard assignment or order changes)
+    c = epoch_shuffle(docs, "doc_id", "ep2", n_shards=8).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
