@@ -177,3 +177,61 @@ def test_rollup_partial_merge_equals_full_recompute(spark, rows, cut):
             )
         )
     assert split == full
+
+
+md5_text_st = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x10FF),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(toks=st.lists(md5_text_st, min_size=1, max_size=30, unique=True))
+@settings(**SETTINGS)
+def test_md5_hash60_bridge_property(spark, toks):
+    """The Spark/DuckDB md5 hash bridge (the contract behind
+    dedup_minhash_md5 / dedup_simhash_md5's exact oracles) holds for
+    arbitrary unicode token strings, not just the fixture vocabulary."""
+    import duckdb
+
+    from dynamodb_to_datalake_project_spark.llm.dedup import (
+        MD5_HASH60_DUCK,
+        md5_hash60,
+    )
+
+    con = duckdb.connect()
+    duck = [
+        con.execute("SELECT " + MD5_HASH60_DUCK.format(t="?"), [t]).fetchone()[0]
+        for t in toks
+    ]
+    con.close()
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    spk = dict(
+        df.select("t", md5_hash60(F.col("t")).alias("h")).collect()
+    )
+    assert [spk[t] for t in toks] == duck
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200,
+        unique=True,
+    ),
+    seed=st.text(alphabet="abcdef0123456789", min_size=1, max_size=8),
+    n_shards=st.integers(min_value=1, max_value=32),
+)
+@settings(**SETTINGS)
+def test_epoch_shuffle_bijection_property(spark, ids, seed, n_shards):
+    """epoch_shuffle is a bijection onto (shard, 1..len(shard)) for
+    arbitrary id sets, seeds, and shard counts."""
+    from dynamodb_to_datalake_project_spark.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = epoch_shuffle(df, "doc_id", seed, n_shards=n_shards).collect()
+    assert sorted(r.doc_id for r in out) == sorted(ids)
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard_id < n_shards
+        by_shard.setdefault(r.shard_id, []).append(r.shard_pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
