@@ -89,6 +89,13 @@ HEADLINE = [
     "dedup_minhash_md5",
     "dedup_simhash_md5",
     "dataset_epoch_shuffle",
+    # round 3, second batch
+    "lm_perplexity_score",
+    "quality_nb_score",
+    "cluster_balanced_sample",
+    "source_overlap_matrix",
+    "bpe_encode_stats",
+    "bpe_fertility_by_lang",
 ]
 
 
@@ -180,22 +187,22 @@ def main():
 
     # Per-query time = best of 2-3 consecutive runs: the first run
     # pays one-time codegen/JIT compilation (~4x steady-state at this
-    # tiny SF), which a resident cluster amortizes away. A third run
-    # happens ONLY while the times are still descending steeply
-    # (>25% improvement run-over-run means tiered JIT hadn't finished
-    # during run 1 — observed on the first broadcast-join-heavy and
-    # string-hash-HOF queries of a session); stable queries stay at 2
-    # runs, so the sweep stays fast while outliers measure the
-    # engine, not the compiler.
+    # tiny SF), which a resident cluster amortizes away. Three runs
+    # minimum (tiered JIT descends SHALLOWLY — observed 3.4 -> 3.1 ->
+    # 2.8 ... -> 1.8 on the string-hash-HOF queries, so a two-run
+    # best systematically reports compiler tail, not engine), then
+    # extra runs while still improving >15% over the best-so-far,
+    # capped at 5 — stable queries stay at 3 runs and the sweep stays
+    # fast while outliers measure the engine, not the compiler.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         builder = catalog.QUERIES[name]
         runs, n = [], 0
-        for _ in range(2):
+        for _ in range(3):
             t = time.time()
             n = builder(spark, sf_dir).count()
             runs.append(time.time() - t)
-        if min(runs) < 0.75 * runs[0]:
+        while len(runs) < 5 and runs[-1] < 0.85 * min(runs[:-1]):
             t = time.time()
             n = builder(spark, sf_dir).count()
             runs.append(time.time() - t)

@@ -101,6 +101,12 @@ _PRIORITY: list[str] = [
     "text_collapse_repeats",
     "bpe_train_merges",
     "dataset_epoch_shuffle",
+    "lm_perplexity_score",
+    "quality_nb_score",
+    "cluster_balanced_sample",
+    "source_overlap_matrix",
+    "bpe_encode_stats",
+    "bpe_fertility_by_lang",
     # --- rows-only entries: a fresh rows row each round is still signal ---
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -176,6 +182,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.curate  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.sketch  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.bpe  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.lm  # noqa: F401
 
     lead = [n for n in _PRIORITY if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(lead)]

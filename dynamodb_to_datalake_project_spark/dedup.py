@@ -62,6 +62,41 @@ def top_k_per_key(
     )
 
 
+def salted_top_k_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str | Column],
+    k: int,
+    n_salts: int = 32,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Skew-safe W2: identical output to `top_k_per_key`, for the case
+    where key cardinality is far below the core count (or one key is
+    hot) and a single window task per key would serialize the scan.
+
+    Phase 1 ranks within (key, salt) — n_salts× the parallelism — and
+    keeps k rows per salt group: any row in a key's global top-k is
+    necessarily in its own salt group's top-k, so no qualifying row is
+    lost. Phase 2 re-ranks only the ≤ n_salts·k survivors per key.
+    The salt is a deterministic row hash (`skew.with_salt`), so
+    recomputed tasks rank identical groups; which salt a row lands in
+    cannot change the final rank (phase 2 orders globally per key)."""
+    from dynamodb_to_datalake_project_spark.skew import with_salt
+
+    order = _sort_cols(order_by)
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order)
+    partial = (
+        with_salt(df, n_salts)
+        .withColumn("__prn", F.row_number().over(w1))
+        .filter(F.col("__prn") <= k)
+        .drop("__salt", "__prn")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return partial.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
+    )
+
+
 @query(
     "w1_latest_wins",
     oracle="""

@@ -139,3 +139,233 @@ def q_bpe_train_merges(spark, sf_dir):
     and asserts the full (rank, left, right, pair_count) table."""
     docs = load_table(spark, sf_dir, "documents")
     return train_bpe_merges(docs, n_merges=16, min_count=2)
+
+
+#: Shipped tokenizer artifact: 16 merges trained by `train_bpe_merges`
+#: on the sf0.01 documents fixture (min_count=2 — the exact table the
+#: pure-Python replay in tests/test_llm.py::_ref_bpe produces). A real
+#: pipeline trains ONCE and ships the merge table to every encode job;
+#: baking it as a literal mirrors that artifact boundary and lets the
+#: DuckDB oracle replay encoding exactly.
+SHIPPED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"),
+]
+
+
+def encode_word_syms(word, merges: list[tuple[str, str]]):
+    """BPE-encode one word column: split to characters, then apply each
+    trained merge in rank order as the same greedy left-to-right fold
+    the trainer used (`_merge_step`) — encode MUST replay training's
+    merge semantics or token boundaries drift. Pure Catalyst; sensible
+    for small merge tables (the chained-fold plan grows linearly with
+    n_merges — production 32k-merge vocabularies go through
+    `bpe_encode_pandas` instead)."""
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))
+    )
+    for left, right in merges:
+        syms = _merge_step(syms, left, right)
+    return syms
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE encoding stats under a fixed merge table:
+    (doc_id, n_words, n_bpe_tokens, chars_per_token). Entirely
+    row-local — tokenize, encode every word, fold the counts — so the
+    plan is one map-only projection over the corpus scan: no shuffle,
+    no state, embarrassingly parallel at any scale. The merge table is
+    baked into the expression as literals (model-parameter pattern,
+    cf. the ANN codebooks)."""
+    tk = tokens(F.col(text_col))
+    d = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 1)
+    n_bpe = F.aggregate(
+        F.transform(F.col("tk"), lambda w: F.size(encode_word_syms(w, merges))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_chars_tok = F.aggregate(
+        F.transform(F.col("tk"), lambda w: F.length(w)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_words"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(n_chars_tok.cast("double") / n_bpe, 6).alias("chars_per_token"),
+    )
+
+
+def bpe_encode_pandas(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Production encode path: Arrow-batched `mapInPandas` with a
+    per-batch distinct-word cache — token frequencies are power-law,
+    so each distinct word is encoded once per batch no matter how
+    often it occurs. Same greedy-left-to-right-per-merge semantics as
+    `bpe_encode_stats` (asserted equal in tests); use this one when
+    the merge table is production-sized (tens of thousands of ranks),
+    where a chained Catalyst fold plan would be absurd. Map-only: the
+    merge list ships in the closure (the tokenizer artifact is KBs),
+    and no shuffle happens anywhere."""
+    import pandas as pd
+
+    def enc_len(word: str, cache: dict) -> int:
+        n = cache.get(word)
+        if n is None:
+            syms = list(word)
+            for left, right in merges:
+                out: list[str] = []
+                for s in syms:
+                    if out and out[-1] == left and s == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(s)
+                syms = out
+            n = cache[word] = len(syms)
+        return n
+
+    def op(batches):
+        for pdf in batches:
+            cache: dict = {}
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                words = [w for w in (text or "").split(" ") if w]
+                if not words:
+                    continue
+                n_bpe = sum(enc_len(w, cache) for w in words)
+                n_chars = sum(len(w) for w in words)
+                rows.append(
+                    (doc_id, len(words), n_bpe, round(n_chars / n_bpe, 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_words", "n_bpe_tokens", "chars_per_token"],
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        op,
+        schema="doc_id long, n_words long, n_bpe_tokens long, chars_per_token double",
+    )
+
+
+def _duck_encode_expr(var: str, merges: list[tuple[str, str]]) -> str:
+    """DuckDB replay of `encode_word_syms`: chars, then one
+    `list_reduce` per merge. The reduce's seed is the first element
+    (wrapped as a single-element list), which matches the Spark fold
+    from an empty accumulator — the first symbol is always appended
+    unconditionally either way."""
+    e = f"list_transform(range(1, len({var}) + 1), i -> {var}[i])"
+    for left, right in merges:
+        e = (
+            f"list_reduce(list_transform({e}, s -> [s]), (acc, x) -> "
+            f"CASE WHEN len(acc) > 0 AND acc[-1] = '{left}' AND x[1] = '{right}' "
+            f"THEN list_concat(array_slice(acc, 1, len(acc) - 1), ['{left}{right}']) "
+            f"ELSE list_concat(acc, x) END)"
+        )
+    return e
+
+
+_BPE_ENCODE_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(tk) AS w FROM t WHERE len(tk) >= 1
+    ), enc AS (
+      SELECT doc_id, len(w) AS wlen,
+             len({_duck_encode_expr('w', SHIPPED_MERGES)}) AS blen
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(blen) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(wlen) AS DOUBLE) / sum(blen), 6) AS chars_per_token
+    FROM enc GROUP BY doc_id
+    """
+
+
+@query("bpe_encode_stats", oracle=_BPE_ENCODE_ORACLE)
+def q_bpe_encode_stats(spark, sf_dir):
+    """Encode the corpus with the shipped 16-merge tokenizer artifact
+    and report per-doc BPE token counts — the train→ship→apply loop's
+    APPLY half (`bpe_train_merges` is the train half). The oracle
+    replays character splitting, all 16 greedy merge folds, and the
+    count aggregation in DuckDB, so tokenizer-application correctness
+    is independently checked end to end."""
+    return bpe_encode_stats(load_table(spark, sf_dir, "documents"), SHIPPED_MERGES)
+
+
+_BPE_FERTILITY_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), w AS (
+      SELECT lang, unnest(tk) AS w FROM t WHERE len(tk) >= 1
+    ), enc AS (
+      SELECT lang, len(w) AS wlen,
+             len({{enc}}) AS blen
+      FROM w
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(blen) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(blen) AS DOUBLE) / count(*) AS fertility,
+           CAST(sum(wlen) AS DOUBLE) / sum(blen) AS chars_per_token
+    FROM enc GROUP BY lang ORDER BY lang
+    """
+
+
+@query(
+    "bpe_fertility_by_lang",
+    oracle=_BPE_FERTILITY_ORACLE.format(enc=_duck_encode_expr("w", SHIPPED_MERGES)),
+)
+def q_bpe_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility (BPE tokens per word) and compression
+    (chars per BPE token) broken down by language — THE standard
+    tokenizer-evaluation table: a tokenizer trained on one language
+    mix over-fragments under-represented languages, and this query is
+    how a pipeline measures that before committing a vocab. Exact
+    integer sums per language (5 keys) with a single final division,
+    so the oracle comparison is bit-stable without rounding; the
+    encode itself is the same map-only literal-merge fold as
+    `bpe_encode_stats` (oracle-green per word there)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    d = docs.select("lang", tk.alias("tk")).filter(F.size("tk") >= 1)
+    n_bpe = F.aggregate(
+        F.transform(F.col("tk"), lambda w: F.size(encode_word_syms(w, SHIPPED_MERGES))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_chars = F.aggregate(
+        F.transform(F.col("tk"), lambda w: F.length(w)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per_doc = d.select(
+        "lang",
+        F.size("tk").cast("long").alias("nw"),
+        n_bpe.alias("nb"),
+        n_chars.alias("nc"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("nw").cast("long").alias("n_words"),
+            F.sum("nb").cast("long").alias("n_bpe_tokens"),
+            (F.sum("nb").cast("double") / F.sum("nw")).alias("fertility"),
+            (F.sum("nc").cast("double") / F.sum("nb")).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

@@ -270,3 +270,84 @@ def q_decontaminate_bloom(spark, sf_dir):
     bench = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
     return decontaminate_bloom(train, bench, "doc_id", "text", n=4)
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT source, gram FROM (
+        SELECT source,
+               unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+                      i -> array_to_string(array_slice(tk, i, i + 4), ' ')))) AS gram
+        FROM t WHERE len(tk) >= 5
+      )
+    ), tot AS (
+      SELECT source, count(*) AS n FROM g GROUP BY source
+    ), pr AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY src_a, src_b
+    )
+    SELECT pr.src_a, pr.src_b,
+           CAST(pr.shared AS BIGINT) AS shared_grams,
+           CAST(ta.n AS BIGINT) AS grams_a,
+           CAST(tb.n AS BIGINT) AS grams_b,
+           round(CAST(pr.shared AS DOUBLE) / least(ta.n, tb.n), 6)
+             AS containment
+    FROM pr
+    JOIN tot ta ON ta.source = pr.src_a
+    JOIN tot tb ON tb.source = pr.src_b
+    ORDER BY pr.src_a, pr.src_b
+    """,
+)
+def q_source_overlap_matrix(spark, sf_dir):
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, how many distinct 5-grams they share and the containment
+    ratio shared/min(|A|,|B|) — the diagnostic that tells a curation
+    pipeline which feeds are mirrors/scrapes of each other BEFORE
+    document-level dedup spends a corpus-wide pass (cf. the per-pair
+    analysis decontamination runs train-vs-benchmark, here
+    source-vs-source).
+
+    Scale shape: reduce to DISTINCT (source, gram) first (bounded by
+    vocabulary, not corpus rows), then within-gram pair expansion via
+    the capped bucket walk (`_bucket_pairs` — a gram shared by every
+    source expands to at most sources², and degenerate grams beyond
+    `max_bucket` sources would be dropped with a diagnostic rather
+    than exploded); per-pair counts and the 20-row totals join are
+    bounded-key aggregations. The corpus is scanned once."""
+    from dynamodb_to_datalake_project_spark.llm.dedup import _bucket_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = doc_ngrams(docs, "source", "text", 5).distinct()
+    tot = grams.groupBy("source").agg(F.count("*").alias("n"))
+    pairs = (
+        _bucket_pairs(grams, ["ngram"], "source", dedup=False)
+        .groupBy(F.col("a_id").alias("src_a"), F.col("b_id").alias("src_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(tot.select(F.col("source").alias("src_a"), F.col("n").alias("grams_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("source").alias("src_b"), F.col("n").alias("grams_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared").cast("long").alias("shared_grams"),
+            F.col("grams_a").cast("long").alias("grams_a"),
+            F.col("grams_b").cast("long").alias("grams_b"),
+            F.round(
+                F.col("shared").cast("double") / F.least("grams_a", "grams_b"), 6
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -1,0 +1,256 @@
+"""Statistical language-model scoring over document corpora: add-k
+bigram-LM perplexity (the CCNet/ccnet-style quality signal) and a
+Naive-Bayes text classifier trained and applied distributed.
+
+Both operators follow the same 100 TB shape: the MODEL is a
+vocab-bounded count table (unigrams/bigrams/class-conditional token
+counts — megabytes to low gigabytes, never corpus-sized) built with
+map-side-combinable aggregations, and SCORING is one equi-join of the
+per-doc token frame against that table plus a per-doc aggregation.
+No Python UDFs anywhere — the whole path is whole-stage-codegen
+column expressions; the count-table joins are broadcast-upgraded by
+AQE when the observed vocabulary is small.
+
+Float discipline (driver hashes values): ln() of integer-derived
+doubles is bit-identical across Spark and DuckDB (same libm inputs);
+only the per-doc SUM of those terms is accumulation-order-dependent,
+so every emitted float is rounded to 6 digits on both sides — the
+same convention as the cosine/PCA queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark.catalog import query
+from dynamodb_to_datalake_project_spark.lake import load_table
+from dynamodb_to_datalake_project_spark.llm.text import tokens
+
+#: add-k smoothing constant for the bigram LM
+LM_K = 0.5
+
+
+def doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, bigram, m) — adjacent-token pairs per doc WITH
+    multiplicity (LM statistics count occurrences; dedup shingles
+    don't). One projection + one combinable count."""
+    t = docs.select(
+        "doc_id", tokens(F.col(text_col)).alias("tk")
+    ).filter(F.size("tk") >= 2)
+    return (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("tk", i), F.element_at("tk", i + 1)
+                    ),
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("m"))
+    )
+
+
+def lm_score_docs(docs: DataFrame, k: float = LM_K) -> DataFrame:
+    """Per-doc average negative log-likelihood under an add-k-smoothed
+    bigram LM trained on the same corpus:
+
+        P(y|x) = (c_xy + k) / (c_x + k*V)
+
+    where c_xy is the corpus bigram count, c_x the count of x as a
+    bigram LEFT context (= sum_y c_xy), and V the unigram vocabulary
+    size. High avg_nll = surprising/low-quality text — the filter
+    signal perplexity-based curation thresholds on.
+
+    Plan: the bigram/context count tables derive from one combinable
+    aggregation each (model build); scoring joins the per-doc bigram
+    frame to them on the bigram / left-token key and folds one
+    per-doc aggregation. Join keys are vocabulary-bounded; AQE
+    broadcast-upgrades the model side when it is actually small.
+    """
+    bd = doc_bigrams(docs)
+    glob = bd.groupBy("bigram").agg(F.sum("m").alias("c_xy"))
+    left = (
+        glob.withColumn("x", F.split(F.col("bigram"), " ").getItem(0))
+        .groupBy("x")
+        .agg(F.sum("c_xy").alias("c_x"))
+    )
+    vocab = docs.select(
+        F.explode(tokens(F.col("text"))).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    scored = (
+        bd.join(glob, "bigram")
+        .withColumn("x", F.split(F.col("bigram"), " ").getItem(0))
+        .join(left, "x")
+        .crossJoin(F.broadcast(vocab))
+    )
+    nll_term = F.col("m") * (
+        F.log(F.col("c_x") + F.lit(k) * F.col("v"))
+        - F.log(F.col("c_xy") + F.lit(k))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.round(F.sum(nll_term) / F.sum("m"), 6).alias("avg_nll"),
+        )
+    )
+
+
+_LM_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), bd AS (
+      SELECT doc_id, bigram, count(*) AS m FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        FROM t WHERE len(tk) >= 2
+      ) GROUP BY doc_id, bigram
+    ), gb AS (
+      SELECT bigram, sum(m) AS c_xy FROM bd GROUP BY bigram
+    ), lft AS (
+      SELECT string_split(bigram, ' ')[1] AS x, sum(c_xy) AS c_x
+      FROM gb GROUP BY x
+    ), vocab AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(tk) AS w FROM t)
+    )
+    SELECT bd.doc_id,
+           CAST(sum(bd.m) AS BIGINT) AS n_bigrams,
+           round(sum(bd.m * (ln(lft.c_x + {LM_K} * vocab.v)
+                             - ln(gb.c_xy + {LM_K}))) / sum(bd.m),
+                 6) AS avg_nll
+    FROM bd
+    JOIN gb USING (bigram)
+    JOIN lft ON lft.x = string_split(bd.bigram, ' ')[1]
+    CROSS JOIN vocab
+    GROUP BY bd.doc_id
+    """
+
+
+@query("lm_perplexity_score", oracle=_LM_ORACLE)
+def q_lm_perplexity_score(spark, sf_dir):
+    """Bigram-LM perplexity quality scoring of the documents corpus
+    (train + score in one plan). Every doc with >= 2 tokens gets
+    (n_bigrams, avg_nll); downstream curation thresholds on avg_nll
+    exactly like `text_quality_filter` thresholds on surface stats."""
+    return lm_score_docs(load_table(spark, sf_dir, "documents"))
+
+
+def nb_train_score(
+    docs: DataFrame, pos_pred, k: float = 1.0
+) -> DataFrame:
+    """Multinomial Naive Bayes trained on a weak label predicate and
+    applied back over the corpus, all in one distributed plan.
+
+    `pos_pred`: a boolean Column over `docs` rows supplying the weak
+    label (here: is the doc English — the shape of a fasttext-style
+    quality/language classifier whose training labels come from a
+    heuristic). The MODEL is the class-conditional token count table
+    (vocab-bounded) plus five scalars (class token totals, doc
+    priors, vocabulary size); scoring is one join + one per-doc fold:
+
+        logodds(d) = sum_w m_w * (ln(c_pos_w + k) - ln(c_neg_w + k))
+                   + n_d * (ln(N_neg + kV) - ln(N_pos + kV))
+                   + ln(D_pos) - ln(D_neg)
+    """
+    tok = (
+        docs.select(
+            "doc_id",
+            pos_pred.alias("is_pos"),
+            F.explode(tokens(F.col("text"))).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("m"), F.first("is_pos").alias("is_pos"))
+    )
+    cls = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("is_pos"), F.col("m")).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(~F.col("is_pos"), F.col("m")).otherwise(0)).alias("c_neg"),
+    )
+    scalars = (
+        tok.join(cls, "w")
+        .agg(
+            # class token totals: each (doc,w) row contributes its own
+            # multiplicity to exactly one class
+            F.sum(F.when(F.col("is_pos"), F.col("m")).otherwise(0)).alias("n_pos"),
+            F.sum(F.when(~F.col("is_pos"), F.col("m")).otherwise(0)).alias("n_neg"),
+            F.countDistinct("w").alias("v"),
+            F.countDistinct(F.when(F.col("is_pos"), F.col("doc_id"))).alias("d_pos"),
+            F.countDistinct(F.when(~F.col("is_pos"), F.col("doc_id"))).alias("d_neg"),
+        )
+    )
+    scored = tok.join(cls, "w").crossJoin(F.broadcast(scalars))
+    term = F.col("m") * (
+        F.log(F.col("c_pos") + F.lit(k)) - F.log(F.col("c_neg") + F.lit(k))
+    )
+    prior = (
+        F.log(F.col("d_pos").cast("double"))
+        - F.log(F.col("d_neg").cast("double"))
+    )
+    length_norm = F.sum("m") * (
+        F.log(F.first("n_neg") + F.lit(k) * F.first("v"))
+        - F.log(F.first("n_pos") + F.lit(k) * F.first("v"))
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.sum("m").cast("long").alias("n_tokens"),
+        (F.sum(term) + length_norm + F.first(prior)).alias("_score"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("_score", 6).alias("nb_logodds"),
+        (F.col("_score") > 0).alias("pred_pos"),
+    )
+
+
+_NB_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, (lang = 'en') AS is_pos, w, count(*) AS m FROM (
+        SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY doc_id, is_pos, w
+    ), cls AS (
+      SELECT w,
+             sum(CASE WHEN is_pos THEN m ELSE 0 END) AS c_pos,
+             sum(CASE WHEN NOT is_pos THEN m ELSE 0 END) AS c_neg
+      FROM tok GROUP BY w
+    ), s AS (
+      SELECT sum(CASE WHEN is_pos THEN m ELSE 0 END) AS n_pos,
+             sum(CASE WHEN NOT is_pos THEN m ELSE 0 END) AS n_neg,
+             count(DISTINCT w) AS v,
+             count(DISTINCT CASE WHEN is_pos THEN doc_id END) AS d_pos,
+             count(DISTINCT CASE WHEN NOT is_pos THEN doc_id END) AS d_neg
+      FROM tok
+    ), agg AS (
+      SELECT tok.doc_id,
+             CAST(sum(tok.m) AS BIGINT) AS n_tokens,
+             sum(tok.m * (ln(cls.c_pos + 1.0) - ln(cls.c_neg + 1.0)))
+               + sum(tok.m) * (ln(any_value(s.n_neg) + 1.0 * any_value(s.v))
+                               - ln(any_value(s.n_pos) + 1.0 * any_value(s.v)))
+               + ln(CAST(any_value(s.d_pos) AS DOUBLE))
+               - ln(CAST(any_value(s.d_neg) AS DOUBLE)) AS score
+      FROM tok JOIN cls USING (w) CROSS JOIN s
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, n_tokens, round(score, 6) AS nb_logodds,
+           score > 0 AS pred_pos
+    FROM agg
+    """
+
+
+@query("quality_nb_score", oracle=_NB_ORACLE)
+def q_quality_nb_score(spark, sf_dir):
+    """Naive-Bayes English-vs-rest classifier: trained on the corpus's
+    own `lang` weak labels and applied back to every doc — the
+    distributed train-then-apply loop of a model-based quality
+    filter, with the model as a bounded count table (never a
+    driver-side fit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_train_score(docs, F.col("lang") == "en")

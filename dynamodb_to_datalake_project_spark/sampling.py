@@ -329,3 +329,71 @@ def q_dataset_token_budget_sample(spark, sf_dir):
     return token_budget_aggregate(
         doc_token_frame(docs), TOKEN_BUDGET_PER_SOURCE
     ).orderBy("source")
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+    ), d AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+      FROM e, c
+    ), a AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM d
+    ), r AS (
+      SELECT vec_id, cid AS centroid_id,
+             row_number() OVER (
+               PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+      FROM a WHERE rn = 1
+    )
+    SELECT vec_id, centroid_id, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 20
+    ORDER BY centroid_id, rnk
+    """,
+)
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced (diversity) sampling: every embedding routes to
+    its nearest seed centroid (the deterministic vec_id<8 seeding and
+    strict-< tie rule of `embed_centroid_assign`, whose oracle is
+    driver-green) and each cluster contributes an EQUAL quota of 20
+    vectors chosen by md5-rank — the "spread the training mix across
+    semantic space" sampler that prevents one dense cluster from
+    dominating a curated set.
+
+    Scale shape: assignment is map-only (broadcast literal codebook,
+    sequential-fold argmin — the corpus never shuffles to be
+    assigned); quota selection uses the salted two-phase top-k
+    (`dedup.salted_top_k_per_key`): with 8 clusters a plain window
+    would collapse the selection into 8 tasks, so phase 1 ranks
+    within (cluster, salt) at full parallelism and phase 2 re-ranks
+    only the <= n_salts*20 survivors per cluster. md5-rank keeps the
+    choice retry-stable and oracle-replayable (no rand())."""
+    from dynamodb_to_datalake_project_spark.dedup import salted_top_k_per_key
+    from dynamodb_to_datalake_project_spark.llm.similarity import (
+        as_double_vec,
+        assign_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        as_double_vec(F.col("embedding")).alias("cv"),
+    )
+    assigned = assign_centroids(emb, cents).select("vec_id", "centroid_id")
+    picked = salted_top_k_per_key(
+        assigned,
+        ["centroid_id"],
+        [F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()],
+        k=20,
+    )
+    return picked.select(
+        "vec_id", "centroid_id", F.col("rnk").cast("long").alias("rnk")
+    ).orderBy("centroid_id", "rnk")
