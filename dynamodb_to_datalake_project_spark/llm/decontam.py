@@ -319,7 +319,13 @@ def q_source_overlap_matrix(spark, sf_dir):
     source expands to at most sources², and degenerate grams beyond
     `max_bucket` sources would be dropped with a diagnostic rather
     than exploded); per-pair counts and the 20-row totals join are
-    bounded-key aggregations. The corpus is scanned once."""
+    bounded-key aggregations. NOTE the distinct (source, gram) frame
+    feeds two branches (totals, pair expansion) and 5-gram sets are
+    corpus-sized, so unlike the LM model tables it is NOT
+    localCheckpoint'ed here; a 100 TB run stages it to a temp table
+    once and reads it back for both branches (the catalog form
+    recomputes the distinct per branch — correct, and free of a
+    corpus-sized materialization barrier at bench scale)."""
     from dynamodb_to_datalake_project_spark.llm.dedup import _bucket_pairs
 
     docs = load_table(spark, sf_dir, "documents")

@@ -66,28 +66,32 @@ def lm_score_docs(docs: DataFrame, k: float = LM_K) -> DataFrame:
     size. High avg_nll = surprising/low-quality text — the filter
     signal perplexity-based curation thresholds on.
 
-    Plan: the bigram/context count tables derive from one combinable
-    aggregation each (model build); scoring joins the per-doc bigram
-    frame to them on the bigram / left-token key and folds one
-    per-doc aggregation. Join keys are vocabulary-bounded; AQE
-    broadcast-upgrades the model side when it is actually small.
+    Plan (train → materialize → score, the natural pipeline
+    boundary): ONE corpus pass builds the bigram count table; the
+    context count c_x is a window over that vocab-bounded table (NOT
+    a second corpus aggregation), and the finished model — megabytes
+    — is materialized with `localCheckpoint` so the scoring join's
+    build side doesn't re-run the corpus pipeline (Spark recomputes
+    un-materialized lineage per plan branch; a production run writes
+    the model to a table here). Scoring then costs one more corpus
+    pass joined against the materialized model — AQE
+    broadcast-upgrades it when the observed vocabulary is small.
     """
+    from pyspark.sql import Window
+
     bd = doc_bigrams(docs)
-    glob = bd.groupBy("bigram").agg(F.sum("m").alias("c_xy"))
-    left = (
-        glob.withColumn("x", F.split(F.col("bigram"), " ").getItem(0))
-        .groupBy("x")
-        .agg(F.sum("c_xy").alias("c_x"))
+    model = (
+        bd.groupBy("bigram")
+        .agg(F.sum("m").alias("c_xy"))
+        .withColumn("x", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("c_x", F.sum("c_xy").over(Window.partitionBy("x")))
+        .drop("x")
+        .localCheckpoint(eager=True)
     )
     vocab = docs.select(
         F.explode(tokens(F.col("text"))).alias("w")
     ).agg(F.countDistinct("w").alias("v"))
-    scored = (
-        bd.join(glob, "bigram")
-        .withColumn("x", F.split(F.col("bigram"), " ").getItem(0))
-        .join(left, "x")
-        .crossJoin(F.broadcast(vocab))
-    )
+    scored = bd.join(model, "bigram").crossJoin(F.broadcast(vocab))
     nll_term = F.col("m") * (
         F.log(F.col("c_x") + F.lit(k) * F.col("v"))
         - F.log(F.col("c_xy") + F.lit(k))
@@ -169,22 +173,32 @@ def nb_train_score(
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("m"), F.first("is_pos").alias("is_pos"))
     )
-    cls = tok.groupBy("w").agg(
-        F.sum(F.when(F.col("is_pos"), F.col("m")).otherwise(0)).alias("c_pos"),
-        F.sum(F.when(~F.col("is_pos"), F.col("m")).otherwise(0)).alias("c_neg"),
-    )
-    scalars = (
-        tok.join(cls, "w")
+    # The MODEL: vocab-bounded class-conditional counts, built in one
+    # corpus pass and materialized (localCheckpoint) so neither the
+    # scalar reduction nor the scoring join re-runs the corpus
+    # pipeline (a production run writes this table out here).
+    cls = (
+        tok.groupBy("w")
         .agg(
-            # class token totals: each (doc,w) row contributes its own
-            # multiplicity to exactly one class
-            F.sum(F.when(F.col("is_pos"), F.col("m")).otherwise(0)).alias("n_pos"),
-            F.sum(F.when(~F.col("is_pos"), F.col("m")).otherwise(0)).alias("n_neg"),
-            F.countDistinct("w").alias("v"),
-            F.countDistinct(F.when(F.col("is_pos"), F.col("doc_id"))).alias("d_pos"),
-            F.countDistinct(F.when(~F.col("is_pos"), F.col("doc_id"))).alias("d_neg"),
+            F.sum(F.when(F.col("is_pos"), F.col("m")).otherwise(0)).alias("c_pos"),
+            F.sum(F.when(~F.col("is_pos"), F.col("m")).otherwise(0)).alias("c_neg"),
         )
+        .localCheckpoint(eager=True)
     )
+    # Class token totals + vocab size reduce over the small model
+    # table; doc priors come from a LIGHT corpus scan (no explode, no
+    # agg shuffle — docs with at least one token, per class, exactly
+    # the doc set `tok` would yield).
+    totals = cls.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count("*").alias("v"),
+    )
+    priors = docs.filter(F.size(tokens(F.col("text"))) >= 1).agg(
+        F.sum(F.when(pos_pred, 1).otherwise(0)).alias("d_pos"),
+        F.sum(F.when(~pos_pred, 1).otherwise(0)).alias("d_neg"),
+    )
+    scalars = totals.crossJoin(priors)
     scored = tok.join(cls, "w").crossJoin(F.broadcast(scalars))
     term = F.col("m") * (
         F.log(F.col("c_pos") + F.lit(k)) - F.log(F.col("c_neg") + F.lit(k))

@@ -84,6 +84,12 @@ NOTES = {
     "dedup_minhash_md5": "same fused signature+banding projection as dedup_minhash_lsh, md5 token hash for oracle replay; bucket pairs + one-scan Jaccard verify",
     "dedup_simhash_md5": "map-only md5 signatures, uncapped byte-band pigeonhole (exact hamming<=3 set), in-bucket hamming verify — no self-join",
     "dataset_epoch_shuffle": "map-only md5 sort key; only shuffle is the per-shard position window (parallelism = shard count, no global sequence)",
+    "lm_perplexity_score": "vocab-bounded bigram/context count aggs (model) joined back on bigram key; scalar V broadcast; one per-doc final agg",
+    "quality_nb_score": "class-conditional token counts (vocab-bounded) + 1-row scalars broadcast; score = one join + per-doc fold, no corpus self-join",
+    "cluster_balanced_sample": "map-only broadcast-codebook argmin assign; salted two-phase top-k (no 8-task window collapse)",
+    "source_overlap_matrix": "distinct (source,gram) reduction before capped in-bucket pair expansion; 20-row totals broadcast",
+    "bpe_encode_stats": "single map-only projection: tokenize → 16 chained merge folds → row-local count sums; zero exchanges",
+    "bpe_fertility_by_lang": "same map-only encode; one 5-key bounded agg with exact integer sums",
 }
 
 
