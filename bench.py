@@ -96,6 +96,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "bpe_encode_stats",
     "bpe_fertility_by_lang",
+    "source_unigram_kl",
 ]
 
 

@@ -107,6 +107,7 @@ _PRIORITY: list[str] = [
     "source_overlap_matrix",
     "bpe_encode_stats",
     "bpe_fertility_by_lang",
+    "source_unigram_kl",
     # --- rows-only entries: a fresh rows row each round is still signal ---
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -268,3 +268,80 @@ def q_quality_nb_score(spark, sf_dir):
     driver-side fit)."""
     docs = load_table(spark, sf_dir, "documents")
     return nb_train_score(docs, F.col("lang") == "en")
+
+
+_KL_ORACLE = """
+    WITH tok AS (
+      SELECT source, w, count(*) AS c_sw FROM (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY source, w
+    ), per_src AS (
+      SELECT source, sum(c_sw) AS n_s FROM tok GROUP BY source
+    ), per_w AS (
+      SELECT w, sum(c_sw) AS c_w FROM tok GROUP BY w
+    ), tot AS (
+      SELECT sum(c_sw) AS n FROM tok
+    )
+    SELECT tok.source,
+           CAST(any_value(per_src.n_s) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           round(sum((CAST(tok.c_sw AS DOUBLE) / per_src.n_s)
+                     * ln((CAST(tok.c_sw AS DOUBLE) * tot.n)
+                          / (CAST(per_src.n_s AS DOUBLE) * per_w.c_w))),
+                 6) AS kl_nats
+    FROM tok
+    JOIN per_src USING (source)
+    JOIN per_w USING (w)
+    CROSS JOIN tot
+    GROUP BY tok.source
+    ORDER BY tok.source
+    """
+
+
+@query("source_unigram_kl", oracle=_KL_ORACLE)
+def q_source_unigram_kl(spark, sf_dir):
+    """Per-source KL divergence of the unigram token distribution from
+    the corpus-wide distribution — the data-mix drift diagnostic: a
+    source whose KL jumps between snapshots changed character (new
+    crawl seed, new boilerplate, encoding regression) and should be
+    inspected before it enters a training mix.
+
+    Same train/score shape as the LM scorer: ONE corpus pass builds
+    the (source, token) count table — bounded by vocab × n_sources,
+    not corpus rows — which is materialized once
+    (`localCheckpoint`) and then re-derived three ways (per-source
+    totals, per-token totals, grand total) without touching the
+    corpus again; the KL sum is a bounded-key aggregation over that
+    table joined to its own marginals. Every ln() input is a ratio
+    of exact integer counts (cast to double BEFORE multiplying so
+    1e19-scale products can't overflow int64 at 100 TB); only the
+    per-source sum is order-dependent, handled by the 6-digit
+    rounding convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c_sw"))
+        .localCheckpoint(eager=True)
+    )
+    per_src = tok.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    per_w = tok.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    tot = tok.agg(F.sum("c_sw").alias("n"))
+    term = (F.col("c_sw").cast("double") / F.col("n_s")) * F.log(
+        (F.col("c_sw").cast("double") * F.col("n"))
+        / (F.col("n_s").cast("double") * F.col("c_w"))
+    )
+    return (
+        tok.join(F.broadcast(per_src), "source")
+        .join(per_w, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab_size"),
+            F.round(F.sum(term), 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

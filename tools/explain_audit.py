@@ -90,6 +90,7 @@ NOTES = {
     "source_overlap_matrix": "distinct (source,gram) reduction before capped in-bucket pair expansion; 20-row totals broadcast",
     "bpe_encode_stats": "single map-only projection: tokenize → 16 chained merge folds → row-local count sums; zero exchanges",
     "bpe_fertility_by_lang": "same map-only encode; one 5-key bounded agg with exact integer sums",
+    "source_unigram_kl": "one corpus pass to (source,token) counts, materialized; marginals re-derived from the small table, KL = bounded-key agg",
 }
 
 
