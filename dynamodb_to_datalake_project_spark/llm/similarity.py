@@ -1037,3 +1037,99 @@ def q_embed_quality_gate(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+_HARD_NEG_SQL = """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < 8),
+       c AS (SELECT * FROM e WHERE vec_id >= 8),
+       p AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+      FROM q CROSS JOIN c
+      WHERE q.label <> c.label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           CAST(rnk AS BIGINT) AS rnk, cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM p
+    ) WHERE rnk <= 3
+    """
+
+
+def hard_negatives(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    label_col: str = "label",
+) -> DataFrame:
+    """Top-k most-similar corpus vectors whose LABEL DIFFERS from the
+    query's — the contrastive-training hard-negative miner: the
+    negatives that look most like positives are the ones that teach an
+    embedding model the most (used when building training pairs for
+    retrieval/rerank models).
+
+    Same distribution shape as `knn_bruteforce`: the query side
+    (queries are few) broadcasts with precomputed norms, the corpus
+    streams map-side — no corpus shuffle; the label-mismatch predicate
+    runs before the rank window so same-label pairs never reach the
+    exchange. At 100 TB the corpus side routes through the ANN
+    shortlist first (`ann_ivf`/`ann_lsh` with k' > k, then this same
+    label filter + rerank on the shortlist)."""
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label", "rnk", "cosine"
+        )
+    )
+
+
+@query("sim_hard_negatives", oracle=_HARD_NEG_SQL)
+def q_hard_negatives(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", as_double_vec("embedding").alias("v"))
+    return hard_negatives(
+        e.filter(F.col("vec_id") < 8), e.filter(F.col("vec_id") >= 8), k=3
+    )
