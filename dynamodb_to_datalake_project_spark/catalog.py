@@ -44,17 +44,122 @@ def query(name: str, oracle: str | None = None):
 
 
 # Catalog iteration order. External harnesses that sample a bounded
-# prefix of the catalog (~50 entries/round: round 1 checked the first
-# 50 of 70, round 2 the first 50 of 122) should see the queries with
-# the LEAST independent-correctness coverage first. Round-3 rotation:
-# the 25 queries that have never received a driver row across rounds
-# 1-2 lead, then the two round-2 hash failures whose oracles were
-# fixed this round, then queries new in round 3, then rows-only
-# entries worth a fresh row, with the already-driver-green round-1/2
-# sets trailing. The set is identical either way — only iteration
-# order changes.
+# prefix of the catalog (~50 entries/round) should see the queries
+# with the LEAST independent-correctness coverage first. Round-4
+# rotation: the two queries added after the r3 driver sweep lead
+# (the only catalog entries with no driver row across rounds 1-3),
+# then queries new in round 4, then the rows-only fast paths (a
+# fresh rows-row each round is still signal), then the 47 queries
+# whose only driver row dates from round 1 (oldest verification —
+# due for a re-sample), with the r2/r3-verified sets trailing. The
+# set is identical either way — only iteration order changes.
 _PRIORITY: list[str] = [
-    # --- never driver-checked through r02 (VERDICT r2 "missing" #1) ---
+    # --- never driver-checked through r03 (VERDICT r3 "missing" #1) ---
+    "sim_hard_negatives",
+    "source_unigram_kl",
+    # --- new in round 4 (no driver row possible yet) ---
+    "multimodal_image_stats",
+    "embed_pca_invariants",
+    # --- rows-only entries: a fresh rows row each round is still signal ---
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_ivfpq",
+    "embed_pca_project",
+    "bpe_train_merges",
+    # --- driver row dates from round 1 only: oldest verification ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "j1_full_diff",
+    "j2_star_join_revenue",
+    "j3_semi_anti_join",
+    "j4_outer_join",
+    "s1_scan_pushdown",
+    "s8_upsert_merge",
+    "p1_ddb_decode_roundtrip",
+    "p2_surrogate_key",
+    "p3_partition_derive",
+    "f1_cdc_event_filter",
+    "f3_time_range_prune",
+    "w1_latest_wins",
+    "w2_topk_per_key",
+    "w3_window_family",
+    "w4_ranking_family",
+    "o1_topn_orders",
+    "o3_reverse_listing",
+    "a1_count_preview",
+    "a2_distinct",
+    "a5_agg_stats",
+    "a5_fixed_chunking",
+    "a6_rollup",
+    "a7_cube",
+    "a8_percentiles",
+    "a10_grouping_sets",
+    "a11_variance_stats",
+    "c_scalar_funcs",
+    "c3_datetime_funcs",
+    "c7_json_extract",
+    "t2_tumbling_window",
+    "sql_late_orders",
+    "asof_join_views",
+    "events_anomaly_flags",
+    "grouped_pct_rank",
+    "pivot_event_counts",
+    "unpivot_metrics",
+    "rollup_timeseries",
+    "sessionize_events",
+    "set_intersect_except",
+    "lang_id_heuristic",
+    "text_fingerprint",
+    "text_quality_filter",
+    "text_stats",
+    "text_tfidf_top_terms",
+    # --- driver-green in r02 (next-oldest) ---
+    "a9_approx_aggs",
+    "agg_argmax_family",
+    "agg_array_funcs",
+    "asof_last_click",
+    "bigram_top20",
+    "column_profile",
+    "corpus_clean",
+    "corpus_vocab_stats",
+    "decontaminate_ngrams",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_per_source_best",
+    "doc_curriculum_buckets",
+    "doc_embedding_coverage",
+    "doc_length_histogram",
+    "embed_centroid_assign",
+    "embed_dim_stats",
+    "embed_pq_codes",
+    "embed_quality_gate",
+    "embed_quantize_int8",
+    "heavy_hitter_tokens",
+    "multimodal_features",
+    "pii_scrub",
+    "pmi_top_bigrams",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_priority_count",
+    "q13_order_distribution",
+    "q20_stock_promotion",
+    "range_join_follow_events",
+    "referential_audit",
+    "rollup_incremental",
+    "sample_hash_bucket",
+    "sample_stratified_exact",
+    "sessionization",
+    "sim_knn_bruteforce",
+    "sim_label_norm_stats",
+    "text_bm25_topk",
+    "text_novelty_score",
+    "token_count_bpe",
+    # --- driver-green in r03 (most recently verified, trailing) ---
     "q2_min_cost_supplier",
     "q4_priority_late_ship",
     "q5_local_supplier_volume",
@@ -76,20 +181,17 @@ _PRIORITY: list[str] = [
     "dataset_mix",
     "doc_chunking",
     "doc_repetition_stats",
-    "embed_pca_project",
     "decontaminate_bloom",
     "multimodal_frame_sample",
     "skew_salted_event_stats",
-    # --- r02 hash failures, oracle HUGEINT casts fixed this round ---
     "doc_packing",
     "dataset_split",
-    # --- new in round 3 (no driver row possible yet) ---
     "dedup_minhash_md5",
     "dedup_simhash_md5",
     "sim_ann_lsh_fullprobe",
     "sim_ann_ivf_fullprobe",
     "sim_ann_ivfpq_fullprobe",
-    "a4_per_file_counts",  # upgraded rows-only -> full oracle this round
+    "a4_per_file_counts",
     "multimodal_wav_stats",
     "doc_rare_bigram_filter",
     "dataset_token_budget_sample",
@@ -99,7 +201,6 @@ _PRIORITY: list[str] = [
     "dataset_split_no_leakage",
     "dedup_segments",
     "text_collapse_repeats",
-    "bpe_train_merges",
     "dataset_epoch_shuffle",
     "lm_perplexity_score",
     "quality_nb_score",
@@ -107,58 +208,6 @@ _PRIORITY: list[str] = [
     "source_overlap_matrix",
     "bpe_encode_stats",
     "bpe_fertility_by_lang",
-    "source_unigram_kl",
-    # --- rows-only entries: a fresh rows row each round is still signal ---
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_ivfpq",
-    # --- driver-green in r02, trailing (most recently verified first
-    # so the r01-only set gets re-sampled before these if the prefix
-    # ever widens) ---
-    "corpus_clean",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_per_source_best",
-    "sim_knn_bruteforce",
-    "sim_label_norm_stats",
-    "embed_quantize_int8",
-    "embed_dim_stats",
-    "pii_scrub",
-    "corpus_vocab_stats",
-    "doc_length_histogram",
-    "bigram_top20",
-    "multimodal_features",
-    "agg_array_funcs",
-    "a9_approx_aggs",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_late_priority_count",
-    "q13_order_distribution",
-    "q20_stock_promotion",
-    "token_count_bpe",
-    "text_novelty_score",
-    "text_bm25_topk",
-    "embed_centroid_assign",
-    "rollup_incremental",
-    "heavy_hitter_tokens",
-    "embed_pq_codes",
-    "agg_argmax_family",
-    "doc_embedding_coverage",
-    "embed_quality_gate",
-    "doc_curriculum_buckets",
-    "asof_last_click",
-    "sessionization",
-    "range_join_follow_events",
-    "sample_hash_bucket",
-    "sample_stratified_exact",
-    "referential_audit",
-    "column_profile",
-    "decontaminate_ngrams",
-    "pmi_top_bigrams",
 ]
 
 

@@ -29,6 +29,8 @@ O(1) convergence signature.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -244,9 +246,11 @@ def bpe_encode_pandas(
                     continue
                 n_bpe = sum(enc_len(w, cache) for w in words)
                 n_chars = sum(len(w) for w in words)
-                rows.append(
-                    (doc_id, len(words), n_bpe, round(n_chars / n_bpe, 6))
-                )
+                # HALF_UP to match F.round (Catalyst) and DuckDB; Python
+                # round() is banker's and would diverge on exact .xxxxxx5
+                # ties, breaking the asserted cross-path equality.
+                ratio = math.floor(n_chars / n_bpe * 1e6 + 0.5) / 1e6
+                rows.append((doc_id, len(words), n_bpe, ratio))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "n_words", "n_bpe_tokens", "chars_per_token"],

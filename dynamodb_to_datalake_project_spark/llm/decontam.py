@@ -305,8 +305,17 @@ def q_decontaminate_bloom(spark, sf_dir):
     """,
 )
 def q_source_overlap_matrix(spark, sf_dir):
+    """Catalog entry for `source_overlap_matrix` (see that function for
+    the full design discussion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs)
+
+
+def source_overlap_matrix(
+    docs: DataFrame, n: int = 5, stage_threshold_bytes: int = 256 << 20
+) -> DataFrame:
     """Cross-source contamination matrix: for every pair of corpus
-    sources, how many distinct 5-grams they share and the containment
+    sources, how many distinct n-grams they share and the containment
     ratio shared/min(|A|,|B|) — the diagnostic that tells a curation
     pipeline which feeds are mirrors/scrapes of each other BEFORE
     document-level dedup spends a corpus-wide pass (cf. the per-pair
@@ -315,24 +324,41 @@ def q_source_overlap_matrix(spark, sf_dir):
 
     Scale shape: reduce to DISTINCT (source, gram) first (bounded by
     vocabulary, not corpus rows), then within-gram pair expansion via
-    the capped bucket walk (`_bucket_pairs` — a gram shared by every
-    source expands to at most sources², and degenerate grams beyond
-    `max_bucket` sources would be dropped with a diagnostic rather
-    than exploded); per-pair counts and the 20-row totals join are
-    bounded-key aggregations. NOTE the distinct (source, gram) frame
-    feeds two branches (totals, pair expansion) and 5-gram sets are
-    corpus-sized, so unlike the LM model tables it is NOT
-    localCheckpoint'ed here; a 100 TB run stages it to a temp table
-    once and reads it back for both branches (the catalog form
-    recomputes the distinct per branch — correct, and free of a
-    corpus-sized materialization barrier at bench scale)."""
+    the bucket walk (`_bucket_pairs`). The expansion runs UNCAPPED
+    here, unlike the doc-dedup callers: the frame is distinct
+    (source, gram), so a gram-bucket is bounded by SOURCE CARDINALITY
+    by construction — at most sources² pairs per gram, and the matrix
+    must count every shared gram to be exact (a cap would silently
+    undercount `shared_grams` for grams present in >cap sources,
+    diverging from the oracle). A run with pathologically many
+    sources should pre-aggregate sources into families, or use
+    `dedup.oversized_buckets(grams, ["ngram"], cap)` as the opt-in
+    diagnostic — the cap is a knob for degenerate BLOCKING keys, and
+    `source` is a true dimension, not a blocking key. Per-pair counts
+    and the 20-row totals join are bounded-key aggregations.
+
+    The distinct (source, gram) frame feeds TWO branches (totals, pair
+    expansion) and n-gram sets are corpus-sized, so recomputing it per
+    branch doubles the dominant cost at 100 TB. Gate (mirrors the AQE
+    runtime-size pattern, driver-side and job-free): when Catalyst's
+    optimizer ESTIMATE for the corpus input exceeds
+    `stage_threshold_bytes`, the distinct frame is materialized once
+    with `localCheckpoint` and both branches read that one
+    materialization (plan shows a single `Scan ExistingRDD`); below
+    the threshold — every bench/test scale — the frame stays lazy and
+    the plan stays barrier-free. Pinned by
+    `tests/test_llm.py::test_overlap_matrix_staging_gate`."""
     from dynamodb_to_datalake_project_spark.llm.dedup import _bucket_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
-    grams = doc_ngrams(docs, "source", "text", 5).distinct()
+    grams = doc_ngrams(docs, "source", "text", n).distinct()
+    est = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est > stage_threshold_bytes:
+        grams = grams.localCheckpoint(eager=True)
     tot = grams.groupBy("source").agg(F.count("*").alias("n"))
     pairs = (
-        _bucket_pairs(grams, ["ngram"], "source", dedup=False)
+        _bucket_pairs(
+            grams, ["ngram"], "source", max_bucket=2**31 - 1, dedup=False
+        )
         .groupBy(F.col("a_id").alias("src_a"), F.col("b_id").alias("src_b"))
         .agg(F.count("*").alias("shared"))
     )

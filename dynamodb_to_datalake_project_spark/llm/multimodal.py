@@ -3,12 +3,18 @@ feature extraction over `mapInPandas`.
 
 The Spark-side plumbing is real and tested: binary column construction,
 metadata structs, Arrow-batched `mapInPandas` with an explicit output
-schema, and partition-parallel execution. The actual image/audio codecs
-are NOT in this container, so `decode_image`/`decode_audio` are
-clearly-marked stubs (NotImplementedError) and the pipeline's
-feature-extraction step uses a deterministic fake feature
-(`(n_bytes * 7 + first_byte) % 997`) whose value a SQL oracle can also
-compute — proving the Arrow round-trip bit-for-bit.
+schema, and partition-parallel execution. Two codecs are REAL and
+stdlib-only — RIFF/WAVE 16-bit PCM (`encode_wav`/`decode_wav`) and
+24-bit BI_RGB BMP (`encode_bmp`/`decode_bmp`, plus a genuine
+nearest-neighbor `resize_image`) — each exercised end-to-end by a
+catalog query whose DuckDB oracle recomputes every sample/pixel from
+first principles. Compressed formats (png/jpeg/mp3/ogg) need
+third-party codecs not present in this container, so those branches of
+`decode_image`/`decode_audio` are clearly-marked stubs
+(NotImplementedError); the generic feature-extraction step uses a
+deterministic fake feature (`(n_bytes * 7 + first_byte) % 997`) whose
+value a SQL oracle can also compute — proving the Arrow round-trip
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -52,12 +58,71 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def encode_bmp(
+    pixels: "list[tuple[int, int, int]]", width: int, height: int
+) -> bytes:
+    """REAL codec (stdlib `struct`): encode row-major top-down RGB
+    pixels as a 24-bit uncompressed BI_RGB Windows BMP. The container
+    stores rows BOTTOM-UP, channels as BGR, and pads each row to a
+    4-byte boundary — all three transformations are performed here and
+    reversed in `decode_bmp`, so a round-trip exercises genuine
+    container logic, not a memcpy."""
+    import struct
+
+    row_size = (width * 3 + 3) // 4 * 4
+    image_size = row_size * height
+    off = 54
+    header = struct.pack("<2sIHHI", b"BM", off + image_size, 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    pad = b"\x00" * (row_size - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):  # BMP rows are bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            row += bytes((b, g, r))  # BGR on disk
+        rows.append(bytes(row) + pad)
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL codec (stdlib `struct`): parse a 24-bit BI_RGB BMP payload
+    — file header, info header, bottom-up padded BGR rows — back to
+    row-major top-down RGB pixels plus typed dimensions. Handles both
+    bottom-up (height > 0) and top-down (height < 0) row orders per
+    the BITMAPINFOHEADER contract."""
+    import struct
+
+    magic, _file_size, _, _, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hdr, width, height, _planes, bpp, comp, *_ = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only 24-bit BI_RGB decode implemented")
+    row_size = (width * 3 + 3) // 4 * 4
+    bottom_up = height > 0
+    h = abs(height)
+    pixels = []
+    for y in range(h):
+        src_row = (h - 1 - y) if bottom_up else y
+        base = off + src_row * row_size
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            pixels.append((r, g, b))
+    return {"width": width, "height": h, "pixels": pixels}
+
+
 def decode_image(payload: bytes) -> "object":
-    """STUB: image decode requires PIL/opencv, not present in this
-    container. The Spark plumbing around it (binary column →
-    mapInPandas → feature columns) is real; swap this body for the
-    codec in a full environment."""
-    raise NotImplementedError("image codecs not available in this environment")
+    """Image decode: BMP payloads are decoded for real via the stdlib
+    parser (`decode_bmp`); compressed formats (png/jpeg/webp) need
+    codecs not present in this container and stay honestly stubbed."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError("only BMP decode available in this environment")
 
 
 def encode_wav(
@@ -260,12 +325,123 @@ def q_multimodal_wav_stats(spark, sf_dir):
     return wav_roundtrip_stats(docs)
 
 
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("n_payload_bytes", T.LongType()),
+        T.StructField("sum_rgb", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("n_resized_bytes", T.LongType()),
+        T.StructField("resized_sum", T.LongType()),
+    ]
+)
+
+
+def bmp_roundtrip_stats(docs: DataFrame, max_chars: int = 126) -> DataFrame:
+    """Synthesize a REAL 24-bit BMP payload per document (deterministic
+    7×H pixel grid derived from doc_id), decode it with the stdlib BMP
+    parser, nearest-neighbor resize it to 3×2, decode THAT, and emit
+    typed features of both — the full encode → binary → decode →
+    transform → re-encode → decode chain with an actual codec, in
+    Arrow batches.
+
+    Width is 7 ON PURPOSE: 7×3 = 21 bytes/row pads to 24, so the BMP
+    row-padding logic is exercised on every row. Pixel (p, channel c)
+    value = (doc_id*131 + p*7919 + c*104729) % 256 over H = n//7 + 1
+    rows with n = min(n_chars, max_chars) — a pure function of
+    (doc_id, n_chars), so an independent SQL oracle recomputes the
+    dimensions, padded payload size, exact channel statistics, AND the
+    resized image's pixels without running the codec: agreement proves
+    headers, bottom-up row order, BGR packing, padding, and the
+    nearest-neighbor index math all survived bit-for-bit."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in IMAGE_STATS_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                did = int(doc_id)
+                n = 0 if pd.isna(n_chars) else min(int(n_chars), max_chars)
+                h = n // 7 + 1
+                pixels = [
+                    tuple((did * 131 + p * 7919 + c * 104729) % 256 for c in range(3))
+                    for p in range(7 * h)
+                ]
+                payload = encode_bmp(pixels, 7, h)
+                img = decode_image(payload)
+                flat = [c for px in img["pixels"] for c in px]
+                resized = resize_image(payload, 3, 2)
+                rimg = decode_image(resized)
+                rflat = [c for px in rimg["pixels"] for c in px]
+                out["doc_id"].append(did)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["n_pixels"].append(img["width"] * img["height"])
+                out["n_payload_bytes"].append(len(payload))
+                out["sum_rgb"].append(sum(flat))
+                out["peak"].append(max(flat))
+                out["n_resized_bytes"].append(len(resized))
+                out["resized_sum"].append(sum(rflat))
+        yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "n_chars").mapInPandas(op, IMAGE_STATS_SCHEMA)
+
+
+@query(
+    "multimodal_image_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, least(coalesce(n_chars, 0), 126) // 7 + 1 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, h,
+             list_transform(range(0, 7 * h * 3),
+               i -> (doc_id * 131 + (i // 3) * 7919 + (i % 3) * 104729) % 256) AS v,
+             list_transform(range(0, 18),
+               i -> (doc_id * 131
+                     + ((i // 9) * h // 2 * 7 + ((i // 3) % 3) * 7 // 3) * 7919
+                     + (i % 3) * 104729) % 256) AS rv
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(7 AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(7 * h AS BIGINT) AS n_pixels,
+           CAST(54 + 24 * h AS BIGINT) AS n_payload_bytes,
+           CAST(list_sum(v) AS BIGINT) AS sum_rgb,
+           CAST(list_max(v) AS BIGINT) AS peak,
+           CAST(78 AS BIGINT) AS n_resized_bytes,
+           CAST(list_sum(rv) AS BIGINT) AS resized_sum
+    FROM px
+    """,
+)
+def q_multimodal_image_stats(spark, sf_dir):
+    """BMP encode → decode → nearest-neighbor resize → decode over the
+    documents table with the stdlib codec; the oracle recomputes the
+    dimensions, the padded payload size (7px rows: 21 data bytes → 24),
+    exact per-channel pixel statistics, and the resized 3×2 image's
+    pixels via the same src = dst*src_dim//dst_dim index math — a
+    flipped byte anywhere in the container, row order, BGR packing,
+    padding, or resampling fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bmp_roundtrip_stats(docs)
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """STUB: image resize requires PIL/opencv, not present in this
-    container. Signature + call-site plumbing (binary in → binary out
-    inside `mapInPandas`) are the real contract; swap the body for the
-    codec in a full environment."""
-    raise NotImplementedError("image codecs not available in this environment")
+    """REAL resize for BMP payloads: decode → nearest-neighbor sample
+    (src = dst * src_dim // dst_dim) → re-encode. Binary in → binary
+    out, the contract a `mapInPandas` pipeline stage plugs into; for
+    compressed formats `decode_image` raises the honest stub."""
+    img = decode_image(payload)
+    sw, sh, px = img["width"], img["height"], img["pixels"]
+    out = [
+        px[(y * sh // height) * sw + (x * sw // width)]
+        for y in range(height)
+        for x in range(width)
+    ]
+    return encode_bmp(out, width, height)
 
 
 FRAME_SCHEMA = T.StructType(

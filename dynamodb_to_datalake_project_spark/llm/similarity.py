@@ -569,17 +569,102 @@ def pca_project(
 def q_embed_pca_project(spark, sf_dir):
     """PCA dimensionality reduction (the pre-ANN compression step):
     top-4 components from the distributed covariance, projection as
-    literal-matrix folds. Rows-only driver check (eigendecomposition
-    is not SQL-expressible); the math invariants — component
-    orthonormality, eigenvalue ordering, projection variance =
-    eigenvalue, reconstruction error monotone in k — are pinned by
-    `tests/test_llm.py::test_pca_invariants`."""
+    literal-matrix folds. Rows-only driver check (raw eigenvector
+    coordinates carry sign/rotation ambiguity no SQL engine can
+    replay); the math invariants — component orthonormality,
+    eigenvalue ordering, projection variance = eigenvalue,
+    reconstruction error monotone in k — are pinned by
+    `tests/test_llm.py::test_pca_invariants`, and the oracle-backed
+    twin `embed_pca_invariants` hash-checks the rotation-invariant
+    Pythagorean identity against DuckDB."""
     emb = load_table(spark, sf_dir, "embeddings")
     comps, _vals, mu = pca_components(emb, k=4)
     out = pca_project(emb, comps, mu)
     return out.select(
         "vec_id",
         *[F.round(F.col(f"pc{j}"), 6).alias(f"pc{j}") for j in range(4)],
+    )
+
+
+@query(
+    "embed_pca_invariants",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), d AS (
+      SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+               i -> {'i': i, 'x': v[i]})) AS u
+      FROM e
+    ), mu AS (
+      SELECT u.i AS i, avg(u.x) AS m FROM d GROUP BY u.i
+    )
+    SELECT d.vec_id,
+           round(sum((d.u.x - mu.m) * (d.u.x - mu.m)), 6) AS norm2_k4,
+           round(sum((d.u.x - mu.m) * (d.u.x - mu.m)), 6) AS norm2_k16
+    FROM d JOIN mu ON mu.i = d.u.i
+    GROUP BY d.vec_id
+    """,
+)
+def q_embed_pca_invariants(spark, sf_dir):
+    """Rotation-invariant PCA verification (the oracle-checkable twin
+    of `embed_pca_project`, whose raw coordinates carry inherent
+    eigenvector sign/rotation ambiguity no SQL engine can replay).
+
+    For an ORTHONORMAL component basis, every centered vector obeys the
+    Pythagorean identity ‖proj‖² + ‖residual‖² = ‖centered‖². Spark
+    computes the LEFT side the hard way — project onto the eigh-derived
+    components, then EXPLICITLY reconstruct (recon[i] = Σ_j pc_j·C_j[i]
+    as literal multiply-adds, no shortcut through the identity itself)
+    and measure the residual — for two different subspaces (k=4 and
+    k=16). DuckDB computes the RIGHT side with no eigensolve at all:
+    per-dimension means, then Σ(x-μ)². A hash match proves the
+    distributed Gram/mean partials, the eigendecomposition's
+    orthonormality, the literal-matrix projection, and the
+    reconstruction arithmetic are all simultaneously correct — a
+    broken eigenvector, a dropped mean term, or a transposed component
+    index each break the identity generically.
+
+    Scale shape: same as `embed_pca_project` — one distributed
+    partials pass (d² per batch), then a map-only projection; the
+    reconstruction adds d·k literal fused multiply-adds per row, still
+    zero shuffles."""
+    from functools import reduce
+    from operator import add
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, _vals, mu = pca_components(emb, k=16)
+    dim = len(mu)
+    mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+    base = emb.select(
+        "vec_id", F.zip_with(as_double_vec("embedding"), mu_arr, lambda x, m: x - m).alias("cv")
+    )
+    for j, comp in enumerate(comps):
+        base = base.withColumn(
+            f"pc{j}", dot(F.col("cv"), F.array(*[F.lit(float(c)) for c in comp]))
+        )
+
+    def total_norm2(k: int) -> F.Column:
+        recon = F.array(
+            *[
+                reduce(
+                    add,
+                    [F.col(f"pc{j}") * F.lit(float(comps[j][i])) for j in range(k)],
+                )
+                for i in range(dim)
+            ]
+        )
+        resid2 = F.aggregate(
+            F.zip_with(F.col("cv"), recon, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        proj2 = reduce(add, [F.col(f"pc{j}") * F.col(f"pc{j}") for j in range(k)])
+        return proj2 + resid2
+
+    return base.select(
+        "vec_id",
+        F.round(total_norm2(4), 6).alias("norm2_k4"),
+        F.round(total_norm2(16), 6).alias("norm2_k16"),
     )
 
 

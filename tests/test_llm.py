@@ -236,6 +236,45 @@ def test_wav_codec_roundtrip():
     assert multimodal.decode_wav(empty)["sum_abs"] == 0
 
 
+def test_bmp_codec_roundtrip():
+    """The stdlib BMP codec is real: 24-bit BI_RGB with bottom-up BGR
+    rows and 4-byte row padding, all reversed exactly on decode.
+    Width 7 pads each 21-byte row to 24, so the padding logic runs."""
+    px = [(p % 256, (p * 3) % 256, (p * 7) % 256) for p in range(7 * 3)]
+    payload = multimodal.encode_bmp(px, 7, 3)
+    assert payload[:2] == b"BM"
+    assert len(payload) == 54 + 24 * 3  # padded rows: 21 -> 24 bytes
+    img = multimodal.decode_image(payload)  # dispatch on BM magic
+    assert (img["width"], img["height"]) == (7, 3)
+    assert img["pixels"] == px  # exact pixel round trip incl. BGR flip
+    # top-down (negative height) rows decode to the same logical image
+    import struct
+
+    neg = bytearray(payload)
+    rows = [payload[54 + 24 * r : 54 + 24 * (r + 1)] for r in range(3)]
+    neg[54:] = b"".join(reversed(rows))
+    struct.pack_into("<i", neg, 22, -3)
+    assert multimodal.decode_bmp(bytes(neg))["pixels"] == px
+
+
+def test_bmp_resize_nearest_neighbor():
+    """resize_image is a real transform now: decode -> nearest-neighbor
+    (src = dst*src_dim//dst_dim) -> re-encode, verified per pixel."""
+    w, h = 5, 4
+    px = [((x * 40) % 256, (y * 60) % 256, (x + y) % 256) for y in range(h) for x in range(w)]
+    out = multimodal.resize_image(multimodal.encode_bmp(px, w, h), 3, 2)
+    rimg = multimodal.decode_bmp(out)
+    expected = [
+        px[(y * h // 2) * w + (x * w // 3)] for y in range(2) for x in range(3)
+    ]
+    assert rimg["pixels"] == expected
+    # 1x1 collapse picks the top-left source pixel
+    one = multimodal.decode_bmp(
+        multimodal.resize_image(multimodal.encode_bmp(px, w, h), 1, 1)
+    )
+    assert one["pixels"] == [px[0]]
+
+
 def test_ann_ivf_recall_against_bruteforce(spark):
     from dynamodb_to_datalake_project_spark.lake import load_table
     from dynamodb_to_datalake_project_spark.llm.similarity import (
@@ -462,3 +501,32 @@ def test_bpe_merge_step_is_greedy_non_overlapping(spark):
     df = spark.createDataFrame([(["a", "a", "a", "a", "a"],)], ["syms"])
     out = df.select(_merge_step(F.col("syms"), "a", "a").alias("m")).collect()[0].m
     assert out == ["aa", "aa", "a"]  # left-to-right, no overlap
+
+
+def test_overlap_matrix_staging_gate(spark):
+    """source_overlap_matrix stages the distinct (source, gram) frame
+    ONCE (localCheckpoint -> ExistingRDD scans) when the driver-side
+    Catalyst size estimate exceeds the threshold, stays lazy below it,
+    and produces identical results either way."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dynamodb_to_datalake_project_spark.lake import load_table
+    from dynamodb_to_datalake_project_spark.llm.decontam import source_overlap_matrix
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def plan(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    lazy = source_overlap_matrix(docs)  # default threshold >> bench size
+    assert "ExistingRDD" not in plan(lazy)  # barrier-free at bench scale
+    staged = source_overlap_matrix(docs, stage_threshold_bytes=0)
+    # every branch reads the one checkpointed materialization
+    assert plan(staged).count("Scan ExistingRDD") >= 2
+    assert sorted(map(tuple, lazy.collect())) == sorted(
+        map(tuple, staged.collect())
+    )

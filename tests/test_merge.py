@@ -480,3 +480,62 @@ def test_scd2_merge_null_transitions(spark):
     for prev, nxt in zip(rows, rows[1:]):
         if prev["id"] == nxt["id"]:
             assert prev["valid_to"] == nxt["valid_from"]
+
+
+def test_delta_merge_unavailable_raises_clearly(spark, tmp_path):
+    """Without delta-spark (this container), merge_into_delta must fail
+    fast with a message pointing at the parquet fallback — not blow up
+    mid-write with a ClassNotFound."""
+    import pytest
+
+    from dynamodb_to_datalake_project_spark import merge_delta
+
+    if merge_delta.delta_available():
+        pytest.skip("delta-spark present; covered by the equivalence test")
+    src = _df(spark, [("a", "2023-01-01T00:00:00", "v1")])
+    with pytest.raises(RuntimeError, match="merge_into_parquet"):
+        merge_delta.merge_into_delta(
+            spark, str(tmp_path / "t"), src, ["id"], ["update_at"], []
+        )
+
+
+def test_delta_merge_equivalence(spark, tmp_path):
+    """When delta-spark IS installed, MERGE INTO must produce exactly
+    the state merge_into_parquet produces on the FIXTURES.md batch
+    sequence (insert, update, in-batch dup, late-stale, hard delete).
+    Skipped (not passed) in environments without the package."""
+    import pytest
+
+    pytest.importorskip("delta")
+    from dynamodb_to_datalake_project_spark import merge_delta
+
+    dpath, ppath = str(tmp_path / "delta"), str(tmp_path / "parquet")
+    batches = [
+        [("a", "2023-01-01T00:00:00", "v1", "INSERT"),
+         ("b", "2023-01-01T00:00:00", "v1", "INSERT")],
+        [("b", "2023-01-02T00:00:00", "v2", "MODIFY"),
+         ("b", "2023-01-02T00:00:01", "v3", "MODIFY"),  # in-batch dup
+         ("c", "2023-01-01T00:00:00", "new", "INSERT")],
+        [("a", "2022-12-01T00:00:00", "stale", "MODIFY"),  # late loses
+         ("c", "2023-01-03T00:00:00", None, "REMOVE")],    # hard delete
+    ]
+    schema = "id string, update_at string, note string, op string"
+    for rows in batches:
+        src = spark.createDataFrame(rows, schema)
+        merge_delta.merge_into_delta(
+            spark, dpath, src, ["id"], ["update_at"], [], op_col="op"
+        )
+        merge.merge_into_parquet(
+            spark, ppath, src, ["id"], ["update_at"], [], op_col="op"
+        )
+    got = {
+        r.id: (r.update_at, r.note)
+        for r in spark.read.format("delta").load(dpath).collect()
+    }
+    want = {
+        r.id: (r.update_at, r.note) for r in spark.read.parquet(ppath).collect()
+    }
+    assert got == want == {
+        "a": ("2023-01-01T00:00:00", "v1"),
+        "b": ("2023-01-02T00:00:01", "v3"),
+    }

@@ -83,6 +83,23 @@ def test_every_catalog_query_documented_in_coverage():
     assert not missing, f"undocumented catalog queries: {missing}"
 
 
+def test_readme_query_counts_current():
+    """README.md states the catalog/oracle counts; they drift silently
+    when queries are added (happened in rounds 2 and 3). Parse and pin."""
+    import pathlib
+    import re
+
+    txt = (pathlib.Path(__file__).parent.parent / "README.md").read_text()
+    m = re.search(r"\((\d+) oracle-checked catalog queries of (\d+)", txt)
+    assert m, "README.md no longer states the catalog counts"
+    assert int(m.group(1)) == len(catalog.ORACLE), (
+        f"README says {m.group(1)} oracles, catalog has {len(catalog.ORACLE)}"
+    )
+    assert int(m.group(2)) == len(catalog.QUERIES), (
+        f"README says {m.group(2)} queries, catalog has {len(catalog.QUERIES)}"
+    )
+
+
 def test_every_headline_query_exists_in_catalog():
     """bench.py's HEADLINE list must reference real catalog entries."""
     import bench
