@@ -29,6 +29,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "corpus_clean",
     "sim_knn_bruteforce",
+    "sim_hard_negatives",
     "text_stats",
     "multimodal_features",
     # round 2

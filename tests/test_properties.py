@@ -235,3 +235,37 @@ def test_epoch_shuffle_bijection_property(spark, ids, seed, n_shards):
         by_shard.setdefault(r.shard_id, []).append(r.shard_pos)
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(w, h, data):
+    """Pure-Python property: every (width, height, pixels) combination
+    survives the BMP container exactly — including widths whose rows
+    need 1-3 padding bytes — and nearest-neighbor resize picks exactly
+    the src = dst*src_dim//dst_dim pixel."""
+    from dynamodb_to_datalake_project_spark.llm import multimodal
+
+    px = data.draw(
+        st.lists(
+            st.tuples(*[st.integers(0, 255)] * 3),
+            min_size=w * h,
+            max_size=w * h,
+        )
+    )
+    payload = multimodal.encode_bmp(px, w, h)
+    row_size = (w * 3 + 3) // 4 * 4
+    assert len(payload) == 54 + row_size * h
+    img = multimodal.decode_bmp(payload)
+    assert (img["width"], img["height"]) == (w, h)
+    assert img["pixels"] == px
+    rw = data.draw(st.integers(1, 4))
+    rh = data.draw(st.integers(1, 4))
+    rimg = multimodal.decode_bmp(multimodal.resize_image(payload, rw, rh))
+    assert rimg["pixels"] == [
+        px[(y * h // rh) * w + (x * w // rw)] for y in range(rh) for x in range(rw)
+    ]

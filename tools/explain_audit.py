@@ -87,7 +87,9 @@ NOTES = {
     "lm_perplexity_score": "vocab-bounded bigram/context count aggs (model) joined back on bigram key; scalar V broadcast; one per-doc final agg",
     "quality_nb_score": "class-conditional token counts (vocab-bounded) + 1-row scalars broadcast; score = one join + per-doc fold, no corpus self-join",
     "cluster_balanced_sample": "map-only broadcast-codebook argmin assign; salted two-phase top-k (no 8-task window collapse)",
-    "source_overlap_matrix": "distinct (source,gram) reduction before capped in-bucket pair expansion; 20-row totals broadcast",
+    "source_overlap_matrix": "distinct (source,gram) reduction before UNCAPPED in-bucket pair expansion (buckets bounded by source cardinality by construction); 20-row totals broadcast; size-gated localCheckpoint stages the distinct frame once above 256 MB estimate (lazy/barrier-free at this SF)",
+    "multimodal_image_stats": "real BMP encode->decode->resize->decode in ONE ArrowEvalPython stage — no shuffle; oracle recomputes every pixel incl. the resized grid",
+    "embed_pca_invariants": "Arrow Gram partials -> driver eigh; then map-only literal projection + explicit reconstruction for k=4/k=16 — Pythagorean identity checked against an eigensolve-free oracle",
     "bpe_encode_stats": "single map-only projection: tokenize → 16 chained merge folds → row-local count sums; zero exchanges",
     "bpe_fertility_by_lang": "same map-only encode; one 5-key bounded agg with exact integer sums",
     "source_unigram_kl": "one corpus pass to (source,token) counts, materialized; marginals re-derived from the small table, KL = bounded-key agg",
