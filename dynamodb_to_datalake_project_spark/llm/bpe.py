@@ -12,6 +12,12 @@ iterative discipline):
   vocabulary with frequencies (explode + map-side-combinable count) —
   at 100 TB that's ~10-100 M rows, not corpus-sized, and every
   iteration touches only this frame.
+- Because the loop's cost depends on VOCABULARY size, not data size,
+  the merge iterations are size-gated (the PCA-eigh discipline): a
+  vocab that fits the driver is collected once and trained in plain
+  Python (zero further jobs — per-merge job dispatch and codegen were
+  the dominant cost); only an over-limit vocab runs the distributed
+  per-merge loop below.
 - Per iteration: one map-only pair explode + one bounded-key groupBy
   (keys = distinct symbol pairs), and exactly ONE row collected to the
   driver (the argmax pair — `TakeOrderedAndProject`, no full sort).
@@ -71,18 +77,88 @@ def _merge_step(syms, left: str, right: str):
     )
 
 
+def _train_bpe_driver(
+    word_freqs: "list[tuple[str, int]]", n_merges: int, min_count: int
+) -> "list[tuple[int, str, str, int]]":
+    """Driver-side merge loop over an in-memory (word, freq) table —
+    byte-identical semantics to the distributed loop: same pair
+    counting weighted by freq, same (count desc, left asc, right asc)
+    tie-break, same greedy left-to-right non-overlapping merge."""
+    from collections import Counter
+
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, f in word_freqs:
+        k = tuple(w)
+        vocab[k] = vocab.get(k, 0) + f
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        merges.append((rank, left, right, int(cnt)))
+        merged = left + right
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            k = tuple(out)
+            nxt[k] = nxt.get(k, 0) + f
+        vocab = nxt
+    return merges
+
+
 def train_bpe_merges(
     docs: DataFrame,
     n_merges: int = 16,
     min_count: int = 2,
     text_col: str = "text",
+    driver_vocab_limit: int = 1 << 20,
 ) -> DataFrame:
     """Learn `n_merges` BPE merges from a corpus; returns a DataFrame
     (rank, left, right, pair_count) ordered by rank. Deterministic:
     ties in pair count break lexicographically on (left, right).
-    Stops early when no pair reaches `min_count`."""
+    Stops early when no pair reaches `min_count`.
+
+    Hybrid execution (the PCA-eigh discipline — distributed where data
+    is big, driver where it is provably bounded): the corpus-sized
+    work is ALWAYS exactly one distributed pass (explode + combinable
+    word count). The merge loop then iterates over the vocab-bounded
+    (word, freq) table only; when that table has at most
+    `driver_vocab_limit` rows (counted on the already-materialized
+    checkpoint — a cheap cached-block scan) it is collected once and
+    the loop runs in plain Python, identical semantics, zero further
+    jobs. This removes n_merges rounds of job dispatch + per-iteration
+    codegen, which dominate wall-clock at any corpus size because the
+    loop's cost is a function of VOCABULARY, not data. Beyond the
+    limit (web-scale vocabularies, ~10-100 M distinct words) the
+    distributed per-merge loop below runs instead — same outputs,
+    pinned by `tests/test_llm.py::test_bpe_matches_reference` which
+    asserts full-table equality of BOTH paths against a pure-Python
+    replay."""
     spark = docs.sparkSession
-    wf = word_frequencies(docs, text_col)
+    wf = word_frequencies(docs, text_col).localCheckpoint(eager=True)
+    if wf.count() <= driver_vocab_limit:
+        merges = _train_bpe_driver(
+            [(r["word"], int(r["freq"])) for r in wf.collect()],
+            n_merges,
+            min_count,
+        )
+        wf.unpersist()
+        return spark.createDataFrame(
+            merges, schema="rank bigint, left string, right string, pair_count bigint"
+        )
     vocab = wf.select(
         "freq",
         F.transform(
@@ -90,6 +166,7 @@ def train_bpe_merges(
             lambda i: F.col("word").substr(i, F.lit(1)),
         ).alias("syms"),
     ).localCheckpoint(eager=True)
+    wf.unpersist()
     last_ckpt = vocab
 
     merges: list[tuple[int, str, str, int]] = []

@@ -484,15 +484,26 @@ def _ref_bpe(texts: list[str], n_merges: int, min_count: int):
 
 
 def test_bpe_matches_reference(spark, corpus):
+    """BOTH trainer paths — driver-side (vocab fits the gate) and
+    distributed (gate forced to 0) — must produce the identical full
+    merge table, equal to the pure-Python replay."""
     from dynamodb_to_datalake_project_spark.llm import bpe
 
     texts = [BASE, NEAR, OTHER, BASE]
-    got = [
+    want = _ref_bpe(texts, 12, 2)
+    driver = [
         (r.rank, r.left, r.right, r.pair_count)
         for r in bpe.train_bpe_merges(corpus, n_merges=12, min_count=2).collect()
     ]
-    assert got == _ref_bpe(texts, 12, 2)
-    assert len(got) == 12  # corpus is repetitive enough to fill 12 merges
+    distributed = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe.train_bpe_merges(
+            corpus, n_merges=12, min_count=2, driver_vocab_limit=0
+        ).collect()
+    ]
+    assert driver == want
+    assert distributed == want
+    assert len(want) == 12  # corpus is repetitive enough to fill 12 merges
 
 
 def test_bpe_merge_step_is_greedy_non_overlapping(spark):

@@ -80,7 +80,7 @@ NOTES = {
     "dataset_split_no_leakage": "group-integrity split: one window on the md5(text) key decides per GROUP — duplicates can't straddle train/test",
     "dedup_segments": "one explode (~n_tokens/20 rows), keep-first window on segment keys (WindowGroupLimit), one regroup by doc — nothing all-pairs",
     "text_collapse_repeats": "index-aware filter HOF behind one spread exchange; map-only, scan speed",
-    "bpe_train_merges": "iterative: per merge one combinable pair-count agg + TakeOrdered argmax (1 driver row) + map-only greedy fold; plan shown is the vocab build",
+    "bpe_train_merges": "ONE distributed corpus pass to the vocab-bounded (word,freq) table; merge loop size-gated to the driver when the vocab fits (zero further jobs), distributed per-merge agg+argmax+fold beyond the gate; plan shown is the result table",
     "dedup_minhash_md5": "same fused signature+banding projection as dedup_minhash_lsh, md5 token hash for oracle replay; bucket pairs + one-scan Jaccard verify",
     "dedup_simhash_md5": "map-only md5 signatures, uncapped byte-band pigeonhole (exact hamming<=3 set), in-bucket hamming verify — no self-join",
     "dataset_epoch_shuffle": "map-only md5 sort key; only shuffle is the per-shard position window (parallelism = shard count, no global sequence)",
