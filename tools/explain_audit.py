@@ -76,7 +76,7 @@ NOTES = {
     "dataset_token_budget_sample": "map-only token counts → 20-key agg → 20-row rate broadcast back → conditional 20-key agg; corpus never wide-shuffles",
     "dedup_semantic_cells": "centroid route (broadcast fold) → within-cell self-join on the cell key — O(sum cell²) not O(N²); 8-key agg",
     "decontaminate_exact_substring": "substring containment rewritten as 5-gram EQUI-join vs broadcast needles — no contains() scan, no cross join",
-    "corpus_curate_full": "the full funnel (clean → decontaminate → budget-sample → report) composed in ONE plan; capped blocks, broadcast bench, 20-key aggs",
+    "corpus_curate_full": "full funnel (clean → decontaminate → budget-sample → report); cleaned survivors staged ONCE (localCheckpoint, feeds 3 branches — recompute loses at every scale, A/B in curate.py), downstream composed in one plan; capped blocks, broadcast bench, 20-key aggs",
     "dataset_split_no_leakage": "group-integrity split: one window on the md5(text) key decides per GROUP — duplicates can't straddle train/test",
     "dedup_segments": "one explode (~n_tokens/20 rows), keep-first window on segment keys (WindowGroupLimit), one regroup by doc — nothing all-pairs",
     "text_collapse_repeats": "index-aware filter HOF behind one spread exchange; map-only, scan speed",
