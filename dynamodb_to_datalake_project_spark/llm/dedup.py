@@ -215,9 +215,14 @@ def minhash_signatures(
     wide-agg codegen compile; this is a pure per-row map that scales
     embarrassingly parallel. Each token string is hashed ONCE
     (xxhash64, truncated to 32 bits so `a*h+b` stays < 2^53 — ANSI-safe,
-    no overflow); the num_hashes variants are flat arithmetic transforms
-    over the materialized hash array (no nested lambdas, no per-seed
-    re-hashing)."""
+    no overflow). The num_hashes (a, b) constants are shipped as ONE
+    constant-folded struct-array literal and the per-seed minima come
+    from a nested HOF fold over it — NOT num_hashes unrolled
+    array_min(transform(...)) expressions, whose single giant codegen
+    unit took the JIT several executions to reach steady state (the
+    round-4 code-size rule: model parameters are literal DATA consumed
+    by fixed-shape expressions; generated code size must not grow with
+    num_hashes)."""
     spark = docs.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     hs = docs.select(
@@ -227,11 +232,17 @@ def minhash_signatures(
             lambda t: F.xxhash64(t).bitwiseAND(F.lit(0xFFFFFFFF)),
         ).alias("hs"),
     ).repartition(par, id_col)  # barrier: hash each token once, then fan out
-    sig = F.array(
+    consts_lit = F.array(
         *[
-            F.array_min(F.transform("hs", lambda h: h * F.lit(a) + F.lit(b)))
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
             for a, b in _minhash_constants(num_hashes)
         ]
+    )  # constant-folds to a single array<struct<a,b>> literal
+    sig = F.transform(
+        consts_lit,
+        lambda ab: F.array_min(
+            F.transform("hs", lambda h: h * ab["a"] + ab["b"])
+        ),
     )
     return hs.select(id_col, sig.alias("sig_arr"))
 

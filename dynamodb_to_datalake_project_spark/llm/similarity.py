@@ -625,40 +625,48 @@ def q_embed_pca_invariants(spark, sf_dir):
     index each break the identity generically.
 
     Scale shape: same as `embed_pca_project` — one distributed
-    partials pass (d² per batch), then a map-only projection; the
-    reconstruction adds d·k literal fused multiply-adds per row, still
-    zero shuffles."""
-    from functools import reduce
-    from operator import add
-
+    partials pass (d² per batch), then a map-only projection. The k×d
+    component matrix is shipped as ONE constant-folded array-of-arrays
+    literal and the projection/reconstruction are data-driven HOF
+    folds over it, NOT d·k unrolled expression nodes — an unrolled
+    form compiled a ~2000-node codegen unit per k that dominated
+    wall-clock (and stressed the JIT code cache); this form's
+    generated code size is independent of d and k. Still zero
+    shuffles."""
     emb = load_table(spark, sf_dir, "embeddings")
     comps, _vals, mu = pca_components(emb, k=16)
     dim = len(mu)
+    comps_lit = F.array(
+        *[F.array(*[F.lit(float(c)) for c in comp]) for comp in comps]
+    )  # constant-folds to a single array<array<double>> literal
     mu_arr = F.array(*[F.lit(float(m)) for m in mu])
     base = emb.select(
-        "vec_id", F.zip_with(as_double_vec("embedding"), mu_arr, lambda x, m: x - m).alias("cv")
+        "vec_id",
+        F.zip_with(as_double_vec("embedding"), mu_arr, lambda x, m: x - m).alias("cv"),
+    ).withColumn(
+        # all 16 projections as one array column (HOFs are not CSE'd;
+        # materializing pcs once keeps each pc from re-deriving)
+        "pcs",
+        F.transform(comps_lit, lambda c: dot(F.col("cv"), c)),
     )
-    for j, comp in enumerate(comps):
-        base = base.withColumn(
-            f"pc{j}", dot(F.col("cv"), F.array(*[F.lit(float(c)) for c in comp]))
-        )
 
     def total_norm2(k: int) -> F.Column:
-        recon = F.array(
-            *[
-                reduce(
-                    add,
-                    [F.col(f"pc{j}") * F.lit(float(comps[j][i])) for j in range(k)],
-                )
-                for i in range(dim)
-            ]
+        pk = F.slice(F.col("pcs"), 1, k)
+        ck = F.slice(comps_lit, 1, k)
+        recon = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.aggregate(
+                F.zip_with(pk, ck, lambda p, c: p * F.element_at(c, i)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         )
         resid2 = F.aggregate(
             F.zip_with(F.col("cv"), recon, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        proj2 = reduce(add, [F.col(f"pc{j}") * F.col(f"pc{j}") for j in range(k)])
+        proj2 = F.aggregate(pk, F.lit(0.0), lambda acc, p: acc + p * p)
         return proj2 + resid2
 
     return base.select(

@@ -87,6 +87,18 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Long-running sessions (bench sweeps, resident clusters)
+        # accumulate one generated class per distinct codegen unit;
+        # the JVM default 240 MB code cache can fill mid-session,
+        # after which the JIT disables itself and everything drops to
+        # interpreter speed (observed: a query's steady-state jumping
+        # 0.6 s -> 23 s late in a 79-query sweep). Standard Spark
+        # guidance for long sessions; builder-time only, harmless for
+        # short ones.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
