@@ -106,3 +106,61 @@ def test_epoch_shuffle_null_id_isolated(spark):
     assert len(out) == 3
     non_null = [r for r in out if r.doc_id is not None]
     assert all(r.shard_id is not None and r.shard_pos >= 1 for r in non_null)
+
+
+def test_bmp_roundtrip_stats_null_n_chars(spark):
+    """A NULL n_chars document still produces an image row (the
+    smallest 7x1 grid — same contract as the WAV path's empty
+    payload), never a crash or a dropped row."""
+    from dynamodb_to_datalake_project_spark.llm.multimodal import bmp_roundtrip_stats
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, 0), (3, 200)], "doc_id long, n_chars long"
+    )
+    rows = {r.doc_id: r for r in bmp_roundtrip_stats(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].height == 1 and rows[1].n_pixels == 7
+    assert rows[2].height == 1
+    assert rows[3].height == 126 // 7 + 1  # capped at max_chars=126
+    for r in rows.values():
+        assert r.n_payload_bytes == 54 + 24 * r.height
+        assert r.n_resized_bytes == 78
+
+
+def test_source_overlap_matrix_single_source_empty(spark):
+    """One source means no pairs: the matrix must be EMPTY, not a
+    degenerate self-pair or a crash in the uncapped bucket walk."""
+    from dynamodb_to_datalake_project_spark.llm.decontam import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g", "only"), (2, "a b c d e f h", "only")],
+        "doc_id long, text string, source string",
+    )
+    assert source_overlap_matrix(docs).count() == 0
+    # two sources sharing grams -> exactly one (a, b) row
+    docs2 = spark.createDataFrame(
+        [(1, "a b c d e f g", "s1"), (2, "a b c d e f g", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = source_overlap_matrix(docs2).collect()
+    assert len(out) == 1 and (out[0].src_a, out[0].src_b) == ("s1", "s2")
+    assert out[0].containment == 1.0
+
+
+def test_bpe_train_empty_and_tiny_corpus(spark):
+    """An empty corpus trains zero merges (empty result frame with the
+    right schema); a corpus whose best pair is below min_count stops
+    early — on BOTH trainer paths."""
+    from dynamodb_to_datalake_project_spark.llm import bpe
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    for lim in (1 << 20, 0):  # driver path, distributed path
+        out = bpe.train_bpe_merges(empty, n_merges=4, driver_vocab_limit=lim)
+        assert out.columns == ["rank", "left", "right", "pair_count"]
+        assert out.count() == 0
+    tiny = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    for lim in (1 << 20, 0):
+        got = bpe.train_bpe_merges(
+            tiny, n_merges=4, min_count=2, driver_vocab_limit=lim
+        ).collect()
+        assert got == []  # best pair count 1 < min_count
