@@ -58,17 +58,20 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def encode_bmp(
-    pixels: "list[tuple[int, int, int]]", width: int, height: int
-) -> bytes:
-    """REAL codec (stdlib `struct`): encode row-major top-down RGB
-    pixels as a 24-bit uncompressed BI_RGB Windows BMP. The container
-    stores rows BOTTOM-UP, channels as BGR, and pads each row to a
-    4-byte boundary — all three transformations are performed here and
-    reversed in `decode_bmp`, so a round-trip exercises genuine
-    container logic, not a memcpy."""
+def encode_bmp_array(px: "object", width: int, height: int) -> bytes:
+    """REAL codec (stdlib `struct` + numpy packing): encode an
+    (h, w, 3) uint8 RGB array as a 24-bit uncompressed BI_RGB Windows
+    BMP. The container stores rows BOTTOM-UP, channels as BGR, and
+    pads each row to a 4-byte boundary — all three transformations are
+    performed here (as vectorized slices: `[::-1, :, ::-1]` + padded
+    row buffer) and reversed in decode, so a round-trip exercises
+    genuine container logic, not a memcpy. Per-pixel work is numpy,
+    so the payload path scales with rows/sec, not Python-loop speed."""
     import struct
 
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.uint8).reshape(height, width, 3)
     row_size = (width * 3 + 3) // 4 * 4
     image_size = row_size * height
     off = 54
@@ -76,24 +79,28 @@ def encode_bmp(
     info = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
     )
-    pad = b"\x00" * (row_size - width * 3)
-    rows = []
-    for y in range(height - 1, -1, -1):  # BMP rows are bottom-up
-        row = bytearray()
-        for x in range(width):
-            r, g, b = pixels[y * width + x]
-            row += bytes((b, g, r))  # BGR on disk
-        rows.append(bytes(row) + pad)
-    return header + info + b"".join(rows)
+    rows = np.zeros((height, row_size), dtype=np.uint8)
+    rows[:, : width * 3] = arr[::-1, :, ::-1].reshape(height, width * 3)
+    return header + info + rows.tobytes()
 
 
-def decode_bmp(payload: bytes) -> dict:
-    """REAL codec (stdlib `struct`): parse a 24-bit BI_RGB BMP payload
-    — file header, info header, bottom-up padded BGR rows — back to
-    row-major top-down RGB pixels plus typed dimensions. Handles both
-    bottom-up (height > 0) and top-down (height < 0) row orders per
-    the BITMAPINFOHEADER contract."""
+def encode_bmp(
+    pixels: "list[tuple[int, int, int]]", width: int, height: int
+) -> bytes:
+    """Row-major top-down RGB pixel-tuple API over `encode_bmp_array`."""
+    return encode_bmp_array(pixels, width, height)
+
+
+def decode_bmp_array(payload: bytes) -> dict:
+    """REAL codec (stdlib `struct` + numpy unpacking): parse a 24-bit
+    BI_RGB BMP payload — file header, info header, bottom-up padded
+    BGR rows — back to a row-major top-down (h, w, 3) uint8 RGB array
+    plus typed dimensions. Handles both bottom-up (height > 0) and
+    top-down (height < 0) row orders per the BITMAPINFOHEADER
+    contract."""
     import struct
+
+    import numpy as np
 
     magic, _file_size, _, _, off = struct.unpack_from("<2sIHHI", payload, 0)
     if magic != b"BM":
@@ -106,14 +113,22 @@ def decode_bmp(payload: bytes) -> dict:
     row_size = (width * 3 + 3) // 4 * 4
     bottom_up = height > 0
     h = abs(height)
-    pixels = []
-    for y in range(h):
-        src_row = (h - 1 - y) if bottom_up else y
-        base = off + src_row * row_size
-        for x in range(width):
-            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
-            pixels.append((r, g, b))
-    return {"width": width, "height": h, "pixels": pixels}
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=off
+    ).reshape(h, row_size)
+    px = rows[:, : width * 3].reshape(h, width, 3)[:, :, ::-1]  # BGR -> RGB
+    if bottom_up:
+        px = px[::-1]
+    return {"width": width, "height": h, "px": px}
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Pixel-tuple API over `decode_bmp_array` (the array form is the
+    hot path inside Arrow batches; this one feeds tests and ad-hoc
+    use)."""
+    d = decode_bmp_array(payload)
+    pixels = [tuple(int(c) for c in p) for row in d["px"] for p in row]
+    return {"width": d["width"], "height": d["height"], "pixels": pixels}
 
 
 def decode_image(payload: bytes) -> "object":
@@ -358,6 +373,8 @@ def bmp_roundtrip_stats(docs: DataFrame, max_chars: int = 126) -> DataFrame:
     headers, bottom-up row order, BGR packing, padding, and the
     nearest-neighbor index math all survived bit-for-bit."""
 
+    import numpy as np
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: dict[str, list] = {f.name: [] for f in IMAGE_STATS_SCHEMA.fields}
         for pdf in batches:
@@ -365,25 +382,24 @@ def bmp_roundtrip_stats(docs: DataFrame, max_chars: int = 126) -> DataFrame:
                 did = int(doc_id)
                 n = 0 if pd.isna(n_chars) else min(int(n_chars), max_chars)
                 h = n // 7 + 1
-                pixels = [
-                    tuple((did * 131 + p * 7919 + c * 104729) % 256 for c in range(3))
-                    for p in range(7 * h)
-                ]
-                payload = encode_bmp(pixels, 7, h)
-                img = decode_image(payload)
-                flat = [c for px in img["pixels"] for c in px]
+                # deterministic pixel grid as one vectorized expression
+                p = np.arange(7 * h, dtype=np.int64)[:, None]
+                c = np.arange(3, dtype=np.int64)[None, :]
+                px = ((did * 131 + p * 7919 + c * 104729) % 256).reshape(h, 7, 3)
+                payload = encode_bmp_array(px, 7, h)
+                img = decode_bmp_array(payload)
+                flat = img["px"].astype(np.int64)
                 resized = resize_image(payload, 3, 2)
-                rimg = decode_image(resized)
-                rflat = [c for px in rimg["pixels"] for c in px]
+                rflat = decode_bmp_array(resized)["px"].astype(np.int64)
                 out["doc_id"].append(did)
                 out["width"].append(img["width"])
                 out["height"].append(img["height"])
                 out["n_pixels"].append(img["width"] * img["height"])
                 out["n_payload_bytes"].append(len(payload))
-                out["sum_rgb"].append(sum(flat))
-                out["peak"].append(max(flat))
+                out["sum_rgb"].append(int(flat.sum()))
+                out["peak"].append(int(flat.max()))
                 out["n_resized_bytes"].append(len(resized))
-                out["resized_sum"].append(sum(rflat))
+                out["resized_sum"].append(int(rflat.sum()))
         yield pd.DataFrame(out)
 
     return docs.select("doc_id", "n_chars").mapInPandas(op, IMAGE_STATS_SCHEMA)
@@ -431,17 +447,19 @@ def q_multimodal_image_stats(spark, sf_dir):
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """REAL resize for BMP payloads: decode → nearest-neighbor sample
-    (src = dst * src_dim // dst_dim) → re-encode. Binary in → binary
-    out, the contract a `mapInPandas` pipeline stage plugs into; for
-    compressed formats `decode_image` raises the honest stub."""
-    img = decode_image(payload)
-    sw, sh, px = img["width"], img["height"], img["pixels"]
-    out = [
-        px[(y * sh // height) * sw + (x * sw // width)]
-        for y in range(height)
-        for x in range(width)
-    ]
-    return encode_bmp(out, width, height)
+    (src = dst * src_dim // dst_dim, as a vectorized fancy-index) →
+    re-encode. Binary in → binary out, the contract a `mapInPandas`
+    pipeline stage plugs into; for compressed formats the decode
+    raises the honest stub."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        decode_image(payload)  # raises the format-specific stub
+    d = decode_bmp_array(payload)
+    sw, sh, px = d["width"], d["height"], d["px"]
+    ys = np.arange(height) * sh // height
+    xs = np.arange(width) * sw // width
+    return encode_bmp_array(px[ys][:, xs], width, height)
 
 
 FRAME_SCHEMA = T.StructType(
