@@ -64,6 +64,29 @@ def main() -> None:
     docs10 = times(docs1, 10, 10_000_000).localCheckpoint(eager=True)
     docs100 = times(docs10, 10, 1_000_000_000).localCheckpoint(eager=True)
 
+    emb1 = load_table(spark, SF_DIR, "embeddings")
+    emb10 = times(
+        emb1.withColumnRenamed("vec_id", "doc_id"), 10, 10_000_000
+    ).localCheckpoint(eager=True)
+    emb100 = times(emb10, 10, 1_000_000_000).localCheckpoint(eager=True)
+    embs = {
+        "x1": emb1.withColumnRenamed("vec_id", "doc_id"),
+        "x10": emb10,
+        "x100": emb100,
+    }
+
+    from dynamodb_to_datalake_project_spark.llm.similarity import (
+        as_double_vec,
+        assign_centroids,
+        pq_codebook,
+        pq_encode,
+    )
+
+    codebook = pq_codebook(emb1, m=4, k=8)
+    cents = emb1.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), as_double_vec("embedding").alias("cv")
+    )
+
     probes = [
         ("text_stats (scan-speed projection)", lambda d: add_text_stats(d)),
         ("bpe_encode (literal-merge fold)", lambda d: bpe_encode_stats(d, SHIPPED_MERGES)),
@@ -76,6 +99,34 @@ def main() -> None:
         (
             "doc_packing (shard-local running sum)",
             lambda d: _packing(d),
+        ),
+    ]
+
+    # embedding-table probes (the ANN building blocks — all map-only)
+    emb_probes = [
+        (
+            "pq_encode (literal codebook folds)",
+            lambda e: pq_encode(codebook=codebook, embeddings=e, id_col="doc_id"),
+        ),
+        (
+            "centroid_assign (broadcast argmin fold)",
+            lambda e: assign_centroids(e, cents, id_col="doc_id"),
+        ),
+        (
+            "int8_quantize (per-row scale + cast)",
+            lambda e: e.select(
+                "doc_id",
+                F.transform(
+                    as_double_vec("embedding"),
+                    lambda x: F.round(
+                        x
+                        / F.array_max(
+                            F.transform(as_double_vec("embedding"), F.abs)
+                        )
+                        * 127
+                    ).cast("int"),
+                ).alias("q"),
+            ),
         ),
     ]
 
@@ -113,9 +164,13 @@ def main() -> None:
         "| operator | x1 | x10 | x100 | r10 | r100 |",
         "|---|---|---|---|---|---|",
     ]
-    for name, build in probes:
+    frames = {"x1": docs1, "x10": docs10, "x100": docs100}
+    all_probes = [(n, b, frames) for n, b in probes] + [
+        (n, b, embs) for n, b in emb_probes
+    ]
+    for name, build, fr in all_probes:
         ts = {}
-        for label, d in (("x1", docs1), ("x10", docs10), ("x100", docs100)):
+        for label, d in (("x1", fr["x1"]), ("x10", fr["x10"]), ("x100", fr["x100"])):
             best = float("inf")
             for _ in range(3):
                 t0 = time.time()
