@@ -269,3 +269,31 @@ def test_bmp_roundtrip_property(w, h, data):
     assert rimg["pixels"] == [
         px[(y * h // rh) * w + (x * w // rw)] for y in range(rh) for x in range(rw)
     ]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=24), min_size=1, max_size=8
+    ),
+    n_merges=st.integers(1, 5),
+)
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+def test_bpe_driver_and_distributed_paths_agree(spark, texts, n_merges):
+    """Random tiny corpora: the size-gated driver loop and the
+    distributed per-merge loop must emit the identical full merge
+    table (rank, left, right, pair_count) — including early stops and
+    tie-breaks on a 3-letter alphabet chosen to force count ties."""
+    from dynamodb_to_datalake_project_spark.llm import bpe
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = lambda lim: [  # noqa: E731
+        tuple(r)
+        for r in bpe.train_bpe_merges(
+            docs, n_merges=n_merges, min_count=2, driver_vocab_limit=lim
+        ).collect()
+    ]
+    assert rows(1 << 20) == rows(0)
