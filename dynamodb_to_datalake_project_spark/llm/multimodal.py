@@ -3,18 +3,20 @@ feature extraction over `mapInPandas`.
 
 The Spark-side plumbing is real and tested: binary column construction,
 metadata structs, Arrow-batched `mapInPandas` with an explicit output
-schema, and partition-parallel execution. Two codecs are REAL and
-stdlib-only — RIFF/WAVE 16-bit PCM (`encode_wav`/`decode_wav`) and
+schema, and partition-parallel execution. Three codecs are REAL and
+stdlib-only — RIFF/WAVE 16-bit PCM (`encode_wav`/`decode_wav`),
 24-bit BI_RGB BMP (`encode_bmp`/`decode_bmp`, plus a genuine
-nearest-neighbor `resize_image`) — each exercised end-to-end by a
-catalog query whose DuckDB oracle recomputes every sample/pixel from
-first principles. Compressed formats (png/jpeg/mp3/ogg) need
-third-party codecs not present in this container, so those branches of
-`decode_image`/`decode_audio` are clearly-marked stubs
-(NotImplementedError); the generic feature-extraction step uses a
-deterministic fake feature (`(n_bytes * 7 + first_byte) % 997`) whose
-value a SQL oracle can also compute — proving the Arrow round-trip
-bit-for-bit.
+nearest-neighbor `resize_image`), and 8-bit truecolor PNG
+(`encode_png`/`decode_png`: chunk framing + CRC32, zlib deflate, all
+five scanline filters incl. sequential Paeth defiltering) — the
+WAV/BMP paths are exercised end-to-end by catalog queries whose
+DuckDB oracles recompute every sample/pixel from first principles,
+and the PNG path by golden-byte + all-filters round-trip tests.
+Formats that require third-party codecs (jpeg/webp/gif/mp3/ogg) stay
+clearly-marked stubs (NotImplementedError); the generic
+feature-extraction step uses a deterministic fake feature
+(`(n_bytes * 7 + first_byte) % 997`) whose value a SQL oracle can
+also compute — proving the Arrow round-trip bit-for-bit.
 """
 
 from __future__ import annotations
@@ -131,13 +133,174 @@ def decode_bmp(payload: bytes) -> dict:
     return {"width": d["width"], "height": d["height"], "pixels": pixels}
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    px: "object", width: int, height: int, filter_type: int = 0
+) -> bytes:
+    """REAL codec (stdlib `zlib` + `struct`): encode an (h, w, 3)
+    uint8 RGB array as an 8-bit truecolor non-interlaced PNG.
+    Implements the full chunk framing (length/type/data/CRC32) and all
+    five scanline filters of the spec (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth) — `filter_type` selects which one every row
+    uses, so tests can exercise each defilter path in `decode_png`
+    against genuinely filtered + deflate-compressed bytes. Filter
+    arithmetic is vectorized per row (the sequential left-neighbor
+    dependency only exists on DECODE)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.uint8).reshape(height, width, 3)
+    rows = arr.reshape(height, width * 3).astype(np.int64)
+    zeros3 = np.zeros(3, dtype=np.int64)
+    raw = bytearray()
+    prev = np.zeros(width * 3, dtype=np.int64)
+    for y in range(height):
+        row = rows[y]
+        left = np.concatenate([zeros3, row[:-3]]) if width else row
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub
+            filt = (row - left) % 256
+        elif filter_type == 2:  # Up
+            filt = (row - prev) % 256
+        elif filter_type == 3:  # Average
+            filt = (row - (left + prev) // 2) % 256
+        elif filter_type == 4:  # Paeth
+            ul = np.concatenate([zeros3, prev[:-3]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = (row - pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        raw.append(filter_type)
+        raw += filt.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_array(payload: bytes) -> dict:
+    """REAL codec (stdlib `zlib` + `struct`): parse an 8-bit truecolor
+    non-interlaced PNG — chunk walk with CRC verification, inflate of
+    the concatenated IDAT stream, and full scanline DEFILTERING (None/
+    Sub/Up/Average/Paeth; Sub/Average/Paeth reconstruct sequentially
+    along the row exactly as the spec's recursive definition requires)
+    — back to a row-major (h, w, 3) uint8 RGB array. Palette/alpha/
+    16-bit/interlaced PNGs raise NotImplementedError (honest subset,
+    like the 24-bit-only BMP leg)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width, height, idat = 8, None, None, bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, bits, color, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (bits, color, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG decode implemented"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        base = y * (stride + 1)
+        ft = raw[base]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=base + 1
+        ).astype(np.int64)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:  # Up — no intra-row dependency, vectorized
+            rec = (cur + prev) % 256
+        elif ft in (1, 3, 4):  # left-dependent: sequential per spec
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - 3] if i >= 3 else 0  # reconstructed left
+                b = prev[i]
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[i - 3] if i >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y] = rec
+        prev = rec
+    return {
+        "width": width,
+        "height": height,
+        "px": out.astype(np.uint8).reshape(height, width, 3),
+    }
+
+
+def decode_png(payload: bytes) -> dict:
+    """Pixel-tuple API over `decode_png_array` (mirrors `decode_bmp`)."""
+    d = decode_png_array(payload)
+    pixels = [tuple(int(c) for c in p) for row in d["px"] for p in row]
+    return {"width": d["width"], "height": d["height"], "pixels": pixels}
+
+
 def decode_image(payload: bytes) -> "object":
-    """Image decode: BMP payloads are decoded for real via the stdlib
-    parser (`decode_bmp`); compressed formats (png/jpeg/webp) need
-    codecs not present in this container and stay honestly stubbed."""
+    """Image decode: BMP and PNG payloads are decoded for real via the
+    stdlib parsers (`decode_bmp`, `decode_png` — struct + zlib only);
+    formats needing third-party codecs (jpeg/webp/gif) stay honestly
+    stubbed."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    raise NotImplementedError("only BMP decode available in this environment")
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "only BMP and PNG decode available in this environment"
+    )
 
 
 def encode_wav(

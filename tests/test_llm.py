@@ -541,3 +541,52 @@ def test_overlap_matrix_staging_gate(spark):
     assert sorted(map(tuple, lazy.collect())) == sorted(
         map(tuple, staged.collect())
     )
+
+
+def test_png_codec_roundtrip_all_filters():
+    """The stdlib PNG codec is real: chunk framing with CRC32, zlib
+    IDAT, and all five scanline filters — encoded with each filter
+    type, decoded through the matching defilter path."""
+    import numpy as np
+
+    rng = [(p * 37 % 256, p * 91 % 256, p * 53 % 256) for p in range(7 * 3)]
+    arr = np.array(rng, np.uint8).reshape(3, 7, 3)
+    for ft in range(5):
+        payload = multimodal.encode_png(arr, 7, 3, filter_type=ft)
+        assert payload[:8] == multimodal.PNG_SIG
+        img = multimodal.decode_image(payload)  # dispatch on PNG magic
+        assert (img["width"], img["height"]) == (7, 3)
+        assert img["pixels"] == rng, f"filter {ft}"
+    # corrupt a byte inside IDAT -> CRC check must catch it
+    bad = bytearray(multimodal.encode_png(arr, 7, 3))
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(bad))
+
+
+def test_png_golden_sub_filter_decode():
+    """Hand-built PNG bytes (filter 1 = Sub, spec-computed deltas)
+    decode to the expected pixels — proves the decoder against the
+    spec, not merely against our own encoder."""
+    import struct
+    import zlib
+
+    px = [(10, 20, 30), (250, 0, 5)]
+    raw = bytes([1, 10, 20, 30, (250 - 10) % 256, (0 - 20) % 256, (5 - 30) % 256])
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    payload = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    assert multimodal.decode_png(payload)["pixels"] == px
+    # unsupported subset raises the honest stub, not garbage pixels
+    ihdr16 = struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
+    p16 = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr16)
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(p16)
