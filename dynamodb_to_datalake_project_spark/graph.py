@@ -86,10 +86,14 @@ def connected_components(
     """(node, component) for every node appearing in `edges`, where
     component = min node id of its connected component."""
     e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    e = e.localCheckpoint(eager=True)
+    # eager=False: the convergence-check aggregation right below is an
+    # action anyway, so it MATERIALIZES the checkpoint — one Spark job
+    # per round instead of two (checkpoint job + signature job). The
+    # lineage truncation is identical.
+    e = e.localCheckpoint(eager=False)
     sig = _signature(e)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig2 = _signature(e2)
         e = e2
         if sig2 == sig:
