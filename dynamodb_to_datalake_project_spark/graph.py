@@ -89,7 +89,12 @@ def connected_components(
     # eager=False: the convergence-check aggregation right below is an
     # action anyway, so it MATERIALIZES the checkpoint — one Spark job
     # per round instead of two (checkpoint job + signature job). The
-    # lineage truncation is identical.
+    # lineage truncation is identical. NOTE this lazy form is right
+    # ONLY for the one-consumer-per-round shape here: A/B showed it
+    # REGRESSES the multi-branch model tables (llm/lm.py) and the
+    # curation funnel, where several branches of one plan consume the
+    # checkpoint and eager materialization feeds them known-size,
+    # already-built blocks.
     e = e.localCheckpoint(eager=False)
     sig = _signature(e)
     for _ in range(max_iter):
