@@ -609,20 +609,25 @@ def q_multimodal_image_stats(spark, sf_dir):
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """REAL resize for BMP payloads: decode → nearest-neighbor sample
-    (src = dst * src_dim // dst_dim, as a vectorized fancy-index) →
-    re-encode. Binary in → binary out, the contract a `mapInPandas`
-    pipeline stage plugs into; for compressed formats the decode
-    raises the honest stub."""
+    """REAL resize for BMP and PNG payloads: decode → nearest-neighbor
+    sample (src = dst * src_dim // dst_dim, as a vectorized
+    fancy-index) → re-encode IN THE SAME FORMAT. Binary in → binary
+    out, the contract a `mapInPandas` pipeline stage plugs into; for
+    formats without a stdlib codec the decode raises the honest
+    stub."""
     import numpy as np
 
-    if payload[:2] != b"BM":
+    if payload[:2] == b"BM":
+        d, enc = decode_bmp_array(payload), encode_bmp_array
+    elif payload[:8] == PNG_SIG:
+        d, enc = decode_png_array(payload), encode_png
+    else:
         decode_image(payload)  # raises the format-specific stub
-    d = decode_bmp_array(payload)
+        raise AssertionError("unreachable")
     sw, sh, px = d["width"], d["height"], d["px"]
     ys = np.arange(height) * sh // height
     xs = np.arange(width) * sw // width
-    return encode_bmp_array(px[ys][:, xs], width, height)
+    return enc(px[ys][:, xs], width, height)
 
 
 FRAME_SCHEMA = T.StructType(

@@ -590,3 +590,26 @@ def test_png_golden_sub_filter_decode():
     )
     with pytest.raises(NotImplementedError):
         multimodal.decode_png(p16)
+
+
+def test_resize_dispatches_on_format():
+    """resize_image round-trips BOTH stdlib formats and re-encodes in
+    the SAME container; unsupported formats raise the honest stub."""
+    import numpy as np
+
+    px = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    for enc, dec, magic in (
+        (multimodal.encode_bmp_array, multimodal.decode_bmp, b"BM"),
+        (multimodal.encode_png, multimodal.decode_png, multimodal.PNG_SIG),
+    ):
+        out = multimodal.resize_image(enc(px, 5, 4), 2, 2)
+        assert out[: len(magic)] == magic  # same container back
+        rimg = dec(out)
+        expected = [
+            tuple(int(c) for c in px[y * 4 // 2][x * 5 // 2])
+            for y in range(2)
+            for x in range(2)
+        ]
+        assert rimg["pixels"] == expected
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"\xff\xd8\xff jpeg", 2, 2)
