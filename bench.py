@@ -202,9 +202,12 @@ def main():
     # fast while outliers measure the engine, not the compiler.
     # first_run captures the cold number so cold-start behavior stays
     # visible next to the steady-state headline.
-    # NOTE (round 4): the warm-up protocol above and this run-selection
-    # policy are FROZEN as of round 3/4 so per-round BENCH_r{N}.json
-    # files are apples-to-apples.
+    # NOTE: the warm-up protocol and this run-selection policy are
+    # FROZEN as of round 4 (r3->r4 itself carries two deltas a
+    # per-query comparison must account for: the extra-run threshold
+    # moved 0.85 -> 0.93 per the round-3 advice, and bpe_train_merges
+    # now measures the size-gated driver path). From r4 onward,
+    # BENCH_r{N}.json files are apples-to-apples.
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     for name in HEADLINE:

@@ -240,6 +240,8 @@ def decode_png_array(payload: bytes) -> dict:
         elif ctype == b"IEND":
             break
         pos += 12 + length
+    if width is None:
+        raise ValueError("PNG payload has no IHDR chunk")
     raw = zlib.decompress(bytes(idat))
     stride = width * 3
     if len(raw) != height * (stride + 1):
@@ -543,7 +545,11 @@ def bmp_roundtrip_stats(docs: DataFrame, max_chars: int = 126) -> DataFrame:
         for pdf in batches:
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 did = int(doc_id)
-                n = 0 if pd.isna(n_chars) else min(int(n_chars), max_chars)
+                # clamp BOTH ends: NULL and negative n_chars (corrupt
+                # metadata) degrade to the minimal 7x1 image, mirroring
+                # the oracle's greatest(0, least(...)) — never a
+                # negative height crashing the Arrow batch
+                n = 0 if pd.isna(n_chars) else max(0, min(int(n_chars), max_chars))
                 h = n // 7 + 1
                 # deterministic pixel grid as one vectorized expression
                 p = np.arange(7 * h, dtype=np.int64)[:, None]
@@ -572,7 +578,7 @@ def bmp_roundtrip_stats(docs: DataFrame, max_chars: int = 126) -> DataFrame:
     "multimodal_image_stats",
     oracle="""
     WITH t AS (
-      SELECT doc_id, least(coalesce(n_chars, 0), 126) // 7 + 1 AS h
+      SELECT doc_id, greatest(0, least(coalesce(n_chars, 0), 126)) // 7 + 1 AS h
       FROM documents
     ), px AS (
       SELECT doc_id, h,

@@ -90,10 +90,29 @@ def merge_into_delta(
         order.append(
             F.when(F.col(op_col).isin(*delete_types), 0).otherwise(1).desc()
         )
-    order.append(F.xxhash64(*[F.col(c) for c in source.columns]).desc())
+    # Content-hash tiebreaker over EXACTLY the columns (and order) the
+    # parquet path hashes — data cols, then the __src ordinal (constant
+    # 1 here: every in-batch row is source-side), then the op string —
+    # so a full precombine+op tie picks the SAME winner on both paths.
+    hash_cols = [F.col(c) for c in cols] + [F.lit(1)]
+    if op_col is not None:
+        hash_cols.append(F.col(op_col).cast("string"))
+    order.append(F.xxhash64(*hash_cols).desc())
     batch = dedup.latest_wins(source, keys, order)
 
     if not DeltaTable.isDeltaTable(spark, table_path):
+        import os
+
+        if os.path.isdir(table_path) and os.listdir(table_path):
+            # Existing NON-Delta data (e.g. a parquet table maintained
+            # by merge_into_parquet): overwriting it would silently
+            # destroy the accumulated table. Refuse; migration is an
+            # explicit operation, not a side effect of an upsert.
+            raise ValueError(
+                f"{table_path} exists and is not a Delta table; refusing "
+                "to overwrite. Convert it explicitly (e.g. CONVERT TO "
+                "DELTA) or keep using merge.merge_into_parquet."
+            )
         first = batch
         if op_col is not None:
             first = first.filter(~F.col(op_col).isin(*delete_types))

@@ -590,6 +590,9 @@ def test_png_golden_sub_filter_decode():
     )
     with pytest.raises(NotImplementedError):
         multimodal.decode_png(p16)
+    # truncated file with no IHDR: clean ValueError, not a TypeError
+    with pytest.raises(ValueError, match="IHDR"):
+        multimodal.decode_png(multimodal.PNG_SIG + multimodal._png_chunk(b"IEND", b""))
 
 
 def test_resize_dispatches_on_format():

@@ -115,13 +115,14 @@ def test_bmp_roundtrip_stats_null_n_chars(spark):
     from dynamodb_to_datalake_project_spark.llm.multimodal import bmp_roundtrip_stats
 
     docs = spark.createDataFrame(
-        [(1, None), (2, 0), (3, 200)], "doc_id long, n_chars long"
+        [(1, None), (2, 0), (3, 200), (4, -8)], "doc_id long, n_chars long"
     )
     rows = {r.doc_id: r for r in bmp_roundtrip_stats(docs).collect()}
-    assert set(rows) == {1, 2, 3}
+    assert set(rows) == {1, 2, 3, 4}
     assert rows[1].height == 1 and rows[1].n_pixels == 7
     assert rows[2].height == 1
     assert rows[3].height == 126 // 7 + 1  # capped at max_chars=126
+    assert rows[4].height == 1  # negative (corrupt) clamps, not crashes
     for r in rows.values():
         assert r.n_payload_bytes == 54 + 24 * r.height
         assert r.n_resized_bytes == 78
