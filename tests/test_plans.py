@@ -61,6 +61,15 @@ CASES = [
     ("embed_centroid_assign", [], ["SortMergeJoin"]),
     # novelty: df via window — no second explode branch, no join
     ("text_novelty_score", ["Window"], ["SortMergeJoin", "BroadcastHashJoin"]),
+    # round 4: image codec is ONE Arrow python stage — no shuffle at all
+    ("multimodal_image_stats", ["MapInPandas"], ["Exchange", "Join"]),
+    # round 4: PCA invariant projection/reconstruction is map-only —
+    # the only exchange allowed would be none (partials run in a
+    # separate job inside pca_components, not this plan)
+    ("embed_pca_invariants", [], ["Exchange", "Join"]),
+    # round 4: overlap matrix stays lazy (no checkpoint barrier) at
+    # bench scale — the size gate must not flip on fixture data
+    ("source_overlap_matrix", [], ["ExistingRDD"]),
 ]
 
 
