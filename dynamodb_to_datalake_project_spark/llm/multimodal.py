@@ -3,16 +3,20 @@ feature extraction over `mapInPandas`.
 
 The Spark-side plumbing is real and tested: binary column construction,
 metadata structs, Arrow-batched `mapInPandas` with an explicit output
-schema, and partition-parallel execution. Three codecs are REAL and
-stdlib-only — RIFF/WAVE 16-bit PCM (`encode_wav`/`decode_wav`),
-24-bit BI_RGB BMP (`encode_bmp`/`decode_bmp`, plus a genuine
-nearest-neighbor `resize_image`), and 8-bit truecolor PNG
+schema, and partition-parallel execution. Four codecs are REAL with
+zero third-party deps — RIFF/WAVE 16-bit PCM (`encode_wav`/
+`decode_wav`), 24-bit BI_RGB BMP (`encode_bmp`/`decode_bmp`, plus a
+genuine nearest-neighbor `resize_image`), 8-bit truecolor PNG
 (`encode_png`/`decode_png`: chunk framing + CRC32, zlib deflate, all
-five scanline filters incl. sequential Paeth defiltering) — the
-WAV/BMP paths are exercised end-to-end by catalog queries whose
-DuckDB oracles recompute every sample/pixel from first principles,
-and the PNG path by golden-byte + all-filters round-trip tests.
-Formats that require third-party codecs (jpeg/webp/gif/mp3/ogg) stay
+five scanline filters incl. sequential Paeth defiltering), and GIF
+(`encode_gif`/`decode_gif`: hand-rolled variable-width LZW with the
+early-change convention, palette handling, interlace, extension
+skip) — the WAV/BMP paths are exercised end-to-end by catalog
+queries whose DuckDB oracles recompute every sample/pixel from first
+principles; the PNG/GIF paths by golden-byte tests (spec-built PNG
+bytes; the canonical wild-encoder 1x1 GIF) plus round-trips through
+every filter/width-growth/dictionary-overflow path. Formats that
+require third-party codecs (jpeg/webp/mp3/ogg) stay
 clearly-marked stubs (NotImplementedError); the generic
 feature-extraction step uses a deterministic fake feature
 (`(n_bytes * 7 + first_byte) % 997`) whose value a SQL oracle can
@@ -291,17 +295,219 @@ def decode_png(payload: bytes) -> dict:
     return {"width": d["width"], "height": d["height"], "pixels": pixels}
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> "list[int]":
+    """GIF-variant LZW decode (spec appendix F): LSB-first variable-
+    width codes starting at min_code_size+1 bits, CLEAR resets the
+    table, width grows when the table reaches 2^width (capped at 12
+    bits / 4096 entries)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [[i] for i in range(clear)] + [None, None]
+    table = list(base)
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: "list[int] | None" = None
+    bitpos, total = 0, len(data) * 8
+    while True:
+        if bitpos + width > total:
+            break
+        code = 0
+        for i in range(width):
+            code |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+            if entry is None:
+                raise ValueError("corrupt LZW stream (bad first code)")
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError("corrupt LZW stream (code beyond table)")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+        # early-change width growth: the DECODER's table lags the
+        # encoder's by exactly one entry (the KwKwK lag), so it must
+        # widen when len+1 — the encoder's next_code at this position
+        # — reaches 2^width. This is the convention real-world
+        # encoders/giflib use.
+        if len(table) + 1 == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices: "list[int]", min_code_size: int) -> bytes:
+    """GIF-variant LZW encode, the exact inverse of `_lzw_decode`
+    (same width-growth points, CLEAR emitted at start and on table
+    overflow)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh():
+        return {(i,): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    bits.append((clear, width))
+    buf: tuple[int, ...] = ()
+    for px in indices:
+        cand = buf + (int(px),)
+        if cand in table:
+            buf = cand
+            continue
+        bits.append((table[buf], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) - 1 and width < 12:
+                width += 1
+        else:
+            bits.append((clear, width))
+            table, next_code, width = fresh()
+        buf = (int(px),)
+    if buf:
+        bits.append((table[buf], width))
+    bits.append((end, width))
+    # pack LSB-first
+    acc = bytearray()
+    cur, ncur = 0, 0
+    for code, w in bits:
+        cur |= code << ncur
+        ncur += w
+        while ncur >= 8:
+            acc.append(cur & 0xFF)
+            cur >>= 8
+            ncur -= 8
+    if ncur:
+        acc.append(cur & 0xFF)
+    return bytes(acc)
+
+
+def encode_gif(px: "object", width: int, height: int) -> bytes:
+    """REAL codec (pure spec logic, zero deps): encode an (h, w, 3)
+    uint8 RGB array as a GIF89a — palette built from the image's
+    distinct colors (≤256 required; GIF is an indexed format), indices
+    compressed with the real variable-width LZW (`_lzw_encode`), data
+    emitted in ≤255-byte sub-blocks."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.uint8).reshape(height, width, 3)
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("GIF is indexed: more than 256 distinct colors")
+    gct_bits = max(1, int(len(colors) - 1).bit_length())  # table size 2^n
+    table = np.zeros((1 << gct_bits, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    min_code = max(2, gct_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (gct_bits - 1), 0, 0)
+    out += table.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)  # no LCT
+    out.append(min_code)
+    data = _lzw_encode([int(i) for i in inverse], min_code)
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_array(payload: bytes) -> dict:
+    """REAL codec (pure spec logic, zero deps): parse a GIF87a/89a —
+    logical screen descriptor, global/local color tables, extension
+    skip, first image descriptor, variable-width LZW decompression
+    (`_lzw_decode`), interlace reordering — to a row-major (h, w, 3)
+    uint8 RGB array. Animated GIFs decode their FIRST frame."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _, _, packed, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks until 0
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _, _, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            idx = _lzw_decode(bytes(data), min_code)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            grid = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: reorder the 4 passes
+                order = [y for y in range(0, h, 8)]
+                order += [y for y in range(4, h, 8)]
+                order += [y for y in range(2, h, 4)]
+                order += [y for y in range(1, h, 2)]
+                un = np.empty_like(grid)
+                un[np.asarray(order)] = grid
+                grid = un
+            return {"width": w, "height": h, "px": ct[grid]}
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF payload has no image block")
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Pixel-tuple API over `decode_gif_array` (mirrors `decode_bmp`)."""
+    d = decode_gif_array(payload)
+    pixels = [tuple(int(c) for c in p) for row in d["px"] for p in row]
+    return {"width": d["width"], "height": d["height"], "pixels": pixels}
+
+
 def decode_image(payload: bytes) -> "object":
-    """Image decode: BMP and PNG payloads are decoded for real via the
-    stdlib parsers (`decode_bmp`, `decode_png` — struct + zlib only);
-    formats needing third-party codecs (jpeg/webp/gif) stay honestly
-    stubbed."""
+    """Image decode: BMP, PNG and GIF payloads are decoded for real via
+    the stdlib parsers (struct + zlib + hand-rolled GIF-LZW); formats
+    needing third-party codecs (jpeg/webp) stay honestly stubbed."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
-        "only BMP and PNG decode available in this environment"
+        "only BMP, PNG and GIF decode available in this environment"
     )
 
 
@@ -627,6 +833,8 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         d, enc = decode_bmp_array(payload), encode_bmp_array
     elif payload[:8] == PNG_SIG:
         d, enc = decode_png_array(payload), encode_png
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        d, enc = decode_gif_array(payload), encode_gif
     else:
         decode_image(payload)  # raises the format-specific stub
         raise AssertionError("unreachable")

