@@ -45,69 +45,18 @@ def query(name: str, oracle: str | None = None):
 
 # Catalog iteration order. External harnesses that sample a bounded
 # prefix of the catalog (~50 entries/round) should see the queries
-# with the LEAST independent-correctness coverage first. Round-4
-# rotation: the two queries added after the r3 driver sweep lead
-# (the only catalog entries with no driver row across rounds 1-3),
-# then queries new in round 4, then the rows-only fast paths (a
-# fresh rows-row each round is still signal), then the 47 queries
-# whose only driver row dates from round 1 (oldest verification —
-# due for a re-sample), with the r2/r3-verified sets trailing. The
-# set is identical either way — only iteration order changes.
+# with the LEAST independent-correctness coverage first. Round-5
+# rotation (per VERDICT r4 "next round" #2): the round-4 driver
+# sample took exactly the first 50 entries of the round-4 order,
+# which left 8 queries past position 50 still holding only a
+# round-1 driver row — those lead now. Then the 41-query r2-green
+# group (next-oldest rows), then the rows-only fast paths (a fresh
+# rows-row each round is still signal), then r3-green, with the
+# freshly r4-verified set trailing. The set is identical either
+# way — only iteration order changes.
 _PRIORITY: list[str] = [
-    # --- never driver-checked through r03 (VERDICT r3 "missing" #1) ---
-    "sim_hard_negatives",
-    "source_unigram_kl",
-    # --- new in round 4 (no driver row possible yet) ---
-    "multimodal_image_stats",
-    "embed_pca_invariants",
-    # --- rows-only entries: a fresh rows row each round is still signal ---
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_ivfpq",
-    "embed_pca_project",
-    "bpe_train_merges",
-    # --- driver row dates from round 1 only: oldest verification ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "j1_full_diff",
-    "j2_star_join_revenue",
-    "j3_semi_anti_join",
-    "j4_outer_join",
-    "s1_scan_pushdown",
-    "s8_upsert_merge",
-    "p1_ddb_decode_roundtrip",
-    "p2_surrogate_key",
-    "p3_partition_derive",
-    "f1_cdc_event_filter",
-    "f3_time_range_prune",
-    "w1_latest_wins",
-    "w2_topk_per_key",
-    "w3_window_family",
-    "w4_ranking_family",
-    "o1_topn_orders",
-    "o3_reverse_listing",
-    "a1_count_preview",
-    "a2_distinct",
-    "a5_agg_stats",
-    "a5_fixed_chunking",
-    "a6_rollup",
-    "a7_cube",
-    "a8_percentiles",
-    "a10_grouping_sets",
-    "a11_variance_stats",
-    "c_scalar_funcs",
-    "c3_datetime_funcs",
-    "c7_json_extract",
-    "t2_tumbling_window",
-    "sql_late_orders",
-    "asof_join_views",
-    "events_anomaly_flags",
-    "grouped_pct_rank",
-    "pivot_event_counts",
-    "unpivot_metrics",
+    # --- only driver row still dates from round 1 (missed the r4
+    # 50-entry window by sitting at positions 51-58) ---
     "rollup_timeseries",
     "sessionize_events",
     "set_intersect_except",
@@ -116,7 +65,7 @@ _PRIORITY: list[str] = [
     "text_quality_filter",
     "text_stats",
     "text_tfidf_top_terms",
-    # --- driver-green in r02 (next-oldest) ---
+    # --- driver-green in r02 (oldest full-sweep group: due) ---
     "a9_approx_aggs",
     "agg_argmax_family",
     "agg_array_funcs",
@@ -159,7 +108,16 @@ _PRIORITY: list[str] = [
     "text_bm25_topk",
     "text_novelty_score",
     "token_count_bpe",
-    # --- driver-green in r03 (most recently verified, trailing) ---
+    # --- rows-only entries: a fresh rows-row each round is still
+    # signal (each has an oracle-green lossless twin below) ---
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_ivfpq",
+    "embed_pca_project",
+    "bpe_train_merges",
+    # --- driver-green in r03 (next-most-recent) ---
     "q2_min_cost_supplier",
     "q4_priority_late_ship",
     "q5_local_supplier_volume",
@@ -208,6 +166,50 @@ _PRIORITY: list[str] = [
     "source_overlap_matrix",
     "bpe_encode_stats",
     "bpe_fertility_by_lang",
+    # --- driver-green in r04 (freshest full-match rows, trailing) ---
+    "sim_hard_negatives",
+    "source_unigram_kl",
+    "multimodal_image_stats",
+    "embed_pca_invariants",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "j1_full_diff",
+    "j2_star_join_revenue",
+    "j3_semi_anti_join",
+    "j4_outer_join",
+    "s1_scan_pushdown",
+    "s8_upsert_merge",
+    "p1_ddb_decode_roundtrip",
+    "p2_surrogate_key",
+    "p3_partition_derive",
+    "f1_cdc_event_filter",
+    "f3_time_range_prune",
+    "w1_latest_wins",
+    "w2_topk_per_key",
+    "w3_window_family",
+    "w4_ranking_family",
+    "o1_topn_orders",
+    "o3_reverse_listing",
+    "a1_count_preview",
+    "a2_distinct",
+    "a5_agg_stats",
+    "a5_fixed_chunking",
+    "a6_rollup",
+    "a7_cube",
+    "a8_percentiles",
+    "a10_grouping_sets",
+    "a11_variance_stats",
+    "c_scalar_funcs",
+    "c3_datetime_funcs",
+    "c7_json_extract",
+    "t2_tumbling_window",
+    "sql_late_orders",
+    "asof_join_views",
+    "events_anomaly_flags",
+    "grouped_pct_rank",
+    "pivot_event_counts",
+    "unpivot_metrics",
 ]
 
 

@@ -41,13 +41,30 @@ def delta_available() -> bool:
 
 
 def _precombine_newer_or_tie(precombine: list[str]) -> F.Column:
-    """Lexicographic `source >= target` over the precombine tuple —
-    struct comparison gives exactly the tuple order, and >= (not >)
-    makes ties break toward the source, matching `upsert_dataframes`'
-    `__src` ordinal."""
-    s = F.struct(*[F.col(f"s.{c}") for c in precombine])
-    t = F.struct(*[F.col(f"t.{c}") for c in precombine])
-    return s >= t
+    """Null-safe lexicographic `source >= target` over the precombine
+    tuple, ties toward the source — the exact order the parquet window
+    path induces with `desc_nulls_last` + `__src desc`:
+
+    - per field, NULL sorts BELOW every non-NULL value (desc_nulls_last
+      puts NULLs last, i.e. smallest),
+    - NULL vs NULL on a field is a tie (fall through to the next field),
+    - an all-fields tie resolves toward the source (__src ordinal).
+
+    A plain struct comparison `s >= t` would return NULL (treated as
+    false → stored row kept) whenever any field is NULL on either side,
+    silently diverging from the window path on e.g. a NULL-vs-NULL
+    precombine tie, which THERE updates toward source."""
+    result: F.Column = F.lit(True)  # all fields tied -> source wins
+    for c in reversed(precombine):
+        s, t = F.col(f"s.{c}"), F.col(f"t.{c}")
+        eq = s.eqNullSafe(t)
+        gt = (
+            F.when(s.isNull(), F.lit(False))  # NULL < any non-NULL
+            .when(t.isNull(), F.lit(True))  # any non-NULL > NULL
+            .otherwise(F.coalesce(s > t, F.lit(False)))
+        )
+        result = F.when(eq, result).otherwise(gt)
+    return result
 
 
 def merge_into_delta(
@@ -115,7 +132,12 @@ def merge_into_delta(
             )
         first = batch
         if op_col is not None:
-            first = first.filter(~F.col(op_col).isin(*delete_types))
+            # NULL op = normal upsert (coalesce, NOT bare isin: bare
+            # `~NULL` is NULL→false and would DROP NULL-op rows),
+            # matching merge_into_parquet's `(~isin) | isNull` contract.
+            first = first.filter(
+                ~F.coalesce(F.col(op_col).isin(*delete_types), F.lit(False))
+            )
         (
             first.select(*cols)
             .write.format("delta")
@@ -130,7 +152,16 @@ def merge_into_delta(
     m = tgt.alias("t").merge(batch.alias("s"), cond)
     newer = _precombine_newer_or_tie(precombine)
     if op_col is not None:
-        is_del = F.col(f"s.{op_col}").isin(*delete_types)
+        # coalesce: NULL op behaves as non-delete (normal upsert), the
+        # same contract merge_into_parquet declares with
+        # `(~__op.isin(...)) | __op.isNull()`. A bare isin() yields
+        # NULL for NULL op, which would make BOTH `newer & ~is_del`
+        # and the `~is_del` insert condition NULL (false): matched
+        # rows neither updated nor deleted, unmatched rows never
+        # inserted — a silent divergence on corrupt/absent op values.
+        is_del = F.coalesce(
+            F.col(f"s.{op_col}").isin(*delete_types), F.lit(False)
+        )
         m = m.whenMatchedDelete(condition=newer & is_del)
         m = m.whenMatchedUpdate(
             condition=newer & ~is_del, set={c: f"s.{c}" for c in cols}

@@ -614,8 +614,12 @@ def test_resize_dispatches_on_format():
             for x in range(2)
         ]
         assert rimg["pixels"] == expected
-    with pytest.raises(NotImplementedError):
+    # jpeg is now a REAL codec: a truncated fragment is a corrupt
+    # payload (ValueError), not an unsupported format
+    with pytest.raises(ValueError):
         multimodal.resize_image(b"\xff\xd8\xff jpeg", 2, 2)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"RIFF0000WEBPVP8 ", 2, 2)
 
 
 def test_gif_codec_golden_and_roundtrip():
@@ -659,3 +663,102 @@ def test_gif_codec_golden_and_roundtrip():
     ).reshape(17, 17, 3)
     with pytest.raises(ValueError, match="256"):
         multimodal.encode_gif(big, 17, 17)
+
+
+def test_gif_corrupt_payloads_fail_with_clean_valueerror():
+    """ADVICE r4: corrupt/truncated GIFs must fail with the module's
+    ValueError contract — never a bare IndexError from an unchecked
+    table index or sub-block walk off the end of the payload."""
+    import numpy as np
+
+    arr = np.zeros((2, 2, 3), np.uint8)
+    good = multimodal.encode_gif(arr, 2, 2)
+
+    # 1. first LZW code beyond the table: hand-build a stream whose
+    #    first code (after the encoder's leading CLEAR) is out of range
+    bad_code = bytes([0b11111111, 0b1111])  # all-ones codes, width 3+
+    with pytest.raises(ValueError, match="LZW"):
+        multimodal._lzw_decode(bad_code, 2)
+    # 2. truncated mid-sub-block: cut the payload before the trailer
+    for cut in (len(good) - 2, len(good) - 4, 14, 20):
+        try:
+            multimodal.decode_gif(good[:cut])
+        except ValueError:
+            pass  # clean contract
+        # anything else (IndexError, struct.error) propagates = failure
+    # 3. sub-block length running past the end
+    trunc = bytearray(good)
+    # find the image-data section: after descriptor(10)+min_code(1)
+    # lives the first sub-block length byte; inflate it past the end
+    idx = good.index(b"\x2c") + 11
+    trunc[idx] = 0xFF
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(bytes(trunc[: idx + 3]))
+
+
+def test_jpeg_codec_golden_and_roundtrip():
+    """The JPEG codec is real baseline T.81: the decoder handles a
+    wild-encoder-produced 331-byte grayscale 2x2 JPEG (standard
+    Annex-K Huffman tables in-file; scan = DC category 0 + EOB, i.e. a
+    uniform mid-gray block — hand-verified against the code tables),
+    and encode -> decode round-trips within a tight PSNR bound (JPEG
+    is lossy; byte-exactness is not the contract)."""
+    import base64
+
+    import numpy as np
+
+    golden = base64.b64decode(
+        "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8U"
+        "HRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAACAAIBAREA"
+        "/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQA"
+        "AAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJico"
+        "KSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKT"
+        "lJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo"
+        "6erx8vP09fb3+Pn6/9oACAEBAAA/ACv/2Q=="
+    )
+    img = multimodal.decode_image(golden)  # dispatch on 0xFFD8 magic
+    assert (img["width"], img["height"]) == (2, 2)
+    assert img["pixels"] == [(128, 128, 128)] * 4
+
+    # color round-trip: gradient exercising DC prediction across MCUs,
+    # AC runs, and non-multiple-of-8 edge padding
+    h, w = 24, 31
+    px = np.zeros((h, w, 3), np.uint8)
+    for yy in range(h):
+        for xx in range(w):
+            px[yy, xx] = ((yy * 8) % 256, (xx * 8) % 256, ((yy + xx) * 4) % 256)
+    enc = multimodal.encode_jpeg(px, w, h, quality=90)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    dec = multimodal.decode_jpeg_array(enc)
+    assert (dec["width"], dec["height"]) == (w, h)
+    mse = float(((dec["px"].astype(float) - px.astype(float)) ** 2).mean())
+    psnr = 10 * np.log10(255 * 255 / mse)
+    assert psnr > 35, psnr  # smooth gradient should reconstruct well
+
+    # flat block: quantizes to DC-only, reconstructs exactly
+    solid = np.full((8, 8, 3), 200, np.uint8)
+    d2 = multimodal.decode_jpeg_array(multimodal.encode_jpeg(solid, 8, 8, 95))
+    assert int(np.abs(d2["px"].astype(int) - 200).max()) == 0
+
+    # resize re-encodes in the same container
+    rs = multimodal.resize_image(enc, 8, 6)
+    assert rs[:2] == b"\xff\xd8"
+    assert multimodal.decode_jpeg_array(rs)["px"].shape == (6, 8, 3)
+
+
+def test_jpeg_corrupt_and_unsupported_fail_cleanly():
+    import numpy as np
+
+    px = np.full((8, 8, 3), 99, np.uint8)
+    enc = bytearray(multimodal.encode_jpeg(px, 8, 8))
+    # progressive (SOF2) is an honest NotImplementedError, not garbage
+    sof = enc.find(b"\xff\xc0")
+    prog = enc[:sof] + b"\xff\xc2" + enc[sof + 2 :]
+    with pytest.raises(NotImplementedError, match="baseline"):
+        multimodal.decode_jpeg_array(bytes(prog))
+    # truncated scan: clean ValueError
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_array(bytes(enc[: sof + 8]))
+    # not a JPEG at all
+    with pytest.raises(ValueError, match="JPEG"):
+        multimodal.decode_jpeg_array(b"\x00\x01rubbish")

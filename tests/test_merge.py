@@ -499,28 +499,62 @@ def test_delta_merge_unavailable_raises_clearly(spark, tmp_path):
         )
 
 
+MERGE_NULL_BATCHES = [
+    [("a", "2023-01-01T00:00:00", "v1", "INSERT"),
+     ("b", "2023-01-01T00:00:00", "v1", "INSERT")],
+    [("b", "2023-01-02T00:00:00", "v2", "MODIFY"),
+     ("b", "2023-01-02T00:00:01", "v3", "MODIFY"),  # in-batch dup
+     ("c", "2023-01-01T00:00:00", "new", "INSERT"),
+     ("d", None, "d1", None),                        # NULL op insert, NULL pc
+     ("e", None, "e1", "INSERT")],                   # NULL pc insert
+    [("a", "2022-12-01T00:00:00", "stale", "MODIFY"),  # late loses
+     ("c", "2023-01-03T00:00:00", None, "REMOVE"),     # hard delete
+     ("b", None, "nullstale", "MODIFY"),   # NULL pc vs non-NULL: loses
+     ("d", "2023-01-01T00:00:00", "d2", None),  # non-NULL pc beats NULL
+     ("e", None, "e2", None)],             # NULL-vs-NULL tie -> source wins
+]
+MERGE_NULL_EXPECTED = {
+    "a": ("2023-01-01T00:00:00", "v1"),
+    "b": ("2023-01-02T00:00:01", "v3"),
+    "d": ("2023-01-01T00:00:00", "d2"),
+    "e": (None, "e2"),
+}
+
+
+def test_parquet_merge_null_op_and_precombine(spark, tmp_path):
+    """Pins the NULL contract on the RUNNABLE parquet path: NULL op is a
+    normal upsert, NULL precombine sorts below every non-NULL value
+    (desc defaults to nulls-last), and a NULL-vs-NULL precombine tie
+    updates toward source — the same sequence the delta-equivalence
+    test replays when delta-spark exists."""
+    ppath = str(tmp_path / "parquet")
+    schema = "id string, update_at string, note string, op string"
+    for rows in MERGE_NULL_BATCHES:
+        src = spark.createDataFrame(rows, schema)
+        merge.merge_into_parquet(
+            spark, ppath, src, ["id"], ["update_at"], [], op_col="op"
+        )
+    got = {
+        r.id: (r.update_at, r.note) for r in spark.read.parquet(ppath).collect()
+    }
+    assert got == MERGE_NULL_EXPECTED
+
+
 def test_delta_merge_equivalence(spark, tmp_path):
     """When delta-spark IS installed, MERGE INTO must produce exactly
     the state merge_into_parquet produces on the FIXTURES.md batch
-    sequence (insert, update, in-batch dup, late-stale, hard delete).
-    Skipped (not passed) in environments without the package."""
+    sequence (insert, update, in-batch dup, late-stale, hard delete)
+    plus the NULL op / NULL precombine cases from
+    test_parquet_merge_null_op_and_precombine. Skipped (not passed) in
+    environments without the package."""
     import pytest
 
     pytest.importorskip("delta")
     from dynamodb_to_datalake_project_spark import merge_delta
 
     dpath, ppath = str(tmp_path / "delta"), str(tmp_path / "parquet")
-    batches = [
-        [("a", "2023-01-01T00:00:00", "v1", "INSERT"),
-         ("b", "2023-01-01T00:00:00", "v1", "INSERT")],
-        [("b", "2023-01-02T00:00:00", "v2", "MODIFY"),
-         ("b", "2023-01-02T00:00:01", "v3", "MODIFY"),  # in-batch dup
-         ("c", "2023-01-01T00:00:00", "new", "INSERT")],
-        [("a", "2022-12-01T00:00:00", "stale", "MODIFY"),  # late loses
-         ("c", "2023-01-03T00:00:00", None, "REMOVE")],    # hard delete
-    ]
     schema = "id string, update_at string, note string, op string"
-    for rows in batches:
+    for rows in MERGE_NULL_BATCHES:
         src = spark.createDataFrame(rows, schema)
         merge_delta.merge_into_delta(
             spark, dpath, src, ["id"], ["update_at"], [], op_col="op"
@@ -535,7 +569,39 @@ def test_delta_merge_equivalence(spark, tmp_path):
     want = {
         r.id: (r.update_at, r.note) for r in spark.read.parquet(ppath).collect()
     }
-    assert got == want == {
-        "a": ("2023-01-01T00:00:00", "v1"),
-        "b": ("2023-01-02T00:00:01", "v3"),
-    }
+    assert got == want == MERGE_NULL_EXPECTED
+
+
+def test_precombine_comparator_null_safe(spark):
+    """The Delta-leg comparator must mirror the window path's
+    desc-nulls-last + __src-desc order WITHOUT delta-spark installed:
+    NULL below every value, NULL-vs-NULL a tie (falls to next field,
+    ultimately toward source), plain values lexicographic."""
+    from dynamodb_to_datalake_project_spark.merge_delta import (
+        _precombine_newer_or_tie,
+    )
+
+    cases = [  # (s_u, s_v, t_u, t_v, expect source>=target)
+        (2, 9, 1, 9, True),     # first field decides
+        (1, 9, 2, 9, False),
+        (1, 2, 1, 1, True),     # first tied, second decides
+        (1, 1, 1, 2, False),
+        (1, 1, 1, 1, True),     # full tie -> source wins
+        (None, 9, 1, 0, False),  # NULL u loses to any value
+        (1, 0, None, 9, True),   # any value beats NULL u
+        (None, 2, None, 1, True),  # NULL-vs-NULL u ties, v decides
+        (None, 1, None, 2, False),
+        (None, None, None, None, True),  # all-NULL tie -> source wins
+        (1, None, 1, 1, False),  # second-field NULL loses
+        (1, 1, 1, None, True),
+    ]
+    df = spark.createDataFrame(
+        [
+            ((su, sv), (tu, tv), exp)
+            for su, sv, tu, tv, exp in cases
+        ],
+        "s struct<u:int,v:int>, t struct<u:int,v:int>, expect boolean",
+    )
+    got = df.withColumn("got", _precombine_newer_or_tie(["u", "v"])).collect()
+    for r in got:
+        assert r.got == r.expect, (r.s, r.t, r.got, r.expect)

@@ -189,9 +189,36 @@ def main() -> None:
             f" | {r10:.1f} | {r100:.1f} |"
         )
 
-    with open("SCALING.md", "a") as f:
-        f.write("\n".join(lines) + "\n")
-    print("appended x10 probe to SCALING.md")
+    replace_section(
+        "SCALING.md", "## x10 / x100 within-session probe", lines
+    )
+    print("wrote x10 probe section to SCALING.md")
+
+
+def replace_section(path: str, header: str, lines: "list[str]") -> None:
+    """Rewrite the section starting at `header` (through the next
+    `## `-level header or EOF) in place, so repeated probe runs
+    REPLACE their table instead of accumulating stale duplicates
+    (ADVICE r4). Appends the section if the header is absent."""
+    try:
+        with open(path) as f:
+            text = f.read()
+    except FileNotFoundError:
+        text = ""
+    start = text.find(header)
+    block = "\n".join(lines) + "\n"
+    if start < 0:
+        out = text + block
+    else:
+        # back up over ONE preceding newline (our block carries its own
+        # leading blank line), keep the section separator intact
+        if start > 0 and text[start - 1] == "\n":
+            start -= 1
+        nxt = text.find("\n## ", start + len(header))
+        tail = "" if nxt < 0 else text[nxt:]
+        out = text[:start] + block + tail
+    with open(path, "w") as f:
+        f.write(out)
 
 
 if __name__ == "__main__":
