@@ -100,6 +100,8 @@ HEADLINE = [
     "bpe_encode_stats",
     "bpe_fertility_by_lang",
     "source_unigram_kl",
+    # round 5
+    "multimodal_jpeg_stats",
 ]
 
 

@@ -55,6 +55,8 @@ def query(name: str, oracle: str | None = None):
 # freshly r4-verified set trailing. The set is identical either
 # way — only iteration order changes.
 _PRIORITY: list[str] = [
+    # --- new in round 5 (no driver row possible yet) ---
+    "multimodal_jpeg_stats",
     # --- only driver row still dates from round 1 (missed the r4
     # 50-entry window by sitting at positions 51-58) ---
     "rollup_timeseries",

@@ -96,6 +96,11 @@ def blocked_jaccard_pairs(
         docs.select("doc_id", tokens(F.col("text")).alias("toks"))
         .repartition(par, "doc_id")
         .select("doc_id", shingles_from_tokens(F.col("toks"), shingle_n).alias("w"))
+        # 64-bit-hash the shingles before the verify shuffle (round-5
+        # scale probe: string shingle arrays were the dominant shuffle
+        # bytes of the whole pipeline, ~6x the hashed form; Jaccard on
+        # injectively-hashed sets is numerically identical)
+        .select("doc_id", F.transform("w", lambda t: F.xxhash64(t)).alias("w"))
     )
     return _jaccard_verify(cand, d, threshold)
 
@@ -406,7 +411,23 @@ def minhash_lsh_pairs(
     # path): one corpus scan, plain membership join — candidate volume
     # scales with the corpus, so no forced broadcast (AQE upgrades it
     # when the runtime size is actually small).
-    return _jaccard_verify(cand, docs_with_tokens, threshold)
+    #
+    # SHUFFLE-BYTES optimization (round-5 scale probe): the verify join
+    # shuffles every candidate doc's shingle array; as strings that is
+    # ~40-60 B/shingle, as 64-bit token hashes it is 8 B — a ~6x
+    # reduction in the dominant shuffle of the whole pipeline. Jaccard
+    # is computed on the hashed sets: set cardinalities (and therefore
+    # the jaccard value, which the md5-twin oracle checks for equality)
+    # are preserved exactly unless two distinct shingles of one pair
+    # collide in 64-bit space (~1e-15 per pair; a collision would also
+    # surface as an oracle mismatch). Hashes here are UNMASKED —
+    # the signature path's &0xFFFFFFFF overflow guard is not needed
+    # for set identity and would double the collision exposure.
+    hashed = docs_with_tokens.select(
+        "doc_id",
+        F.expr(f"transform(w, t -> ({token_hash_sql}))").alias("w"),
+    )
+    return _jaccard_verify(cand, hashed, threshold)
 
 
 # Cross-engine deterministic 60-bit token hash: both Spark and DuckDB
@@ -459,17 +480,36 @@ def simhash_pairs(
     max_hamming: int = 3,
     token_hash=None,
     max_bucket: int = 1000,
+    band_bits: int = 8,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Candidates: pigeonhole on byte-bands (ham ≤ bands-1 ⇒ some band is
-    identical), so candidate generation is an equi-join, never
-    all-pairs. With `max_bucket` large enough to never drop a bucket,
-    the pigeonhole argument makes the result EXACTLY the set of pairs
-    at hamming ≤ max_hamming — a deterministic guarantee, not a
-    probabilistic one — which is what lets `dedup_simhash_md5` carry a
-    full equality oracle.
-    """
+    Candidates: pigeonhole on `band_bits`-wide bands (ham ≤ bands-1 ⇒
+    some band is identical), so candidate generation is an equi-join,
+    never all-pairs. With `max_bucket` large enough to never drop a
+    bucket, the pigeonhole argument makes the result EXACTLY the set
+    of pairs at hamming ≤ max_hamming — a deterministic guarantee, not
+    a probabilistic one — which is what lets `dedup_simhash_md5` carry
+    a full equality oracle.
+
+    SCALE KNOB `band_bits` (round-5 probe finding): bucket keys take
+    only `(bits // band_bits) * 2^band_bits` values, so at 8-bit bands
+    a 1M-doc corpus averages ~4k docs per bucket — every bucket
+    overflows `max_bucket` and is dropped, and the operator silently
+    finds NOTHING (measured: pairs/row 0.23 at 100k rows → 0.000 at
+    1M). Wider bands scale the bucket space exponentially: bits=64 /
+    band_bits=16 gives 4 bands (pigeonhole still covers ham ≤ 3) and
+    65k buckets per band — ~15 docs/bucket at 1M rows. Requires
+    `bits % band_bits == 0` and, for the exactness guarantee,
+    `max_hamming <= bits // band_bits - 1`."""
+    if bits % band_bits:
+        raise ValueError("bits must be a multiple of band_bits")
+    n_bands = bits // band_bits
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"pigeonhole needs max_hamming <= n_bands-1 ({n_bands - 1}); "
+            f"raise bits or lower band_bits"
+        )
     spark = docs_with_tokens.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # barrier: banding references `simhash` once per band — without
@@ -477,12 +517,14 @@ def simhash_pairs(
     sig = simhash_signatures(docs_with_tokens, bits, token_hash).repartition(
         par, "doc_id"
     )
-    n_bands = bits // 8
+    mask = (1 << band_bits) - 1
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.shiftright(F.col("simhash"), bi * 8).bitwiseAND(F.lit(255)).alias("bv"),
+                F.shiftright(F.col("simhash"), bi * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
             )
             for bi in range(n_bands)
         ]

@@ -1337,6 +1337,133 @@ def q_multimodal_image_stats(spark, sf_dir):
     return bmp_roundtrip_stats(docs)
 
 
+JPEG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_rgb", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("block_checksum", T.LongType()),
+        T.StructField("uniform_blocks", T.LongType()),
+    ]
+)
+
+
+def jpeg_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL baseline JPEG per document and prove the full
+    encode → binary → decode chain against an independent SQL oracle —
+    despite JPEG being lossy.
+
+    The trick that makes an EXACT oracle possible: each image is
+    piecewise-flat on the 8×8 DCT grid (2 block-rows × wb block-cols,
+    wb = 2 + doc_id % 2; block k is the solid color
+    r=(id*31+k*41)%199+17, g=(id*37+k*43)%199+17, b=(id*29+k*47)%199+17).
+    A flat block has zero AC energy, so only the DC coefficient
+    survives quantization, and at quality 95 (Annex-K DC steps of 2)
+    the worst-case reconstruction error per channel is
+    q/16 + 1.772·q/16 ≈ 0.35 < 0.5 — the rounded decode is therefore
+    bit-identical to the source color. The oracle recomputes
+    dimensions, exact pixel sums, peak, a position-weighted block
+    checksum, and the per-block-uniformity count from the color
+    formula alone (no codec); every statistic here is computed from
+    the DECODED pixels, so Huffman tables, byte stuffing, zigzag,
+    dequantization, IDCT, DC prediction across MCUs, and the JFIF
+    color transform all have to survive bit-for-bit to match."""
+
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in JPEG_STATS_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                wb = 2 + did % 2
+                w, h = 8 * wb, 16
+                k = np.arange(2 * wb, dtype=np.int64)
+                cols = np.stack(
+                    [
+                        (did * 31 + k * 41) % 199 + 17,
+                        (did * 37 + k * 43) % 199 + 17,
+                        (did * 29 + k * 47) % 199 + 17,
+                    ],
+                    axis=1,
+                )  # (2*wb, 3)
+                px = (
+                    cols.reshape(2, wb, 3)[:, None, :, None, :]
+                    .repeat(8, axis=1)
+                    .repeat(8, axis=3)
+                    .reshape(h, w, 3)
+                    .astype(np.uint8)
+                )
+                payload = encode_jpeg(px, w, h, quality=95)
+                img = decode_jpeg_array(payload)
+                flat = img["px"].astype(np.int64)
+                bv = flat.reshape(2, 8, wb, 8, 3)
+                ptp = bv.max(axis=(1, 3)) - bv.min(axis=(1, 3))  # (2, wb, 3)
+                uniform = int((ptp.max(axis=2) == 0).sum())
+                tl = bv[:, 0, :, 0, :].reshape(2 * wb, 3)  # block colors
+                weights = np.arange(1, 2 * wb + 1, dtype=np.int64)
+                checksum = int(
+                    (weights * (tl[:, 0] + 2 * tl[:, 1] + 3 * tl[:, 2])).sum()
+                )
+                out["doc_id"].append(did)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["n_pixels"].append(img["width"] * img["height"])
+                out["sum_rgb"].append(int(flat.sum()))
+                out["peak"].append(int(flat.max()))
+                out["block_checksum"].append(checksum)
+                out["uniform_blocks"].append(uniform)
+        yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(op, JPEG_STATS_SCHEMA)
+
+
+@query(
+    "multimodal_jpeg_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, 2 + doc_id % 2 AS wb FROM documents
+    ), p AS (
+      SELECT doc_id, wb,
+        list_transform(range(0, 2 * wb),
+          k -> (doc_id * 31 + k * 41) % 199 + 17) AS rs,
+        list_transform(range(0, 2 * wb),
+          k -> (doc_id * 37 + k * 43) % 199 + 17) AS gs,
+        list_transform(range(0, 2 * wb),
+          k -> (doc_id * 29 + k * 47) % 199 + 17) AS bs
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(8 * wb AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(128 * wb AS BIGINT) AS n_pixels,
+           CAST(64 * (list_sum(rs) + list_sum(gs) + list_sum(bs)) AS BIGINT)
+             AS sum_rgb,
+           CAST(greatest(list_max(rs), list_max(gs), list_max(bs)) AS BIGINT)
+             AS peak,
+           CAST(list_sum(list_transform(range(0, 2 * wb),
+             k -> (k + 1) * ((doc_id * 31 + k * 41) % 199 + 17
+                             + 2 * ((doc_id * 37 + k * 43) % 199 + 17)
+                             + 3 * ((doc_id * 29 + k * 47) % 199 + 17))))
+             AS BIGINT) AS block_checksum,
+           CAST(2 * wb AS BIGINT) AS uniform_blocks
+    FROM p
+    """,
+)
+def q_multimodal_jpeg_stats(spark, sf_dir):
+    """JPEG encode → decode over the documents table with the zero-dep
+    baseline T.81 codec; piecewise-flat 8×8 blocks make the lossy
+    round-trip exactly predictable (see `jpeg_roundtrip_stats`), so
+    the DuckDB oracle recomputes every statistic from the color
+    formula with no codec at all — a full hash-match gate over
+    Huffman coding, IDCT, DC prediction, and color conversion."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_roundtrip_stats(docs)
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """REAL resize for BMP and PNG payloads: decode → nearest-neighbor
     sample (src = dst * src_dim // dst_dim, as a vectorized

@@ -762,3 +762,30 @@ def test_jpeg_corrupt_and_unsupported_fail_cleanly():
     # not a JPEG at all
     with pytest.raises(ValueError, match="JPEG"):
         multimodal.decode_jpeg_array(b"\x00\x01rubbish")
+
+
+def test_simhash_band_bits_preserves_pigeonhole_exactness(spark, corpus):
+    """Round-5 scale knob: with uncapped buckets, 16-bit bands must
+    find EXACTLY the same ham<=3 pair set as 8-bit bands at the same
+    signature width — the pigeonhole guarantee holds for any band
+    width with n_bands-1 >= max_hamming. Also pins the config guards."""
+    import pytest as _pytest
+
+    sh = ldedup._shingle_sets(corpus)
+    byte_bands = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in ldedup.simhash_pairs(
+            sh, bits=64, max_hamming=3, max_bucket=1 << 30
+        ).collect()
+    }
+    wide_bands = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in ldedup.simhash_pairs(
+            sh, bits=64, max_hamming=3, max_bucket=1 << 30, band_bits=16
+        ).collect()
+    }
+    assert byte_bands == wide_bands and byte_bands
+    with _pytest.raises(ValueError, match="multiple"):
+        ldedup.simhash_pairs(sh, bits=48, band_bits=13)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        ldedup.simhash_pairs(sh, bits=64, max_hamming=4, band_bits=16)

@@ -38,6 +38,17 @@ def check_line(line: str, label: str) -> bool:
     if not line.endswith("}}") or '"queries"' not in line:
         print(f"{label}: FAIL — line does not close with the queries dict")
         ok = False
+    try:
+        parsed = json.loads(line)
+        if list(parsed)[-1] != "queries":
+            # round 4's exact defect shape: a trailing dict (cold runs)
+            # AFTER queries pushes steady-state out of the tail window —
+            # and if the window opens past that dict's key name, the
+            # tail alone cannot tell cold from steady-state
+            print(f"{label}: FAIL — 'queries' must be the LAST key on the line")
+            ok = False
+    except json.JSONDecodeError:
+        pass  # driver tail files are partial lines; tail checks cover them
     # Recover (query, sec) pairs from the tail exactly as a tail-only
     # reader would: everything after the LAST '"queries": {' marker if
     # present, else every pair in the window (the window may open

@@ -54,9 +54,20 @@ def row_multiset(rows, col_order):
     )
 
 
-def compare_query(spark, con, name, builder, sql, sf_dir):
+def compare_query(spark, con, name, builder, sql, sf_dir, timings=None):
+    import time
+
+    t0 = time.time()
     sdf = builder(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
+    cold = time.time() - t0
+    if timings is not None:
+        # warm re-run of the same plan: first run paid codegen/JIT;
+        # cold vs warm here gives a per-round within-session timing
+        # table with no extra sweep (VERDICT r4 optional ask #7)
+        t0 = time.time()
+        builder(spark, sf_dir).collect()
+        timings[name] = (round(cold, 3), round(time.time() - t0, 3))
     scols = sdf.columns
     if sql is None:
         return {"name": name, "mode": "rows_only", "rows": len(srows), "ok": True}
@@ -141,8 +152,10 @@ def compare_query(spark, con, name, builder, sql, sf_dir):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    with_timings = "--timings" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from dynamodb_to_datalake_project_spark import catalog, get_spark
 
@@ -150,12 +163,14 @@ def main():
     spark = get_spark("oracle-check")
     con = duck_connect(sf_dir)
     failed = []
+    timings: "dict[str, tuple] | None" = {} if with_timings else None
     for name, builder in sorted(catalog.QUERIES.items()):
         if only and name not in only:
             continue
         try:
             res = compare_query(
-                spark, con, name, builder, catalog.ORACLE.get(name), sf_dir
+                spark, con, name, builder, catalog.ORACLE.get(name), sf_dir,
+                timings=timings,
             )
         except Exception as e:  # noqa: BLE001
             res = {"name": name, "ok": False, "problems": [f"EXCEPTION {e}"]}
@@ -165,8 +180,46 @@ def main():
             print(f"       {p}")
         if not res["ok"]:
             failed.append(name)
+    if timings:
+        _write_timings(sf_dir, timings)
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     sys.exit(1 if failed else 0)
+
+
+def _write_timings(sf_dir: str, timings: "dict[str, tuple]") -> None:
+    """Replace the 'oracle-gate cold/warm timings' section of SCALE.md:
+    every query's first (cold: codegen+JIT) and second (warm) Spark
+    execution from THIS correctness run — a second within-session
+    timing source that costs no extra sweep and is immune to the
+    host-level cross-run variance documented below."""
+    from scale10_probe import replace_section  # same tools dir
+
+    total_cold = sum(c for c, _ in timings.values())
+    total_warm = sum(w for _, w in timings.values())
+    lines = [
+        "",
+        "## Oracle-gate cold/warm timings",
+        "",
+        f"Generated by `tools/check_oracle.py {sf_dir} --timings`: each",
+        "catalog query's first (cold) and second (warm) Spark execution",
+        "within one correctness run — no extra sweep, back-to-back, so",
+        "the cold/warm ratio is immune to host-level cross-run variance.",
+        "NOTE: this times builder + `collect()` (full result transfer to",
+        "the driver, as the correctness compare requires) — queries with",
+        "wide/array outputs carry serialization cost bench.py's",
+        "count()-based steady-state numbers deliberately exclude; compare",
+        "within this table, not against BENCH files.",
+        f"Totals: cold {total_cold:.1f}s, warm {total_warm:.1f}s over",
+        f"{len(timings)} queries.",
+        "",
+        "| query | cold | warm | cold/warm |",
+        "|---|---|---|---|",
+    ]
+    for name in sorted(timings, key=lambda n: -timings[n][1]):
+        c, w = timings[name]
+        lines.append(f"| {name} | {c:.2f}s | {w:.2f}s | {c / max(w, 1e-9):.1f} |")
+    replace_section("SCALE.md", "## Oracle-gate cold/warm timings", lines)
+    print(f"wrote cold/warm timing table ({len(timings)} queries) to SCALE.md")
 
 
 if __name__ == "__main__":
