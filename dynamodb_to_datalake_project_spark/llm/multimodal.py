@@ -1418,7 +1418,16 @@ def jpeg_roundtrip_stats(docs: DataFrame) -> DataFrame:
                 out["uniform_blocks"].append(uniform)
         yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(op, JPEG_STATS_SCHEMA)
+    # spread the Arrow batches across all cores BEFORE the map: the
+    # codec costs ~1.3 ms/doc of real Python DCT+Huffman work, and the
+    # documents parquet arrives in 1-2 input splits — without this
+    # exchange (1 long column, cheap) the whole corpus encodes on two
+    # cores (measured 7.0 s -> sub-second at sf0.1/local[32])
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id").repartition(par).mapInPandas(op, JPEG_STATS_SCHEMA)
+    )
 
 
 @query(

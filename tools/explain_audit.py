@@ -93,6 +93,7 @@ NOTES = {
     "bpe_encode_stats": "single map-only projection: tokenize → 16 chained merge folds → row-local count sums; zero exchanges",
     "bpe_fertility_by_lang": "same map-only encode; one 5-key bounded agg with exact integer sums",
     "source_unigram_kl": "one corpus pass to (source,token) counts, materialized; marginals re-derived from the small table, KL = bounded-key agg",
+    "multimodal_jpeg_stats": "real baseline-JPEG encode->decode in ONE ArrowEvalPython stage after a 1-column spreading exchange (codec is ~1.3 ms/doc of real Python; without it the 1-2 parquet splits serialize the whole corpus onto two cores — measured 7.0 s -> 0.8 s); piecewise-flat blocks make the lossy codec's output exactly oracle-predictable",
 }
 
 
