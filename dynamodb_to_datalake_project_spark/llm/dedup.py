@@ -951,6 +951,9 @@ def clean_corpus(
         quality.select("doc_id", _tokens(F.col("text")).alias("toks"))
         .repartition(par, "doc_id")
         .select("doc_id", shingles_from_tokens(F.col("toks"), 3).alias("w"))
+        # 64-bit-hash shingles before the verify shuffle (round-5 scale
+        # probe; Jaccard on injectively-hashed sets is identical)
+        .select("doc_id", F.transform("w", lambda t: F.xxhash64(t)).alias("w"))
     )
     near_pairs = _jaccard_verify(cand, d, jaccard_threshold)
     # The drop set is referenced once (the anti-join's build side), so
@@ -1240,6 +1243,10 @@ def q_dedup_containment(spark, sf_dir):
         docs.select("doc_id", tokens(F.col("text")).alias("toks"))
         .repartition(spark_par, "doc_id")
         .select("doc_id", shingles_from_tokens(F.col("toks"), 3).alias("w"))
+        # 64-bit-hash shingles before the verify shuffle (round-5 scale
+        # probe finding; containment ratios on injectively-hashed sets
+        # are identical — set cardinalities are preserved)
+        .select("doc_id", F.transform("w", lambda t: F.xxhash64(t)).alias("w"))
     )
     sides = cand.select(
         F.explode(
