@@ -102,6 +102,7 @@ HEADLINE = [
     "source_unigram_kl",
     # round 5
     "multimodal_jpeg_stats",
+    "multimodal_webp_stats",
 ]
 
 

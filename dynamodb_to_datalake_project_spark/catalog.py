@@ -57,6 +57,7 @@ def query(name: str, oracle: str | None = None):
 _PRIORITY: list[str] = [
     # --- new in round 5 (no driver row possible yet) ---
     "multimodal_jpeg_stats",
+    "multimodal_webp_stats",
     # --- only driver row still dates from round 1 (missed the r4
     # 50-entry window by sitting at positions 51-58) ---
     "rollup_timeseries",

@@ -11,18 +11,20 @@ genuine nearest-neighbor `resize_image`), 8-bit truecolor PNG
 five scanline filters incl. sequential Paeth defiltering), and GIF
 (`encode_gif`/`decode_gif`: hand-rolled variable-width LZW with the
 early-change convention, palette handling, interlace, extension
-skip), and baseline sequential JPEG (`encode_jpeg`/`decode_jpeg`:
+skip), baseline sequential JPEG (`encode_jpeg`/`decode_jpeg`:
 T.81 Huffman entropy coding, zigzag/dequantize, orthonormal 8x8
-IDCT, chroma upsampling, JFIF color conversion) — the WAV/BMP paths
-are exercised end-to-end by catalog queries whose DuckDB oracles
-recompute every sample/pixel from first principles; the PNG/GIF/JPEG
-paths by golden-byte tests (spec-built PNG bytes; canonical
-wild-encoder 1x1 GIF and 2x2 JPEG) plus round-trips through every
-filter/width-growth/dictionary-overflow path (JPEG round-trips are
-PSNR-bounded — the format is lossy). Formats that genuinely require
-third-party codecs (webp/mp3/ogg — patented/complex transforms with
-no stdlib support) stay clearly-marked stubs (NotImplementedError);
-the generic
+IDCT, chroma upsampling, JFIF color conversion), and lossless WebP
+(`llm/webp.py`: full VP8L bitstream — canonical prefix codes, color
+cache, LZ77 with the 2D distance map, meta prefix codes, and all
+four inverse transforms) — the WAV/BMP/JPEG/WebP paths are exercised
+end-to-end by catalog queries whose DuckDB oracles recompute every
+sample/pixel from first principles; the PNG/GIF paths by golden-byte
+tests (spec-built PNG bytes; canonical wild-encoder 1x1 GIF) plus
+round-trips through every filter/width-growth/dictionary-overflow
+path (JPEG round-trips are PSNR-bounded — the format is lossy).
+Formats that genuinely require third-party codecs (lossy-WebP VP8 /
+mp3 / ogg — patented/complex transforms with no stdlib support) stay
+clearly-marked stubs (NotImplementedError); the generic
 feature-extraction step uses a deterministic fake feature
 (`(n_bytes * 7 + first_byte) % 997`) whose value a SQL oracle can
 also compute — proving the Arrow round-trip bit-for-bit.
@@ -1009,11 +1011,12 @@ def encode_jpeg(px: "object", width: int, height: int, quality: int = 85) -> byt
 
 
 def decode_image(payload: bytes) -> "object":
-    """Image decode: BMP, PNG, GIF and baseline JPEG payloads are
-    decoded for real via the stdlib parsers (struct + zlib +
-    hand-rolled GIF-LZW + T.81 Huffman/IDCT); only formats whose
-    codecs genuinely require third-party libraries (webp) stay
-    honestly stubbed."""
+    """Image decode: BMP, PNG, GIF, baseline JPEG and lossless WebP
+    (VP8L) payloads are decoded for real via the zero-dep parsers
+    (struct + zlib + hand-rolled GIF-LZW + T.81 Huffman/IDCT + the
+    VP8L prefix-code/transform decoder in llm/webp.py); only lossy
+    WebP (VP8) genuinely requires a third-party codec and stays
+    honestly stubbed (inside decode_webp)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIG:
@@ -1022,9 +1025,13 @@ def decode_image(payload: bytes) -> "object":
         return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from dynamodb_to_datalake_project_spark.llm.webp import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(
-        "only BMP, PNG, GIF and baseline JPEG decode available in this "
-        "environment (webp needs a third-party codec)"
+        "only BMP, PNG, GIF, baseline JPEG and lossless WebP decode "
+        "available in this environment"
     )
 
 
@@ -1473,13 +1480,123 @@ def q_multimodal_jpeg_stats(spark, sf_dir):
     return jpeg_roundtrip_stats(docs)
 
 
+WEBP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_rgb", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def webp_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL lossless-WebP (VP8L) payload per document and
+    prove the encode → binary → decode chain against an independent
+    SQL oracle. VP8L is lossless, so the oracle recomputes every
+    statistic straight from the pixel formula (w = 4 + id % 5,
+    h = 3 + id % 4, channel c at (x, y) a small modular polynomial in
+    id/x/y) with no codec — the prefix-code tables, canonical code
+    assignment, bit order, and container framing all have to survive
+    bit-for-bit for the decoded-pixel stats to match."""
+    import numpy as np
+
+    from dynamodb_to_datalake_project_spark.llm.webp import (
+        decode_webp_array,
+        encode_webp,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in WEBP_STATS_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 4 + did % 5, 3 + did % 4
+                ys, xs = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (did * 7 + xs * 11 + ys * 13) % 251,
+                        (did * 5 + xs * 3 + ys * 17) % 251,
+                        (did * 3 + xs * 19 + ys * 7) % 251,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                img = decode_webp_array(encode_webp(px, w, h))
+                flat = img["px"].astype(np.int64)
+                pos = (ys * w + xs + 1).astype(np.int64)
+                weighted = (
+                    pos
+                    * (
+                        flat[:, :, 0]
+                        + 2 * flat[:, :, 1]
+                        + 3 * flat[:, :, 2]
+                    )
+                ).sum()
+                out["doc_id"].append(did)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["n_pixels"].append(img["width"] * img["height"])
+                out["sum_rgb"].append(int(flat.sum()))
+                out["peak"].append(int(flat.max()))
+                out["checksum"].append(int(weighted))
+        yield pd.DataFrame(out)
+
+    # same core-spreading exchange as the JPEG stats stage: the codec
+    # is real per-doc Python work and the documents parquet arrives in
+    # 1-2 input splits
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id").repartition(par).mapInPandas(op, WEBP_STATS_SCHEMA)
+    )
+
+
+@query(
+    "multimodal_webp_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+    ), e AS (
+      SELECT doc_id, w, h,
+             u.i % w AS x, u.i // w AS y,
+             (doc_id * 7 + (u.i % w) * 11 + (u.i // w) * 13) % 251 AS r,
+             (doc_id * 5 + (u.i % w) * 3 + (u.i // w) * 17) % 251 AS g,
+             (doc_id * 3 + (u.i % w) * 19 + (u.i // w) * 7) % 251 AS b
+      FROM t, LATERAL (SELECT unnest(range(0, w * h)) AS i) u
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum(r + g + b) AS BIGINT) AS sum_rgb,
+           CAST(max(greatest(r, g, b)) AS BIGINT) AS peak,
+           CAST(sum((y * w + x + 1) * (r + 2 * g + 3 * b)) AS BIGINT)
+             AS checksum
+    FROM e
+    GROUP BY doc_id, w, h
+    """,
+)
+def q_multimodal_webp_stats(spark, sf_dir):
+    """Lossless-WebP encode → decode over the documents table with the
+    zero-dep VP8L codec (llm/webp.py); the DuckDB oracle recomputes
+    dimensions, exact pixel sums, peak, and a position-weighted
+    checksum from the pixel formula alone — a full hash-match gate
+    over VP8L prefix-code construction, bit packing, and the RIFF
+    container."""
+    docs = load_table(spark, sf_dir, "documents")
+    return webp_roundtrip_stats(docs)
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """REAL resize for BMP and PNG payloads: decode → nearest-neighbor
-    sample (src = dst * src_dim // dst_dim, as a vectorized
-    fancy-index) → re-encode IN THE SAME FORMAT. Binary in → binary
-    out, the contract a `mapInPandas` pipeline stage plugs into; for
-    formats without a stdlib codec the decode raises the honest
-    stub."""
+    """REAL resize for BMP/PNG/GIF/JPEG/WebP-lossless payloads:
+    decode → nearest-neighbor sample (src = dst * src_dim // dst_dim,
+    as a vectorized fancy-index) → re-encode IN THE SAME FORMAT.
+    Binary in → binary out, the contract a `mapInPandas` pipeline
+    stage plugs into; for formats without a stdlib codec the decode
+    raises the honest stub."""
     import numpy as np
 
     if payload[:2] == b"BM":
@@ -1490,6 +1607,10 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         d, enc = decode_gif_array(payload), encode_gif
     elif payload[:2] == b"\xff\xd8":
         d, enc = decode_jpeg_array(payload), encode_jpeg
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from dynamodb_to_datalake_project_spark.llm import webp as _webp
+
+        d, enc = _webp.decode_webp_array(payload), _webp.encode_webp
     else:
         decode_image(payload)  # raises the format-specific stub
         raise AssertionError("unreachable")

@@ -618,8 +618,12 @@ def test_resize_dispatches_on_format():
     # payload (ValueError), not an unsupported format
     with pytest.raises(ValueError):
         multimodal.resize_image(b"\xff\xd8\xff jpeg", 2, 2)
+    # lossless WebP is now a REAL codec too; only lossy VP8 remains
+    # the honest stub (well-formed RIFF with a lossy VP8 chunk)
+    lossy = b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
+    lossy += b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
     with pytest.raises(NotImplementedError):
-        multimodal.resize_image(b"RIFF0000WEBPVP8 ", 2, 2)
+        multimodal.resize_image(lossy, 2, 2)
 
 
 def test_gif_codec_golden_and_roundtrip():
@@ -762,6 +766,276 @@ def test_jpeg_corrupt_and_unsupported_fail_cleanly():
     # not a JPEG at all
     with pytest.raises(ValueError, match="JPEG"):
         multimodal.decode_jpeg_array(b"\x00\x01rubbish")
+
+
+class _VP8LWriter:
+    """Spec bit writer for hand-building golden VP8L streams — LSB
+    first within bytes, prefix codes MSB-first — kept independent of
+    llm.webp's internals so the goldens pin the spec, not the
+    implementation."""
+
+    def __init__(self):
+        self.b = bytearray()
+        self.n = 0
+
+    def w(self, v, nbits):
+        for i in range(nbits):
+            if self.n % 8 == 0:
+                self.b.append(0)
+            if (v >> i) & 1:
+                self.b[-1] |= 1 << (self.n % 8)
+            self.n += 1
+
+    def code(self, c, ln):
+        for i in range(ln - 1, -1, -1):
+            self.w((c >> i) & 1, 1)
+
+    def simple(self, syms):
+        """Simple prefix code (1 or 2 symbols)."""
+        self.w(1, 1)
+        self.w(len(syms) - 1, 1)
+        if syms[0] <= 1:
+            self.w(0, 1)
+            self.w(syms[0], 1)
+        else:
+            self.w(1, 1)
+            self.w(syms[0], 8)
+        if len(syms) == 2:
+            self.w(syms[1], 8)
+
+    def header(self, w, h):
+        self.w(0x2F, 8)
+        self.w(w - 1, 14)
+        self.w(h - 1, 14)
+        self.w(0, 1)  # alpha hint
+        self.w(0, 3)  # version
+
+
+def _wrap_vp8l(vp8l: bytes) -> bytes:
+    chunk = b"VP8L" + len(vp8l).to_bytes(4, "little") + vp8l
+    if len(vp8l) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def test_webp_roundtrip_lossless():
+    """encode_webp -> decode_webp is exact (the format is lossless),
+    across random, constant (simple-code) and two-value images, and
+    the resize/decode_image dispatchers route RIFF/WEBP payloads."""
+    import numpy as np
+
+    from dynamodb_to_datalake_project_spark.llm import webp
+
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (3, 2), (16, 16), (33, 9)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        d = webp.decode_webp_array(webp.encode_webp(px, w, h))
+        assert (d["width"], d["height"]) == (w, h)
+        assert (d["px"] == px).all()
+    const = np.full((4, 4, 3), 200, np.uint8)
+    assert (
+        webp.decode_webp_array(webp.encode_webp(const, 4, 4))["px"] == const
+    ).all()
+    # dispatchers
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    payload = webp.encode_webp(px, 6, 4)
+    img = multimodal.decode_image(payload)
+    assert (img["width"], img["height"]) == (6, 4)
+    rs = multimodal.resize_image(payload, 3, 2)
+    assert rs[:4] == b"RIFF" and rs[8:12] == b"WEBP"
+    rimg = webp.decode_webp_array(rs)
+    assert (rimg["px"] == px[[0, 2]][:, [0, 2, 4]]).all()
+
+
+def test_webp_golden_cache_lz77_and_codelength_code():
+    """Spec-built golden: a 4x1 VP8L stream using a NORMAL green code
+    emitted through the code-length code (repeat-18 zero runs + the
+    max_symbol truncation), a 4-entry color cache, and an LZ77
+    backward reference through the 2D distance map — none of which
+    our own encoder emits, so this pins the decoder against the spec,
+    not against encode_webp."""
+    from dynamodb_to_datalake_project_spark.llm import webp
+
+    p0 = (255 << 24) | (10 << 16) | (20 << 8) | 30  # ARGB(255,10,20,30)
+    ci = ((0x1E35A7BD * p0) & 0xFFFFFFFF) >> 30  # 2-bit cache index
+    cache_sym = 280 + ci
+    w = _VP8LWriter()
+    w.header(4, 1)
+    w.w(0, 1)  # no transforms
+    w.w(1, 1)
+    w.w(2, 4)  # color cache, 2 bits
+    w.w(0, 1)  # no meta prefix codes
+    # --- green: normal code, lengths 2 for {20, 40, 256, cache_sym}
+    w.w(0, 1)  # normal form
+    w.w(1, 4)  # num_code_lengths = 5 (through order pos of CL sym 2)
+    for ln in (2, 2, 0, 0, 1):  # CL lens for order [17, 18, 0, 1, 2]
+        w.w(ln, 3)
+    w.w(1, 1)  # use max_symbol
+    w.w(1, 3)  # length_nbits = 4
+    w.w(7, 4)  # max_symbol = 2 + 7 = 9 CL symbols follow
+    cl2 = lambda: w.code(0b0, 1)  # noqa: E731
+    cl18 = lambda: w.code(0b11, 2)  # noqa: E731
+    cl18(); w.w(9, 7)  # 20 zeros
+    cl2()  # symbol 20 -> length 2
+    cl18(); w.w(8, 7)  # 19 zeros -> cursor 40
+    cl2()  # symbol 40
+    cl18(); w.w(127, 7)  # 138 zeros -> cursor 179
+    cl18(); w.w(66, 7)  # 77 zeros -> cursor 256
+    cl2()  # symbol 256 (LZ77 length code 0)
+    cl18(); w.w(12 + ci, 7)  # 23+ci zeros -> cursor 280+ci
+    cl2()  # the cache symbol
+    # --- red/blue: simple 2-symbol codes; alpha/distance: 1-symbol
+    w.simple([10, 50])
+    w.simple([30, 60])
+    w.simple([255])
+    w.simple([1])  # distance prefix 1 -> value 2 -> map (1,0) -> dist 1
+    # --- pixels: canonical green codes 20=00, 40=01, 256=10, cache=11
+    w.code(0b00, 2); w.code(0, 1); w.code(0, 1)  # P0 literal (10,20,30)
+    w.code(0b10, 2)  # P1: LZ77 len 1 dist 1 (copy of P0)
+    w.code(0b11, 2)  # P2: cache hit (P0 again)
+    w.code(0b01, 2); w.code(1, 1); w.code(1, 1)  # P3 literal (50,40,60)
+    img = webp.decode_webp(_wrap_vp8l(bytes(w.b)))
+    assert (img["width"], img["height"]) == (4, 1)
+    assert img["pixels"] == [(10, 20, 30)] * 3 + [(50, 40, 60)]
+
+
+def test_webp_golden_transforms():
+    """Spec-built goldens for all four inverse transforms."""
+    from dynamodb_to_datalake_project_spark.llm import webp
+
+    def zero_bit_codes(w, g, r, b, a=255):
+        """Five 1-symbol codes: every pixel is (a, r, g, b) at 0 bits."""
+        w.simple([g]); w.simple([r]); w.simple([b]); w.simple([a])
+        w.simple([0])
+
+    # SUBTRACT_GREEN: stored (r=5, g=200, b=7) -> (205, 200, 207)
+    w = _VP8LWriter()
+    w.header(1, 1)
+    w.w(1, 1); w.w(2, 2)  # transform: subtract green (no data)
+    w.w(0, 1)  # end transforms
+    w.w(0, 1); w.w(0, 1)  # no cache, no meta
+    zero_bit_codes(w, g=200, r=5, b=7)
+    assert webp.decode_webp(_wrap_vp8l(bytes(w.b)))["pixels"] == [(205, 200, 207)]
+
+    # PREDICTOR: 2x2, one block, mode 1 (L); residuals (1,1,1) per px.
+    # (0,0) predicts opaque black; top row L; left column T; block L.
+    w = _VP8LWriter()
+    w.header(2, 2)
+    w.w(1, 1); w.w(0, 2)  # transform: predictor
+    w.w(0, 3)  # size_bits = 2 -> 1x1 mode image
+    w.w(0, 1)  # mode image: no cache
+    zero_bit_codes(w, g=1, r=0, b=0, a=0)  # mode byte lives in green
+    w.w(0, 1)  # end transforms
+    w.w(0, 1); w.w(0, 1)
+    zero_bit_codes(w, g=1, r=1, b=1, a=0)
+    assert webp.decode_webp(_wrap_vp8l(bytes(w.b)))["pixels"] == [
+        (1, 1, 1), (2, 2, 2), (2, 2, 2), (3, 3, 3)
+    ]
+
+    # COLOR transform: element (g2r=64, g2b=32, r2b=16), stored
+    # (r=10, g=100, b=20): r' = 10 + (64*100 >> 5) = 210;
+    # b' = 20 + (32*100 >> 5) + (16*int8(210) >> 5) = 20+100-23 = 97
+    w = _VP8LWriter()
+    w.header(1, 1)
+    w.w(1, 1); w.w(1, 2)  # transform: color
+    w.w(0, 3)  # size_bits = 2
+    w.w(0, 1)  # element image: no cache
+    zero_bit_codes(w, g=32, r=64, b=16, a=0)
+    w.w(0, 1)
+    w.w(0, 1); w.w(0, 1)
+    zero_bit_codes(w, g=100, r=10, b=20)
+    assert webp.decode_webp(_wrap_vp8l(bytes(w.b)))["pixels"] == [(210, 100, 97)]
+
+    # COLOR_INDEXING with sub-byte bundling: 5x1, 2-color palette
+    # (red, green), indices [1,0,1,1,0] packed LSB-first into one
+    # green byte (0b01101 = 13); palette is delta-coded.
+    w = _VP8LWriter()
+    w.header(5, 1)
+    w.w(1, 1); w.w(3, 2)  # transform: color indexing
+    w.w(1, 8)  # n_colors - 1 = 1
+    w.w(0, 1)  # palette image: no cache
+    w.simple([0, 255])  # greens of the two delta pixels
+    w.simple([1, 255])  # reds
+    w.simple([0])  # blues
+    w.simple([0, 255])  # alphas
+    w.simple([0])  # distance (unused)
+    # palette px 1: ARGB(255,255,0,0); px 2 delta: ARGB(0,1,255,0)
+    w.code(0, 1); w.code(1, 1); w.code(1, 1)  # g=0, r=255, a=255
+    w.code(1, 1); w.code(0, 1); w.code(0, 1)  # g=255, r=1, a=0
+    w.w(0, 1)  # end transforms
+    w.w(0, 1); w.w(0, 1)  # packed 1x1 image: no cache, no meta
+    zero_bit_codes(w, g=13, r=0, b=0, a=0)
+    assert webp.decode_webp(_wrap_vp8l(bytes(w.b)))["pixels"] == [
+        (0, 255, 0), (255, 0, 0), (0, 255, 0), (0, 255, 0), (255, 0, 0)
+    ]
+
+
+def test_webp_golden_meta_prefix_codes():
+    """Spec-built golden: meta prefix codes (entropy image) select a
+    different code group per 4-pixel block of an 8x1 image."""
+    from dynamodb_to_datalake_project_spark.llm import webp
+
+    w = _VP8LWriter()
+    w.header(8, 1)
+    w.w(0, 1)  # no transforms
+    w.w(0, 1)  # no cache
+    w.w(1, 1)  # meta prefix codes
+    w.w(0, 3)  # meta bits = 2 -> 2x1 entropy image
+    w.w(0, 1)  # entropy image: no cache
+    w.simple([0, 1])  # greens = group ids
+    w.simple([0]); w.simple([0]); w.simple([0]); w.simple([0])
+    w.code(0, 1)  # block 0 -> group 0
+    w.code(1, 1)  # block 1 -> group 1
+    # group 0: constant green 7; group 1: constant green 9
+    for g in (7, 9):
+        w.simple([g]); w.simple([0]); w.simple([0]); w.simple([255])
+        w.simple([0])
+    img = webp.decode_webp(_wrap_vp8l(bytes(w.b)))
+    assert img["pixels"] == [(0, 7, 0)] * 4 + [(0, 9, 0)] * 4
+
+
+def test_webp_corrupt_payloads_fail_cleanly():
+    """Corrupt/unsupported WebP payloads keep the module's clean
+    error contract: ValueError for damage, NotImplementedError only
+    for genuinely out-of-scope formats (lossy VP8)."""
+    import numpy as np
+
+    from dynamodb_to_datalake_project_spark.llm import webp
+
+    good = webp.encode_webp(np.zeros((2, 2, 3), np.uint8), 2, 2)
+    with pytest.raises(ValueError, match="WebP"):
+        webp.decode_webp_array(b"not a webp at all")
+    with pytest.raises(ValueError):
+        webp.decode_webp_array(good[:20])  # truncated chunk
+    bad_sig = bytearray(good)
+    bad_sig[20] ^= 0xFF  # clobber the 0x2f VP8L signature byte
+    with pytest.raises(ValueError, match="signature"):
+        webp.decode_webp_array(bytes(bad_sig))
+    for cut in range(21, len(good) - 1, 7):  # truncated bitstream
+        try:
+            webp.decode_webp_array(good[:cut] if cut > 28 else good[:cut])
+        except (ValueError, NotImplementedError):
+            pass  # clean contract; anything else propagates = failure
+    # LZ77 reference before the image start
+    w = _VP8LWriter()
+    w.header(2, 1)
+    w.w(0, 1); w.w(0, 1); w.w(0, 1)
+    # green: simple 2-symbol code over {0, 255}? distances need a
+    # length symbol >= 256 which simple codes cannot carry — instead
+    # reuse the golden's normal-code machinery minimally: emit a
+    # 1-symbol green {256}: normal form via code-length code
+    w.w(0, 1)  # normal form
+    w.w(1, 4)  # num_code_lengths = 5
+    for ln in (2, 2, 0, 0, 1):
+        w.w(ln, 3)
+    w.w(1, 1); w.w(1, 3); w.w(1, 4)  # max_symbol = 3 CL reads
+    w.code(0b11, 2); w.w(127, 7)  # 138 zeros
+    w.code(0b11, 2); w.w(107, 7)  # 118 zeros -> cursor 256
+    w.code(0b0, 1)  # symbol 256 gets length 2 (sole symbol -> 0 bits)
+    w.simple([0]); w.simple([0]); w.simple([255]); w.simple([1])
+    # first symbol is the LZ77 length code with nothing decoded yet
+    with pytest.raises(ValueError, match="before the image"):
+        webp.decode_webp_array(_wrap_vp8l(bytes(w.b)))
 
 
 def test_simhash_band_bits_preserves_pigeonhole_exactness(spark, corpus):
