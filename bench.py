@@ -103,6 +103,7 @@ HEADLINE = [
     # round 5
     "multimodal_jpeg_stats",
     "multimodal_webp_stats",
+    "multimodal_flac_stats",
 ]
 
 

@@ -58,6 +58,7 @@ _PRIORITY: list[str] = [
     # --- new in round 5 (no driver row possible yet) ---
     "multimodal_jpeg_stats",
     "multimodal_webp_stats",
+    "multimodal_flac_stats",
     # --- only driver row still dates from round 1 (missed the r4
     # 50-entry window by sitting at positions 51-58) ---
     "rollup_timeseries",

@@ -22,8 +22,12 @@ sample/pixel from first principles; the PNG/GIF paths by golden-byte
 tests (spec-built PNG bytes; canonical wild-encoder 1x1 GIF) plus
 round-trips through every filter/width-growth/dictionary-overflow
 path (JPEG round-trips are PSNR-bounded — the format is lossy).
-Formats that genuinely require third-party codecs (lossy-WebP VP8 /
-mp3 / ogg — patented/complex transforms with no stdlib support) stay
+Audio has two real codecs: RIFF/WAVE PCM and FLAC (`llm/flac.py`:
+Rice residuals, fixed + LPC predictors, all stereo decorrelations,
+CRC-8/16 + MD5 verification — exercised end-to-end by
+`multimodal_flac_stats` with a full hash-match oracle). Formats that
+genuinely require third-party codecs (lossy-WebP VP8 / mp3 / ogg —
+patented/complex transforms with no stdlib support) stay
 clearly-marked stubs (NotImplementedError); the generic
 feature-extraction step uses a deterministic fake feature
 (`(n_bytes * 7 + first_byte) % 997`) whose value a SQL oracle can
@@ -1084,12 +1088,19 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def decode_audio(payload: bytes) -> "object":
-    """Audio decode: RIFF/WAVE payloads are decoded for real via the
-    stdlib parser (`decode_wav`); other containers (mp3/ogg/flac) need
-    codecs not present in this container and stay honestly stubbed."""
+    """Audio decode: RIFF/WAVE payloads via the stdlib parser
+    (`decode_wav`), FLAC via the zero-dep Rice/LPC decoder in
+    llm/flac.py; only containers whose codecs genuinely require
+    third-party DSP libraries (mp3/ogg) stay honestly stubbed."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
-    raise NotImplementedError("only WAV decode available in this environment")
+    if payload[:4] == b"fLaC":
+        from dynamodb_to_datalake_project_spark.llm.flac import decode_flac
+
+        return decode_flac(payload)
+    raise NotImplementedError(
+        "only WAV and FLAC decode available in this environment"
+    )
 
 
 def to_binary_docs(docs: DataFrame, mime: str = "text/plain") -> DataFrame:
@@ -1233,6 +1244,109 @@ def q_multimodal_wav_stats(spark, sf_dir):
     the PCM frames fails the hash."""
     docs = load_table(spark, sf_dir, "documents")
     return wav_roundtrip_stats(docs)
+
+
+FLAC_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("ord_checksum", T.LongType()),
+    ]
+)
+
+
+def flac_roundtrip_stats(docs: DataFrame, max_frames: int = 192) -> DataFrame:
+    """Synthesize a REAL stereo FLAC payload per document (deterministic
+    per-channel samples derived from doc_id), decode it with the
+    zero-dep Rice/fixed-predictor codec, and emit the decoded stats —
+    including a position-weighted checksum over the INTERLEAVED sample
+    sequence, so channel order and frame stitching are pinned, not
+    just value multisets. block_size=64 forces multiple frames per
+    payload (n up to 192), exercising frame numbering, per-frame CRCs,
+    and the STREAMINFO MD5 across frame boundaries. FLAC is lossless,
+    so the SQL oracle recomputes everything from the sample formula
+    with no codec."""
+    from dynamodb_to_datalake_project_spark.llm.flac import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {k.name: [] for k in FLAC_STATS_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                did = int(doc_id)
+                n = 0 if pd.isna(n_chars) else min(int(n_chars), max_frames)
+                samples = []
+                for i in range(n):
+                    samples.append(((did * 131 + i * 7919) % 65536) - 32768)
+                    samples.append(((did * 37 + i * 101) % 65536) - 32768)
+                payload = encode_flac(samples, n_channels=2, block_size=64)
+                d = decode_flac_samples(payload)
+                dec = d["samples"]
+                out["doc_id"].append(did)
+                out["n_channels"].append(d["n_channels"])
+                out["sample_rate"].append(d["sample_rate"])
+                out["n_samples"].append(len(dec))
+                out["sum_abs"].append(sum(abs(s) for s in dec))
+                out["peak"].append(max((abs(s) for s in dec), default=0))
+                out["ord_checksum"].append(
+                    sum((i + 1) * s for i, s in enumerate(dec))
+                )
+        yield pd.DataFrame(out)
+
+    # spread the Arrow batches across cores (same rationale as the
+    # JPEG/WebP stats stages: real per-doc Python codec work, 1-2
+    # parquet input splits)
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "n_chars")
+        .repartition(par)
+        .mapInPandas(op, FLAC_STATS_SCHEMA)
+    )
+
+
+@query(
+    "multimodal_flac_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, least(coalesce(n_chars, 0), 192) AS n FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, 2 * n), i -> CASE
+               WHEN i % 2 = 0
+               THEN ((doc_id * 131 + (i // 2) * 7919) % 65536) - 32768
+               ELSE ((doc_id * 37 + (i // 2) * 101) % 65536) - 32768
+             END) AS a
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_channels,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(2 * n AS BIGINT) AS n_samples,
+           CAST(coalesce(list_sum(list_transform(a, v -> abs(v))), 0)
+             AS BIGINT) AS sum_abs,
+           CAST(coalesce(list_max(list_transform(a, v -> abs(v))), 0)
+             AS BIGINT) AS peak,
+           CAST(coalesce(list_sum(list_transform(range(0, 2 * n),
+             i -> (i + 1) * a[i + 1])), 0) AS BIGINT) AS ord_checksum
+    FROM s
+    """,
+)
+def q_multimodal_flac_stats(spark, sf_dir):
+    """Stereo FLAC encode → decode over the documents table with the
+    zero-dep codec (llm/flac.py); the DuckDB oracle recomputes channel
+    count, sample counts, exact PCM statistics, and the interleaved
+    position-weighted checksum from the sample formula alone — a full
+    hash-match gate over Rice coding, fixed predictors, frame CRCs,
+    and channel interleaving."""
+    docs = load_table(spark, sf_dir, "documents")
+    return flac_roundtrip_stats(docs)
 
 
 IMAGE_STATS_SCHEMA = T.StructType(

@@ -1013,7 +1013,7 @@ def test_webp_corrupt_payloads_fail_cleanly():
         webp.decode_webp_array(bytes(bad_sig))
     for cut in range(21, len(good) - 1, 7):  # truncated bitstream
         try:
-            webp.decode_webp_array(good[:cut] if cut > 28 else good[:cut])
+            webp.decode_webp_array(good[:cut])
         except (ValueError, NotImplementedError):
             pass  # clean contract; anything else propagates = failure
     # LZ77 reference before the image start
@@ -1036,6 +1036,201 @@ def test_webp_corrupt_payloads_fail_cleanly():
     # first symbol is the LZ77 length code with nothing decoded yet
     with pytest.raises(ValueError, match="before the image"):
         webp.decode_webp_array(_wrap_vp8l(bytes(w.b)))
+
+
+class _FlacWriter:
+    """MSB-first bit writer for hand-building golden FLAC streams —
+    independent of llm.flac's internals (including its CRCs), so the
+    goldens pin the spec."""
+
+    def __init__(self):
+        self.b = bytearray()
+        self.n = 0
+
+    def w(self, v, nbits):
+        for i in range(nbits - 1, -1, -1):
+            if self.n % 8 == 0:
+                self.b.append(0)
+            if (v >> i) & 1:
+                self.b[-1] |= 1 << (7 - self.n % 8)
+            self.n += 1
+
+    def sw(self, v, nbits):  # signed, two's complement
+        self.w(v & ((1 << nbits) - 1), nbits)
+
+    def align(self):
+        while self.n % 8:
+            self.w(0, 1)
+
+
+def _flac_crc8(data):
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data):
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _flac_stream(n_channels, bps, total, frames: bytes) -> bytes:
+    si = _FlacWriter()
+    si.w(8, 16); si.w(8, 16)  # min/max block size
+    si.w(0, 24); si.w(0, 24)
+    si.w(16000, 20)
+    si.w(n_channels - 1, 3)
+    si.w(bps - 1, 5)
+    si.w(total, 36)
+    return (
+        b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(si.b)
+        + b"\x00" * 16  # md5 unknown
+        + frames
+    )
+
+
+def _flac_frame_header(w, n_channels_code, block_size):
+    w.w(0b11111111111110, 14)
+    w.w(0, 1); w.w(0, 1)  # reserved, fixed-blocksize strategy
+    w.w(7, 4)  # block size: 16 bits at end
+    w.w(0, 4)  # sample rate from STREAMINFO
+    w.w(n_channels_code, 4)
+    w.w(4, 3)  # 16-bit samples
+    w.w(0, 1)
+    w.w(0, 8)  # frame number 0 (UTF-8 single byte)
+    w.w(block_size - 1, 16)
+    w.w(_flac_crc8(bytes(w.b)), 8)
+
+
+def test_flac_roundtrip_lossless():
+    """encode_flac -> decode is exact across random, smooth (FIXED
+    predictors engage), constant, stereo, multi-frame, and empty
+    streams; decode_audio dispatches fLaC payloads."""
+    import math
+    import random
+
+    from dynamodb_to_datalake_project_spark.llm import flac
+
+    rng = random.Random(5)
+    cases = [
+        [rng.randint(-32768, 32767) for _ in range(3000)],
+        [int(3000 * math.sin(i / 30)) for i in range(5000)],
+        [123] * 2000,
+        [],
+    ]
+    for s in cases:
+        d = flac.decode_flac_samples(flac.encode_flac(s, block_size=1024))
+        assert d["samples"] == s
+    stereo = [v for i in range(900) for v in (i % 251 - 125, rng.randint(-9, 9))]
+    p = flac.encode_flac(stereo, n_channels=2, block_size=256)
+    d = flac.decode_flac_samples(p)
+    assert d["samples"] == stereo and d["n_channels"] == 2
+    feat = multimodal.decode_audio(p)
+    assert feat["n_samples"] == len(stereo)
+    assert feat["sum_abs"] == sum(abs(v) for v in stereo)
+
+
+def test_flac_golden_lpc_rice_partitions():
+    """Spec-built golden (independent writer + CRCs): an LPC order-1
+    subframe (coef 1, shift 0 — prediction = previous sample) with a
+    partition-order-1 Rice residual — paths our encoder never emits.
+    Residuals are the deltas; partition 1 holds blocksize/2 - order
+    samples, partition 2 blocksize/2."""
+    from dynamodb_to_datalake_project_spark.llm import flac
+
+    samples = [10, 12, 11, 11, 15, 20, 6, 6]
+    deltas = [b - a for a, b in zip(samples, samples[1:])]
+    w = _FlacWriter()
+    _flac_frame_header(w, 0, 8)  # mono, block size 8
+    w.w(0, 1)
+    w.w(32, 6)  # LPC order 1 (1xxxxx with xxxxx = 0)
+    w.w(0, 1)  # no wasted bits
+    w.sw(samples[0], 16)  # warm-up
+    w.w(14, 4)  # qlp precision 15
+    w.sw(0, 5)  # shift 0
+    w.sw(1, 15)  # coefficient = 1
+    w.w(0, 2)  # residual method: 4-bit Rice
+    w.w(1, 4)  # partition order 1 -> two partitions (3 + 4 residuals)
+    for part, k in ((deltas[:3], 1), (deltas[3:], 3)):
+        w.w(k, 4)
+        for v in part:
+            u = (v << 1) ^ (v >> 63)
+            for _ in range(u >> k):
+                w.w(0, 1)
+            w.w(1, 1)
+            w.w(u & ((1 << k) - 1), k)
+    w.align()
+    w.w(_flac_crc16(bytes(w.b)), 16)
+    payload = _flac_stream(1, 16, 8, bytes(w.b))
+    assert flac.decode_flac_samples(payload)["samples"] == samples
+
+
+def test_flac_golden_mid_side_and_wasted_bits():
+    """Spec-built goldens: mid/side stereo decorrelation (side channel
+    carries 17 bits) and the wasted-bits path."""
+    from dynamodb_to_datalake_project_spark.llm import flac
+
+    left, right = [4, 6, 8, 2], [2, 2, 10, 2]
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+    side = [l - r for l, r in zip(left, right)]
+    w = _FlacWriter()
+    _flac_frame_header(w, 10, 4)  # mid/side, block size 4
+    w.w(0, 1); w.w(1, 6); w.w(0, 1)  # VERBATIM mid, 16 bits
+    for v in mid:
+        w.sw(v, 16)
+    w.w(0, 1); w.w(1, 6); w.w(0, 1)  # VERBATIM side, 17 bits
+    for v in side:
+        w.sw(v, 17)
+    w.align()
+    w.w(_flac_crc16(bytes(w.b)), 16)
+    d = flac.decode_flac_samples(_flac_stream(2, 16, 4, bytes(w.b)))
+    assert d["samples"] == [v for lr in zip(left, right) for v in lr]
+
+    # wasted bits: stored values >> 1 at 15 bits, flag + unary count 0
+    w = _FlacWriter()
+    _flac_frame_header(w, 0, 2)
+    w.w(0, 1); w.w(1, 6)  # VERBATIM mono
+    w.w(1, 1)  # wasted-bits flag
+    w.w(1, 1)  # unary 0 -> wasted = 1
+    w.sw(2, 15)
+    w.sw(-3, 15)
+    w.align()
+    w.w(_flac_crc16(bytes(w.b)), 16)
+    d = flac.decode_flac_samples(_flac_stream(1, 16, 2, bytes(w.b)))
+    assert d["samples"] == [4, -6]
+
+
+def test_flac_corrupt_payloads_fail_cleanly():
+    """Damage anywhere — magic, metadata, header CRC, frame CRC,
+    sample bytes (MD5) — fails with the module's ValueError contract."""
+    from dynamodb_to_datalake_project_spark.llm import flac
+
+    good = flac.encode_flac([7, -9, 300, 12, 5, 5, 5, -1], block_size=4)
+    with pytest.raises(ValueError, match="FLAC"):
+        flac.decode_flac_samples(b"not flac")
+    with pytest.raises(ValueError):
+        flac.decode_flac_samples(good[:30])  # truncated metadata/frames
+    dmg = bytearray(good)
+    dmg[-3] ^= 0x10  # flip a bit near the tail: CRC-16 or MD5 trips
+    with pytest.raises(ValueError):
+        flac.decode_flac_samples(bytes(dmg))
+    hdr = bytearray(good)
+    hdr[4 + 4 + 34 + 2] ^= 0x04  # damage the first frame header
+    with pytest.raises(ValueError):
+        flac.decode_flac_samples(bytes(hdr))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"OggS rest-of-an-ogg-container")
 
 
 def test_simhash_band_bits_preserves_pigeonhole_exactness(spark, corpus):

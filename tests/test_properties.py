@@ -272,6 +272,75 @@ def test_bmp_roundtrip_property(w, h, data):
 
 
 @given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_lossless_codecs_roundtrip_property(w, h, data):
+    """Pure-Python property: every (width, height, pixels) combination
+    survives ALL lossless containers exactly — PNG (filter search
+    included), GIF (palette-capped input), and WebP-VP8L (prefix-code
+    paths flip between simple and normal form as the distinct-value
+    count crosses 2) — through encode → decode."""
+    import numpy as np
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal, webp
+
+    # cap distinct colors (GIF is indexed): draw from a small palette
+    palette = data.draw(
+        st.lists(
+            st.tuples(*[st.integers(0, 255)] * 3),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    idx = data.draw(
+        st.lists(st.integers(0, len(palette) - 1), min_size=w * h, max_size=w * h)
+    )
+    px = [palette[i] for i in idx]
+    arr = np.array(px, np.uint8).reshape(h, w, 3)
+    for enc, dec in (
+        (multimodal.encode_png, multimodal.decode_png),
+        (multimodal.encode_gif, multimodal.decode_gif),
+        (webp.encode_webp, webp.decode_webp),
+    ):
+        img = dec(enc(arr, w, h))
+        assert (img["width"], img["height"]) == (w, h)
+        assert img["pixels"] == px
+
+
+@given(
+    n_channels=st.integers(1, 2),
+    block_size=st.sampled_from([4, 16, 192]),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_flac_roundtrip_property(n_channels, block_size, data):
+    """Pure-Python property: any 16-bit PCM sequence survives the FLAC
+    stream exactly, across channel counts, block sizes (including
+    non-dividing final frames), and the CONSTANT/FIXED subframe
+    choices the encoder makes per block."""
+    from dynamodb_to_datalake_project_spark.llm import flac
+
+    n_frames = data.draw(st.integers(0, 40))
+    samples = data.draw(
+        st.lists(
+            st.integers(-32768, 32767),
+            min_size=n_frames * n_channels,
+            max_size=n_frames * n_channels,
+        )
+    )
+    payload = flac.encode_flac(
+        samples, n_channels=n_channels, block_size=block_size
+    )
+    d = flac.decode_flac_samples(payload)
+    assert d["samples"] == samples
+    assert d["n_channels"] == n_channels
+
+
+@given(
     texts=st.lists(
         st.text(alphabet="ab c", min_size=0, max_size=24), min_size=1, max_size=8
     ),

@@ -37,38 +37,41 @@ MAX_TOKENS = 96  # uniform text-length cap at every scale
 
 
 def build_corpus(docs, k: int):
-    """k salted variants per base doc (see module docstring)."""
+    """k salted variants per base doc (see module docstring) — ONE
+    plan via a broadcast range cross join (the earlier k-way union
+    built a k-branch plan; at k=2000 that's a Catalyst planning
+    problem, and a real corpus generator wouldn't shape it that way
+    either). Variant j: every token salted with its family id j//2;
+    odd members perturb ~1/40 of positions deterministically."""
     from pyspark.sql import functions as F
 
+    spark = docs.sparkSession
     toks = F.slice(
         F.filter(F.split("text", " "), lambda t: t != F.lit("")),
         1,
         MAX_TOKENS,
     )
     base = docs.select("doc_id", toks.alias("toks"))
-    out = None
-    for j in range(k):
-        fam, member = j // 2, j % 2
-        salted = F.transform(
-            "toks", lambda t: F.concat(t, F.lit(f"_f{fam}"))
-        )
-        if member:
-            # perturb ~1/40 of positions, deterministically per
-            # (doc, position, family) — no RNG, retry-stable
-            salted = F.transform(
-                salted,
-                lambda t, p: F.when(
-                    F.pmod(F.xxhash64(F.col("doc_id"), p, F.lit(fam)), 40)
-                    == 0,
-                    F.concat(t, F.lit("x")),
-                ).otherwise(t),
-            )
-        v = base.select(
-            (F.col("doc_id") * 1000 + F.lit(j)).alias("doc_id"),
-            F.concat_ws(" ", salted).alias("text"),
-        )
-        out = v if out is None else out.unionByName(v)
-    return out
+    js = spark.range(k).select(F.col("id").alias("j"))
+    fam = F.floor(F.col("j") / 2)
+    member = F.pmod(F.col("j"), 2)
+    salted = F.transform(
+        "toks", lambda t: F.concat(t, F.lit("_f"), fam.cast("string"))
+    )
+    # perturb ~1/40 of positions, deterministically per
+    # (doc, position, family) — no RNG, retry-stable
+    perturbed = F.transform(
+        salted,
+        lambda t, p: F.when(
+            (member == 1)
+            & (F.pmod(F.xxhash64(F.col("doc_id"), p, fam), 40) == 0),
+            F.concat(t, F.lit("x")),
+        ).otherwise(t),
+    )
+    return base.crossJoin(F.broadcast(js)).select(
+        (F.col("doc_id") * 10000 + F.col("j")).alias("doc_id"),
+        F.concat_ws(" ", perturbed).alias("text"),
+    )
 
 
 def main() -> None:
@@ -90,9 +93,27 @@ def main() -> None:
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     n1 = docs.count()
 
+    # (label, variants/doc, shuffle partitions sized to the data,
+    # timed runs — x1000 is best-of-1: ~10M docs, the second run would
+    # only re-measure what one run already shows)
+    scales = [
+        ("x1", 2, 32, 2),
+        ("x10", 20, 64, 2),
+        ("x100", 200, 256, 2),
+        ("x1000", 2000, 512, 1),
+    ]
+    if "--no-x1000" in sys.argv:
+        scales = scales[:3]
+    labels = [s[0] for s in scales]
+    kmap = {s[0]: s[1] for s in scales}
+    partitions = {s[0]: s[2] for s in scales}
+    runs = {s[0]: s[3] for s in scales}
+
     corpora = {}
-    for label, k in (("x1", 2), ("x10", 20), ("x100", 200)):
-        corpora[label] = build_corpus(docs, k).localCheckpoint(eager=True)
+    for label in labels:
+        corpora[label] = build_corpus(docs, kmap[label]).localCheckpoint(
+            eager=True
+        )
 
     probes = [
         (
@@ -113,27 +134,25 @@ def main() -> None:
             ),
         ),
     ]
-    # shuffle partitions sized to the data, as a real cluster would be
-    # (the fixed-32 run is recorded in SCALING.md prose: minhash went
-    # 36x super-linear in the last decade purely from 10x-oversized
-    # shuffle partitions spilling)
-    partitions = {"x1": 32, "x10": 64, "x100": 256}
-
+    kdesc = ",".join(str(kmap[lb]) for lb in labels)
+    pdesc = "/".join(str(partitions[lb]) for lb in labels)
+    rowdesc = " -> ".join(f"{n1 * kmap[lb]:,}" for lb in labels)
     lines = [
         "",
         "## x10 / x100 pairing-operator probe (perturbed near-dups)",
         "",
         "Generated by `tools/scale_pairing_probe.py`: sf0.1 documents",
-        "expanded k={2,20,200} variants/doc with family-salted tokens +",
+        f"expanded k={{{kdesc}}} variants/doc with family-salted tokens +",
         "1/40 deterministic perturbation, so rows grow 10x/decade while",
         "cluster size stays 2 (near-dup RATE constant — the shape a",
         "real corpus has). All sizes timed back-to-back in one session,",
-        "with shuffle partitions sized to the data (32/64/256) as a",
+        f"with shuffle partitions sized to the data ({pdesc}) as a",
         "real cluster would be. simhash runs bits=64 with 16-bit bands",
         "(see below). pair edges for the CC row are the minhash output.",
-        f"Rows: {n1 * 2:,} -> {n1 * 20:,} -> {n1 * 200:,}. pairs/row is",
-        "the found-duplicate density (flat = structure held). r10/r100",
-        "are per-decade cost ratios; ~10 = linear candidate+verify cost.",
+        f"Rows: {rowdesc}. pairs/row is",
+        "the found-duplicate density (flat = structure held). Per-decade",
+        "cost ratios ~10 = linear candidate+verify cost (x1000, when",
+        "present, is best-of-1; smaller sizes best-of-2).",
         "",
         "Three findings from the first (fixed-config) run of this",
         "probe, all three now designed around — measured x100 minhash",
@@ -166,20 +185,31 @@ def main() -> None:
         "   pigeonhole guarantee with a 65k-bucket space per band",
         "   (measured x100: 20.5s, 197k pairs found vs 0 before).",
         "",
-        "| operator | x1 | x10 | x100 | r10 | r100 | pairs/row x1 -> x100 |",
-        "|---|---|---|---|---|---|---|",
+        "| operator | "
+        + " | ".join(labels)
+        + " | "
+        + " | ".join(f"r{lb[1:]}" for lb in labels[1:])
+        + f" | pairs/row {labels[0]} -> {labels[-1]} |",
+        "|---" * (2 * len(labels)) + "|",
     ]
+
+    def row(name, ts, tail):
+        cells = " | ".join(f"{ts[lb]:.2f}s" for lb in labels)
+        ratios = " | ".join(
+            f"{ts[b] / ts[a]:.1f}" for a, b in zip(labels, labels[1:])
+        )
+        return f"| {name} | {cells} | {ratios} | {tail} |"
 
     pair_frames: dict[str, object] = {}
     for name, build in probes:
         ts, dens = {}, {}
-        for label in ("x1", "x10", "x100"):
+        for label in labels:
             d = corpora[label]
             spark.conf.set("spark.sql.shuffle.partitions", str(partitions[label]))
             best, n_pairs = float("inf"), 0
-            for i in range(2):
+            for i in range(runs[label]):
                 res = build(d)
-                if i == 1 and name.startswith("minhash"):
+                if i == runs[label] - 1 and name.startswith("minhash"):
                     # persist inside the last timed run (pairs are tiny;
                     # the write cost is noise) so the CC probe below
                     # reads real edges without a third full execution
@@ -189,41 +219,30 @@ def main() -> None:
                 n_pairs = res.count()
                 best = min(best, time.time() - t0)
             ts[label] = best
-            dens[label] = n_pairs / (n1 * {"x1": 2, "x10": 20, "x100": 200}[label])
-        r10, r100 = ts["x10"] / ts["x1"], ts["x100"] / ts["x10"]
-        print(
-            f"# {name}: {ts['x1']:.2f}s -> {ts['x10']:.2f}s -> "
-            f"{ts['x100']:.2f}s (r10 {r10:.1f}, r100 {r100:.1f}; "
-            f"pairs/row {dens['x1']:.3f} -> {dens['x100']:.3f})",
-            file=sys.stderr,
-        )
+            dens[label] = n_pairs / (n1 * kmap[label])
+            print(
+                f"# {name} {label}: {best:.2f}s"
+                f" (pairs/row {dens[label]:.3f})",
+                file=sys.stderr,
+            )
         lines.append(
-            f"| {name} | {ts['x1']:.2f}s | {ts['x10']:.2f}s | {ts['x100']:.2f}s"
-            f" | {r10:.1f} | {r100:.1f} | {dens['x1']:.3f} -> {dens['x100']:.3f} |"
+            row(name, ts, f"{dens[labels[0]]:.3f} -> {dens[labels[-1]]:.3f}")
         )
 
     # CC over the REAL minhash pair edges (materialized above, so this
     # times component resolution alone; edge count grows linearly)
     ts = {}
-    for label in ("x1", "x10", "x100"):
+    for label in labels:
         pairs = pair_frames[label]
         spark.conf.set("spark.sql.shuffle.partitions", str(partitions[label]))
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs[label]):
             t0 = time.time()
             connected_components(pairs, "a_id", "b_id").count()
             best = min(best, time.time() - t0)
         ts[label] = best
-    r10, r100 = ts["x10"] / ts["x1"], ts["x100"] / ts["x10"]
-    print(
-        f"# connected_components: {ts['x1']:.2f}s -> {ts['x10']:.2f}s -> "
-        f"{ts['x100']:.2f}s (r10 {r10:.1f}, r100 {r100:.1f})",
-        file=sys.stderr,
-    )
-    lines.append(
-        f"| connected_components (on minhash edges) | {ts['x1']:.2f}s |"
-        f" {ts['x10']:.2f}s | {ts['x100']:.2f}s | {r10:.1f} | {r100:.1f} | — |"
-    )
+        print(f"# connected_components {label}: {best:.2f}s", file=sys.stderr)
+    lines.append(row("connected_components (on minhash edges)", ts, "—"))
 
     replace_section(
         "SCALING.md", "## x10 / x100 pairing-operator probe", lines
