@@ -104,6 +104,7 @@ HEADLINE = [
     "multimodal_jpeg_stats",
     "multimodal_webp_stats",
     "multimodal_flac_stats",
+    "multimodal_video_frames",
 ]
 
 

@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     "multimodal_jpeg_stats",
     "multimodal_webp_stats",
     "multimodal_flac_stats",
+    "multimodal_video_frames",
     # --- only driver row still dates from round 1 (missed the r4
     # 50-entry window by sitting at positions 51-58) ---
     "rollup_timeseries",

@@ -457,7 +457,47 @@ def simhash_signatures(
     a giant codegen compile.
 
     `token_hash`: Column→Column token hash (default xxhash64; pass
-    `md5_hash60` for the oracle-replayable variant)."""
+    `md5_hash60` for the oracle-replayable variant).
+
+    bits > 64 (the 10M+-doc scale config, see `simhash_pairs`):
+    signatures don't fit one BIGINT, so the output column is
+    `simhash_words` — an array of 64-bit words, word w built from an
+    independent per-word token hash xxhash64(t, w). Requires
+    bits % 64 == 0; the custom `token_hash` hook applies only to the
+    scalar form (the wide form has no oracle twin — it is pinned by a
+    brute-force-equality test instead)."""
+    spark = docs_with_tokens.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if bits > 64:
+        if bits % 64:
+            raise ValueError("wide simhash needs bits % 64 == 0")
+        if token_hash is not None:
+            raise ValueError(
+                "wide simhash uses the built-in per-word token hash"
+            )
+        n_words = bits // 64
+        hs_cols = [
+            F.transform("w", lambda t, _w=wd: F.xxhash64(t, F.lit(_w))).alias(
+                f"hs{wd}"
+            )
+            for wd in range(n_words)
+        ]
+        hs = docs_with_tokens.select("doc_id", *hs_cols).repartition(
+            par, "doc_id"
+        )  # barrier: hash each token string once per word
+        word_sql = (
+            "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc"
+            " + IF(aggregate({col}, 0, (a, h) -> a +"
+            " IF(((h >> i) & 1) = 1, 1, -1)) > 0,"
+            " shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)),"
+            " CAST(0 AS BIGINT)))"
+        )
+        return hs.select(
+            "doc_id",
+            F.array(
+                *[F.expr(word_sql.format(col=f"hs{wd}")) for wd in range(n_words)]
+            ).alias("simhash_words"),
+        )
     sig_sql = f"""
     aggregate(
       sequence(0, {bits - 1}), CAST(0 AS BIGINT),
@@ -465,8 +505,6 @@ def simhash_signatures(
         aggregate(hs, 0, (a, h) -> a + IF(((h >> i) & 1) = 1, 1, -1)) > 0,
         shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), CAST(0 AS BIGINT)))
     """
-    spark = docs_with_tokens.sparkSession
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     th = token_hash if token_hash is not None else F.xxhash64
     hs = docs_with_tokens.select(
         "doc_id", F.transform("w", lambda t: th(t)).alias("hs")
@@ -501,7 +539,16 @@ def simhash_pairs(
     band_bits=16 gives 4 bands (pigeonhole still covers ham ≤ 3) and
     65k buckets per band — ~15 docs/bucket at 1M rows. Requires
     `bits % band_bits == 0` and, for the exactness guarantee,
-    `max_hamming <= bits // band_bits - 1`."""
+    `max_hamming <= bits // band_bits - 1`.
+
+    At ~10M docs even 16-bit bands saturate (the round-5 x1000 probe
+    measured r1000 = 24: 10M docs / 65k buckets ≈ 150 docs/bucket, so
+    in-bucket pair expansion grows ∝ n²/bucket_space). The scale
+    config is a WIDE signature: bits=128 / band_bits=32 keeps the
+    ham≤3 pigeonhole (4 bands) with 2^32 buckets per band — occupancy
+    stays ~1 through 10⁹ docs. Signatures are array<bigint> words
+    (see `simhash_signatures`); bands never straddle words
+    (64 % band_bits == 0 enforced)."""
     if bits % band_bits:
         raise ValueError("bits must be a multiple of band_bits")
     n_bands = bits // band_bits
@@ -512,6 +559,12 @@ def simhash_pairs(
         )
     spark = docs_with_tokens.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if bits > 64:
+        if 64 % band_bits:
+            raise ValueError("wide simhash needs 64 % band_bits == 0")
+        return _simhash_pairs_wide(
+            docs_with_tokens, bits, max_hamming, max_bucket, band_bits, par
+        )
     # barrier: banding references `simhash` once per band — without
     # materialization each reference re-inlines the signature aggregate
     sig = simhash_signatures(docs_with_tokens, bits, token_hash).repartition(
@@ -555,6 +608,72 @@ def simhash_pairs(
             F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash")))
             .cast("long")
             .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _simhash_pairs_wide(
+    docs_with_tokens: DataFrame,
+    bits: int,
+    max_hamming: int,
+    max_bucket: int,
+    band_bits: int,
+    par: int,
+) -> DataFrame:
+    """simhash_pairs for multi-word signatures (bits > 64): same
+    band-bucket equi-join + bounded in-bucket pair expansion, with the
+    band extracted from its word (bands never straddle words) and the
+    hamming verify a zip_with popcount fold over the word arrays."""
+    sig = simhash_signatures(docs_with_tokens, bits).repartition(par, "doc_id")
+    mask = (1 << band_bits) - 1
+    bands_per_word = 64 // band_bits
+    n_bands = bits // band_bits
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright(
+                    F.element_at("simhash_words", bi // bands_per_word + 1),
+                    (bi % bands_per_word) * band_bits,
+                )
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "simhash_words", F.explode(band_structs).alias("bs")
+    ).select(
+        "doc_id",
+        "simhash_words",
+        F.col("bs.band").alias("band"),
+        F.col("bs.bv").alias("bv"),
+    )
+    buckets = (
+        banded.groupBy("band", "bv")
+        .agg(F.collect_list(F.struct("doc_id", "simhash_words")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))),"
+                " p -> p.a.doc_id < p.b.doc_id)"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(
+            F.col("p.a.doc_id").alias("a_id"),
+            F.col("p.b.doc_id").alias("b_id"),
+            F.expr(
+                "aggregate(zip_with(p.a.simhash_words, p.b.simhash_words,"
+                " (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)),"
+                " CAST(0 AS BIGINT), (a, b) -> a + b)"
+            ).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -25,7 +25,10 @@ path (JPEG round-trips are PSNR-bounded — the format is lossy).
 Audio has two real codecs: RIFF/WAVE PCM and FLAC (`llm/flac.py`:
 Rice residuals, fixed + LPC predictors, all stereo decorrelations,
 CRC-8/16 + MD5 verification — exercised end-to-end by
-`multimodal_flac_stats` with a full hash-match oracle). Formats that
+`multimodal_flac_stats` with a full hash-match oracle). Video has a
+real AVI/MJPEG leg (`encode_avi_mjpeg`/`decode_avi_frames`: RIFF
+demux + per-frame T.81 decode, sampling decodes only sampled frames
+— `multimodal_video_frames` oracle). Formats that
 genuinely require third-party codecs (lossy-WebP VP8 / mp3 / ogg —
 patented/complex transforms with no stdlib support) stay
 clearly-marked stubs (NotImplementedError); the generic
@@ -1753,9 +1756,10 @@ def frame_sample(
     payload decodes to text and "frames" are fixed 64-char windows,
     every 2nd one sampled — so a SQL oracle can recompute every frame
     checksum and byte length, proving the Arrow 1:N round-trip exactly.
-    A real video pipeline swaps the window slicing for codec frame
-    extraction (`decode_image`/`resize_image` stubs); partitioning,
-    output schema, and batch mechanics stay identical."""
+    The REAL-codec version of this shape is `video_frame_stats` below
+    (AVI/MJPEG demux + per-frame T.81 decode); this one keeps a
+    text-derived oracle so the 1:N Arrow mechanics are pinned
+    independently of any codec."""
     import hashlib as _hashlib
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1800,3 +1804,212 @@ def q_multimodal_frame_sample(spark, sf_dir):
     bytes) fails the hash."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return frame_sample(to_binary_docs(docs))
+
+
+# ---------------------------------------------------------------------------
+# REAL video: AVI/MJPEG container over the zero-dep T.81 JPEG codec
+
+
+def encode_avi_mjpeg(
+    frames: "list", width: int, height: int, fps: int = 10, quality: int = 95
+) -> bytes:
+    """REAL video encode: a list of (h, w, 3) uint8 RGB frames -> a
+    valid RIFF/AVI container with an MJPEG video stream (each frame a
+    genuine baseline JPEG from `encode_jpeg`), including avih/strh/
+    strf headers and an idx1 index. Zero third-party deps; any
+    standard player/demuxer reads it."""
+    import struct
+
+    payloads = [encode_jpeg(f, width, height, quality=quality) for f in frames]
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    max_bytes = max((len(p) for p in payloads), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, max_bytes * fps, 0, 0x10,  # AVIF_HASINDEX
+        len(payloads), 0, 1, max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(payloads),
+        max_bytes, -1, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks, idx, off = [], [], 4  # offsets relative to 'movi' fourcc
+    for p in payloads:
+        movi_chunks.append(chunk(b"00dc", p))
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(p)))
+        off += 8 + len(p) + (len(p) & 1)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(b"idx1", b"".join(idx))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def decode_avi_frames(payload: bytes, every: int = 1) -> dict:
+    """REAL video decode + frame sampling: RIFF/AVI walk to the MJPEG
+    stream, then decode every `every`-th frame with the zero-dep T.81
+    decoder — skipped frames are never decoded (the container walk is
+    O(bytes), the expensive IDCT work only runs on sampled frames,
+    which is the point of frame sampling at 100 TB). Returns dims,
+    total frame count, and the decoded sampled frames."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    def walk(data: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body = data[pos + 8 : pos + 8 + size]
+            if len(body) != size:
+                raise ValueError("truncated AVI chunk")
+            yield fourcc, pos + 8, size
+            pos += 8 + size + (size & 1)
+
+    width = height = total = None
+    jpeg_spans: "list[tuple[int, int]]" = []
+    stack = [(12, len(payload))]
+    while stack:
+        start, end = stack.pop()
+        for fourcc, body_off, size in walk(payload, start, end):
+            if fourcc == b"LIST":
+                stack.append((body_off + 4, body_off + size))
+            elif fourcc == b"avih":
+                vals = struct.unpack_from("<14I", payload, body_off)
+                total, width, height = vals[4], vals[8], vals[9]
+            elif fourcc in (b"00dc", b"00db"):
+                jpeg_spans.append((body_off, size))
+    if width is None:
+        raise ValueError("AVI payload has no avih header")
+    if total is not None and total != len(jpeg_spans):
+        raise ValueError("AVI frame count disagrees with movi chunks")
+    frames = [
+        decode_jpeg_array(payload[off : off + size])["px"]
+        for off, size in jpeg_spans[::every]
+    ]
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(jpeg_spans),
+        "sampled_idx": list(range(0, len(jpeg_spans), every)),
+        "frames": frames,
+    }
+
+
+def decode_video(payload: bytes) -> dict:
+    """Video decode: RIFF/AVI MJPEG payloads are decoded for real
+    (container walk + per-frame T.81 JPEG); containers that genuinely
+    require third-party codecs (mp4/h264, webm/vp9) stay honestly
+    stubbed."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return decode_avi_frames(payload)
+    raise NotImplementedError(
+        "only AVI/MJPEG video decode available in this environment "
+        "(mp4/webm need third-party codecs)"
+    )
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("r", T.LongType()),
+        T.StructField("g", T.LongType()),
+        T.StructField("b", T.LongType()),
+    ]
+)
+
+
+def video_frame_stats(docs: DataFrame, every: int = 2) -> DataFrame:
+    """Synthesize a REAL MJPEG video per document (2 + doc_id % 3
+    flat-color 8x8 frames — the piecewise-flat trick from
+    `jpeg_roundtrip_stats` makes the lossy per-frame decode exactly
+    predictable), demux + decode every 2nd frame, and emit one row per
+    SAMPLED frame with its decoded color — the 1:N video-frame batch
+    shape with a REAL container and a REAL codec end-to-end. Skipped
+    frames are never IDCT'd."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in VIDEO_FRAME_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nf = 2 + did % 3
+                frames = []
+                for f in range(nf):
+                    col = np.array(
+                        [
+                            (did * 31 + f * 41) % 199 + 17,
+                            (did * 37 + f * 43) % 199 + 17,
+                            (did * 29 + f * 47) % 199 + 17,
+                        ],
+                        dtype=np.uint8,
+                    )
+                    frames.append(np.broadcast_to(col, (8, 8, 3)).copy())
+                payload = encode_avi_mjpeg(frames, 8, 8, quality=95)
+                d = decode_avi_frames(payload, every=every)
+                for idx, px in zip(d["sampled_idx"], d["frames"]):
+                    flat = px.reshape(-1, 3)
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(d["n_frames"])
+                    out["width"].append(d["width"])
+                    out["height"].append(d["height"])
+                    out["r"].append(int(flat[0, 0]))
+                    out["g"].append(int(flat[0, 1]))
+                    out["b"].append(int(flat[0, 2]))
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id").repartition(par).mapInPandas(op, VIDEO_FRAME_SCHEMA)
+    )
+
+
+@query(
+    "multimodal_video_frames",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents
+    )
+    SELECT doc_id,
+           CAST(u.f AS BIGINT) AS frame_idx,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST((doc_id * 31 + u.f * 41) % 199 + 17 AS BIGINT) AS r,
+           CAST((doc_id * 37 + u.f * 43) % 199 + 17 AS BIGINT) AS g,
+           CAST((doc_id * 29 + u.f * 47) % 199 + 17 AS BIGINT) AS b
+    FROM t, LATERAL (SELECT unnest(range(0, nf, 2)) AS f) u
+    """,
+)
+def q_multimodal_video_frames(spark, sf_dir):
+    """REAL video frame sampling over the documents table: MJPEG
+    encode (AVI container + per-frame T.81 JPEG) → demux → decode
+    every 2nd frame → one row per sampled frame. Flat 8x8 frames at
+    quality 95 decode bit-exactly (see jpeg_roundtrip_stats), so the
+    DuckDB oracle recomputes every sampled frame's color, index, and
+    count from the formula with no codec — a full hash-match over the
+    container framing, the index math, AND the per-frame JPEG
+    decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return video_frame_stats(docs)

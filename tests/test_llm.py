@@ -1211,6 +1211,47 @@ def test_flac_golden_mid_side_and_wasted_bits():
     assert d["samples"] == [4, -6]
 
 
+def test_avi_mjpeg_video_roundtrip_and_sampling():
+    """The video leg is real end-to-end: AVI/RIFF container with
+    avih/strh/strf headers and an idx1 index, MJPEG frames through the
+    zero-dep T.81 codec, frame sampling that decodes ONLY sampled
+    frames; flat frames at quality 95 round-trip bit-exactly."""
+    import numpy as np
+
+    frames = [
+        np.broadcast_to(
+            np.array([17 + f * 10, 30 + f * 5, 200 - f * 20], np.uint8), (8, 8, 3)
+        ).copy()
+        for f in range(5)
+    ]
+    p = multimodal.encode_avi_mjpeg(frames, 8, 8, quality=95)
+    assert p[:4] == b"RIFF" and p[8:12] == b"AVI "
+    d = multimodal.decode_avi_frames(p)
+    assert (d["width"], d["height"], d["n_frames"]) == (8, 8, 5)
+    for f, px in zip(frames, d["frames"]):
+        assert (px == f).all()
+    d2 = multimodal.decode_avi_frames(p, every=2)
+    assert d2["sampled_idx"] == [0, 2, 4]
+    assert (d2["frames"][1] == frames[2]).all()
+    # dispatcher: AVI real, mp4/webm honest stubs
+    assert multimodal.decode_video(p)["n_frames"] == 5
+    with pytest.raises(NotImplementedError, match="mp4"):
+        multimodal.decode_video(b"\x00\x00\x00\x18ftypmp42 not supported")
+    # corrupt payloads keep the ValueError contract
+    with pytest.raises(ValueError):
+        multimodal.decode_avi_frames(p[:100])
+    with pytest.raises(ValueError, match="AVI"):
+        multimodal.decode_avi_frames(b"RIFFxxxxWAVE")
+    # frame-count/chunk mismatch is detected via the avih header
+    import struct
+
+    bad = bytearray(p)
+    avih_off = p.index(b"avih") + 8
+    struct.pack_into("<I", bad, avih_off + 16, 7)  # claim 7 frames
+    with pytest.raises(ValueError, match="frame count"):
+        multimodal.decode_avi_frames(bytes(bad))
+
+
 def test_flac_corrupt_payloads_fail_cleanly():
     """Damage anywhere — magic, metadata, header CRC, frame CRC,
     sample bytes (MD5) — fails with the module's ValueError contract."""
@@ -1258,3 +1299,41 @@ def test_simhash_band_bits_preserves_pigeonhole_exactness(spark, corpus):
         ldedup.simhash_pairs(sh, bits=48, band_bits=13)
     with _pytest.raises(ValueError, match="pigeonhole"):
         ldedup.simhash_pairs(sh, bits=64, max_hamming=4, band_bits=16)
+
+
+def test_simhash_wide_signature_matches_bruteforce(spark, corpus):
+    """The 10M+-doc scale config (bits=128 / band_bits=32, array-of-
+    words signatures): with uncapped buckets the operator must find
+    EXACTLY the ham<=3 pairs a brute-force popcount over its own
+    signatures finds — banding, word extraction, and the zip_with
+    hamming fold all pinned at once."""
+    import itertools
+
+    import pytest as _pytest
+
+    sh = ldedup._shingle_sets(corpus)
+    sigs = {
+        r.doc_id: tuple(r.simhash_words)
+        for r in ldedup.simhash_signatures(sh, bits=128).collect()
+    }
+    assert all(len(w) == 2 for w in sigs.values())
+    expected = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        ham = sum(bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b]))
+        if ham <= 3:
+            expected.add((a, b, ham))
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in ldedup.simhash_pairs(
+            sh, bits=128, max_hamming=3, max_bucket=1 << 30, band_bits=32
+        ).collect()
+    }
+    assert got == expected
+    # the duplicated corpus plants exact dups (hamming 0): must be found
+    assert any(h == 0 for _, _, h in got)
+    with _pytest.raises(ValueError, match="64 % band_bits|multiple"):
+        ldedup.simhash_pairs(sh, bits=128, band_bits=24)
+    with _pytest.raises(ValueError, match="bits % 64"):
+        ldedup.simhash_signatures(sh, bits=96)
+    with _pytest.raises(ValueError, match="per-word"):
+        ldedup.simhash_signatures(sh, bits=128, token_hash=F.md5)
