@@ -94,6 +94,9 @@ NOTES = {
     "bpe_fertility_by_lang": "same map-only encode; one 5-key bounded agg with exact integer sums",
     "source_unigram_kl": "one corpus pass to (source,token) counts, materialized; marginals re-derived from the small table, KL = bounded-key agg",
     "multimodal_jpeg_stats": "real baseline-JPEG encode->decode in ONE ArrowEvalPython stage after a 1-column spreading exchange (codec is ~1.3 ms/doc of real Python; without it the 1-2 parquet splits serialize the whole corpus onto two cores — measured 7.0 s -> 0.8 s); piecewise-flat blocks make the lossy codec's output exactly oracle-predictable",
+    "multimodal_webp_stats": "real VP8L encode->decode in ONE ArrowEvalPython stage after the same 1-column spreading exchange; lossless, so every decoded-pixel stat is oracle-recomputable with no codec",
+    "multimodal_flac_stats": "real stereo multi-frame FLAC encode->decode in ONE ArrowEvalPython stage after the spreading exchange; Rice/fixed predictors + CRCs + MD5 all on the hot path, interleaved order pinned by the position-weighted checksum",
+    "multimodal_video_frames": "real AVI/MJPEG demux + per-frame T.81 decode, 1:N output (one row per SAMPLED frame); skipped frames never IDCT'd — codec cost scales with frames kept, not frames stored",
 }
 
 

@@ -206,21 +206,31 @@ def main() -> None:
         "   per-word token hashes) with band_bits=32: still 4 bands",
         "   (ham<=3 pigeonhole intact, brute-force-equality-tested),",
         "   but 2^32 buckets/band keeps occupancy ~1 through 10^9",
-        "   docs. The x1000 row below measures both configs.",
-        "5. **minhash's last decade is single-disk spill, not",
-        "   algorithm**: pairs/row is flat and the verify shuffle is",
-        "   linear in rows, but at 10M docs the shuffle (~60+ GB)",
-        "   exceeds RAM-backed buffers and serializes on ONE local",
-        "   disk (local[32] has one /tmp). A 512-executor cluster",
-        "   spreads the same bytes over hundreds of disks; the",
-        "   per-partition work is constant by design.",
+        "   docs. Measured: the quadratic in-bucket term vanishes and",
+        "   the wide config's r1000 drops into the same spill-bound",
+        "   band as minhash (see 5) despite paying 2x signature",
+        "   compute. Trade-off: ham<=3 over 128 bits is a ~2x stricter",
+        "   per-bit error threshold than over 64, so the weakest",
+        "   near-dups drop out (pairs/row 0.197 -> 0.165; the planted",
+        "   strong dups all survive).",
+        "5. **the last decade is single-disk spill, not algorithm**:",
+        "   for minhash AND wide simhash, pairs/row is flat and the",
+        "   shuffled bytes are linear in rows, but at 10M docs the",
+        "   shuffle (~60+ GB) exceeds RAM-backed buffers and",
+        "   serializes on ONE local disk (local[32] has one /tmp).",
+        "   A 512-executor cluster spreads the same bytes over",
+        "   hundreds of disks; the per-partition work is constant by",
+        "   design. (Operationally this run also needed explicit",
+        "   JVM-GC + settle between decades — Spark's ContextCleaner",
+        "   frees finished shuffle files only after a GC, and 3",
+        "   decades of accumulated spill otherwise exhaust the disk.)",
         "",
         "| operator | "
         + " | ".join(labels)
         + " | "
         + " | ".join(f"r{lb[1:]}" for lb in labels[1:])
         + f" | pairs/row {labels[0]} -> {labels[-1]} |",
-        "|---" * (2 * len(labels)) + "|",
+        "|---" * (2 * len(labels) + 1) + "|",
     ]
 
     def row(name, ts, tail):
@@ -255,6 +265,21 @@ def main() -> None:
                 f" (pairs/row {dens[label]:.3f})",
                 file=sys.stderr,
             )
+            # release finished shuffle files NOW: the x1000 verify
+            # shuffles tens of GB, and Spark's ContextCleaner only
+            # deletes them after a JVM GC notices the dropped RDD refs
+            # — without this the decades' spill accumulates on the one
+            # local disk and the x1000 stage runs it out (observed
+            # twice before this hygiene)
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            # let the cleaner's file deletion drain before the next
+            # timed run — deleting ~60 GB of spill competes with the
+            # small decades' I/O (observed: simhash x1 0.7s -> 13s when
+            # timed during the post-x1000 deletion churn)
+            time.sleep(15)
         lines.append(
             row(name, ts, f"{dens[labels[0]]:.3f} -> {dens[labels[-1]]:.3f}")
         )
