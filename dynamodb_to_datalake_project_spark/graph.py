@@ -95,6 +95,16 @@ def connected_components(
     # curation funnel, where several branches of one plan consume the
     # checkpoint and eager materialization feeds them known-size,
     # already-built blocks.
+    # Block lifetime: each round's checkpoint supersedes the previous
+    # one, but the DataFrame API exposes no handle to free the old
+    # generation's blocks deterministically — Spark's ContextCleaner
+    # reclaims them only after a driver GC notices the dropped RDD
+    # refs. Fine here (log² rounds, edge-set-sized blocks, loop exits
+    # quickly); a RESIDENT service running many large CC jobs should
+    # lower spark.cleaner.periodicGC.interval (default 30min) — the
+    # round-5 x1000 probe measured exactly this accumulation
+    # exhausting a local disk across consecutive large jobs
+    # (SCALING.md, pairing-probe finding 5).
     e = e.localCheckpoint(eager=False)
     sig = _signature(e)
     for _ in range(max_iter):
