@@ -70,6 +70,13 @@ CASES = [
     # round 4: overlap matrix stays lazy (no checkpoint barrier) at
     # bench scale — the size gate must not flip on fixture data
     ("source_overlap_matrix", [], ["ExistingRDD"]),
+    # round 5: every real-codec stage is ONE Arrow python stage behind
+    # the single core-spreading exchange — no sort, no join, and no
+    # second shuffle may ever creep in (codec cost must stay map-only)
+    ("multimodal_jpeg_stats", ["MapInPandas"], ["Sort", "Join"]),
+    ("multimodal_webp_stats", ["MapInPandas"], ["Sort", "Join"]),
+    ("multimodal_flac_stats", ["MapInPandas"], ["Sort", "Join"]),
+    ("multimodal_video_frames", ["MapInPandas"], ["Sort", "Join"]),
 ]
 
 
