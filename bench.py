@@ -105,6 +105,9 @@ HEADLINE = [
     "multimodal_webp_stats",
     "multimodal_flac_stats",
     "multimodal_video_frames",
+    "sample_weighted_aes",
+    "p1_variant_decode",
+    "sketch_hll_daily_users",
 ]
 
 

@@ -56,6 +56,10 @@ def query(name: str, oracle: str | None = None):
 # way — only iteration order changes.
 _PRIORITY: list[str] = [
     # --- new in round 5 (no driver row possible yet) ---
+    "sample_weighted_aes",
+    "p1_variant_decode",
+    "sketch_hll_daily_users",
+    "sketch_hll_exact_twin",
     "multimodal_jpeg_stats",
     "multimodal_webp_stats",
     "multimodal_flac_stats",

@@ -176,6 +176,54 @@ def decode_export_json(
     return parsed.select(*decode_item(F.col("_rec.Item"), target, ts_format))
 
 
+def decode_export_variant(
+    df: DataFrame,
+    target: T.StructType,
+    json_col: str = "value",
+    ts_format: str | None = None,
+) -> DataFrame:
+    """Variant-based decode of the same export wire format: `parse_json`
+    → binary VariantType → one `variant_get` path extraction per target
+    column. Semantically equivalent to `decode_export_json` for scalar
+    targets (asserted by the `p1_variant_decode` oracle, which compares
+    against the original relational rows).
+
+    Why a second path: `from_json` needs the full typed-JSON mirror
+    schema up front and pays to materialize EVERY declared attribute;
+    variant parses once into a binary encoding and each `variant_get`
+    is an O(log fields) path lookup, so wide items where a query reads
+    a few columns skip the cost of the rest — and with variant
+    shredding in the parquet writer the extracted paths become ordinary
+    pruned/pushed-down columns at rest. Both paths are map-only inside
+    whole-stage codegen. Scalar targets only (S/N/BOOL tags); nested
+    M/L/sets stay on the schema-driven `decode_export_json` path, which
+    remains the full-type-system decoder.
+    """
+    def col_for(f: T.StructField) -> Column:
+        path_s = f"$.Item.{f.name}.S"
+        if isinstance(f.dataType, _NUMERIC_TYPES):
+            return F.variant_get("_v", f"$.Item.{f.name}.N", f.dataType.simpleString())
+        if isinstance(f.dataType, T.BooleanType):
+            return F.variant_get("_v", f"$.Item.{f.name}.BOOL", "boolean")
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            s = F.variant_get("_v", path_s, "string")
+            if isinstance(f.dataType, T.DateType):
+                return F.to_date(s, ts_format) if ts_format else F.to_date(s)
+            out = F.to_timestamp(s, ts_format) if ts_format else F.to_timestamp(s)
+            return out.cast(f.dataType)
+        if isinstance(f.dataType, T.BinaryType):
+            return F.unbase64(F.variant_get("_v", f"$.Item.{f.name}.B", "string"))
+        if isinstance(f.dataType, T.StringType):
+            return F.variant_get("_v", path_s, "string")
+        raise TypeError(
+            f"variant decode path supports scalar targets only, got {f.dataType}; "
+            "use decode_export_json for nested types"
+        )
+
+    parsed = df.select(F.parse_json(F.col(json_col)).alias("_v"))
+    return parsed.select(*[col_for(f).alias(f.name) for f in target.fields])
+
+
 def read_export(spark, paths, target: T.StructType, ts_format: str | None = None, recursive: bool = False) -> DataFrame:
     """S1/S4: read DynamoDB export data files (`.json.gz` JSON-lines of
     `{"Item": {...}}`) straight into typed relational rows.

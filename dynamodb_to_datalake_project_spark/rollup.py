@@ -80,11 +80,14 @@ def vacuum_rollup(path: str, keep: int = 2) -> list[int]:
     return drop
 
 
-def make_rollup_batch_fn(rollup_path: str, keys: list[str], partials_fn):
-    """foreachBatch body: exactly-once additive refresh.
+def make_rollup_batch_fn(rollup_path: str, keys: list[str], partials_fn, merge_agg=None):
+    """foreachBatch body: exactly-once mergeable refresh.
 
     `partials_fn(batch_df) -> DataFrame` aggregates a micro-batch to
-    additive partials keyed by `keys` (counts, exact-decimal sums)."""
+    mergeable partials keyed by `keys` — additive columns (counts,
+    exact-decimal sums) by default, non-additive mergeable summaries
+    (e.g. HLL sketch columns) via `merge_agg` (see
+    `combine_rollup_partials`)."""
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         os.makedirs(rollup_path, exist_ok=True)
@@ -96,7 +99,7 @@ def make_rollup_batch_fn(rollup_path: str, keys: list[str], partials_fn):
             stored = batch_df.sparkSession.read.parquet(
                 os.path.join(rollup_path, f"v{meta['version']}")
             )
-            merged = combine_rollup_partials(stored, delta, keys)
+            merged = combine_rollup_partials(stored, delta, keys, merge_agg)
         else:
             merged = delta
         merged.write.mode("overwrite").parquet(
@@ -117,9 +120,10 @@ def start_rollup_maintenance(
     partials_fn,
     max_files_per_trigger: int = 100,
     processing_time: str = "0 seconds",
+    merge_agg=None,
 ):
     """Continuous-aggregate pipeline: CDC file stream → per-batch
-    partial aggregation → exactly-once additive merge into the
+    partial aggregation → exactly-once mergeable merge into the
     versioned rollup table. Restart-safe from `checkpoint_dir` (a
     replayed batch is fenced by its epoch)."""
     from dynamodb_to_datalake_project_spark.cdc import read_cdc_stream
@@ -127,7 +131,7 @@ def start_rollup_maintenance(
     stream = read_cdc_stream(spark, cdc_dir, schema, max_files_per_trigger)
     return (
         stream.writeStream.foreachBatch(
-            make_rollup_batch_fn(rollup_path, keys, partials_fn)
+            make_rollup_batch_fn(rollup_path, keys, partials_fn, merge_agg)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=processing_time)
@@ -144,3 +148,24 @@ def hourly_event_partials(batch: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
     )
+
+
+def hourly_user_sketch_partials(batch: DataFrame) -> DataFrame:
+    """Distinct-user partials: per (hour, event_type) count + a
+    DataSketches HLL sketch of user_id. COUNT(DISTINCT) is not
+    mergeable — a stored distinct count cannot absorb a new batch
+    without rescanning raw history — so the rollup stores the sketch
+    (binary, ≤ 2^lgK bytes/key) and each refresh unions the batch's
+    sketch in via `SKETCH_MERGE` (`F.hll_union_agg`). Any grain
+    coarsening (hour→day→month) likewise unions stored sketches, raw
+    rows never rescanned."""
+    return batch.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("users_hll"),
+    )
+
+
+#: merge_agg mapping for `hourly_user_sketch_partials` rollups
+SKETCH_MERGE = {"users_hll": F.hll_union_agg}

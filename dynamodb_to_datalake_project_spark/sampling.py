@@ -397,3 +397,69 @@ def q_cluster_balanced_sample(spark, sf_dir):
     return picked.select(
         "vec_id", "centroid_id", F.col("rnk").cast("long").alias("rnk")
     ).orderBy("centroid_id", "rnk")
+
+
+def weighted_sample_aes(
+    df: DataFrame, id_col: str, weight_col, k: int
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of k rows, where each
+    row's inclusion probability is proportional to its weight — the
+    Efraimidis-Spirakis A-ES scheme (Inf. Process. Lett. 97(5), 2006):
+    draw u_i ~ U(0,1], rank by u_i^(1/w_i), keep the top k. We rank by
+    the monotone-equivalent log-key ln(u_i)/w_i (descending) to avoid
+    pow() underflow at large weights.
+
+    Determinism: u_i is NOT rand() — it is derived from md5(id)
+    (60 bits → (h+1)/2^60 ∈ (0,1]), so any executor, any retry of a
+    failed stage, and the DuckDB oracle all draw the identical sample.
+    At 100 TB a task retry that re-rolled rand() would silently
+    corrupt the sample's distribution; a pure function of the row id
+    cannot.
+
+    Scale shape: the key is map-only (md5 + one ln per row, no
+    shuffle); `orderBy(...).limit(k)` compiles to
+    TakeOrderedAndProject — a per-partition k-heap plus a k-row
+    driver merge, never a global sort. Cost is one scan + O(k) per
+    partition regardless of corpus size.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    pr = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__pr", pr)
+        .orderBy(F.col("__pr").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__pr")
+    )
+
+
+@query(
+    "sample_weighted_aes",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS DOUBLE) + 1.0)
+                / 1152921504606846976.0)
+             / CAST(n_chars AS DOUBLE) AS pr
+      FROM documents
+      ORDER BY pr DESC, doc_id
+      LIMIT 200
+    )
+    """,
+)
+def q_sample_weighted_aes(spark, sf_dir):
+    """Length-weighted 200-document sample (A-ES): longer documents are
+    proportionally more likely to be drawn — the standard way to
+    sample a token-budget-representative subset rather than a
+    doc-count-representative one. Both engines derive the SAME
+    uniform from md5(doc_id) and rank by ln(u)/n_chars, so the
+    selected row set is identical (the float key itself is dropped
+    from the output; only ordering consumes it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_aes(docs, "doc_id", "n_chars", 200).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -256,23 +256,35 @@ def q_range_join_follow(spark, sf_dir):
 
 
 def combine_rollup_partials(
-    stored: DataFrame, delta: DataFrame, keys: list[str]
+    stored: DataFrame, delta: DataFrame, keys: list[str], merge_agg=None
 ) -> DataFrame:
     """Continuous-aggregate maintenance step: merge a micro-batch's
-    partial aggregates into the stored partials additively (counts add,
-    exact-decimal sums add). Cost ∝ |rollup keys|, NEVER ∝ raw history:
-    the raw event table is not rescanned. All partial columns (every
-    non-key column) must be additive.
+    partial aggregates into the stored partials. Cost ∝ |rollup keys|,
+    NEVER ∝ raw history: the raw event table is not rescanned.
+
+    Every non-key column must be MERGEABLE: additive columns (counts,
+    exact-decimal sums) merge via the default `F.sum`; non-additive
+    mergeable summaries supply their own combine aggregate through
+    `merge_agg` — a {column: fn(col_name) -> Column} mapping, e.g.
+    `{"users_hll": F.hll_union_agg}` for DataSketches HLL distinct
+    sketches (COUNT DISTINCT itself is NOT mergeable, which is exactly
+    why the sketch column is stored instead).
 
     Reference parity: the reference keeps no aggregates at all (every
     Athena query rescans, README.rst "Analytics query"); this is the
     Spark-native continuous-aggregate upgrade, same shape as
     `rollup_timeseries`'s re-aggregation but incremental."""
     partial_cols = [c for c in stored.columns if c not in keys]
+    merge_agg = merge_agg or {}
     return (
         stored.unionByName(delta)
         .groupBy(*keys)
-        .agg(*[F.sum(c).alias(c) for c in partial_cols])
+        .agg(
+            *[
+                (merge_agg[c](c) if c in merge_agg else F.sum(c)).alias(c)
+                for c in partial_cols
+            ]
+        )
     )
 
 

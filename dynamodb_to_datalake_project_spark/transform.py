@@ -146,3 +146,42 @@ def q_ddb_decode_roundtrip(spark, sf_dir):
     fmt = "yyyy-MM-dd HH:mm:ss"
     wire = ddbjson.encode_export_json(orders, ts_format=fmt)
     return ddbjson.decode_export_json(wire, target, ts_format=fmt)
+
+
+@query(
+    "p1_variant_decode",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def q_variant_decode_roundtrip(spark, sf_dir):
+    """P1 via Spark 4 VariantType: the same encode→wire→decode
+    round-trip as `p1_ddb_decode_roundtrip`, but the decode side is
+    `parse_json` → binary variant → per-column `variant_get` path
+    extraction instead of a `from_json` mirror schema
+    (`ddbjson.decode_export_variant`). Same oracle — the original
+    relational rows — so the two decode paths are independently proven
+    equivalent. This is the schema-light scan path: wide items where a
+    query touches few attributes pay per-path lookup cost instead of
+    full-schema materialization, and variant shredding at rest turns
+    the hot paths back into pruned parquet columns."""
+    from pyspark.sql import types as T
+
+    from dynamodb_to_datalake_project_spark import ddbjson
+
+    target = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    wire = ddbjson.encode_export_json(orders, ts_format=fmt)
+    return ddbjson.decode_export_variant(wire, target, ts_format=fmt)

@@ -712,3 +712,122 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         "engage": (30, sum(range(30))),
         "convert": (10, sum(range(100, 110))),
     }
+
+
+def test_streaming_sketch_rollup_distinct_users(spark, tmp_path):
+    """Incrementally-maintained DISTINCT counts: the rollup stores HLL
+    sketch partials per (hour, event_type) and each micro-batch UNIONS
+    its sketch in — plain COUNT(DISTINCT) cannot be maintained this way
+    (distinct is not additive). After three drops + a fenced restart +
+    a fourth drop, per-key estimates must equal exact batch
+    COUNT(DISTINCT) over all drops (HLL list-mode is exact at this
+    cardinality), and unioning the stored sketches up to hour grain
+    must equal exact hour-level distincts — no raw-history rescan in
+    either case."""
+    from dynamodb_to_datalake_project_spark import rollup as R
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+
+    def rows(start_id, hour, n, etype, user0):
+        return [
+            {
+                "event_id": start_id + i,
+                "ts": f"2024-01-01T{hour:02d}:{i % 60:02d}:00",
+                "event_type": etype,
+                # overlapping user ranges across drops: the union must
+                # dedup users seen in earlier batches of the same key
+                "user_id": user0 + (i % 25),
+            }
+            for i in range(n)
+        ]
+
+    cdc_dir = tmp_path / "ev_cdc"
+    rpath = tmp_path / "sk_rollup"
+    ckpt = tmp_path / "sk_ckpt"
+    drops = [
+        rows(0, 1, 30, "click", 100),
+        rows(100, 1, 40, "click", 110),  # users 110-134 overlap 100-124
+        rows(200, 2, 25, "view", 500),
+    ]
+    import os as _os
+
+    for i, recs in enumerate(drops):
+        _write_drop(cdc_dir, f"d{i}.json", recs)
+        _os.utime(cdc_dir / f"d{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run():
+        q = R.start_rollup_maintenance(
+            spark,
+            str(cdc_dir),
+            schema,
+            str(rpath),
+            str(ckpt),
+            keys=["hour", "event_type"],
+            partials_fn=R.hourly_user_sketch_partials,
+            max_files_per_trigger=1,
+            merge_agg=R.SKETCH_MERGE,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    # restart (epoch fence: replay must not union the same sketch twice,
+    # which WOULD be harmless for HLL but MUST still be fenced for the
+    # additive n_events beside it) + one more drop
+    extra = rows(300, 2, 15, "view", 510)
+    _write_drop(cdc_dir, "d3.json", extra)
+    run()
+
+    all_rows = [r for d in drops for r in d] + extra
+    exact = spark.createDataFrame(
+        [(r["event_id"], r["ts"].replace("T", " "), r["event_type"], r["user_id"]) for r in all_rows],
+        ["event_id", "ts_s", "event_type", "user_id"],
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "user_id")
+
+    expect = {
+        (r["hour"], r["event_type"]): (r["n"], r["u"])
+        for r in exact.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.count_distinct("user_id").alias("u"))
+        .collect()
+    }
+    stored = R.read_rollup(spark, str(rpath))
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["est_users"])
+        for r in stored.select(
+            "hour",
+            "event_type",
+            "n_events",
+            F.round(F.hll_sketch_estimate("users_hll")).cast("long").alias("est_users"),
+        ).collect()
+    }
+    assert got == expect
+
+    # grain coarsening from STORED sketches only: hour-level distincts
+    expect_h = {
+        (r["hour"],): r["u"]
+        for r in exact.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count_distinct("user_id").alias("u"))
+        .collect()
+    }
+    got_h = {
+        (r["hour"],): r["est"]
+        for r in stored.groupBy("hour")
+        .agg(
+            F.round(F.hll_sketch_estimate(F.hll_union_agg("users_hll")))
+            .cast("long")
+            .alias("est")
+        )
+        .collect()
+    }
+    assert got_h == expect_h

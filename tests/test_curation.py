@@ -267,3 +267,46 @@ def test_epoch_shuffle_permutation_invariants(spark):
     # new seed -> new permutation (shard assignment or order changes)
     c = epoch_shuffle(docs, "doc_id", "ep2", n_shards=8).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_weighted_sample_aes_matches_pure_python_replay(spark):
+    """weighted_sample_aes selects exactly the rows a pure-Python
+    replay of the A-ES math (md5-derived uniform, ln(u)/w key)
+    selects — the operator is a deterministic function of (id, w),
+    not of partitioning, retries, or engine."""
+    import hashlib
+    import math
+
+    from dynamodb_to_datalake_project_spark.sampling import weighted_sample_aes
+
+    rows = [(i, (i * 37) % 97 + 3) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return math.log((float(h) + 1.0) / float(1 << 60)) / float(w)
+
+    expect = sorted(rows, key=lambda r: (-key(*r), r[0]))[:50]
+    got = weighted_sample_aes(df, "doc_id", "w", 50).collect()
+    assert sorted((r.doc_id, r.w) for r in got) == sorted(expect)
+    # repartitioned input -> identical sample (retry/layout immunity)
+    got2 = weighted_sample_aes(df.repartition(7), "doc_id", "w", 50).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_weighted_sample_aes_weight_bias(spark):
+    """Rows with 100x the weight must dominate the sample: the whole
+    point of A-ES over uniform sampling. With half the ids at w=1 and
+    half at w=100, a 100-row sample from 2000 should be overwhelmingly
+    heavy rows (P[light row beats heavy row] ~ 1/101 per pair)."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_to_datalake_project_spark.sampling import weighted_sample_aes
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(100)).otherwise(F.lit(1)).alias("w"),
+    )
+    got = weighted_sample_aes(df, "doc_id", "w", 100).collect()
+    heavy = sum(1 for r in got if r.w == 100)
+    assert heavy >= 90

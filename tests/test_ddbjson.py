@@ -229,3 +229,47 @@ def test_map_type_roundtrip(spark):
     src = spark.createDataFrame([(1, {"a": 10, "b": 20})], schema)
     back = ddbjson.decode_export_json(ddbjson.encode_export_json(src), schema)
     assert back.first().m == {"a": 10, "b": 20}
+
+
+def test_variant_decode_agrees_with_from_json_path(spark):
+    """decode_export_variant (parse_json -> variant_get paths) must land
+    on exactly the rows decode_export_json (from_json mirror schema)
+    produces, including NULL/absent attributes, for scalar targets."""
+    import datetime
+
+    schema = T.StructType([
+        T.StructField("pk", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("b", T.BooleanType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = spark.createDataFrame(
+        [
+            (1, "alpha", 1.5, True, datetime.datetime(2024, 1, 2, 3, 4, 5)),
+            (2, None, None, False, None),
+            (3, "gamma", -0.25, None, datetime.datetime(2024, 6, 7, 8, 9, 10)),
+        ],
+        schema,
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    wire = ddbjson.encode_export_json(src, ts_format=fmt)
+    via_struct = ddbjson.decode_export_json(wire, schema, ts_format=fmt)
+    via_variant = ddbjson.decode_export_variant(wire, schema, ts_format=fmt)
+    assert via_variant.schema == via_struct.schema
+    assert sorted(map(tuple, via_variant.collect())) == sorted(
+        map(tuple, via_struct.collect())
+    )
+
+
+def test_variant_decode_rejects_nested_targets(spark):
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("m", T.StructType([T.StructField("x", T.LongType())])),
+    ])
+    src = spark.createDataFrame([(1, (7,))], schema)
+    wire = ddbjson.encode_export_json(src)
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="scalar targets only"):
+        ddbjson.decode_export_variant(wire, schema)

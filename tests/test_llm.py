@@ -1337,3 +1337,40 @@ def test_simhash_wide_signature_matches_bruteforce(spark, corpus):
         ldedup.simhash_signatures(sh, bits=96)
     with _pytest.raises(ValueError, match="per-word"):
         ldedup.simhash_signatures(sh, bits=128, token_hash=F.md5)
+
+
+def test_hll_sketch_matches_exact_at_fixture_scale(spark):
+    """At fixture cardinality (<=150 distinct users/day) DataSketches
+    HLL is still in exact list mode, so the sketch rollup must equal
+    the exact COUNT(DISTINCT) twin row-for-row."""
+    from dynamodb_to_datalake_project_spark.catalog import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    sk = {tuple(r) for r in QUERIES["sketch_hll_daily_users"](spark, sf).collect()}
+    ex = {tuple(r) for r in QUERIES["sketch_hll_exact_twin"](spark, sf).collect()}
+    assert sk == ex
+
+
+def test_hll_sketch_union_accuracy_at_scale(spark):
+    """At 100k distinct (far past list mode) the estimate must stay
+    within 5% relative error (3 sigma of
+    HLL lgK=12's ~1.6% RSE), and unioning 32 per-partition sketches
+    must agree with sketching the whole input directly — the property
+    that makes stored sketches reaggregatable."""
+    from pyspark.sql import functions as F
+
+    n = 100_000
+    df = spark.range(n)
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("id", F.lit(12)))
+    ).collect()[0][0]
+    merged = (
+        df.withColumn("p", F.col("id") % 32)
+        .groupBy("p")
+        .agg(F.hll_sketch_agg("id", F.lit(12)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")))
+        .collect()[0][0]
+    )
+    assert abs(direct - n) / n < 0.05
+    assert abs(merged - n) / n < 0.05

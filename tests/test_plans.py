@@ -77,6 +77,15 @@ CASES = [
     ("multimodal_webp_stats", ["MapInPandas"], ["Sort", "Join"]),
     ("multimodal_flac_stats", ["MapInPandas"], ["Sort", "Join"]),
     ("multimodal_video_frames", ["MapInPandas"], ["Sort", "Join"]),
+    # round 5: A-ES weighted sample is scan -> project -> heap top-k;
+    # the sample must NEVER cost a shuffle or a global sort
+    ("sample_weighted_aes", ["TakeOrderedAndProject"], ["Exchange", "Join"]),
+    # round 5: variant decode is two fused map-only projects under one
+    # codegen stage — parse_json + per-path variant_get, no shuffle
+    ("p1_variant_decode", ["variant_get"], ["Exchange", "Join"]),
+    # round 5: HLL rollup must keep its map-side partial sketch agg
+    # (ObjectHashAggregate below the first Exchange) and never join
+    ("sketch_hll_daily_users", ["ObjectHashAggregate"], ["Join"]),
 ]
 
 

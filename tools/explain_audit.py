@@ -97,6 +97,9 @@ NOTES = {
     "multimodal_webp_stats": "real VP8L encode->decode in ONE ArrowEvalPython stage after the same 1-column spreading exchange; lossless, so every decoded-pixel stat is oracle-recomputable with no codec",
     "multimodal_flac_stats": "real stereo multi-frame FLAC encode->decode in ONE ArrowEvalPython stage after the spreading exchange; Rice/fixed predictors + CRCs + MD5 all on the hot path, interleaved order pinned by the position-weighted checksum",
     "multimodal_video_frames": "real AVI/MJPEG demux + per-frame T.81 decode, 1:N output (one row per SAMPLED frame); skipped frames never IDCT'd — codec cost scales with frames kept, not frames stored",
+    "sample_weighted_aes": "A-ES weighted sample: map-only md5->ln(u)/w key, heap top-k (TakeOrderedAndProject) — zero exchanges, O(k) per partition at any corpus size",
+    "p1_variant_decode": "Spark 4 VariantType decode of the DynamoDB wire format: parse_json once -> per-column variant_get path lookups, two fused map-only projects under one codegen stage — zero exchanges",
+    "sketch_hll_daily_users": "DataSketches HLL rollup: map-side partial sketch agg below the first exchange, day-level hll_union_agg — distinct-over-time from mergeable aggregates, never re-scanning raw rows at the coarser grain",
 }
 
 
