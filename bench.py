@@ -108,6 +108,9 @@ HEADLINE = [
     "sample_weighted_aes",
     "p1_variant_decode",
     "sketch_hll_daily_users",
+    "graph_pagerank",
+    "cluster_kmeans_train",
+    "dedup_semantic_trained",
 ]
 
 

@@ -56,6 +56,9 @@ def query(name: str, oracle: str | None = None):
 # way — only iteration order changes.
 _PRIORITY: list[str] = [
     # --- new in round 5 (no driver row possible yet) ---
+    "cluster_kmeans_train",
+    "dedup_semantic_trained",
+    "graph_pagerank",
     "sample_weighted_aes",
     "p1_variant_decode",
     "sketch_hll_daily_users",
@@ -244,6 +247,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.sketch  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.bpe  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.lm  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.cluster  # noqa: F401
 
     lead = [n for n in _PRIORITY if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(lead)]

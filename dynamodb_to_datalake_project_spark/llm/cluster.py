@@ -1,0 +1,322 @@
+"""Distributed k-means training (Lloyd's algorithm), Spark-first.
+
+The repo has both bookends of clustering at scale — deterministic
+nearest-centroid ASSIGNMENT (`llm/similarity.assign_centroids`, the
+IVF cell router) and cluster CONSUMERS (SemDeDup cells, IVF lists,
+cluster-balanced sampling) — but the centroids themselves were always
+deterministic seed vectors. This module supplies the missing TRAINING
+step: a fixed-iteration Lloyd's loop whose per-iteration cost is
+
+- one corpus scan (assignment against a LITERAL centroid array —
+  constant-folded into codegen, zero exchanges, the corpus never
+  shuffles to be assigned);
+- one k*d-bounded partial aggregation (posexplode → per-(cid, pos)
+  exact sums; map-side combine reduces the shuffle to k*d rows per
+  task, the classic word-count shape);
+- one k*d-row driver collect (the "literal codebook" discipline used
+  by the PQ/PCA operators: the MODEL is bounded, the corpus is not).
+
+Reference parity: the reference has no clustering operator
+(`SURVEY.md §2` relational surface); this belongs to the LLM-pipeline
+north-star set — SemDeDup / IVF / cluster-balanced sampling all need
+*trained* cells at 100 TB, and k-means over embeddings is how the
+published pipelines (SemDeDup, Abbas et al. 2023; DiverseEvol-style
+pruning) obtain them.
+
+Determinism contract (full-hash oracle, NO rounding anywhere):
+- seeds: the k vectors with the smallest (md5(id), id) — retry-stable
+  and engine-replayable, no RNG;
+- distances: sequential index-order folds, same fp operation order in
+  Spark (`F.aggregate`) and DuckDB (`list_sum` over an index range);
+- new centroids: coordinates are cast to DECIMAL(20,9) per row
+  (deterministic — binary doubles have no exact decimal ties) and
+  summed EXACTLY, so the sum is independent of accumulation order;
+  mean = CAST(sum AS DOUBLE) / count is one correctly-rounded
+  conversion plus one double division. Every centroid coordinate is
+  therefore bit-identical between Spark and DuckDB at every
+  iteration, and iterations cannot drift apart.
+
+Fixed iteration count, not a convergence test: at 100 TB each
+iteration is a full corpus scan, so production runs budget an exact
+number of scans; determinism of the job shape also keeps retries and
+oracles exact. Clusters that lose every member simply drop out of the
+next iteration (mirrored by the oracle, which rebuilds centroids only
+for clusters that received rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark.catalog import query
+from dynamodb_to_datalake_project_spark.lake import load_table
+from dynamodb_to_datalake_project_spark.llm.similarity import as_double_vec
+
+__all__ = ["kmeans_train"]
+
+
+def _literal_centroids(cents: list[tuple[int, list[float]]]) -> F.Column:
+    """cid-ascending array<struct<cid, cv>> of literal centroid
+    vectors — constant-folded by Catalyst, broadcast-free (it ships
+    inside the serialized plan, like the PQ codebooks)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in sorted(cents)
+        ]
+    )
+
+
+def _nearest_cid(cs: F.Column, v: F.Column) -> F.Column:
+    """argmin-distance fold over a literal centroid array (strict `<`
+    keeps the FIRST = lowest cid on exact ties). Same shape as
+    `similarity.assign_centroids`: distances are materialized via
+    transform() BEFORE the argmin fold because Catalyst does not CSE
+    inside higher-order-function lambdas — referencing the distance
+    twice in the fold would double the dominant cost."""
+    d2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = F.transform(
+        cs, lambda c: F.struct(d2(c["cv"]).alias("d2"), c["cid"].alias("cid"))
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(float("inf")).alias("d2"), F.lit(-1).cast("long").alias("cid")
+        ),
+        lambda acc, dc: F.when(dc["d2"] < acc["d2"], dc).otherwise(acc),
+    )
+    return best["cid"]
+
+
+def _seed_centroids(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
+    """k seed vectors by smallest (md5(id), id): TakeOrderedAndProject
+    (O(k) heap per partition, k-row driver merge — the A-ES sampler's
+    plan shape), deterministic under retry and replayable in ANSI SQL."""
+    rows = (
+        emb.select("id", "v", F.md5(F.col("id").cast("string")).alias("h"))
+        .orderBy("h", "id")
+        .limit(k)
+        .collect()
+    )
+    return [(cid, [float(x) for x in r["v"]]) for cid, r in enumerate(rows)]
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, list[float]]], dict[int, int]]:
+    """Train k-means centroids with `n_iters` Lloyd iterations.
+
+    Returns (centroids, sizes): the post-update centroid list
+    [(cid, [coord, ...]), ...] and the member count of each cluster
+    under the final assignment. Feed the centroids to
+    `similarity.assign_centroids` (as a DataFrame) for full-corpus
+    routing, IVF list construction, or SemDeDup cells.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+    cents = _seed_centroids(emb, k)
+    sizes: dict[int, int] = {}
+    for _ in range(n_iters):
+        assigned = emb.select(
+            _nearest_cid(_literal_centroids(cents), F.col("v")).alias("cid"), "v"
+        )
+        stats = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(20,9)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        sizes = {}
+        for r in stats:
+            # float(Decimal) is the correctly-rounded double of the
+            # exact sum == CAST(sum AS DOUBLE); one division follows.
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = float(r["s"]) / r["n"]
+            sizes[r["cid"]] = r["n"]
+        cents = [
+            (cid, [coords[p] for p in sorted(coords)])
+            for cid, coords in sorted(by_cid.items())
+        ]
+    return cents, sizes
+
+
+def _kmeans_ctes(k: int, n_iters: int) -> str:
+    """Shared unrolled-iteration CTE prefix (through `cent{n_iters}` /
+    `st{n_iters}`): per iteration one assignment CTE (row_number
+    argmin over the point × centroid cross product — feasible at
+    oracle scale, which is exactly why the Spark side folds over a
+    literal array instead) and one per-(cid, pos) exact-decimal mean
+    CTE."""
+    sql = f"""
+    WITH e AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dims AS (
+      SELECT UNNEST(range(1, (SELECT MAX(len(v)) FROM e) + 1)) AS pos
+    ), seeds AS (
+      SELECT id, v, rn - 1 AS cid FROM (
+        SELECT id, v,
+               row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+        FROM e
+      ) WHERE rn <= {k}
+    ), cent0 AS (SELECT cid, v AS cv FROM seeds)"""
+    for i in range(1, n_iters + 1):
+        sql += f""",
+    a{i} AS (
+      SELECT id, v, cid FROM (
+        SELECT e.id, e.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.id
+                 ORDER BY list_sum(list_transform(range(1, len(e.v) + 1),
+                           j -> (e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]))), c.cid
+               ) AS rn
+        FROM e, cent{i - 1} c
+      ) WHERE rn = 1
+    ), st{i} AS (
+      SELECT cid, dims.pos,
+             CAST(SUM(CAST(v[dims.pos] AS DECIMAL(20,9))) AS DOUBLE)
+               / COUNT(*) AS m,
+             COUNT(*) AS n
+      FROM a{i}, dims
+      GROUP BY cid, dims.pos
+    ), cent{i} AS (
+      SELECT cid, list(m ORDER BY pos) AS cv FROM st{i} GROUP BY cid
+    )"""
+    return sql
+
+
+def _kmeans_oracle(k: int = 8, n_iters: int = 3) -> str:
+    """ANSI replay of `q_cluster_kmeans_train`: the full training CTE
+    chain, emitting one row per trained coordinate."""
+    return _kmeans_ctes(k, n_iters) + f"""
+    SELECT cid, CAST(pos - 1 AS INT) AS pos, m AS centroid_val,
+           CAST(n AS BIGINT) AS n_members
+    FROM st{n_iters} ORDER BY cid, pos"""
+
+
+def _semantic_trained_oracle(k: int = 8, n_iters: int = 2) -> str:
+    """ANSI replay of `q_dedup_semantic_trained`: the k-means CTE
+    chain, then assignment against the TRAINED `cent{n_iters}` and the
+    same within-cell cosine dedup as `dedup_semantic_cells`."""
+    return _kmeans_ctes(k, n_iters) + f""",
+    af AS (
+      SELECT id AS vec_id, cid AS cell FROM (
+        SELECT e.id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.id
+                 ORDER BY list_sum(list_transform(range(1, len(e.v) + 1),
+                           j -> (e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]))), c.cid
+               ) AS rn
+        FROM e, cent{n_iters} c
+      ) WHERE rn = 1
+    ), nv AS (
+      SELECT af.vec_id, af.cell, e.v,
+             sqrt(list_dot_product(e.v, e.v)) AS nrm
+      FROM af JOIN e ON e.id = af.vec_id
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM nv a JOIN nv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    )
+    SELECT CAST(nv.cell AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) FILTER (WHERE dropped.vec_id IS NOT NULL) AS BIGINT)
+             AS n_dropped,
+           CAST(count(*) FILTER (WHERE dropped.vec_id IS NULL) AS BIGINT)
+             AS n_kept
+    FROM nv LEFT JOIN dropped ON nv.vec_id = dropped.vec_id
+    GROUP BY nv.cell ORDER BY nv.cell"""
+
+
+@query("cluster_kmeans_train", oracle=_kmeans_oracle())
+def q_cluster_kmeans_train(spark, sf_dir):
+    """k-means training on the embeddings table: k=8 md5-seeded
+    centroids, 3 Lloyd iterations, emitted as one scalar row per
+    (cluster, dimension) — (cid, pos, centroid_val, n_members) — so
+    every trained coordinate is value-hash-checked against the
+    oracle's full iteration replay. Raw doubles, no rounding: the
+    exact-decimal coordinate sums make both engines bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, sizes = kmeans_train(emb, k=8, n_iters=3)
+    rows = [
+        (cid, pos, val, sizes[cid])
+        for cid, vec in cents
+        for pos, val in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows, "cid long, pos int, centroid_val double, n_members long"
+    ).orderBy("cid", "pos")
+
+
+@query("dedup_semantic_trained", oracle=_semantic_trained_oracle())
+def q_dedup_semantic_trained(spark, sf_dir):
+    """SemDeDup with TRAINED cells — the composition the paper
+    actually runs (Abbas et al. 2023 cluster with k-means, not fixed
+    seeds): 2 Lloyd iterations train k=8 centroids, the corpus routes
+    to its nearest trained cell, and pairwise cosine dedup runs only
+    within cells (threshold 0.4, larger vec_id dropped — identical
+    policy to `dedup_semantic_cells`, which keeps the seed-cell
+    variant as the fixed-routing baseline). Trained cells matter at
+    100 TB because Lloyd balancing shrinks the worst cell: the
+    within-cell O(|cell|²) term is the whole cost model, and a single
+    oversized seed cell forfeits the K-fold reduction. The oracle
+    replays training AND dedup end-to-end — trained coordinates are
+    bit-identical across engines, so the downstream cell routing and
+    cosine comparisons match exactly."""
+    from dynamodb_to_datalake_project_spark.llm.similarity import (
+        as_double_vec,
+        assign_centroids,
+        dot,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_train(emb, k=8, n_iters=2)
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cid long, cv array<double>"
+    )
+    assigned = assign_centroids(emb, cdf).select(
+        "vec_id", F.col("centroid_id").alias("cell")
+    )
+    e = emb.select("vec_id", as_double_vec("embedding").alias("v"))
+    n = e.join(assigned, "vec_id").withColumn("nrm", norm(F.col("v")))
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.4)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        n.join(dropped, "vec_id", "left")
+        .groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.count("__dropped").cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("__dropped").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cell")
+    )

@@ -1,0 +1,97 @@
+"""k-means training (llm/cluster.py): recovery of separated clusters,
+monotone inertia, determinism under re-run, and the map-only shape of
+the assignment stage."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark.llm.cluster import (
+    _literal_centroids,
+    _nearest_cid,
+    kmeans_train,
+)
+from dynamodb_to_datalake_project_spark.llm.similarity import (
+    as_double_vec,
+    assign_centroids,
+)
+
+
+def _blobs(spark, centers, n_per, spread=0.05):
+    """Deterministic 'blobs': points on a small fixed lattice around
+    each center (no RNG — the tests must be retry-stable)."""
+    rows = []
+    vid = 0
+    for c in centers:
+        for i in range(n_per):
+            # distinct offset per point so no two vectors are ever
+            # equal (duplicate seeds would merge clusters by design)
+            off = spread * (i - n_per / 2.0) / n_per
+            rows.append((vid, [c[0] + off, c[1] - off]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    emb = _blobs(spark, [(0.0, 0.0), (10.0, 10.0)], n_per=20)
+    cents, sizes = kmeans_train(emb, k=2, n_iters=3)
+    assert sorted(sizes.values()) == [20, 20]
+    got = sorted(tuple(v) for _, v in cents)
+    # each trained centroid sits on its blob's exact mean (the lattice
+    # offsets average to -spread/20 per coordinate pair construction)
+    for (gx, gy), (cx, cy) in zip(got, [(0.0, 0.0), (10.0, 10.0)]):
+        assert abs(gx - cx) < 0.3 and abs(gy - cy) < 0.3
+
+
+def test_kmeans_inertia_nonincreasing(spark):
+    emb = _blobs(spark, [(0.0, 0.0), (4.0, 1.0), (1.0, 5.0)], n_per=15)
+
+    def inertia(cents):
+        cdf = spark.createDataFrame(
+            [(cid, v) for cid, v in cents], "cid long, cv array<double>"
+        )
+        return (
+            assign_centroids(emb, cdf)
+            .agg(F.sum("d2").alias("i"))
+            .collect()[0]["i"]
+        )
+
+    vals = [
+        inertia(kmeans_train(emb, k=3, n_iters=t)[0]) for t in (1, 2, 3)
+    ]
+    assert vals[0] >= vals[1] - 1e-9 and vals[1] >= vals[2] - 1e-9
+
+
+def test_kmeans_deterministic_rerun(spark):
+    emb = _blobs(spark, [(0.0, 0.0), (3.0, 3.0)], n_per=12, spread=0.5)
+    a = kmeans_train(emb, k=2, n_iters=2)
+    b = kmeans_train(emb, k=2, n_iters=2)
+    assert a == b  # bit-identical, not approximately equal
+
+
+def test_kmeans_assignment_stage_is_map_only(spark):
+    """The 100 TB property: assigning the corpus against literal
+    centroids must not shuffle the corpus — the only exchange in the
+    stats plan is the k*d-bounded partial-agg exchange."""
+    emb = _blobs(spark, [(0.0, 0.0), (2.0, 2.0)], n_per=10)
+    cents = [(0, [0.0, 0.0]), (1, [2.0, 2.0])]
+    assigned = emb.select(
+        _nearest_cid(_literal_centroids(cents), as_double_vec(F.col("embedding"))).alias("cid"),
+        F.col("embedding").alias("v"),
+    )
+    stats = (
+        assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.sum(F.col("val").cast("decimal(20,9)")).alias("s"))
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        stats.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("+- Exchange") == 1, plan  # one exchange in the tree
+    assert "Join" not in plan, plan
+    # map-side combine present below the single exchange
+    assert "partial_sum" in plan, plan

@@ -36,3 +36,58 @@ def test_dedup_clusters_singletons(spark):
         0: (0, 1), 2: (2, 1), 4: (4, 1),
         1: (1, 3), 3: (1, 3), 5: (1, 3),
     }
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def _py_pagerank(edges, n_iter=5, damping=0.85):
+    """Pure-Python replay of graph.pagerank's exact semantics (same
+    fixed iterations, same base/damping arithmetic) — the reference
+    implementation the distributed path must reproduce."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    base = 0.15 / n if damping == 0.85 else (1.0 - damping) / n
+    for _ in range(n_iter):
+        sums = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            sums[d] += pr[s] / deg[s]
+        pr = {v: base + damping * sums[v] for v in nodes}
+    return pr
+
+
+def test_pagerank_matches_python_replay(spark):
+    from dynamodb_to_datalake_project_spark.graph import pagerank
+
+    # symmetric barbell: two triangles bridged by one edge
+    und = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(df, n_iter=5).collect()}
+    want = _py_pagerank(edges, n_iter=5)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    # rank mass conserved (no dangling nodes on a symmetric graph)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the bridge endpoints (degree 3) outrank the pure-triangle nodes
+    assert got[2] > got[0] and got[3] > got[5]
+
+
+def test_pagerank_star_hub_dominates(spark):
+    from dynamodb_to_datalake_project_spark.graph import pagerank
+
+    spokes = list(range(1, 9))
+    edges = [(0, s) for s in spokes] + [(s, 0) for s in spokes]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(df, n_iter=4).collect()}
+    assert got[0] > max(got[s] for s in spokes) * 3
+    spoke_vals = {got[s] for s in spokes}
+    assert len(spoke_vals) == 1  # symmetry: all spokes identical

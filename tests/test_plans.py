@@ -86,6 +86,15 @@ CASES = [
     # round 5: HLL rollup must keep its map-side partial sketch agg
     # (ObjectHashAggregate below the first Exchange) and never join
     ("sketch_hll_daily_users", ["ObjectHashAggregate"], ["Join"]),
+    # round 5: pagerank's final-iteration plan — equi-joins only (no
+    # nested-loop fallback), degree-annotated edges reused from the
+    # eager checkpoint (ExistingRDD scan), rank table is the only
+    # moving side
+    (
+        "graph_pagerank",
+        ["ExistingRDD"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 ]
 
 
