@@ -320,6 +320,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = deg.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty edge list (no nodes)")
     base = 0.15 / n_nodes if damping == 0.85 else (1.0 - damping) / n_nodes
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("pr"))
     for it in range(n_iter):

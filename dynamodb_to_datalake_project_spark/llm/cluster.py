@@ -124,10 +124,14 @@ def kmeans_train(
     `similarity.assign_centroids` (as a DataFrame) for full-corpus
     routing, IVF list construction, or SemDeDup cells.
     """
+    if k < 1 or n_iters < 1:
+        raise ValueError(f"kmeans_train: need k >= 1 and n_iters >= 1, got {k=} {n_iters=}")
     emb = embeddings.select(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
     )
     cents = _seed_centroids(emb, k)
+    if not cents:
+        raise ValueError("kmeans_train: empty embeddings input")
     sizes: dict[int, int] = {}
     for _ in range(n_iters):
         assigned = emb.select(

@@ -95,3 +95,16 @@ def test_kmeans_assignment_stage_is_map_only(spark):
     assert "Join" not in plan, plan
     # map-side combine present below the single exchange
     assert "partial_sum" in plan, plan
+
+
+def test_kmeans_rejects_bad_inputs(spark):
+    import pytest as _pt
+
+    emb = _blobs(spark, [(0.0, 0.0)], n_per=3)
+    with _pt.raises(ValueError, match="k >= 1"):
+        kmeans_train(emb, k=0, n_iters=1)
+    with _pt.raises(ValueError, match="n_iters >= 1"):
+        kmeans_train(emb, k=2, n_iters=0)
+    empty = emb.filter("vec_id < 0")
+    with _pt.raises(ValueError, match="empty embeddings"):
+        kmeans_train(empty, k=2, n_iters=1)

@@ -91,3 +91,13 @@ def test_pagerank_star_hub_dominates(spark):
     assert got[0] > max(got[s] for s in spokes) * 3
     spoke_vals = {got[s] for s in spokes}
     assert len(spoke_vals) == 1  # symmetry: all spokes identical
+
+
+def test_pagerank_empty_edges_clean_error(spark):
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with _pt.raises(ValueError, match="empty edge list"):
+        pagerank(empty)
