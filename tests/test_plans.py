@@ -95,6 +95,10 @@ CASES = [
         ["ExistingRDD"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # round 5: SemDeDup over trained cells — the within-cell pair join
+    # must stay an equi-join on the cell key (the O(Σ|cell|²) cost
+    # model depends on it); no unkeyed cartesian may ever appear
+    ("dedup_semantic_trained", [], ["CartesianProduct"]),
 ]
 
 
