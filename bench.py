@@ -110,6 +110,7 @@ HEADLINE = [
     "sketch_hll_daily_users",
     "graph_pagerank",
     "cluster_kmeans_train",
+    "cluster_kmeans_maximin",
     "dedup_semantic_trained",
 ]
 

@@ -57,6 +57,7 @@ def query(name: str, oracle: str | None = None):
 _PRIORITY: list[str] = [
     # --- new in round 5 (no driver row possible yet) ---
     "cluster_kmeans_train",
+    "cluster_kmeans_maximin",
     "dedup_semantic_trained",
     "graph_pagerank",
     "sample_weighted_aes",

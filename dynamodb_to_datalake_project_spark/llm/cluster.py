@@ -53,7 +53,7 @@ from dynamodb_to_datalake_project_spark.catalog import query
 from dynamodb_to_datalake_project_spark.lake import load_table
 from dynamodb_to_datalake_project_spark.llm.similarity import as_double_vec
 
-__all__ = ["kmeans_train"]
+__all__ = ["kmeans_train", "maximin_seeds"]
 
 
 def _literal_centroids(cents: list[tuple[int, list[float]]]) -> F.Column:
@@ -109,14 +109,56 @@ def _seed_centroids(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
     return [(cid, [float(x) for x in r["v"]]) for cid, r in enumerate(rows)]
 
 
+def maximin_seeds(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
+    """Farthest-first-traversal seeding (Gonzalez 1985 — the k-center
+    2-approximation, the scalable stand-in for k-means++ whose
+    sequential sampling is impractical over a distributed corpus):
+    s0 is the md5-min vector, each following seed the point with the
+    MAXIMUM min-distance to the seeds chosen so far. Each round is one
+    corpus scan ending in a 1-row TakeOrdered (O(1) heap per
+    partition, 1-row driver merge) against a LITERAL seed array — k-1
+    bounded-output scans total, no shuffle anywhere. Deterministic:
+    distances are index-order folds, ties (only exact-duplicate
+    vectors can tie on doubles) break by (md5, id)."""
+    w = emb.select("id", "v", F.md5(F.col("id").cast("string")).alias("h"))
+    first = w.orderBy("h", "id").limit(1).collect()
+    if not first:
+        raise ValueError("maximin_seeds: empty embeddings input")
+    seeds = [[float(x) for x in first[0]["v"]]]
+    d2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(1, k):
+        lits = F.array(
+            *[F.array(*[F.lit(float(x)) for x in s]) for s in seeds]
+        )
+        mind = F.array_min(F.transform(lits, d2))
+        r = (
+            w.select("id", "v", "h", mind.alias("m"))
+            .orderBy(F.col("m").desc(), "h", "id")
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append([float(x) for x in r["v"]])
+    return list(enumerate(seeds))
+
+
 def kmeans_train(
     embeddings: DataFrame,
     k: int = 8,
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "md5",
 ) -> tuple[list[tuple[int, list[float]]], dict[int, int]]:
     """Train k-means centroids with `n_iters` Lloyd iterations.
+
+    `init`: "md5" (k smallest md5(id) vectors — one cheap scan, fine
+    when Lloyd gets enough iterations) or "maximin" (farthest-first
+    traversal — k-1 extra bounded-output scans buying spread-out
+    seeds, the scalable k-means++ substitute).
 
     Returns (centroids, sizes): the post-update centroid list
     [(cid, [coord, ...]), ...] and the member count of each cluster
@@ -126,10 +168,12 @@ def kmeans_train(
     """
     if k < 1 or n_iters < 1:
         raise ValueError(f"kmeans_train: need k >= 1 and n_iters >= 1, got {k=} {n_iters=}")
+    if init not in ("md5", "maximin"):
+        raise ValueError(f"kmeans_train: unknown init {init!r}")
     emb = embeddings.select(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
     )
-    cents = _seed_centroids(emb, k)
+    cents = maximin_seeds(emb, k) if init == "maximin" else _seed_centroids(emb, k)
     if not cents:
         raise ValueError("kmeans_train: empty embeddings input")
     sizes: dict[int, int] = {}
@@ -160,25 +204,70 @@ def kmeans_train(
     return cents, sizes
 
 
-def _kmeans_ctes(k: int, n_iters: int) -> str:
-    """Shared unrolled-iteration CTE prefix (through `cent{n_iters}` /
-    `st{n_iters}`): per iteration one assignment CTE (row_number
-    argmin over the point × centroid cross product — feasible at
-    oracle scale, which is exactly why the Spark side folds over a
-    literal array instead) and one per-(cid, pos) exact-decimal mean
-    CTE."""
-    sql = f"""
+_PREFIX_CTES = """
     WITH e AS (
       SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), dims AS (
       SELECT UNNEST(range(1, (SELECT MAX(len(v)) FROM e) + 1)) AS pos
-    ), seeds AS (
+    )"""
+
+
+def _d2_sql(a: str, b: str) -> str:
+    """Squared-L2 between two DOUBLE[] expressions, index-order fold —
+    the same fp operation order as the Spark-side `F.aggregate`."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])))"
+    )
+
+
+def _md5_seed_ctes(k: int) -> str:
+    """cent0 = the k vectors with the smallest (md5(id), id)."""
+    return f""", seeds AS (
       SELECT id, v, rn - 1 AS cid FROM (
         SELECT id, v,
                row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
         FROM e
       ) WHERE rn <= {k}
     ), cent0 AS (SELECT cid, v AS cv FROM seeds)"""
+
+
+def _maximin_seed_ctes(k: int) -> str:
+    """cent0 via farthest-first traversal (Gonzalez 1985): s0 is the
+    md5-min vector; each following seed is the point MAXIMIZING its
+    min squared-L2 distance to the seeds chosen so far (ties broken by
+    (md5, id) — only exact-duplicate vectors can tie on doubles)."""
+    sql = """, s0 AS (
+      SELECT id, v FROM e ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1
+    )"""
+    for j in range(1, k):
+        froms = ", ".join(f"s{i}" for i in range(j))
+        least = ", ".join(_d2_sql("e.v", f"s{i}.v") for i in range(j))
+        sql += f""",
+    s{j} AS (
+      SELECT id, v FROM (
+        SELECT e.id, e.v,
+               row_number() OVER (ORDER BY LEAST({least}) DESC,
+                                  md5(CAST(e.id AS VARCHAR)), e.id) AS rn
+        FROM e, {froms}
+      ) WHERE rn = 1
+    )"""
+    union = "\n      UNION ALL ".join(
+        f"SELECT {j} AS cid, v AS cv FROM s{j}" for j in range(k)
+    )
+    return sql + f""",
+    cent0 AS (
+      {union}
+    )"""
+
+
+def _iter_ctes(n_iters: int) -> str:
+    """Unrolled Lloyd iterations (relies on `e`, `dims`, `cent0`):
+    per iteration one assignment CTE (row_number argmin over the
+    point × centroid cross product — feasible at oracle scale, which
+    is exactly why the Spark side folds over a literal array instead)
+    and one per-(cid, pos) exact-decimal mean CTE."""
+    sql = ""
     for i in range(1, n_iters + 1):
         sql += f""",
     a{i} AS (
@@ -204,13 +293,23 @@ def _kmeans_ctes(k: int, n_iters: int) -> str:
     return sql
 
 
-def _kmeans_oracle(k: int = 8, n_iters: int = 3) -> str:
-    """ANSI replay of `q_cluster_kmeans_train`: the full training CTE
-    chain, emitting one row per trained coordinate."""
-    return _kmeans_ctes(k, n_iters) + f"""
+def _kmeans_ctes(k: int, n_iters: int, init: str = "md5") -> str:
+    """Full training CTE chain: prefix + seed CTEs (md5 or maximin) +
+    unrolled Lloyd iterations."""
+    seeds = _md5_seed_ctes(k) if init == "md5" else _maximin_seed_ctes(k)
+    return _PREFIX_CTES + seeds + _iter_ctes(n_iters)
+
+
+_FINAL_SELECT = """
     SELECT cid, CAST(pos - 1 AS INT) AS pos, m AS centroid_val,
            CAST(n AS BIGINT) AS n_members
-    FROM st{n_iters} ORDER BY cid, pos"""
+    FROM st{T} ORDER BY cid, pos"""
+
+
+def _kmeans_oracle(k: int = 8, n_iters: int = 3, init: str = "md5") -> str:
+    """ANSI replay of the training queries: the full CTE chain,
+    emitting one row per trained coordinate."""
+    return _kmeans_ctes(k, n_iters, init) + _FINAL_SELECT.format(T=n_iters)
 
 
 def _semantic_trained_oracle(k: int = 8, n_iters: int = 2) -> str:
@@ -324,3 +423,24 @@ def q_dedup_semantic_trained(spark, sf_dir):
         )
         .orderBy("cell")
     )
+
+
+@query("cluster_kmeans_maximin", oracle=_kmeans_oracle(k=4, n_iters=2, init="maximin"))
+def q_cluster_kmeans_maximin(spark, sf_dir):
+    """k-means with farthest-first (maximin) initialization: k=4 seeds
+    chosen by Gonzalez traversal, then 2 Lloyd iterations — same
+    output contract as `cluster_kmeans_train` (one scalar row per
+    trained coordinate). The oracle replays the traversal (k-1
+    unrolled argmax-of-min-distance CTEs) AND the training; every
+    seed pick and trained coordinate is bit-identical across engines,
+    so raw doubles hash-match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, sizes = kmeans_train(emb, k=4, n_iters=2, init="maximin")
+    rows = [
+        (cid, pos, val, sizes[cid])
+        for cid, vec in cents
+        for pos, val in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows, "cid long, pos int, centroid_val double, n_members long"
+    ).orderBy("cid", "pos")

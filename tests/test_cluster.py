@@ -108,3 +108,26 @@ def test_kmeans_rejects_bad_inputs(spark):
     empty = emb.filter("vec_id < 0")
     with _pt.raises(ValueError, match="empty embeddings"):
         kmeans_train(empty, k=2, n_iters=1)
+
+
+def test_maximin_seeds_spread(spark):
+    """Farthest-first must pick one seed per separated blob (md5 init
+    can land several seeds in one blob; maximin by construction cannot
+    while empty blobs remain)."""
+    from dynamodb_to_datalake_project_spark.llm.cluster import maximin_seeds
+
+    centers = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    emb = _blobs(spark, centers, n_per=10)
+    e = emb.selectExpr("vec_id as id", "embedding as v")
+    seeds = maximin_seeds(e, k=3)
+    homes = set()
+    for _, vec in seeds:
+        homes.add(min(range(3), key=lambda i: (vec[0] - centers[i][0]) ** 2
+                      + (vec[1] - centers[i][1]) ** 2))
+    assert homes == {0, 1, 2}
+
+
+def test_kmeans_maximin_recovers_blobs(spark):
+    emb = _blobs(spark, [(0.0, 0.0), (8.0, 8.0), (8.0, -8.0)], n_per=10)
+    cents, sizes = kmeans_train(emb, k=3, n_iters=2, init="maximin")
+    assert sorted(sizes.values()) == [10, 10, 10]

@@ -103,6 +103,7 @@ NOTES = {
     "graph_pagerank": "5 fixed PageRank iterations: degree-annotated edge list checkpointed ONCE (ExistingRDD here) and re-joined per round against the node-sized rank table; DECIMAL(28,18)-exact contribution sums keep the result accumulation-order-free; equi-joins only",
     "cluster_kmeans_train": "final plan is the k*d-row literal result — the work happened in the training loop: per iteration one map-only literal-centroid argmin fold over the corpus (zero exchanges, pinned in test_cluster.py), one k*d-bounded partial-agg shuffle, one k*d driver collect",
     "dedup_semantic_trained": "SemDeDup over TRAINED cells: 2 Lloyd iterations (see cluster_kmeans_train) -> broadcast trained-centroid routing -> within-cell cosine pairs only (the equi-join on cell is the whole cost model: O(sum |cell|^2), sharded across the cluster by the cell key)",
+    "cluster_kmeans_maximin": "farthest-first (Gonzalez) seeding: k-1 corpus scans each ending in a 1-row TakeOrdered against a literal seed array (no shuffle), then the same Lloyd loop as cluster_kmeans_train; final plan is the literal result table",
 }
 
 
