@@ -111,6 +111,7 @@ HEADLINE = [
     "graph_pagerank",
     "cluster_kmeans_train",
     "cluster_kmeans_maximin",
+    "cluster_silhouette",
     "dedup_semantic_trained",
 ]
 

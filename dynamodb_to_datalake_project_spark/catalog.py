@@ -58,6 +58,7 @@ _PRIORITY: list[str] = [
     # --- new in round 5 (no driver row possible yet) ---
     "cluster_kmeans_train",
     "cluster_kmeans_maximin",
+    "cluster_silhouette",
     "dedup_semantic_trained",
     "graph_pagerank",
     "sample_weighted_aes",

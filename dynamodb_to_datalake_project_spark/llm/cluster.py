@@ -444,3 +444,81 @@ def q_cluster_kmeans_maximin(spark, sf_dir):
     return spark.createDataFrame(
         rows, "cid long, pos int, centroid_val double, n_members long"
     ).orderBy("cid", "pos")
+
+
+def _silhouette_oracle(k: int = 8, n_iters: int = 2) -> str:
+    """ANSI replay of `q_cluster_silhouette`: training CTEs, then the
+    per-point simplified silhouette from the trained centroids and an
+    exact-decimal per-cluster mean."""
+    return _kmeans_ctes(k, n_iters) + f""",
+    ds AS (
+      SELECT e.id, c.cid,
+             sqrt({_d2_sql("e.v", "c.cv")}) AS dist
+      FROM e, cent{n_iters} c
+    ), sil AS (
+      SELECT id, cid, dist AS a,
+             min(dist) OVER (PARTITION BY id
+                             ORDER BY dist, cid
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS b,
+             row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+      FROM ds
+    )
+    SELECT CAST(cid AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST((b - a) / GREATEST(a, b) AS DECIMAL(22,18)))
+                AS DOUBLE) / COUNT(*) AS mean_silhouette
+    FROM sil WHERE rn = 1
+    GROUP BY cid ORDER BY cid"""
+
+
+@query("cluster_silhouette", oracle=_silhouette_oracle())
+def q_cluster_silhouette(spark, sf_dir):
+    """Cluster-quality evaluation: simplified silhouette (Hruschka et
+    al. — a(i) = distance to OWN centroid, b(i) = distance to the
+    nearest OTHER centroid; O(n·k) map-only against the k trained
+    literal centroids, where the exact silhouette's O(n²) pairwise
+    distances are the textbook scale trap). Trains k=8 / 2 Lloyd
+    iterations, then one corpus scan computes every point's
+    (b-a)/max(a,b) and an exact-decimal per-cluster mean. The
+    assignment (min distance, ties to lowest cid) is recomputed from
+    the same trained centroids on both engines, so the whole chain —
+    training, routing, silhouette, mean — hash-matches raw doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_train(emb, k=8, n_iters=2)
+    lits = _literal_centroids(cents)
+    e = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    d2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # (dist, cid) per centroid, sorted ascending — struct comparison
+    # orders by dist first, then cid: index 0 is the assigned cell,
+    # index 1 the nearest other centroid (same tie policy as the
+    # oracle's ORDER BY dist, cid)
+    ranked = F.array_sort(
+        F.transform(
+            lits,
+            lambda c: F.struct(
+                F.sqrt(d2(c["cv"])).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    pt = e.select(
+        ranked[0]["cid"].alias("cell"),
+        ranked[0]["dist"].alias("a"),
+        ranked[1]["dist"].alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    return (
+        pt.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            (
+                F.sum(sil.cast("decimal(22,18)")).cast("double") / F.count("*")
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cell")
+    )

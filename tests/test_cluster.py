@@ -131,3 +131,33 @@ def test_kmeans_maximin_recovers_blobs(spark):
     emb = _blobs(spark, [(0.0, 0.0), (8.0, 8.0), (8.0, -8.0)], n_per=10)
     cents, sizes = kmeans_train(emb, k=3, n_iters=2, init="maximin")
     assert sorted(sizes.values()) == [10, 10, 10]
+
+
+def test_silhouette_separated_vs_split(spark):
+    """Simplified silhouette must score a clean 2-blob clustering near
+    1 and stay within [-1, 1] everywhere."""
+    from dynamodb_to_datalake_project_spark.catalog import QUERIES  # noqa: F401
+    from dynamodb_to_datalake_project_spark.llm.cluster import (
+        kmeans_train,
+        _literal_centroids,
+    )
+    from pyspark.sql import functions as F  # noqa: F811
+
+    emb = _blobs(spark, [(0.0, 0.0), (20.0, 20.0)], n_per=15, spread=0.2)
+    cents, _ = kmeans_train(emb, k=2, n_iters=2)
+    lits = _literal_centroids(cents)
+    e = emb.selectExpr("vec_id", "embedding as v")
+    d2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    ranked = F.array_sort(F.transform(
+        lits, lambda c: F.struct(F.sqrt(d2(c["cv"])).alias("dist"),
+                                 c["cid"].alias("cid"))))
+    rows = e.select(
+        ((ranked[1]["dist"] - ranked[0]["dist"])
+         / F.greatest(ranked[0]["dist"], ranked[1]["dist"])).alias("s")
+    ).collect()
+    vals = [r["s"] for r in rows]
+    assert all(-1.0 <= v <= 1.0 for v in vals)
+    assert min(vals) > 0.9  # tight blobs, far apart -> near-perfect score

@@ -104,6 +104,7 @@ NOTES = {
     "cluster_kmeans_train": "final plan is the k*d-row literal result — the work happened in the training loop: per iteration one map-only literal-centroid argmin fold over the corpus (zero exchanges, pinned in test_cluster.py), one k*d-bounded partial-agg shuffle, one k*d driver collect",
     "dedup_semantic_trained": "SemDeDup over TRAINED cells: 2 Lloyd iterations (see cluster_kmeans_train) -> broadcast trained-centroid routing -> within-cell cosine pairs only (the equi-join on cell is the whole cost model: O(sum |cell|^2), sharded across the cluster by the cell key)",
     "cluster_kmeans_maximin": "farthest-first (Gonzalez) seeding: k-1 corpus scans each ending in a 1-row TakeOrdered against a literal seed array (no shuffle), then the same Lloyd loop as cluster_kmeans_train; final plan is the literal result table",
+    "cluster_silhouette": "simplified silhouette (O(n*k) vs exact O(n^2)): ONE corpus scan sorts k literal-centroid distances per row (a = ranked[0], b = ranked[1]), exact-decimal per-cluster mean behind the single k-key exchange",
 }
 
 
