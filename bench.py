@@ -109,6 +109,7 @@ HEADLINE = [
     "p1_variant_decode",
     "sketch_hll_daily_users",
     "graph_pagerank",
+    "graph_pagerank_weighted",
     "cluster_kmeans_train",
     "cluster_kmeans_maximin",
     "cluster_silhouette",

@@ -61,6 +61,7 @@ _PRIORITY: list[str] = [
     "cluster_silhouette",
     "dedup_semantic_trained",
     "graph_pagerank",
+    "graph_pagerank_weighted",
     "sample_weighted_aes",
     "p1_variant_decode",
     "sketch_hll_daily_users",

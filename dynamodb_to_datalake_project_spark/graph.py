@@ -272,8 +272,17 @@ def pagerank(
     n_iter: int = 5,
     damping: float = 0.85,
     checkpoint_every: int | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list: (node, pr).
+
+    `weight`: optional edge-weight column — contributions become
+    pr·w/strength(src) instead of pr/deg(src). Weighted edges must be
+    PRE-AGGREGATED (one row per (src, dst); duplicates double-count)
+    and weights should be exactly summable across any accumulation
+    order — integers/longs, or integral-valued doubles — or the
+    out-strength sum (and therefore the whole result) stops being
+    engine-deterministic. The unweighted path dedups edges itself.
 
     Web-curation pipelines rank HOSTS by link centrality and use the
     score as a document-quality prior (the CommonCrawl host-graph
@@ -308,12 +317,19 @@ def pagerank(
     planning cost over the growing DAG starts to bite) pass
     `checkpoint_every` to truncate periodically.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    deg = (
-        e.groupBy("src")
-        .agg(F.count("*").alias("deg"))
-        .localCheckpoint(eager=True)
-    )
+    if weight is None:
+        e = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        ).distinct()
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    else:
+        e = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).alias("w"),
+        )
+        deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+    deg = deg.localCheckpoint(eager=True)
     ew = (
         e.join(deg, "src")
         .repartition(F.col("src"))
@@ -328,9 +344,14 @@ def pagerank(
         # ranks descends from deg/ew, so qualify the self-joinish
         # column references through explicit aliases
         r, w = ranks.alias("r"), ew.alias("w")
+        contrib = (
+            F.col("r.pr") / F.col("w.deg")
+            if weight is None
+            else F.col("r.pr") * F.col("w.w") / F.col("w.deg")
+        )
         contribs = r.join(w, F.col("r.node") == F.col("w.src")).select(
             F.col("w.dst").alias("node"),
-            (F.col("r.pr") / F.col("w.deg")).cast("decimal(28,18)").alias("c"),
+            contrib.cast("decimal(28,18)").alias("c"),
         )
         ranks = (
             contribs.groupBy("node")
@@ -399,3 +420,59 @@ def q_graph_pagerank(spark, sf_dir):
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
     return pagerank(sym, n_iter=5).orderBy("node")
+
+
+def _pagerank_weighted_oracle(n_iter: int = 5) -> str:
+    """Unrolled ANSI replay of `q_graph_pagerank_weighted`: same shape
+    as `_pagerank_oracle`, with integral edge weights (lineitem counts
+    — exactly summable in any order) replacing the uniform 1/deg
+    split."""
+    sql = """
+    WITH pairs AS (
+      SELECT l.l_suppkey * 2 AS s, o.o_custkey * 2 + 1 AS c,
+             COUNT(*) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT s AS src, c AS dst, w FROM pairs
+      UNION ALL SELECT c AS src, s AS dst, w FROM pairs
+    ), deg AS (
+      SELECT src, SUM(w) AS deg FROM edges GROUP BY src
+    ), nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM deg)"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT e.dst AS node,
+             CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE) * CAST(SUM(CAST(r.pr * e.w / d.deg AS DECIMAL(28,18))) AS DOUBLE) AS pr
+      FROM r{i - 1} r JOIN edges e ON e.src = r.node JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )"""
+    return sql + f"\n    SELECT node, pr FROM r{n_iter} ORDER BY node"
+
+
+@query("graph_pagerank_weighted", oracle=_pagerank_weighted_oracle())
+def q_graph_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank over the trade graph: the same symmetrized
+    supplier↔customer node encoding as `graph_pagerank`, but each edge
+    carries the lineitem count between the pair, so rank flows in
+    proportion to trade VOLUME rather than mere adjacency — the shape
+    host-graph quality priors actually use (links weighted by
+    frequency). Integral weights keep the out-strength sums exact in
+    any accumulation order, so the engine-determinism contract (and
+    the raw-double oracle hash) carries over unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    sym = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst"), "w"
+    ).unionAll(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w"))
+    return pagerank(sym, n_iter=5, weight="w").orderBy("node")

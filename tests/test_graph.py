@@ -101,3 +101,31 @@ def test_pagerank_empty_edges_clean_error(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     with _pt.raises(ValueError, match="empty edge list"):
         pagerank(empty)
+
+
+def test_pagerank_weighted_matches_python_replay(spark):
+    from dynamodb_to_datalake_project_spark.graph import pagerank
+
+    # weighted barbell: the bridge edge carries 10x the triangle weight
+    und = [(0, 1, 1), (1, 2, 1), (0, 2, 1), (2, 3, 10), (3, 4, 1), (4, 5, 1), (3, 5, 1)]
+    edges = und + [(b, a, w) for a, b, w in und]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: r["pr"] for r in pagerank(df, n_iter=5, weight="w").collect()}
+
+    # pure-Python replay with the same arithmetic
+    nodes = sorted({s for s, _, _ in edges})
+    strength = {}
+    for s, _, w in edges:
+        strength[s] = strength.get(s, 0) + w
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        sums = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            sums[d] += pr[s] * w / strength[s]
+        pr = {v: 0.15 / n + 0.85 * sums[v] for v in nodes}
+    for v in pr:
+        assert abs(got[v] - pr[v]) < 1e-12, (v, got[v], pr[v])
+    # the heavy bridge pulls mass toward its endpoints
+    assert got[2] > got[0] and got[3] > got[4]
+    assert abs(sum(got.values()) - 1.0) < 1e-9

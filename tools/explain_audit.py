@@ -101,6 +101,7 @@ NOTES = {
     "p1_variant_decode": "Spark 4 VariantType decode of the DynamoDB wire format: parse_json once -> per-column variant_get path lookups, two fused map-only projects under one codegen stage — zero exchanges",
     "sketch_hll_daily_users": "DataSketches HLL rollup: map-side partial sketch agg below the first exchange, day-level hll_union_agg — distinct-over-time from mergeable aggregates, never re-scanning raw rows at the coarser grain",
     "graph_pagerank": "5 fixed PageRank iterations: degree-annotated edge list checkpointed ONCE (ExistingRDD here) and re-joined per round against the node-sized rank table; DECIMAL(28,18)-exact contribution sums keep the result accumulation-order-free; equi-joins only",
+    "graph_pagerank_weighted": "same loop with integral lineitem-count edge weights (rank flows proportional to trade volume): out-strength replaces degree, contribution = pr*w/strength; exact weight sums preserve the determinism contract",
     "cluster_kmeans_train": "final plan is the k*d-row literal result — the work happened in the training loop: per iteration one map-only literal-centroid argmin fold over the corpus (zero exchanges, pinned in test_cluster.py), one k*d-bounded partial-agg shuffle, one k*d driver collect",
     "dedup_semantic_trained": "SemDeDup over TRAINED cells: 2 Lloyd iterations (see cluster_kmeans_train) -> broadcast trained-centroid routing -> within-cell cosine pairs only (the equi-join on cell is the whole cost model: O(sum |cell|^2), sharded across the cluster by the cell key)",
     "cluster_kmeans_maximin": "farthest-first (Gonzalez) seeding: k-1 corpus scans each ending in a 1-row TakeOrdered against a literal seed array (no shuffle), then the same Lloyd loop as cluster_kmeans_train; final plan is the literal result table",
