@@ -28,13 +28,18 @@ Determinism contract (full-hash oracle, NO rounding anywhere):
   and engine-replayable, no RNG;
 - distances: sequential index-order folds, same fp operation order in
   Spark (`F.aggregate`) and DuckDB (`list_sum` over an index range);
-- new centroids: coordinates are cast to DECIMAL(20,9) per row
-  (deterministic — binary doubles have no exact decimal ties) and
+- new centroids: coordinates are cast to DECIMAL(20,9) per row and
   summed EXACTLY, so the sum is independent of accumulation order;
   mean = CAST(sum AS DOUBLE) / count is one correctly-rounded
   conversion plus one double division. Every centroid coordinate is
   therefore bit-identical between Spark and DuckDB at every
-  iteration, and iterations cannot drift apart.
+  iteration, and iterations cannot drift apart. NOTE the per-row cast
+  CAN hit exact decimal ties — coarse dyadic doubles like 2^-10 =
+  0.0009765625 end in a bare 5 at the 10th decimal — so the contract
+  additionally relies on both engines breaking ties the same way
+  (Spark casts HALF_UP, DuckDB rounds half away from zero: identical
+  on every tie). An engine that rounds half-to-even would need the
+  tie-free guarantee this comment deliberately does NOT claim.
 
 Fixed iteration count, not a convergence test: at 100 TB each
 iteration is a full corpus scan, so production runs budget an exact
@@ -51,7 +56,11 @@ from pyspark.sql import functions as F
 
 from dynamodb_to_datalake_project_spark.catalog import query
 from dynamodb_to_datalake_project_spark.lake import load_table
-from dynamodb_to_datalake_project_spark.llm.similarity import as_double_vec
+from dynamodb_to_datalake_project_spark.llm.similarity import (
+    as_double_vec,
+    nearest_centroid,
+    sq_dist,
+)
 
 __all__ = ["kmeans_train", "maximin_seeds"]
 
@@ -72,28 +81,10 @@ def _literal_centroids(cents: list[tuple[int, list[float]]]) -> F.Column:
 
 
 def _nearest_cid(cs: F.Column, v: F.Column) -> F.Column:
-    """argmin-distance fold over a literal centroid array (strict `<`
-    keeps the FIRST = lowest cid on exact ties). Same shape as
-    `similarity.assign_centroids`: distances are materialized via
-    transform() BEFORE the argmin fold because Catalyst does not CSE
-    inside higher-order-function lambdas — referencing the distance
-    twice in the fold would double the dominant cost."""
-    d2 = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = F.transform(
-        cs, lambda c: F.struct(d2(c["cv"]).alias("d2"), c["cid"].alias("cid"))
-    )
-    best = F.aggregate(
-        scored,
-        F.struct(
-            F.lit(float("inf")).alias("d2"), F.lit(-1).cast("long").alias("cid")
-        ),
-        lambda acc, dc: F.when(dc["d2"] < acc["d2"], dc).otherwise(acc),
-    )
-    return best["cid"]
+    """cid of the nearest centroid in a literal centroid array — the
+    shared `similarity.nearest_centroid` fold (one tie policy, one
+    CSE-safe shape, everywhere)."""
+    return nearest_centroid(cs, v)["cid"]
 
 
 def _seed_centroids(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
@@ -119,28 +110,34 @@ def maximin_seeds(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
     partition, 1-row driver merge) against a LITERAL seed array — k-1
     bounded-output scans total, no shuffle anywhere. Deterministic:
     distances are index-order folds, ties (only exact-duplicate
-    vectors can tie on doubles) break by (md5, id)."""
+    vectors can tie on doubles) break by (md5, id). If the max
+    min-distance hits 0.0 (every remaining point duplicates a chosen
+    seed, incl. k > distinct vectors) the traversal truncates — note
+    the `_maximin_seed_ctes` oracle does NOT replay that truncation,
+    so oracle-compared configs assume ≥ k distinct vectors (true of
+    the embeddings fixtures)."""
     w = emb.select("id", "v", F.md5(F.col("id").cast("string")).alias("h"))
     first = w.orderBy("h", "id").limit(1).collect()
     if not first:
         raise ValueError("maximin_seeds: empty embeddings input")
     seeds = [[float(x) for x in first[0]["v"]]]
-    d2 = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     for _ in range(1, k):
         lits = F.array(
             *[F.array(*[F.lit(float(x)) for x in s]) for s in seeds]
         )
-        mind = F.array_min(F.transform(lits, d2))
+        mind = F.array_min(F.transform(lits, lambda c: sq_dist(F.col("v"), c)))
         r = (
             w.select("id", "v", "h", mind.alias("m"))
             .orderBy(F.col("m").desc(), "h", "id")
             .limit(1)
             .collect()[0]
         )
+        if r["m"] == 0.0:
+            # every remaining point exactly duplicates a chosen seed
+            # (also covers k > distinct vectors): stop instead of
+            # emitting duplicate seeds that Lloyd would silently
+            # collapse — mirrors the md5 init's truncation at n rows
+            break
         seeds.append([float(x) for x in r["v"]])
     return list(enumerate(seeds))
 
@@ -381,12 +378,8 @@ def q_dedup_semantic_trained(spark, sf_dir):
     replays training AND dedup end-to-end — trained coordinates are
     bit-identical across engines, so the downstream cell routing and
     cosine comparisons match exactly."""
-    from dynamodb_to_datalake_project_spark.llm.similarity import (
-        as_double_vec,
-        assign_centroids,
-        dot,
-        norm,
-    )
+    from dynamodb_to_datalake_project_spark.llm.dedup import semantic_cell_dedup
+    from dynamodb_to_datalake_project_spark.llm.similarity import assign_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _ = kmeans_train(emb, k=8, n_iters=2)
@@ -397,32 +390,7 @@ def q_dedup_semantic_trained(spark, sf_dir):
         "vec_id", F.col("centroid_id").alias("cell")
     )
     e = emb.select("vec_id", as_double_vec("embedding").alias("v"))
-    n = e.join(assigned, "vec_id").withColumn("nrm", norm(F.col("v")))
-    a, b = n.alias("a"), n.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= 0.4)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
-    )
-    return (
-        n.join(dropped, "vec_id", "left")
-        .groupBy(F.col("cell").cast("long").alias("cell"))
-        .agg(
-            F.count("*").cast("long").alias("n_members"),
-            F.count("__dropped").cast("long").alias("n_dropped"),
-            F.sum(F.when(F.col("__dropped").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_kept"),
-        )
-        .orderBy("cell")
-    )
+    return semantic_cell_dedup(e, assigned)
 
 
 @query("cluster_kmeans_maximin", oracle=_kmeans_oracle(k=4, n_iters=2, init="maximin"))
@@ -488,11 +456,6 @@ def q_cluster_silhouette(spark, sf_dir):
     cents, _ = kmeans_train(emb, k=8, n_iters=2)
     lits = _literal_centroids(cents)
     e = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
-    d2 = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     # (dist, cid) per centroid, sorted ascending — struct comparison
     # orders by dist first, then cid: index 0 is the assigned cell,
     # index 1 the nearest other centroid (same tie policy as the
@@ -501,7 +464,7 @@ def q_cluster_silhouette(spark, sf_dir):
         F.transform(
             lits,
             lambda c: F.struct(
-                F.sqrt(d2(c["cv"])).alias("dist"),
+                F.sqrt(sq_dist(F.col("v"), c["cv"])).alias("dist"),
                 c["cid"].alias("cid"),
             ),
         )

@@ -914,6 +914,45 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def semantic_cell_dedup(e: DataFrame, assigned: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Shared within-cell cosine dedup (the SemDeDup core): `e` is
+    (vec_id, v double[]), `assigned` is (vec_id, cell). Pairwise
+    cosine runs only inside each cell (equi-join on the cell key —
+    the O(Σ|cell|²) cost model); of every pair ≥ threshold the larger
+    vec_id drops. Returns per-cell (cell, n_members, n_dropped,
+    n_kept). Both the seed-cell baseline (`dedup_semantic_cells`) and
+    the trained-cell query (`dedup_semantic_trained`) call THIS —
+    one drop policy, one tie direction, one accounting."""
+    from dynamodb_to_datalake_project_spark.llm.similarity import dot, norm
+
+    n = e.join(assigned, "vec_id").withColumn("nrm", norm(F.col("v")))
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        n.join(dropped, "vec_id", "left")
+        .groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.count(F.col("__dropped")).cast("long").alias("n_dropped"),
+            F.count(F.when(F.col("__dropped").isNull(), F.lit(1)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
 @query(
     "dedup_semantic_cells",
     oracle="""
@@ -969,8 +1008,6 @@ def q_dedup_semantic_cells(spark, sf_dir):
     from dynamodb_to_datalake_project_spark.llm.similarity import (
         as_double_vec,
         assign_centroids,
-        dot,
-        norm,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -981,32 +1018,7 @@ def q_dedup_semantic_cells(spark, sf_dir):
     assigned = assign_centroids(emb, cents).select(
         "vec_id", F.col("centroid_id").alias("cell")
     )
-    n = e.join(assigned, "vec_id").withColumn("nrm", norm(F.col("v")))
-    a, b = n.alias("a"), n.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= 0.4)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
-    )
-    return (
-        n.join(dropped, "vec_id", "left")
-        .groupBy(F.col("cell").cast("long").alias("cell"))
-        .agg(
-            F.count("*").cast("long").alias("n_members"),
-            F.count(F.col("__dropped")).cast("long").alias("n_dropped"),
-            F.count(F.when(F.col("__dropped").isNull(), F.lit(1)))
-            .cast("long")
-            .alias("n_kept"),
-        )
-        .orderBy("cell")
-    )
+    return semantic_cell_dedup(e, assigned)
 
 
 def clean_corpus(

@@ -38,6 +38,43 @@ def norm(a) -> F.Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def sq_dist(a, b) -> F.Column:
+    """Sequential-fold squared L2 distance. The index-order
+    accumulation IS the cross-engine determinism contract (it mirrors
+    DuckDB's `list_sum` over an index range) — every operator that
+    argmins on distances must use THIS fold, not an expanded
+    dot-product form, or its oracle silently loses bit-parity."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def nearest_centroid(cs: F.Column, v: F.Column) -> F.Column:
+    """argmin-distance fold over an array<struct<cid, cv>> of
+    centroids (any source: packed collect_list or literal array):
+    returns struct(d2, cid) of the nearest, strict `<` keeping the
+    FIRST = lowest cid on exact ties. Distances are materialized via
+    transform() BEFORE the argmin fold: Catalyst does not CSE inside
+    higher-order-function lambdas, so referencing sq_dist twice in the
+    fold (condition + result) would evaluate each fold twice per
+    centroid — doubling the dominant cost of the assign path."""
+    scored = F.transform(
+        cs,
+        lambda c: F.struct(
+            sq_dist(v, c["cv"]).alias("d2"), c["cid"].cast("long").alias("cid")
+        ),
+    )
+    return F.aggregate(
+        scored,
+        F.struct(
+            F.lit(float("inf")).alias("d2"), F.lit(-1).cast("long").alias("cid")
+        ),
+        lambda acc, dc: F.when(dc["d2"] < acc["d2"], dc).otherwise(acc),
+    )
+
+
 def cosine(a, b) -> F.Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -705,30 +742,7 @@ def assign_centroids(
             F.collect_list(F.struct(F.col(cid_col).alias("cid"), F.col(cvec_col).alias("cv")))
         ).alias("cs")
     )
-    v = as_double_vec(F.col(vec_col))
-    d2 = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    # Materialize (d2, cid) per centroid via transform() BEFORE the
-    # argmin fold: Catalyst does not CSE inside higher-order-function
-    # lambdas, so referencing d2(c) twice in the fold (condition +
-    # result) would evaluate each squared-L2 fold twice per centroid —
-    # doubling the dominant cost of the assign path.
-    scored = F.transform(
-        F.col("cs"),
-        lambda c: F.struct(
-            d2(c["cv"]).alias("d2"), c["cid"].cast("long").alias("cid")
-        ),
-    )
-    best = F.aggregate(
-        scored,
-        F.struct(
-            F.lit(float("inf")).alias("d2"), F.lit(-1).cast("long").alias("cid")
-        ),
-        lambda acc, dc: F.when(dc["d2"] < acc["d2"], dc).otherwise(acc),
-    )
+    best = nearest_centroid(F.col("cs"), as_double_vec(F.col(vec_col)))
     return embeddings.join(F.broadcast(packed)).select(
         F.col(id_col),
         best["cid"].alias("centroid_id"),
