@@ -366,3 +366,105 @@ def test_bpe_driver_and_distributed_paths_agree(spark, texts, n_merges):
         ).collect()
     ]
     assert rows(1 << 20) == rows(0)
+
+
+# ---------------------------------------------------------------------------
+# PageRank / k-means: distributed path == pure-Python replay
+# ---------------------------------------------------------------------------
+
+edge_st = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(und=edge_st)
+@settings(**SETTINGS)
+def test_pagerank_matches_replay_on_random_graphs(spark, und):
+    """Distributed PageRank equals the sequential replay on arbitrary
+    small graphs (symmetrized so the no-dangling contract holds)."""
+    from dynamodb_to_datalake_project_spark.graph import pagerank
+
+    edges = sorted({(a, b) for a, b in und} | {(b, a) for a, b in und})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(df, n_iter=3).collect()}
+
+    nodes = sorted({s for s, _ in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        sums = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            sums[d] += pr[s] / deg[s]
+        pr = {v: 0.15 / n + 0.85 * sums[v] for v in nodes}
+    assert set(got) == set(pr)
+    for v in pr:
+        assert abs(got[v] - pr[v]) < 1e-12
+
+
+vec_st = st.lists(
+    st.tuples(
+        st.floats(-4, 4, allow_nan=False, width=32),
+        st.floats(-4, 4, allow_nan=False, width=32),
+        st.floats(-4, 4, allow_nan=False, width=32),
+    ),
+    min_size=3,
+    max_size=24,
+)
+
+
+@given(vecs=vec_st)
+@settings(**SETTINGS)
+def test_kmeans_matches_python_lloyd_on_random_vectors(spark, vecs):
+    """Distributed k-means (md5 seeds, exact-decimal means) equals a
+    sequential Lloyd replay using the same seeding and tie policy, to
+    fp-exactness of the per-cluster means."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dynamodb_to_datalake_project_spark.llm.cluster import kmeans_train
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = 2
+    got_cents, got_sizes = kmeans_train(df, k=k, n_iters=2)
+
+    def md5(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    seeds = [v for _, v in sorted(rows, key=lambda r: (md5(r[0]), r[0]))[:k]]
+    cents = list(enumerate(seeds))
+    sizes = {}
+    q = Decimal("0.000000001")
+    for _ in range(2):
+        groups: dict = {}
+        for _, v in rows:
+            best = min(
+                ((sum((x - c[j]) * (x - c[j]) for j, x in enumerate(v)), cid)
+                 for cid, c in cents),
+            )
+            groups.setdefault(best[1], []).append(v)
+        cents = []
+        sizes = {}
+        for cid in sorted(groups):
+            vs = groups[cid]
+            sizes[cid] = len(vs)
+            mean = []
+            for j in range(len(vs[0])):
+                # Decimal(float) is the exact binary value; HALF_UP
+                # quantize at 9 dp mirrors Spark's double->decimal cast
+                s = sum(
+                    Decimal(x).quantize(q, rounding=ROUND_HALF_UP)
+                    for x in (v[j] for v in vs)
+                )
+                mean.append(float(s) / len(vs))
+            cents.append((cid, mean))
+    assert got_sizes == sizes
+    for (gc, gv), (pc, pv) in zip(got_cents, cents):
+        assert gc == pc
+        for a, b in zip(gv, pv):
+            assert abs(a - b) < 1e-12, (gc, a, b)
