@@ -87,6 +87,62 @@ def _nearest_cid(cs: F.Column, v: F.Column) -> F.Column:
     return nearest_centroid(cs, v)["cid"]
 
 
+#: above this many k*d literals the per-iteration assignment switches
+#: from the plan-embedded literal-fold form to an Arrow/BLAS batch
+#: form: Catalyst constant-folds literals into generated code (a
+#: SemDeDup-scale k — cells bounded => k grows with the corpus —
+#: would blow codegen past JIT limits), and the element-at-a-time
+#: higher-order-function fold is ~100x slower than a matrix multiply
+#: at k=800·d=64 (measured: the x100 semantic probe timed out in the
+#: fold form). Trade-off: numpy's dot reassociates fp, so the large-k
+#: path gives up per-element replayability — fine, because only the
+#: small-k oracle configs need bit-exact distances, and assignments
+#: diverge only on sub-ulp ties; the downstream DECIMAL coordinate
+#: sums are order-free either way (tested bit-identical on both
+#: paths). 2048 keeps every oracle config literal (k=8 · d=64 = 512)
+#: while routing k·d ≥ ~5k to BLAS — measured in the semantic probe:
+#: at k=80 · d=64 the literal fold was ~10x slower per row than the
+#: Arrow path at k=800 (codegen over 5k literals JITs poorly).
+_LITERAL_LIMIT = 2048
+
+
+def _assign_with_vec(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Input rows + a `cid` column: nearest-centroid assignment
+    keeping every input column (the Lloyd update needs the vector).
+    Literal-array fold for small models (oracle-exact); Arrow batches
+    with one BLAS matmul per batch beyond `_LITERAL_LIMIT` —
+    argmin(‖v-c‖²) = argmin(‖c‖² - 2v·c), np.argmin ties to the
+    lowest index = lowest cid (same tie policy as the fold). The
+    centroid matrix rides the closure (k·d doubles; at the scale
+    where that bothers the task launcher, use a broadcast variable)."""
+    d = len(cents[0][1])
+    if len(cents) * d <= _LITERAL_LIMIT:
+        cs = _literal_centroids(cents)
+        return emb.select("*", _nearest_cid(cs, F.col("v")).alias("cid"))
+
+    import numpy as np
+
+    order = sorted(cents)
+    mat = np.array([v for _, v in order], dtype=np.float64)
+    cids = np.array([int(c) for c, _ in order], dtype=np.int64)
+    cn = (mat * mat).sum(axis=1)
+
+    def op(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vv = np.array(pdf["v"].tolist(), dtype=np.float64)
+            idx = (cn - 2.0 * (vv @ mat.T)).argmin(axis=1)
+            yield pdf.assign(cid=cids[idx])
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField("cid", T.LongType())]
+    )
+    return emb.mapInPandas(op, schema=schema)
+
+
 def _seed_centroids(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
     """k seed vectors by smallest (md5(id), id): TakeOrderedAndProject
     (O(k) heap per partition, k-row driver merge — the A-ES sampler's
@@ -175,9 +231,7 @@ def kmeans_train(
         raise ValueError("kmeans_train: empty embeddings input")
     sizes: dict[int, int] = {}
     for _ in range(n_iters):
-        assigned = emb.select(
-            _nearest_cid(_literal_centroids(cents), F.col("v")).alias("cid"), "v"
-        )
+        assigned = _assign_with_vec(emb, cents)
         stats = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")

@@ -161,3 +161,16 @@ def test_silhouette_separated_vs_split(spark):
     vals = [r["s"] for r in rows]
     assert all(-1.0 <= v <= 1.0 for v in vals)
     assert min(vals) > 0.9  # tight blobs, far apart -> near-perfect score
+
+
+def test_kmeans_packed_path_matches_literal(spark, monkeypatch):
+    """Above _LITERAL_LIMIT the assignment switches from plan literals
+    to a broadcast packed table; both must be BIT-identical (same
+    nearest_centroid fold on the same doubles)."""
+    import dynamodb_to_datalake_project_spark.llm.cluster as C
+
+    emb = _blobs(spark, [(0.0, 0.0), (5.0, 5.0), (5.0, -5.0)], n_per=8)
+    lit = kmeans_train(emb, k=3, n_iters=2)
+    monkeypatch.setattr(C, "_LITERAL_LIMIT", 0)
+    packed = kmeans_train(emb, k=3, n_iters=2)
+    assert lit == packed

@@ -74,6 +74,136 @@ def build_corpus(docs, k: int):
     )
 
 
+def build_embedding_corpus(emb, k: int):
+    """k variants per base embedding with CONSTANT near-dup structure
+    (the embedding analogue of `build_corpus`): variant j belongs to
+    family j//2 and is the base vector under that family's
+    deterministic Rademacher sign pattern (xxhash(fam, pos) coin) —
+    cross-family cosine ~ N(0, d^-1/2), i.e. far below threshold;
+    member j%2==1 additionally scales ~1/100 of positions by 1.05, so
+    each family is one planted near-dup pair (cosine ≈ 1). Cells stay
+    meaningful, cluster size stays 2, pairs grow linearly with rows."""
+    from pyspark.sql import functions as F
+
+    spark = emb.sparkSession
+    js = spark.range(k).select(F.col("id").alias("j"))
+    fam = F.floor(F.col("j") / 2)
+    member = F.pmod(F.col("j"), 2)
+    v = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        * F.when(F.pmod(F.xxhash64(fam, i), 2) == 0, F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        )
+        * F.when(
+            (member == 1)
+            & (F.pmod(F.xxhash64(F.col("vec_id"), i, fam), 100) == 0),
+            F.lit(1.05),
+        ).otherwise(F.lit(1.0)),
+    )
+    return emb.crossJoin(F.broadcast(js)).select(
+        (F.col("vec_id") * 10000 + F.col("j")).alias("vec_id"), v.alias("v")
+    )
+
+
+def semantic_probe() -> None:
+    """Scale probe for SemDeDup over TRAINED cells: cost model is
+    O(train) + O(Σ|cell|²), so k (cell count) must grow WITH the
+    corpus to keep cells bounded — k ∝ n holds |cell| ≈ 250 constant
+    here, which is the configuration whose total cost is linear.
+    Training at large k exercises the packed-broadcast assignment
+    path (`cluster._assign_with_vec` beyond `_LITERAL_LIMIT`)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dynamodb_to_datalake_project_spark import get_spark
+    from dynamodb_to_datalake_project_spark.lake import load_table
+    from dynamodb_to_datalake_project_spark.llm.cluster import (
+        _assign_with_vec,
+        kmeans_train,
+    )
+    from dynamodb_to_datalake_project_spark.llm.dedup import semantic_cell_dedup
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scale10_probe import replace_section
+
+    spark = get_spark("scale-semantic-probe")
+    spark.range(1).count()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n1 = emb.count()
+
+    # (label, variants/vec, cells, shuffle partitions, timed runs)
+    scales = [
+        ("x1", 2, 8, 32, 2),
+        ("x10", 20, 80, 64, 2),
+        ("x100", 200, 800, 256, 1),
+    ]
+    labels = [s[0] for s in scales]
+    ts, dens = {}, {}
+    for label, k, cells, parts, runs in scales:
+        corpus = build_embedding_corpus(emb, k).localCheckpoint(eager=True)
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        best, dropped = float("inf"), 0
+        for _ in range(runs):
+            t0 = time.time()
+            cents, _ = kmeans_train(
+                corpus, k=cells, n_iters=2, id_col="vec_id", vec_col="v"
+            )
+            assigned = _assign_with_vec(
+                corpus.select("vec_id", "v"), cents
+            ).select("vec_id", F.col("cid").alias("cell"))
+            # threshold 0.8: planted family pairs sit at cosine ≈
+            # 0.999; accidental 64-d crowding (random ±cos ~ N(0,
+            # 1/8)) is 6.4σ away — at 0.4 the crowding term grows
+            # with corpus density and masks the planted rate
+            cell_rows = semantic_cell_dedup(
+                corpus.select("vec_id", "v"), assigned, threshold=0.8
+            ).collect()
+            best = min(best, time.time() - t0)
+            dropped = sum(r["n_dropped"] for r in cell_rows)
+        ts[label] = best
+        dens[label] = dropped / (n1 * k)
+        print(
+            f"# semantic_trained {label}: {best:.2f}s"
+            f" (dropped/row {dens[label]:.3f})",
+            file=sys.stderr,
+        )
+    lines = [
+        "",
+        "## Semantic-dedup (trained cells) scale probe",
+        "",
+        "Generated by `tools/scale_pairing_probe.py --semantic`: sf0.1",
+        "embeddings expanded k={2,20,200} variants/vector with",
+        "family-Rademacher sign patterns + 1/100 member perturbation",
+        "(cross-family cosine ~ N(0, d^-1/2); one planted near-dup",
+        "pair per family), timed back-to-back in one session. The",
+        "SemDeDup cost model is O(train) + O(Σ|cell|²), so the cell",
+        "count scales WITH the corpus (k = 8/80/800, |cell| ≈ 250",
+        "constant) — the configuration whose total cost is linear, and",
+        "the reason `kmeans_train` needed the Arrow/BLAS assignment",
+        "path (k·d ≥ ~5k: literal-plan codegen JITs poorly and the",
+        "HOF fold is ~100x slower than a batch matmul — the first run",
+        "of this probe timed out in the fold form). Threshold 0.8:",
+        "planted pairs sit at cosine ≈ 0.999, accidental 64-d",
+        "crowding 6.4σ below. Timed per decade: full train (2 Lloyd",
+        "iterations) + routing + within-cell cosine dedup.",
+        "dropped/row ≈ 0.5 flat = planted structure held (one drop",
+        "per 2-member family).",
+        "",
+        "| stage | " + " | ".join(labels)
+        + " | r10 | r100 | dropped/row x1 -> x100 |",
+        "|---" * (len(labels) + 4) + "|",
+        (
+            "| train+route+dedup | "
+            + " | ".join(f"{ts[lb]:.2f}s" for lb in labels)
+            + f" | {ts['x10'] / ts['x1']:.1f} | {ts['x100'] / ts['x10']:.1f}"
+            + f" | {dens['x1']:.3f} -> {dens['x100']:.3f} |"
+        ),
+    ]
+    replace_section(
+        "SCALING.md", "## Semantic-dedup (trained cells) scale probe", lines
+    )
+    print("wrote semantic-dedup probe section to SCALING.md")
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -306,4 +436,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--semantic" in sys.argv:
+        semantic_probe()
+    else:
+        main()
