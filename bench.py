@@ -113,6 +113,7 @@ HEADLINE = [
     "cluster_kmeans_train",
     "cluster_kmeans_maximin",
     "cluster_silhouette",
+    "sim_ann_ivf_trained",
     "dedup_semantic_trained",
 ]
 

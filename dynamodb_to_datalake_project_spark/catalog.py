@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     "cluster_kmeans_train",
     "cluster_kmeans_maximin",
     "cluster_silhouette",
+    "sim_ann_ivf_trained",
     "dedup_semantic_trained",
     "graph_pagerank",
     "graph_pagerank_weighted",

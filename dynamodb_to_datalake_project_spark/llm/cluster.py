@@ -539,3 +539,100 @@ def q_cluster_silhouette(spark, sf_dir):
         )
         .orderBy("cell")
     )
+
+
+def _ivf_trained_oracle(k: int = 8, n_iters: int = 2, n_probe: int = 2, topk: int = 5) -> str:
+    """ANSI replay of `q_sim_ann_ivf_trained` — training, corpus cell
+    assignment, per-query cell probing, and the shortlist rerank all
+    in one chain. This is the point of deterministic training: the
+    LOSSY fast configuration becomes fully oracle-checkable (the
+    MLlib-cell IVF can only oracle its lossless full-probe twin)."""
+    d2q = _d2_sql("q.v", "c.cv")
+    d2a = _d2_sql("e.v", "c.cv")
+    return _kmeans_ctes(k, n_iters) + f""",
+    corpus AS (SELECT id, v FROM e WHERE id >= 8),
+    qs AS (SELECT id, v FROM e WHERE id < 8),
+    ca AS (
+      SELECT id, v, cid FROM (
+        SELECT e.id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.id ORDER BY {d2a}, c.cid) AS rn
+        FROM corpus e, cent{n_iters} c
+      ) WHERE rn = 1
+    ), pr AS (
+      SELECT id AS query_id, v AS qv, cid AS cell FROM (
+        SELECT q.id, q.v, c.cid,
+               row_number() OVER (PARTITION BY q.id ORDER BY {d2q}, c.cid) AS rn
+        FROM qs q, cent{n_iters} c
+      ) WHERE rn <= {n_probe}
+    ), cand AS (
+      SELECT pr.query_id, ca.id AS neighbor_id,
+             round(list_dot_product(pr.qv, ca.v)
+                   / (sqrt(list_dot_product(pr.qv, pr.qv))
+                      * sqrt(list_dot_product(ca.v, ca.v))), 6) AS cosine
+      FROM pr JOIN ca ON ca.cid = pr.cell
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM cand
+    ) WHERE rnk <= {topk} ORDER BY query_id, rnk"""
+
+
+@query("sim_ann_ivf_trained", oracle=_ivf_trained_oracle())
+def q_sim_ann_ivf_trained(spark, sf_dir):
+    """IVF ANN over DETERMINISTICALLY trained cells, in a genuinely
+    LOSSY configuration (probe 2 of 8 cells) with a FULL value-hash
+    oracle — something `sim_ann_ivf` (MLlib cells, engine-specific)
+    can only offer for its lossless full-probe twin. Train k=8 / 2
+    Lloyd iterations on all embeddings, assign the corpus
+    (vec_id >= 8) to cells, probe each query's 2 nearest cells, and
+    exact-rerank only those cells' members (cosine rounded 6, top-5,
+    neighbor_id tiebreak). The oracle replays training, routing,
+    probing, and rerank end-to-end. Scale shape: probing discipline
+    identical to `ann_ivf` — search cost ∝ n_probe/n_lists of the
+    corpus, shortlist reads full vectors only for probed cells."""
+    from dynamodb_to_datalake_project_spark.llm.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_train(emb, k=8, n_iters=2)
+    lits = _literal_centroids(cents)
+    e = emb.select("vec_id", as_double_vec("embedding").alias("v"))
+    corpus = e.filter(F.col("vec_id") >= 8)
+    queries = e.filter(F.col("vec_id") < 8)
+
+    assigned = _assign_with_vec(corpus, cents).select(
+        "vec_id", "v", F.col("cid").alias("cell")
+    )
+    scored = F.array_sort(
+        F.transform(
+            lits,
+            lambda c: F.struct(
+                sq_dist(F.col("v"), c["cv"]).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.transform(F.slice(scored, 1, 2), lambda s: s["cid"])
+        ).alias("cell"),
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+        .orderBy("query_id", "rnk")
+    )

@@ -106,6 +106,7 @@ NOTES = {
     "dedup_semantic_trained": "SemDeDup over TRAINED cells: 2 Lloyd iterations (see cluster_kmeans_train) -> broadcast trained-centroid routing -> within-cell cosine pairs only (the equi-join on cell is the whole cost model: O(sum |cell|^2), sharded across the cluster by the cell key)",
     "cluster_kmeans_maximin": "farthest-first (Gonzalez) seeding: k-1 corpus scans each ending in a 1-row TakeOrdered against a literal seed array (no shuffle), then the same Lloyd loop as cluster_kmeans_train; final plan is the literal result table",
     "cluster_silhouette": "simplified silhouette (O(n*k) vs exact O(n^2)): ONE corpus scan sorts k literal-centroid distances per row (a = ranked[0], b = ranked[1]), exact-decimal per-cluster mean behind the single k-key exchange",
+    "sim_ann_ivf_trained": "IVF over deterministically trained cells in a LOSSY config (probe 2/8) with a FULL oracle: cell routing map-only, probed queries broadcast to the candidate cells, rerank reads full vectors only for probed cells' members",
 }
 
 
