@@ -174,3 +174,31 @@ def test_kmeans_packed_path_matches_literal(spark, monkeypatch):
     monkeypatch.setattr(C, "_LITERAL_LIMIT", 0)
     packed = kmeans_train(emb, k=3, n_iters=2)
     assert lit == packed
+
+
+def test_ivf_trained_recall_against_bruteforce(spark):
+    """The lossy trained-cell IVF (probe 2/8) must recover a
+    meaningful fraction of the exact top-5 — the oracle proves the
+    pipeline is computed as specified; this pins that the
+    SPECIFICATION itself has useful recall."""
+    from dynamodb_to_datalake_project_spark.catalog import QUERIES, load_all
+    from dynamodb_to_datalake_project_spark.lake import load_table
+    from dynamodb_to_datalake_project_spark.llm.similarity import (
+        as_double_vec,
+        knn_bruteforce,
+    )
+    from pyspark.sql import functions as F  # noqa: F811
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    e = emb.select("vec_id", as_double_vec("embedding").alias("v"))
+    exact = knn_bruteforce(
+        e.filter(F.col("vec_id") < 8), e.filter(F.col("vec_id") >= 8), k=5
+    ).collect()
+    approx = QUERIES["sim_ann_ivf_trained"](spark, sf).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, (recall,)
+    assert all(r.query_id < 8 and r.neighbor_id >= 8 for r in approx)
