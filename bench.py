@@ -264,13 +264,34 @@ def main():
             "queries": timings,
         }
     )
+    # Round-5 verdict item 1: with 90+ headline queries the "queries"
+    # dict alone overflows the driver's 2000-char tail capture, pushing
+    # the grand total (value/startup_sec) out of the window — r5's
+    # recorded wrapper had "parsed": null and cross-round totals needed
+    # a local re-run to recover. A final COMPACT totals line (no queries
+    # dict, ~170 chars) ends stdout, so the driver's last-line parse and
+    # its tail window always retain the total; per-query detail stays
+    # recoverable on the full-record line above it.
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "startup_sec": round(startup, 3),
+            "first_run_total_sec": round(sum(first_run.values()), 3),
+            "n_queries": len(timings),
+        }
+    )
     # Self-check the tail-capture contract before emitting: the last
-    # 2000 chars must contain only steady-state timings (no cold dict)
-    # and must end exactly at the close of "queries".
-    tail = line[-2000:]
+    # 2000 chars of stdout must contain only steady-state timings (no
+    # cold dict) and must end in the compact totals line.
+    tail = (line + "\n" + compact)[-2000:]
     assert '"first_run"' not in tail, "cold dict leaked into tail window"
-    assert line.endswith("}}") and '"queries"' in line, "queries must close the line"
+    assert line.endswith("}}") and '"queries"' in line, "queries must close the record line"
+    assert tail.endswith(compact) and len(compact) < 400, "totals line must end the window"
     print(line)
+    print(compact)
 
 
 if __name__ == "__main__":

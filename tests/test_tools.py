@@ -1,7 +1,10 @@
-"""Pure-Python tests for the evidence tooling: the bench tail-capture
-contract (round 4's only judging defect) and the SCALING.md section
-rewriter (ADVICE r4: repeated probe runs must replace, not accumulate).
-No SparkSession needed."""
+"""Tests for the evidence tooling. Round-5 verdict item 1 found that
+`check_bench_tail.main()` was never tested against a REAL driver
+BENCH_r*.json wrapper (only its helper on synthetic lines) and
+false-FAILed on the artifact it exists to validate — so every tools/
+script now gets a main()-level test against on-disk fixtures or the
+committed artifacts themselves (VERDICT r5 asks #1 and #5). The Spark
+probes run narrowed smoke configurations at sf0.001 writing to tmp."""
 
 from __future__ import annotations
 
@@ -9,10 +12,13 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from check_bench_tail import check_line  # noqa: E402
+from check_bench_tail import check_line, check_tail  # noqa: E402
 from scale10_probe import replace_section  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def _bench_line(n_queries=79, first_run_inline=False):
@@ -66,3 +72,162 @@ def test_replace_section_appends_when_absent(tmp_path):
     replace_section(p, "## new section", ["", "## new section", "", "tbl"])
     text = open(p).read()
     assert text.startswith("# Doc") and text.rstrip().endswith("tbl")
+
+
+# ---------------------------------------------------------------------------
+# round-6 bench stdout shape: full record line THEN a compact totals line
+
+
+def _r6_stdout(n_queries=93):
+    big = _bench_line(n_queries)
+    d = json.loads(big)
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": d["value"],
+            "unit": "sec",
+            "sf": d["sf"],
+            "startup_sec": d["startup_sec"],
+            "first_run_total_sec": d["first_run_total_sec"],
+            "n_queries": n_queries,
+        }
+    )
+    return big + "\n" + compact + "\n"
+
+
+def test_check_tail_accepts_compact_totals_shape(capsys):
+    # the driver window (last 2000 chars) of a 93-query r6 run: opens
+    # mid-queries-dict, ends in the compact totals line
+    assert check_tail(_r6_stdout()[-2000:], "r6")
+    out = capsys.readouterr().out
+    assert "totals line survives" in out
+
+
+def test_check_tail_accepts_r5_shape_without_totals_line():
+    assert check_tail(_bench_line()[-2000:], "r5")
+
+
+def test_check_tail_rejects_trailing_cold_dict():
+    # small enough that the '"first_run"' key sits inside the window
+    # (when it doesn't, the tail alone cannot tell cold from steady-state
+    # — the round-4 defect the LAST-key ordering contract exists to
+    # prevent at the source; check_line covers the full-line case)
+    bad = _bench_line(n_queries=25, first_run_inline=True)
+    assert not check_tail(bad[-2000:], "bad")
+
+
+def test_check_bench_tail_main_on_committed_artifacts():
+    # the exact invocation the judge runs: no args -> every BENCH_r*.json
+    # in the repo root (the round-5 false-FAIL regression test)
+    from check_bench_tail import main
+
+    assert main([]) == 0
+
+
+def test_check_bench_tail_main_on_driver_wrapper_fixture(tmp_path, capsys):
+    # a wrapper shaped exactly like the driver writes it: last-2000-char
+    # capture of stdout plus the parsed last line
+    stdout = _r6_stdout()
+    lines = stdout.strip().splitlines()
+    wrapper = {
+        "n": 6,
+        "rc": 0,
+        "cpus": 32,
+        "sf": 0.1,
+        "tail": stdout[-2000:],
+        "parsed": json.loads(lines[-1]),
+    }
+    p = tmp_path / "BENCH_r06.json"
+    p.write_text(json.dumps(wrapper, indent=2))
+    from check_bench_tail import main
+
+    assert main([str(p)]) == 0
+    assert "totals line survives" in capsys.readouterr().out
+
+
+def test_check_bench_tail_main_rejects_bad_wrapper(tmp_path):
+    stdout = _bench_line(n_queries=25, first_run_inline=True)
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps({"n": 99, "tail": stdout[-2000:], "parsed": None}))
+    from check_bench_tail import main
+
+    assert main([str(p)]) == 1
+
+
+def test_check_bench_tail_main_on_raw_stdout(tmp_path):
+    p = tmp_path / "stdout.txt"
+    p.write_text("# stderr-ish noise above\n" + _r6_stdout())
+    from check_bench_tail import main
+
+    assert main([str(p)]) == 0
+
+
+# ---------------------------------------------------------------------------
+# main()-level smokes for the Spark tools (narrowed configs, tmp outputs)
+
+
+def test_check_oracle_main_smoke(spark):
+    from check_oracle import main
+
+    assert main([SF_DIR, "a1_count_preview"]) == 0
+
+
+def test_explain_audit_main_smoke(spark, tmp_path):
+    from explain_audit import main
+
+    out = tmp_path / "EXPLAIN.md"
+    main(["--query", "q1_pricing_summary", "--sf", SF_DIR, "--out", str(out)])
+    text = out.read_text()
+    assert "q1_pricing_summary" in text and "Scan parquet" in text
+
+
+def test_scaling_probe_main_smoke(spark, tmp_path):
+    from scaling_probe import main
+
+    out = tmp_path / "SCALING.md"
+    main(
+        ["--sf", SF_DIR, "--probe", "q1_pricing_summary", "--out", str(out),
+         "--reps", "1"]
+    )
+    assert "q1_pricing_summary" in out.read_text()
+
+
+def test_scale10_probe_main_smoke(spark, tmp_path):
+    from scale10_probe import main
+
+    out = tmp_path / "SCALING.md"
+    main(
+        ["--sf", SF_DIR, "--out", str(out), "--probe", "text_stats",
+         "--reps", "1"]
+    )
+    text = out.read_text()
+    assert "x10 / x100 within-session probe" in text and "text_stats" in text
+
+
+def test_scale_pairing_probe_main_smoke(spark, tmp_path):
+    from scale_pairing_probe import main
+
+    out = tmp_path / "SCALING.md"
+    try:
+        main(
+            ["--sf", SF_DIR, "--out", str(out), "--probe", "minhash",
+             "--max-scale", "x1"]
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    text = out.read_text()
+    assert "pairing-operator probe" in text and "minhash" in text
+    assert "connected_components" in text  # CC stage ran on the real edges
+
+
+def test_bench_streaming_main_smoke(spark, capsys):
+    from bench_streaming import main
+
+    try:
+        main(["8"])  # long enough for at least one completed trigger
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    out = capsys.readouterr().out
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["metric"] == "streaming_rows_per_sec"
+    assert rec["transform_rows"] > 0

@@ -108,8 +108,9 @@ def bench_merge(spark, seconds: float, tmp: str) -> tuple[float, int]:
     return _drain(q, seconds)
 
 
-def main() -> None:
-    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 15.0
+def main(argv=None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    seconds = float(argv[0]) if argv else 15.0
     spark = get_spark(
         "bench-streaming", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
     )

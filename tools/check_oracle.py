@@ -151,9 +151,10 @@ def compare_query(spark, con, name, builder, sql, sf_dir, timings=None):
     }
 
 
-def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    with_timings = "--timings" in sys.argv
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    args = [a for a in argv if not a.startswith("--")]
+    with_timings = "--timings" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 
@@ -183,7 +184,7 @@ def main():
     if timings:
         _write_timings(sf_dir, timings)
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
-    sys.exit(1 if failed else 0)
+    return 1 if failed else 0
 
 
 def _write_timings(sf_dir: str, timings: "dict[str, tuple]") -> None:
@@ -223,4 +224,4 @@ def _write_timings(sf_dir: str, timings: "dict[str, tuple]") -> None:
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

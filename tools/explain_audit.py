@@ -110,15 +110,21 @@ NOTES = {
 }
 
 
-def main() -> None:
+def main(argv: "list[str] | None" = None) -> None:
     from dynamodb_to_datalake_project_spark import catalog, get_spark
     from bench import HEADLINE
+    from scaling_probe import parse_flags
+
+    flags = parse_flags(sys.argv[1:] if argv is None else argv)
+    queries = flags.get("query", list(HEADLINE))
+    sf_dir = flags.get("sf", [SF_DIR])[-1]
+    out_path = flags.get("out", ["EXPLAIN.md"])[-1]
 
     catalog.load_all()
     spark = get_spark("explain-audit")
     plans: dict[str, str] = {}
-    for name in HEADLINE:
-        df = catalog.QUERIES[name](spark, SF_DIR)
+    for name in queries:
+        df = catalog.QUERIES[name](spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
@@ -143,7 +149,7 @@ def main() -> None:
         )
 
     out = ["# EXPLAIN — formatted physical plans of the headline queries",
-           "", f"Generated by `tools/explain_audit.py` at {SF_DIR}.", "",
+           "", f"Generated by `tools/explain_audit.py` at {sf_dir}.", "",
            "## Shuffle accounting (initial plan; AQE only removes exchanges)",
            "", *summary, ""]
     for name, plan in plans.items():
@@ -151,9 +157,9 @@ def main() -> None:
         if name in NOTES:
             out += [f"*{NOTES[name]}*", ""]
         out += ["```", plan, "```", ""]
-    with open("EXPLAIN.md", "w") as f:
+    with open(out_path, "w") as f:
         f.write("\n".join(out))
-    print(f"wrote EXPLAIN.md ({len(HEADLINE)} plans)")
+    print(f"wrote {out_path} ({len(queries)} plans)")
 
 
 if __name__ == "__main__":

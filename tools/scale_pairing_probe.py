@@ -204,7 +204,7 @@ def semantic_probe() -> None:
     print("wrote semantic-dedup probe section to SCALING.md")
 
 
-def main() -> None:
+def main(argv: "list[str] | None" = None) -> None:
     from pyspark.sql import functions as F
 
     from dynamodb_to_datalake_project_spark import get_spark
@@ -217,10 +217,18 @@ def main() -> None:
     )
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from scale10_probe import replace_section
+    from scaling_probe import parse_flags
+
+    argv = sys.argv[1:] if argv is None else argv
+    flags = parse_flags(argv)
+    sf_dir = flags.get("sf", [SF_DIR])[-1]
+    out_path = flags.get("out", ["SCALING.md"])[-1]
+    probe_filter = flags.get("probe", [])  # substring match, empty = all
+    max_scale = flags.get("max-scale", [None])[-1]
 
     spark = get_spark("scale-pairing-probe")
     spark.range(1).count()
-    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n1 = docs.count()
 
     # (label, variants/doc, shuffle partitions sized to the data,
@@ -232,8 +240,10 @@ def main() -> None:
         ("x100", 200, 256, 2),
         ("x1000", 2000, 512, 1),
     ]
-    if "--no-x1000" in sys.argv:
+    if "--no-x1000" in argv:
         scales = scales[:3]
+    if max_scale is not None:
+        scales = scales[: [s[0] for s in scales].index(max_scale) + 1]
     labels = [s[0] for s in scales]
     kmap = {s[0]: s[1] for s in scales}
     partitions = {s[0]: s[2] for s in scales}
@@ -370,6 +380,10 @@ def main() -> None:
         )
         return f"| {name} | {cells} | {ratios} | {tail} |"
 
+    if probe_filter:
+        probes = [
+            (n, b) for n, b in probes if any(sub in n for sub in probe_filter)
+        ]
     pair_frames: dict[str, object] = {}
     for name, build in probes:
         ts, dens = {}, {}
@@ -400,24 +414,28 @@ def main() -> None:
             # deletes them after a JVM GC notices the dropped RDD refs
             # — without this the decades' spill accumulates on the one
             # local disk and the x1000 stage runs it out (observed
-            # twice before this hygiene)
-            import gc as _gc
+            # twice before this hygiene). Only needed once the decades
+            # are big enough to spill (x100+); skipping it below that
+            # keeps narrowed smoke runs fast.
+            if kmap[label] >= 200:
+                import gc as _gc
 
-            _gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            # let the cleaner's file deletion drain before the next
-            # timed run — deleting ~60 GB of spill competes with the
-            # small decades' I/O (observed: simhash x1 0.7s -> 13s when
-            # timed during the post-x1000 deletion churn)
-            time.sleep(15)
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                # let the cleaner's file deletion drain before the next
+                # timed run — deleting ~60 GB of spill competes with the
+                # small decades' I/O (observed: simhash x1 0.7s -> 13s
+                # when timed during the post-x1000 deletion churn)
+                time.sleep(15)
         lines.append(
             row(name, ts, f"{dens[labels[0]]:.3f} -> {dens[labels[-1]]:.3f}")
         )
 
     # CC over the REAL minhash pair edges (materialized above, so this
-    # times component resolution alone; edge count grows linearly)
+    # times component resolution alone; edge count grows linearly).
+    # Skipped when a probe filter excluded minhash (no edges to read).
     ts = {}
-    for label in labels:
+    for label in labels if pair_frames else []:
         pairs = pair_frames[label]
         spark.conf.set("spark.sql.shuffle.partitions", str(partitions[label]))
         best = float("inf")
@@ -427,12 +445,13 @@ def main() -> None:
             best = min(best, time.time() - t0)
         ts[label] = best
         print(f"# connected_components {label}: {best:.2f}s", file=sys.stderr)
-    lines.append(row("connected_components (on minhash edges)", ts, "—"))
+    if pair_frames:
+        lines.append(row("connected_components (on minhash edges)", ts, "—"))
 
     replace_section(
-        "SCALING.md", "## x10 / x100 pairing-operator probe", lines
+        out_path, "## x10 / x100 pairing-operator probe", lines
     )
-    print("wrote pairing probe section to SCALING.md")
+    print(f"wrote pairing probe section to {out_path}")
 
 
 if __name__ == "__main__":
