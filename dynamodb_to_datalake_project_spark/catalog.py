@@ -45,70 +45,18 @@ def query(name: str, oracle: str | None = None):
 
 # Catalog iteration order. External harnesses that sample a bounded
 # prefix of the catalog (~50 entries/round) should see the queries
-# with the LEAST independent-correctness coverage first. Round-5
-# rotation (per VERDICT r4 "next round" #2): the round-4 driver
-# sample took exactly the first 50 entries of the round-4 order,
-# which left 8 queries past position 50 still holding only a
-# round-1 driver row — those lead now. Then the 41-query r2-green
-# group (next-oldest rows), then the rows-only fast paths (a fresh
-# rows-row each round is still signal), then r3-green, with the
-# freshly r4-verified set trailing. The set is identical either
-# way — only iteration order changes.
+# with the LEAST independent-correctness coverage first. After the
+# round-5 sample, every query's newest driver row is r3+ EXCEPT the
+# 15 that sat at positions 51-65 (their newest row is r2) — they
+# lead the round-6 order, followed by any new round-6 queries, the
+# rows-only fast paths, then r3-green, r4-green, and the freshly
+# r5-verified set trailing. The set is identical either way — only
+# iteration order changes.
 _PRIORITY: list[str] = [
-    # --- new in round 5 (no driver row possible yet) ---
-    "cluster_kmeans_train",
-    "cluster_kmeans_maximin",
-    "cluster_silhouette",
-    "sim_ann_ivf_trained",
-    "dedup_semantic_trained",
-    "graph_pagerank",
-    "graph_pagerank_weighted",
-    "sample_weighted_aes",
-    "p1_variant_decode",
-    "sketch_hll_daily_users",
-    "sketch_hll_exact_twin",
-    "multimodal_jpeg_stats",
-    "multimodal_webp_stats",
-    "multimodal_flac_stats",
-    "multimodal_video_frames",
-    # --- only driver row still dates from round 1 (missed the r4
-    # 50-entry window by sitting at positions 51-58) ---
-    "rollup_timeseries",
-    "sessionize_events",
-    "set_intersect_except",
-    "lang_id_heuristic",
-    "text_fingerprint",
-    "text_quality_filter",
-    "text_stats",
-    "text_tfidf_top_terms",
-    # --- driver-green in r02 (oldest full-sweep group: due) ---
-    "a9_approx_aggs",
-    "agg_argmax_family",
-    "agg_array_funcs",
-    "asof_last_click",
-    "bigram_top20",
-    "column_profile",
-    "corpus_clean",
-    "corpus_vocab_stats",
-    "decontaminate_ngrams",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_per_source_best",
-    "doc_curriculum_buckets",
-    "doc_embedding_coverage",
-    "doc_length_histogram",
-    "embed_centroid_assign",
-    "embed_dim_stats",
-    "embed_pq_codes",
-    "embed_quality_gate",
-    "embed_quantize_int8",
-    "heavy_hitter_tokens",
-    "multimodal_features",
-    "pii_scrub",
-    "pmi_top_bigrams",
-    "q6_forecast_revenue",
-    "q8_market_share",
+    # --- round-6 rotation (VERDICT r5 ask #2): these 15 queries'
+    # newest driver row still dates from round 2 — the r5 50-entry
+    # window ran out at position 50 exactly one group short. They
+    # lead; new round-6 queries are inserted right after them. ---
     "q9_product_profit",
     "q12_late_priority_count",
     "q13_order_distribution",
@@ -124,8 +72,8 @@ _PRIORITY: list[str] = [
     "text_bm25_topk",
     "text_novelty_score",
     "token_count_bpe",
-    # --- rows-only entries: a fresh rows-row each round is still
-    # signal (each has an oracle-green lossless twin below) ---
+    # --- rows-only fast paths (a fresh rows-row each round is still
+    # signal; each has an oracle-green lossless twin) ---
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_ann_lsh",
@@ -133,7 +81,7 @@ _PRIORITY: list[str] = [
     "sim_ann_ivfpq",
     "embed_pca_project",
     "bpe_train_merges",
-    # --- driver-green in r03 (next-most-recent) ---
+    # --- driver-green in r03 (oldest full-match group after the above) ---
     "q2_min_cost_supplier",
     "q4_priority_late_ship",
     "q5_local_supplier_volume",
@@ -182,7 +130,7 @@ _PRIORITY: list[str] = [
     "source_overlap_matrix",
     "bpe_encode_stats",
     "bpe_fertility_by_lang",
-    # --- driver-green in r04 (freshest full-match rows, trailing) ---
+    # --- driver-green in r04 ---
     "sim_hard_negatives",
     "source_unigram_kl",
     "multimodal_image_stats",
@@ -226,6 +174,57 @@ _PRIORITY: list[str] = [
     "grouped_pct_rank",
     "pivot_event_counts",
     "unpivot_metrics",
+    # --- driver-green in r05 (freshest rows, trailing) ---
+    "cluster_kmeans_train",
+    "cluster_kmeans_maximin",
+    "cluster_silhouette",
+    "sim_ann_ivf_trained",
+    "dedup_semantic_trained",
+    "graph_pagerank",
+    "graph_pagerank_weighted",
+    "sample_weighted_aes",
+    "p1_variant_decode",
+    "sketch_hll_daily_users",
+    "sketch_hll_exact_twin",
+    "multimodal_jpeg_stats",
+    "multimodal_webp_stats",
+    "multimodal_flac_stats",
+    "multimodal_video_frames",
+    "rollup_timeseries",
+    "sessionize_events",
+    "set_intersect_except",
+    "lang_id_heuristic",
+    "text_fingerprint",
+    "text_quality_filter",
+    "text_stats",
+    "text_tfidf_top_terms",
+    "a9_approx_aggs",
+    "agg_argmax_family",
+    "agg_array_funcs",
+    "asof_last_click",
+    "bigram_top20",
+    "column_profile",
+    "corpus_clean",
+    "corpus_vocab_stats",
+    "decontaminate_ngrams",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_per_source_best",
+    "doc_curriculum_buckets",
+    "doc_embedding_coverage",
+    "doc_length_histogram",
+    "embed_centroid_assign",
+    "embed_dim_stats",
+    "embed_pq_codes",
+    "embed_quality_gate",
+    "embed_quantize_int8",
+    "heavy_hitter_tokens",
+    "multimodal_features",
+    "pii_scrub",
+    "pmi_top_bigrams",
+    "q6_forecast_revenue",
+    "q8_market_share",
 ]
 
 
