@@ -278,11 +278,14 @@ def pagerank(
 
     `weight`: optional edge-weight column — contributions become
     pr·w/strength(src) instead of pr/deg(src). Weighted edges must be
-    PRE-AGGREGATED (one row per (src, dst); duplicates double-count)
-    and weights should be exactly summable across any accumulation
-    order — integers/longs, or integral-valued doubles — or the
-    out-strength sum (and therefore the whole result) stops being
-    engine-deterministic. The unweighted path dedups edges itself.
+    PRE-AGGREGATED (one row per (src, dst)) with strictly positive
+    weights — both ENFORCED with a ValueError (checked off the same
+    shuffle that computes out-strength, so the validation costs no
+    extra pass) — and weights should be exactly summable across any
+    accumulation order — integers/longs, or integral-valued doubles —
+    or the out-strength sum (and therefore the whole result) stops
+    being engine-deterministic. The unweighted path dedups edges
+    itself.
 
     Web-curation pipelines rank HOSTS by link centrality and use the
     score as a document-quality prior (the CommonCrawl host-graph
@@ -322,14 +325,50 @@ def pagerank(
             F.col(src).alias("src"), F.col(dst).alias("dst")
         ).distinct()
         deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        deg = deg.localCheckpoint(eager=True)
     else:
         e = edges.select(
             F.col(src).alias("src"),
             F.col(dst).alias("dst"),
             F.col(weight).alias("w"),
         )
-        deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
-    deg = deg.localCheckpoint(eager=True)
+        # Fail fast on the two contract violations the docstring used to
+        # merely describe (ADVICE r5): non-positive/null weights poison
+        # the out-strength divisor, and duplicate (src, dst) rows double
+        # -count it. Both checks ride the SAME shuffle as the strength
+        # aggregation (extra agg columns, no extra pass over the edges)
+        # and are read off the node-sized checkpointed table.
+        deg = e.groupBy("src").agg(
+            F.sum("w").alias("deg"),
+            F.min("w").alias("_min_w"),
+            F.count("*").alias("_n"),
+            F.count_distinct(F.col("dst")).alias("_nd"),
+        )
+        deg = deg.localCheckpoint(eager=True)
+        bad = (
+            deg.filter(
+                F.col("_min_w").isNull()
+                | (F.col("_min_w") <= 0)
+                | (F.col("_n") > F.col("_nd"))
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            r = bad[0]
+            if r["_min_w"] is None or r["_min_w"] <= 0:
+                raise ValueError(
+                    f"pagerank: non-positive or null edge weight at src="
+                    f"{r['src']!r} (min w = {r['_min_w']!r}); weights must "
+                    "be > 0 or the rank division is undefined"
+                )
+            raise ValueError(
+                f"pagerank: duplicate (src, dst) weighted edges at src="
+                f"{r['src']!r} ({r['_n']} rows over {r['_nd']} distinct dst); "
+                "pre-aggregate to one row per edge — duplicates double-count "
+                "out-strength"
+            )
+        deg = deg.select("src", "deg")
     ew = (
         e.join(deg, "src")
         .repartition(F.col("src"))

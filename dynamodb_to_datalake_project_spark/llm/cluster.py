@@ -96,10 +96,14 @@ def _nearest_cid(cs: F.Column, v: F.Column) -> F.Column:
 #: at k=800·d=64 (measured: the x100 semantic probe timed out in the
 #: fold form). Trade-off: numpy's dot reassociates fp, so the large-k
 #: path gives up per-element replayability — fine, because only the
-#: small-k oracle configs need bit-exact distances, and assignments
-#: diverge only on sub-ulp ties; the downstream DECIMAL coordinate
-#: sums are order-free either way (tested bit-identical on both
-#: paths). 2048 keeps every oracle config literal (k=8 · d=64 = 512)
+#: small-k oracle configs need bit-exact distances. Large-k
+#: assignments can flip on NEAR-TIES within the accumulated fp error
+#: of the reassociated matmul (not just sub-ulp exact ties), and may
+#: vary across BLAS builds/machines — deterministic per-environment,
+#: not bit-replayable across BLAS implementations; the downstream
+#: DECIMAL coordinate sums are order-free either way (tested
+#: bit-identical on both paths for the fixture corpora, where no
+#: near-ties arise). 2048 keeps every oracle config literal (k=8 · d=64 = 512)
 #: while routing k·d ≥ ~5k to BLAS — measured in the semantic probe:
 #: at k=80 · d=64 the literal fold was ~10x slower per row than the
 #: Arrow path at k=800 (codegen over 5k literals JITs poorly).
@@ -171,7 +175,9 @@ def maximin_seeds(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
     seed, incl. k > distinct vectors) the traversal truncates — note
     the `_maximin_seed_ctes` oracle does NOT replay that truncation,
     so oracle-compared configs assume ≥ k distinct vectors (true of
-    the embeddings fixtures)."""
+    the embeddings fixtures) — and ENFORCE it via
+    `kmeans_train(require_k=True)`, which raises instead of silently
+    diverging from the oracle."""
     w = emb.select("id", "v", F.md5(F.col("id").cast("string")).alias("h"))
     first = w.orderBy("h", "id").limit(1).collect()
     if not first:
@@ -205,6 +211,7 @@ def kmeans_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "md5",
+    require_k: bool = False,
 ) -> tuple[list[tuple[int, list[float]]], dict[int, int]]:
     """Train k-means centroids with `n_iters` Lloyd iterations.
 
@@ -212,6 +219,12 @@ def kmeans_train(
     when Lloyd gets enough iterations) or "maximin" (farthest-first
     traversal — k-1 extra bounded-output scans buying spread-out
     seeds, the scalable k-means++ substitute).
+
+    `require_k`: raise instead of proceeding when seeding truncates
+    below k (fewer than k distinct vectors). Oracle-compared configs
+    MUST set this (ADVICE r5): `_maximin_seed_ctes` does not replay
+    truncation, so without it a degenerate fixture would surface as a
+    confusing hash mismatch instead of a clear error.
 
     Returns (centroids, sizes): the post-update centroid list
     [(cid, [coord, ...]), ...] and the member count of each cluster
@@ -229,6 +242,12 @@ def kmeans_train(
     cents = maximin_seeds(emb, k) if init == "maximin" else _seed_centroids(emb, k)
     if not cents:
         raise ValueError("kmeans_train: empty embeddings input")
+    if require_k and len(cents) < k:
+        raise ValueError(
+            f"kmeans_train: seeding truncated to {len(cents)} < k={k} "
+            "(fewer than k distinct vectors) and require_k is set — the "
+            "SQL oracle does not replay truncation"
+        )
     sizes: dict[int, int] = {}
     for _ in range(n_iters):
         assigned = _assign_with_vec(emb, cents)
@@ -332,11 +351,16 @@ def _iter_ctes(n_iters: int) -> str:
         FROM e, cent{i - 1} c
       ) WHERE rn = 1
     ), st{i} AS (
+      -- len(v) >= pos guard (ADVICE r5): a ragged fixture would
+      -- otherwise produce NULL coordinate rows that SUM ignores but
+      -- COUNT(*) counts, silently diverging from Spark's per-row
+      -- posexplode means instead of failing the hash cleanly
       SELECT cid, dims.pos,
              CAST(SUM(CAST(v[dims.pos] AS DECIMAL(20,9))) AS DOUBLE)
                / COUNT(*) AS m,
              COUNT(*) AS n
       FROM a{i}, dims
+      WHERE len(v) >= dims.pos
       GROUP BY cid, dims.pos
     ), cent{i} AS (
       SELECT cid, list(m ORDER BY pos) AS cv FROM st{i} GROUP BY cid
@@ -457,7 +481,7 @@ def q_cluster_kmeans_maximin(spark, sf_dir):
     seed pick and trained coordinate is bit-identical across engines,
     so raw doubles hash-match."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, sizes = kmeans_train(emb, k=4, n_iters=2, init="maximin")
+    cents, sizes = kmeans_train(emb, k=4, n_iters=2, init="maximin", require_k=True)
     rows = [
         (cid, pos, val, sizes[cid])
         for cid, vec in cents

@@ -202,3 +202,21 @@ def test_ivf_trained_recall_against_bruteforce(spark):
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.4, (recall,)
     assert all(r.query_id < 8 and r.neighbor_id >= 8 for r in approx)
+
+
+def test_kmeans_require_k_rejects_truncated_maximin(spark):
+    import pytest as _pt
+
+    # 3 distinct vectors cannot seed k=4 by farthest-first traversal;
+    # the oracle CTEs don't replay truncation, so require_k (which
+    # every oracle-facing config sets) must raise a clear error
+    # instead of letting the gate fail with a hash mismatch
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)] + [(3, [2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pt.raises(ValueError, match="truncated"):
+        kmeans_train(emb, k=4, n_iters=1, init="maximin", require_k=True)
+    # without require_k the documented truncation behavior stands
+    cents, _ = kmeans_train(emb, k=4, n_iters=1, init="maximin")
+    assert 1 <= len(cents) <= 3

@@ -129,3 +129,31 @@ def test_pagerank_weighted_matches_python_replay(spark):
     # the heavy bridge pulls mass toward its endpoints
     assert got[2] > got[0] and got[3] > got[4]
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_weighted_rejects_bad_weights(spark):
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.graph import pagerank
+
+    # non-positive weight (ADVICE r5: fail fast instead of a silent
+    # division-by-zero/null rank)
+    df = spark.createDataFrame(
+        [(0, 1, 1), (1, 0, 0)], "src long, dst long, w long"
+    )
+    with _pt.raises(ValueError, match="non-positive or null edge weight"):
+        pagerank(df, n_iter=1, weight="w")
+
+    # null weight
+    df = spark.createDataFrame(
+        [(0, 1, 1), (1, 0, None)], "src long, dst long, w long"
+    )
+    with _pt.raises(ValueError, match="non-positive or null edge weight"):
+        pagerank(df, n_iter=1, weight="w")
+
+    # duplicate (src, dst) rows double-count out-strength
+    df = spark.createDataFrame(
+        [(0, 1, 1), (0, 1, 2), (1, 0, 1)], "src long, dst long, w long"
+    )
+    with _pt.raises(ValueError, match="duplicate \\(src, dst\\)"):
+        pagerank(df, n_iter=1, weight="w")
