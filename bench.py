@@ -115,6 +115,9 @@ HEADLINE = [
     "cluster_silhouette",
     "sim_ann_ivf_trained",
     "dedup_semantic_trained",
+    # round 6
+    "cluster_kmeans_parallel_init",
+    "multimodal_mp4_stats",
 ]
 
 

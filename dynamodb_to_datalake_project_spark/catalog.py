@@ -72,6 +72,8 @@ _PRIORITY: list[str] = [
     "text_bm25_topk",
     "text_novelty_score",
     "token_count_bpe",
+    # --- new in round 6 (no driver row possible yet) ---
+    "cluster_kmeans_parallel_init",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---
     "dedup_minhash_lsh",

@@ -62,7 +62,7 @@ from dynamodb_to_datalake_project_spark.llm.similarity import (
     sq_dist,
 )
 
-__all__ = ["kmeans_train", "maximin_seeds"]
+__all__ = ["kmeans_train", "maximin_seeds", "parallel_seeds"]
 
 
 def _literal_centroids(cents: list[tuple[int, list[float]]]) -> F.Column:
@@ -204,6 +204,143 @@ def maximin_seeds(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
     return list(enumerate(seeds))
 
 
+def _py_d2(a: list[float], b: list[float]) -> float:
+    """Driver-side squared L2, SAME sequential left fold as `sq_dist`
+    and the oracle's `list_sum` — bit-identical across all three."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + (x - y) * (x - y)
+    return s
+
+
+def parallel_seeds(
+    emb: DataFrame, k: int, l: int | None = None, rounds: int = 3
+) -> list[tuple[int, list[float]]]:
+    """k-means|| oversampling initialization (Bahmani et al., VLDB 2012
+    "Scalable k-means++") under the repo's md5-determinism contract.
+
+    Why it exists: `maximin_seeds` is k-1 SEQUENTIAL corpus scans —
+    fine for small k, serial in k. k-means|| gets spread-out seeds in
+    a fixed number of rounds INDEPENDENT of k (the paper's O(log n);
+    fixed here for a deterministic job shape), which is the init
+    SemDeDup-scale k (cells bounded ⇒ k grows with the corpus)
+    actually needs.
+
+    Three phases, all engine-replayable (`_parallel_seed_ctes`):
+
+    1. OVERSAMPLE — c0 is the md5-min vector; then `rounds` passes
+       each sample every point independently with the paper's
+       probability min(1, l·d²(x,C)/φ) where φ = Σ_x d²(x,C) — except
+       the coin is not rand(): u = (h+1)/2^60 from md5("t:id") (the
+       A-ES trick, `sampling.weighted_sample_aes`), so any executor,
+       any stage retry, and the DuckDB oracle draw the IDENTICAL
+       candidate set. φ is an exact DECIMAL sum (accumulation-order-
+       free), d² the shared index-order fold, and the comparison
+       u·φ < l·d² multiplies engine-identical doubles — no division,
+       no rounding. Each round costs two corpus scans against a
+       LITERAL candidate array (one φ agg, one filter with expected
+       output l rows); candidates stay model-sized (E = 1 + rounds·l).
+    2. WEIGHT — one corpus scan counts the points nearest to each
+       candidate (ties to lowest candidate position, the shared
+       `nearest_centroid` policy).
+    3. REDUCE — greedy weighted k-center over the candidates,
+       driver-side (the candidate set is model-sized, like every
+       collected model in this module): first pick argmax weight,
+       then repeatedly argmax weight·min-d² to the picks so far, ties
+       by id — a deterministic stand-in for the paper's "recluster
+       the weighted centers" step with the same spread-out effect.
+
+    Returns [(cid, vec), ...] with cid = pick order (0..k-1); may be
+    shorter than k only when the corpus has fewer than k candidates
+    (`kmeans_train(require_k=True)` turns that into a clean error).
+    """
+    if l is None:
+        l = k
+    if k < 1 or l < 1 or rounds < 1:
+        raise ValueError(
+            f"parallel_seeds: need k, l, rounds >= 1, got {k=} {l=} {rounds=}"
+        )
+    first = (
+        emb.select("id", "v", F.md5(F.col("id").cast("string")).alias("h"))
+        .orderBy("h", "id")
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("parallel_seeds: empty embeddings input")
+    # (round, id, vec) in (round, id) order — the oracle's candidate
+    # position contract (row_number OVER (ORDER BY rnd, id))
+    cands: list[tuple[int, int, list[float]]] = [
+        (0, int(first[0]["id"]), [float(x) for x in first[0]["v"]])
+    ]
+    for t in range(1, rounds + 1):
+        lits = F.array(
+            *[F.array(*[F.lit(float(x)) for x in vec]) for _, _, vec in cands]
+        )
+        mind2 = F.array_min(F.transform(lits, lambda c: sq_dist(F.col("v"), c)))
+        scored = emb.select("id", "v", mind2.alias("m"))
+        phi = scored.agg(
+            F.sum(F.col("m").cast("decimal(26,18)")).cast("double").alias("phi")
+        ).collect()[0]["phi"]
+        if phi is None or phi <= 0.0:
+            break  # every point already duplicates a candidate
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{t}:"), F.col("id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(1.0)
+        ) / F.lit(float(1 << 60))
+        picked = scored.filter(
+            u * F.lit(phi) < F.lit(float(l)) * F.col("m")
+        ).select("id", "v").collect()
+        if len(picked) > 10_000:
+            raise ValueError(
+                f"parallel_seeds: round {t} sampled {len(picked)} rows "
+                f"(expected ~{l}); the weight distribution is degenerate"
+            )
+        for r in sorted(picked, key=lambda r: r["id"]):
+            cands.append((t, int(r["id"]), [float(x) for x in r["v"]]))
+
+    # WEIGHT: nearest-candidate counts (candidate pos as cid)
+    lits_struct = _literal_centroids(
+        [(pos, vec) for pos, (_, _, vec) in enumerate(cands)]
+    )
+    counts = {
+        r["pos"]: r["n"]
+        for r in emb.select(
+            nearest_centroid(lits_struct, F.col("v"))["cid"].alias("pos")
+        )
+        .groupBy("pos")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    # REDUCE: greedy weighted k-center (deterministic, SQL-replayed)
+    rem = [
+        (cid_, vec, int(counts.get(pos, 0)))
+        for pos, (_, cid_, vec) in enumerate(cands)
+    ]
+    picked_c = [sorted(rem, key=lambda c: (-c[2], c[0]))[0]]
+    rem.remove(picked_c[0])
+    while rem and len(picked_c) < k:
+        nxt = sorted(
+            rem,
+            key=lambda c: (
+                -(float(c[2]) * min(_py_d2(c[1], p[1]) for p in picked_c)),
+                c[0],
+            ),
+        )[0]
+        picked_c.append(nxt)
+        rem.remove(nxt)
+    return [(i, vec) for i, (_, vec, _) in enumerate(picked_c)]
+
+
 def kmeans_train(
     embeddings: DataFrame,
     k: int = 8,
@@ -216,9 +353,11 @@ def kmeans_train(
     """Train k-means centroids with `n_iters` Lloyd iterations.
 
     `init`: "md5" (k smallest md5(id) vectors — one cheap scan, fine
-    when Lloyd gets enough iterations) or "maximin" (farthest-first
+    when Lloyd gets enough iterations), "maximin" (farthest-first
     traversal — k-1 extra bounded-output scans buying spread-out
-    seeds, the scalable k-means++ substitute).
+    seeds; serial in k), or "parallel" (k-means|| oversampling — a
+    FIXED number of rounds independent of k, the init large-k
+    SemDeDup-scale training actually needs; see `parallel_seeds`).
 
     `require_k`: raise instead of proceeding when seeding truncates
     below k (fewer than k distinct vectors). Oracle-compared configs
@@ -234,12 +373,17 @@ def kmeans_train(
     """
     if k < 1 or n_iters < 1:
         raise ValueError(f"kmeans_train: need k >= 1 and n_iters >= 1, got {k=} {n_iters=}")
-    if init not in ("md5", "maximin"):
+    if init not in ("md5", "maximin", "parallel"):
         raise ValueError(f"kmeans_train: unknown init {init!r}")
     emb = embeddings.select(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
     )
-    cents = maximin_seeds(emb, k) if init == "maximin" else _seed_centroids(emb, k)
+    if init == "maximin":
+        cents = maximin_seeds(emb, k)
+    elif init == "parallel":
+        cents = parallel_seeds(emb, k)
+    else:
+        cents = _seed_centroids(emb, k)
     if not cents:
         raise ValueError("kmeans_train: empty embeddings input")
     if require_k and len(cents) < k:
@@ -331,6 +475,76 @@ def _maximin_seed_ctes(k: int) -> str:
     )"""
 
 
+def _parallel_seed_ctes(k: int, l: int | None = None, rounds: int = 3) -> str:
+    """cent0 via k-means|| (see `parallel_seeds` — this replays all
+    three phases: md5-coin oversampling rounds, nearest-candidate
+    weighting, greedy weighted-k-center reduction). The sampling
+    comparison u·φ < l·d² uses the A-ES hex-fraction uniform
+    (md5 → 60-bit int → double), the exact-DECIMAL φ sum, and the
+    shared index-order d² fold, so the candidate set — and therefore
+    every downstream seed — is bit-identical to the Spark side."""
+    if l is None:
+        l = k
+    sql = """, pc0 AS (
+      SELECT 0 AS rnd, id, v FROM e ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1
+    )"""
+    for t in range(1, rounds + 1):
+        u = (
+            f"((CAST(CAST('0x' || substr(md5('{t}:' || CAST(d.id AS VARCHAR)),"
+            f" 1, 15) AS BIGINT) AS DOUBLE) + 1.0) / 1152921504606846976.0)"
+        )
+        sql += f""",
+    d{t} AS MATERIALIZED (
+      SELECT e.id, any_value(e.v) AS v, MIN({_d2_sql("e.v", "c.v")}) AS m
+      FROM e, pc{t - 1} c GROUP BY e.id
+    ), phi{t} AS (
+      SELECT CAST(SUM(CAST(m AS DECIMAL(26,18))) AS DOUBLE) AS phi FROM d{t}
+    ), smp{t} AS (
+      SELECT {t} AS rnd, d.id, d.v FROM d{t} d, phi{t}
+      WHERE {u} * phi < CAST({l} AS DOUBLE) * d.m
+    ), pc{t} AS MATERIALIZED (
+      SELECT * FROM pc{t - 1} UNION ALL SELECT * FROM smp{t}
+    )"""
+    sql += f""",
+    candf AS MATERIALIZED (
+      SELECT id, v, row_number() OVER (ORDER BY rnd, id) - 1 AS pos
+      FROM pc{rounds}
+    ), asg AS (
+      SELECT id, pos FROM (
+        SELECT e.id, c.pos,
+               row_number() OVER (PARTITION BY e.id
+                                  ORDER BY {_d2_sql("e.v", "c.v")}, c.pos) AS rn
+        FROM e, candf c
+      ) WHERE rn = 1
+    ), cw AS MATERIALIZED (
+      SELECT c.pos, c.id, c.v, COALESCE(w.n, 0) AS w
+      FROM candf c LEFT JOIN (
+        SELECT pos, COUNT(*) AS n FROM asg GROUP BY pos
+      ) w USING (pos)
+    ), g0 AS MATERIALIZED (
+      SELECT id, v, w FROM cw ORDER BY w DESC, id LIMIT 1
+    )"""
+    for j in range(1, k):
+        gs = ", ".join(f"g{i}" for i in range(j))
+        mind = "LEAST(" + ", ".join(
+            _d2_sql("cw.v", f"g{i}.v") for i in range(j)
+        ) + ")"
+        notin = " UNION ALL ".join(f"SELECT id FROM g{i}" for i in range(j))
+        sql += f""",
+    g{j} AS MATERIALIZED (
+      SELECT cw.id, cw.v, cw.w FROM cw, {gs}
+      WHERE cw.id NOT IN ({notin})
+      ORDER BY CAST(cw.w AS DOUBLE) * {mind} DESC, cw.id LIMIT 1
+    )"""
+    union = "\n      UNION ALL ".join(
+        f"SELECT {j} AS cid, v AS cv FROM g{j}" for j in range(k)
+    )
+    return sql + f""",
+    cent0 AS (
+      {union}
+    )"""
+
+
 def _iter_ctes(n_iters: int) -> str:
     """Unrolled Lloyd iterations (relies on `e`, `dims`, `cent0`):
     per iteration one assignment CTE (row_number argmin over the
@@ -369,9 +583,13 @@ def _iter_ctes(n_iters: int) -> str:
 
 
 def _kmeans_ctes(k: int, n_iters: int, init: str = "md5") -> str:
-    """Full training CTE chain: prefix + seed CTEs (md5 or maximin) +
-    unrolled Lloyd iterations."""
-    seeds = _md5_seed_ctes(k) if init == "md5" else _maximin_seed_ctes(k)
+    """Full training CTE chain: prefix + seed CTEs (md5, maximin, or
+    k-means||) + unrolled Lloyd iterations."""
+    seeds = {
+        "md5": _md5_seed_ctes,
+        "maximin": _maximin_seed_ctes,
+        "parallel": _parallel_seed_ctes,
+    }[init](k)
     return _PREFIX_CTES + seeds + _iter_ctes(n_iters)
 
 
@@ -482,6 +700,35 @@ def q_cluster_kmeans_maximin(spark, sf_dir):
     so raw doubles hash-match."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents, sizes = kmeans_train(emb, k=4, n_iters=2, init="maximin", require_k=True)
+    rows = [
+        (cid, pos, val, sizes[cid])
+        for cid, vec in cents
+        for pos, val in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows, "cid long, pos int, centroid_val double, n_members long"
+    ).orderBy("cid", "pos")
+
+
+@query(
+    "cluster_kmeans_parallel_init",
+    oracle=_kmeans_oracle(k=8, n_iters=2, init="parallel"),
+)
+def q_cluster_kmeans_parallel_init(spark, sf_dir):
+    """k-means with k-means|| (Bahmani) oversampling initialization:
+    3 md5-coin sampling rounds (l=k=8 expected candidates each) over
+    the corpus, nearest-candidate weighting, greedy weighted-k-center
+    reduction to 8 seeds, then 2 Lloyd iterations — same output
+    contract as `cluster_kmeans_train`. Unlike maximin's k-1 serial
+    scans, the round count is INDEPENDENT of k — this is the init
+    shape SemDeDup-scale k needs. The oracle replays the coin flips
+    (A-ES hex-fraction uniforms), the exact-decimal φ sums, the
+    weighting, the greedy reduction, AND the training, so every seed
+    pick and trained coordinate hash-matches as raw doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, sizes = kmeans_train(
+        emb, k=8, n_iters=2, init="parallel", require_k=True
+    )
     rows = [
         (cid, pos, val, sizes[cid])
         for cid, vec in cents

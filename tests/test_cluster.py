@@ -220,3 +220,52 @@ def test_kmeans_require_k_rejects_truncated_maximin(spark):
     # without require_k the documented truncation behavior stands
     cents, _ = kmeans_train(emb, k=4, n_iters=1, init="maximin")
     assert 1 <= len(cents) <= 3
+
+
+def test_parallel_seeds_recovers_blobs(spark):
+    from dynamodb_to_datalake_project_spark.llm.cluster import parallel_seeds
+
+    emb = _blobs(spark, [(0.0, 0.0), (10.0, 10.0), (0.0, 10.0)], n_per=20)
+    cents, sizes = kmeans_train(emb, k=3, n_iters=3, init="parallel")
+    assert sorted(sizes.values()) == [20, 20, 20]
+    got = sorted(tuple(v) for _, v in cents)
+    for (gx, gy), (cx, cy) in zip(got, [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0)]):
+        assert abs(gx - cx) < 0.3 and abs(gy - cy) < 0.3
+    # the raw seeds themselves are spread out: one per blob (weighted
+    # greedy k-center cannot put two picks in the same tight blob
+    # while a 10-apart blob has candidates)
+    norm = emb.select(
+        F.col("vec_id").alias("id"), as_double_vec("embedding").alias("v")
+    )
+    seeds = parallel_seeds(norm, k=3)
+    blobs = {
+        (round(v[0] / 10.0), round(v[1] / 10.0)) for _, v in seeds
+    }
+    assert len(blobs) == 3
+
+
+def test_parallel_seeds_deterministic_rerun(spark):
+    from dynamodb_to_datalake_project_spark.llm.cluster import parallel_seeds
+
+    emb = _blobs(spark, [(0.0, 0.0), (5.0, 1.0), (2.0, 7.0)], n_per=12)
+    norm = emb.select(
+        F.col("vec_id").alias("id"), as_double_vec("embedding").alias("v")
+    )
+    a = parallel_seeds(norm.repartition(7), k=4)
+    b = parallel_seeds(norm.repartition(2), k=4)
+    assert a == b  # bit-identical regardless of partitioning
+
+
+def test_parallel_seeds_rejects_bad_inputs(spark):
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.cluster import parallel_seeds
+
+    emb = _blobs(spark, [(0.0, 0.0)], n_per=3)
+    norm = emb.select(
+        F.col("vec_id").alias("id"), as_double_vec("embedding").alias("v")
+    )
+    with _pt.raises(ValueError, match="k, l, rounds >= 1"):
+        parallel_seeds(norm, k=0)
+    with _pt.raises(ValueError, match="empty embeddings"):
+        parallel_seeds(norm.filter("id < 0"), k=2)
