@@ -74,6 +74,7 @@ _PRIORITY: list[str] = [
     "token_count_bpe",
     # --- new in round 6 (no driver row possible yet) ---
     "cluster_kmeans_parallel_init",
+    "multimodal_mp4_stats",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---
     "dedup_minhash_lsh",

@@ -1374,3 +1374,163 @@ def test_hll_sketch_union_accuracy_at_scale(spark):
     )
     assert abs(direct - n) / n < 0.05
     assert abs(merged - n) / n < 0.05
+
+
+def _mp4_two_track(did=6):
+    nv, na = 3 + did % 5, 4 + did % 7
+    vs = [
+        bytes([(did * 3 + i * 17) % 256]) + b"\x01" * (49 + (did * 7 + i * 13) % 100)
+        for i in range(nv)
+    ]
+    asmp = [
+        bytes([(did * 11 + i * 19) % 256]) + b"\x02" * (19 + (did * 5 + i * 11) % 50)
+        for i in range(na)
+    ]
+    return multimodal.encode_mp4_container(
+        [
+            {
+                "handler": "vide",
+                "codec": "avc1",
+                "timescale": 1000,
+                "sample_delta": 40,
+                "samples": vs,
+                "width": 32,
+                "height": 16,
+            },
+            {
+                "handler": "soun",
+                "codec": "mp4a",
+                "timescale": 48000,
+                "sample_delta": 1024,
+                "samples": asmp,
+            },
+        ]
+    ), vs, asmp
+
+
+def test_mp4_container_roundtrip():
+    """ISO-BMFF demux is real end-to-end: two-track encode, box walk,
+    per-track sample-table resolution, duration math, and first-byte
+    checksum prove the resolved stco/stsz offsets point at the actual
+    mdat payload bytes."""
+    p, vs, asmp = _mp4_two_track()
+    d = multimodal.parse_mp4_boxes(p)
+    assert d["brand"] == "isom"
+    v, a = d["tracks"]
+    assert (v["track_id"], v["handler"], v["codec"]) == (1, "vide", "avc1")
+    assert (v["width"], v["height"]) == (32, 16)
+    assert v["n_samples"] == len(vs)
+    assert v["sample_bytes"] == sum(len(s) for s in vs)
+    assert v["duration"] == len(vs) * 40 and v["timescale"] == 1000
+    assert v["first_byte_sum"] == sum(s[0] for s in vs)
+    assert (a["track_id"], a["handler"], a["codec"]) == (2, "soun", "mp4a")
+    assert a["n_samples"] == len(asmp)
+    assert a["first_byte_sum"] == sum(s[0] for s in asmp)
+    # dispatcher: demux-available stub message for frame decode
+    with pytest.raises(NotImplementedError, match="parse_mp4_boxes"):
+        multimodal.decode_video(p)
+
+
+def test_mp4_parser_paths_the_encoder_never_emits():
+    """Golden, spec-built streams pinning decoder paths our encoder
+    does not produce: 64-bit largesize boxes, co64 chunk offsets,
+    uniform stsz, and multi-chunk/multi-run stsc expansion."""
+    import struct
+
+    box = multimodal._mp4_box
+    full = multimodal._mp4_full
+
+    def largesize(fourcc, payload):
+        return (
+            struct.pack(">I", 1) + fourcc + struct.pack(">Q", 16 + len(payload))
+            + payload
+        )
+
+    # one video track: 5 uniform 3-byte samples over 3 chunks
+    # (stsc runs: chunks 1-2 carry 2 samples each, chunk 3 carries 1)
+    tkhd = full(
+        b"tkhd", 0, 3,
+        struct.pack(">IIII", 0, 0, 9, 0) + struct.pack(">II", 0, 0)
+        + struct.pack(">IHHHH", 0, 0, 0, 0, 0) + multimodal._MP4_MATRIX
+        + struct.pack(">II", 8 << 16, 4 << 16),
+    )
+    mdhd = full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, 90000, 450, 0x55C4, 0))
+    hdlr = full(b"hdlr", 0, 0, struct.pack(">I4s", 0, b"vide") + b"\x00" * 12 + b"x\x00")
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + box(b"mp4v", b"\x00" * 78))
+    stts = full(b"stts", 0, 0, struct.pack(">III", 1, 5, 90))
+    stsc = full(
+        b"stsc", 0, 0,
+        struct.pack(">I", 2)
+        + struct.pack(">III", 1, 2, 1)  # chunks 1-2: 2 samples each
+        + struct.pack(">III", 3, 1, 1),  # chunk 3: 1 sample
+    )
+    stsz = full(b"stsz", 0, 0, struct.pack(">II", 3, 5))  # uniform size 3
+    ftyp = box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42isom")
+
+    # mdat: 3 chunks of samples, bytes chosen so checksum is checkable
+    chunks = [b"\x0a__\x0b__", b"\x0c__\x0d__", b"\x0e__"]
+
+    def build(co64=False):
+        def stbl_with(offsets):
+            co = (
+                full(
+                    b"co64", 0, 0,
+                    struct.pack(">I", 3)
+                    + b"".join(struct.pack(">Q", o) for o in offsets),
+                )
+                if co64
+                else full(
+                    b"stco", 0, 0,
+                    struct.pack(">I", 3)
+                    + b"".join(struct.pack(">I", o) for o in offsets),
+                )
+            )
+            return box(b"stbl", stsd + stts + stsc + stsz + co)
+
+        def moov_with(offsets):
+            minf = box(b"minf", full(b"vmhd", 0, 1, b"\x00" * 8) + stbl_with(offsets))
+            trak = box(b"trak", tkhd + box(b"mdia", mdhd + hdlr + minf))
+            mvhd = full(
+                b"mvhd", 0, 0,
+                struct.pack(">IIII", 0, 0, 1000, 5)
+                + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+                + multimodal._MP4_MATRIX + b"\x00" * 24 + struct.pack(">I", 2),
+            )
+            # moov as a LARGESIZE box — a real 64-bit-capable writer shape
+            return largesize(b"moov", mvhd + trak)
+
+        probe = moov_with([0, 0, 0])
+        base = len(ftyp) + len(probe) + 8
+        offs = [base, base + 6, base + 12]
+        moov = moov_with(offs)
+        assert len(moov) == len(probe)
+        return ftyp + moov + box(b"mdat", b"".join(chunks))
+
+    for co64 in (False, True):
+        d = multimodal.parse_mp4_boxes(build(co64))
+        (t,) = d["tracks"]
+        assert t["n_samples"] == 5 and t["sample_bytes"] == 15
+        assert t["codec"] == "mp4v" and (t["width"], t["height"]) == (8, 4)
+        assert t["duration"] == 450 and t["timescale"] == 90000
+        # samples at chunk offsets 0,3 / 0,3 / 0 -> first bytes 0a 0b 0c 0d 0e
+        assert t["first_byte_sum"] == 0x0A + 0x0B + 0x0C + 0x0D + 0x0E
+
+
+def test_mp4_corrupt_payloads_fail_cleanly():
+    import struct
+
+    p, _, _ = _mp4_two_track()
+    with pytest.raises(ValueError, match="ftyp"):
+        multimodal.parse_mp4_boxes(b"\x00\x00\x00\x08free" + p)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.parse_mp4_boxes(p[:-40])
+    # mdat removed -> clean error
+    mdat_at = p.index(b"mdat") - 4
+    with pytest.raises(ValueError, match="no mdat"):
+        multimodal.parse_mp4_boxes(p[:mdat_at])
+    # an stco offset pushed past EOF -> span validation trips
+    bad = bytearray(p)
+    stco_at = p.index(b"stco") + 12
+    struct.pack_into(">I", bad, stco_at, len(p))
+    with pytest.raises(ValueError, match="outside the file"):
+        multimodal.parse_mp4_boxes(bytes(bad))

@@ -107,6 +107,8 @@ NOTES = {
     "cluster_kmeans_maximin": "farthest-first (Gonzalez) seeding: k-1 corpus scans each ending in a 1-row TakeOrdered against a literal seed array (no shuffle), then the same Lloyd loop as cluster_kmeans_train; final plan is the literal result table",
     "cluster_silhouette": "simplified silhouette (O(n*k) vs exact O(n^2)): ONE corpus scan sorts k literal-centroid distances per row (a = ranked[0], b = ranked[1]), exact-decimal per-cluster mean behind the single k-key exchange",
     "sim_ann_ivf_trained": "IVF over deterministically trained cells in a LOSSY config (probe 2/8) with a FULL oracle: cell routing map-only, probed queries broadcast to the candidate cells, rerank reads full vectors only for probed cells' members",
+    "cluster_kmeans_parallel_init": "k-means|| init: 3 md5-coin oversampling rounds (2 bounded scans each: exact-decimal phi agg + expected-l filter), one weighting scan, driver-side greedy reduce over the model-sized candidates, then the same Lloyd loop; round count independent of k — final plan is the literal result table",
+    "multimodal_mp4_stats": "ISO-BMFF demux: binary build + box walk + stsc*stco*stsz sample-table resolution in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no frame decode",
 }
 
 
