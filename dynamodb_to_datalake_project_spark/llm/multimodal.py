@@ -2109,7 +2109,12 @@ def encode_mp4_container(
                 codec,
                 b"\x00" * 6 + struct.pack(">H", 1)
                 + b"\x00" * 8
-                + struct.pack(">HHHHI", 2, 16, 0, 0, t["timescale"] << 16),
+                # the sample-entry samplerate is 16.16 fixed-point and
+                # informational; mdhd's 32-bit timescale is authoritative,
+                # so rates >= 2^16 store truncated here (as real muxers do)
+                + struct.pack(
+                    ">HHHHI", 2, 16, 0, 0, (t["timescale"] & 0xFFFF) << 16
+                ),
             )
             mhd = _mp4_full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
         stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)

@@ -77,6 +77,8 @@ CASES = [
     ("multimodal_webp_stats", ["MapInPandas"], ["Sort", "Join"]),
     ("multimodal_flac_stats", ["MapInPandas"], ["Sort", "Join"]),
     ("multimodal_video_frames", ["MapInPandas"], ["Sort", "Join"]),
+    # round 6: mp4 demux is the same one-Arrow-stage shape
+    ("multimodal_mp4_stats", ["MapInPandas"], ["Sort", "Join"]),
     # round 5: A-ES weighted sample is scan -> project -> heap top-k;
     # the sample must NEVER cost a shuffle or a global sort
     ("sample_weighted_aes", ["TakeOrderedAndProject"], ["Exchange", "Join"]),

@@ -468,3 +468,51 @@ def test_kmeans_matches_python_lloyd_on_random_vectors(spark, vecs):
         assert gc == pc
         for a, b in zip(gv, pv):
             assert abs(a - b) < 1e-12, (gc, a, b)
+
+
+@given(
+    tracks=st.lists(
+        st.tuples(
+            st.booleans(),  # video?
+            st.integers(min_value=1, max_value=6),  # n samples
+            st.integers(min_value=1, max_value=90000),  # timescale
+            st.integers(min_value=1, max_value=3000),  # sample delta
+            st.lists(
+                st.binary(min_size=1, max_size=64), min_size=1, max_size=6
+            ),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_mp4_container_roundtrip_property(tracks):
+    """parse(encode(x)) recovers every track's handler, codec, sample
+    count/bytes, duration units, and first-byte checksum for arbitrary
+    track layouts — no Spark, pure container algebra."""
+    from dynamodb_to_datalake_project_spark.llm import multimodal
+
+    specs = []
+    for i, (is_video, _n, ts, delta, samples) in enumerate(tracks):
+        spec = {
+            "handler": "vide" if is_video else "soun",
+            "codec": ["avc1", "mp4v", "mp4a", "samr"][i % 4],
+            "timescale": ts,
+            "sample_delta": delta,
+            "samples": samples,
+        }
+        if is_video:
+            spec["width"], spec["height"] = 16 * (i + 1), 8 * (i + 1)
+        specs.append(spec)
+    payload = multimodal.encode_mp4_container(specs)
+    d = multimodal.parse_mp4_boxes(payload)
+    assert len(d["tracks"]) == len(specs)
+    for tid, (spec, got) in enumerate(zip(specs, d["tracks"]), start=1):
+        assert got["track_id"] == tid
+        assert got["handler"] == spec["handler"]
+        assert got["codec"] == spec["codec"]
+        assert got["n_samples"] == len(spec["samples"])
+        assert got["sample_bytes"] == sum(len(s) for s in spec["samples"])
+        assert got["timescale"] == spec["timescale"]
+        assert got["duration"] == len(spec["samples"]) * spec["sample_delta"]
+        assert got["first_byte_sum"] == sum(s[0] for s in spec["samples"])
