@@ -118,6 +118,7 @@ HEADLINE = [
     # round 6
     "cluster_kmeans_parallel_init",
     "multimodal_mp4_stats",
+    "sketch_cms_estimate",
 ]
 
 

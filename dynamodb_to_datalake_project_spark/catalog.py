@@ -75,6 +75,9 @@ _PRIORITY: list[str] = [
     # --- new in round 6 (no driver row possible yet) ---
     "cluster_kmeans_parallel_init",
     "multimodal_mp4_stats",
+    "sketch_cms_estimate",
+    "multimodal_mp3_stats",
+    "multimodal_ogg_stats",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---
     "dedup_minhash_lsh",

@@ -218,3 +218,156 @@ def q_sketch_hll_exact_twin(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (mergeable frequency sketch, fully oracle-replayable)
+# ---------------------------------------------------------------------------
+
+
+def _cms_hash_pairs(value_col: str, depth: int, width: int) -> F.Column:
+    """Array of (depth, bucket) structs for one item — bucket d is the
+    60-bit md5 of 'cms{d}:' || value taken mod width. md5 (not
+    xxhash64) is the deliberate choice: DuckDB computes the identical
+    hex digest, so every count in the sketch — and therefore every
+    estimate read from it — is replayable in ANSI SQL. See
+    `llm.dedup.MD5_HASH60_SPARK/DUCK` (bit-identity test in
+    test_llm.py)."""
+    from dynamodb_to_datalake_project_spark.llm.dedup import md5_hash60
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("depth"),
+                (
+                    md5_hash60(F.concat(F.lit(f"cms{d}:"), F.col(value_col)))
+                    % width
+                ).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    items: DataFrame, value_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-min sketch as a (depth, bucket, cnt) table — the
+    RELATIONAL form of the Cormode-Muthukrishnan sketch (point
+    estimate = min over depths of the hashed bucket's count;
+    guarantees est >= exact always, est <= exact + 2N/width with
+    prob 1 - (1/2)^depth).
+
+    Why a table, not a binary blob: (a) merging sketches is a plain
+    SUM over (depth, bucket) — any engine can do it; (b) DuckDB can
+    rebuild it row-for-row from md5, so CMS-backed operators carry a
+    FULL hash-match oracle where binary-sketch aggregates
+    (`sketch_hll_daily_users`) are rows-only by design.
+
+    100 TB shape: the explode multiplies rows by `depth`, but the
+    groupBy keys are bounded by depth*width (2k cells here), so
+    map-side partial aggregation collapses every partition's
+    contribution to <= depth*width rows before the one bounded
+    shuffle. Nothing in the plan scales with vocabulary size — that
+    is the entire point of sketching the stream instead of counting
+    it (contrast: the exact GROUP BY in `heavy_hitter_tokens`'s
+    oracle)."""
+    return (
+        items.select(
+            F.explode(_cms_hash_pairs(value_col, depth, width)).alias("db")
+        )
+        .groupBy(
+            F.col("db.depth").alias("depth"), F.col("db.bucket").alias("bucket")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge CMS tables built with the SAME (depth, width, hash):
+    counts are linear, so union-then-SUM over (depth, bucket) equals
+    the sketch of the concatenated streams (asserted exactly in
+    test_llm.py). This is what makes per-day / per-source sketches
+    roll up without re-scanning raw data."""
+    return sketches.groupBy("depth", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    queries_df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-estimate each query row's value against a CMS table:
+    min over depths of the matching bucket's count. The sketch side
+    is bounded (depth*width rows) and broadcast, so the join adds no
+    exchange on the query side — estimating a billion tokens against
+    a 2k-cell sketch stays map-only."""
+    carry = list(queries_df.columns)
+    q = queries_df.select(
+        *carry, F.explode(_cms_hash_pairs(value_col, depth, width)).alias("db")
+    ).select(*carry, "db.depth", "db.bucket")
+    return (
+        q.join(F.broadcast(cms), ["depth", "bucket"])
+        .groupBy(*carry)
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )
+
+
+_CMS_SQL = """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS token
+      FROM documents
+    ), depths AS (
+      SELECT unnest(range(0, 4)) AS depth
+    ), cms AS (
+      SELECT depth,
+             CAST(concat('0x', substring(md5(concat(
+               'cms', CAST(depth AS VARCHAR), ':', token)), 1, 15))
+               AS BIGINT) % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks, depths
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM toks GROUP BY token
+      ORDER BY exact_cnt DESC, token
+      LIMIT 20
+    ), q AS (
+      SELECT t.token, t.exact_cnt, d.depth,
+             CAST(concat('0x', substring(md5(concat(
+               'cms', CAST(d.depth AS VARCHAR), ':', t.token)), 1, 15))
+               AS BIGINT) % 512 AS bucket
+      FROM top t, depths d
+    )
+    SELECT q.token, q.exact_cnt, CAST(MIN(cms.cnt) AS BIGINT) AS cms_est
+    FROM q JOIN cms USING (depth, bucket)
+    GROUP BY q.token, q.exact_cnt
+    ORDER BY exact_cnt DESC, token
+"""
+
+
+@query("sketch_cms_estimate", oracle=_CMS_SQL)
+def q_sketch_cms_estimate(spark, sf_dir):
+    """Count-min sketch over the corpus token stream, read back at the
+    20 most frequent tokens and laid beside their exact counts. The
+    oracle rebuilds the ENTIRE sketch — every (depth, bucket) cell —
+    from md5 in SQL and reads the same minima, so the driver's hash
+    match pins build, merge shape, and estimate end-to-end (the first
+    frequency-sketch query here with a full oracle; the HLL rollup is
+    rows-only by its binary nature). est >= exact for every token and
+    the merge-linearity invariant are additionally property-tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    cms = cms_build(toks, "token", depth=4, width=512)
+    exact = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), "token").limit(20)
+    return cms_estimate(cms, top, "token", depth=4, width=512).orderBy(
+        F.desc("exact_cnt"), "token"
+    )

@@ -1534,3 +1534,39 @@ def test_mp4_corrupt_payloads_fail_cleanly():
     struct.pack_into(">I", bad, stco_at, len(p))
     with pytest.raises(ValueError, match="outside the file"):
         multimodal.parse_mp4_boxes(bytes(bad))
+
+
+def test_cms_overestimates_and_merges_linearly(spark):
+    """Count-min invariants on the full fixture vocabulary (not just
+    the oracle's top-20): (a) est >= exact for EVERY token — CMS can
+    only overestimate; (b) mean overestimate within 4x the eps*N
+    expectation for width=512; (c) merging two per-half sketches with
+    cms_merge equals sketching the concatenated stream exactly —
+    counts are linear, which is what lets per-source/per-day sketches
+    roll up without re-scanning raw data."""
+    from dynamodb_to_datalake_project_spark.llm import sketch as lsk
+    from dynamodb_to_datalake_project_spark.llm.text import tokens as toks_fn
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(F.explode(toks_fn(F.col("text"))).alias("token"))
+    cms = lsk.cms_build(toks, "token", depth=4, width=512)
+    exact = toks.groupBy("token").agg(F.count("*").cast("long").alias("exact_cnt"))
+    est = lsk.cms_estimate(cms, exact, "token", depth=4, width=512)
+    rows = est.collect()
+    assert rows and all(r.cms_est >= r.exact_cnt for r in rows)
+    n_total = toks.count()
+    mean_over = sum(r.cms_est - r.exact_cnt for r in rows) / len(rows)
+    assert mean_over <= 4 * (2 * n_total / 512)
+    # merge linearity: split the stream by row hash, sketch halves,
+    # merge — must equal the direct sketch cell-for-cell
+    h = toks.withColumn("half", (F.xxhash64("token") % 2 == 0).cast("int"))
+    halves = [
+        lsk.cms_build(h.filter(F.col("half") == i).drop("half"), "token")
+        for i in (0, 1)
+    ]
+    merged = {
+        (r.depth, r.bucket): r.cnt
+        for r in lsk.cms_merge(halves[0].unionAll(halves[1])).collect()
+    }
+    direct = {(r.depth, r.bucket): r.cnt for r in cms.collect()}
+    assert merged == direct

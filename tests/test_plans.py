@@ -79,6 +79,14 @@ CASES = [
     ("multimodal_video_frames", ["MapInPandas"], ["Sort", "Join"]),
     # round 6: mp4 demux is the same one-Arrow-stage shape
     ("multimodal_mp4_stats", ["MapInPandas"], ["Sort", "Join"]),
+    # round 6: CMS estimate — the bounded sketch table must BROADCAST
+    # into the query side (estimating never shuffles the query stream)
+    # and no nested-loop may replace the (depth, bucket) equi-join
+    (
+        "sketch_cms_estimate",
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # round 5: A-ES weighted sample is scan -> project -> heap top-k;
     # the sample must NEVER cost a shuffle or a global sort
     ("sample_weighted_aes", ["TakeOrderedAndProject"], ["Exchange", "Join"]),
