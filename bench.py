@@ -119,6 +119,8 @@ HEADLINE = [
     "cluster_kmeans_parallel_init",
     "multimodal_mp4_stats",
     "sketch_cms_estimate",
+    "multimodal_mp3_stats",
+    "multimodal_ogg_stats",
 ]
 
 

@@ -1570,3 +1570,143 @@ def test_cms_overestimates_and_merges_linearly(spark):
     }
     direct = {(r.depth, r.bucket): r.cnt for r in cms.collect()}
     assert merged == direct
+
+
+def test_mp3_frame_walk_roundtrip():
+    """Encoder→parser agreement on a VBR stream with both tag kinds,
+    plus the exact ISO 11172-3 frame-length arithmetic."""
+    frames = [(1 + i % 14, i % 2, bytes([i * 7 % 256])) for i in range(12)]
+    p = multimodal.encode_mp3_stream(frames, 0, id3v2=b"\x00" * 33, id3v1=True)
+    d = multimodal.parse_mp3_frames(p)
+    assert d["n_frames"] == 12
+    assert d["sample_rate"] == 44100
+    assert d["has_id3v2"] == 1
+    assert d["frame_bytes"] == sum(
+        144000 * multimodal._MP3_BITRATES[bi - 1] // 44100 + pad
+        for bi, pad, _ in frames
+    )
+    assert d["first_byte_sum"] == sum(h[0] for _, _, h in frames)
+    assert d["duration_ms"] == 12 * 1152 * 1000 // 44100
+    assert d["padded_frames"] == sum(pad for _, pad, _ in frames)
+    # bare CBR stream, no tags, each samplerate
+    for sr_idx, sr in enumerate((44100, 48000, 32000)):
+        d2 = multimodal.parse_mp3_frames(
+            multimodal.encode_mp3_stream([(9, 0, b"\x05")] * 4, sr_idx)
+        )
+        assert d2["sample_rate"] == sr and d2["n_frames"] == 4
+        assert d2["has_id3v2"] == 0
+
+
+def test_mp3_corrupt_streams_fail_cleanly():
+    """Every validation branch raises (quarantine behavior for a
+    100 TB audio-ingest filter): lost sync, truncation, free-format
+    and forbidden bitrates, reserved samplerate, mid-stream samplerate
+    change, and a non-syncsafe ID3v2 size."""
+    frames = [(5, 0, b"\x01")] * 3
+    p = multimodal.encode_mp3_stream(frames, 1)
+    bad = bytearray(p)
+    bad[0] = 0x00
+    with pytest.raises(ValueError, match="lost frame sync"):
+        multimodal.parse_mp3_frames(bytes(bad))
+    with pytest.raises(ValueError, match="past end"):
+        multimodal.parse_mp3_frames(p[:-10])
+    with pytest.raises(ValueError, match="free-format"):
+        multimodal.parse_mp3_frames(bytes((0xFF, 0xFB, 0x04, 0x40)) + b"\x00" * 100)
+    with pytest.raises(ValueError, match="forbidden bitrate"):
+        multimodal.parse_mp3_frames(bytes((0xFF, 0xFB, 0xF4, 0x40)) + b"\x00" * 100)
+    with pytest.raises(ValueError, match="reserved samplerate"):
+        multimodal.parse_mp3_frames(bytes((0xFF, 0xFB, 0x1C, 0x40)) + b"\x00" * 100)
+    two_rates = multimodal.encode_mp3_stream(
+        [(5, 0, b"\x01")], 0
+    ) + multimodal.encode_mp3_stream([(5, 0, b"\x01")], 1)
+    with pytest.raises(ValueError, match="samplerate changes"):
+        multimodal.parse_mp3_frames(two_rates)
+    with pytest.raises(ValueError, match="non-syncsafe"):
+        multimodal.parse_mp3_frames(
+            b"ID3" + bytes((3, 0, 0)) + b"\xff\x00\x00\x00" + p
+        )
+    with pytest.raises(ValueError, match="no frames"):
+        multimodal.parse_mp3_frames(b"ID3" + bytes((3, 0, 0)) + multimodal._syncsafe(0))
+
+
+def _ogg_page(htype, granule, serial, seq, lacing, body):
+    import struct
+
+    page = bytearray(
+        b"OggS"
+        + bytes((0, htype))
+        + struct.pack("<q", granule)
+        + struct.pack("<II", serial, seq)
+        + b"\x00\x00\x00\x00"
+        + bytes([len(lacing)])
+        + bytes(lacing)
+        + body
+    )
+    struct.pack_into("<I", page, 22, multimodal.ogg_crc(bytes(page)))
+    return bytes(page)
+
+
+def test_ogg_roundtrip_and_cross_page_continuation():
+    """Encoder→parser agreement (multi-lacing packets, exact-255
+    terminating-zero lacing), plus a hand-built stream exercising the
+    one path the encoder never emits: a packet continuing across a
+    page boundary via the continuation flag."""
+    pages = [[b"\x07" * 300, b"\x09" * 255], [b"\x0b" * 10]]
+    p = multimodal.encode_ogg_stream(pages, 42, [100, 200])
+    d = multimodal.parse_ogg_pages(p)
+    assert d == {
+        "n_pages": 2,
+        "n_packets": 3,
+        "payload_bytes": 565,
+        "last_granule": 200,
+        "serial": 42,
+        "first_byte_sum": 0x07 + 0x09 + 0x0B,
+        "bos_eos_ok": 1,
+    }
+    # cross-page packet: page 0 ends mid-packet (lacing 255), page 1
+    # carries the continuation flag and terminates it
+    cont = _ogg_page(0x02, -1, 7, 0, [255], b"\x21" * 255) + _ogg_page(
+        0x05, 50, 7, 1, [10], b"\x22" * 10
+    )
+    d2 = multimodal.parse_ogg_pages(cont)
+    assert d2["n_packets"] == 1 and d2["n_pages"] == 2
+    assert d2["payload_bytes"] == 265 and d2["first_byte_sum"] == 0x21
+    assert d2["bos_eos_ok"] == 1 and d2["last_granule"] == 50
+
+
+def test_ogg_corrupt_streams_fail_cleanly():
+    """CRC verification must reject ANY payload byte flip; sequence
+    gaps, serial changes, bad capture, missing continuation flags,
+    truncation, and mid-packet stream end all raise."""
+    p = multimodal.encode_ogg_stream([[b"\x07" * 30], [b"\x09" * 20]], 5, [1, 2])
+    bad = bytearray(p)
+    bad[-1] ^= 0x01
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        multimodal.parse_ogg_pages(bytes(bad))
+    with pytest.raises(ValueError, match="lost capture"):
+        multimodal.parse_ogg_pages(b"XXXX" + p[4:])
+    with pytest.raises(ValueError, match="past end"):
+        multimodal.parse_ogg_pages(p[:-5])
+    gap = _ogg_page(0x02, 1, 5, 0, [3], b"abc") + _ogg_page(
+        0x04, 2, 5, 2, [3], b"def"
+    )
+    with pytest.raises(ValueError, match="sequence gap"):
+        multimodal.parse_ogg_pages(gap)
+    two_serials = _ogg_page(0x02, 1, 5, 0, [3], b"abc") + _ogg_page(
+        0x04, 2, 6, 1, [3], b"def"
+    )
+    with pytest.raises(ValueError, match="serial changes"):
+        multimodal.parse_ogg_pages(two_serials)
+    no_cont_flag = _ogg_page(0x02, -1, 7, 0, [255], b"\x21" * 255) + _ogg_page(
+        0x04, 50, 7, 1, [10], b"\x22" * 10
+    )
+    with pytest.raises(ValueError, match="continuation flag"):
+        multimodal.parse_ogg_pages(no_cont_flag)
+    with pytest.raises(ValueError, match="mid-packet"):
+        multimodal.parse_ogg_pages(_ogg_page(0x06, -1, 7, 0, [255], b"\x21" * 255))
+    with pytest.raises(ValueError, match="version"):
+        v = bytearray(_ogg_page(0x06, 1, 5, 0, [3], b"abc"))
+        v[4] = 9
+        multimodal.parse_ogg_pages(bytes(v))
+    with pytest.raises(ValueError, match="no pages"):
+        multimodal.parse_ogg_pages(b"")

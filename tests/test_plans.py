@@ -77,8 +77,10 @@ CASES = [
     ("multimodal_webp_stats", ["MapInPandas"], ["Sort", "Join"]),
     ("multimodal_flac_stats", ["MapInPandas"], ["Sort", "Join"]),
     ("multimodal_video_frames", ["MapInPandas"], ["Sort", "Join"]),
-    # round 6: mp4 demux is the same one-Arrow-stage shape
+    # round 6: mp4/mp3/ogg demux are the same one-Arrow-stage shape
     ("multimodal_mp4_stats", ["MapInPandas"], ["Sort", "Join"]),
+    ("multimodal_mp3_stats", ["MapInPandas"], ["Sort", "Join"]),
+    ("multimodal_ogg_stats", ["MapInPandas"], ["Sort", "Join"]),
     # round 6: CMS estimate — the bounded sketch table must BROADCAST
     # into the query side (estimating never shuffles the query stream)
     # and no nested-loop may replace the (depth, bucket) equi-join
