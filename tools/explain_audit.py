@@ -109,6 +109,9 @@ NOTES = {
     "sim_ann_ivf_trained": "IVF over deterministically trained cells in a LOSSY config (probe 2/8) with a FULL oracle: cell routing map-only, probed queries broadcast to the candidate cells, rerank reads full vectors only for probed cells' members",
     "cluster_kmeans_parallel_init": "k-means|| init: 3 md5-coin oversampling rounds (2 bounded scans each: exact-decimal phi agg + expected-l filter), one weighting scan, driver-side greedy reduce over the model-sized candidates, then the same Lloyd loop; round count independent of k — final plan is the literal result table",
     "multimodal_mp4_stats": "ISO-BMFF demux: binary build + box walk + stsc*stco*stsz sample-table resolution in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no frame decode",
+    "sketch_cms_estimate": "CMS: explode x4 depths collapses map-side to <=2048 (depth,bucket) cells before ONE bounded exchange; the 2k-cell sketch then BROADCASTS into the top-20 probe side (no SortMergeJoin)",
+    "multimodal_mp3_stats": "mp3 frame-sync walk: build + ID3 skip + VBR frame stepping in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no granule decode",
+    "multimodal_ogg_stats": "Ogg page walk: build + per-page CRC recompute + lacing reassembly in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no Vorbis decode",
 }
 
 
