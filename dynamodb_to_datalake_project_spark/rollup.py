@@ -169,3 +169,22 @@ def hourly_user_sketch_partials(batch: DataFrame) -> DataFrame:
 
 #: merge_agg mapping for `hourly_user_sketch_partials` rollups
 SKETCH_MERGE = {"users_hll": F.hll_union_agg}
+
+
+def cms_user_partials(batch: DataFrame) -> DataFrame:
+    """Frequency-sketch partials: ONE count-min table (depth, bucket,
+    cnt) over the batch's user_id stream. CMS counts are additive, so
+    the default `F.sum` merge in `combine_rollup_partials` maintains
+    the GLOBAL sketch exactly-once with BOUNDED state: the stored
+    rollup never exceeds depth*width rows (2k cells) no matter how
+    many distinct users raw history holds — point-frequency estimates
+    over an unbounded key universe from stored aggregates alone, raw
+    rows never rescanned. Same md5 hash as the batch
+    `llm.sketch.cms_build`, so the maintained table equals a
+    one-shot sketch of all history cell-for-cell (asserted in
+    test_cdc.py) and stays DuckDB-replayable."""
+    from dynamodb_to_datalake_project_spark.llm.sketch import cms_build
+
+    return cms_build(
+        batch.select(F.col("user_id").cast("string").alias("item")), "item"
+    )

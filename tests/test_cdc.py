@@ -831,3 +831,90 @@ def test_streaming_sketch_rollup_distinct_users(spark, tmp_path):
         .collect()
     }
     assert got_h == expect_h
+
+
+def test_streaming_cms_rollup_bounded_state(spark, tmp_path):
+    """Incrementally-maintained point-FREQUENCY estimates: the rollup
+    stores one count-min table and each micro-batch SUMS its cells in
+    (CMS counts are additive — no custom merge needed). After three
+    drops + a fenced restart + a fourth drop: (a) the stored table
+    equals a one-shot cms_build over ALL history cell-for-cell —
+    exactly-once through the epoch fence; (b) state stays bounded at
+    <= depth*width rows however many distinct users arrive; (c) the
+    estimate for every user is >= its exact count (CMS can only
+    overestimate)."""
+    from dynamodb_to_datalake_project_spark import rollup as R
+    from dynamodb_to_datalake_project_spark.llm.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+
+    def rows(start_id, n, user0, stride):
+        return [
+            {
+                "event_id": start_id + i,
+                "ts": f"2024-01-01T01:{i % 60:02d}:00",
+                "event_type": "click",
+                "user_id": user0 + (i % stride),
+            }
+            for i in range(n)
+        ]
+
+    cdc_dir = tmp_path / "cms_cdc"
+    rpath = tmp_path / "cms_rollup"
+    ckpt = tmp_path / "cms_ckpt"
+    drops = [
+        rows(0, 60, 100, 7),  # users 100-106, skewed
+        rows(100, 50, 100, 25),  # overlap + new users
+        rows(200, 40, 900, 40),  # all-new users
+    ]
+    import os as _os
+
+    for i, recs in enumerate(drops):
+        _write_drop(cdc_dir, f"d{i}.json", recs)
+        _os.utime(cdc_dir / f"d{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run():
+        q = R.start_rollup_maintenance(
+            spark,
+            str(cdc_dir),
+            schema,
+            str(rpath),
+            str(ckpt),
+            keys=["depth", "bucket"],
+            partials_fn=R.cms_user_partials,
+            max_files_per_trigger=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    extra = rows(300, 30, 100, 3)
+    _write_drop(cdc_dir, "d3.json", extra)
+    run()
+
+    all_rows = [r for d in drops for r in d] + extra
+    hist = spark.createDataFrame(
+        [(r["user_id"],) for r in all_rows], ["user_id"]
+    ).select(F.col("user_id").cast("string").alias("item"))
+    direct = {
+        (r.depth, r.bucket): r.cnt for r in cms_build(hist, "item").collect()
+    }
+    stored = R.read_rollup(spark, str(rpath))
+    got = {(r.depth, r.bucket): r.cnt for r in stored.collect()}
+    assert got == direct  # exactly-once: no double-fold through restart
+    assert stored.count() <= 4 * 512  # bounded state
+    exact = hist.groupBy("item").agg(F.count("*").cast("long").alias("exact_cnt"))
+    est = cms_estimate(stored, exact, "item").collect()
+    assert est and all(r.cms_est >= r.exact_cnt for r in est)
