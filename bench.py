@@ -121,6 +121,7 @@ HEADLINE = [
     "sketch_cms_estimate",
     "multimodal_mp3_stats",
     "multimodal_ogg_stats",
+    "graph_label_propagation",
 ]
 
 

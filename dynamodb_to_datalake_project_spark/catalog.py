@@ -78,6 +78,7 @@ _PRIORITY: list[str] = [
     "sketch_cms_estimate",
     "multimodal_mp3_stats",
     "multimodal_ogg_stats",
+    "graph_label_propagation",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---
     "dedup_minhash_lsh",

@@ -515,3 +515,120 @@ def q_graph_pagerank_weighted(spark, sf_dir):
         F.col("s").alias("src"), F.col("c").alias("dst"), "w"
     ).unionAll(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w"))
     return pagerank(sym, n_iter=5, weight="w").orderBy("node")
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", n_iter: int = 4
+) -> DataFrame:
+    """Fixed-iteration SYNCHRONOUS label propagation over an edge
+    list: (node, label) — community detection (Raghavan 2007), the
+    host/domain-clustering shape web-curation pipelines use to find
+    mirror farms and template families that pairwise dedup misses.
+
+    Deterministic by construction (the classic LPA pitfall is random
+    tie-breaking): every node starts as its own label; each round
+    every node adopts the label with the highest neighbor count,
+    ties broken by SMALLEST label. Synchronous update (all nodes step
+    on the previous round's labels), fixed `n_iter` — a deterministic
+    job shape over convergence testing, same policy as `pagerank`.
+
+    Contract: pass the symmetric closure (every node appears as both
+    src and dst), as with `pagerank`. Raises on an empty edge list.
+
+    Scale path: the deduped edge list is materialized ONCE
+    (pre-partitioned by src, eager checkpoint, consumed every round);
+    each iteration is one join against the node-sized label table,
+    one (node, label)-keyed count with map-side partials, and one
+    node-keyed argmax fold via max(struct(cnt, -label)) — no windows,
+    no driver state. Label tables never exceed one row per node, so
+    per-iteration shuffle bytes are O(edges) + O(nodes), exactly
+    pagerank's budget; all arithmetic is integral, so the result is
+    bit-identical across engines with no decimal machinery."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=True)
+    )
+    labels = e.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    if not labels.limit(1).collect():
+        raise ValueError("label_propagation: empty edge list (no nodes)")
+    for _ in range(n_iter):
+        l, w = labels.alias("l"), e.alias("w")
+        cnt = (
+            l.join(w, F.col("l.node") == F.col("w.src"))
+            .groupBy(F.col("w.dst").alias("node"), F.col("l.label").alias("label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
+        )
+    return labels
+
+
+def _lpa_oracle(n_iter: int = 4) -> str:
+    """Unrolled ANSI replay of `q_graph_label_propagation`: one CTE
+    per round — neighbor-label counts then ROW_NUMBER argmax with the
+    same (count DESC, label ASC) tie-break. Purely integral, so the
+    hash match needs no float policy at all."""
+    sql = """
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey * 2 AS s, o.o_custkey * 2 + 1 AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT s AS src, c AS dst FROM pairs UNION ALL SELECT c AS src, s AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label AS label, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.dst ORDER BY COUNT(*) DESC, l.label ASC
+               ) AS rn
+        FROM l{i - 1} l JOIN edges e ON e.src = l.node
+        GROUP BY e.dst, l.label
+      ) t WHERE rn = 1
+    )"""
+    return (
+        sql
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM l{n_iter} ORDER BY node"""
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def q_graph_label_propagation(spark, sf_dir):
+    """Community detection over the supplier↔customer trade graph
+    (same symmetrized encoding as `graph_pagerank`): 4 synchronous
+    label-propagation rounds with deterministic min-label
+    tie-breaking. The oracle replays every round as unrolled CTEs;
+    all-integer arithmetic makes the match exact by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    sym = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    return (
+        label_propagation(sym, n_iter=4)
+        .select(F.col("node").cast("long"), F.col("label").cast("long"))
+        .orderBy("node")
+    )

@@ -157,3 +157,60 @@ def test_pagerank_weighted_rejects_bad_weights(spark):
     )
     with _pt.raises(ValueError, match="duplicate \\(src, dst\\)"):
         pagerank(df, n_iter=1, weight="w")
+
+
+def _py_lpa(edges, n_iter):
+    """Sequential synchronous LPA with (count desc, label asc) ties."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[d].append(s)  # in-neighbors: node adopts from its sources
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    lab = {v: v for v in nodes}
+    for _ in range(n_iter):
+        new = {}
+        for v in nodes:
+            c = Counter(lab[u] for u in adj[v])
+            new[v] = min(c, key=lambda x: (-c[x], x))
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_python_replay(spark):
+    from dynamodb_to_datalake_project_spark.graph import label_propagation
+
+    # two cliques bridged by one edge: LPA must keep them as two
+    # communities labeled by each clique's smallest node id
+    und = (
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+        + [(3, 10)]
+    )
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, n_iter=4).collect()}
+    want = _py_lpa(edges, n_iter=4)
+    assert got == want
+    # community structure recovered: each clique uniformly labeled
+    assert len({got[v] for v in range(4)}) == 1
+    assert len({got[v] for v in range(10, 14)}) == 1
+    assert got[0] != got[13]
+
+
+def test_label_propagation_deterministic_ties_and_errors(spark):
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.graph import label_propagation
+
+    # perfect 4-cycle: every node sees two neighbors with distinct
+    # labels every round — the min-label tie-break must pick stably
+    und = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(label_propagation(df, n_iter=3).collect())
+    b = sorted(label_propagation(df, n_iter=3).collect())
+    assert a == b == [(v, l) for (v, l) in sorted(_py_lpa(edges, 3).items())]
+    empty = spark.createDataFrame([], "src long, dst long")
+    with _pt.raises(ValueError, match="empty edge list"):
+        label_propagation(empty)

@@ -112,6 +112,7 @@ NOTES = {
     "sketch_cms_estimate": "CMS: explode x4 depths collapses map-side to <=2048 (depth,bucket) cells before ONE bounded exchange; the 2k-cell sketch then BROADCASTS into the top-20 probe side (no SortMergeJoin)",
     "multimodal_mp3_stats": "mp3 frame-sync walk: build + ID3 skip + VBR frame stepping in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no granule decode",
     "multimodal_ogg_stats": "Ogg page walk: build + per-page CRC recompute + lacing reassembly in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no Vorbis decode",
+    "graph_label_propagation": "LPA: 4 unrolled rounds over once-checkpointed edges; per round one edge join + (node,label) count + node-keyed max(struct) argmax fold — no Window, all-integer arithmetic",
 }
 
 
