@@ -122,6 +122,8 @@ HEADLINE = [
     "multimodal_mp3_stats",
     "multimodal_ogg_stats",
     "graph_label_propagation",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 

@@ -79,6 +79,8 @@ _PRIORITY: list[str] = [
     "multimodal_mp3_stats",
     "multimodal_ogg_stats",
     "graph_label_propagation",
+    "funnel_conversion",
+    "retention_cohorts",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---
     "dedup_minhash_lsh",

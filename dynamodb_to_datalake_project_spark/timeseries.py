@@ -331,3 +331,153 @@ def q_rollup_incremental(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-sequence funnel: how many users completed step k of
+    `steps` STRICTLY AFTER completing step k-1 (the product-analytics
+    primitive; order matters — a purchase before signup does not
+    count). Returns (step_order, step, n_users), one row per step.
+
+    Earliest-completion semantics: a user's step-k time is the
+    earliest step-k event after their step-(k-1) time. Earliest
+    completion is optimal here — delaying a prefix step can only
+    shrink the set of valid later events — so this computes the same
+    user set as "any monotone subsequence of the steps exists",
+    making the result order-independent and exactly SQL-replayable.
+
+    Scale shape: per step, one pushed-down type filter + one
+    user-keyed min-aggregation + one user-keyed join against the
+    previous stage (a user-sized, not event-sized, table). Every
+    shuffle keys on the same user column so a real cluster reuses the
+    partitioning across all k stages; nothing is ever windowed over
+    the raw event stream and no per-user event array is collected."""
+    if not steps:
+        raise ValueError("funnel_conversion: empty step list")
+    stage = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t"))
+    )
+    sizes = [("1: " + steps[0], stage)]
+    for k, s in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == s)
+            .join(stage.select(user_col, F.col("t").alias("prev_t")), user_col)
+            .filter(F.col(ts_col) > F.col("prev_t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("t"))
+        )
+        sizes.append((f"{k}: {s}", nxt))
+        stage = nxt
+    counts = None
+    for label, df in sizes:
+        one = df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(int(label.split(":")[0])).cast("long").alias("step_order"),
+            F.lit(label.split(": ")[1]).alias("step"),
+            "n_users",
+        )
+        counts = one if counts is None else counts.unionByName(one)
+    return counts.orderBy("step_order")
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+    ), s4 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s3 ON s3.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS step_order, 'signup' AS step,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+    UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
+    UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)
+    ORDER BY step_order
+    """,
+)
+def q_funnel_conversion(spark, sf_dir):
+    """signup → view → click → purchase funnel over the events table,
+    strict temporal ordering per user. The oracle chains the same
+    earliest-completion CTEs; counts are integral so the match is
+    exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_conversion(ev, ["signup", "view", "click", "purchase"])
+
+
+def retention_cohorts(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the ISO week of
+    their FIRST event; one row per (cohort_week, week_offset) with
+    the number of cohort users active that week — the classic
+    retention triangle. All date arithmetic (week truncation, offset
+    division by 7) is integral, so the result is exact.
+
+    Scale shape: one user-keyed min-agg builds the user→cohort map
+    (user-sized), the activity table is distinct (user, week) pairs
+    (bounded by users × weeks, far under raw events), and the join
+    keys on the user column like every other stage here. Raw events
+    are scanned exactly once per leg; no windows."""
+    first = events.groupBy(user_col).agg(
+        F.to_date(F.date_trunc("week", F.min(ts_col))).alias("cohort_week")
+    )
+    act = events.select(
+        user_col, F.to_date(F.date_trunc("week", F.col(ts_col))).alias("wk")
+    ).distinct()
+    return (
+        act.join(first, user_col)
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, a.wk) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act a JOIN first f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle over the events table: cohort by
+    first-activity week, count active cohort members at each week
+    offset. Integral date arithmetic on both sides — exact match."""
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev)

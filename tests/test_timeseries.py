@@ -11,6 +11,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from dynamodb_to_datalake_project_spark.timeseries import (
     asof_join,
@@ -97,3 +98,69 @@ def test_range_join_strict_open_interval(spark):
         window_us=60 * 1_000_000, anchor_id="anchor_id",
     ).collect()
     assert len(rows) == 1 and rows[0]["n_follow"] == 2
+
+
+def test_funnel_strict_ordering_semantics(spark):
+    """The funnel must count only users whose steps occur in strict
+    temporal order: a purchase BEFORE signup must not convert, and
+    the earliest-completion rule must still find a valid later event
+    when one exists."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.timeseries import funnel_conversion
+
+    rows = [
+        # user 1: clean in-order funnel
+        (1, "2024-01-01 10:00:00", "signup"),
+        (1, "2024-01-01 11:00:00", "view"),
+        (1, "2024-01-02 09:00:00", "purchase"),
+        # user 2: purchase BEFORE signup — must stop at view
+        (2, "2024-01-03 10:00:00", "purchase"),
+        (2, "2024-01-04 10:00:00", "signup"),
+        (2, "2024-01-04 11:00:00", "view"),
+        # user 3: early view before signup, but a second view after —
+        # earliest-completion must use the later one and convert
+        (3, "2024-01-01 08:00:00", "view"),
+        (3, "2024-01-01 09:00:00", "signup"),
+        (3, "2024-01-01 10:00:00", "view"),
+        (3, "2024-01-01 11:00:00", "purchase"),
+        # user 4: never signs up
+        (4, "2024-01-01 10:00:00", "view"),
+        (4, "2024-01-01 11:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts_s", "event_type"]).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+    got = {
+        r.step: r.n_users
+        for r in funnel_conversion(ev, ["signup", "view", "purchase"]).collect()
+    }
+    assert got == {"signup": 3, "view": 3, "purchase": 2}
+    with _pt.raises(ValueError, match="empty step list"):
+        funnel_conversion(ev, [])
+
+
+def test_retention_cohort_offsets(spark):
+    """Offset arithmetic: a user first active in week 0 and again two
+    weeks later lands in (cohort, 0) and (cohort, 2); a second-cohort
+    user stays in their own row."""
+    from dynamodb_to_datalake_project_spark.timeseries import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # Monday, week A
+        (1, "2024-01-15 10:00:00"),  # week A + 2
+        (2, "2024-01-02 10:00:00"),  # week A too
+        (3, "2024-01-08 10:00:00"),  # week B cohort
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts_s"]).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {
+        (str(r.cohort_week), r.week_offset): r.n_users
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
