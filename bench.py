@@ -124,6 +124,7 @@ HEADLINE = [
     "graph_label_propagation",
     "funnel_conversion",
     "retention_cohorts",
+    "multimodal_fmp4_stats",
 ]
 
 

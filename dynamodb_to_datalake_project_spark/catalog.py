@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     "graph_label_propagation",
     "funnel_conversion",
     "retention_cohorts",
+    "multimodal_fmp4_stats",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---
     "dedup_minhash_lsh",

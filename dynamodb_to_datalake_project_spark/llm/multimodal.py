@@ -2205,6 +2205,7 @@ def parse_mp4_boxes(payload: bytes) -> dict:
 
     def walk(pos: int, end: int):
         while pos + 8 <= end:
+            start = pos
             (size,) = struct.unpack_from(">I", payload, pos)
             fourcc = payload[pos + 4 : pos + 8]
             body = pos + 8
@@ -2215,7 +2216,7 @@ def parse_mp4_boxes(payload: bytes) -> dict:
                 size = end - pos
             if size < body - pos or pos + size > end:
                 raise ValueError(f"mp4: truncated/invalid box {fourcc!r}")
-            yield fourcc, body, pos + size
+            yield fourcc, start, body, pos + size
             pos += size
 
     if len(payload) < 8 or payload[4:8] != b"ftyp":
@@ -2229,7 +2230,7 @@ def parse_mp4_boxes(payload: bytes) -> dict:
         stack = [(lo, hi)]
         while stack:
             a, b = stack.pop()
-            for fourcc, body, end in walk(a, b):
+            for fourcc, _start, body, end in walk(a, b):
                 if fourcc in _MP4_CONTAINERS:
                     stack.append((body, end))
                 elif fourcc == b"tkhd":
@@ -2288,20 +2289,140 @@ def parse_mp4_boxes(payload: bytes) -> dict:
                     ]
         return cur
 
+    def parse_traf(lo: int, hi: int, moof_start: int) -> dict:
+        # one movie-fragment track run: tfhd (defaults + base), trun
+        # (per-sample sizes/durations) — ISO 14496-12 §8.8
+        tf: dict = {"trex": None}
+        base = None
+        d_dur = d_size = None
+        runs: "list[tuple[int, list[int], list[int], int]]" = []
+        for f3, _s3, b3, e3 in walk(lo, hi):
+            if f3 == b"tfhd":
+                flags = int.from_bytes(payload[b3 + 1 : b3 + 4], "big")
+                o = b3 + 4
+                (tf["track_id"],) = struct.unpack_from(">I", payload, o)
+                o += 4
+                if flags & 0x1:  # base-data-offset-present
+                    (base,) = struct.unpack_from(">Q", payload, o)
+                    o += 8
+                if flags & 0x2:  # sample-description-index
+                    o += 4
+                if flags & 0x8:  # default-sample-duration
+                    (d_dur,) = struct.unpack_from(">I", payload, o)
+                    o += 4
+                if flags & 0x10:  # default-sample-size
+                    (d_size,) = struct.unpack_from(">I", payload, o)
+                    o += 4
+                if flags & 0x20000:  # default-base-is-moof
+                    base = moof_start
+            elif f3 == b"trun":
+                flags = int.from_bytes(payload[b3 + 1 : b3 + 4], "big")
+                o = b3 + 4
+                (n,) = struct.unpack_from(">I", payload, o)
+                o += 4
+                if not flags & 0x1:
+                    raise ValueError(
+                        "mp4: trun without data-offset unsupported "
+                        "(runs would be ambiguous)"
+                    )
+                (doff,) = struct.unpack_from(">i", payload, o)
+                o += 4
+                if flags & 0x4:  # first-sample-flags
+                    o += 4
+                sizes, durs = [], []
+                for _ in range(n):
+                    if flags & 0x100:
+                        (d,) = struct.unpack_from(">I", payload, o)
+                        o += 4
+                        durs.append(d)
+                    if flags & 0x200:
+                        (s,) = struct.unpack_from(">I", payload, o)
+                        o += 4
+                        sizes.append(s)
+                    if flags & 0x400:
+                        o += 4
+                    if flags & 0x800:
+                        o += 4
+                runs.append((n, sizes, durs, doff))
+        if "track_id" not in tf:
+            raise ValueError("mp4: traf without tfhd")
+        if base is None:
+            raise ValueError(
+                "mp4: tfhd has neither base-data-offset nor "
+                "default-base-is-moof"
+            )
+        tf.update(base=base, d_dur=d_dur, d_size=d_size, runs=runs)
+        return tf
+
     tracks: "list[dict]" = []
+    trex: "dict[int, tuple[int, int]]" = {}  # track_id -> (dur, size)
+    frags: "list[dict]" = []
     saw_moov = saw_mdat = False
-    for fourcc, body, end in walk(0, len(payload)):
+    last_seq = 0
+    for fourcc, start, body, end in walk(0, len(payload)):
         if fourcc == b"mdat":
             saw_mdat = True
         elif fourcc == b"moov":
             saw_moov = True
-            for f2, b2, e2 in walk(body, end):
+            for f2, _s2, b2, e2 in walk(body, end):
                 if f2 == b"trak":
                     tracks.append(parse_trak(b2, e2))
+                elif f2 == b"mvex":
+                    for f3, _s3, b3, e3 in walk(b2, e2):
+                        if f3 == b"trex":
+                            tid, _sdi, td, tsz, _tf = struct.unpack_from(
+                                ">IIIII", payload, b3 + 4
+                            )
+                            trex[tid] = (td, tsz)
+        elif fourcc == b"moof":
+            for f2, _s2, b2, e2 in walk(body, end):
+                if f2 == b"mfhd":
+                    (seq,) = struct.unpack_from(">I", payload, b2 + 4)
+                    if seq != last_seq + 1:
+                        raise ValueError(
+                            f"mp4: fragment sequence gap (got {seq}, "
+                            f"want {last_seq + 1})"
+                        )
+                    last_seq = seq
+                elif f2 == b"traf":
+                    frags.append(parse_traf(b2, e2, start))
     if not saw_moov:
         raise ValueError("mp4: no moov box")
     if not saw_mdat:
         raise ValueError("mp4: no mdat box")
+
+    # resolve movie-fragment runs to absolute spans per track, with the
+    # spec's default resolution order: trun entry > tfhd default > trex
+    frag_spans: "dict[int, list[tuple[int, int]]]" = {}
+    frag_dur: "dict[int, int]" = {}
+    for tf in frags:
+        tid = tf["track_id"]
+        tx_dur, tx_size = trex.get(tid, (0, 0))
+        # a zero trex default is the "truns always override" idiom —
+        # treat it as absent so a sample that ends up 0-sized/0-length
+        # is quarantined, not silently counted
+        tx_dur, tx_size = tx_dur or None, tx_size or None
+        for n, sizes, durs, doff in tf["runs"]:
+            off = tf["base"] + doff
+            for i in range(n):
+                sz = (
+                    sizes[i]
+                    if sizes
+                    else tf["d_size"] if tf["d_size"] is not None else tx_size
+                )
+                du = (
+                    durs[i]
+                    if durs
+                    else tf["d_dur"] if tf["d_dur"] is not None else tx_dur
+                )
+                if sz is None or du is None:
+                    raise ValueError(
+                        "mp4: fragment sample has no size/duration at any "
+                        "default level (trun/tfhd/trex)"
+                    )
+                frag_spans.setdefault(tid, []).append((off, sz))
+                frag_dur[tid] = frag_dur.get(tid, 0) + du
+                off += sz
 
     out = []
     for t in tracks:
@@ -2323,6 +2444,9 @@ def parse_mp4_boxes(payload: bytes) -> dict:
                     si += 1
         if si != len(sizes):
             raise ValueError("mp4: stsc/stsz sample count mismatch")
+        # movie-fragment samples append after the moov sample table
+        # (empty for a pure fMP4 stream) in fragment order
+        spans += frag_spans.pop(t.get("track_id", 0), [])
         for off, sz in spans:
             if off + sz > len(payload):
                 raise ValueError("mp4: sample span outside the file")
@@ -2334,13 +2458,18 @@ def parse_mp4_boxes(payload: bytes) -> dict:
                 "n_samples": len(spans),
                 "sample_bytes": sum(sz for _, sz in spans),
                 "timescale": t.get("timescale", 0),
-                "duration": t.get("duration", 0),
+                "duration": t.get("duration", 0)
+                + frag_dur.get(t.get("track_id", 0), 0),
                 "width": t.get("width", 0),
                 "height": t.get("height", 0),
                 "first_byte_sum": sum(
                     payload[off] for off, sz in spans if sz > 0
                 ),
             }
+        )
+    if frag_spans:
+        raise ValueError(
+            f"mp4: moof references unknown track ids {sorted(frag_spans)}"
         )
     return {"brand": brand, "tracks": out}
 
@@ -2976,3 +3105,289 @@ def q_multimodal_ogg_stats(spark, sf_dir):
     encoder page here."""
     docs = load_table(spark, sf_dir, "documents")
     return ogg_container_stats(docs)
+
+
+def encode_mp4_fragmented(
+    tracks: "list[dict]", movie_timescale: int = 1000
+) -> bytes:
+    """REAL fragmented-MP4 (fMP4/CMAF — the DASH/HLS upload shape)
+    encode: ftyp + moov with EMPTY sample tables + mvex/trex defaults,
+    then one moof+mdat pair per fragment. Each track dict is as in
+    `encode_mp4_container` but carries 'fragments': a list of
+    fragments, each a list of (sample_bytes, duration) tuples; all
+    tracks must have the same fragment count. Every traf uses
+    default-base-is-moof addressing with an explicit trun data-offset
+    and per-sample duration+size entries; tfdt carries the cumulative
+    decode time. Sample payloads stay opaque (no H.264/AAC encoder
+    here); the fragment framing is the real thing."""
+    import struct
+
+    nfrag = {len(t["fragments"]) for t in tracks}
+    if len(nfrag) != 1:
+        raise ValueError("fmp4: all tracks need the same fragment count")
+    (nfrag,) = nfrag
+
+    def empty_trak(t: "dict", track_id: int) -> bytes:
+        is_video = t["handler"] == "vide"
+        w, h = (t.get("width", 0), t.get("height", 0)) if is_video else (0, 0)
+        tkhd = _mp4_full(
+            b"tkhd", 0, 3,
+            struct.pack(">IIII", 0, 0, track_id, 0)
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">IHHHH", 0, 0, 0, 0 if is_video else 0x0100, 0)
+            + _MP4_MATRIX
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _mp4_full(
+            b"mdhd", 0, 0,
+            struct.pack(">IIIIHH", 0, 0, t["timescale"], 0, 0x55C4, 0),
+        )
+        hdlr = _mp4_full(
+            b"hdlr", 0, 0,
+            struct.pack(">I4s", 0, t["handler"].encode())
+            + b"\x00" * 12 + b"demux\x00",
+        )
+        codec = t["codec"].encode()
+        if is_video:
+            entry = _mp4_box(
+                codec,
+                b"\x00" * 6 + struct.pack(">H", 1)
+                + b"\x00" * 16
+                + struct.pack(">HH", w, h)
+                + struct.pack(">II", 0x00480000, 0x00480000)
+                + struct.pack(">IH", 0, 1)
+                + b"\x00" * 32
+                + struct.pack(">Hh", 24, -1),
+            )
+            mhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        else:
+            entry = _mp4_box(
+                codec,
+                b"\x00" * 6 + struct.pack(">H", 1)
+                + b"\x00" * 8
+                + struct.pack(
+                    ">HHHHI", 2, 16, 0, 0, (t["timescale"] & 0xFFFF) << 16
+                ),
+            )
+            mhd = _mp4_full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+        stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+        stbl = _mp4_box(
+            b"stbl",
+            stsd
+            + _mp4_full(b"stts", 0, 0, struct.pack(">I", 0))
+            + _mp4_full(b"stsc", 0, 0, struct.pack(">I", 0))
+            + _mp4_full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+            + _mp4_full(b"stco", 0, 0, struct.pack(">I", 0)),
+        )
+        dref = _mp4_full(
+            b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b"")
+        )
+        minf = _mp4_box(b"minf", mhd + _mp4_box(b"dinf", dref) + stbl)
+        return _mp4_box(b"trak", tkhd + _mp4_box(b"mdia", mdhd + hdlr + minf))
+
+    ftyp = _mp4_box(b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5iso6mp41")
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, movie_timescale, 0)
+        + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+        + _MP4_MATRIX + b"\x00" * 24 + struct.pack(">I", len(tracks) + 1),
+    )
+    trexes = b"".join(
+        _mp4_full(
+            b"trex", 0, 0,
+            struct.pack(">IIIII", i + 1, 1, t.get("sample_delta", 0), 0, 0),
+        )
+        for i, t in enumerate(tracks)
+    )
+    moov = _mp4_box(
+        b"moov",
+        mvhd
+        + b"".join(empty_trak(t, i + 1) for i, t in enumerate(tracks))
+        + _mp4_box(b"mvex", trexes),
+    )
+
+    out = bytearray(ftyp + moov)
+    decode_time = [0] * len(tracks)
+    for fi in range(nfrag):
+        frag = [t["fragments"][fi] for t in tracks]
+
+        def moof_with(offsets: "list[int]") -> bytes:
+            mfhd = _mp4_full(b"mfhd", 0, 0, struct.pack(">I", fi + 1))
+            trafs = b""
+            for ti, samples in enumerate(frag):
+                tfhd = _mp4_full(
+                    b"tfhd", 0, 0x020000, struct.pack(">I", ti + 1)
+                )
+                tfdt = _mp4_full(
+                    b"tfdt", 0, 0, struct.pack(">I", decode_time[ti])
+                )
+                trun = _mp4_full(
+                    b"trun", 0, 0x301,
+                    struct.pack(">Ii", len(samples), offsets[ti])
+                    + b"".join(
+                        struct.pack(">II", dur, len(sb)) for sb, dur in samples
+                    ),
+                )
+                trafs += _mp4_box(b"traf", tfhd + tfdt + trun)
+            return _mp4_box(b"moof", mfhd + trafs)
+
+        probe = moof_with([0] * len(tracks))
+        offs, off = [], len(probe) + 8  # relative to moof start; + mdat hdr
+        for samples in frag:
+            offs.append(off)
+            off += sum(len(sb) for sb, _ in samples)
+        moof = moof_with(offs)
+        assert len(moof) == len(probe)
+        for ti, samples in enumerate(frag):
+            decode_time[ti] += sum(dur for _, dur in samples)
+        out += moof + _mp4_box(
+            b"mdat", b"".join(sb for samples in frag for sb, _ in samples)
+        )
+    return bytes(out)
+
+
+def mp4_fragmented_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL two-track fragmented mp4 (CMAF shape) per
+    document — per-fragment trun runs with VARYING per-sample
+    durations and sizes from integer formulas — demux it with
+    `parse_mp4_boxes` (which resolves trun entries against
+    default-base-is-moof addressing and validates mfhd sequencing),
+    and emit one row per track, same schema as `multimodal_mp4_stats`.
+    Arrow `mapInPandas`, map-only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in MP4_STATS_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nfrag = 2 + did % 3
+                w, h = 16 * (1 + did % 4), 16 * (1 + did % 3)
+
+                def vsamples(f):
+                    nv = 1 + (did + f) % 3
+                    return [
+                        (
+                            bytes([(did * 3 + f * 17 + i * 19) % 256])
+                            + bytes([(did + f + i) % 256])
+                            * (39 + (did * 7 + f * 11 + i * 13) % 80),
+                            30 + (did * 3 + f * 5 + i * 7) % 20,
+                        )
+                        for i in range(nv)
+                    ]
+
+                def asamples(f):
+                    na = 2 + (did + f) % 2
+                    return [
+                        (
+                            bytes([(did * 11 + f * 13 + i * 23) % 256])
+                            + bytes([(did + f + i) % 256])
+                            * (14 + (did * 5 + f * 7 + i * 11) % 40),
+                            1024,
+                        )
+                        for i in range(na)
+                    ]
+
+                payload = encode_mp4_fragmented(
+                    [
+                        {
+                            "handler": "vide",
+                            "codec": "avc1" if did % 2 == 0 else "hvc1",
+                            "timescale": 1000,
+                            "sample_delta": 40,
+                            "width": w,
+                            "height": h,
+                            "fragments": [vsamples(f) for f in range(nfrag)],
+                        },
+                        {
+                            "handler": "soun",
+                            "codec": "mp4a",
+                            "timescale": 48000,
+                            "sample_delta": 1024,
+                            "fragments": [asamples(f) for f in range(nfrag)],
+                        },
+                    ]
+                )
+                d = parse_mp4_boxes(payload)
+                for t in d["tracks"]:
+                    out["doc_id"].append(did)
+                    out["track_id"].append(t["track_id"])
+                    out["handler"].append(t["handler"])
+                    out["codec"].append(t["codec"])
+                    out["n_samples"].append(t["n_samples"])
+                    out["sample_bytes"].append(t["sample_bytes"])
+                    out["duration_ms"].append(
+                        t["duration"] * 1000 // t["timescale"]
+                    )
+                    out["width"].append(t["width"])
+                    out["height"].append(t["height"])
+                    out["first_byte_sum"].append(t["first_byte_sum"])
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return docs.select("doc_id").repartition(par).mapInPandas(op, MP4_STATS_SCHEMA)
+
+
+@query(
+    "multimodal_fmp4_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, 2 + doc_id % 3 AS nfrag,
+             16 * (1 + doc_id % 4) AS w, 16 * (1 + doc_id % 3) AS h
+      FROM documents
+    ), vf AS (
+      SELECT doc_id, nfrag, w, h, u.f, 1 + (doc_id + u.f) % 3 AS nv
+      FROM t, LATERAL (SELECT unnest(range(0, nfrag)) AS f) u
+    ), vs AS (
+      SELECT doc_id, w, h, f, v.i,
+             40 + (doc_id * 7 + f * 11 + v.i * 13) % 80 AS sz,
+             30 + (doc_id * 3 + f * 5 + v.i * 7) % 20 AS dur,
+             (doc_id * 3 + f * 17 + v.i * 19) % 256 AS fb
+      FROM vf, LATERAL (SELECT unnest(range(0, nv)) AS i) v
+    ), v AS (
+      SELECT doc_id,
+             CAST(1 AS BIGINT) AS track_id,
+             'vide' AS handler,
+             CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS codec,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(SUM(sz) AS BIGINT) AS sample_bytes,
+             CAST(SUM(dur) AS BIGINT) AS duration_ms,
+             CAST(MAX(w) AS BIGINT) AS width,
+             CAST(MAX(h) AS BIGINT) AS height,
+             CAST(SUM(fb) AS BIGINT) AS first_byte_sum
+      FROM vs GROUP BY doc_id
+    ), af AS (
+      SELECT doc_id, u.f, 2 + (doc_id + u.f) % 2 AS na
+      FROM t, LATERAL (SELECT unnest(range(0, nfrag)) AS f) u
+    ), asmp AS (
+      SELECT doc_id, f, v.i,
+             15 + (doc_id * 5 + f * 7 + v.i * 11) % 40 AS sz,
+             (doc_id * 11 + f * 13 + v.i * 23) % 256 AS fb
+      FROM af, LATERAL (SELECT unnest(range(0, na)) AS i) v
+    ), a AS (
+      SELECT doc_id,
+             CAST(2 AS BIGINT) AS track_id,
+             'soun' AS handler,
+             'mp4a' AS codec,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(SUM(sz) AS BIGINT) AS sample_bytes,
+             CAST(COUNT(*) * 1024 * 1000 // 48000 AS BIGINT) AS duration_ms,
+             CAST(0 AS BIGINT) AS width,
+             CAST(0 AS BIGINT) AS height,
+             CAST(SUM(fb) AS BIGINT) AS first_byte_sum
+      FROM asmp GROUP BY doc_id
+    )
+    SELECT * FROM v UNION ALL SELECT * FROM a
+    """,
+)
+def q_multimodal_fmp4_stats(spark, sf_dir):
+    """REAL fragmented-MP4 demux over the documents table: build a
+    valid CMAF-shaped two-track stream per document (2-4 moof+mdat
+    pairs, per-sample trun durations/sizes, default-base-is-moof
+    addressing; H.264/HEVC/AAC payloads opaque), walk it back through
+    the SAME `parse_mp4_boxes` that handles progressive files —
+    trex/tfhd/trun default resolution, mfhd sequence validation — and
+    emit one row per track. The DuckDB oracle recomputes every column
+    from the fragment formulas with no parser."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mp4_fragmented_stats(docs)

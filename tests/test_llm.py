@@ -1710,3 +1710,177 @@ def test_ogg_corrupt_streams_fail_cleanly():
         multimodal.parse_ogg_pages(bytes(v))
     with pytest.raises(ValueError, match="no pages"):
         multimodal.parse_ogg_pages(b"")
+
+
+def _fmp4_two_frag(did=5):
+    def vs(f):
+        nv = 1 + (did + f) % 3
+        return [
+            (
+                bytes([(did * 3 + f * 17 + i * 19) % 256]) + b"\x01" * 30,
+                30 + i,
+            )
+            for i in range(nv)
+        ]
+
+    return multimodal.encode_mp4_fragmented(
+        [
+            {
+                "handler": "vide",
+                "codec": "avc1",
+                "timescale": 1000,
+                "sample_delta": 40,
+                "width": 32,
+                "height": 16,
+                "fragments": [vs(0), vs(1)],
+            },
+            {
+                "handler": "soun",
+                "codec": "mp4a",
+                "timescale": 48000,
+                "sample_delta": 1024,
+                "fragments": [
+                    [(b"\x09" * 10, 1024)],
+                    [(b"\x0a" * 12, 1024), (b"\x0b" * 8, 1024)],
+                ],
+            },
+        ]
+    )
+
+
+def test_fmp4_roundtrip():
+    """Fragment demux totals: trun sizes/durations accumulate across
+    moofs, per-sample first bytes prove default-base-is-moof offset
+    resolution lands inside the right mdat."""
+    d = multimodal.parse_mp4_boxes(_fmp4_two_frag())
+    v, a = d["tracks"]
+    nv0, nv1 = 1 + 5 % 3, 1 + 6 % 3
+    assert v["n_samples"] == nv0 + nv1
+    assert v["sample_bytes"] == 31 * (nv0 + nv1)
+    assert v["duration"] == sum(30 + i for i in range(nv0)) + sum(
+        30 + i for i in range(nv1)
+    )
+    assert v["first_byte_sum"] == sum(
+        (5 * 3 + f * 17 + i * 19) % 256
+        for f, n in ((0, nv0), (1, nv1))
+        for i in range(n)
+    )
+    assert (v["width"], v["height"], v["codec"]) == (32, 16, "avc1")
+    assert a["n_samples"] == 3 and a["sample_bytes"] == 30
+    assert a["duration"] == 3 * 1024 and a["first_byte_sum"] == 0x09 + 0x0A + 0x0B
+
+
+def _frag_stream(tfhd_flags, tfhd_extra, trun_flags, trun_body, trex_dur=0, trex_size=0):
+    """Hand-build a minimal one-track fMP4 exercising parser paths the
+    encoder never emits (tfhd/trex defaults, base-data-offset)."""
+    import struct
+
+    m = multimodal
+    p = _fmp4_two_frag()
+    # reuse a real ftyp+moov (track 1 video) but hand-roll the fragment
+    moov_end = p.index(b"moof") - 4  # index points at the fourcc
+    head = bytearray(p[:moov_end])
+    if trex_dur or trex_size:
+        # patch trex (track 1) defaults in place: [tid, sdi, dur, size, flags]
+        i = head.index(b"trex") + 8
+        struct.pack_into(">II", head, i + 8, trex_dur, trex_size)
+    tfhd = m._mp4_full(b"tfhd", 0, tfhd_flags, struct.pack(">I", 1) + tfhd_extra)
+    trun = m._mp4_full(b"trun", 0, trun_flags, trun_body)
+    moof = m._mp4_box(
+        b"moof",
+        m._mp4_full(b"mfhd", 0, 0, struct.pack(">I", 1))
+        + m._mp4_box(b"traf", tfhd + trun),
+    )
+    return bytes(head), moof
+
+
+def test_fmp4_default_resolution_paths():
+    """trun > tfhd > trex default resolution, plus explicit
+    base-data-offset addressing — none of which the encoder emits."""
+    import struct
+
+    m = multimodal
+    # (a) sizes/durations entirely from TFHD defaults (trun carries
+    # only count + data_offset)
+    head, moof = _frag_stream(
+        0x020000 | 0x8 | 0x10,  # default-base-is-moof + both defaults
+        struct.pack(">II", 100, 7),  # default dur, size
+        0x1,
+        struct.pack(">Ii", 3, 0),  # 3 samples, offset resolved below
+    )
+    # data offset -> first byte after moof+mdat header
+    moof = bytearray(moof)
+    doff_at = moof.index(b"trun") + 12
+    struct.pack_into(">i", moof, doff_at, len(moof) + 8)
+    p = head + bytes(moof) + m._mp4_box(b"mdat", b"\x21\x00\x00\x00\x00\x00\x00" * 3)
+    t = m.parse_mp4_boxes(p)["tracks"][0]
+    assert (t["n_samples"], t["sample_bytes"], t["duration"]) == (3, 21, 300)
+    assert t["first_byte_sum"] == 3 * 0x21
+    # (b) sizes/durations from TREX when tfhd has none
+    head2, moof2 = _frag_stream(
+        0x020000, b"", 0x1, struct.pack(">Ii", 2, 0), trex_dur=50, trex_size=5
+    )
+    moof2 = bytearray(moof2)
+    struct.pack_into(">i", moof2, moof2.index(b"trun") + 12, len(moof2) + 8)
+    p2 = head2 + bytes(moof2) + m._mp4_box(b"mdat", b"\x31\x00\x00\x00\x00" * 2)
+    t2 = m.parse_mp4_boxes(p2)["tracks"][0]
+    assert (t2["n_samples"], t2["sample_bytes"], t2["duration"]) == (2, 10, 100)
+    # (c) explicit base-data-offset (absolute file addressing)
+    head3, moof3 = _frag_stream(
+        0x1 | 0x8 | 0x10,
+        struct.pack(">QII", 0, 60, 4),  # base patched below
+        0x1,
+        struct.pack(">Ii", 1, 0),
+    )
+    moof3 = bytearray(moof3)
+    base_at = moof3.index(b"tfhd") + 12  # payload at +8, base at +12
+    mdat_body = len(head3) + len(moof3) + 8
+    struct.pack_into(">Q", moof3, base_at, mdat_body)
+    struct.pack_into(">i", moof3, moof3.index(b"trun") + 12, 0)
+    p3 = head3 + bytes(moof3) + m._mp4_box(b"mdat", b"\x41\x00\x00\x00")
+    t3 = m.parse_mp4_boxes(p3)["tracks"][0]
+    assert (t3["n_samples"], t3["first_byte_sum"], t3["duration"]) == (1, 0x41, 60)
+
+
+def test_fmp4_corrupt_fragments_fail_cleanly():
+    import struct
+
+    import pytest as _pt
+
+    m = multimodal
+    p = _fmp4_two_frag()
+    # fragment sequence gap: bump the second mfhd
+    bad = bytearray(p)
+    i = bad.index(b"mfhd", bad.index(b"mfhd") + 4) + 8  # seq at payload start
+    struct.pack_into(">I", bad, i, 9)
+    with _pt.raises(ValueError, match="fragment sequence gap"):
+        m.parse_mp4_boxes(bytes(bad))
+    # moof referencing an unknown track id
+    bad2 = bytearray(p)
+    j = bad2.index(b"tfhd") + 8  # track_id at payload start
+    struct.pack_into(">I", bad2, j, 77)
+    with _pt.raises(ValueError, match="unknown track"):
+        m.parse_mp4_boxes(bytes(bad2))
+    # trun span walking past the end of the file
+    bad3 = bytearray(p)
+    k = bad3.index(b"trun") + 16  # first (dur, size) entry: size field
+    struct.pack_into(">I", bad3, k + 4, 1 << 24)
+    with _pt.raises(ValueError, match="outside the file"):
+        m.parse_mp4_boxes(bytes(bad3))
+    # trun without a data offset is ambiguous
+    head4, moof4 = _frag_stream(0x020000, b"", 0x300, struct.pack(">I", 1) + struct.pack(">II", 10, 4))
+    with _pt.raises(ValueError, match="without data-offset"):
+        m.parse_mp4_boxes(head4 + moof4 + m._mp4_box(b"mdat", b"\x00" * 4))
+    # no size at ANY default level
+    head5, moof5 = _frag_stream(0x020000 | 0x8, struct.pack(">I", 10), 0x1, struct.pack(">Ii", 1, 0))
+    with _pt.raises(ValueError, match="no size/duration at any"):
+        m.parse_mp4_boxes(head5 + moof5 + m._mp4_box(b"mdat", b"\x00" * 4))
+    # traf missing tfhd entirely
+    tr = m._mp4_full(b"trun", 0, 0x301, struct.pack(">Ii", 0, 0))
+    moof6 = m._mp4_box(
+        b"moof",
+        m._mp4_full(b"mfhd", 0, 0, struct.pack(">I", 1)) + m._mp4_box(b"traf", tr),
+    )
+    head6 = _fmp4_two_frag()[: _fmp4_two_frag().index(b"moof") - 4]
+    with _pt.raises(ValueError, match="traf without tfhd"):
+        m.parse_mp4_boxes(head6 + moof6 + m._mp4_box(b"mdat", b""))
