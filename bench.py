@@ -125,6 +125,7 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohorts",
     "multimodal_fmp4_stats",
+    "multimodal_webm_stats",
 ]
 
 

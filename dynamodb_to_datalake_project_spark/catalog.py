@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "funnel_conversion",
     "retention_cohorts",
     "multimodal_fmp4_stats",
+    "multimodal_webm_stats",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---
     "dedup_minhash_lsh",
@@ -261,6 +262,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.bpe  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.lm  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.cluster  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.ebml  # noqa: F401
 
     lead = [n for n in _PRIORITY if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(lead)]

@@ -1884,3 +1884,72 @@ def test_fmp4_corrupt_fragments_fail_cleanly():
     head6 = _fmp4_two_frag()[: _fmp4_two_frag().index(b"moof") - 4]
     with _pt.raises(ValueError, match="traf without tfhd"):
         m.parse_mp4_boxes(head6 + moof6 + m._mp4_box(b"mdat", b""))
+
+
+def test_webm_roundtrip_and_unknown_size():
+    """EBML encoder→parser agreement, wide-VINT track numbers (127
+    must widen to a 2-byte VINT because all-ones is reserved), and
+    the live-stream idiom the encoder never emits: an unknown-size
+    master element running to its parent's end."""
+    from dynamodb_to_datalake_project_spark.llm import ebml
+
+    clusters = [
+        {"timestamp": 0, "blocks": [(1, 0, b"\x11" * 20), (127, 5, b"\x22" * 7)]},
+        {"timestamp": 100, "blocks": [(1, 0, b"\x33" * 30)]},
+    ]
+    p = ebml.encode_webm(
+        [
+            {"number": 1, "type": 1, "codec": "V_VP9", "width": 64, "height": 48},
+            {"number": 127, "type": 2, "codec": "A_OPUS", "rate": 48000},
+        ],
+        clusters,
+    )
+    d = ebml.parse_webm(p)
+    assert d["doctype"] == "webm" and d["n_clusters"] == 2
+    v, a = d["tracks"]
+    assert (v["n_blocks"], v["frame_bytes"], v["first_byte_sum"]) == (2, 50, 0x11 + 0x33)
+    assert (v["width"], v["height"], v["codec"]) == (64, 48, "V_VP9")
+    assert (a["number"], a["n_blocks"], a["frame_bytes"]) == (127, 1, 7)
+    assert a["rate"] == 48000 and d["duration_ms"] == 200
+    # unknown-size Segment: patch the Segment size VINT to all-ones
+    # (the Segment here uses an N-byte size VINT; replace with same-
+    # width all-ones so offsets don't shift)
+    seg_id = bytes.fromhex("18538067")
+    i = p.index(seg_id) + 4
+    first = p[i]
+    n = 8 - first.bit_length() + 1
+    p2 = p[:i] + bytes([first | 0x7F]) + b"\xff" * (n - 1) + p[i + n :]
+    d2 = ebml.parse_webm(p2)
+    assert d2["tracks"][0]["frame_bytes"] == 50 and d2["n_clusters"] == 2
+
+
+def test_webm_corrupt_streams_fail_cleanly():
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import ebml
+
+    p = ebml.encode_webm(
+        [{"number": 1, "type": 1, "codec": "V_VP9", "width": 16, "height": 16}],
+        [{"timestamp": 0, "blocks": [(1, 0, b"\x44" * 10)]}],
+    )
+    # zero lead byte = invalid VINT
+    with _pt.raises(ValueError, match="zero lead byte"):
+        ebml.parse_webm(p[:4] + b"\x00" + p[5:])
+    # truncation mid-element
+    with _pt.raises(ValueError, match="overruns|truncated"):
+        ebml.parse_webm(p[:-4])
+    # wrong doctype
+    with _pt.raises(ValueError, match="not webm"):
+        ebml.parse_webm(p.replace(b"webm", b"mkv3", 1))
+    # block referencing an undeclared track
+    i = p.index(b"\xa3\x8e\x81")  # SimpleBlock id + size(14) + track-1 VINT
+    bad = bytearray(p)
+    bad[i + 2] = 0x85  # track VINT 1 -> 5
+    with _pt.raises(ValueError, match="undeclared track"):
+        ebml.parse_webm(bytes(bad))
+    # unknown-size on a NON-master element is illegal
+    j = p.index(b"\xe7\x81\x00")  # cluster Timestamp (uint, 1-byte size)
+    bad2 = bytearray(p)
+    bad2[j + 1] = 0xFF
+    with _pt.raises(ValueError, match="unknown-size non-master"):
+        ebml.parse_webm(bytes(bad2))

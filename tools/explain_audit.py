@@ -116,6 +116,7 @@ NOTES = {
     "funnel_conversion": "ordered funnel: per step a pushed type filter + user-keyed min-agg + user-keyed join against the USER-sized previous stage; all shuffles on one key, no window over raw events",
     "retention_cohorts": "retention triangle: user-keyed min-agg cohort map + distinct (user, week) activity + one user-keyed join; integral date math, raw events scanned once per leg",
     "multimodal_fmp4_stats": "fragmented-mp4 demux: moof/tfhd/trun walk with trex-default resolution in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no frame decode",
+    "multimodal_webm_stats": "WebM/EBML demux: VINT walk + SimpleBlock accounting in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no VP9/Opus decode",
 }
 
 
