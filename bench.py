@@ -126,6 +126,7 @@ HEADLINE = [
     "retention_cohorts",
     "multimodal_fmp4_stats",
     "multimodal_webm_stats",
+    "graph_modularity",
 ]
 
 

@@ -83,6 +83,7 @@ _PRIORITY: list[str] = [
     "retention_cohorts",
     "multimodal_fmp4_stats",
     "multimodal_webm_stats",
+    "graph_modularity",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---
     "dedup_minhash_lsh",

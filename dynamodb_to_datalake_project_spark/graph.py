@@ -632,3 +632,109 @@ def q_graph_label_propagation(spark, sf_dir):
         .select(F.col("node").cast("long"), F.col("label").cast("long"))
         .orderBy("node")
     )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a community assignment over a SYMMETRIC
+    edge list — the standard "are these communities real" score
+    (Q > 0.3 is conventionally 'significant structure'; random
+    partitions score ~0). One row: community count, within-community
+    directed-edge count, 2m, Σ deg_c², and Q.
+
+    Exactness: Q = (within·2m − Σ deg_c²) / (2m)² — numerator and
+    denominator are exact integers aggregated in any order, and the
+    single final double division is bit-identical across engines
+    (the catalog float policy), so the score hash-matches with no
+    rounding.
+
+    Scale shape: two label-table joins against the edge list (node-
+    keyed, same partitioning as every LPA round), one node-keyed
+    degree agg, one label-keyed sum — all bounded by O(edges) +
+    O(nodes); the final combine is a 1-row crossJoin of three scalar
+    aggregates."""
+    e = edges.select("src", "dst")
+    la, lb = labels.alias("la"), labels.alias("lb")
+    within = (
+        e.join(la, F.col("src") == F.col("la.node"))
+        .join(lb, F.col("dst") == F.col("lb.node"))
+        .filter(F.col("la.label") == F.col("lb.label"))
+        .agg(F.count("*").cast("long").alias("within_edges"))
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    degc = (
+        deg.join(labels, deg["src"] == labels["node"])
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("dc"))
+    )
+    comm = degc.agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sum_deg_sq"),
+    )
+    two_m = e.agg(F.count("*").cast("long").alias("two_m"))
+    return (
+        within.crossJoin(two_m)
+        .crossJoin(comm)
+        .select(
+            "n_communities",
+            "within_edges",
+            "two_m",
+            "sum_deg_sq",
+            (
+                (F.col("within_edges") * F.col("two_m") - F.col("sum_deg_sq"))
+                / (F.col("two_m") * F.col("two_m"))
+            ).alias("modularity"),
+        )
+    )
+
+
+@query(
+    "graph_modularity",
+    oracle=_lpa_oracle(4).rsplit("SELECT CAST(node", 1)[0]
+    + """,
+    lab AS (SELECT node, label FROM l4),
+    win AS (
+      SELECT COUNT(*) AS within_edges
+      FROM edges e JOIN lab a ON a.node = e.src JOIN lab b ON b.node = e.dst
+      WHERE a.label = b.label
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    degc AS (
+      SELECT a.label, SUM(d.d) AS dc
+      FROM deg d JOIN lab a ON a.node = d.src GROUP BY a.label
+    ),
+    cm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+             CAST(SUM(dc * dc) AS BIGINT) AS sum_deg_sq
+      FROM degc
+    ),
+    m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS two_m FROM edges)
+    SELECT cm.n_communities,
+           CAST(win.within_edges AS BIGINT) AS within_edges,
+           m2.two_m,
+           cm.sum_deg_sq,
+           CAST(win.within_edges * m2.two_m - cm.sum_deg_sq AS DOUBLE)
+             / (m2.two_m * m2.two_m) AS modularity
+    FROM win, m2, cm
+    """,
+)
+def q_graph_modularity(spark, sf_dir):
+    """Quality metric for the LPA communities (the analogue of
+    `cluster_silhouette` for k-means): run the same 4-round
+    propagation over the trade graph, then score the partition with
+    Newman modularity. Integer-exact numerator/denominator and one
+    final double division make the score hash-match; the oracle
+    replays LPA AND the modularity algebra in one SQL chain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    sym = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    return modularity(sym, label_propagation(sym, n_iter=4))

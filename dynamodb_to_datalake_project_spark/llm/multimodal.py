@@ -1933,13 +1933,20 @@ def decode_video(payload: bytes) -> dict:
     if len(payload) >= 8 and payload[4:8] == b"ftyp":
         raise NotImplementedError(
             "mp4: container DEMUX is available (parse_mp4_boxes — track "
-            "layout, codecs, sample tables, duration) but frame decode of "
-            "H.264/VP9/AAC payloads needs third-party codecs"
+            "layout, codecs, sample tables incl. fMP4 fragments, duration) "
+            "but frame decode of H.264/VP9/AAC payloads needs third-party "
+            "codecs"
+        )
+    if payload[:4] == bytes.fromhex("1A45DFA3"):
+        raise NotImplementedError(
+            "webm: container DEMUX is available (llm.ebml.parse_webm — "
+            "tracks, codecs, block accounting, duration) but VP9/Opus "
+            "frame decode needs third-party codecs"
         )
     raise NotImplementedError(
         "only AVI/MJPEG video decode available in this environment "
-        "(mp4/webm frame decode needs third-party codecs; mp4 demux: "
-        "parse_mp4_boxes)"
+        "(mp4/webm frame decode needs third-party codecs; demux: "
+        "parse_mp4_boxes / llm.ebml.parse_webm)"
     )
 
 

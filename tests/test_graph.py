@@ -214,3 +214,36 @@ def test_label_propagation_deterministic_ties_and_errors(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     with _pt.raises(ValueError, match="empty edge list"):
         label_propagation(empty)
+
+
+def test_modularity_separates_structure_from_noise(spark):
+    """Two bridged 4-cliques under their LPA labels must score high
+    modularity; the same graph under a single global label scores 0
+    by definition (within = all edges, sum_deg_sq = (2m)^2)."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_to_datalake_project_spark.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    und = (
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+        + [(3, 10)]
+    )
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    lab = label_propagation(df, n_iter=4)
+    row = modularity(df, lab).collect()[0]
+    assert row.n_communities == 2 and row.two_m == len(edges)
+    assert row.modularity > 0.3  # conventionally 'significant structure'
+    # exact definition replay
+    assert row.modularity == (
+        row.within_edges * row.two_m - row.sum_deg_sq
+    ) / (row.two_m * row.two_m)
+    # degenerate single community: Q = 0 exactly
+    one = df.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(0).alias("label")
+    )
+    assert modularity(df, one).collect()[0].modularity == 0.0
