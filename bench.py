@@ -127,6 +127,7 @@ HEADLINE = [
     "multimodal_fmp4_stats",
     "multimodal_webm_stats",
     "graph_modularity",
+    "multimodal_mpegts_stats",
 ]
 
 

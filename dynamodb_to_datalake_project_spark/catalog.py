@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "multimodal_fmp4_stats",
     "multimodal_webm_stats",
     "graph_modularity",
+    "multimodal_mpegts_stats",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---
     "dedup_minhash_lsh",
@@ -264,6 +265,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.lm  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.cluster  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.ebml  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.mpegts  # noqa: F401
 
     lead = [n for n in _PRIORITY if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(lead)]

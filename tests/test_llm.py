@@ -1953,3 +1953,65 @@ def test_webm_corrupt_streams_fail_cleanly():
     bad2[j + 1] = 0xFF
     with _pt.raises(ValueError, match="unknown-size non-master"):
         ebml.parse_webm(bytes(bad2))
+
+
+def test_mpegts_roundtrip_and_packet_math():
+    """TS mux→demux agreement: PES-header-net byte accounting, the
+    ceil-divide packet count, PAT→PMT registry, and stream typing."""
+    from dynamodb_to_datalake_project_spark.llm import mpegts
+
+    v_pes = [b"\x10" + b"\x00" * 400, b"\x20" + b"\x00" * 175]  # 2nd fits one pkt
+    a_pes = [b"\x30" + b"\x00" * 50]
+    d = mpegts.parse_mpegts(
+        mpegts.encode_mpegts(
+            [
+                {"pid": 0x100, "stream_type": 0x1B, "stream_id": 0xE0, "pes": v_pes},
+                {"pid": 0x101, "stream_type": 0x0F, "stream_id": 0xC0, "pes": a_pes},
+            ]
+        )
+    )
+    assert d["programs"] == {1: 0x1000}
+    v, a = d["streams"]
+    assert (v["pid"], v["stream_type"], v["n_pes"]) == (0x100, 0x1B, 2)
+    assert v["es_bytes"] == 401 + 176
+    assert v["ts_packets"] == (9 + 401 + 183) // 184 + (9 + 176 + 183) // 184
+    assert v["first_byte_sum"] == 0x10 + 0x20
+    assert (a["n_pes"], a["es_bytes"], a["ts_packets"]) == (1, 51, 1)
+
+
+def test_mpegts_corrupt_streams_fail_cleanly():
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import mpegts
+
+    streams = [
+        {"pid": 0x100, "stream_type": 0x1B, "stream_id": 0xE0, "pes": [b"\x10" * 500]}
+    ]
+    p = mpegts.encode_mpegts(streams)
+    assert len(p) == 5 * 188  # PAT, PMT, 3 ES packets
+    with _pt.raises(ValueError, match="multiple of 188"):
+        mpegts.parse_mpegts(p[:-10])
+    with _pt.raises(ValueError, match="lost sync"):
+        mpegts.parse_mpegts(b"\x00" + p[1:])
+    # drop the MIDDLE ES packet: continuity gap on that PID (dropping
+    # the first would legitimately parse — mid-stream tune-in)
+    with _pt.raises(ValueError, match="continuity gap"):
+        mpegts.parse_mpegts(p[:564] + p[752:])
+    # flip a PAT section byte (the payload rides at the packet TAIL,
+    # after adaptation stuffing): PSI CRC must catch it
+    bad = bytearray(p)
+    bad[187] ^= 0x01
+    with _pt.raises(ValueError, match="CRC mismatch"):
+        mpegts.parse_mpegts(bytes(bad))
+    # retarget an ES packet to an undeclared PID
+    bad2 = bytearray(p)
+    import struct as _s
+
+    _s.pack_into(">H", bad2, 376 + 1, 0x4000 | 0x555)
+    with _pt.raises(ValueError, match="undeclared PID|continuity"):
+        mpegts.parse_mpegts(bytes(bad2))
+    # corrupt the PES start code in the first ES packet
+    bad3 = bytearray(p)
+    bad3[376 + 4] = 0xFF
+    with _pt.raises(ValueError, match="PES start code"):
+        mpegts.parse_mpegts(bytes(bad3))

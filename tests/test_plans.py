@@ -83,6 +83,7 @@ CASES = [
     ("multimodal_ogg_stats", ["MapInPandas"], ["Sort", "Join"]),
     ("multimodal_fmp4_stats", ["MapInPandas"], ["Sort", "Join"]),
     ("multimodal_webm_stats", ["MapInPandas"], ["Sort", "Join"]),
+    ("multimodal_mpegts_stats", ["MapInPandas"], ["Sort", "Join"]),
     # round 6: CMS estimate — the bounded sketch table must BROADCAST
     # into the query side (estimating never shuffles the query stream)
     # and no nested-loop may replace the (depth, bucket) equi-join

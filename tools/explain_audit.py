@@ -118,6 +118,7 @@ NOTES = {
     "retention_cohorts": "retention triangle: user-keyed min-agg cohort map + distinct (user, week) activity + one user-keyed join; integral date math, raw events scanned once per leg",
     "multimodal_fmp4_stats": "fragmented-mp4 demux: moof/tfhd/trun walk with trex-default resolution in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no frame decode",
     "multimodal_webm_stats": "WebM/EBML demux: VINT walk + SimpleBlock accounting in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no VP9/Opus decode",
+    "multimodal_mpegts_stats": "MPEG-TS demux: 188-byte sync walk + PSI CRC recompute + PES accounting in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no H.264/AAC decode",
 }
 
 
