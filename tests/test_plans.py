@@ -101,12 +101,13 @@ CASES = [
     # round 5: HLL rollup must keep its map-side partial sketch agg
     # (ObjectHashAggregate below the first Exchange) and never join
     ("sketch_hll_daily_users", ["ObjectHashAggregate"], ["Join"]),
-    # round 6: LPA — the per-round argmax must be the max(struct)
-    # AGGREGATE fold (map-side partials), never a Window sort; edges
-    # reused from the eager checkpoint; equi-joins only
+    # round 6: LPA — the per-round argmax must be the deterministic-
+    # mode AGGREGATE (ObjectHashAggregate, map-side label-count maps),
+    # never a Window sort and never a second per-round exchange shape;
+    # edges reused from the eager checkpoint; equi-joins only
     (
         "graph_label_propagation",
-        ["ExistingRDD"],
+        ["ExistingRDD", "ObjectHashAggregate"],
         ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # round 5: pagerank's final-iteration plan — equi-joins only (no

@@ -112,8 +112,8 @@ NOTES = {
     "sketch_cms_estimate": "CMS: explode x4 depths collapses map-side to <=2048 (depth,bucket) cells before ONE bounded exchange; the 2k-cell sketch then BROADCASTS into the top-20 probe side (no SortMergeJoin)",
     "multimodal_mp3_stats": "mp3 frame-sync walk: build + ID3 skip + VBR frame stepping in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no granule decode",
     "multimodal_ogg_stats": "Ogg page walk: build + per-page CRC recompute + lacing reassembly in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no Vorbis decode",
-    "graph_label_propagation": "LPA: 4 unrolled rounds over once-checkpointed edges; per round one edge join + (node,label) count + node-keyed max(struct) argmax fold — no Window, all-integer arithmetic",
-    "graph_modularity": "LPA labels + Newman Q: two node-keyed label joins, one degree agg, one label-keyed sum, 1-row scalar crossJoin combine; integer-exact numerator, single double division",
+    "graph_label_propagation": "LPA: 4 unrolled rounds over once-checkpointed edges; per round ONE edge join + ONE node-keyed deterministic-mode agg (ObjectHashAggregate, map-side label->count maps) — no Window, all-integer; A/B: 10.3s (two-agg form) -> 3.0s",
+    "graph_modularity": "LPA labels + Newman Q: labels/edges checkpointed once for their 3 consumers, two node-keyed label joins, one degree agg, one label-keyed sum, 1-row scalar crossJoin; integer-exact numerator, single double division",
     "funnel_conversion": "ordered funnel: per step a pushed type filter + user-keyed min-agg + user-keyed join against the USER-sized previous stage; all shuffles on one key, no window over raw events",
     "retention_cohorts": "retention triangle: user-keyed min-agg cohort map + distinct (user, week) activity + one user-keyed join; integral date math, raw events scanned once per leg",
     "multimodal_fmp4_stats": "fragmented-mp4 demux: moof/tfhd/trun walk with trex-default resolution in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no frame decode",
