@@ -278,7 +278,19 @@ def parallel_seeds(
             *[F.array(*[F.lit(float(x)) for x in vec]) for _, _, vec in cands]
         )
         mind2 = F.array_min(F.transform(lits, lambda c: sq_dist(F.col("v"), c)))
-        scored = emb.select("id", "v", mind2.alias("m"))
+        # lazy checkpoint: the phi aggregation (an action) materializes
+        # the distance fold ONCE; the coin filter right after then
+        # reads the stored (id, v, m) blocks instead of re-running the
+        # candidate-array fold over the corpus — one fold scan per
+        # round, not two (the one-consumer-per-action shape, cf.
+        # graph.connected_components). A/B at sf0.1 in-session: 8.9 s
+        # -> 8.4 s for the full init+train query — modest, because the
+        # dominant local-mode cost is the per-round codegen compile of
+        # the growing literal-candidate fold (amortized on a real
+        # cluster), not the second scan this removes.
+        scored = emb.select("id", "v", mind2.alias("m")).localCheckpoint(
+            eager=False
+        )
         phi = scored.agg(
             F.sum(F.col("m").cast("decimal(26,18)")).cast("double").alias("phi")
         ).collect()[0]["phi"]
