@@ -516,3 +516,163 @@ def test_mp4_container_roundtrip_property(tracks):
         assert got["timescale"] == spec["timescale"]
         assert got["duration"] == len(spec["samples"]) * spec["sample_delta"]
         assert got["first_byte_sum"] == sum(s[0] for s in spec["samples"])
+
+
+@given(values=st.lists(st.integers(min_value=0, max_value=(1 << 56) - 2), min_size=1, max_size=50))
+@settings(max_examples=50, deadline=None)
+def test_ebml_vint_roundtrip_property(values):
+    """EBML size-VINT algebra: encode→decode is the identity for any
+    representable value, the encoding is minimal-width, and the
+    all-ones reservation is never emitted (it means 'unknown size')."""
+    from dynamodb_to_datalake_project_spark.llm import ebml
+
+    buf = b"".join(ebml._vint_size(v) for v in values)
+    pos = 0
+    for v in values:
+        got, pos2 = ebml._read_vint(buf, pos, keep_marker=False)
+        assert got == v
+        n = pos2 - pos
+        # minimal width: v must NOT fit in n-1 bytes
+        assert n == 1 or v >= (1 << (7 * (n - 1))) - 1
+        # never all-ones
+        assert got != -1
+        pos = pos2
+    assert pos == len(buf)
+
+
+@given(
+    tracks=st.lists(
+        st.tuples(
+            st.booleans(),
+            st.integers(min_value=1, max_value=500),  # track number
+            st.lists(st.binary(min_size=1, max_size=40), min_size=0, max_size=5),
+        ),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda t: t[1],
+    ),
+    n_clusters=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=25, deadline=None)
+def test_webm_container_roundtrip_property(tracks, n_clusters):
+    """parse(encode(x)) recovers every track's registry row and block
+    accounting for arbitrary track numbers (wide VINTs included) and
+    cluster layouts — pure container algebra, no Spark."""
+    from dynamodb_to_datalake_project_spark.llm import ebml
+
+    specs = []
+    for i, (is_video, num, _frames) in enumerate(tracks):
+        s = {"number": num, "type": 1 if is_video else 2,
+             "codec": "V_VP9" if is_video else "A_OPUS"}
+        if is_video:
+            s["width"], s["height"] = 16 * (i + 1), 8 * (i + 1)
+        else:
+            s["rate"] = 48000
+        specs.append(s)
+    clusters = []
+    for c in range(n_clusters):
+        blocks = []
+        for is_video, num, frames in tracks:
+            for j, f in enumerate(frames):
+                blocks.append((num, j, f))
+        clusters.append({"timestamp": c * 50, "blocks": blocks})
+    d = ebml.parse_webm(ebml.encode_webm(specs, clusters))
+    assert d["n_clusters"] == n_clusters
+    got = {t["number"]: t for t in d["tracks"]}
+    assert set(got) == {num for _, num, _ in tracks}
+    for is_video, num, frames in tracks:
+        t = got[num]
+        assert t["n_blocks"] == n_clusters * len(frames)
+        assert t["frame_bytes"] == n_clusters * sum(len(f) for f in frames)
+        assert t["first_byte_sum"] == n_clusters * sum(f[0] for f in frames)
+
+
+@given(
+    frames=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=14),  # bitrate index
+            st.integers(min_value=0, max_value=1),  # padding
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    sr_idx=st.integers(min_value=0, max_value=2),
+    id3=st.one_of(st.none(), st.binary(min_size=0, max_size=80)),
+)
+@settings(max_examples=50, deadline=None)
+def test_mp3_frame_walk_property(frames, sr_idx, id3):
+    """The sync walk recovers frame count, the exact VBR byte total,
+    and padding sums for arbitrary bitrate/padding sequences, with or
+    without an ID3v2 tag — pure framing algebra."""
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    spec = [(bi, pad, bytes([(bi * 17 + pad) % 256])) for bi, pad in frames]
+    d = m.parse_mp3_frames(m.encode_mp3_stream(spec, sr_idx, id3v2=id3))
+    sr = m._MP3_RATES[sr_idx]
+    assert d["n_frames"] == len(frames)
+    assert d["frame_bytes"] == sum(
+        144000 * m._MP3_BITRATES[bi - 1] // sr + pad for bi, pad in frames
+    )
+    assert d["padded_frames"] == sum(pad for _, pad in frames)
+    assert d["has_id3v2"] == (0 if id3 is None else 1)
+    assert d["first_byte_sum"] == sum(h[0] for _, _, h in spec)
+
+
+@given(
+    pages=st.lists(
+        st.lists(st.binary(min_size=1, max_size=600), min_size=1, max_size=4),
+        min_size=1,
+        max_size=5,
+    ),
+    serial=st.integers(min_value=0, max_value=(1 << 32) - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_ogg_page_walk_property(pages, serial):
+    """CRC'd page framing + lacing reassembly recover page/packet
+    counts, byte totals, and per-packet first bytes for arbitrary
+    packet sizes (incl. multi-lacing >=255 and exact-255 cases)."""
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    granules = [(i + 1) * 10 for i in range(len(pages))]
+    d = m.parse_ogg_pages(m.encode_ogg_stream(pages, serial, granules))
+    assert d["n_pages"] == len(pages)
+    assert d["n_packets"] == sum(len(p) for p in pages)
+    assert d["payload_bytes"] == sum(len(pkt) for p in pages for pkt in p)
+    assert d["first_byte_sum"] == sum(pkt[0] for p in pages for pkt in p)
+    assert d["serial"] == serial and d["last_granule"] == granules[-1]
+    assert d["bos_eos_ok"] == 1
+
+
+@given(
+    streams=st.lists(
+        st.tuples(
+            st.integers(min_value=0x20, max_value=0x1FFE),  # pid
+            st.lists(st.binary(min_size=1, max_size=700), min_size=0, max_size=4),
+        ),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda s: s[0],
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_mpegts_walk_property(streams):
+    """TS mux→demux recovers PES counts, header-net byte totals, the
+    ceil-divide packet math, and first bytes for arbitrary PID/PES
+    layouts — pure packet algebra."""
+    from dynamodb_to_datalake_project_spark.llm import mpegts
+
+    specs = [
+        {"pid": pid, "stream_type": 0x1B, "stream_id": 0xE0, "pes": pes}
+        for pid, pes in streams
+        if pid != 0x1000  # reserved for the PMT here
+    ]
+    if not specs:
+        return
+    d = mpegts.parse_mpegts(mpegts.encode_mpegts(specs))
+    got = {s["pid"]: s for s in d["streams"]}
+    for s in specs:
+        g = got[s["pid"]]
+        assert g["n_pes"] == len(s["pes"])
+        assert g["es_bytes"] == sum(len(p) for p in s["pes"])
+        assert g["ts_packets"] == sum((9 + len(p) + 183) // 184 for p in s["pes"])
+        assert g["first_byte_sum"] == sum(p[0] for p in s["pes"])
