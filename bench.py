@@ -128,6 +128,7 @@ HEADLINE = [
     "multimodal_webm_stats",
     "graph_modularity",
     "multimodal_mpegts_stats",
+    "sketch_hll_overlap",
 ]
 
 

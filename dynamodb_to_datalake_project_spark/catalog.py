@@ -85,6 +85,8 @@ _PRIORITY: list[str] = [
     "multimodal_webm_stats",
     "graph_modularity",
     "multimodal_mpegts_stats",
+    "sketch_hll_overlap_exact",
+    "sketch_hll_overlap",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---
     "dedup_minhash_lsh",

@@ -371,3 +371,123 @@ def q_sketch_cms_estimate(spark, sf_dir):
     return cms_estimate(cms, top, "token", depth=4, width=512).orderBy(
         F.desc("exact_cnt"), "token"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch set algebra: distinct-set overlap from stored aggregates
+# ---------------------------------------------------------------------------
+
+
+def event_type_overlap_sketch(ev: DataFrame, lg_k: int = 12) -> DataFrame:
+    """Distinct-USER overlap between every ordered pair of event types
+    via HLL set algebra: |A∩B| ≈ est(A) + est(B) − est(A∪B), with the
+    union sketch built by `hll_union` over the two STORED per-type
+    sketches. This is the query stored daily/per-type sketches exist
+    to answer at 100 TB — "how many users both clicked and purchased"
+    — without COUNT(DISTINCT CASE...) re-scans of raw history: one
+    sketch per type (bounded state), then pure sketch algebra.
+    Inclusion-exclusion inherits HLL error on three estimates, so the
+    intersection is the roughest of the sketch reads (tested against
+    exact at fixture cardinality where list-mode makes it equal)."""
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk")
+    )
+    a, b = per_type.alias("a"), per_type.alias("b")
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.round(F.hll_sketch_estimate(F.col("a.sk"))).cast("long").alias("users_a"),
+            F.round(F.hll_sketch_estimate(F.col("b.sk"))).cast("long").alias("users_b"),
+            F.round(
+                F.hll_sketch_estimate(F.hll_union(F.col("a.sk"), F.col("b.sk")))
+            ).cast("long").alias("users_union"),
+        )
+        .withColumn(
+            "users_both",
+            (F.col("users_a") + F.col("users_b") - F.col("users_union")).cast("long"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query("sketch_hll_overlap")
+def q_sketch_hll_overlap(spark, sf_dir):
+    """Pairwise distinct-user overlap between event types from HLL
+    sketch algebra (inclusion-exclusion over stored sketches — no
+    raw-history re-scan). Rows-only for the driver (binary sketches);
+    the exact twin `sketch_hll_overlap_exact` carries the full oracle,
+    and at fixture cardinality (list-mode) the two queries return
+    IDENTICAL rows (asserted in test_llm.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return event_type_overlap_sketch(ev)
+
+
+@query(
+    "sketch_hll_overlap_exact",
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.user_id AS ua, b.user_id AS ub
+      FROM tu a JOIN tu b ON a.event_type < b.event_type
+                         AND a.user_id = b.user_id
+    ), per_type AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n FROM tu GROUP BY 1
+    ), inter AS (
+      SELECT type_a, type_b, CAST(COUNT(DISTINCT ua) AS BIGINT) AS users_both
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b,
+           CAST(pa.n AS BIGINT) AS users_a,
+           CAST(pb.n AS BIGINT) AS users_b,
+           CAST(pa.n + pb.n - i.users_both AS BIGINT) AS users_union,
+           i.users_both
+    FROM inter i
+    JOIN per_type pa ON pa.event_type = i.type_a
+    JOIN per_type pb ON pb.event_type = i.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def q_sketch_hll_overlap_exact(spark, sf_dir):
+    """Exact (lossless) twin of `sketch_hll_overlap`: the same pair
+    rows computed with exact distinct intersections — the full-shuffle
+    form the sketch algebra replaces. Identical column names, directly
+    diffable."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.event_type") < F.col("b.event_type"))
+            & (F.col("a.user_id") == F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count_distinct(F.col("a.user_id")).cast("long").alias("users_both"))
+    )
+    per = tu.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n")
+    )
+    pa = per.select(F.col("event_type").alias("type_a"), F.col("n").alias("users_a"))
+    pb = per.select(F.col("event_type").alias("type_b"), F.col("n").alias("users_b"))
+    return (
+        inter.join(pa, "type_a")
+        .join(pb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            (F.col("users_a") + F.col("users_b") - F.col("users_both"))
+            .cast("long")
+            .alias("users_union"),
+            "users_both",
+        )
+        .orderBy("type_a", "type_b")
+    )

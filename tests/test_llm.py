@@ -2015,3 +2015,16 @@ def test_mpegts_corrupt_streams_fail_cleanly():
     bad3[376 + 4] = 0xFF
     with _pt.raises(ValueError, match="PES start code"):
         mpegts.parse_mpegts(bytes(bad3))
+
+
+def test_hll_overlap_equals_exact_at_fixture_scale(spark):
+    """At fixture cardinality HLL stays in exact list mode, so the
+    sketch-algebra overlap must equal the exact twin row-for-row —
+    including the inclusion-exclusion intersection."""
+    from dynamodb_to_datalake_project_spark.catalog import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    sk = {tuple(r) for r in QUERIES["sketch_hll_overlap"](spark, sf).collect()}
+    ex = {tuple(r) for r in QUERIES["sketch_hll_overlap_exact"](spark, sf).collect()}
+    assert sk == ex and len(sk) == 10  # C(5,2) event-type pairs
