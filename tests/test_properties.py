@@ -676,3 +676,51 @@ def test_mpegts_walk_property(streams):
         assert g["es_bytes"] == sum(len(p) for p in s["pes"])
         assert g["ts_packets"] == sum((9 + len(p) + 183) // 184 for p in s["pes"])
         assert g["first_byte_sum"] == sum(p[0] for p in s["pes"])
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),  # user
+            st.integers(min_value=0, max_value=500),  # minute offset
+            st.sampled_from(["signup", "view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_funnel_matches_sequential_replay(spark, events):
+    """The distributed earliest-completion funnel equals a sequential
+    per-user replay on random event streams (duplicate timestamps and
+    out-of-order steps included)."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_to_datalake_project_spark.timeseries import funnel_conversion
+
+    steps = ["signup", "view", "purchase"]
+    rows = [
+        (u, f"2024-01-01 00:00:00", m, t) for u, m, t in events
+    ]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "base", "m", "event_type"]
+    ).select(
+        "user_id",
+        (F.col("base").cast("timestamp") + F.make_interval(mins=F.col("m"))).alias("ts"),
+        "event_type",
+    )
+    got = {
+        r.step: r.n_users for r in funnel_conversion(ev, steps).collect()
+    }
+    # sequential replay: earliest completion, strictly increasing ts
+    want = {s: 0 for s in steps}
+    for u in {e[0] for e in events}:
+        mine = sorted((m, t) for uu, m, t in events if uu == u)
+        cur = -1.0
+        for si, s in enumerate(steps):
+            nxt = min((m for m, t in mine if t == s and m > cur), default=None)
+            if nxt is None:
+                break
+            cur = nxt
+            want[s] += 1
+    assert got == want
