@@ -129,6 +129,7 @@ HEADLINE = [
     "graph_modularity",
     "multimodal_mpegts_stats",
     "sketch_hll_overlap",
+    "sketch_quantile_grid",
 ]
 
 

@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     "graph_modularity",
     "multimodal_mpegts_stats",
     "sketch_hll_overlap_exact",
+    "sketch_quantile_grid",
     "sketch_hll_overlap",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---

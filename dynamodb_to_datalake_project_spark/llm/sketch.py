@@ -12,7 +12,7 @@ athena.py); this is north-star corpus tooling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dynamodb_to_datalake_project_spark.catalog import query
@@ -491,3 +491,117 @@ def q_sketch_hll_overlap_exact(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid quantile sketch (mergeable, bounded-state, fully oracle-replayable)
+# ---------------------------------------------------------------------------
+
+
+def quantile_grid_build(
+    items: DataFrame, value_col: str, lo: float, hi: float, buckets: int = 256
+) -> DataFrame:
+    """Equi-width histogram sketch over a KNOWN value range: a
+    (bucket, cnt) table with exactly `buckets` possible rows — the
+    quantile member of the sketch family here (frequency: `cms_build`,
+    distinct: HLL). Like the CMS it is a relational sketch: merging is
+    a plain SUM over buckets, and every cell is rebuildable in ANSI
+    SQL, so quantile reads carry a FULL hash-match oracle where
+    KLL/t-digest blobs would be rows-only.
+
+    Error contract: a quantile read from the grid is exact in RANK
+    ordering up to one bucket — the returned value is off by at most
+    one bucket width (hi-lo)/buckets from an exact quantile
+    (property-tested). Values outside [lo, hi) clamp to the edge
+    buckets (the standard histogram-sketch convention), keeping state
+    bounded even under outliers.
+
+    100 TB shape: map-side partial aggregation collapses every
+    partition to <= `buckets` rows before the one bounded shuffle;
+    nothing scales with row count or distinct-value count."""
+    width = (hi - lo) / buckets
+    b = F.least(
+        F.lit(buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    return (
+        items.filter(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def quantile_grid_read(
+    grid: DataFrame, qs: "list[float]", lo: float, hi: float, buckets: int = 256
+) -> DataFrame:
+    """Read quantiles from a grid sketch: for quantile q, find the
+    first bucket whose cumulative count reaches ceil(q*N) and return
+    the bucket's UPPER edge (a deterministic, merge-stable convention
+    — no interpolation, so the read is pure integer rank arithmetic
+    plus one float multiply, bit-identical across engines). One row
+    per requested q: (q, rank, est) with est within one bucket width
+    of the exact quantile."""
+    width = (hi - lo) / buckets
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "bucket", "cnt", F.sum("cnt").over(w).cast("long").alias("cum")
+    )
+    n = grid.agg(F.sum("cnt").cast("long").alias("n"))
+    qdf = None
+    for q in qs:
+        rank = n.select(
+            F.lit(q).alias("q"),
+            F.ceil(F.lit(q) * F.col("n")).cast("long").alias("rank"),
+        )
+        pick = (
+            rank.join(cum, cum["cum"] >= rank["rank"])
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                "q",
+                "rank",
+                (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("est"),
+            )
+        )
+        qdf = pick if qdf is None else qdf.unionByName(pick)
+    return qdf.orderBy("q")
+
+
+@query(
+    "sketch_quantile_grid",
+    oracle="""
+    WITH v AS (
+      SELECT value FROM events WHERE value IS NOT NULL
+    ), grid AS (
+      SELECT LEAST(255, GREATEST(0,
+               CAST(FLOOR(value / (1000.0 / 256)) AS INTEGER))) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1
+    ), cum AS (
+      SELECT bucket, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+      FROM grid
+    ), n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM grid),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    SELECT CAST(q AS DOUBLE) AS q,
+           CAST(CEIL(q * n.n) AS BIGINT) AS rank,
+           (SELECT MIN((bucket + 1) * (1000.0 / 256))
+            FROM cum WHERE cum.cum >= CEIL(q * n.n)) AS est
+    FROM qs, n
+    ORDER BY q
+    """,
+)
+def q_sketch_quantile_grid(spark, sf_dir):
+    """Quantiles of the events value column read from a 256-bucket
+    grid sketch over the known [0, 1000) fixture range. The oracle
+    rebuilds the grid, the cumulative ranks, and the bucket-edge reads
+    in SQL — every cell and every estimate hash-matches (integer rank
+    arithmetic + one float multiply per read). Within-one-bucket
+    accuracy vs exact quantiles and SUM-mergeability are
+    property-tested in test_llm.py."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = quantile_grid_build(ev, "value", 0.0, 1000.0, 256)
+    return quantile_grid_read(grid, [0.5, 0.9, 0.99], 0.0, 1000.0, 256)

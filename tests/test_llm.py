@@ -2028,3 +2028,42 @@ def test_hll_overlap_equals_exact_at_fixture_scale(spark):
     sk = {tuple(r) for r in QUERIES["sketch_hll_overlap"](spark, sf).collect()}
     ex = {tuple(r) for r in QUERIES["sketch_hll_overlap_exact"](spark, sf).collect()}
     assert sk == ex and len(sk) == 10  # C(5,2) event-type pairs
+
+
+def test_quantile_grid_accuracy_and_merge(spark):
+    """Grid-sketch invariants: (a) every read is within one bucket
+    width of the exact quantile; (b) merging per-half grids by SUM
+    equals the direct grid cell-for-cell; (c) out-of-range values
+    clamp to edge buckets instead of growing state."""
+    from dynamodb_to_datalake_project_spark.llm import sketch as lsk
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lo, hi, nb = 0.0, 1000.0, 256
+    width = (hi - lo) / nb
+    grid = lsk.quantile_grid_build(ev, "value", lo, hi, nb)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = {r.q: r.est for r in lsk.quantile_grid_read(grid, qs, lo, hi, nb).collect()}
+    exact = ev.selectExpr(
+        *[f"percentile(value, {q}) AS q{i}" for i, q in enumerate(qs)]
+    ).collect()[0]
+    for i, q in enumerate(qs):
+        assert abs(got[q] - exact[i]) <= width + 1e-9, (q, got[q], exact[i])
+    # merge = direct
+    h = ev.withColumn("half", (F.xxhash64("event_id") % 2 == 0).cast("int"))
+    halves = [
+        lsk.quantile_grid_build(h.filter(F.col("half") == i), "value", lo, hi, nb)
+        for i in (0, 1)
+    ]
+    merged = {
+        (r.bucket,): r.cnt
+        for r in lsk.cms_merge(
+            halves[0].unionAll(halves[1]).withColumnRenamed("bucket", "depth")
+            .withColumn("bucket", F.lit(0))
+        ).select(F.col("depth").alias("bucket"), "cnt").collect()
+    }
+    direct = {(r.bucket,): r.cnt for r in grid.collect()}
+    assert merged == direct
+    # clamping: a value far outside the range lands in the last bucket
+    wild = spark.createDataFrame([(1e9,), (-5.0,)], ["value"])
+    rows = {r.bucket: r.cnt for r in lsk.quantile_grid_build(wild, "value", lo, hi, nb).collect()}
+    assert rows == {nb - 1: 1, 0: 1}

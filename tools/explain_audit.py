@@ -120,6 +120,7 @@ NOTES = {
     "multimodal_webm_stats": "WebM/EBML demux: VINT walk + SimpleBlock accounting in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no VP9/Opus decode",
     "multimodal_mpegts_stats": "MPEG-TS demux: 188-byte sync walk + PSI CRC recompute + PES accounting in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no H.264/AAC decode",
     "sketch_hll_overlap": "HLL set algebra: per-type sketch agg (map-side partials) -> self-join on type order -> hll_union + inclusion-exclusion; overlap answered from stored aggregates, raw history never rescanned",
+    "sketch_quantile_grid": "grid quantile sketch: bounded 256-bucket agg with map-side partials -> cumulative-rank window over the 256-row sketch -> bucket-edge reads; nothing scales with row count",
 }
 
 
