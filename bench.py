@@ -130,6 +130,8 @@ HEADLINE = [
     "multimodal_mpegts_stats",
     "sketch_hll_overlap",
     "sketch_quantile_grid",
+    "session_paths_topk",
+    "stats_linear_fit",
 ]
 
 

@@ -149,3 +149,101 @@ def q_column_profile(spark, sf_dir):
     load."""
     orders = load_table(spark, sf_dir, "orders")
     return profile_columns(orders, ["o_orderstatus", "o_orderpriority", "o_custkey"])
+
+
+def linear_fit(
+    df: DataFrame, x_col: str, y_col: str, group_cols: "list[str]"
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit y = intercept + slope·x via
+    the normal equations — the cheap trend/calibration primitive
+    (price-per-unit drift, throughput-vs-size curves) computed in ONE
+    aggregation pass, no ML library, no iteration.
+
+    Determinism contract (the catalog float policy): inputs are
+    cent-scaled to EXACT integers (round(v*100) — the fixtures are
+    2-dp doubles, and rounding the IEEE-identical product of identical
+    doubles is engine-identical), the five moments are integer/decimal
+    sums (accumulation-order-free; Σy² is summed as DECIMAL(38,0)
+    because it exceeds int64 at scale), and slope/intercept/r² are
+    plain double arithmetic on those exact scalars — identical
+    expression trees on both engines, so raw doubles hash-match with
+    no rounding. The common ×100 scaling cancels in slope and r²;
+    intercept is unscaled by one exact division at the end.
+
+    Scale shape: one scan, one bounded-key hash aggregation with
+    map-side partials; five sums per group is the entire state."""
+    x = F.round(F.col(x_col) * 100).cast("long")
+    y = F.round(F.col(y_col) * 100).cast("long")
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_xn = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_yn = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    # degenerate groups get NULL, not an ANSI divide-by-zero: constant
+    # x leaves the slope undefined; constant y leaves r2 undefined
+    # (cov is 0 there, so 0/0)
+    slope = F.when(var_xn != 0, cov_n / var_xn)
+    return agg.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nd / F.lit(100.0)).alias(
+            "intercept"
+        ),
+        F.when(
+            (var_xn != 0) & (var_yn != 0), cov_n * cov_n / (var_xn * var_yn)
+        ).alias("r2"),
+    )
+
+
+@query(
+    "stats_linear_fit",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                      * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx = 0 THEN NULL
+                ELSE (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx = 0 THEN NULL
+                ELSE (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                     / CAST(n AS DOUBLE) / 100.0 END AS intercept,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) = 0
+                     OR (CAST(n AS DOUBLE) * syy - sy * sy) = 0 THEN NULL
+                ELSE (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
+    FROM m
+    ORDER BY l_returnflag
+    """,
+)
+def q_stats_linear_fit(spark, sf_dir):
+    """OLS fit of extendedprice against quantity per returnflag —
+    slope recovers the average unit price, r² how linear the pricing
+    is. Cent-scaled integer moments + identical double expression
+    trees on both sides make the raw doubles hash-match; the oracle
+    spells the same normal-equation algebra in SQL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return linear_fit(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"]
+    ).orderBy("l_returnflag")

@@ -87,6 +87,8 @@ _PRIORITY: list[str] = [
     "multimodal_mpegts_stats",
     "sketch_hll_overlap_exact",
     "sketch_quantile_grid",
+    "session_paths_topk",
+    "stats_linear_fit",
     "sketch_hll_overlap",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---

@@ -481,3 +481,68 @@ def q_retention_cohorts(spark, sf_dir):
     offset. Integral date arithmetic on both sides — exact match."""
     ev = load_table(spark, sf_dir, "events")
     return retention_cohorts(ev)
+
+
+@query(
+    "session_paths_topk",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL THEN 1
+                  WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_num
+      FROM o
+    ), p AS (
+      SELECT user_id, session_num,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, session_num
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def q_session_paths_topk(spark, sf_dir):
+    """Top-20 user-journey paths: gap-sessionize (30 min), concatenate
+    each session's ordered event types into a path string, count
+    identical journeys — the path-analysis primitive behind funnel
+    DISCOVERY (funnel_conversion measures a KNOWN sequence; this finds
+    which sequences exist). Ordering inside a session is
+    (ts, event_id)-deterministic via array_sort over structs; the
+    top-20 is a heap with a full tie-break. Scale shape: one user-
+    keyed window pass, one (user, session)-keyed agg (bounded keys),
+    one path-keyed count with map-side partials — raw events are
+    scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    gap = t - F.lag(t).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = ev.withColumn("session_num", F.sum(new_sess).over(run))
+    paths = numbered.groupBy("user_id", "session_num").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

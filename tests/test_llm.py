@@ -2067,3 +2067,21 @@ def test_quantile_grid_accuracy_and_merge(spark):
     wild = spark.createDataFrame([(1e9,), (-5.0,)], ["value"])
     rows = {r.bucket: r.cnt for r in lsk.quantile_grid_build(wild, "value", lo, hi, nb).collect()}
     assert rows == {nb - 1: 1, 0: 1}
+
+
+def test_linear_fit_recovers_known_line(spark):
+    """OLS on exact synthetic data: y = 3x + 7 (in 2-dp units) must
+    recover slope 3, intercept 7, r2 = 1 exactly; a constant-y group
+    reports slope 0 with NULL r2 (degenerate variance -> NULL, never
+    an ANSI divide-by-zero)."""
+    from dynamodb_to_datalake_project_spark.audit import linear_fit
+
+    rows = [("a", float(x), 3.0 * x + 7.0) for x in range(1, 30)] + [
+        ("b", float(x), 42.0) for x in range(1, 30)
+    ]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r.g: r for r in linear_fit(df, "x", "y", ["g"]).collect()}
+    assert abs(got["a"].slope - 3.0) < 1e-9
+    assert abs(got["a"].intercept - 7.0) < 1e-9
+    assert abs(got["a"].r2 - 1.0) < 1e-12
+    assert abs(got["b"].slope) < 1e-12 and got["b"].r2 is None

@@ -121,6 +121,8 @@ NOTES = {
     "multimodal_mpegts_stats": "MPEG-TS demux: 188-byte sync walk + PSI CRC recompute + PES accounting in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no H.264/AAC decode",
     "sketch_hll_overlap": "HLL set algebra: per-type sketch agg (map-side partials) -> self-join on type order -> hll_union + inclusion-exclusion; overlap answered from stored aggregates, raw history never rescanned",
     "sketch_quantile_grid": "grid quantile sketch: bounded 256-bucket agg with map-side partials -> cumulative-rank window over the 256-row sketch -> bucket-edge reads; nothing scales with row count",
+    "session_paths_topk": "path mining: one user-keyed window pass, (user, session)-keyed array_sort agg, path-keyed count with map-side partials, heap top-20 with full tie-break",
+    "stats_linear_fit": "OLS via normal equations: one scan, one bounded-key agg of five cent-scaled integer moments; slope/intercept/r2 are double algebra on exact scalars",
 }
 
 
