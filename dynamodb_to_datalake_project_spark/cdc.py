@@ -216,6 +216,95 @@ def stateful_latest(
     )
 
 
+def stream_pattern_detect(
+    stream: DataFrame,
+    steps: "list[str]",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_s: int = 3600,
+):
+    """CEP-lite ordered-sequence detection on a STREAM: emit one row
+    per key each time its events complete `steps` in order within
+    `within_s` seconds of the matched first step — the streaming twin
+    of the batch `timeseries.funnel_conversion` (which measures
+    completed funnels at rest; this fires as they complete). Built on
+    `applyInPandasWithState`: per-key GroupState holds (stage,
+    started_ts) — a few bytes per key, independent of event volume.
+
+    Semantics: a per-key state machine advances on events processed in
+    (ts, type) order WITHIN each micro-batch and batch-arrival order
+    across batches (the standard stateful-streaming contract — events
+    that arrive in a later batch with earlier timestamps are late by
+    definition and do not rewind the machine). An event matching
+    step 0 (re)arms the machine when it is idle; an over-deadline
+    event resets it, immediately re-arming if that event is itself a
+    step-0 match. On completion the machine emits (key, started_ts,
+    matched_ts, elapsed_s) and resets, so repeated journeys keep
+    firing. State survives query restarts through the checkpointed
+    state store (asserted in test_cdc.py: a pattern STARTED before a
+    restart completes after it)."""
+    import pandas as pd
+
+    if not steps:
+        raise ValueError("stream_pattern_detect: empty step list")
+    out_schema = (
+        f"{key_col} string, started_ts string, matched_ts string, elapsed_s long"
+    )
+    state_schema = "stage int, started string"
+
+    def update_fn(key, pdfs, state):
+        stage, started = state.get if state.exists else (0, None)
+        hits = {"k": [], "s": [], "m": [], "e": []}
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (str(r[ts_col]), str(r[type_col]))
+                for _, r in pdf.iterrows()
+            )
+        for ts, etype in sorted(rows):
+            if started is not None and _iso_delta_s(started, ts) > within_s:
+                stage, started = 0, None  # deadline blown: reset...
+            if stage == 0:
+                if etype == steps[0]:  # ...and possibly re-arm
+                    stage, started = 1, ts
+            elif etype == steps[stage]:
+                stage += 1
+            if stage == len(steps):
+                hits["k"].append(str(key[0]))
+                hits["s"].append(started)
+                hits["m"].append(ts)
+                hits["e"].append(int(_iso_delta_s(started, ts)))
+                stage, started = 0, None
+        state.update((stage, started))
+        yield pd.DataFrame(
+            {key_col: hits["k"], "started_ts": hits["s"],
+             "matched_ts": hits["m"], "elapsed_s": hits["e"]}
+        )
+
+    return stream.withColumn(ts_col, F.col(ts_col).cast("string")).groupBy(
+        key_col
+    ).applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def _iso_delta_s(a: str, b: str) -> float:
+    """Seconds between two ISO/'YYYY-MM-DD HH:MM:SS' timestamp strings
+    (state-store-friendly string timestamps, like `stateful_latest`)."""
+    from datetime import datetime
+
+    fmt = "%Y-%m-%d %H:%M:%S"
+    return (
+        datetime.strptime(b[:19].replace("T", " "), fmt)
+        - datetime.strptime(a[:19].replace("T", " "), fmt)
+    ).total_seconds()
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -918,3 +918,93 @@ def test_streaming_cms_rollup_bounded_state(spark, tmp_path):
     exact = hist.groupBy("item").agg(F.count("*").cast("long").alias("exact_cnt"))
     est = cms_estimate(stored, exact, "item").collect()
     assert est and all(r.cms_est >= r.exact_cnt for r in est)
+
+
+def test_stream_pattern_detect_cep(spark, tmp_path):
+    """Streaming ordered-sequence (CEP) detection: in-order completion
+    fires once per journey, over-deadline sequences reset (and re-arm
+    on a step-0 event), wrong-order events never match — and a pattern
+    STARTED before a query restart COMPLETES after it, proving the
+    state machine lives in the checkpointed state store."""
+    import os as _os
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    cdc_dir = tmp_path / "cep_cdc"
+    ckpt = tmp_path / "cep_ckpt"
+    out_dir = tmp_path / "cep_out"
+    steps = ["signup", "view", "purchase"]
+
+    def ev(i, minute, etype, user):
+        return {
+            "event_id": i,
+            "ts": f"2024-01-01T10:{minute:02d}:00",
+            "event_type": etype,
+            "user_id": user,
+        }
+
+    drops = [
+        # user 1: clean completion within the hour
+        [ev(0, 0, "signup", 1), ev(1, 5, "view", 1)],
+        # user 2: wrong order (purchase first) — never matches;
+        # user 3: starts here, completes after the restart
+        [ev(2, 1, "purchase", 2), ev(3, 2, "view", 2),
+         ev(4, 3, "signup", 3), ev(5, 4, "view", 3),
+         ev(6, 9, "purchase", 1)],
+    ]
+    for i, recs in enumerate(drops):
+        _write_drop(cdc_dir, f"d{i}.json", recs)
+        _os.utime(cdc_dir / f"d{i}.json", (1_700_000_000 + i,) * 2)
+
+    def run():
+        stream = cdc.read_cdc_stream(spark, str(cdc_dir), schema, 1)
+        q = (
+            cdc.stream_pattern_detect(stream, steps, within_s=3600)
+            .writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    # restart + user 3 completes; user 4 blows the 1h deadline then
+    # re-arms and completes a FRESH journey
+    _write_drop(
+        cdc_dir,
+        "d2.json",
+        [ev(7, 20, "purchase", 3),
+         ev(8, 0, "signup", 4)],
+    )
+    _write_drop(
+        cdc_dir,
+        "d3.json",
+        [
+            {"event_id": 9, "ts": "2024-01-01T12:00:00", "event_type": "signup", "user_id": 4},
+            {"event_id": 10, "ts": "2024-01-01T12:01:00", "event_type": "view", "user_id": 4},
+            {"event_id": 11, "ts": "2024-01-01T12:02:00", "event_type": "purchase", "user_id": 4},
+        ],
+    )
+    _os.utime(cdc_dir / "d2.json", (1_700_000_100,) * 2)
+    _os.utime(cdc_dir / "d3.json", (1_700_000_101,) * 2)
+    run()
+
+    got = {
+        (r.user_id, r.started_ts[:19], r.matched_ts[:19], r.elapsed_s)
+        for r in spark.read.json(str(out_dir)).collect()
+    }
+    assert got == {
+        ("1", "2024-01-01 10:00:00", "2024-01-01 10:09:00", 540),
+        ("3", "2024-01-01 10:03:00", "2024-01-01 10:20:00", 1020),
+        ("4", "2024-01-01 12:00:00", "2024-01-01 12:02:00", 120),
+    }
