@@ -132,6 +132,7 @@ HEADLINE = [
     "sketch_quantile_grid",
     "session_paths_topk",
     "stats_linear_fit",
+    "graph_kcore",
 ]
 
 

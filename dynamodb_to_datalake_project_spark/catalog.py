@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "sketch_quantile_grid",
     "session_paths_topk",
     "stats_linear_fit",
+    "graph_kcore",
     "sketch_hll_overlap",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---

@@ -742,3 +742,111 @@ def q_graph_modularity(spark, sf_dir):
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
     return modularity(sym, label_propagation(sym, n_iter=4))
+
+
+def kcore(
+    edges: DataFrame, k: int, n_rounds: int = 8, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """k-core peel over a SYMMETRIC edge list: iteratively drop nodes
+    with degree < k; what survives is the k-core — the dense backbone
+    (spam rings, mirror farms, power-seller cliques) that degree
+    thresholds on the RAW graph miss because degree counts neighbors
+    that are themselves about to be dropped. Returns (node,
+    core_degree) for surviving nodes.
+
+    FIXED `n_rounds` of peeling rather than a convergence loop — the
+    same deterministic-job-shape policy as `pagerank`/
+    `label_propagation` (exactly n_rounds shuffle groups, engine-
+    replayable as unrolled CTEs). The peel is monotone (each round
+    only removes nodes) and the true k-core is a fixpoint, so extra
+    rounds past convergence are no-ops; `test_graph.py` asserts the
+    fixture graphs converge within the default budget by comparing
+    against an until-fixpoint Python peel. For adversarial chains
+    (a path graph peels one node per round) raise `n_rounds`.
+
+    Scale shape per round: one node-keyed degree aggregation (node-
+    sized output) and two LEFT SEMI joins filtering the edge list by
+    the survivor set — O(edges)+O(nodes) shuffle, no driver state, no
+    windows; each round's shrunken edge set is EAGERLY checkpointed.
+    The checkpoint is load-bearing, not an optimization: every round
+    references the previous round's edges TWICE (degree agg + the
+    survivor semi-joins), so an unmaterialized 8-round plan contains
+    2^8 copies of round 0 and Catalyst analysis alone takes minutes
+    (measured: the lazy form ran 12 min on a 3k-edge graph; eager,
+    seconds) — the same exponential re-expansion the DuckDB oracle
+    avoids with MATERIALIZED CTEs. All arithmetic integral."""
+    if k < 1 or n_rounds < 1:
+        raise ValueError(f"kcore: need k >= 1 and n_rounds >= 1, got {k=} {n_rounds=}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("src")
+        )
+        e = e.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        ).localCheckpoint(eager=True)
+    return (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .orderBy("node")
+    )
+
+
+def _kcore_oracle(k: int, n_rounds: int = 8) -> str:
+    # every CTE is MATERIALIZED: each round references the previous
+    # round TWICE (degree agg + survivor join), so DuckDB's default
+    # CTE inlining would re-expand the chain exponentially — 2^rounds
+    # parquet scans (observed as a too-many-open-files blowup)
+    sql = """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT l.l_suppkey * 2 AS s, o.o_custkey * 2 + 1 AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), e0 AS MATERIALIZED (
+      SELECT s AS src, c AS dst FROM pairs UNION ALL SELECT c AS src, s AS dst FROM pairs
+    )"""
+    for i in range(1, n_rounds + 1):
+        sql += f""",
+    k{i} AS MATERIALIZED (
+      SELECT src FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{i - 1} e
+      JOIN k{i} a ON a.src = e.src JOIN k{i} b ON b.src = e.dst
+    )"""
+    return (
+        sql
+        + f"""
+    SELECT CAST(src AS BIGINT) AS node,
+           CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{n_rounds} GROUP BY src ORDER BY node"""
+    )
+
+
+@query("graph_kcore", oracle=_kcore_oracle(8))
+def q_graph_kcore(spark, sf_dir):
+    """8-core of the supplier↔customer trade graph (same symmetrized
+    encoding as `graph_pagerank`): 8 peel rounds drop thin customers
+    and then suppliers whose support was those customers — the dense
+    trading backbone. The oracle unrolls every round; all-integer, so
+    the match is exact by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    sym = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    return kcore(sym, k=8, n_rounds=8)

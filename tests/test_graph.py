@@ -247,3 +247,53 @@ def test_modularity_separates_structure_from_noise(spark):
         "node", F.lit(0).alias("label")
     )
     assert modularity(df, one).collect()[0].modularity == 0.0
+
+
+def _py_kcore(edges, k):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+    return {v: len(ns) for v, ns in adj.items() if ns}
+
+
+def test_kcore_matches_until_fixpoint_python_peel(spark):
+    from dynamodb_to_datalake_project_spark.graph import kcore
+
+    # a 5-clique (4-core) with pendant chains that must cascade away
+    und = (
+        [(a, b) for a in range(5) for b in range(5) if a < b]
+        + [(0, 10), (10, 11), (11, 12), (4, 20)]
+    )
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.core_degree for r in kcore(df, k=4, n_rounds=8).collect()}
+    assert got == _py_kcore(edges, 4)
+    assert set(got) == set(range(5))  # exactly the clique survives
+    # k above the max degree empties the graph
+    assert kcore(df, k=10, n_rounds=8).count() == 0
+    # the default round budget reaches the true fixpoint on the
+    # catalog's fixture graph too
+    import duckdb
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        """SELECT DISTINCT l.l_suppkey * 2, o.o_custkey * 2 + 1
+           FROM '/root/testdata/sf0.001/lineitem.parquet' l
+           JOIN '/root/testdata/sf0.001/orders.parquet' o
+             ON l.l_orderkey = o.o_orderkey"""
+    ).fetchall()
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    fix = _py_kcore(sym, 8)
+    fdf = spark.createDataFrame(sym, "src long, dst long")
+    got2 = {r.node: r.core_degree for r in kcore(fdf, k=8, n_rounds=8).collect()}
+    assert got2 == fix and 0 < len(got2) < len({s for s, _ in sym})

@@ -123,6 +123,7 @@ NOTES = {
     "sketch_quantile_grid": "grid quantile sketch: bounded 256-bucket agg with map-side partials -> cumulative-rank window over the 256-row sketch -> bucket-edge reads; nothing scales with row count",
     "session_paths_topk": "path mining: one user-keyed window pass, (user, session)-keyed array_sort agg, path-keyed count with map-side partials, heap top-20 with full tie-break",
     "stats_linear_fit": "OLS via normal equations: one scan, one bounded-key agg of five cent-scaled integer moments; slope/intercept/r2 are double algebra on exact scalars",
+    "graph_kcore": "k-core peel: 8 rounds of degree agg + two LEFT SEMI survivor joins over the per-round eagerly checkpointed edge set (checkpoint is load-bearing: lazy form re-expands 2^rounds subplans)",
 }
 
 
