@@ -133,6 +133,7 @@ HEADLINE = [
     "session_paths_topk",
     "stats_linear_fit",
     "graph_kcore",
+    "sketch_kmv_distinct",
 ]
 
 

@@ -605,3 +605,95 @@ def q_sketch_quantile_grid(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     grid = quantile_grid_build(ev, "value", 0.0, 1000.0, 256)
     return quantile_grid_read(grid, [0.5, 0.9, 0.99], 0.0, 1000.0, 256)
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch (k-minimum-values — approximate COUNT DISTINCT
+# with a FULL oracle, unlike the binary HLL blobs)
+# ---------------------------------------------------------------------------
+
+
+def kmv_distinct(
+    items: DataFrame, value_col: str, group_cols: "list[str]", k: int = 32
+) -> DataFrame:
+    """Approximate per-group COUNT DISTINCT via the k-minimum-values
+    estimator (Bar-Yossef et al. 2002): keep each group's k smallest
+    60-bit md5 hashes of the value; with h_(k) the k-th smallest as a
+    fraction of the hash space, est = (k-1)/h_(k). Fewer than k
+    distinct values → the sketch holds them all and the estimate is
+    EXACT. Standard error ≈ 1/sqrt(k-2).
+
+    Why it exists next to the HLL column: HLL (binary DataSketches
+    blob) is the production distinct sketch but is rows-only for the
+    oracle gate; KMV is pure md5 arithmetic, so DuckDB rebuilds every
+    kept hash and the estimate itself hash-matches — the approximate-
+    distinct path with a FULL correctness proof. A KMV sketch is also
+    mergeable (union the hash sets, re-take the k smallest) and
+    supports set operations MinHash-style.
+
+    Scale shape: one distinct-hash aggregation (bounded by distinct
+    values, with map-side partials), one bounded-key window keeping k
+    rows per group, one k-row-per-group aggregation. The estimate is
+    one double division of exact integers."""
+    from dynamodb_to_datalake_project_spark.llm.dedup import md5_hash60
+
+    h = (
+        items.select(*group_cols, md5_hash60(F.col(value_col).cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    kept = h.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return (
+        kept.groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.max("h").cast("long").alias("kth_hash"),
+        )
+        .select(
+            *group_cols,
+            "n_kept",
+            "kth_hash",
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(
+                F.lit(float(k - 1))
+                / (F.col("kth_hash").cast("double") / F.lit(float(1 << 60)))
+            )
+            .alias("est_distinct"),
+        )
+    )
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h
+      FROM events
+    ), kept AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM h
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MAX(h) AS BIGINT) AS kth_hash,
+           CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 31.0 / (CAST(MAX(h) AS DOUBLE)
+                             / CAST(1152921504606846976 AS DOUBLE)) END
+             AS est_distinct
+    FROM kept WHERE rk <= 32
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_sketch_kmv_distinct(spark, sf_dir):
+    """Distinct users per event type via a KMV(32) sketch — the
+    approximate-distinct estimator whose every kept hash AND final
+    estimate DuckDB rebuilds from md5 (full hash match, where the HLL
+    twin pair can only prove the exact side). 2^60 appears as the
+    literal 1152921504606846976 in the SQL. Relative accuracy
+    (~1/sqrt(30)) vs exact distinct is asserted in test_llm.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", ["event_type"], k=32).orderBy("event_type")

@@ -2085,3 +2085,52 @@ def test_linear_fit_recovers_known_line(spark):
     assert abs(got["a"].intercept - 7.0) < 1e-9
     assert abs(got["a"].r2 - 1.0) < 1e-12
     assert abs(got["b"].slope) < 1e-12 and got["b"].r2 is None
+
+
+def test_kmv_accuracy_exact_path_and_merge(spark):
+    """KMV invariants: (a) below k distinct the estimate is EXACT;
+    (b) at 20k distinct a KMV(256) estimate lands within 5 standard
+    errors (5/sqrt(254) ≈ 31%... use 20%: 3 SE) of truth; (c) merging
+    two sketches by unioning kept hashes and re-taking the k smallest
+    equals sketching the union directly."""
+    from dynamodb_to_datalake_project_spark.llm import sketch as lsk
+
+    small = spark.range(10).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    r = lsk.kmv_distinct(small, "v", ["g"], k=32).collect()[0]
+    assert r.n_kept == 10 and r.est_distinct == 10.0
+    big = spark.range(20_000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    r2 = lsk.kmv_distinct(big, "v", ["g"], k=256).collect()[0]
+    assert abs(r2.est_distinct - 20_000) / 20_000 < 0.20
+    # merge: halves' kept hashes unioned, k smallest re-taken == direct
+    h1 = lsk.kmv_distinct(
+        big.filter(F.col("v") % 2 == 0), "v", ["g"], k=256
+    )
+    from dynamodb_to_datalake_project_spark.llm.dedup import md5_hash60
+
+    kept = (
+        big.select("g", md5_hash60(F.col("v").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(256)
+        .agg(F.max("h"))
+        .collect()[0][0]
+    )
+    halves_kept = (
+        big.withColumn("half", (F.col("v") % 2).cast("int"))
+        .select("half", md5_hash60(F.col("v").cast("string")).alias("h"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("half").orderBy("h")
+    merged_kth = (
+        halves_kept.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 256)
+        .orderBy("h")
+        .limit(256)
+        .agg(F.max("h"))
+        .collect()[0][0]
+    )
+    assert merged_kth == kept
