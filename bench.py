@@ -134,6 +134,7 @@ HEADLINE = [
     "stats_linear_fit",
     "graph_kcore",
     "sketch_kmv_distinct",
+    "sketch_kmv_source_jaccard",
 ]
 
 

@@ -91,6 +91,7 @@ _PRIORITY: list[str] = [
     "stats_linear_fit",
     "graph_kcore",
     "sketch_kmv_distinct",
+    "sketch_kmv_source_jaccard",
     "sketch_hll_overlap",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---

@@ -697,3 +697,136 @@ def q_sketch_kmv_distinct(spark, sf_dir):
     (~1/sqrt(30)) vs exact distinct is asserted in test_llm.py."""
     ev = load_table(spark, sf_dir, "events")
     return kmv_distinct(ev, "user_id", ["event_type"], k=32).orderBy("event_type")
+
+
+def kmv_jaccard_sources(
+    docs: DataFrame, k: int = 128
+) -> DataFrame:
+    """Pairwise SET similarity between sources from KMV sketches: for
+    each source, keep the k smallest md5-60 token hashes; for a pair,
+    take the k smallest of the UNION of the two sketches and estimate
+    J = |{h in those k} present in both| / k (the KMV coincidence
+    estimator — the unbanded cousin of MinHash-LSH, right when you
+    want a full similarity MATRIX over a bounded number of groups
+    rather than candidate pairs over millions of docs).
+
+    Everything after the per-source sketch is k-row arithmetic: the
+    pair stage joins two k-row sketches, so the matrix costs
+    O(sources² · k) — independent of corpus size, the whole point.
+    Exact twin: `source_overlap_matrix` computes the same shape
+    exactly; the accuracy test pins the sketch within 3/sqrt(k) of
+    the exact Jaccard."""
+    from dynamodb_to_datalake_project_spark.llm.dedup import md5_hash60
+    from dynamodb_to_datalake_project_spark.llm.text import tokens
+
+    h = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .select("source", md5_hash60(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    kept = h.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    srcs = kept.select("source").distinct()
+    pairs = (
+        srcs.alias("x")
+        .join(srcs.alias("y"), F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+    )
+    # each pair pulls BOTH sides' k-row sketches (two equi-joins — a
+    # single source-inequality join of hash rows would cross the two
+    # sketches k x k and destroy the coincidence counts); a hash then
+    # appears once per side it belongs to, so n_sides == 2 means
+    # "present in both sketches"
+    ua = pairs.join(kept, F.col("source") == F.col("src_a")).select(
+        "src_a", "src_b", "h"
+    )
+    ub = pairs.join(kept, F.col("source") == F.col("src_b")).select(
+        "src_a", "src_b", "h"
+    )
+    u = (
+        ua.unionByName(ub)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.count("*").alias("n_sides"))
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("h")
+    topk = u.withColumn("rk", F.row_number().over(wp)).filter(F.col("rk") <= k)
+    return (
+        topk.groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_both"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "k_used",
+            "n_both",
+            (F.col("n_both").cast("double") / F.col("k_used").cast("double")).alias(
+                "jaccard_est"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@query(
+    "sketch_kmv_source_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT source,
+             CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents
+      )
+    ), kept AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM toks
+      ) WHERE rk <= 128
+    ), srcs AS (
+      SELECT DISTINCT source FROM kept
+    ), pairs AS (
+      SELECT x.source AS src_a, y.source AS src_b
+      FROM srcs x JOIN srcs y ON x.source < y.source
+    ), u AS (
+      SELECT src_a, src_b, h, COUNT(*) AS n_sides FROM (
+        SELECT p.src_a, p.src_b, k.h FROM pairs p JOIN kept k ON k.source = p.src_a
+        UNION ALL
+        SELECT p.src_a, p.src_b, k.h FROM pairs p JOIN kept k ON k.source = p.src_b
+      ) GROUP BY 1, 2, 3
+    ), topk AS (
+      SELECT src_a, src_b, h, n_sides FROM (
+        SELECT src_a, src_b, h, n_sides,
+               ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+        FROM u
+      ) WHERE rk <= 128
+    )
+    SELECT src_a, src_b,
+           CAST(COUNT(*) AS BIGINT) AS k_used,
+           CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both,
+           CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS jaccard_est
+    FROM topk GROUP BY src_a, src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def q_sketch_kmv_source_jaccard(spark, sf_dir):
+    """Token-set similarity matrix between sources from KMV(128)
+    sketches — O(sources²·k) after one sketch pass, corpus-size-
+    independent. The oracle rebuilds the per-source sketches, the
+    per-pair union top-k, and the coincidence estimates from md5 —
+    full hash match including the one-division Jaccard doubles.
+    Accuracy vs the exact `source_overlap_matrix` is asserted in
+    test_llm.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return kmv_jaccard_sources(docs, k=128)

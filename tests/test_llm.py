@@ -2134,3 +2134,32 @@ def test_kmv_accuracy_exact_path_and_merge(spark):
         .collect()[0][0]
     )
     assert merged_kth == kept
+
+
+def test_kmv_jaccard_tracks_exact(spark):
+    """KMV(128) pairwise source similarity lands within 3/sqrt(128)
+    (~27%) absolute of the exact token-set Jaccard for every source
+    pair — and ranks identical sets at exactly 1.0."""
+    from dynamodb_to_datalake_project_spark.llm import sketch as lsk
+    from dynamodb_to_datalake_project_spark.llm.text import tokens as toks_fn
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r.src_a, r.src_b): r.jaccard_est
+        for r in lsk.kmv_jaccard_sources(docs, k=128).collect()
+    }
+    t = docs.select("source", F.explode(toks_fn(F.col("text"))).alias("tok")).distinct()
+    sets = {
+        r.source: set(r.toks)
+        for r in t.groupBy("source").agg(F.collect_set("tok").alias("toks")).collect()
+    }
+    assert got
+    for (a, b), est in got.items():
+        ex = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert abs(est - ex) <= 3 / (128 ** 0.5), (a, b, est, ex)
+    # identical sets -> exactly 1.0
+    twin = docs.selectExpr("doc_id", "text", "'x' AS source").unionByName(
+        docs.selectExpr("doc_id", "text", "'y' AS source")
+    )
+    r = lsk.kmv_jaccard_sources(twin, k=64).collect()[0]
+    assert r.jaccard_est == 1.0 and r.n_both == r.k_used

@@ -125,6 +125,7 @@ NOTES = {
     "stats_linear_fit": "OLS via normal equations: one scan, one bounded-key agg of five cent-scaled integer moments; slope/intercept/r2 are double algebra on exact scalars",
     "graph_kcore": "k-core peel: 8 rounds of degree agg + two LEFT SEMI survivor joins over the per-round eagerly checkpointed edge set (checkpoint is load-bearing: lazy form re-expands 2^rounds subplans)",
     "sketch_kmv_distinct": "KMV(32) distinct estimator: one distinct-hash agg with map-side partials, bounded-key window keeping 32 rows/group, one division on exact integers — approximate COUNT DISTINCT with a FULL oracle",
+    "sketch_kmv_source_jaccard": "KMV(128) similarity matrix: one sketch pass, then O(sources^2 * k) pair arithmetic — corpus-size-independent after the sketch; per-pair sketches pulled by TWO equi-joins (never a kxk hash cross)",
 }
 
 
