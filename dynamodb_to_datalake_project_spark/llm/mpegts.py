@@ -213,6 +213,11 @@ def parse_mpegts(payload: bytes) -> dict:
             st = streams[pid]
             st["ts_packets"] += 1
             if pusi:
+                if len(body) < 9:
+                    raise ValueError(
+                        f"ts: PUSI packet on PID 0x{pid:X} too short for a "
+                        "PES header"
+                    )
                 if body[:3] != b"\x00\x00\x01":
                     raise ValueError(
                         f"ts: PUSI packet on PID 0x{pid:X} lacks a PES start code"
