@@ -110,6 +110,16 @@ CASES = [
         ["ExistingRDD", "ObjectHashAggregate"],
         ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # round 6: k-core output plan — after the per-round eager
+    # checkpoints (load-bearing, see graph.kcore) the visible plan is
+    # just the checkpointed edge scan + one degree agg; the per-round
+    # LeftSemi joins live in the already-run checkpoint jobs, so the
+    # pin asserts the cheap tail and forbids any late fallback shapes
+    (
+        "graph_kcore",
+        ["ExistingRDD"],
+        ["Window", "CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
     # round 5: pagerank's final-iteration plan — equi-joins only (no
     # nested-loop fallback), degree-annotated edges reused from the
     # eager checkpoint (ExistingRDD scan), rank table is the only
