@@ -135,6 +135,8 @@ HEADLINE = [
     "graph_kcore",
     "sketch_kmv_distinct",
     "sketch_kmv_source_jaccard",
+    "session_basket_lift",
+    "stats_corr_matrix",
 ]
 
 

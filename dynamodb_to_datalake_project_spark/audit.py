@@ -247,3 +247,103 @@ def q_stats_linear_fit(spark, sf_dir):
     return linear_fit(
         li, "l_quantity", "l_extendedprice", ["l_returnflag"]
     ).orderBy("l_returnflag")
+
+
+def corr_matrix(df: DataFrame, cols: "list[str]") -> DataFrame:
+    """Pairwise Pearson correlations in ONE aggregation pass: all
+    per-column and per-pair cent-scaled integer moments aggregate
+    together (2c + c(c+1)/2 sums — map-side partials, bounded state),
+    then each r is plain double algebra on the exact scalars, so raw
+    doubles hash-match (same contract as `linear_fit`, which is the
+    c=2 special case with an intercept). Long-format output: one row
+    per unordered column pair."""
+    scaled = {c: F.round(F.col(c) * 100).cast("long") for c in cols}
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(scaled[c]).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((scaled[c] * scaled[c]).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"ss_{c}")
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum((scaled[a] * scaled[b]).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"sp_{a}_{b}")
+        )
+    m = df.agg(*aggs)
+    out = None
+    for a, b in pairs:
+        nd = F.col("n").cast("double")
+        cov = nd * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        va = nd * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vb = nd * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        row = m.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col("n"),
+            F.when((va != 0) & (vb != 0), cov / F.sqrt(va * vb)).alias("pearson_r"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("col_a", "col_b")
+
+
+@query(
+    "stats_corr_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE) AS s_q,
+        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE) AS s_p,
+        CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE) AS s_d,
+        CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)
+                 * CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE) AS ss_q,
+        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE) AS ss_p,
+        CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)
+                 * CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE) AS ss_d,
+        CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)
+                 * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE) AS sp_qp,
+        CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)
+                 * CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE) AS sp_qd,
+        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE) AS sp_pd
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+           CASE WHEN (CAST(n AS DOUBLE)*ss_q - s_q*s_q) = 0
+                  OR (CAST(n AS DOUBLE)*ss_p - s_p*s_p) = 0 THEN NULL
+             ELSE (CAST(n AS DOUBLE)*sp_qp - s_q*s_p)
+                  / SQRT((CAST(n AS DOUBLE)*ss_q - s_q*s_q)
+                         * (CAST(n AS DOUBLE)*ss_p - s_p*s_p)) END AS pearson_r
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', n,
+           CASE WHEN (CAST(n AS DOUBLE)*ss_q - s_q*s_q) = 0
+                  OR (CAST(n AS DOUBLE)*ss_d - s_d*s_d) = 0 THEN NULL
+             ELSE (CAST(n AS DOUBLE)*sp_qd - s_q*s_d)
+                  / SQRT((CAST(n AS DOUBLE)*ss_q - s_q*s_q)
+                         * (CAST(n AS DOUBLE)*ss_d - s_d*s_d)) END
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', n,
+           CASE WHEN (CAST(n AS DOUBLE)*ss_p - s_p*s_p) = 0
+                  OR (CAST(n AS DOUBLE)*ss_d - s_d*s_d) = 0 THEN NULL
+             ELSE (CAST(n AS DOUBLE)*sp_pd - s_p*s_d)
+                  / SQRT((CAST(n AS DOUBLE)*ss_p - s_p*s_p)
+                         * (CAST(n AS DOUBLE)*ss_d - s_d*s_d)) END
+    FROM m
+    ORDER BY col_a, col_b
+    """,
+)
+def q_stats_corr_matrix(spark, sf_dir):
+    """Pearson correlation matrix over (quantity, extendedprice,
+    discount) in one lineitem pass — the drift-detection companion to
+    `column_profile` (a correlation that moves between loads signals
+    upstream schema or unit changes). Exact integer moments; r is
+    double algebra incl. one SQRT of a product of exact-scalar
+    differences — same tree both engines, hash-matched."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])

@@ -92,6 +92,8 @@ _PRIORITY: list[str] = [
     "graph_kcore",
     "sketch_kmv_distinct",
     "sketch_kmv_source_jaccard",
+    "session_basket_lift",
+    "stats_corr_matrix",
     "sketch_hll_overlap",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---

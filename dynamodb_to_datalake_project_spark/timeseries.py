@@ -546,3 +546,107 @@ def q_session_paths_topk(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@query(
+    "session_basket_lift",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL THEN 1
+                  WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_num
+      FROM o
+    ), st AS (
+      SELECT DISTINCT user_id, session_num, event_type FROM s
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT (user_id, session_num)) AS BIGINT)
+        AS n_sessions FROM st
+    ), item AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1
+    ), pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_num = b.session_num
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both, ia.n AS n_a, ib.n AS n_b,
+           n.n_sessions,
+           CAST(p.n_both AS DOUBLE) * CAST(n.n_sessions AS DOUBLE)
+             / (CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)) AS lift
+    FROM pair p
+    JOIN item ia ON ia.event_type = p.type_a
+    JOIN item ib ON ib.event_type = p.type_b
+    CROSS JOIN n
+    ORDER BY type_a, type_b
+    """,
+)
+def q_session_basket_lift(spark, sf_dir):
+    """Market-basket association between event types at SESSION grain:
+    lift(a,b) = P(a,b) / (P(a)·P(b)) over session baskets — >1 means
+    the events co-occur beyond chance (cross-sell/journey affinity;
+    `pmi_top_bigrams` is the adjacency-grain cousin over text). All
+    counts integral; lift is one multiply-divide of exact counts, so
+    the doubles hash-match. Scale shape: one user-keyed window pass,
+    one distinct on (user, session, type) — baskets bounded by
+    sessions × distinct types — then a session-keyed self-join of
+    that BOUNDED basket table, never of raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    gap = t - F.lag(t).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    st = (
+        ev.withColumn("session_num", F.sum(new_sess).over(run))
+        .select("user_id", "session_num", "event_type")
+        .distinct()
+    )
+    n = st.select("user_id", "session_num").distinct().agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    item = st.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    a, b = st.alias("a"), st.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_num") == F.col("b.session_num"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    ia = item.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    ib = item.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(ia, "type_a")
+        .join(ib, "type_b")
+        .crossJoin(n)
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            "n_sessions",
+            (
+                F.col("n_both").cast("double") * F.col("n_sessions").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -2163,3 +2163,17 @@ def test_kmv_jaccard_tracks_exact(spark):
     )
     r = lsk.kmv_jaccard_sources(twin, k=64).collect()[0]
     assert r.jaccard_est == 1.0 and r.n_both == r.k_used
+
+
+def test_corr_matrix_known_relationships(spark):
+    """Pearson r on constructed data: an exact linear pair reads 1.0,
+    an exact inverse pair -1.0, and a constant column yields NULL —
+    the degenerate-variance contract shared with linear_fit."""
+    from dynamodb_to_datalake_project_spark.audit import corr_matrix
+
+    rows = [(float(x), 2.0 * x + 1.0, -3.0 * x, 7.0) for x in range(1, 40)]
+    df = spark.createDataFrame(rows, ["a", "b", "c", "d"])
+    got = {(r.col_a, r.col_b): r.pearson_r for r in corr_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert abs(got[("a", "b")] - 1.0) < 1e-12
+    assert abs(got[("a", "c")] + 1.0) < 1e-12
+    assert got[("a", "d")] is None and got[("b", "d")] is None

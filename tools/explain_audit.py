@@ -126,6 +126,8 @@ NOTES = {
     "graph_kcore": "k-core peel: 8 rounds of degree agg + two LEFT SEMI survivor joins over the per-round eagerly checkpointed edge set (checkpoint is load-bearing: lazy form re-expands 2^rounds subplans)",
     "sketch_kmv_distinct": "KMV(32) distinct estimator: one distinct-hash agg with map-side partials, bounded-key window keeping 32 rows/group, one division on exact integers — approximate COUNT DISTINCT with a FULL oracle",
     "sketch_kmv_source_jaccard": "KMV(128) similarity matrix: one sketch pass, then O(sources^2 * k) pair arithmetic — corpus-size-independent after the sketch; per-pair sketches pulled by TWO equi-joins (never a kxk hash cross)",
+    "session_basket_lift": "basket affinity: window sessionize -> distinct (user,session,type) baskets -> self-join of the BOUNDED basket table (never raw events); lift is one multiply-divide of exact counts",
+    "stats_corr_matrix": "all pairwise Pearson r in ONE pass: 2c + c(c+1)/2 integer moments in a single agg, then double algebra per pair; NULL on degenerate variance",
 }
 
 
