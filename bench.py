@@ -137,6 +137,7 @@ HEADLINE = [
     "sketch_kmv_source_jaccard",
     "session_basket_lift",
     "stats_corr_matrix",
+    "graph_bfs_levels",
 ]
 
 

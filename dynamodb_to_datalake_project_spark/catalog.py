@@ -94,6 +94,7 @@ _PRIORITY: list[str] = [
     "sketch_kmv_source_jaccard",
     "session_basket_lift",
     "stats_corr_matrix",
+    "graph_bfs_levels",
     "sketch_hll_overlap",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---

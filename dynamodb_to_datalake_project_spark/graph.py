@@ -850,3 +850,114 @@ def q_graph_kcore(spark, sf_dir):
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
     return kcore(sym, k=8, n_rounds=8)
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS over a SYMMETRIC edge list: (node, level) =
+    hop distance to the nearest seed, for every node within
+    `n_rounds` hops — trust/quality propagation from a curated seed
+    set (the "distance from known-good hosts" prior in web curation),
+    or blast-radius queries from flagged nodes.
+
+    Fixed `n_rounds` (deterministic job shape, the pagerank/LPA/kcore
+    policy): nodes further than n_rounds hops are absent from the
+    output rather than mislabeled — the frontier is monotone, so
+    levels already assigned never change and extra rounds only APPEND
+    deeper levels (test_graph.py replays an until-exhaustion Python
+    BFS and checks the budget truncation explicitly).
+
+    Scale shape per round: the CURRENT FRONTIER (not the visited set)
+    joins the edge list, then one min-agg and one anti-join against
+    visited — O(frontier-edges) + O(nodes) per round, the textbook
+    frontier-BFS cost; visited/frontier tables are eagerly
+    checkpointed per round (multi-consumer, same rationale as
+    `kcore`). All integer."""
+    if n_rounds < 1:
+        raise ValueError(f"bfs_levels: need n_rounds >= 1, got {n_rounds}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("level", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for lvl in range(1, n_rounds + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("level", F.lit(lvl).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.limit(1).collect():
+            break  # frontier exhausted — deeper rounds are no-ops
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.orderBy("node")
+
+
+def _bfs_oracle(n_rounds: int = 4) -> str:
+    """Unrolled replay of `q_graph_bfs_levels` — MATERIALIZED CTEs for
+    the same double-consumption reason as `_kcore_oracle`."""
+    sql = """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT l.l_suppkey * 2 AS s, o.o_custkey * 2 + 1 AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS MATERIALIZED (
+      SELECT s AS src, c AS dst FROM pairs UNION ALL SELECT c AS src, s AS dst FROM pairs
+    ), v0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS level
+      FROM edges WHERE src IN (2, 4, 6, 8, 10)
+    )"""
+    for i in range(1, n_rounds + 1):
+        sql += f""",
+    f{i} AS MATERIALIZED (
+      SELECT DISTINCT e.dst AS node, CAST({i} AS BIGINT) AS level
+      FROM v{i - 1} v JOIN edges e ON e.src = v.node
+      WHERE v.level = {i - 1}
+        AND e.dst NOT IN (SELECT node FROM v{i - 1})
+    ),
+    v{i} AS MATERIALIZED (
+      SELECT node, level FROM v{i - 1} UNION ALL SELECT node, level FROM f{i}
+    )"""
+    return (
+        sql
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node, level FROM v{n_rounds} ORDER BY node"""
+    )
+
+
+@query("graph_bfs_levels", oracle=_bfs_oracle())
+def q_graph_bfs_levels(spark, sf_dir):
+    """Hop distance from the five smallest supplier nodes over the
+    trade graph (4-round budget): their customers land at level 1,
+    suppliers sharing those customers at level 2, and so on — the
+    seed-set trust-propagation shape. All-integer; the oracle unrolls
+    every frontier round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    sym = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    seeds = sym.filter(F.col("src").isin(2, 4, 6, 8, 10)).select("src").distinct()
+    return bfs_levels(sym, seeds, n_rounds=4)

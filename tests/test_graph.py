@@ -297,3 +297,41 @@ def test_kcore_matches_until_fixpoint_python_peel(spark):
     fdf = spark.createDataFrame(sym, "src long, dst long")
     got2 = {r.node: r.core_degree for r in kcore(fdf, k=8, n_rounds=8).collect()}
     assert got2 == fix and 0 < len(got2) < len({s for s, _ in sym})
+
+
+def test_bfs_levels_matches_python_and_truncates_at_budget(spark):
+    from collections import deque
+
+    from dynamodb_to_datalake_project_spark.graph import bfs_levels
+
+    # chain 0-1-2-3-4-5 plus a triangle hanging off node 2
+    und = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (2, 10), (10, 11), (11, 2)]
+    edges = und + [(b, a) for a, b in und]
+
+    def py_bfs(seeds, max_lvl):
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+        lvl = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            v = q.popleft()
+            if lvl[v] >= max_lvl:
+                continue
+            for u in adj.get(v, ()):
+                if u not in lvl:
+                    lvl[u] = lvl[v] + 1
+                    q.append(u)
+        return lvl
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.level for r in bfs_levels(df, seeds, n_rounds=4).collect()}
+    assert got == py_bfs([0], 4)
+    assert got[11] == 3 and 5 not in got  # node 5 is 5 hops out: truncated
+    got6 = {r.node: r.level for r in bfs_levels(df, seeds, n_rounds=6).collect()}
+    assert got6 == py_bfs([0], 6) and got6[5] == 5
+    # multi-source: nearest seed wins
+    two = spark.createDataFrame([(0,), (5,)], "node long")
+    gotm = {r.node: r.level for r in bfs_levels(df, two, n_rounds=3).collect()}
+    assert gotm == py_bfs([0, 5], 3) and gotm[4] == 1 and gotm[3] == 2

@@ -128,6 +128,7 @@ NOTES = {
     "sketch_kmv_source_jaccard": "KMV(128) similarity matrix: one sketch pass, then O(sources^2 * k) pair arithmetic — corpus-size-independent after the sketch; per-pair sketches pulled by TWO equi-joins (never a kxk hash cross)",
     "session_basket_lift": "basket affinity: window sessionize -> distinct (user,session,type) baskets -> self-join of the BOUNDED basket table (never raw events); lift is one multiply-divide of exact counts",
     "stats_corr_matrix": "all pairwise Pearson r in ONE pass: 2c + c(c+1)/2 integer moments in a single agg, then double algebra per pair; NULL on degenerate variance",
+    "graph_bfs_levels": "frontier BFS: per round the CURRENT FRONTIER (not visited) joins edges, one distinct + one anti-join vs visited, per-round eager checkpoints; early exit on exhausted frontier",
 }
 
 
