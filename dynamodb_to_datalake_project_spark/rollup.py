@@ -188,3 +188,17 @@ def cms_user_partials(batch: DataFrame) -> DataFrame:
     return cms_build(
         batch.select(F.col("user_id").cast("string").alias("item")), "item"
     )
+
+
+def quantile_grid_partials(batch: DataFrame) -> DataFrame:
+    """Quantile-sketch partials: one 256-bucket grid over the batch's
+    value column (known fixture range [0, 1000)). Like
+    `cms_user_partials`, grid counts are additive, so the default SUM
+    merge maintains the GLOBAL quantile sketch exactly-once with
+    bounded (<= 256 rows) state — percentiles over all history read
+    from stored aggregates, raw rows never rescanned (exact
+    percentiles cannot be maintained this way: rank queries are not
+    additive)."""
+    from dynamodb_to_datalake_project_spark.llm.sketch import quantile_grid_build
+
+    return quantile_grid_build(batch, "value", 0.0, 1000.0, 256)

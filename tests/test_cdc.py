@@ -1008,3 +1008,86 @@ def test_stream_pattern_detect_cep(spark, tmp_path):
         ("3", "2024-01-01 10:03:00", "2024-01-01 10:20:00", 1020),
         ("4", "2024-01-01 12:00:00", "2024-01-01 12:02:00", 120),
     }
+
+
+def test_streaming_quantile_grid_rollup(spark, tmp_path):
+    """Incrementally-maintained QUANTILES: the rollup stores one
+    256-bucket grid and each micro-batch sums its cells in. After
+    three drops + a fenced restart + a fourth: the stored grid equals
+    a one-shot grid over all history cell-for-cell, and quantiles
+    read from it land within one bucket width of exact percentiles
+    over the full history."""
+    from dynamodb_to_datalake_project_spark import rollup as R
+    from dynamodb_to_datalake_project_spark.llm.sketch import (
+        quantile_grid_build,
+        quantile_grid_read,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def rows(start_id, n, base):
+        return [
+            {
+                "event_id": start_id + i,
+                "ts": f"2024-01-01T01:{i % 60:02d}:00",
+                "value": float((base + i * 37) % 1000),
+            }
+            for i in range(n)
+        ]
+
+    cdc_dir = tmp_path / "qg_cdc"
+    rpath = tmp_path / "qg_rollup"
+    ckpt = tmp_path / "qg_ckpt"
+    drops = [rows(0, 80, 3), rows(100, 60, 411), rows(200, 70, 777)]
+    import os as _os
+
+    for i, recs in enumerate(drops):
+        _write_drop(cdc_dir, f"d{i}.json", recs)
+        _os.utime(cdc_dir / f"d{i}.json", (1_700_000_000 + i,) * 2)
+
+    def run():
+        q = R.start_rollup_maintenance(
+            spark,
+            str(cdc_dir),
+            schema,
+            str(rpath),
+            str(ckpt),
+            keys=["bucket"],
+            partials_fn=R.quantile_grid_partials,
+            max_files_per_trigger=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    extra = rows(300, 50, 55)
+    _write_drop(cdc_dir, "d3.json", extra)
+    run()
+
+    all_rows = [r for d in drops for r in d] + extra
+    hist = spark.createDataFrame([(r["value"],) for r in all_rows], ["value"])
+    direct = {
+        r.bucket: r.cnt for r in quantile_grid_build(hist, "value", 0.0, 1000.0, 256).collect()
+    }
+    stored = R.read_rollup(spark, str(rpath))
+    got = {r.bucket: r.cnt for r in stored.collect()}
+    assert got == direct
+    qs = [0.5, 0.95]
+    est = {
+        r.q: r.est
+        for r in quantile_grid_read(stored, qs, 0.0, 1000.0, 256).collect()
+    }
+    exact = hist.selectExpr(
+        *[f"percentile(value, {q}) AS q{i}" for i, q in enumerate(qs)]
+    ).collect()[0]
+    width = 1000.0 / 256
+    for i, q in enumerate(qs):
+        assert abs(est[q] - exact[i]) <= width + 1e-9
