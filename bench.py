@@ -138,6 +138,7 @@ HEADLINE = [
     "session_basket_lift",
     "stats_corr_matrix",
     "graph_bfs_levels",
+    "w5_sliding_time_window",
 ]
 
 

@@ -95,6 +95,7 @@ _PRIORITY: list[str] = [
     "session_basket_lift",
     "stats_corr_matrix",
     "graph_bfs_levels",
+    "w5_sliding_time_window",
     "sketch_hll_overlap",
     # --- rows-only fast paths (a fresh rows-row each round is still
     # signal; each has an oracle-green lossless twin) ---

@@ -650,3 +650,54 @@ def q_session_basket_lift(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "w5_sliding_time_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM (
+      SELECT event_id, user_id, value,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def q_w5_sliding_time_window(spark, sf_dir):
+    """Trailing-1-hour per-user features via a RANGE (time-interval)
+    window frame — the rate-limiting / velocity-feature shape a ROWS
+    frame cannot express (the row count inside an hour varies). The
+    frame is anchored on integer epoch SECONDS on both engines, so
+    frame membership is identical by construction (RANGE includes all
+    equal-timestamp peers — order-insensitive, no tiebreak needed);
+    the windowed sum is exact-decimal. One user-keyed window pass,
+    the sessionization shuffle budget."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("sec"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            (F.unix_micros("ts") / 1_000_000).cast("long").alias("sec"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).cast("long").alias("n_1h"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )

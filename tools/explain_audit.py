@@ -129,6 +129,7 @@ NOTES = {
     "session_basket_lift": "basket affinity: window sessionize -> distinct (user,session,type) baskets -> self-join of the BOUNDED basket table (never raw events); lift is one multiply-divide of exact counts",
     "stats_corr_matrix": "all pairwise Pearson r in ONE pass: 2c + c(c+1)/2 integer moments in a single agg, then double algebra per pair; NULL on degenerate variance",
     "graph_bfs_levels": "frontier BFS: per round the CURRENT FRONTIER (not visited) joins edges, one distinct + one anti-join vs visited, per-round eager checkpoints; early exit on exhausted frontier",
+    "w5_sliding_time_window": "RANGE (time-interval) window on integer epoch seconds: one user-keyed window pass; frame membership identical across engines by integer construction",
 }
 
 
