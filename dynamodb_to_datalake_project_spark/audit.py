@@ -163,8 +163,10 @@ def linear_fit(
     cent-scaled to EXACT integers (round(v*100) — the fixtures are
     2-dp doubles, and rounding the IEEE-identical product of identical
     doubles is engine-identical), the five moments are integer/decimal
-    sums (accumulation-order-free; Σy² is summed as DECIMAL(38,0)
-    because it exceeds int64 at scale), and slope/intercept/r² are
+    sums (accumulation-order-free; the product moments Σx², Σxy, Σy²
+    are summed as DECIMAL(38,0) because each product reaches ~5e10 on
+    lineitem and an int64 SUM would overflow near ~1.8e8 rows — sf30 —
+    while DuckDB's 128-bit SUM would not), and slope/intercept/r² are
     plain double arithmetic on those exact scalars — identical
     expression trees on both engines, so raw doubles hash-match with
     no rounding. The common ×100 scaling cancels in slope and r²;
@@ -178,8 +180,8 @@ def linear_fit(
         F.count("*").cast("long").alias("n"),
         F.sum(x).cast("double").alias("sx"),
         F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
         F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
     )
     nd = F.col("n").cast("double")
@@ -211,10 +213,12 @@ def linear_fit(
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sx,
              CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
-                      * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
-                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                      * CAST(ROUND(l_quantity * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
              CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                       * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag

@@ -258,9 +258,11 @@ def stream_pattern_detect(
         hits = {"k": [], "s": [], "m": [], "e": []}
         rows = []
         for pdf in pdfs:
+            # columnar extraction (astype(str) + zip) — iterrows() here
+            # would rebuild a Series per event and negate the Arrow
+            # batching this operator's scale story relies on (ADVICE r6)
             rows.extend(
-                (str(r[ts_col]), str(r[type_col]))
-                for _, r in pdf.iterrows()
+                zip(pdf[ts_col].astype(str), pdf[type_col].astype(str))
             )
         for ts, etype in sorted(rows):
             if started is not None and _iso_delta_s(started, ts) > within_s:

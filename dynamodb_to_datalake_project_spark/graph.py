@@ -342,6 +342,7 @@ def pagerank(
             F.sum("w").alias("deg"),
             F.min("w").alias("_min_w"),
             F.count("*").alias("_n"),
+            F.count(F.col("dst")).alias("_n_dst"),
             F.count_distinct(F.col("dst")).alias("_nd"),
         )
         deg = deg.localCheckpoint(eager=True)
@@ -349,7 +350,8 @@ def pagerank(
             deg.filter(
                 F.col("_min_w").isNull()
                 | (F.col("_min_w") <= 0)
-                | (F.col("_n") > F.col("_nd"))
+                | (F.col("_n") > F.col("_n_dst"))
+                | (F.col("_n_dst") > F.col("_nd"))
             )
             .limit(1)
             .collect()
@@ -362,11 +364,21 @@ def pagerank(
                     f"{r['src']!r} (min w = {r['_min_w']!r}); weights must "
                     "be > 0 or the rank division is undefined"
                 )
+            # count(dst) skips NULLs while count(*) does not, so a gap
+            # between them is a NULL-dst edge — a distinct defect from
+            # genuine duplicates, which count_distinct alone would
+            # misreport (ADVICE r6).
+            if r["_n"] > r["_n_dst"]:
+                raise ValueError(
+                    f"pagerank: NULL dst on {r['_n'] - r['_n_dst']} weighted "
+                    f"edge(s) at src={r['src']!r}; drop or repair null-"
+                    "destination edges before ranking"
+                )
             raise ValueError(
                 f"pagerank: duplicate (src, dst) weighted edges at src="
-                f"{r['src']!r} ({r['_n']} rows over {r['_nd']} distinct dst); "
-                "pre-aggregate to one row per edge — duplicates double-count "
-                "out-strength"
+                f"{r['src']!r} ({r['_n_dst']} rows over {r['_nd']} distinct "
+                "dst); pre-aggregate to one row per edge — duplicates "
+                "double-count out-strength"
             )
         deg = deg.select("src", "deg")
     ew = (

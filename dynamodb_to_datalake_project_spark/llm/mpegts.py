@@ -77,8 +77,13 @@ def _ts_packet(pid: int, pusi: bool, cc: int, payload: bytes) -> bytes:
 
 
 def _psi_section(table_id: int, body: bytes) -> bytes:
-    """PSI section with a real CRC: header + body + CRC32 over both."""
-    sec_len = len(body) + 4 + 5  # post-length header fields + CRC
+    """PSI section with a real CRC: header + body + CRC32 over both.
+
+    `section_length` counts every byte AFTER the length field itself:
+    the body (which already carries the 5 post-length header bytes —
+    tsid/program, version, section_number, last_section_number) plus
+    the 4 CRC bytes (ISO 13818-1 §2.4.4.3/.8)."""
+    sec_len = len(body) + 4
     head = struct.pack(">BH", table_id, 0xB000 | sec_len)
     # transport_stream_id/program_number + version/current_next +
     # section_number + last_section_number
@@ -163,6 +168,11 @@ def parse_mpegts(payload: bytes) -> dict:
             raise ValueError(f"ts: expected table 0x{expect_tid:02X}, got 0x{tid:02X}")
         (sl,) = struct.unpack_from(">H", sec, 1)
         sl &= 0x0FFF
+        if 3 + sl > len(sec):
+            raise ValueError(
+                f"ts: section_length {sl} on table 0x{tid:02X} overruns the "
+                "packet payload"
+            )
         body = sec[: 3 + sl]
         if mpeg_crc32(body[:-4]) != struct.unpack(">I", body[-4:])[0]:
             raise ValueError(f"ts: PSI CRC mismatch on table 0x{tid:02X}")

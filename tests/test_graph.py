@@ -158,6 +158,14 @@ def test_pagerank_weighted_rejects_bad_weights(spark):
     with _pt.raises(ValueError, match="duplicate \\(src, dst\\)"):
         pagerank(df, n_iter=1, weight="w")
 
+    # NULL dst must be reported as a null-edge defect, not a misleading
+    # "duplicate edges" error (ADVICE r6: count_distinct skips NULLs)
+    df = spark.createDataFrame(
+        [(0, 1, 1), (0, None, 2), (1, 0, 1)], "src long, dst long, w long"
+    )
+    with _pt.raises(ValueError, match="NULL dst"):
+        pagerank(df, n_iter=1, weight="w")
+
 
 def _py_lpa(edges, n_iter):
     """Sequential synchronous LPA with (count desc, label asc) ties."""

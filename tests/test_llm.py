@@ -2015,6 +2015,33 @@ def test_mpegts_corrupt_streams_fail_cleanly():
     bad3[376 + 4] = 0xFF
     with _pt.raises(ValueError, match="PES start code"):
         mpegts.parse_mpegts(bytes(bad3))
+    # inflate the PAT's declared section_length past the packet payload:
+    # must be rejected as an overrun, not silently clamped (ADVICE r6).
+    # The PAT rides at the tail of packet 0 after adaptation stuffing;
+    # locate its pointer_field + table_id + length-field prefix.
+    i = p.index(b"\x00\x00\xb0", 4, 188) + 2  # -> the 0xB0 length-hi byte
+    bad4 = bytearray(p)
+    bad4[i + 1] = 0xFF  # section_length low byte -> way past the payload
+    with _pt.raises(ValueError, match="overruns"):
+        mpegts.parse_mpegts(bytes(bad4))
+
+
+def test_mpegts_psi_section_length_is_spec_exact():
+    """ISO 13818-1 §2.4.4.3: section_length counts the bytes after the
+    length field itself — the 5 generic header bytes ARE part of the
+    body and must not be double-counted (ADVICE r6: PAT with one
+    program entry declares 13, not 18)."""
+    import struct as _s
+
+    from dynamodb_to_datalake_project_spark.llm import mpegts
+
+    pat_body = _s.pack(">HBBB", 1, 0xC1, 0, 0) + _s.pack(">HH", 1, 0xE000 | 0x1000)
+    sec = mpegts._psi_section(0x00, pat_body)
+    sl = _s.unpack_from(">H", sec, 1)[0] & 0x0FFF
+    assert sl == len(pat_body) + 4 == 13
+    # total section bytes = 3-byte header + declared length, exactly
+    assert len(sec) == 3 + sl
+    assert mpegts.mpeg_crc32(sec[:-4]) == _s.unpack(">I", sec[-4:])[0]
 
 
 def test_hll_overlap_equals_exact_at_fixture_scale(spark):
