@@ -278,6 +278,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.cluster  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.ebml  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.mpegts  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.web  # noqa: F401
 
     lead = [n for n in _PRIORITY if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(lead)]

@@ -1,0 +1,106 @@
+"""URL canonicalization / domain curation (`llm/web.py`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_canonicalize_urls_branches(spark):
+    """Every normalization branch on handcrafted URLs: case lowering,
+    www-strip, multi-label public suffix, port extraction, duplicate
+    slashes, /./ segments (including consecutive), trailing slash,
+    tracking-param drop, query sort, fragment drop, no-query URLs."""
+    from dynamodb_to_datalake_project_spark.llm.web import canonicalize_urls
+
+    urls = [
+        ("HTTPS://WWW.News-Src0.CO.UK:8080/a//b/./c/?utm_source=x&b=2&a=1#f",),
+        ("http://eu.blog.com/x/././y/",),
+        ("https://docs.org/p?gclid=1&fbclid=2&utm_campaign=3",),
+        ("http://shop.de/q",),
+    ]
+    got = {
+        r["url"]: r.asDict()
+        for r in canonicalize_urls(
+            spark.createDataFrame(urls, "url string")
+        ).collect()
+    }
+    r = got[urls[0][0]]
+    assert r["scheme"] == "https"
+    assert r["host"] == "news-src0.co.uk"
+    assert r["port"] == 8080
+    assert r["registered_domain"] == "news-src0.co.uk"  # co.uk kept 3 labels
+    assert r["path_norm"] == "/a/b/c"
+    assert r["query_norm"] == "a=1&b=2"  # utm dropped, remainder sorted
+    assert r["url_canonical"] == "https://news-src0.co.uk:8080/a/b/c?a=1&b=2"
+
+    r = got[urls[1][0]]
+    assert r["host"] == "eu.blog.com"  # eu. is a real subdomain, kept
+    assert r["registered_domain"] == "blog.com"
+    assert r["path_norm"] == "/x/y"  # consecutive /./ segments collapse
+    assert r["port"] is None
+    assert r["url_canonical"] == "http://eu.blog.com/x/y"
+
+    r = got[urls[2][0]]
+    assert r["query_norm"] == ""  # all params were tracking params
+    assert r["url_canonical"] == "https://docs.org/p"
+
+    r = got[urls[3][0]]
+    assert r["registered_domain"] == "shop.de"
+    assert r["path_norm"] == "/q"
+
+
+def test_domain_quality_join_is_broadcast(spark):
+    """The tier join back onto the corpus must not shuffle documents:
+    the domain-sized build side broadcasts."""
+    from dynamodb_to_datalake_project_spark.catalog import QUERIES, load_all
+
+    load_all()
+    plan = (
+        QUERIES["web_domain_quality_join"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_domain_stats_tiers_partition_the_corpus(spark):
+    """Tier counts over the join-back must add up to the corpus size
+    (every document lands in exactly one domain tier)."""
+    from dynamodb_to_datalake_project_spark.catalog import QUERIES, load_all
+    from dynamodb_to_datalake_project_spark.lake import load_table
+
+    load_all()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    rows = QUERIES["web_domain_quality_join"](spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert {r["quality_tier"] for r in rows} <= {"high", "mid", "low"}
+
+
+def test_synth_url_covers_all_branches(spark):
+    """The fixture formula must exercise every canonicalization branch
+    at fixture scale, or the oracle proves less than it claims."""
+    from dynamodb_to_datalake_project_spark.catalog import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["web_url_canonicalize"](spark, SF_DIR).collect()
+    assert any(r["port"] == 8080 for r in rows)
+    assert any(r["port"] is None for r in rows)
+    assert any(r["url"] != r["url"].lower() for r in rows)  # uppercased hosts
+    assert any("www." in r["url"] for r in rows)
+    assert all(not r["host"].startswith("www.") for r in rows)
+    assert any(
+        r["registered_domain"] != r["host"] for r in rows
+    )  # eu. subdomains stripped by registered-domain extraction
+    assert any(r["registered_domain"].endswith(".co.uk") for r in rows)
+    assert any("//item" in r["url"] for r in rows)
+    assert all("//item" not in r["path_norm"] for r in rows)
+    assert any("utm_source" in r["url"] for r in rows)
+    assert all("utm_" not in r["query_norm"] for r in rows)
+    assert any("#sec" in r["url"] for r in rows)
+    assert all("#" not in r["url_canonical"] for r in rows)
+    assert all(
+        not r["path_norm"].endswith("/") for r in rows
+    )  # trailing slashes stripped (no root-path URLs in the fixture)
