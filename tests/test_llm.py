@@ -1662,6 +1662,7 @@ def test_ogg_roundtrip_and_cross_page_continuation():
         "serial": 42,
         "first_byte_sum": 0x07 + 0x09 + 0x0B,
         "bos_eos_ok": 1,
+        "first_packet": b"\x07" * 300,
     }
     # cross-page packet: page 0 ends mid-packet (lacing 255), page 1
     # carries the continuation flag and terminates it
@@ -1672,6 +1673,98 @@ def test_ogg_roundtrip_and_cross_page_continuation():
     assert d2["n_packets"] == 1 and d2["n_pages"] == 2
     assert d2["payload_bytes"] == 265 and d2["first_byte_sum"] == 0x21
     assert d2["bos_eos_ok"] == 1 and d2["last_granule"] == 50
+    # first-packet reassembly must cross the page boundary too
+    assert d2["first_packet"] == b"\x21" * 255 + b"\x22" * 10
+
+
+def test_ogg_id_header_goldens_and_validation():
+    """Spec-built goldens for the Vorbis/Opus identification headers
+    (hand-packed from Vorbis I §4.2.2 / RFC 7845 §5.1 field layouts —
+    the exact bytes libvorbis/opusenc emit), plus every MUST-validate
+    rejection path."""
+    import struct
+
+    # golden OpusHead: 48 kHz stereo, pre-skip 312, gain 0, family 0 —
+    # the header opusenc writes for a default stereo encode
+    golden_opus = b"OpusHead" + bytes(
+        [1, 2, 0x38, 0x01, 0x80, 0xBB, 0x00, 0x00, 0x00, 0x00, 0]
+    )
+    d = multimodal.parse_opus_id_header(golden_opus)
+    assert (d["codec"], d["sample_rate"], d["channels"], d["pre_skip"]) == (
+        "opus", 48000, 2, 312,
+    )
+    assert multimodal.encode_opus_id_header(2, 312, 48000) == golden_opus
+
+    # golden Vorbis ID: 44.1 kHz mono, nominal 128 kbps, blocksizes
+    # 256/2048 -> exponent byte (11<<4)|8 = 0xB8, framing byte 0x01
+    golden_vorbis = (
+        b"\x01vorbis"
+        + struct.pack("<IBIiii", 0, 1, 44100, 0, 128000, 0)
+        + b"\xb8\x01"
+    )
+    d = multimodal.parse_vorbis_id_header(golden_vorbis)
+    assert (d["codec"], d["sample_rate"], d["channels"]) == ("vorbis", 44100, 1)
+    assert (d["bitrate_nominal"], d["blocksize_0"], d["blocksize_1"]) == (
+        128000, 256, 2048,
+    )
+    assert multimodal.encode_vorbis_id_header(44100, 1, 128000) == golden_vorbis
+
+    # dispatch sniff
+    assert multimodal.identify_ogg_codec(golden_opus)["codec"] == "opus"
+    assert multimodal.identify_ogg_codec(golden_vorbis)["codec"] == "vorbis"
+    with pytest.raises(ValueError, match="not a known identification"):
+        multimodal.identify_ogg_codec(b"\x02vorbis" + b"\x00" * 23)
+
+    # Vorbis MUST-rejects: version, zero rate/channels, unordered or
+    # out-of-range blocksizes, framing bit
+    bad = bytearray(golden_vorbis)
+    bad[7] = 1  # version
+    with pytest.raises(ValueError, match="version"):
+        multimodal.parse_vorbis_id_header(bytes(bad))
+    bad = bytearray(golden_vorbis)
+    bad[11] = 0  # channels
+    with pytest.raises(ValueError, match="zero channels"):
+        multimodal.parse_vorbis_id_header(bytes(bad))
+    bad = bytearray(golden_vorbis)
+    bad[28] = (8 << 4) | 11  # bs0 > bs1
+    with pytest.raises(ValueError, match="illegal blocksizes"):
+        multimodal.parse_vorbis_id_header(bytes(bad))
+    bad = bytearray(golden_vorbis)
+    bad[28] = (11 << 4) | 3  # 2^3 < 64
+    with pytest.raises(ValueError, match="illegal blocksizes"):
+        multimodal.parse_vorbis_id_header(bytes(bad))
+    bad = bytearray(golden_vorbis)
+    bad[29] = 0
+    with pytest.raises(ValueError, match="framing bit"):
+        multimodal.parse_vorbis_id_header(bytes(bad))
+
+    # Opus MUST-rejects: incompatible major version, surround family
+    # (honest NotImplementedError), channel bounds, truncation
+    bad = bytearray(golden_opus)
+    bad[8] = 0x10
+    with pytest.raises(ValueError, match="incompatible version"):
+        multimodal.parse_opus_id_header(bytes(bad))
+    bad = bytearray(golden_opus)
+    bad[18] = 1
+    with pytest.raises(NotImplementedError, match="family 1"):
+        multimodal.parse_opus_id_header(bytes(bad))
+    bad = bytearray(golden_opus)
+    bad[9] = 3
+    with pytest.raises(ValueError, match="1-2 channels"):
+        multimodal.parse_opus_id_header(bytes(bad))
+    with pytest.raises(ValueError, match="not an identification"):
+        multimodal.parse_opus_id_header(golden_opus[:10])
+    with pytest.raises(NotImplementedError, match="surround"):
+        multimodal.encode_opus_id_header(6, 312)
+
+    # end-to-end: ID header alone on the BOS page (both specs REQUIRE
+    # this), identified through the full demux path
+    stream = multimodal.encode_ogg_stream(
+        [[golden_opus], [b"\xfc" * 40]], 9, [0, 960]
+    )
+    parsed = multimodal.parse_ogg_pages(stream)
+    ident = multimodal.identify_ogg_codec(parsed["first_packet"])
+    assert ident["pre_skip"] == 312 and parsed["n_packets"] == 2
 
 
 def test_ogg_corrupt_streams_fail_cleanly():
