@@ -2085,7 +2085,15 @@ def encode_mp4_container(
     (stsc: 1 run), sizes in stsz, the chunk's absolute file offset in
     stco — a layout every standard demuxer reads. The sample PAYLOADS
     are opaque here (no encoder for H.264/AAC exists in this
-    environment); the container framing is the real thing."""
+    environment); the container framing is the real thing.
+
+    Presentation timing (ISO 14496-12 §8.6): optional per-track
+    'ctts_offsets' (one composition offset per sample; run-length
+    compressed on write, version 1 if any offset is negative — the
+    modern B-frame idiom) and 'edits' (list of (segment_duration in
+    MOVIE timescale, media_time) elst entries, rate 1.0; media_time -1
+    = empty edit, segment_duration 0 on the last entry = to-end).
+    'ctts_version'/'elst_version' force box versions for goldens."""
     import struct
 
     def trak_box(t: "dict", track_id: int, stco_off: int) -> bytes:
@@ -2141,6 +2149,28 @@ def encode_mp4_container(
         stts = _mp4_full(
             b"stts", 0, 0, struct.pack(">III", 1, n, t["sample_delta"])
         )
+        ctts = b""
+        if t.get("ctts_offsets") is not None:
+            offs = t["ctts_offsets"]
+            if len(offs) != n:
+                raise ValueError("mp4: ctts_offsets length != sample count")
+            runs: "list[tuple[int, int]]" = []
+            for o in offs:
+                if runs and runs[-1][1] == o:
+                    runs[-1] = (runs[-1][0] + 1, o)
+                else:
+                    runs.append((1, o))
+            v = t.get(
+                "ctts_version", 1 if any(o < 0 for o in offs) else 0
+            )
+            if v == 0 and any(o < 0 for o in offs):
+                raise ValueError("mp4: negative ctts offsets need version 1")
+            fmt = ">Ii" if v else ">II"
+            ctts = _mp4_full(
+                b"ctts", v, 0,
+                struct.pack(">I", len(runs))
+                + b"".join(struct.pack(fmt, c, o) for c, o in runs),
+            )
         stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
         stsz = _mp4_full(
             b"stsz", 0, 0,
@@ -2148,13 +2178,29 @@ def encode_mp4_container(
             + b"".join(struct.pack(">I", len(s)) for s in t["samples"]),
         )
         stco = _mp4_full(b"stco", 0, 0, struct.pack(">II", 1, stco_off))
-        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        stbl = _mp4_box(b"stbl", stsd + stts + ctts + stsc + stsz + stco)
         dref = _mp4_full(
             b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b"")
         )
         minf = _mp4_box(b"minf", mhd + _mp4_box(b"dinf", dref) + stbl)
         mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
-        return _mp4_box(b"trak", tkhd + mdia)
+        edts = b""
+        if t.get("edits"):
+            v = t.get("elst_version", 0)
+            entries = b""
+            for seg_dur, media_time in t["edits"]:
+                if v:
+                    entries += struct.pack(">Qq", seg_dur, media_time)
+                else:
+                    entries += struct.pack(">Ii", seg_dur, media_time)
+                entries += struct.pack(">hh", 1, 0)  # rate 1.0 (16.16)
+            edts = _mp4_box(
+                b"edts",
+                _mp4_full(
+                    b"elst", v, 0, struct.pack(">I", len(t["edits"])) + entries
+                ),
+            )
+        return _mp4_box(b"trak", tkhd + edts + mdia)
 
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
     movie_dur = max(
@@ -2198,6 +2244,56 @@ def encode_mp4_container(
 _MP4_CONTAINERS = {
     b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts", b"udta",
 }
+
+
+def _apply_edit_list(
+    cts: "list[int]", elst: "list[tuple[int, int, float]]",
+    media_ts: int, movie_ts: int,
+) -> "list[int | None]":
+    """Map composition times to presentation times through an edit
+    list (ISO 14496-12 §8.6.6): empty edits (media_time -1) insert
+    leading presentation time; a normal edit presents the media range
+    [media_time, media_time + duration·media_ts/movie_ts) at the
+    running presentation cursor; duration 0 on the LAST entry means
+    to-end. Samples no edit covers return None (trimmed — exactly what
+    a negative-ctts lead frame plus a trim edit produces). Dwell
+    (rate 0) and rate-scaled edits raise honestly — they need a
+    player's clock, not a demuxer's."""
+    if not elst:
+        return list(cts)
+    out: "list[int | None]" = [None] * len(cts)
+    pcur = 0
+    for idx, (seg_dur, media_time, rate) in enumerate(elst):
+        if media_time == -1:  # empty edit: presentation-time gap
+            pcur += seg_dur * media_ts // movie_ts
+            continue
+        if rate == 0:
+            raise NotImplementedError(
+                "mp4: dwell edits (rate 0) not implemented"
+            )
+        if rate != 1.0:
+            raise NotImplementedError(
+                f"mp4: rate-scaled edits (rate {rate}) not implemented"
+            )
+        if seg_dur == 0:
+            if idx != len(elst) - 1:
+                raise ValueError(
+                    "mp4: zero-duration edit segment before the last entry"
+                )
+            seg_media = None  # to end of media
+        else:
+            seg_media = seg_dur * media_ts // movie_ts
+        for i, c in enumerate(cts):
+            if (
+                out[i] is None
+                and c >= media_time
+                and (seg_media is None or c < media_time + seg_media)
+            ):
+                out[i] = c - media_time + pcur
+        if seg_media is None:
+            break
+        pcur += seg_media
+    return out
 
 
 def parse_mp4_boxes(payload: bytes) -> dict:
@@ -2276,6 +2372,37 @@ def parse_mp4_boxes(payload: bytes) -> dict:
                     cur["codec"] = payload[body + 12 : body + 16].decode(
                         "ascii", "replace"
                     )
+                elif fourcc == b"stts":
+                    (n,) = struct.unpack_from(">I", payload, body + 4)
+                    cur["stts"] = [
+                        struct.unpack_from(">II", payload, body + 8 + 8 * i)
+                        for i in range(n)
+                    ]
+                elif fourcc == b"ctts":
+                    v = payload[body]
+                    (n,) = struct.unpack_from(">I", payload, body + 4)
+                    # version 1 offsets are SIGNED (negative =
+                    # composition before decode, the B-frame idiom)
+                    fmt = ">Ii" if v else ">II"
+                    cur["ctts"] = [
+                        struct.unpack_from(fmt, payload, body + 8 + 8 * i)
+                        for i in range(n)
+                    ]
+                elif fourcc == b"elst":
+                    v = payload[body]
+                    (n,) = struct.unpack_from(">I", payload, body + 4)
+                    ents, o = [], body + 8
+                    for _ in range(n):
+                        if v:
+                            sd, mt = struct.unpack_from(">Qq", payload, o)
+                            o += 16
+                        else:
+                            sd, mt = struct.unpack_from(">Ii", payload, o)
+                            o += 8
+                        ri, rf = struct.unpack_from(">hh", payload, o)
+                        o += 4
+                        ents.append((sd, mt, ri + rf / 65536))
+                    cur["elst"] = ents
                 elif fourcc == b"stsc":
                     (n,) = struct.unpack_from(">I", payload, body + 4)
                     cur["stsc"] = [
@@ -2306,9 +2433,14 @@ def parse_mp4_boxes(payload: bytes) -> dict:
         tf: dict = {"trex": None}
         base = None
         d_dur = d_size = None
-        runs: "list[tuple[int, list[int], list[int], int]]" = []
+        runs: "list[tuple[int, list[int], list[int], list[int], int]]" = []
         for f3, _s3, b3, e3 in walk(lo, hi):
-            if f3 == b"tfhd":
+            if f3 == b"tfdt":
+                v = payload[b3]
+                (tf["tfdt"],) = struct.unpack_from(
+                    ">Q" if v else ">I", payload, b3 + 4
+                )
+            elif f3 == b"tfhd":
                 flags = int.from_bytes(payload[b3 + 1 : b3 + 4], "big")
                 o = b3 + 4
                 (tf["track_id"],) = struct.unpack_from(">I", payload, o)
@@ -2340,7 +2472,9 @@ def parse_mp4_boxes(payload: bytes) -> dict:
                 o += 4
                 if flags & 0x4:  # first-sample-flags
                     o += 4
-                sizes, durs = [], []
+                # trun version 1 composition offsets are SIGNED
+                cfmt = ">i" if payload[b3] else ">I"
+                sizes, durs, ctss = [], [], []
                 for _ in range(n):
                     if flags & 0x100:
                         (d,) = struct.unpack_from(">I", payload, o)
@@ -2353,8 +2487,10 @@ def parse_mp4_boxes(payload: bytes) -> dict:
                     if flags & 0x400:
                         o += 4
                     if flags & 0x800:
+                        (c,) = struct.unpack_from(cfmt, payload, o)
                         o += 4
-                runs.append((n, sizes, durs, doff))
+                        ctss.append(c)
+                runs.append((n, sizes, durs, ctss, doff))
         if "track_id" not in tf:
             raise ValueError("mp4: traf without tfhd")
         if base is None:
@@ -2370,13 +2506,19 @@ def parse_mp4_boxes(payload: bytes) -> dict:
     frags: "list[dict]" = []
     saw_moov = saw_mdat = False
     last_seq = 0
+    movie_timescale = 1000
     for fourcc, start, body, end in walk(0, len(payload)):
         if fourcc == b"mdat":
             saw_mdat = True
         elif fourcc == b"moov":
             saw_moov = True
             for f2, _s2, b2, e2 in walk(body, end):
-                if f2 == b"trak":
+                if f2 == b"mvhd":
+                    v = payload[b2]
+                    (movie_timescale,) = struct.unpack_from(
+                        ">I", payload, b2 + (20 if v else 12)
+                    )
+                elif f2 == b"trak":
                     tracks.append(parse_trak(b2, e2))
                 elif f2 == b"mvex":
                     for f3, _s3, b3, e3 in walk(b2, e2):
@@ -2406,6 +2548,8 @@ def parse_mp4_boxes(payload: bytes) -> dict:
     # spec's default resolution order: trun entry > tfhd default > trex
     frag_spans: "dict[int, list[tuple[int, int]]]" = {}
     frag_dur: "dict[int, int]" = {}
+    frag_times: "dict[int, list[tuple[int, int]]]" = {}  # tid -> (dts, cts)
+    frag_cursor: "dict[int, int]" = {}  # decode time when tfdt is absent
     for tf in frags:
         tid = tf["track_id"]
         tx_dur, tx_size = trex.get(tid, (0, 0))
@@ -2413,7 +2557,10 @@ def parse_mp4_boxes(payload: bytes) -> dict:
         # treat it as absent so a sample that ends up 0-sized/0-length
         # is quarantined, not silently counted
         tx_dur, tx_size = tx_dur or None, tx_size or None
-        for n, sizes, durs, doff in tf["runs"]:
+        # tfdt anchors the fragment's decode time; without one, decode
+        # continues from the end of the track's previous fragment (§8.8.12)
+        dt = tf.get("tfdt", frag_cursor.get(tid, 0))
+        for n, sizes, durs, ctss, doff in tf["runs"]:
             off = tf["base"] + doff
             for i in range(n):
                 sz = (
@@ -2432,8 +2579,13 @@ def parse_mp4_boxes(payload: bytes) -> dict:
                         "default level (trun/tfhd/trex)"
                     )
                 frag_spans.setdefault(tid, []).append((off, sz))
+                frag_times.setdefault(tid, []).append(
+                    (dt, dt + (ctss[i] if ctss else 0))
+                )
                 frag_dur[tid] = frag_dur.get(tid, 0) + du
+                dt += du
                 off += sz
+        frag_cursor[tid] = dt
 
     out = []
     for t in tracks:
@@ -2455,15 +2607,48 @@ def parse_mp4_boxes(payload: bytes) -> dict:
                     si += 1
         if si != len(sizes):
             raise ValueError("mp4: stsc/stsz sample count mismatch")
+
+        # presentation timing (§8.6): decode times from stts runs,
+        # composition = decode + ctts offset, presentation = composition
+        # mapped through the edit list; movie-fragment samples continue
+        # from tfdt with trun composition offsets
+        deltas: "list[int]" = []
+        for cnt, delta in t.get("stts", []):
+            deltas += [delta] * cnt
+        if deltas and len(deltas) != len(sizes):
+            raise ValueError("mp4: stts/stsz sample count mismatch")
+        dts_list, acc = [], 0
+        for d in deltas:
+            dts_list.append(acc)
+            acc += d
+        coffs: "list[int]" = []
+        for cnt, coff in t.get("ctts", []):
+            coffs += [coff] * cnt
+        if coffs and len(coffs) != len(dts_list):
+            raise ValueError("mp4: ctts/stts sample count mismatch")
+        cts_list = [
+            d + (coffs[i] if coffs else 0) for i, d in enumerate(dts_list)
+        ]
+
         # movie-fragment samples append after the moov sample table
         # (empty for a pure fMP4 stream) in fragment order
-        spans += frag_spans.pop(t.get("track_id", 0), [])
+        tid = t.get("track_id", 0)
+        spans += frag_spans.pop(tid, [])
+        for fdts, fcts in frag_times.pop(tid, []):
+            dts_list.append(fdts)
+            cts_list.append(fcts)
+        pts_list = _apply_edit_list(
+            cts_list, t.get("elst", []), t.get("timescale", 1) or 1,
+            movie_timescale,
+        )
+        presented = [p for p in pts_list if p is not None]
+
         for off, sz in spans:
             if off + sz > len(payload):
                 raise ValueError("mp4: sample span outside the file")
         out.append(
             {
-                "track_id": t.get("track_id", 0),
+                "track_id": tid,
                 "handler": t.get("handler", "?"),
                 "codec": t.get("codec", "?"),
                 "n_samples": len(spans),
@@ -2476,6 +2661,13 @@ def parse_mp4_boxes(payload: bytes) -> dict:
                 "first_byte_sum": sum(
                     payload[off] for off, sz in spans if sz > 0
                 ),
+                "n_presented": len(presented),
+                "n_reordered": sum(
+                    1 for d, c in zip(dts_list, cts_list) if c != d
+                ),
+                "pts_min": min(presented, default=0),
+                "pts_max": max(presented, default=0),
+                "pts_sum": sum(presented),
             }
         )
     if frag_spans:
@@ -2626,6 +2818,197 @@ def q_multimodal_mp4_stats(spark, sf_dir):
     encoder, the box walk, AND the offset resolution."""
     docs = load_table(spark, sf_dir, "documents")
     return mp4_container_stats(docs)
+
+
+MP4_PTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("track_id", T.LongType()),
+        T.StructField("handler", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_presented", T.LongType()),
+        T.StructField("n_reordered", T.LongType()),
+        T.StructField("pts_min", T.LongType()),
+        T.StructField("pts_max", T.LongType()),
+        T.StructField("pts_sum", T.LongType()),
+    ]
+)
+
+
+def mp4_pts_stats(docs: DataFrame) -> DataFrame:
+    """Per-sample presentation timing through BOTH timing mechanisms of
+    ISO 14496-12: a plain MP4 whose video track carries B-frame-style
+    ctts composition offsets (negative for every third document —
+    version 1) plus a lead-trim elst edit, and a fragmented MP4 whose
+    trun entries carry per-sample composition offsets against tfdt
+    decode anchors. The demux resolves DTS → CTS → PTS (the math any
+    seek-accurate frame sampler needs) and emits per-track PTS
+    aggregates; the oracle replays every number from the integer
+    formulas. Arrow `mapInPandas`, map-only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in MP4_PTS_SCHEMA.fields}
+
+        def emit(did, container, t):
+            out["doc_id"].append(did)
+            out["container"].append(container)
+            out["track_id"].append(t["track_id"])
+            out["handler"].append(t["handler"])
+            out["n_samples"].append(t["n_samples"])
+            out["n_presented"].append(t["n_presented"])
+            out["n_reordered"].append(t["n_reordered"])
+            out["pts_min"].append(t["pts_min"])
+            out["pts_max"].append(t["pts_max"])
+            out["pts_sum"].append(t["pts_sum"])
+
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nv, na = 3 + did % 5, 4 + did % 7
+                neg = 40 if did % 3 == 0 else 0
+                vsamples = [bytes([(did + i) % 256]) * 8 for i in range(nv)]
+                plain = encode_mp4_container(
+                    [
+                        {
+                            "handler": "vide",
+                            "codec": "avc1",
+                            "timescale": 1000,
+                            "sample_delta": 40,
+                            "samples": vsamples,
+                            "width": 16,
+                            "height": 16,
+                            "ctts_offsets": [
+                                40 * ((did + i) % 3) - neg for i in range(nv)
+                            ],
+                            # lead-trim edit: media_time = one frame for
+                            # odd docs, to-end duration
+                            "edits": [(0, 40 * (did % 2))],
+                        },
+                        {
+                            "handler": "soun",
+                            "codec": "mp4a",
+                            "timescale": 48000,
+                            "sample_delta": 1024,
+                            "samples": [
+                                bytes([(did + i) % 256]) * 4 for i in range(na)
+                            ],
+                        },
+                    ]
+                )
+                for t in parse_mp4_boxes(plain)["tracks"]:
+                    emit(did, "mp4", t)
+
+                fneg = 40 if did % 5 == 0 else 0
+                nfrag = 2 + did % 3
+                frags = [
+                    [
+                        (
+                            bytes([(did + f + j) % 256]) * 6,
+                            40,
+                            40 * ((did + f + j) % 2) - fneg,
+                        )
+                        for j in range(1 + (did + f) % 3)
+                    ]
+                    for f in range(nfrag)
+                ]
+                frag = encode_mp4_fragmented(
+                    [
+                        {
+                            "handler": "vide",
+                            "codec": "avc1",
+                            "timescale": 1000,
+                            "sample_delta": 40,
+                            "width": 16,
+                            "height": 16,
+                            "fragments": frags,
+                        }
+                    ]
+                )
+                for t in parse_mp4_boxes(frag)["tracks"]:
+                    emit(did, "fmp4", t)
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return docs.select("doc_id").repartition(par).mapInPandas(op, MP4_PTS_SCHEMA)
+
+
+@query(
+    "multimodal_mp4_pts_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, 3 + doc_id % 5 AS nv, 4 + doc_id % 7 AS na,
+             CASE WHEN doc_id % 3 = 0 THEN 40 ELSE 0 END AS neg,
+             40 * (doc_id % 2) AS mt,
+             CASE WHEN doc_id % 5 = 0 THEN 40 ELSE 0 END AS fneg,
+             2 + doc_id % 3 AS nfrag
+      FROM documents
+    ), vs AS (
+      SELECT doc_id, mt, u.i, 40 * u.i AS dts,
+             40 * u.i + 40 * ((doc_id + u.i) % 3) - neg AS cts,
+             40 * ((doc_id + u.i) % 3) - neg AS coff
+      FROM t, LATERAL (SELECT unnest(range(0, nv)) AS i) u
+    ), v AS (
+      SELECT doc_id, 'mp4' AS container, CAST(1 AS BIGINT) AS track_id,
+             'vide' AS handler,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(count(*) FILTER (cts >= mt) AS BIGINT) AS n_presented,
+             CAST(count(*) FILTER (coff <> 0) AS BIGINT) AS n_reordered,
+             CAST(coalesce(min(cts - mt) FILTER (cts >= mt), 0)
+                  AS BIGINT) AS pts_min,
+             CAST(coalesce(max(cts - mt) FILTER (cts >= mt), 0)
+                  AS BIGINT) AS pts_max,
+             CAST(coalesce(sum(cts - mt) FILTER (cts >= mt), 0)
+                  AS BIGINT) AS pts_sum
+      FROM vs GROUP BY doc_id
+    ), a AS (
+      SELECT doc_id, 'mp4' AS container, CAST(2 AS BIGINT) AS track_id,
+             'soun' AS handler,
+             CAST(na AS BIGINT) AS n_samples,
+             CAST(na AS BIGINT) AS n_presented,
+             CAST(0 AS BIGINT) AS n_reordered,
+             CAST(0 AS BIGINT) AS pts_min,
+             CAST(1024 * (na - 1) AS BIGINT) AS pts_max,
+             CAST(1024 * na * (na - 1) // 2 AS BIGINT) AS pts_sum
+      FROM t
+    ), fs0 AS (
+      SELECT doc_id, fneg, u.f, v.j,
+             row_number() OVER (PARTITION BY doc_id ORDER BY u.f, v.j) - 1
+               AS g,
+             40 * ((doc_id + u.f + v.j) % 2) - fneg AS coff
+      FROM t,
+           LATERAL (SELECT unnest(range(0, nfrag)) AS f) u,
+           LATERAL (SELECT unnest(range(0, 1 + (doc_id + u.f) % 3)) AS j) v
+    ), fs AS (
+      SELECT doc_id, coff, 40 * g + coff AS pts FROM fs0
+    ), fv AS (
+      SELECT doc_id, 'fmp4' AS container, CAST(1 AS BIGINT) AS track_id,
+             'vide' AS handler,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(count(*) AS BIGINT) AS n_presented,
+             CAST(count(*) FILTER (coff <> 0) AS BIGINT) AS n_reordered,
+             CAST(min(pts) AS BIGINT) AS pts_min,
+             CAST(max(pts) AS BIGINT) AS pts_max,
+             CAST(sum(pts) AS BIGINT) AS pts_sum
+      FROM fs GROUP BY doc_id
+    )
+    SELECT * FROM v UNION ALL SELECT * FROM a UNION ALL SELECT * FROM fv
+    """,
+)
+def q_multimodal_mp4_pts_stats(spark, sf_dir):
+    """MP4 presentation-timing math over the documents table — the
+    half of ISO 14496-12 timing the container walk alone doesn't give:
+    ctts composition offsets (v1 negative for every third document) +
+    elst lead-trim edits on a plain MP4, and per-sample trun
+    composition offsets against tfdt anchors on a fragmented MP4.
+    Emits per-track PTS aggregates (count presented after edit
+    trimming, reordered-sample count, min/max/sum of PTS) — the
+    arithmetic a seek-accurate video frame sampler runs before
+    touching any codec. Full hash-match DuckDB oracle replays every
+    field from the integer formulas with no parser."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mp4_pts_stats(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -3374,12 +3757,15 @@ def encode_mp4_fragmented(
     encode: ftyp + moov with EMPTY sample tables + mvex/trex defaults,
     then one moof+mdat pair per fragment. Each track dict is as in
     `encode_mp4_container` but carries 'fragments': a list of
-    fragments, each a list of (sample_bytes, duration) tuples; all
-    tracks must have the same fragment count. Every traf uses
-    default-base-is-moof addressing with an explicit trun data-offset
-    and per-sample duration+size entries; tfdt carries the cumulative
-    decode time. Sample payloads stay opaque (no H.264/AAC encoder
-    here); the fragment framing is the real thing."""
+    fragments, each a list of (sample_bytes, duration) or
+    (sample_bytes, duration, cts_offset) tuples — a 3-tuple anywhere
+    in a track turns on trun sample-composition-time-offsets (flag
+    0x800, version 1 when any offset is negative — the CMAF B-frame
+    idiom); all tracks must have the same fragment count. Every traf
+    uses default-base-is-moof addressing with an explicit trun
+    data-offset and per-sample duration+size entries; tfdt carries the
+    cumulative decode time. Sample payloads stay opaque (no H.264/AAC
+    encoder here); the fragment framing is the real thing."""
     import struct
 
     nfrag = {len(t["fragments"]) for t in tracks}
@@ -3466,6 +3852,18 @@ def encode_mp4_fragmented(
         + _mp4_box(b"mvex", trexes),
     )
 
+    # a 3-tuple anywhere in a track means every trun of that track
+    # carries composition offsets; version 1 iff any offset is negative
+    has_cts = [
+        any(len(s) == 3 for fr in t["fragments"] for s in fr) for t in tracks
+    ]
+    trun_ver = [
+        1
+        if any(len(s) == 3 and s[2] < 0 for fr in t["fragments"] for s in fr)
+        else 0
+        for t in tracks
+    ]
+
     out = bytearray(ftyp + moov)
     decode_time = [0] * len(tracks)
     for fi in range(nfrag):
@@ -3481,13 +3879,14 @@ def encode_mp4_fragmented(
                 tfdt = _mp4_full(
                     b"tfdt", 0, 0, struct.pack(">I", decode_time[ti])
                 )
-                trun = _mp4_full(
-                    b"trun", 0, 0x301,
-                    struct.pack(">Ii", len(samples), offsets[ti])
-                    + b"".join(
-                        struct.pack(">II", dur, len(sb)) for sb, dur in samples
-                    ),
-                )
+                flags = 0x301 | (0x800 if has_cts[ti] else 0)
+                cfmt = ">i" if trun_ver[ti] else ">I"
+                body = struct.pack(">Ii", len(samples), offsets[ti])
+                for s in samples:
+                    body += struct.pack(">II", s[1], len(s[0]))
+                    if has_cts[ti]:
+                        body += struct.pack(cfmt, s[2] if len(s) == 3 else 0)
+                trun = _mp4_full(b"trun", trun_ver[ti], flags, body)
                 trafs += _mp4_box(b"traf", tfhd + tfdt + trun)
             return _mp4_box(b"moof", mfhd + trafs)
 
@@ -3495,13 +3894,13 @@ def encode_mp4_fragmented(
         offs, off = [], len(probe) + 8  # relative to moof start; + mdat hdr
         for samples in frag:
             offs.append(off)
-            off += sum(len(sb) for sb, _ in samples)
+            off += sum(len(s[0]) for s in samples)
         moof = moof_with(offs)
         assert len(moof) == len(probe)
         for ti, samples in enumerate(frag):
-            decode_time[ti] += sum(dur for _, dur in samples)
+            decode_time[ti] += sum(s[1] for s in samples)
         out += moof + _mp4_box(
-            b"mdat", b"".join(sb for samples in frag for sb, _ in samples)
+            b"mdat", b"".join(s[0] for samples in frag for s in samples)
         )
     return bytes(out)
 

@@ -1429,6 +1429,171 @@ def test_mp4_container_roundtrip():
     # dispatcher: demux-available stub message for frame decode
     with pytest.raises(NotImplementedError, match="parse_mp4_boxes"):
         multimodal.decode_video(p)
+    # no ctts/elst: PTS degenerates to DTS, everything presented
+    assert v["n_presented"] == len(vs) and v["n_reordered"] == 0
+    assert v["pts_max"] == 40 * (len(vs) - 1)
+    assert v["pts_sum"] == 40 * len(vs) * (len(vs) - 1) // 2
+
+
+def test_mp4_ctts_elst_presentation_timing():
+    """DTS -> CTS -> PTS through ctts + elst, v0 AND v1 boxes,
+    negative composition offsets, lead-trim and empty edits — against
+    hand-computed expectations from ISO 14496-12 §8.6."""
+
+    def build(ctts_offsets, edits, **kw):
+        return multimodal.encode_mp4_container(
+            [
+                {
+                    "handler": "vide",
+                    "codec": "avc1",
+                    "timescale": 1000,
+                    "sample_delta": 40,
+                    "samples": [b"\x01" * 8] * 4,
+                    "width": 16,
+                    "height": 16,
+                    "ctts_offsets": ctts_offsets,
+                    "edits": edits,
+                    **kw,
+                }
+            ]
+        )
+
+    # v0 ctts, no edits: classic IPBB order. DTS 0,40,80,120; offsets
+    # +80,0,+40,0 -> CTS/PTS 80,40,120,120... use distinct: 80,40,120,160
+    t = multimodal.parse_mp4_boxes(
+        build([80, 0, 40, 40], None)
+    )["tracks"][0]
+    assert t["n_presented"] == 4 and t["n_reordered"] == 3
+    assert (t["pts_min"], t["pts_max"]) == (40, 160)
+    assert t["pts_sum"] == 80 + 40 + 120 + 160
+
+    # v1 ctts (negative offsets) + to-end lead-trim edit: DTS 0..120,
+    # offsets -40,+40,0,0 -> CTS -40,80,80,120; media_time 40 trims the
+    # first sample; PTS = CTS - 40 for the rest
+    t = multimodal.parse_mp4_boxes(
+        build([-40, 40, 0, 0], [(0, 40)])
+    )["tracks"][0]
+    assert t["n_presented"] == 3 and t["n_reordered"] == 2
+    assert (t["pts_min"], t["pts_max"], t["pts_sum"]) == (40, 80, 160)
+
+    # empty edit (media_time -1) inserts leading presentation time:
+    # 200ms gap then the whole track
+    t = multimodal.parse_mp4_boxes(
+        build(None, [(200, -1), (0, 0)])
+    )["tracks"][0]
+    assert (t["pts_min"], t["pts_max"]) == (200, 320)
+
+    # v1 elst (64-bit entries) must parse identically
+    t = multimodal.parse_mp4_boxes(
+        build([-40, 40, 0, 0], [(0, 40)], elst_version=1)
+    )["tracks"][0]
+    assert (t["pts_min"], t["pts_max"], t["pts_sum"]) == (40, 80, 160)
+
+    # bounded edit: present only media [40, 120) -> CTS 40,80 kept
+    t = multimodal.parse_mp4_boxes(build(None, [(80, 40)]))["tracks"][0]
+    assert t["n_presented"] == 2 and (t["pts_min"], t["pts_max"]) == (0, 40)
+
+    # movie-timescale conversion: edit durations are in MOVIE units.
+    # media_ts 1000 = movie_ts 1000 here, so a 3-entry list with two
+    # empty edits accumulates exactly their sum
+    t = multimodal.parse_mp4_boxes(
+        build(None, [(100, -1), (100, -1), (0, 0)])
+    )["tracks"][0]
+    assert t["pts_min"] == 200
+
+    # MUST-reject paths
+    with pytest.raises(NotImplementedError, match="dwell"):
+        multimodal._apply_edit_list([0], [(100, 0, 0.0)], 1000, 1000)
+    with pytest.raises(NotImplementedError, match="rate-scaled"):
+        multimodal._apply_edit_list([0], [(100, 0, 2.0)], 1000, 1000)
+    with pytest.raises(ValueError, match="zero-duration edit"):
+        multimodal._apply_edit_list(
+            [0], [(0, 0, 1.0), (100, 0, 1.0)], 1000, 1000
+        )
+    with pytest.raises(ValueError, match="ctts_offsets length"):
+        build([1, 2], None)
+    with pytest.raises(ValueError, match="negative ctts offsets"):
+        build([-40, 0, 0, 0], None, ctts_version=0)
+    # ctts/stts count mismatch on a hand-corrupted stream: drop one
+    # sample from stsz/stts by patching counts is intricate — instead
+    # corrupt the ctts run count directly
+    import struct as _s
+
+    p = build([80, 0, 40, 40], None)
+    i = p.index(b"ctts")
+    bad = bytearray(p)
+    _s.pack_into(">I", bad, i + 8, 1)  # declare 1 run (1 sample) of 4
+    with pytest.raises(ValueError, match="ctts/stts sample count"):
+        multimodal.parse_mp4_boxes(bytes(bad))
+
+
+def test_fmp4_trun_composition_offsets_and_tfdt():
+    """Fragment PTS: per-sample trun composition offsets (v0 unsigned
+    and v1 signed/negative) against tfdt decode anchors, continuing
+    across fragments."""
+    frags = [
+        [(b"\x01" * 6, 40, 80), (b"\x02" * 6, 40, 0)],
+        [(b"\x03" * 6, 40, 40), (b"\x04" * 6, 40, 0)],
+    ]
+    p = multimodal.encode_mp4_fragmented(
+        [
+            {
+                "handler": "vide",
+                "codec": "avc1",
+                "timescale": 1000,
+                "sample_delta": 40,
+                "width": 16,
+                "height": 16,
+                "fragments": frags,
+            }
+        ]
+    )
+    t = multimodal.parse_mp4_boxes(p)["tracks"][0]
+    # DTS 0,40 | 80,120 (tfdt anchors); CTS 80,40 | 120,120
+    assert t["n_samples"] == 4 and t["n_reordered"] == 2
+    assert (t["pts_min"], t["pts_max"]) == (40, 120)
+    assert t["pts_sum"] == 80 + 40 + 120 + 120
+
+    # v1 signed: a negative offset anywhere flips the whole track to
+    # version-1 truns
+    frags_neg = [[(b"\x01" * 6, 40, -40), (b"\x02" * 6, 40, 40)]]
+    p2 = multimodal.encode_mp4_fragmented(
+        [
+            {
+                "handler": "vide",
+                "codec": "avc1",
+                "timescale": 1000,
+                "sample_delta": 40,
+                "width": 16,
+                "height": 16,
+                "fragments": frags_neg,
+            }
+        ]
+    )
+    assert b"trun" in p2
+    i = p2.index(b"trun")
+    assert p2[i + 4] == 1  # version byte after the fourcc
+    t2 = multimodal.parse_mp4_boxes(p2)["tracks"][0]
+    assert (t2["pts_min"], t2["pts_max"]) == (-40, 80)
+
+    # 2-tuples mixed with 3-tuples: missing offsets read as 0
+    mixed = [[(b"\x01" * 6, 40), (b"\x02" * 6, 40, 80)]]
+    t3 = multimodal.parse_mp4_boxes(
+        multimodal.encode_mp4_fragmented(
+            [
+                {
+                    "handler": "vide",
+                    "codec": "avc1",
+                    "timescale": 1000,
+                    "sample_delta": 40,
+                    "width": 16,
+                    "height": 16,
+                    "fragments": mixed,
+                }
+            ]
+        )
+    )["tracks"][0]
+    assert (t3["pts_min"], t3["pts_max"]) == (0, 120) and t3["n_reordered"] == 1
 
 
 def test_mp4_parser_paths_the_encoder_never_emits():
