@@ -295,6 +295,63 @@ def stream_pattern_detect(
     )
 
 
+def start_session_windows(
+    spark: SparkSession,
+    cdc_dir: str,
+    schema: T.StructType,
+    out_path: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    agg_col: str | None = None,
+    max_files_per_trigger: int = 100,
+):
+    """Streaming gap-sessionization — the streaming twin of the batch
+    `timeseries` sessionize family (same gap semantics: an event within
+    `gap` of the session extends it; session_end = last event + gap).
+    `F.session_window` merges events into variable-length sessions per
+    key inside the state store; the watermark finalizes a session once
+    event time passes its close, and append mode emits each FINALIZED
+    session exactly once. The sink is Spark's transactional parquet
+    file sink (`_spark_metadata` commit log), so a restart from
+    `checkpoint_dir` neither loses nor re-emits sessions — the T4/T9
+    contract extended to sessions.
+
+    Scale shape: state is ONE open session row per active key
+    (start/end/aggregates), independent of event volume, and the
+    watermark bounds its lifetime. The batch twin re-shuffles all
+    history every run; this holds only open sessions — the only viable
+    shape at 100 TB/day of events."""
+    stream = read_cdc_stream(spark, cdc_dir, schema, max_files_per_trigger)
+    aggs = [F.count("*").alias("n_events")]
+    extra = []
+    if agg_col is not None:
+        aggs.append(F.sum(agg_col).alias(f"sum_{agg_col}"))
+        extra = [f"sum_{agg_col}"]
+    sessions = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key_col)
+        .agg(*aggs)
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            *extra,
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def _iso_delta_s(a: str, b: str) -> float:
     """Seconds between two ISO/'YYYY-MM-DD HH:MM:SS' timestamp strings
     (state-store-friendly string timestamps, like `stateful_latest`)."""

@@ -427,6 +427,100 @@ def test_session_window_streaming(spark, tmp_path):
     assert got[("b", "2024-01-01 00:00:10")] == 1
 
 
+def test_session_windows_restart_exactly_once(spark, tmp_path):
+    """Restart-safe streaming sessionization through the REAL entry
+    point (`start_session_windows`): an OPEN session must survive a
+    checkpoint restart and keep absorbing events (state store
+    continuity), every finalized session is emitted exactly once into
+    the transactional parquet sink, and a second restart with no new
+    data re-emits nothing."""
+    import os as _os
+
+    src = tmp_path / "sess_cdc"
+    out = tmp_path / "sessions"
+    ckpt = tmp_path / "sess_ck"
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def run():
+        q = cdc.start_session_windows(
+            spark,
+            str(src),
+            schema,
+            str(out),
+            str(ckpt),
+            key_col="uid",
+            ts_col="ts",
+            gap="1 minute",
+            watermark="2 minutes",
+            agg_col="value",
+            max_files_per_trigger=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_drop(
+        src,
+        "d0.json",
+        [
+            {"uid": "u1", "ts": "2024-01-01T00:00:00", "value": 1.0},
+            {"uid": "u1", "ts": "2024-01-01T00:00:30", "value": 2.0},
+            {"uid": "u2", "ts": "2024-01-01T00:00:10", "value": 5.0},
+        ],
+    )
+    _os.utime(src / "d0.json", (1_700_000_000, 1_700_000_000))
+    run()
+    # watermark has not passed any session close yet: nothing emitted,
+    # all sessions still OPEN in the state store (the file sink may
+    # commit empty part files — rows are the contract)
+    assert spark.read.parquet(str(out)).count() == 0
+
+    # u1's 00:01:15 event lands within the gap of its pre-restart open
+    # session (which closes at 00:01:30) — extending it proves the
+    # session state crossed the restart; the 01:00 pusher advances the
+    # watermark past every earlier session close
+    _write_drop(
+        src,
+        "d1.json",
+        [
+            {"uid": "u1", "ts": "2024-01-01T00:01:15", "value": 4.0},
+            {"uid": "u3", "ts": "2024-01-01T00:05:00", "value": 7.0},
+            {"uid": "wm", "ts": "2024-01-01T01:00:00", "value": 0.0},
+        ],
+    )
+    _os.utime(src / "d1.json", (1_700_000_001, 1_700_000_001))
+    run()
+
+    def snapshot():
+        return {
+            (r.uid, str(r.session_start), str(r.session_end)): (
+                r.n_events,
+                r.sum_value,
+            )
+            for r in spark.read.parquet(str(out)).collect()
+        }
+
+    got = snapshot()
+    assert got == {
+        # one session spanning the restart, emitted once with all 3 events
+        ("u1", "2024-01-01 00:00:00", "2024-01-01 00:02:15"): (3, 7.0),
+        ("u2", "2024-01-01 00:00:10", "2024-01-01 00:01:10"): (1, 5.0),
+        ("u3", "2024-01-01 00:05:00", "2024-01-01 00:06:00"): (1, 7.0),
+        # the watermark pusher's own session is still open: not emitted
+    }
+
+    # second restart, no new data: the commit log must re-emit nothing
+    run()
+    assert snapshot() == got
+
+
 def test_hard_delete_mode_end_to_end_stream(spark, tmp_path):
     """T8 hard mode through the REAL entry point (`start_cdc_merge`,
     not a hand-built batch fn): a newer REMOVE deletes the key from the
