@@ -139,6 +139,12 @@ HEADLINE = [
     "stats_corr_matrix",
     "graph_bfs_levels",
     "w5_sliding_time_window",
+    # round 7
+    "web_url_canonicalize",
+    "web_domain_stats",
+    "web_domain_quality_join",
+    "multimodal_ogg_codec_stats",
+    "multimodal_mp4_pts_stats",
 ]
 
 

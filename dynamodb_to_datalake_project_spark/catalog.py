@@ -46,71 +46,23 @@ def query(name: str, oracle: str | None = None):
 # Catalog iteration order. External harnesses that sample a bounded
 # prefix of the catalog (~50 entries/round) should see the queries
 # with the LEAST independent-correctness coverage first. After the
-# round-5 sample, every query's newest driver row is r3+ EXCEPT the
-# 15 that sat at positions 51-65 (their newest row is r2) — they
-# lead the round-6 order, followed by any new round-6 queries, the
-# rows-only fast paths, then r3-green, r4-green, and the freshly
-# r5-verified set trailing. The set is identical either way — only
-# iteration order changes.
+# round-6 sample no query's newest driver row is older than r3; the
+# round-7 order finishes the freshness rotation (VERDICT r6 ask #1):
+# the 5 new round-7 queries lead (no driver row possible yet),
+# then the 44 queries whose newest row is r3, then
+# multimodal_mpegts_stats (its r6 row predates the round-7 PSI
+# section_length fix — same output columns, but re-sampling re-pins
+# the changed encoder) — exactly one 50-entry window. The rows-only
+# fast paths and the r4/r5/r6-green groups trail, freshest last. The
+# set is identical either way — only iteration order changes.
 _PRIORITY: list[str] = [
-    # --- round-6 rotation (VERDICT r5 ask #2): these 15 queries'
-    # newest driver row still dates from round 2 — the r5 50-entry
-    # window ran out at position 50 exactly one group short. They
-    # lead; new round-6 queries are inserted right after them. ---
-    "q9_product_profit",
-    "q12_late_priority_count",
-    "q13_order_distribution",
-    "q20_stock_promotion",
-    "range_join_follow_events",
-    "referential_audit",
-    "rollup_incremental",
-    "sample_hash_bucket",
-    "sample_stratified_exact",
-    "sessionization",
-    "sim_knn_bruteforce",
-    "sim_label_norm_stats",
-    "text_bm25_topk",
-    "text_novelty_score",
-    "token_count_bpe",
-    # --- new in round 6 (no driver row possible yet) ---
-    "cluster_kmeans_parallel_init",
-    "multimodal_mp4_stats",
-    "sketch_cms_estimate",
-    "multimodal_mp3_stats",
-    "multimodal_ogg_stats",
-    "graph_label_propagation",
-    "funnel_conversion",
-    "retention_cohorts",
-    "multimodal_fmp4_stats",
-    "multimodal_webm_stats",
-    "graph_modularity",
-    "multimodal_mpegts_stats",
-    "sketch_hll_overlap_exact",
-    "sketch_quantile_grid",
-    "session_paths_topk",
-    "stats_linear_fit",
-    "graph_kcore",
-    "sketch_kmv_distinct",
-    "sketch_kmv_source_jaccard",
-    "session_basket_lift",
-    "stats_corr_matrix",
-    "graph_bfs_levels",
-    "w5_sliding_time_window",
-    "sketch_hll_overlap",
-    # --- rows-only fast paths (a fresh rows-row each round is still
-    # signal; each has an oracle-green lossless twin) ---
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_ivfpq",
-    "embed_pca_project",
-    "bpe_train_merges",
-    # --- driver-green in r03 (oldest full-match group after the above) ---
-    "q2_min_cost_supplier",
-    "q4_priority_late_ship",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
+    # --- new in round 7 (no driver row possible yet) ---
+    "web_url_canonicalize",
+    "web_domain_stats",
+    "web_domain_quality_join",
+    "multimodal_ogg_codec_stats",
+    "multimodal_mp4_pts_stats",
+    # --- newest driver row r3: the freshness-rotation tail ---
     "q11_value_concentration",
     "q14_promo_revenue",
     "q15_top_supplier",
@@ -120,41 +72,53 @@ _PRIORITY: list[str] = [
     "q19_disjunctive_pushdown",
     "q21_sole_late_supplier",
     "q22_dormant_customers",
+    "a4_per_file_counts",
     "dedup_clusters_cc",
     "dedup_cluster_best",
     "dedup_containment",
-    "fuzzy_name_pairs",
-    "corpus_ingest_novel",
-    "dataset_mix",
-    "doc_chunking",
-    "doc_repetition_stats",
-    "decontaminate_bloom",
-    "multimodal_frame_sample",
-    "skew_salted_event_stats",
-    "doc_packing",
-    "dataset_split",
     "dedup_minhash_md5",
     "dedup_simhash_md5",
+    "dedup_semantic_cells",
+    "dedup_segments",
+    "fuzzy_name_pairs",
     "sim_ann_lsh_fullprobe",
     "sim_ann_ivf_fullprobe",
     "sim_ann_ivfpq_fullprobe",
-    "a4_per_file_counts",
-    "multimodal_wav_stats",
-    "doc_rare_bigram_filter",
-    "dataset_token_budget_sample",
-    "dedup_semantic_cells",
-    "decontaminate_exact_substring",
+    "corpus_ingest_novel",
     "corpus_curate_full",
+    "dataset_mix",
+    "dataset_split",
     "dataset_split_no_leakage",
-    "dedup_segments",
-    "text_collapse_repeats",
     "dataset_epoch_shuffle",
+    "dataset_token_budget_sample",
+    "cluster_balanced_sample",
+    "decontaminate_bloom",
+    "decontaminate_exact_substring",
+    "doc_chunking",
+    "doc_packing",
+    "doc_repetition_stats",
+    "doc_rare_bigram_filter",
+    "text_collapse_repeats",
     "lm_perplexity_score",
     "quality_nb_score",
-    "cluster_balanced_sample",
     "source_overlap_matrix",
     "bpe_encode_stats",
     "bpe_fertility_by_lang",
+    "multimodal_frame_sample",
+    "multimodal_wav_stats",
+    "skew_salted_event_stats",
+    # --- r6-green but the round-7 PSI section_length fix changed the
+    # emitted container bytes: re-pin ---
+    "multimodal_mpegts_stats",
+    # --- rows-only fast paths (fresh r6 rows-only rows; each has an
+    # oracle-green lossless twin) ---
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_ivfpq",
+    "embed_pca_project",
+    "bpe_train_merges",
     # --- driver-green in r04 ---
     "sim_hard_negatives",
     "source_unigram_kl",
