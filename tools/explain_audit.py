@@ -130,6 +130,11 @@ NOTES = {
     "stats_corr_matrix": "all pairwise Pearson r in ONE pass: 2c + c(c+1)/2 integer moments in a single agg, then double algebra per pair; NULL on degenerate variance",
     "graph_bfs_levels": "frontier BFS: per round the CURRENT FRONTIER (not visited) joins edges, one distinct + one anti-join vs visited, per-round eager checkpoints; early exit on exhausted frontier",
     "w5_sliding_time_window": "RANGE (time-interval) window on integer epoch seconds: one user-keyed window pass; frame membership identical across engines by integer construction",
+    "web_url_canonicalize": "URL canonicalization: parse_url + regexp/array expressions entirely inside whole-stage codegen — map-only projection, zero exchanges at any scale",
+    "web_domain_stats": "domain scoreboard: map-only canonicalization then ONE bounded-key hash agg (map-side partials; registered domains << documents); avg is a single double division of exact sums",
+    "web_domain_quality_join": "quality join-back: the domain-sized tier table BROADCASTS onto the corpus (corpus never reshuffles for the join), then one bounded (source, tier) agg",
+    "multimodal_ogg_codec_stats": "Ogg codec identification: build + page-CRC walk + first-packet reassembly + Vorbis/Opus ID-header parse in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no sample decode",
+    "multimodal_mp4_pts_stats": "MP4 presentation timing: two container builds (ctts+elst moov; trun-cts+tfdt fragments) + DTS->CTS->PTS resolution in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle",
 }
 
 
