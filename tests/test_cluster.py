@@ -256,6 +256,66 @@ def test_parallel_seeds_deterministic_rerun(spark):
     assert a == b  # bit-identical regardless of partitioning
 
 
+def test_arrow_exact_fold_bit_identical_to_literal_plan(spark):
+    """The Arrow fast path inside parallel_seeds must reproduce the
+    literal Catalyst fold BIT-FOR-BIT — min-d² values AND the
+    strict-< first-wins nearest position — on real fixture vectors
+    (the determinism contract the md5 coin and the DuckDB oracle
+    depend on). numpy's reassociating `((v-c)**2).sum(axis=1)` would
+    NOT pass this test; the dim-order loop does."""
+    from dynamodb_to_datalake_project_spark.lake import load_table
+    from dynamodb_to_datalake_project_spark.llm.cluster import (
+        _arrow_min_d2,
+        _arrow_nearest_pos,
+        _literal_centroids,
+    )
+    from dynamodb_to_datalake_project_spark.llm.similarity import (
+        nearest_centroid,
+        sq_dist,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select(F.col("vec_id").alias("id"), as_double_vec("embedding").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    cands = [
+        [float(x) for x in r["v"]]
+        for r in emb.orderBy("id").limit(17).collect()
+    ]
+    lits = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cands])
+    lit_m = {
+        r["id"]: r["m"]
+        for r in emb.select(
+            "id",
+            F.array_min(
+                F.transform(lits, lambda c: sq_dist(F.col("v"), c))
+            ).alias("m"),
+        ).collect()
+    }
+    arrow_m = {r["id"]: r["m"] for r in _arrow_min_d2(emb, cands).collect()}
+    assert arrow_m == lit_m  # exact ==, not approx
+
+    lits_struct = _literal_centroids(list(enumerate(cands)))
+    lit_pos = {
+        r["id"]: r["pos"]
+        for r in emb.select(
+            "id", nearest_centroid(lits_struct, F.col("v"))["cid"].alias("pos")
+        ).collect()
+    }
+    # _arrow_nearest_pos returns positions only; pair through a zip on
+    # the deterministic id order instead
+    import pandas as _pd  # noqa: F401
+
+    arrow_rows = (
+        _arrow_nearest_pos(emb.orderBy("id").coalesce(1), cands)
+        .collect()
+    )
+    ordered_ids = [r["id"] for r in emb.orderBy("id").collect()]
+    assert {i: r["pos"] for i, r in zip(ordered_ids, arrow_rows)} == lit_pos
+
+
 def test_parallel_seeds_rejects_bad_inputs(spark):
     import pytest as _pt
 
