@@ -145,6 +145,7 @@ HEADLINE = [
     "web_domain_quality_join",
     "multimodal_ogg_codec_stats",
     "multimodal_mp4_pts_stats",
+    "graph_triangles",
 ]
 
 

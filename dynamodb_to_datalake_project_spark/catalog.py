@@ -62,6 +62,7 @@ _PRIORITY: list[str] = [
     "web_domain_quality_join",
     "multimodal_ogg_codec_stats",
     "multimodal_mp4_pts_stats",
+    "graph_triangles",
     # --- newest driver row r3: the freshness-rotation tail ---
     "q11_value_concentration",
     "q14_promo_revenue",

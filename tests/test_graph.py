@@ -343,3 +343,28 @@ def test_bfs_levels_matches_python_and_truncates_at_budget(spark):
     two = spark.createDataFrame([(0,), (5,)], "node long")
     gotm = {r.node: r.level for r in bfs_levels(df, two, n_rounds=3).collect()}
     assert gotm == py_bfs([0, 5], 3) and gotm[4] == 1 and gotm[3] == 2
+
+
+def test_triangle_count_hand_built_graph(spark):
+    """Known triangle structure: K4 on {0,1,2,3} (4 triangles, every
+    node in 3), an attached triangle {3,4,5}, a dangling path 5-6-7
+    (no triangles), and a duplicate/reversed/self-loop noise layer the
+    canonicalization must absorb."""
+    from dynamodb_to_datalake_project_spark.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    extra = [(3, 4), (4, 5), (3, 5), (5, 6), (6, 7)]
+    noise = [(1, 0), (2, 2), (4, 3)]  # reversed dup, self-loop, dup
+    df = spark.createDataFrame(k4 + extra + noise, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 4, 4: 1, 5: 1}
+    # global count = sum/3: K4 has 4, plus {3,4,5}
+    assert sum(got.values()) // 3 == 5
+
+    # star graph (max skew): zero triangles, and the wedge join must
+    # not explode — orientation sends every edge INTO the hub, so the
+    # hub has out-degree 0 and no wedges form at it
+    star = spark.createDataFrame(
+        [(100, i) for i in range(50)], "src long, dst long"
+    )
+    assert triangle_count(star).count() == 0

@@ -135,6 +135,7 @@ NOTES = {
     "web_domain_quality_join": "quality join-back: the domain-sized tier table BROADCASTS onto the corpus (corpus never reshuffles for the join), then one bounded (source, tier) agg",
     "multimodal_ogg_codec_stats": "Ogg codec identification: build + page-CRC walk + first-packet reassembly + Vorbis/Opus ID-header parse in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no sample decode",
     "multimodal_mp4_pts_stats": "MP4 presentation timing: two container builds (ctts+elst moov; trun-cts+tfdt fragments) + DTS->CTS->PTS resolution in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle",
+    "graph_triangles": "triangle counting: basket-bounded co-purchase pairs -> degree orientation (out-degree O(sqrt m) under any skew) -> ONE apex self-join for wedges -> one closure equi-join -> explode+count; all-integer",
 }
 
 
