@@ -2093,6 +2093,8 @@ def encode_mp4_container(
     modern B-frame idiom) and 'edits' (list of (segment_duration in
     MOVIE timescale, media_time) elst entries, rate 1.0; media_time -1
     = empty edit, segment_duration 0 on the last entry = to-end).
+    Optional 'sync_samples' (1-based sample indices) writes an stss
+    sync-sample table (§8.6.2: absent = every sample is a keyframe).
     'ctts_version'/'elst_version' force box versions for goldens."""
     import struct
 
@@ -2149,6 +2151,16 @@ def encode_mp4_container(
         stts = _mp4_full(
             b"stts", 0, 0, struct.pack(">III", 1, n, t["sample_delta"])
         )
+        stss = b""
+        if t.get("sync_samples") is not None:
+            idx = sorted(t["sync_samples"])
+            if idx and (idx[0] < 1 or idx[-1] > n):
+                raise ValueError("mp4: stss sample index out of range")
+            stss = _mp4_full(
+                b"stss", 0, 0,
+                struct.pack(">I", len(idx))
+                + b"".join(struct.pack(">I", i) for i in idx),
+            )
         ctts = b""
         if t.get("ctts_offsets") is not None:
             offs = t["ctts_offsets"]
@@ -2178,7 +2190,7 @@ def encode_mp4_container(
             + b"".join(struct.pack(">I", len(s)) for s in t["samples"]),
         )
         stco = _mp4_full(b"stco", 0, 0, struct.pack(">II", 1, stco_off))
-        stbl = _mp4_box(b"stbl", stsd + stts + ctts + stsc + stsz + stco)
+        stbl = _mp4_box(b"stbl", stsd + stts + ctts + stss + stsc + stsz + stco)
         dref = _mp4_full(
             b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b"")
         )
@@ -2388,6 +2400,12 @@ def parse_mp4_boxes(payload: bytes) -> dict:
                         struct.unpack_from(fmt, payload, body + 8 + 8 * i)
                         for i in range(n)
                     ]
+                elif fourcc == b"stss":
+                    (n,) = struct.unpack_from(">I", payload, body + 4)
+                    cur["stss"] = {
+                        struct.unpack_from(">I", payload, body + 8 + 4 * i)[0]
+                        for i in range(n)
+                    }
                 elif fourcc == b"elst":
                     v = payload[body]
                     (n,) = struct.unpack_from(">I", payload, body + 4)
@@ -2642,6 +2660,19 @@ def parse_mp4_boxes(payload: bytes) -> dict:
             movie_timescale,
         )
         presented = [p for p in pts_list if p is not None]
+        # stss: 1-based sync-sample indices; ABSENT means every sample
+        # is a keyframe (§8.6.2). Movie-fragment samples (appended
+        # after the moov table) count as sync here — the moov stss
+        # cannot describe them (their sync bits live in trun
+        # sample_flags, which this walk does not interpret).
+        stss = t.get("stss")
+        if stss is not None and stss and max(stss) > len(sizes):
+            raise ValueError("mp4: stss sample index out of range")
+        sync_pts = [
+            p
+            for i, p in enumerate(pts_list)
+            if p is not None and (stss is None or i >= len(sizes) or i + 1 in stss)
+        ]
 
         for off, sz in spans:
             if off + sz > len(payload):
@@ -2668,6 +2699,8 @@ def parse_mp4_boxes(payload: bytes) -> dict:
                 "pts_min": min(presented, default=0),
                 "pts_max": max(presented, default=0),
                 "pts_sum": sum(presented),
+                "n_sync": len(sync_pts),
+                "pts_sum_sync": sum(sync_pts),
             }
         )
     if frag_spans:
@@ -2832,6 +2865,8 @@ MP4_PTS_SCHEMA = T.StructType(
         T.StructField("pts_min", T.LongType()),
         T.StructField("pts_max", T.LongType()),
         T.StructField("pts_sum", T.LongType()),
+        T.StructField("n_sync", T.LongType()),
+        T.StructField("pts_sum_sync", T.LongType()),
     ]
 )
 
@@ -2861,6 +2896,8 @@ def mp4_pts_stats(docs: DataFrame) -> DataFrame:
             out["pts_min"].append(t["pts_min"])
             out["pts_max"].append(t["pts_max"])
             out["pts_sum"].append(t["pts_sum"])
+            out["n_sync"].append(t["n_sync"])
+            out["pts_sum_sync"].append(t["pts_sum_sync"])
 
         for pdf in batches:
             for doc_id in pdf["doc_id"]:
@@ -2880,6 +2917,10 @@ def mp4_pts_stats(docs: DataFrame) -> DataFrame:
                             "height": 16,
                             "ctts_offsets": [
                                 40 * ((did + i) % 3) - neg for i in range(nv)
+                            ],
+                            # every third sample is a keyframe (GOP-ish)
+                            "sync_samples": [
+                                i + 1 for i in range(nv) if (did + i) % 3 == 0
                             ],
                             # lead-trim edit: media_time = one frame for
                             # odd docs, to-end duration
@@ -2947,7 +2988,8 @@ def mp4_pts_stats(docs: DataFrame) -> DataFrame:
     ), vs AS (
       SELECT doc_id, mt, u.i, 40 * u.i AS dts,
              40 * u.i + 40 * ((doc_id + u.i) % 3) - neg AS cts,
-             40 * ((doc_id + u.i) % 3) - neg AS coff
+             40 * ((doc_id + u.i) % 3) - neg AS coff,
+             (doc_id + u.i) % 3 = 0 AS is_sync
       FROM t, LATERAL (SELECT unnest(range(0, nv)) AS i) u
     ), v AS (
       SELECT doc_id, 'mp4' AS container, CAST(1 AS BIGINT) AS track_id,
@@ -2960,7 +3002,11 @@ def mp4_pts_stats(docs: DataFrame) -> DataFrame:
              CAST(coalesce(max(cts - mt) FILTER (cts >= mt), 0)
                   AS BIGINT) AS pts_max,
              CAST(coalesce(sum(cts - mt) FILTER (cts >= mt), 0)
-                  AS BIGINT) AS pts_sum
+                  AS BIGINT) AS pts_sum,
+             CAST(count(*) FILTER (is_sync AND cts >= mt) AS BIGINT)
+               AS n_sync,
+             CAST(coalesce(sum(cts - mt) FILTER (is_sync AND cts >= mt), 0)
+                  AS BIGINT) AS pts_sum_sync
       FROM vs GROUP BY doc_id
     ), a AS (
       SELECT doc_id, 'mp4' AS container, CAST(2 AS BIGINT) AS track_id,
@@ -2970,7 +3016,9 @@ def mp4_pts_stats(docs: DataFrame) -> DataFrame:
              CAST(0 AS BIGINT) AS n_reordered,
              CAST(0 AS BIGINT) AS pts_min,
              CAST(1024 * (na - 1) AS BIGINT) AS pts_max,
-             CAST(1024 * na * (na - 1) // 2 AS BIGINT) AS pts_sum
+             CAST(1024 * na * (na - 1) // 2 AS BIGINT) AS pts_sum,
+             CAST(na AS BIGINT) AS n_sync,
+             CAST(1024 * na * (na - 1) // 2 AS BIGINT) AS pts_sum_sync
       FROM t
     ), fs0 AS (
       SELECT doc_id, fneg, u.f, v.j,
@@ -2990,7 +3038,9 @@ def mp4_pts_stats(docs: DataFrame) -> DataFrame:
              CAST(count(*) FILTER (coff <> 0) AS BIGINT) AS n_reordered,
              CAST(min(pts) AS BIGINT) AS pts_min,
              CAST(max(pts) AS BIGINT) AS pts_max,
-             CAST(sum(pts) AS BIGINT) AS pts_sum
+             CAST(sum(pts) AS BIGINT) AS pts_sum,
+             CAST(count(*) AS BIGINT) AS n_sync,
+             CAST(sum(pts) AS BIGINT) AS pts_sum_sync
       FROM fs GROUP BY doc_id
     )
     SELECT * FROM v UNION ALL SELECT * FROM a UNION ALL SELECT * FROM fv

@@ -1501,6 +1501,19 @@ def test_mp4_ctts_elst_presentation_timing():
     )["tracks"][0]
     assert t["pts_min"] == 200
 
+    # stss sync samples: 1-based indices; only PRESENTED keyframes
+    # count, and an absent stss means every sample is sync (§8.6.2)
+    t = multimodal.parse_mp4_boxes(
+        build([-40, 40, 0, 0], [(0, 40)], sync_samples=[1, 3])
+    )["tracks"][0]
+    # sample 1 (cts -40) is trimmed by the edit; sample 3 (cts 80,
+    # pts 40) survives — exactly one presented keyframe
+    assert (t["n_sync"], t["pts_sum_sync"]) == (1, 40)
+    t = multimodal.parse_mp4_boxes(build([80, 0, 40, 40], None))["tracks"][0]
+    assert t["n_sync"] == 4 and t["pts_sum_sync"] == t["pts_sum"]
+    with pytest.raises(ValueError, match="stss sample index"):
+        build(None, None, sync_samples=[5])
+
     # MUST-reject paths
     with pytest.raises(NotImplementedError, match="dwell"):
         multimodal._apply_edit_list([0], [(100, 0, 0.0)], 1000, 1000)
