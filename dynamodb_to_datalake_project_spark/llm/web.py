@@ -302,6 +302,9 @@ def q_web_url_canonicalize(spark, sf_dir):
     normalization step of a web-corpus pipeline. Map-only `parse_url` +
     regexp work; the oracle replays the synthesis formula AND the
     normalization in DuckDB string functions (full hash-match)."""
+    # no orderBy: the driver compare is order-insensitive, and a global
+    # sort over the full corpus is the one exchange this map-only plan
+    # would otherwise pay (the oracle keeps ORDER BY for readability)
     canon = canonicalize_urls(_docs_with_urls(spark, sf_dir))
     return canon.select(
         "doc_id",
@@ -313,7 +316,7 @@ def q_web_url_canonicalize(spark, sf_dir):
         "path_norm",
         "query_norm",
         "url_canonical",
-    ).orderBy("doc_id")
+    )
 
 
 @query(
