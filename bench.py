@@ -146,6 +146,8 @@ HEADLINE = [
     "multimodal_ogg_codec_stats",
     "multimodal_mp4_pts_stats",
     "graph_triangles",
+    "graph_clustering_coeff",
+    "web_url_dedup",
 ]
 
 

@@ -108,6 +108,12 @@ _PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "multimodal_wav_stats",
     "skew_salted_event_stats",
+    # --- also new in round 7, placed AFTER the stale-44 so the
+    # freshness rotation completes inside the ~50-entry window; these
+    # two get their first driver row in r8 (the in-repo oracle gate
+    # covers them meanwhile) ---
+    "graph_clustering_coeff",
+    "web_url_dedup",
     # --- r6-green but the round-7 PSI section_length fix changed the
     # emitted container bytes: re-pin ---
     "multimodal_mpegts_stats",

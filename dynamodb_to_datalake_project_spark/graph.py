@@ -1110,3 +1110,93 @@ def q_graph_triangles(spark, sf_dir):
         b2, (F.col("b1.o") == F.col("b2.o")) & (F.col("b1.p") < F.col("b2.p"))
     ).select(F.col("b1.p").alias("src"), F.col("b2.p").alias("dst"))
     return triangle_count(pairs).orderBy("node")
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: triangles(v) / C(deg(v), 2)
+    — how close a node's neighborhood is to a clique. The standard
+    cohesion score on top of `triangle_count`: genuine communities
+    score high, scraped link-farm stars score ~0 even at huge degree.
+    Returns (node, degree, n_triangles, coefficient) for every node
+    with degree >= 2; coefficient is one double division of exact
+    integers (the catalog float policy).
+
+    Scale shape: `triangle_count`'s cost plus one node-keyed degree
+    agg and one node-keyed LEFT join (nodes without triangles keep
+    coefficient 0) — nothing beyond node-sized tables added."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= 2)
+    )
+    tri = triangle_count(edges, src, dst)
+    joined = deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    )
+    pairs = (F.col("degree") * (F.col("degree") - 1) / 2).cast("double")
+    return joined.select(
+        "node",
+        "degree",
+        "n_triangles",
+        (F.col("n_triangles").cast("double") / pairs).alias("coefficient"),
+    )
+
+
+_CLUSTERING_ORACLE = (
+    _TRIANGLE_ORACLE.replace(
+        """
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      SELECT apex AS node FROM t
+      UNION ALL SELECT x FROM t
+      UNION ALL SELECT y FROM t
+    ) GROUP BY node ORDER BY node
+""",
+        """,
+    tri AS (
+      SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT apex AS node FROM t
+        UNION ALL SELECT x FROM t
+        UNION ALL SELECT y FROM t
+      ) GROUP BY node
+    )
+    SELECT deg.node,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(COALESCE(tri.n_triangles, 0) AS DOUBLE)
+             / CAST(deg.d * (deg.d - 1) / 2 AS DOUBLE) AS coefficient
+    FROM deg LEFT JOIN tri ON tri.node = deg.node
+    WHERE deg.d >= 2
+    ORDER BY deg.node
+""",
+    )
+)
+
+
+@query("graph_clustering_coeff", oracle=_CLUSTERING_ORACLE)
+def q_graph_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient over the part co-purchase graph
+    (same basket edges as `graph_triangles`): parts whose co-purchase
+    neighborhoods are cliques vs hub parts bought with everything.
+    Exact-integer triangle and degree counts, one double division —
+    hash-matches with no rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b1, b2 = baskets.alias("b1"), baskets.alias("b2")
+    pairs = b1.join(
+        b2, (F.col("b1.o") == F.col("b2.o")) & (F.col("b1.p") < F.col("b2.p"))
+    ).select(F.col("b1.p").alias("src"), F.col("b2.p").alias("dst"))
+    return clustering_coefficient(pairs).orderBy("node")

@@ -396,3 +396,130 @@ def q_web_domain_quality_join(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("source", "quality_tier")
     )
+
+
+def dedup_by_canonical_url(
+    canon: DataFrame, id_col: str = "doc_id", quality_col: str = "n_chars"
+) -> DataFrame:
+    """URL-level dedup — the crawl stage BEFORE content dedup: the
+    same page fetched many times (mirrors, recrawls, tracking-param
+    variants) collapses to one representative per `url_canonical`,
+    keeping the highest-quality fetch (quality desc, id asc — fully
+    deterministic). Returns one row per canonical URL with the kept
+    doc and the duplicate count.
+
+    Scale shape: ONE hash-partitioned window on url_canonical (the
+    `dedup.latest_wins` shape) — no join, no second scan; at 100 TB
+    the canonical URL is also the natural bucketing key for the
+    downstream store."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url_canonical").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        canon.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_fetches", F.count("*").over(Window.partitionBy("url_canonical"))
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "url_canonical",
+            F.col(id_col).alias("kept_doc_id"),
+            F.col(quality_col).alias("kept_quality"),
+            F.col("n_fetches").cast("long").alias("n_fetches"),
+        )
+    )
+
+
+#: recrawl-shaped fixture: the canonical key space is (site: d%7,
+#: page: d%5) — period 35, so even the 50-doc sf0.001 fixture carries
+#: real collisions, and larger SFs pile ~N/35 fetches onto each
+#: canonical URL. The VARIANTS the canonicalization must collapse stay
+#: rich: www-prefix (d%3), uppercase host+scheme (d%11), utm param
+#: (odd d), fragment (d%6), trailing slash (d%4).
+def _synth_recrawl_url(doc_id: Column, source: Column) -> Column:
+    d = doc_id
+    page = d % 5
+    site = F.element_at(F.array(*[F.lit(s) for s in _SITES]), (d % 7 + 1).cast("int"))
+    host = F.concat(
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        site,
+        F.lit(".com"),
+    )
+    host = F.when(d % 11 == 0, F.upper(host)).otherwise(host)
+    scheme = F.when(d % 11 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    path = F.concat(
+        F.lit("/articles/item-"),
+        page.cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    qry = F.concat(
+        F.lit("?"),
+        F.when(d % 2 == 1, F.lit("utm_source=feed&")).otherwise(F.lit("")),
+        F.lit("page="),
+        page.cast("string"),
+    )
+    frag = F.when(d % 6 == 0, F.lit("#top")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qry, frag)
+
+
+_RECRAWL_URL_SQL = """
+    (CASE WHEN doc_id % 11 = 0 THEN 'HTTPS' ELSE 'https' END)
+    || '://'
+    || (CASE WHEN doc_id % 11 = 0 THEN upper(u_host) ELSE u_host END)
+    || '/articles/item-' || CAST(doc_id % 5 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+    || '?'
+    || (CASE WHEN doc_id % 2 = 1 THEN 'utm_source=feed&' ELSE '' END)
+    || 'page=' || CAST(doc_id % 5 AS VARCHAR)
+    || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END)
+"""
+
+
+@query(
+    "web_url_dedup",
+    oracle=f"""
+    WITH u0 AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+             || (['news','blog','docs','wiki','shop','forum','cdn'])
+                [(doc_id % 7) + 1]
+             || '.com' AS u_host
+      FROM documents
+    ),
+    u AS (
+      SELECT d.doc_id, d.n_chars, {_RECRAWL_URL_SQL} AS url
+      FROM u0 JOIN documents d USING (doc_id)
+    ),
+    {_CANON_SQL},
+    ranked AS (
+      SELECT url_canonical, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY url_canonical
+               ORDER BY n_chars DESC, doc_id ASC
+             ) AS rn,
+             count(*) OVER (PARTITION BY url_canonical) AS n_fetches
+      FROM canon
+    )
+    SELECT url_canonical,
+           CAST(doc_id AS BIGINT) AS kept_doc_id,
+           CAST(n_chars AS BIGINT) AS kept_quality,
+           CAST(n_fetches AS BIGINT) AS n_fetches
+    FROM ranked WHERE rn = 1
+    ORDER BY url_canonical
+    """,
+)
+def q_web_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup over a recrawl-shaped fixture (the same
+    page id fetched under tracking-param/fragment/case variants):
+    canonicalization collapses the variants, one window keeps the
+    highest-quality fetch per canonical URL. The crawl-side stage that
+    runs BEFORE content dedup. Full hash-match oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = canonicalize_urls(
+        docs.withColumn(
+            "url", _synth_recrawl_url(F.col("doc_id"), F.col("source"))
+        )
+    )
+    return dedup_by_canonical_url(canon)

@@ -368,3 +368,23 @@ def test_triangle_count_hand_built_graph(spark):
         [(100, i) for i in range(50)], "src long, dst long"
     )
     assert triangle_count(star).count() == 0
+
+
+def test_clustering_coefficient_hand_built(spark):
+    """K4 nodes have coefficient 1.0 (neighborhood is a clique); a
+    path's interior node 0.0; the K4 node bridged to an outside
+    triangle drops below 1."""
+    from dynamodb_to_datalake_project_spark.graph import clustering_coefficient
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    extra = [(3, 4), (4, 5), (3, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(k4 + extra, "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["coefficient"])
+        for r in clustering_coefficient(df).collect()
+    }
+    assert got[0] == (3, 3, 1.0) and got[1] == (3, 3, 1.0)
+    assert got[3] == (5, 4, 0.4)  # deg 5 -> 10 pairs, 4 triangles
+    assert got[5] == (3, 1, 1 / 3)
+    assert got[6] == (2, 0, 0.0)  # path interior: no triangle
+    assert 7 not in got  # degree 1: coefficient undefined, excluded

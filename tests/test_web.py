@@ -104,3 +104,46 @@ def test_synth_url_covers_all_branches(spark):
     assert all(
         not r["path_norm"].endswith("/") for r in rows
     )  # trailing slashes stripped (no root-path URLs in the fixture)
+
+
+def test_url_dedup_collapses_variants(spark):
+    """Tracking-param / fragment / case variants of one page collapse
+    to a single canonical row keeping the highest-quality fetch (ties
+    to lowest id), with the fetch count preserved."""
+    from dynamodb_to_datalake_project_spark.llm.web import (
+        canonicalize_urls,
+        dedup_by_canonical_url,
+    )
+
+    rows = [
+        (1, "https://www.a.com/p?utm_source=x&id=7", 100),
+        (2, "HTTPS://A.COM/p?id=7#frag", 300),
+        (3, "https://a.com/p/?id=7", 300),  # ties with 2 -> lowest id wins
+        (4, "https://a.com/q?id=8", 50),
+    ]
+    canon = canonicalize_urls(
+        spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    )
+    got = {
+        r["url_canonical"]: (r["kept_doc_id"], r["kept_quality"], r["n_fetches"])
+        for r in dedup_by_canonical_url(canon).collect()
+    }
+    assert got == {
+        "https://a.com/p?id=7": (2, 300, 3),
+        "https://a.com/q?id=8": (4, 50, 1),
+    }
+
+
+def test_url_dedup_fixture_has_real_collisions(spark):
+    """The recrawl fixture must actually exercise the dedup (every
+    canonical URL carrying only one fetch would prove nothing)."""
+    from dynamodb_to_datalake_project_spark.catalog import QUERIES, load_all
+    from dynamodb_to_datalake_project_spark.lake import load_table
+    from tests.conftest import SF_DIR
+
+    load_all()
+    rows = QUERIES["web_url_dedup"](spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_fetches"] for r in rows) == n_docs
+    assert any(r["n_fetches"] > 1 for r in rows)
+    assert len(rows) < n_docs

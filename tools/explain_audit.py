@@ -136,6 +136,8 @@ NOTES = {
     "multimodal_ogg_codec_stats": "Ogg codec identification: build + page-CRC walk + first-packet reassembly + Vorbis/Opus ID-header parse in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle, no sample decode",
     "multimodal_mp4_pts_stats": "MP4 presentation timing: two container builds (ctts+elst moov; trun-cts+tfdt fragments) + DTS->CTS->PTS resolution in ONE ArrowEvalPython mapInPandas stage — map-only, no shuffle",
     "graph_triangles": "triangle counting: basket-bounded co-purchase pairs -> degree orientation (out-degree O(sqrt m) under any skew) -> ONE apex self-join for wedges -> one closure equi-join -> explode+count; all-integer",
+    "graph_clustering_coeff": "triangle_count's plan + one node-keyed degree agg + one node-keyed LEFT join; coefficient = one double division of exact integers",
+    "web_url_dedup": "canonicalization (map-only) -> ONE hash-partitioned window on url_canonical (latest-wins shape): no join, no second scan",
 }
 
 
