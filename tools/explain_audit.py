@@ -102,7 +102,7 @@ NOTES = {
     "sketch_hll_daily_users": "DataSketches HLL rollup: map-side partial sketch agg below the first exchange, day-level hll_union_agg — distinct-over-time from mergeable aggregates, never re-scanning raw rows at the coarser grain",
     "graph_pagerank": "5 fixed PageRank iterations: degree-annotated edge list checkpointed ONCE (ExistingRDD here) and re-joined per round against the node-sized rank table; DECIMAL(28,18)-exact contribution sums keep the result accumulation-order-free; equi-joins only",
     "graph_pagerank_weighted": "same loop with integral lineitem-count edge weights (rank flows proportional to trade volume): out-strength replaces degree, contribution = pr*w/strength; exact weight sums preserve the determinism contract",
-    "cluster_kmeans_train": "final plan is the k*d-row literal result — the work happened in the training loop: per iteration one map-only literal-centroid argmin fold over the corpus (zero exchanges, pinned in test_cluster.py), one k*d-bounded partial-agg shuffle, one k*d driver collect",
+    "cluster_kmeans_train": "final plan is the k*d-row literal result — the work happened in the training loop: per iteration one map-only Arrow exact-fold assignment over the corpus (bit-identical to the literal Catalyst fold, ~6x faster per row; zero exchanges), one k*d-bounded partial-agg shuffle, one k*d driver collect",
     "dedup_semantic_trained": "SemDeDup over TRAINED cells: 2 Lloyd iterations (see cluster_kmeans_train) -> broadcast trained-centroid routing -> within-cell cosine pairs only (the equi-join on cell is the whole cost model: O(sum |cell|^2), sharded across the cluster by the cell key)",
     "cluster_kmeans_maximin": "farthest-first (Gonzalez) seeding: k-1 corpus scans each ending in a 1-row TakeOrdered against a literal seed array (no shuffle), then the same Lloyd loop as cluster_kmeans_train; final plan is the literal result table",
     "cluster_silhouette": "simplified silhouette (O(n*k) vs exact O(n^2)): ONE corpus scan sorts k literal-centroid distances per row (a = ranked[0], b = ranked[1]), exact-decimal per-cluster mean behind the single k-key exchange",
