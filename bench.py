@@ -148,6 +148,7 @@ HEADLINE = [
     "graph_triangles",
     "graph_clustering_coeff",
     "web_url_dedup",
+    "multimodal_ogg_tags",
 ]
 
 

@@ -3381,9 +3381,10 @@ def parse_ogg_pages(payload: bytes) -> dict:
     Returns page/packet counts, payload byte total, the final granule
     position, serial, BOS/EOS presence, the first byte of every
     PACKET (not page) — proof lacing reassembly lands on real packet
-    boundaries — and the reassembled bytes of the FIRST packet (the
-    codec identification header on a spec-conformant stream; RFC 3533
-    §4 + RFC 7845 §3 / Vorbis I §4.2.1 require it alone on page 0)."""
+    boundaries — and the reassembled bytes of the FIRST TWO packets
+    (on a spec-conformant stream: the codec identification header,
+    alone on page 0 per RFC 3533 §4 + RFC 7845 §3 / Vorbis I §4.2.1,
+    and the comment/tags header that both specs put next)."""
     import struct as _struct
 
     pos, end = 0, len(payload)
@@ -3393,8 +3394,7 @@ def parse_ogg_pages(payload: bytes) -> dict:
     bos = eos = 0
     expect_seq = 0
     in_packet = False
-    first_packet = bytearray()
-    first_packet_done = False
+    head_packets: "list[bytearray]" = [bytearray()]
     while pos < end:
         if payload[pos : pos + 4] != b"OggS":
             raise ValueError(f"ogg: lost capture pattern at offset {pos}")
@@ -3434,12 +3434,13 @@ def parse_ogg_pages(payload: bytes) -> dict:
         for lv in lacing:
             if not in_packet and lv > 0:
                 first_byte_sum += payload[off]
-            if not first_packet_done:
-                first_packet += payload[off : off + lv]
+            if len(head_packets) <= 2:
+                head_packets[-1] += payload[off : off + lv]
             in_packet = lv == 255
             if lv < 255:
                 n_packets += 1
-                first_packet_done = True
+                if len(head_packets) <= 2:
+                    head_packets.append(bytearray())
             off += lv
         payload_bytes += body_len
         pos = body_start + body_len
@@ -3455,7 +3456,8 @@ def parse_ogg_pages(payload: bytes) -> dict:
         "serial": serial,
         "first_byte_sum": first_byte_sum,
         "bos_eos_ok": int(bos == 1 and eos == 1),
-        "first_packet": bytes(first_packet),
+        "first_packet": bytes(head_packets[0]),
+        "second_packet": bytes(head_packets[1]) if len(head_packets) > 1 else b"",
     }
 
 
@@ -3683,6 +3685,80 @@ def identify_ogg_codec(first_packet: bytes) -> dict:
     raise ValueError("ogg: first packet is not a known identification header")
 
 
+def _encode_comment_body(vendor: str, comments: "list[tuple[str, str]]") -> bytes:
+    import struct as _struct
+
+    vb = vendor.encode()
+    out = _struct.pack("<I", len(vb)) + vb + _struct.pack("<I", len(comments))
+    for k, v in comments:
+        field = f"{k}={v}".encode()
+        out += _struct.pack("<I", len(field)) + field
+    return out
+
+
+def encode_opus_tags(vendor: str, comments: "list[tuple[str, str]]") -> bytes:
+    """OpusTags packet (RFC 7845 §5.2): 'OpusTags' + the Vorbis-comment
+    structure (LE-length-prefixed vendor string + count + K=V fields),
+    no framing bit."""
+    return b"OpusTags" + _encode_comment_body(vendor, comments)
+
+
+def encode_vorbis_comment_header(
+    vendor: str, comments: "list[tuple[str, str]]"
+) -> bytes:
+    """Vorbis comment header (Vorbis I §5): packet type 0x03 + 'vorbis'
+    + the comment structure + the framing bit."""
+    return b"\x03vorbis" + _encode_comment_body(vendor, comments) + b"\x01"
+
+
+def parse_ogg_comments(pkt: bytes) -> dict:
+    """Parse an OpusTags or Vorbis comment header — the metadata block
+    (TITLE/ARTIST/LANGUAGE…) an ingest pipeline reads for routing and
+    provenance without touching audio. Validates magic, every length
+    against the packet bounds, UTF-8 decode, the mandatory '=' in each
+    field, and (Vorbis) the framing bit; each violation raises
+    (corrupt-upload quarantine). Returns vendor + a key-ordered-as-
+    written list of (KEY, value) with keys uppercased per the spec's
+    case-insensitive field-name rule."""
+    import struct as _struct
+
+    if pkt[:8] == b"OpusTags":
+        o, framed = 8, False
+    elif pkt[:7] == b"\x03vorbis":
+        o, framed = 7, True
+    else:
+        raise ValueError("ogg: not a comment/tags header")
+    if o + 4 > len(pkt):
+        raise ValueError("ogg: comment header truncated before vendor length")
+    (vlen,) = _struct.unpack_from("<I", pkt, o)
+    o += 4
+    if o + vlen > len(pkt):
+        raise ValueError("ogg: vendor string overruns the packet")
+    vendor = pkt[o : o + vlen].decode("utf-8")
+    o += vlen
+    if o + 4 > len(pkt):
+        raise ValueError("ogg: comment header truncated before list length")
+    (n,) = _struct.unpack_from("<I", pkt, o)
+    o += 4
+    comments: "list[tuple[str, str]]" = []
+    for _ in range(n):
+        if o + 4 > len(pkt):
+            raise ValueError("ogg: comment list truncated")
+        (flen,) = _struct.unpack_from("<I", pkt, o)
+        o += 4
+        if o + flen > len(pkt):
+            raise ValueError("ogg: comment field overruns the packet")
+        field = pkt[o : o + flen].decode("utf-8")
+        o += flen
+        if "=" not in field:
+            raise ValueError(f"ogg: comment field without '=': {field[:40]!r}")
+        k, v = field.split("=", 1)
+        comments.append((k.upper(), v))
+    if framed and not (o < len(pkt) and pkt[o] & 0x01):
+        raise ValueError("ogg: vorbis comment framing bit unset")
+    return {"vendor": vendor, "n_comments": n, "comments": comments}
+
+
 _OGG_RATES = (8000, 12000, 16000, 24000, 48000)
 
 OGG_CODEC_SCHEMA = T.StructType(
@@ -3798,6 +3874,106 @@ def q_multimodal_ogg_codec_stats(spark, sf_dir):
     integer formulas with no parser."""
     docs = load_table(spark, sf_dir, "documents")
     return ogg_codec_stats(docs)
+
+
+OGG_TAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("vendor", T.StringType()),
+        T.StructField("n_comments", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("source_tag", T.StringType()),
+        T.StructField("artist", T.StringType()),
+    ]
+)
+
+
+def ogg_tags_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize a FULLY spec-conformant Opus-in-Ogg stream per
+    document (RFC 7845 §3: OpusHead alone on the BOS page, OpusTags on
+    the next page, audio after), demux with `parse_ogg_pages` (CRCs
+    recomputed), and read the metadata back out of the reassembled
+    second packet — title/language/source/artist, the provenance block
+    an ingest pipeline routes on. The LANGUAGE/SOURCE tags carry REAL
+    table columns, so the oracle reads them straight off `documents`.
+    Arrow `mapInPandas`, map-only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in OGG_TAGS_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id, lang, source in zip(
+                pdf["doc_id"], pdf["lang"], pdf["source"]
+            ):
+                did = int(doc_id)
+                comments = [
+                    ("TITLE", f"doc-{did}"),
+                    ("LANGUAGE", str(lang)),
+                    ("SOURCE", str(source)),
+                ]
+                if did % 3 == 0:
+                    comments.append(("ARTIST", f"a{did % 7}"))
+                hdr = encode_opus_id_header(
+                    1 + (did % 5) % 2, 312 + did % 100, _OGG_RATES[did % 5]
+                )
+                tags = encode_opus_tags(f"engine-{did % 10}", comments)
+                pages = [[hdr], [tags]]
+                for p in range(2, 4 + did % 3):
+                    pages.append(
+                        [bytes([(did + p) % 256]) * (25 + (did * 3 + p) % 60)]
+                    )
+                granules = [0, 0] + [
+                    p * 960 for p in range(2, len(pages))
+                ]
+                d = parse_ogg_pages(
+                    encode_ogg_stream(pages, did % 100000, granules)
+                )
+                identify_ogg_codec(d["first_packet"])  # validates OpusHead
+                meta = parse_ogg_comments(d["second_packet"])
+                tagmap = dict(meta["comments"])
+                out["doc_id"].append(did)
+                out["vendor"].append(meta["vendor"])
+                out["n_comments"].append(meta["n_comments"])
+                out["title"].append(tagmap.get("TITLE"))
+                out["language"].append(tagmap.get("LANGUAGE"))
+                out["source_tag"].append(tagmap.get("SOURCE"))
+                out["artist"].append(tagmap.get("ARTIST"))
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "lang", "source")
+        .repartition(par)
+        .mapInPandas(op, OGG_TAGS_SCHEMA)
+    )
+
+
+@query(
+    "multimodal_ogg_tags",
+    oracle="""
+    SELECT doc_id,
+           'engine-' || CAST(doc_id % 10 AS VARCHAR) AS vendor,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS BIGINT)
+             AS n_comments,
+           'doc-' || CAST(doc_id AS VARCHAR) AS title,
+           lang AS language,
+           source AS source_tag,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'a' || CAST(doc_id % 7 AS VARCHAR) END AS artist
+    FROM documents
+    """,
+)
+def q_multimodal_ogg_tags(spark, sf_dir):
+    """Opus metadata extraction over the documents table: a
+    spec-conformant OpusHead + OpusTags + audio stream per document,
+    demuxed with full CRC verification, the comment header parsed from
+    the reassembled second packet. LANGUAGE/SOURCE carry real table
+    columns, so the DuckDB oracle reads the expected tags straight off
+    `documents` with no parser — a full hash match pins the Ogg
+    framing, the packet reassembly, AND the comment-structure walk."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ogg_tags_stats(docs)
 
 
 def encode_mp4_fragmented(

@@ -1841,6 +1841,7 @@ def test_ogg_roundtrip_and_cross_page_continuation():
         "first_byte_sum": 0x07 + 0x09 + 0x0B,
         "bos_eos_ok": 1,
         "first_packet": b"\x07" * 300,
+        "second_packet": b"\x09" * 255,
     }
     # cross-page packet: page 0 ends mid-packet (lacing 255), page 1
     # carries the continuation flag and terminates it
@@ -1943,6 +1944,71 @@ def test_ogg_id_header_goldens_and_validation():
     parsed = multimodal.parse_ogg_pages(stream)
     ident = multimodal.identify_ogg_codec(parsed["first_packet"])
     assert ident["pre_skip"] == 312 and parsed["n_packets"] == 2
+
+
+def test_ogg_comment_headers_golden_and_validation():
+    """Spec-built comment/tags headers (RFC 7845 §5.2 / Vorbis I §5):
+    hand-packed golden bytes, key-case normalization, multi-'=' values,
+    and every truncation/validation rejection path."""
+    import struct
+
+    # golden OpusTags: vendor 'libopus', TITLE=x — byte-for-byte
+    golden = (
+        b"OpusTags"
+        + struct.pack("<I", 7) + b"libopus"
+        + struct.pack("<I", 1)
+        + struct.pack("<I", 7) + b"TITLE=x"
+    )
+    d = multimodal.parse_ogg_comments(golden)
+    assert d == {"vendor": "libopus", "n_comments": 1,
+                 "comments": [("TITLE", "x")]}
+    assert multimodal.encode_opus_tags("libopus", [("TITLE", "x")]) == golden
+
+    # vorbis variant carries the framing bit; keys normalize to upper,
+    # values keep '=' after the first
+    vc = multimodal.encode_vorbis_comment_header(
+        "xiph", [("title", "a=b"), ("Language", "en")]
+    )
+    d = multimodal.parse_ogg_comments(vc)
+    assert d["comments"] == [("TITLE", "a=b"), ("LANGUAGE", "en")]
+
+    with pytest.raises(ValueError, match="framing bit"):
+        multimodal.parse_ogg_comments(vc[:-1] + b"\x00")
+    with pytest.raises(ValueError, match="not a comment"):
+        multimodal.parse_ogg_comments(b"OpusHead" + b"\x00" * 12)
+    with pytest.raises(ValueError, match="vendor string overruns"):
+        multimodal.parse_ogg_comments(
+            b"OpusTags" + struct.pack("<I", 99) + b"short"
+        )
+    with pytest.raises(ValueError, match="comment list truncated"):
+        multimodal.parse_ogg_comments(
+            b"OpusTags" + struct.pack("<I", 0) + struct.pack("<I", 2)
+            + struct.pack("<I", 3) + b"A=b"
+        )
+    with pytest.raises(ValueError, match="field overruns"):
+        multimodal.parse_ogg_comments(
+            b"OpusTags" + struct.pack("<I", 0) + struct.pack("<I", 1)
+            + struct.pack("<I", 99) + b"A=b"
+        )
+    with pytest.raises(ValueError, match="without '='"):
+        multimodal.parse_ogg_comments(
+            b"OpusTags" + struct.pack("<I", 0) + struct.pack("<I", 1)
+            + struct.pack("<I", 3) + b"abc"
+        )
+
+    # full conformant stream: OpusHead page, OpusTags page, audio —
+    # second-packet reassembly across a lacing boundary (tags > 255 B)
+    tags = multimodal.encode_opus_tags(
+        "v", [("TITLE", "t" * 300)]
+    )
+    stream = multimodal.encode_ogg_stream(
+        [[multimodal.encode_opus_id_header(2, 312)], [tags], [b"\xaa" * 30]],
+        5,
+        [0, 0, 960],
+    )
+    parsed = multimodal.parse_ogg_pages(stream)
+    got = multimodal.parse_ogg_comments(parsed["second_packet"])
+    assert got["comments"][0][1] == "t" * 300
 
 
 def test_ogg_corrupt_streams_fail_cleanly():
