@@ -149,6 +149,7 @@ HEADLINE = [
     "graph_clustering_coeff",
     "web_url_dedup",
     "multimodal_ogg_tags",
+    "multimodal_mp3_tags",
 ]
 
 

@@ -115,6 +115,7 @@ _PRIORITY: list[str] = [
     "graph_clustering_coeff",
     "web_url_dedup",
     "multimodal_ogg_tags",
+    "multimodal_mp3_tags",
     # --- r6-green but the round-7 PSI section_length fix changed the
     # emitted container bytes: re-pin ---
     "multimodal_mpegts_stats",

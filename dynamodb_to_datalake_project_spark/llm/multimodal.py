@@ -3115,6 +3115,87 @@ def encode_mp3_stream(
     return bytes(out)
 
 
+def encode_id3v2_frames(
+    frames: "list[tuple[str, str]]", version: int = 3
+) -> bytes:
+    """ID3v2 frame block (the tag BODY `encode_mp3_stream` wraps in a
+    v2.3 header): per frame a 4-char id, the size (plain 32-bit BE in
+    v2.3, syncsafe in v2.4 — the wire difference that breaks naive
+    parsers), two zero flag bytes, then encoding byte 0x03 (UTF-8) +
+    text — id3v2.3.0 §3.3 / id3v2.4.0-structure §4."""
+    import struct as _struct
+
+    out = bytearray()
+    for fid, text in frames:
+        if len(fid) != 4:
+            raise ValueError(f"id3: frame id must be 4 chars, got {fid!r}")
+        body = b"\x03" + text.encode("utf-8")
+        size = _syncsafe(len(body)) if version == 4 else _struct.pack(
+            ">I", len(body)
+        )
+        out += fid.encode("ascii") + size + b"\x00\x00" + body
+    return bytes(out)
+
+
+def parse_id3v2(payload: bytes) -> dict:
+    """Parse a leading ID3v2 tag (v2.3 or v2.4): header version +
+    syncsafe tag size, then a frame walk — v2.3 plain sizes vs v2.4
+    syncsafe sizes, stop at zero-padding, text frames (T***) decoded
+    per their encoding byte (0x00 latin-1 / 0x01 UTF-16 w/ BOM / 0x03
+    UTF-8), other frames skipped by size. Raises on missing tag,
+    unsupported versions, frames overrunning the tag, or unknown text
+    encodings — corrupt-upload quarantine. Returns version and the
+    (id, text) list in wire order."""
+    import struct as _struct
+
+    if payload[:3] != b"ID3":
+        raise ValueError("id3: no ID3v2 tag")
+    if len(payload) < 10:
+        raise ValueError("id3: truncated ID3v2 header")
+    ver = payload[3]
+    if ver not in (3, 4):
+        raise ValueError(f"id3: unsupported ID3v2.{ver} tag")
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise ValueError("id3: non-syncsafe tag size")
+        size = (size << 7) | b
+    end = 10 + size
+    if end > len(payload):
+        raise ValueError("id3: tag size overruns the payload")
+    pos = 10
+    frames: "list[tuple[str, str]]" = []
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid[0] == 0:
+            break  # zero padding
+        if ver == 4:
+            fsize = 0
+            for b in payload[pos + 4 : pos + 8]:
+                if b & 0x80:
+                    raise ValueError("id3: non-syncsafe v2.4 frame size")
+                fsize = (fsize << 7) | b
+        else:
+            (fsize,) = _struct.unpack_from(">I", payload, pos + 4)
+        body_at = pos + 10
+        if body_at + fsize > end:
+            raise ValueError(f"id3: frame {fid!r} overruns the tag")
+        if fid[:1] == b"T" and fsize >= 1:
+            enc = payload[body_at]
+            raw = payload[body_at + 1 : body_at + fsize]
+            if enc == 0x00:
+                text = raw.decode("latin-1")
+            elif enc == 0x01:
+                text = raw.decode("utf-16")
+            elif enc == 0x03:
+                text = raw.decode("utf-8")
+            else:
+                raise ValueError(f"id3: unknown text encoding {enc}")
+            frames.append((fid.decode("ascii"), text.rstrip("\x00")))
+        pos = body_at + fsize
+    return {"version": ver, "frames": frames}
+
+
 def parse_mp3_frames(payload: bytes) -> dict:
     """REAL mp3 frame-sync walk (demux half, mirroring
     `parse_mp4_boxes`): skip a leading ID3v2 tag by its syncsafe size,
@@ -3298,6 +3379,91 @@ def q_multimodal_mp3_stats(spark, sf_dir):
     the first-payload-byte checksum)."""
     docs = load_table(spark, sf_dir, "documents")
     return mp3_stream_stats(docs)
+
+
+MP3_TAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("id3_version", T.LongType()),
+        T.StructField("n_text_frames", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def mp3_tags_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize an mp3 per document with a REAL ID3v2.3 tag (TIT2 /
+    TLAN carrying actual table columns, TPE1 on every third doc),
+    demux the audio framing with `parse_mp3_frames` AND parse the tag
+    with `parse_id3v2` — the metadata an audio-ingest pipeline routes
+    on without touching a granule. Arrow `mapInPandas`, map-only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in MP3_TAGS_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id, lang in zip(pdf["doc_id"], pdf["lang"]):
+                did = int(doc_id)
+                frames = [("TIT2", f"doc-{did}"), ("TLAN", str(lang))]
+                if did % 3 == 0:
+                    frames.append(("TPE1", f"artist-{did % 7}"))
+                tag_body = encode_id3v2_frames(frames, version=3)
+                nf = 2 + did % 4
+                payload = encode_mp3_stream(
+                    [
+                        (1 + (did + i) % 14, (did + i) % 2, bytes([(did + i) % 256]))
+                        for i in range(nf)
+                    ],
+                    sr_idx=did % 3,
+                    id3v2=tag_body,
+                )
+                d = parse_mp3_frames(payload)  # validates the framing walk
+                t = parse_id3v2(payload)
+                tagmap = dict(t["frames"])
+                out["doc_id"].append(did)
+                out["id3_version"].append(t["version"])
+                out["n_text_frames"].append(len(t["frames"]))
+                out["title"].append(tagmap.get("TIT2"))
+                out["language"].append(tagmap.get("TLAN"))
+                out["artist"].append(tagmap.get("TPE1"))
+                out["n_frames"].append(d["n_frames"])
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "lang")
+        .repartition(par)
+        .mapInPandas(op, MP3_TAGS_SCHEMA)
+    )
+
+
+@query(
+    "multimodal_mp3_tags",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS id3_version,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT)
+             AS n_text_frames,
+           'doc-' || CAST(doc_id AS VARCHAR) AS title,
+           lang AS language,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'artist-' || CAST(doc_id % 7 AS VARCHAR) END AS artist,
+           CAST(2 + doc_id % 4 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def q_multimodal_mp3_tags(spark, sf_dir):
+    """ID3v2 metadata extraction over the documents table: a real
+    v2.3 tag (TIT2/TLAN/TPE1 text frames, TLAN carrying the actual
+    lang column) ahead of a valid Layer III frame walk; both parsers
+    run per document. The DuckDB oracle reads the expected tags
+    straight off `documents` — a hash match pins the syncsafe header
+    math, the frame-size dialect, AND the text-encoding decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mp3_tags_stats(docs)
 
 
 # ---------------------------------------------------------------------------

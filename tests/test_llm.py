@@ -2381,6 +2381,56 @@ def test_mpegts_psi_section_length_is_spec_exact():
     assert mpegts.mpeg_crc32(sec[:-4]) == _s.unpack(">I", sec[-4:])[0]
 
 
+def test_id3v2_goldens_and_validation():
+    """ID3v2 text-frame parse: hand-built v2.3 (plain frame sizes) and
+    v2.4 (syncsafe) tags, all three text encodings, padding stop,
+    non-text-frame skip, and the rejection paths."""
+    import struct
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    body = m.encode_id3v2_frames([("TIT2", "hello"), ("TLAN", "en")])
+    tag = b"ID3" + bytes((3, 0, 0)) + m._syncsafe(len(body)) + body
+    d = m.parse_id3v2(tag + b"\xff\xfb")  # audio may follow
+    assert d == {"version": 3, "frames": [("TIT2", "hello"), ("TLAN", "en")]}
+
+    # v2.4: syncsafe frame sizes — a v2.3-style plain size > 0x7F in
+    # any byte would be rejected
+    body4 = m.encode_id3v2_frames([("TIT2", "x" * 200)], version=4)
+    tag4 = b"ID3" + bytes((4, 0, 0)) + m._syncsafe(len(body4)) + body4
+    assert m.parse_id3v2(tag4)["frames"] == [("TIT2", "x" * 200)]
+
+    # latin-1 and UTF-16-with-BOM encodings, trailing NUL stripped
+    f_l1 = b"TALB" + struct.pack(">I", 5) + b"\x00\x00" + b"\x00ab\xe9\x00"
+    f_u16 = (
+        b"TPE1"
+        + struct.pack(">I", 1 + len("hi".encode("utf-16")))
+        + b"\x00\x00"
+        + b"\x01"
+        + "hi".encode("utf-16")
+    )
+    # a non-text frame (APIC) that must be SKIPPED by size, then padding
+    f_apic = b"APIC" + struct.pack(">I", 3) + b"\x00\x00" + b"\x01\x02\x03"
+    body = f_apic + f_l1 + f_u16 + b"\x00" * 8
+    tag = b"ID3" + bytes((3, 0, 0)) + m._syncsafe(len(body)) + body
+    assert m.parse_id3v2(tag)["frames"] == [("TALB", "ab\xe9"), ("TPE1", "hi")]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no ID3v2 tag"):
+        m.parse_id3v2(b"\xff\xfb\x90\x40")
+    with _pt.raises(ValueError, match="unsupported ID3v2.2"):
+        m.parse_id3v2(b"ID3" + bytes((2, 0, 0)) + m._syncsafe(0))
+    with _pt.raises(ValueError, match="overruns the tag"):
+        bad = b"TIT2" + struct.pack(">I", 99) + b"\x00\x00" + b"\x03x"
+        m.parse_id3v2(b"ID3" + bytes((3, 0, 0)) + m._syncsafe(len(bad)) + bad)
+    with _pt.raises(ValueError, match="unknown text encoding"):
+        bad = b"TIT2" + struct.pack(">I", 2) + b"\x00\x00" + b"\x07x"
+        m.parse_id3v2(b"ID3" + bytes((3, 0, 0)) + m._syncsafe(len(bad)) + bad)
+    with _pt.raises(ValueError, match="tag size overruns"):
+        m.parse_id3v2(b"ID3" + bytes((3, 0, 0)) + m._syncsafe(999))
+
+
 def test_hll_overlap_equals_exact_at_fixture_scale(spark):
     """At fixture cardinality HLL stays in exact list mode, so the
     sketch-algebra overlap must equal the exact twin row-for-row —
