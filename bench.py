@@ -150,6 +150,7 @@ HEADLINE = [
     "web_url_dedup",
     "multimodal_ogg_tags",
     "multimodal_mp3_tags",
+    "ts_gapfill_locf",
 ]
 
 

@@ -116,6 +116,7 @@ _PRIORITY: list[str] = [
     "web_url_dedup",
     "multimodal_ogg_tags",
     "multimodal_mp3_tags",
+    "ts_gapfill_locf",
     # --- r6-green but the round-7 PSI section_length fix changed the
     # emitted container bytes: re-pin ---
     "multimodal_mpegts_stats",

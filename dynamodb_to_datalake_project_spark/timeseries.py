@@ -701,3 +701,134 @@ def q_w5_sliding_time_window(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+def gapfill_resample(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Resample an irregular series onto a regular grid and fill the
+    gaps — the hypertable `time_bucket_gapfill` + `locf` + `interpolate`
+    shape. Per (key, bucket): n_obs and the exact-decimal bucket mean;
+    then a dense per-key spine from the first to the last observed
+    bucket, LOCF via `last(ignorenulls)` and linear interpolation from
+    the straddling observed buckets.
+
+    Scale path: the raw-event pass is ONE (key, bucket) hash
+    aggregation; everything after (spine build, left join, fill
+    windows) runs on the bucket table, which is smaller than the raw
+    events by the per-bucket event multiplicity and bounded by
+    keys x time-span/bucket. Nothing rescans or reshuffles raw events.
+    Gap rows are interior by construction (the spine spans observed
+    buckets), so both interpolation neighbors always exist.
+    """
+    t = F.unix_micros(F.col(ts_col))
+    obs = (
+        events.select(
+            F.col(key),
+            F.floor(t / F.lit(bucket_us)).cast("long").alias("bucket"),
+            F.col(value_col).cast("decimal(18,2)").alias("__v"),
+        )
+        .groupBy(key, "bucket")
+        .agg(
+            F.count("*").alias("n_obs"),
+            (F.sum("__v").cast("double") / F.count("*")).alias("__avg"),
+        )
+    )
+    spine = (
+        obs.groupBy(key)
+        .agg(F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx"))
+        .select(key, F.explode(F.sequence("__mn", "__mx")).alias("bucket"))
+    )
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pb = F.when(F.col("__avg").isNotNull(), F.col("bucket"))
+    j = (
+        spine.join(obs, [key, "bucket"], "left")
+        .withColumn("__pv", F.last("__avg", ignorenulls=True).over(w_prev))
+        .withColumn("__pb", F.last(pb, ignorenulls=True).over(w_prev))
+        .withColumn("__nv", F.first("__avg", ignorenulls=True).over(w_next))
+        .withColumn("__nb", F.first(pb, ignorenulls=True).over(w_next))
+    )
+    lerp = F.col("__pv") + (F.col("__nv") - F.col("__pv")) * (
+        (F.col("bucket") - F.col("__pb")).cast("double")
+        / (F.col("__nb") - F.col("__pb")).cast("double")
+    )
+    return j.select(
+        key,
+        "bucket",
+        F.timestamp_micros(F.col("bucket") * F.lit(bucket_us)).alias("bucket_ts"),
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.col("__pv").alias("v_locf"),
+        F.when(F.col("__avg").isNotNull(), F.col("__avg"))
+        .otherwise(lerp)
+        .alias("v_interp"),
+    )
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / 21600000000.0) AS BIGINT) AS bucket,
+             count(*) AS n_obs,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_v
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx)) AS bucket
+      FROM (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+            FROM obs GROUP BY 1)
+    ), j AS (
+      SELECT s.user_id, s.bucket, o.n_obs, o.avg_v
+      FROM spine s LEFT JOIN obs o
+        ON s.user_id = o.user_id AND s.bucket = o.bucket
+    ), f AS (
+      SELECT user_id, bucket, n_obs, avg_v,
+             last_value(avg_v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN avg_v IS NOT NULL THEN bucket END
+                        IGNORE NULLS) OVER wp AS pb,
+             first_value(avg_v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN avg_v IS NOT NULL THEN bucket END
+                         IGNORE NULLS) OVER wn AS nb
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket,
+           make_timestamp(bucket * 21600000000) AS bucket_ts,
+           CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs,
+           pv AS v_locf,
+           CASE WHEN avg_v IS NOT NULL THEN avg_v
+                ELSE pv + (nv - pv) *
+                     (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+           END AS v_interp
+    FROM f
+    """,
+)
+def q_ts_gapfill_locf(spark, sf_dir):
+    """Gap-filled 6-hour resample of the event value series per user:
+    dense time grid, LOCF fill AND linear interpolation — the
+    hypertable rollup the brief names, the shape dashboards and
+    training-feature grids need. Both engines compute the bucket mean
+    as one exact-decimal sum over an explicit double division, and the
+    interpolation as the same IEEE expression, so the hash match is
+    exact. One raw-event shuffle; all fill logic on the bucket table."""
+    ev = load_table(spark, sf_dir, "events")
+    return gapfill_resample(
+        ev, key="user_id", ts_col="ts", value_col="value",
+        bucket_us=6 * 3600 * 1_000_000,
+    )

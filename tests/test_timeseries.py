@@ -164,3 +164,36 @@ def test_retention_cohort_offsets(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_gapfill_locf_and_interpolation(spark):
+    """Hand-built series with a 2-bucket interior gap: the spine is
+    dense from first to last observed bucket, LOCF carries the last
+    bucket MEAN, and interpolation is linear in bucket index between
+    the straddling observed buckets."""
+    from dynamodb_to_datalake_project_spark.timeseries import gapfill_resample
+
+    ev = spark.createDataFrame(
+        [
+            # key a: buckets 0 (two obs, mean 2.0), 3 (one obs 8.0)
+            ("a", _ts("2024-01-01 00:10:00"), 1.0),
+            ("a", _ts("2024-01-01 00:50:00"), 3.0),
+            ("a", _ts("2024-01-01 03:30:00"), 8.0),
+            # key b: single bucket → single-row spine, no gaps
+            ("b", _ts("2024-01-01 05:00:00"), 7.0),
+        ],
+        "k string, ts timestamp, value double",
+    )
+    out = gapfill_resample(ev, "k", "ts", "value", bucket_us=3600 * 1_000_000)
+    rows = {(r["k"], r["bucket"]): r for r in out.collect()}
+    base = 473352  # floor(epoch_us(2024-01-01 00:00) / 3600e6)
+    assert set(rows) == {("a", base + i) for i in range(4)} | {("b", base + 5)}
+    a0, a1, a2, a3 = (rows[("a", base + i)] for i in range(4))
+    assert (a0["n_obs"], a0["v_locf"], a0["v_interp"]) == (2, 2.0, 2.0)
+    # interior gap rows: LOCF holds 2.0; interpolation walks 2.0 → 8.0
+    assert (a1["n_obs"], a1["v_locf"], a1["v_interp"]) == (0, 2.0, 4.0)
+    assert (a2["n_obs"], a2["v_locf"], a2["v_interp"]) == (0, 2.0, 6.0)
+    assert (a3["n_obs"], a3["v_locf"], a3["v_interp"]) == (1, 8.0, 8.0)
+    assert rows[("b", base + 5)]["v_interp"] == 7.0
+    # bucket_ts round-trips the grid
+    assert a1["bucket_ts"] == _ts("2024-01-01 01:00:00")
