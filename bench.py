@@ -151,6 +151,7 @@ HEADLINE = [
     "multimodal_ogg_tags",
     "multimodal_mp3_tags",
     "ts_gapfill_locf",
+    "multimodal_jpeg_exif",
 ]
 
 

@@ -1027,6 +1027,150 @@ def encode_jpeg(px: "object", width: int, height: int, quality: int = 85) -> byt
     return bytes(out)
 
 
+def _tiff_ifd(entries, base: int, endian: str) -> bytes:
+    """One TIFF IFD at absolute offset `base`: entry table (tag, type,
+    count, inline-or-offset value) + next-IFD=0 + the overflow value
+    area for values wider than 4 bytes — TIFF 6.0 §2. `entries` is
+    [(tag, type, count, data_bytes)] with data already in wire order."""
+    import struct as _struct
+
+    e = endian
+    table = _struct.pack(e + "H", len(entries))
+    overflow = bytearray()
+    over_at = base + 2 + 12 * len(entries) + 4
+    for tag, typ, count, data in sorted(entries):
+        table += _struct.pack(e + "HHI", tag, typ, count)
+        if len(data) <= 4:
+            table += data + b"\x00" * (4 - len(data))
+        else:
+            if (over_at + len(overflow)) % 2:  # TIFF values are word-aligned
+                overflow += b"\x00"
+            table += _struct.pack(e + "I", over_at + len(overflow))
+            overflow += data
+    return table + _struct.pack(e + "I", 0) + bytes(overflow)
+
+
+def encode_exif_app1(
+    ifd0: "list[tuple[int, int, int, bytes]]",
+    exif_ifd: "list[tuple[int, int, int, bytes]]",
+    big_endian: bool = False,
+) -> bytes:
+    """A complete JPEG APP1 Exif segment (marker + length + `Exif\\0\\0`
+    + TIFF stream): IFD0 with an ExifIFD pointer (tag 0x8769) to the
+    Exif sub-IFD — Exif 2.32 §4.5.2, both byte orders."""
+    import struct as _struct
+
+    e = ">" if big_endian else "<"
+    hdr = (b"MM\x00\x2a" if big_endian else b"II\x2a\x00") + _struct.pack(
+        e + "I", 8
+    )
+    # two-pass: size IFD0 (with the pointer entry) to place the sub-IFD
+    probe = ifd0 + [(0x8769, 4, 1, _struct.pack(e + "I", 0))]
+    exif_at = 8 + len(_tiff_ifd(probe, 8, e))
+    ifd0_w = ifd0 + [(0x8769, 4, 1, _struct.pack(e + "I", exif_at))]
+    tiff = hdr + _tiff_ifd(ifd0_w, 8, e) + _tiff_ifd(exif_ifd, exif_at, e)
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + _struct.pack(">H", len(body) + 2) + body
+
+
+def _exif_ascii(s: str) -> "tuple[int, int, bytes]":
+    b = s.encode("ascii") + b"\x00"
+    return 2, len(b), b
+
+
+def parse_jpeg_exif(payload: bytes) -> dict:
+    """JPEG marker walk to the APP1 Exif segment, then a real TIFF 6.0
+    IFD walk: both byte orders, magic-42 check, inline vs offset
+    values by type width, ASCII/SHORT/LONG/RATIONAL decode, ExifIFD
+    (0x8769) chase. Raises on missing SOI/APP1, bad byte-order mark or
+    magic, entries overrunning the TIFF stream, or unterminated ASCII
+    — corrupt-upload quarantine. Returns the routing fields an image
+    pipeline needs before any pixel decode."""
+    import struct as _struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("exif: not a JPEG (no SOI)")
+    pos, tiff = 2, None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("exif: marker desync in segment walk")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = _struct.unpack_from(">H", payload, pos + 2)
+        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = payload[pos + 10 : pos + 2 + seglen]
+            break
+        if marker == 0xDA:
+            break  # entropy-coded data: no Exif before image data
+        pos += 2 + seglen
+    if tiff is None:
+        raise ValueError("exif: no APP1 Exif segment")
+    if tiff[:2] == b"II":
+        e = "<"
+    elif tiff[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"exif: bad byte-order mark {tiff[:2]!r}")
+    if _struct.unpack_from(e + "H", tiff, 2)[0] != 42:
+        raise ValueError("exif: bad TIFF magic")
+
+    def read_ifd(at: int) -> dict:
+        if at + 2 > len(tiff):
+            raise ValueError("exif: IFD offset overruns the TIFF stream")
+        (n,) = _struct.unpack_from(e + "H", tiff, at)
+        if at + 2 + 12 * n + 4 > len(tiff):
+            raise ValueError("exif: IFD table overruns the TIFF stream")
+        out: dict[int, object] = {}
+        for i in range(n):
+            ent = at + 2 + 12 * i
+            tag, typ, count = _struct.unpack_from(e + "HHI", tiff, ent)
+            width = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}.get(typ)
+            if width is None:
+                continue  # unknown type: skippable per TIFF 6.0
+            size = width * count
+            if size <= 4:
+                off = ent + 8
+            else:
+                (off,) = _struct.unpack_from(e + "I", tiff, ent + 8)
+            if off + size > len(tiff):
+                raise ValueError(f"exif: tag 0x{tag:04x} overruns the stream")
+            if typ == 2:
+                raw = tiff[off : off + count]
+                if not raw.endswith(b"\x00"):
+                    raise ValueError(f"exif: ASCII tag 0x{tag:04x} unterminated")
+                out[tag] = raw[:-1].decode("ascii")
+            elif typ == 3:
+                v = _struct.unpack_from(e + f"{count}H", tiff, off)
+                out[tag] = v[0] if count == 1 else list(v)
+            elif typ in (1, 4):
+                fmt = "B" if typ == 1 else "I"
+                v = _struct.unpack_from(e + f"{count}{fmt}", tiff, off)
+                out[tag] = v[0] if count == 1 else list(v)
+            else:  # RATIONAL
+                v = _struct.unpack_from(e + f"{2 * count}I", tiff, off)
+                pairs = [(v[2 * j], v[2 * j + 1]) for j in range(count)]
+                out[tag] = pairs[0] if count == 1 else pairs
+        return out
+
+    (ifd0_at,) = _struct.unpack_from(e + "I", tiff, 4)
+    ifd0 = read_ifd(ifd0_at)
+    exif = read_ifd(ifd0[0x8769]) if 0x8769 in ifd0 else {}
+    exposure = exif.get(0x829A)
+    return {
+        "byte_order": "MM" if e == ">" else "II",
+        "n_ifd0": len(ifd0),
+        "description": ifd0.get(0x010E),
+        "orientation": ifd0.get(0x0112),
+        "datetime": ifd0.get(0x0132),
+        "pixel_x": exif.get(0xA002),
+        "pixel_y": exif.get(0xA003),
+        "exposure_num": exposure[0] if exposure else None,
+        "exposure_den": exposure[1] if exposure else None,
+    }
+
+
 def decode_image(payload: bytes) -> "object":
     """Image decode: BMP, PNG, GIF, baseline JPEG and lossless WebP
     (VP8L) payloads are decoded for real via the zero-dep parsers
@@ -1612,6 +1756,107 @@ def q_multimodal_jpeg_stats(spark, sf_dir):
     Huffman coding, IDCT, DC prediction, and color conversion."""
     docs = load_table(spark, sf_dir, "documents")
     return jpeg_roundtrip_stats(docs)
+
+
+JPEG_EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_order", T.StringType()),
+        T.StructField("n_ifd0", T.LongType()),
+        T.StructField("orientation", T.LongType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("exif_datetime", T.StringType()),
+        T.StructField("pixel_x", T.LongType()),
+        T.StructField("pixel_y", T.LongType()),
+        T.StructField("exposure_num", T.LongType()),
+        T.StructField("exposure_den", T.LongType()),
+    ]
+)
+
+
+def jpeg_exif_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize a real 8x8 baseline JPEG per document, splice in a
+    conformant APP1 Exif segment (byte order alternating II/MM by
+    doc parity — both wire dialects exercised at every batch), and
+    extract the routing metadata with the TIFF IFD walk. Arrow
+    `mapInPandas`, map-only."""
+    import struct as _struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        out: dict[str, list] = {f.name: [] for f in JPEG_EXIF_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                big = did % 2 == 1
+                e = ">" if big else "<"
+                dt = f"2024:01:{1 + did % 28:02d} {did % 24:02d}:00:00"
+                ifd0 = [
+                    (0x010E, *_exif_ascii(f"doc-{did}")),
+                    (0x0112, 3, 1, _struct.pack(e + "H", 1 + did % 8)),
+                    (0x0132, *_exif_ascii(dt)),
+                ]
+                exif_ifd = [
+                    (0x829A, 5, 1, _struct.pack(e + "II", 1, 50 + did % 200)),
+                    (0xA002, 4, 1, _struct.pack(e + "I", 8)),
+                    (0xA003, 4, 1, _struct.pack(e + "I", 8)),
+                ]
+                app1 = encode_exif_app1(ifd0, exif_ifd, big_endian=big)
+                px = np.full((8, 8, 3), (did * 31) % 199 + 17, dtype=np.uint8)
+                jpg = encode_jpeg(px, 8, 8, quality=95)
+                payload = jpg[:2] + app1 + jpg[2:]  # APP1 right after SOI
+                d = parse_jpeg_exif(payload)
+                out["doc_id"].append(did)
+                for k in (
+                    "byte_order",
+                    "n_ifd0",
+                    "orientation",
+                    "description",
+                    "pixel_x",
+                    "pixel_y",
+                    "exposure_num",
+                    "exposure_den",
+                ):
+                    out[k].append(d[k])
+                out["exif_datetime"].append(d["datetime"])
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return docs.select("doc_id").repartition(par).mapInPandas(op, JPEG_EXIF_SCHEMA)
+
+
+@query(
+    "multimodal_jpeg_exif",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+           CAST(4 AS BIGINT) AS n_ifd0,
+           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+           'doc-' || CAST(doc_id AS VARCHAR) AS description,
+           '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+             || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+             || ':00:00' AS exif_datetime,
+           CAST(8 AS BIGINT) AS pixel_x,
+           CAST(8 AS BIGINT) AS pixel_y,
+           CAST(1 AS BIGINT) AS exposure_num,
+           CAST(50 + doc_id % 200 AS BIGINT) AS exposure_den
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg_exif(spark, sf_dir):
+    """EXIF metadata extraction: a real APP1 (TIFF 6.0 IFD0 + Exif
+    sub-IFD, alternating little/big endian) spliced into a real
+    baseline JPEG, walked back out tag by tag — orientation,
+    description, capture time, pixel dims, exposure rational; the
+    fields image-ingest routes and dedups on before any pixel decode.
+    The oracle replays the tag formulas straight off `documents`, so a
+    hash match pins marker walk, endian handling, inline-vs-offset
+    packing, and every type decode (n_ifd0 = 3 written tags + the
+    ExifIFD pointer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_exif_stats(docs)
 
 
 WEBP_STATS_SCHEMA = T.StructType(

@@ -2591,3 +2591,60 @@ def test_corr_matrix_known_relationships(spark):
     assert abs(got[("a", "b")] - 1.0) < 1e-12
     assert abs(got[("a", "c")] + 1.0) < 1e-12
     assert got[("a", "d")] is None and got[("b", "d")] is None
+
+
+def test_exif_goldens_and_validation():
+    """TIFF IFD walk: both byte orders, inline SHORT packing, offset
+    ASCII/RATIONAL values, ExifIFD chase, and every reject path."""
+    import struct
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    def wrap(app1):
+        # minimal but marker-valid JPEG skeleton around the APP1
+        return b"\xff\xd8" + app1 + b"\xff\xd9"
+
+    for big, bo in ((False, "II"), (True, "MM")):
+        e = ">" if big else "<"
+        ifd0 = [
+            (0x010E, *m._exif_ascii("hello world")),
+            (0x0112, 3, 1, struct.pack(e + "H", 6)),
+        ]
+        exif = [(0x829A, 5, 1, struct.pack(e + "II", 1, 125))]
+        d = m.parse_jpeg_exif(wrap(m.encode_exif_app1(ifd0, exif, big)))
+        assert (d["byte_order"], d["orientation"]) == (bo, 6)
+        assert d["description"] == "hello world"
+        assert (d["exposure_num"], d["exposure_den"]) == (1, 125)
+        assert d["n_ifd0"] == 3  # 2 tags + ExifIFD pointer
+
+    # the walk skips non-Exif APP segments and restart markers
+    app0 = b"\xff\xe0" + struct.pack(">H", 7) + b"JFIF\x00"
+    app1 = m.encode_exif_app1([(0x0112, 3, 1, struct.pack("<H", 3))], [])
+    assert m.parse_jpeg_exif(b"\xff\xd8" + app0 + app1)["orientation"] == 3
+
+    with _pt.raises(ValueError, match="no SOI"):
+        m.parse_jpeg_exif(b"II\x2a\x00")
+    with _pt.raises(ValueError, match="no APP1 Exif"):
+        m.parse_jpeg_exif(b"\xff\xd8" + app0 + b"\xff\xd9")
+    bad = bytearray(app1)
+    bad[10:12] = b"XX"  # byte-order mark
+    with _pt.raises(ValueError, match="bad byte-order mark"):
+        m.parse_jpeg_exif(wrap(bytes(bad)))
+    bad = bytearray(app1)
+    bad[12:14] = struct.pack("<H", 43)
+    with _pt.raises(ValueError, match="bad TIFF magic"):
+        m.parse_jpeg_exif(wrap(bytes(bad)))
+    # ASCII value whose offset points past the TIFF stream
+    trunc = m.encode_exif_app1([(0x010E, 2, 64, b"\x00")], [])
+    hacked = bytearray(trunc)
+    hacked[0:0] = b""  # keep segment; corrupt the count via direct IFD edit
+    ent = 10 + 8 + 2  # APP1 hdr(4)+Exif\0\0(6) -> TIFF hdr(8) -> count(2)
+    hacked[ent + 4 : ent + 8] = struct.pack("<I", 4096)  # count -> overrun
+    with _pt.raises(ValueError, match="overruns the stream"):
+        m.parse_jpeg_exif(wrap(bytes(hacked)))
+    # unterminated ASCII
+    unterm = m.encode_exif_app1([(0x010E, 2, 8, b"abcdefgh")], [])
+    with _pt.raises(ValueError, match="unterminated"):
+        m.parse_jpeg_exif(wrap(unterm))
