@@ -152,6 +152,7 @@ HEADLINE = [
     "multimodal_mp3_tags",
     "ts_gapfill_locf",
     "multimodal_jpeg_exif",
+    "multimodal_mp3_sideinfo",
 ]
 
 

@@ -3360,6 +3360,135 @@ def encode_mp3_stream(
     return bytes(out)
 
 
+class _MsbBits:
+    """MSB-first bit accumulator (ISO 11172-3 bitstream order — the
+    opposite of VP8L's LSB-first `_Bits` in webp.py)."""
+
+    def __init__(self, data: bytes = b""):
+        self.data = data
+        self.pos = 0  # bit cursor for reads
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        if v < 0 or v >> n:
+            raise ValueError(f"mp3 side info: value {v} overflows {n} bits")
+        self.acc = (self.acc << n) | v
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.buf.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = self.nbits = 0
+        return bytes(self.buf)
+
+    def read(self, n: int) -> int:
+        if self.pos + n > 8 * len(self.data):
+            raise ValueError("mp3 side info: bit read past end")
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+_MP3_GR_FIELDS = (
+    ("part2_3_length", 12),
+    ("big_values", 9),
+    ("global_gain", 8),
+    ("scalefac_compress", 4),
+)
+_MP3_GR_TAIL = (
+    ("preflag", 1),
+    ("scalefac_scale", 1),
+    ("count1table_select", 1),
+)
+
+
+def encode_mp3_side_info(si: dict, channels: int = 2) -> bytes:
+    """MPEG-1 Layer III side information (ISO 11172-3 §2.4.1.7): the
+    bit-exact 17-byte (mono) / 32-byte (stereo) block that precedes
+    the main data in every frame — main_data_begin, private bits,
+    scfsi, and per-(granule, channel) the 59-bit field group. Only
+    normal blocks (window_switching_flag=0) are encoded; granule
+    Huffman payloads stay honestly out of scope."""
+    w = _MsbBits()
+    w.write(si["main_data_begin"], 9)
+    w.write(si.get("private_bits", 0), 5 if channels == 1 else 3)
+    for c in range(channels):
+        w.write(si["scfsi"][c], 4)
+    for g in range(2):
+        for c in range(channels):
+            gr = si["granules"][g][c]
+            for name, width in _MP3_GR_FIELDS:
+                w.write(gr[name], width)
+            w.write(0, 1)  # window_switching_flag: normal blocks
+            for t in gr["table_select"]:
+                w.write(t, 5)
+            w.write(gr["region0_count"], 4)
+            w.write(gr["region1_count"], 3)
+            for name, _w in _MP3_GR_TAIL:
+                w.write(gr[name], 1)
+    out = w.flush()
+    assert len(out) == (17 if channels == 1 else 32)
+    return out
+
+
+def parse_mp3_side_info(data: bytes, channels: int = 2) -> dict:
+    """Parse the Layer III side-info block back out (normal-block
+    layout; a set window_switching_flag raises — start/short/stop
+    block shapes need the reorder tables of a full decoder). Raises on
+    short input. The granule METADATA every stream inspector reads;
+    main-data Huffman decode stays honestly stubbed."""
+    need = 17 if channels == 1 else 32
+    if len(data) < need:
+        raise ValueError(f"mp3 side info: need {need} bytes, got {len(data)}")
+    r = _MsbBits(data[:need])
+    out: dict = {"main_data_begin": r.read(9)}
+    out["private_bits"] = r.read(5 if channels == 1 else 3)
+    out["scfsi"] = [r.read(4) for _ in range(channels)]
+    grs: list = [[], []]
+    for g in range(2):
+        for _c in range(channels):
+            gr: dict = {}
+            for name, width in _MP3_GR_FIELDS:
+                gr[name] = r.read(width)
+            if r.read(1):
+                raise ValueError(
+                    "mp3 side info: window-switching (short/start/stop) "
+                    "blocks need a full decoder"
+                )
+            gr["table_select"] = [r.read(5) for _ in range(3)]
+            gr["region0_count"] = r.read(4)
+            gr["region1_count"] = r.read(3)
+            for name, _w in _MP3_GR_TAIL:
+                gr[name] = r.read(1)
+            grs[g].append(gr)
+    out["granules"] = grs
+    return out
+
+
+def mp3_first_side_info(payload: bytes, channels: int = 2) -> dict:
+    """Locate the first audio frame (skipping any ID3v2 tag exactly as
+    `parse_mp3_frames` does) and parse its side-info block (no-CRC
+    frames: side info starts at header+4)."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | b
+        pos = 10 + size
+    if payload[pos] != 0xFF:
+        raise ValueError("mp3 side info: no frame sync at expected offset")
+    return parse_mp3_side_info(payload[pos + 4 :], channels)
+
+
 def encode_id3v2_frames(
     frames: "list[tuple[str, str]]", version: int = 3
 ) -> bytes:
@@ -3709,6 +3838,112 @@ def q_multimodal_mp3_tags(spark, sf_dir):
     math, the frame-size dialect, AND the text-encoding decode."""
     docs = load_table(spark, sf_dir, "documents")
     return mp3_tags_stats(docs)
+
+
+MP3_SIDEINFO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("main_data_begin", T.LongType()),
+        T.StructField("scfsi_sum", T.LongType()),
+        T.StructField("sum_part23", T.LongType()),
+        T.StructField("sum_big_values", T.LongType()),
+        T.StructField("max_gain", T.LongType()),
+        T.StructField("preflag", T.LongType()),
+    ]
+)
+
+
+def mp3_sideinfo_stats(docs: DataFrame) -> DataFrame:
+    """Per document: a Layer III frame whose first 32 payload bytes are
+    a REAL bit-packed side-info block (formula-driven granule fields),
+    demuxed by `parse_mp3_frames` and bit-unpacked by
+    `parse_mp3_side_info`. Arrow `mapInPandas`, map-only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in MP3_SIDEINFO_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                si = {
+                    "main_data_begin": did % 512,
+                    "private_bits": did % 8,
+                    "scfsi": [(did + c) % 16 for c in range(2)],
+                    "granules": [
+                        [
+                            {
+                                "part2_3_length": (did * 7 + 13 * g + 29 * c)
+                                % 4096,
+                                "big_values": (did + 3 * g + 5 * c) % 289,
+                                "global_gain": (did * 11 + g + 2 * c) % 256,
+                                "scalefac_compress": (did + g + c) % 16,
+                                "table_select": [
+                                    (did + g + c + k) % 32 for k in range(3)
+                                ],
+                                "region0_count": (did + g) % 16,
+                                "region1_count": (did + c) % 8,
+                                "preflag": did % 2,
+                                "scalefac_scale": g,
+                                "count1table_select": c,
+                            }
+                            for c in range(2)
+                        ]
+                        for g in range(2)
+                    ],
+                }
+                head = encode_mp3_side_info(si, channels=2)
+                payload = encode_mp3_stream(
+                    [(1 + did % 14, did % 2, head)], sr_idx=did % 3
+                )
+                parse_mp3_frames(payload)  # framing walk still validates
+                d = mp3_first_side_info(payload, channels=2)
+                if d != si:
+                    raise ValueError("mp3 side info: roundtrip mismatch")
+                flat = [d["granules"][g][c] for g in range(2) for c in range(2)]
+                out["doc_id"].append(did)
+                out["main_data_begin"].append(d["main_data_begin"])
+                out["scfsi_sum"].append(sum(d["scfsi"]))
+                out["sum_part23"].append(sum(x["part2_3_length"] for x in flat))
+                out["sum_big_values"].append(sum(x["big_values"] for x in flat))
+                out["max_gain"].append(max(x["global_gain"] for x in flat))
+                out["preflag"].append(flat[0]["preflag"])
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id").repartition(par).mapInPandas(op, MP3_SIDEINFO_SCHEMA)
+    )
+
+
+@query(
+    "multimodal_mp3_sideinfo",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 512 AS BIGINT) AS main_data_begin,
+           CAST(doc_id % 16 + (doc_id + 1) % 16 AS BIGINT) AS scfsi_sum,
+           CAST((doc_id * 7) % 4096 + (doc_id * 7 + 29) % 4096
+              + (doc_id * 7 + 13) % 4096 + (doc_id * 7 + 42) % 4096
+              AS BIGINT) AS sum_part23,
+           CAST(doc_id % 289 + (doc_id + 5) % 289
+              + (doc_id + 3) % 289 + (doc_id + 8) % 289
+              AS BIGINT) AS sum_big_values,
+           CAST(greatest((doc_id * 11) % 256, (doc_id * 11 + 2) % 256,
+                         (doc_id * 11 + 1) % 256, (doc_id * 11 + 3) % 256)
+              AS BIGINT) AS max_gain,
+           CAST(doc_id % 2 AS BIGINT) AS preflag
+    FROM documents
+    """,
+)
+def q_multimodal_mp3_sideinfo(spark, sf_dir):
+    """Layer III side-info extraction (ISO 11172-3 §2.4.1.7): the
+    granule METADATA — main_data_begin bit reservoir pointer, scfsi,
+    part2_3 lengths, big_values, global gains — bit-packed into a real
+    frame and bit-unpacked back out; the stream-inspector fields
+    feasible without a full polyphase/IMDCT decoder. The oracle
+    replays every field formula off `documents`, so a hash match pins
+    the 59-bit granule layout and the MSB-first packing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mp3_sideinfo_stats(docs)
 
 
 # ---------------------------------------------------------------------------

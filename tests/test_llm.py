@@ -2648,3 +2648,46 @@ def test_exif_goldens_and_validation():
     unterm = m.encode_exif_app1([(0x010E, 2, 8, b"abcdefgh")], [])
     with _pt.raises(ValueError, match="unterminated"):
         m.parse_jpeg_exif(wrap(unterm))
+
+
+def test_mp3_side_info_bit_layout_and_rejects():
+    """ISO 11172-3 §2.4.1.7 side-info packing: a hand-verified bit
+    layout golden, mono/stereo sizes, write-overflow, short-input and
+    window-switching rejects."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    zero_gr = {
+        "part2_3_length": 0, "big_values": 0, "global_gain": 0,
+        "scalefac_compress": 0, "table_select": [0, 0, 0],
+        "region0_count": 0, "region1_count": 0, "preflag": 0,
+        "scalefac_scale": 0, "count1table_select": 0,
+    }
+    si = {
+        "main_data_begin": 5, "private_bits": 0, "scfsi": [0, 0],
+        "granules": [[dict(zero_gr), dict(zero_gr)] for _ in range(2)],
+    }
+    blob = m.encode_mp3_side_info(si, channels=2)
+    # 9 bits of 5 = 000000101, then all-zero: bytes 0x02 0x80 0x00...
+    assert blob == bytes([0x02, 0x80]) + bytes(30)
+    assert m.parse_mp3_side_info(blob, channels=2) == si
+
+    mono = {
+        "main_data_begin": 511, "private_bits": 31, "scfsi": [15],
+        "granules": [[dict(zero_gr)], [dict(zero_gr)]],
+    }
+    mb = m.encode_mp3_side_info(mono, channels=1)
+    assert len(mb) == 17 and mb[0] == 0xFF  # 511 = nine 1-bits
+    assert m.parse_mp3_side_info(mb, channels=1) == mono
+
+    with _pt.raises(ValueError, match="overflows"):
+        bad = dict(si, main_data_begin=512)
+        m.encode_mp3_side_info(bad, channels=2)
+    with _pt.raises(ValueError, match="need 32 bytes"):
+        m.parse_mp3_side_info(blob[:31], channels=2)
+    # flip the granule-0/channel-0 window_switching_flag (bit 53)
+    ws = bytearray(blob)
+    ws[6] |= 0x04
+    with _pt.raises(ValueError, match="window-switching"):
+        m.parse_mp3_side_info(bytes(ws), channels=2)
