@@ -153,6 +153,7 @@ HEADLINE = [
     "ts_gapfill_locf",
     "multimodal_jpeg_exif",
     "multimodal_mp3_sideinfo",
+    "multimodal_flac_tags",
 ]
 
 

@@ -119,6 +119,7 @@ _PRIORITY: list[str] = [
     "ts_gapfill_locf",
     "multimodal_jpeg_exif",
     "multimodal_mp3_sideinfo",
+    "multimodal_flac_tags",
     # --- r6-green but the round-7 PSI section_length fix changed the
     # emitted container bytes: re-pin ---
     "multimodal_mpegts_stats",

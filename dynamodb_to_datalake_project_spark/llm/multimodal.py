@@ -1513,6 +1513,164 @@ def q_multimodal_flac_stats(spark, sf_dir):
     return flac_roundtrip_stats(docs)
 
 
+def flac_insert_metadata(payload: bytes, blocks: "list[tuple[int, bytes]]") -> bytes:
+    """Insert metadata blocks after the existing ones of a FLAC stream
+    (RFC 9639 §8): walk the block chain, clear every last-block flag,
+    append the new (type, body) blocks with the flag set on the final
+    one. The audio frames are untouched."""
+    import struct as _struct
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("flac: bad stream marker")
+    out = bytearray(b"fLaC")
+    pos = 4
+    while True:
+        hdr = payload[pos]
+        (length,) = _struct.unpack(">I", b"\x00" + payload[pos + 1 : pos + 4])
+        out += bytes([hdr & 0x7F]) + payload[pos + 1 : pos + 4 + length]
+        pos += 4 + length
+        if hdr >> 7:
+            break
+    for i, (btype, body) in enumerate(blocks):
+        last = 0x80 if i == len(blocks) - 1 else 0
+        out += bytes([last | btype]) + len(body).to_bytes(3, "big") + body
+    return bytes(out) + payload[pos:]
+
+
+def parse_flac_metadata(payload: bytes) -> dict:
+    """FLAC metadata-chain walk (RFC 9639 §8): STREAMINFO fields plus
+    the parsed VORBIS_COMMENT block (§8.6 — the same little-endian
+    comment structure as OpusTags, with no magic and no framing bit).
+    Raises on a missing marker, truncated chain, a STREAMINFO that is
+    not first (spec MUST), or a malformed comment structure."""
+    import struct as _struct
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("flac: bad stream marker")
+    pos, first, streaminfo, comments = 4, True, None, None
+    types: "list[int]" = []
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("flac: truncated metadata chain")
+        hdr = payload[pos]
+        btype = hdr & 0x7F
+        (length,) = _struct.unpack(">I", b"\x00" + payload[pos + 1 : pos + 4])
+        body = payload[pos + 4 : pos + 4 + length]
+        if len(body) != length:
+            raise ValueError("flac: truncated metadata block")
+        if first and btype != 0:
+            raise ValueError("flac: first metadata block must be STREAMINFO")
+        first = False
+        types.append(btype)
+        if btype == 0:
+            from dynamodb_to_datalake_project_spark.llm.flac import _Reader
+
+            r = _Reader(body)
+            r.read(16); r.read(16); r.read(24); r.read(24)
+            streaminfo = {
+                "sample_rate": r.read(20),
+                "n_channels": r.read(3) + 1,
+                "bps": r.read(5) + 1,
+                "total_samples": r.read(36),
+            }
+        elif btype == 4:
+            comments = _parse_comment_body(body, 0, framed=False)
+        pos += 4 + length
+        if hdr >> 7:
+            break
+    return {"streaminfo": streaminfo, "comments": comments, "block_types": types}
+
+
+FLAC_TAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("vendor", T.StringType()),
+        T.StructField("n_comments", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("total_samples", T.LongType()),
+    ]
+)
+
+
+def flac_tags_stats(docs: DataFrame) -> DataFrame:
+    """Per document: a real (tiny) FLAC stream with a VORBIS_COMMENT
+    block spliced into the metadata chain, walked back out — tags AND
+    STREAMINFO in one pass, then the full sample decode re-run on the
+    tagged payload to prove the splice leaves the audio bit-exact.
+    Arrow `mapInPandas`, map-only."""
+    from dynamodb_to_datalake_project_spark.llm.flac import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in FLAC_TAGS_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id, lang, source in zip(
+                pdf["doc_id"], pdf["lang"], pdf["source"]
+            ):
+                did = int(doc_id)
+                n = 2 + did % 3
+                samples = [((did * 131 + i) % 65536) - 32768 for i in range(n)]
+                plain = encode_flac(samples, n_channels=1, block_size=64)
+                comments = [("TITLE", f"doc-{did}"), ("LANGUAGE", str(lang))]
+                if did % 4 == 0:
+                    comments.append(("SOURCE", str(source)))
+                body = _encode_comment_body("spark-graft flac", comments)
+                tagged = flac_insert_metadata(plain, [(4, body)])
+                d = parse_flac_metadata(tagged)
+                dec = decode_flac_samples(tagged)  # audio still bit-exact
+                if dec["samples"] != samples:
+                    raise ValueError("flac: tag splice corrupted audio")
+                tags = dict(d["comments"]["comments"])
+                out["doc_id"].append(did)
+                out["vendor"].append(d["comments"]["vendor"])
+                out["n_comments"].append(d["comments"]["n_comments"])
+                out["title"].append(tags.get("TITLE"))
+                out["language"].append(tags.get("LANGUAGE"))
+                out["source"].append(tags.get("SOURCE"))
+                out["sample_rate"].append(d["streaminfo"]["sample_rate"])
+                out["total_samples"].append(d["streaminfo"]["total_samples"])
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "lang", "source")
+        .repartition(par)
+        .mapInPandas(op, FLAC_TAGS_SCHEMA)
+    )
+
+
+@query(
+    "multimodal_flac_tags",
+    oracle="""
+    SELECT doc_id,
+           'spark-graft flac' AS vendor,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END AS BIGINT)
+             AS n_comments,
+           'doc-' || CAST(doc_id AS VARCHAR) AS title,
+           lang AS language,
+           CASE WHEN doc_id % 4 = 0 THEN source END AS source,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(2 + doc_id % 3 AS BIGINT) AS total_samples
+    FROM documents
+    """,
+)
+def q_multimodal_flac_tags(spark, sf_dir):
+    """FLAC VORBIS_COMMENT metadata (RFC 9639 §8.6): a comment block
+    spliced into a real FLAC metadata chain (last-flag rewrite), tags
+    + STREAMINFO walked back out, and the sample decode re-verified on
+    the tagged payload. LANGUAGE/SOURCE carry actual table columns, so
+    the DuckDB oracle reads them off `documents` with no parser —
+    completing the tags family across MP3/Ogg/FLAC."""
+    docs = load_table(spark, sf_dir, "documents")
+    return flac_tags_stats(docs)
+
+
 IMAGE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -4374,6 +4532,16 @@ def parse_ogg_comments(pkt: bytes) -> dict:
         o, framed = 7, True
     else:
         raise ValueError("ogg: not a comment/tags header")
+    return _parse_comment_body(pkt, o, framed)
+
+
+def _parse_comment_body(pkt: bytes, o: int, framed: bool) -> dict:
+    """The bare Vorbis-comment structure parse shared by OpusTags,
+    Vorbis comment headers, and FLAC VORBIS_COMMENT blocks (which
+    carry the identical structure with no packet magic and no framing
+    bit — RFC 9639 §8.6)."""
+    import struct as _struct
+
     if o + 4 > len(pkt):
         raise ValueError("ogg: comment header truncated before vendor length")
     (vlen,) = _struct.unpack_from("<I", pkt, o)

@@ -2691,3 +2691,38 @@ def test_mp3_side_info_bit_layout_and_rejects():
     ws[6] |= 0x04
     with _pt.raises(ValueError, match="window-switching"):
         m.parse_mp3_side_info(bytes(ws), channels=2)
+
+
+def test_flac_metadata_chain_and_comment_block():
+    """FLAC metadata splice + walk: last-flag rewrite across a
+    multi-block chain, STREAMINFO-first enforcement, comment-body
+    parse without magic/framing, audio decode unchanged."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+    from dynamodb_to_datalake_project_spark.llm.flac import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    samples = [100, -200, 300, -400]
+    plain = encode_flac(samples, n_channels=1, block_size=64)
+    body = m._encode_comment_body("v", [("TITLE", "t"), ("Lang", "en")])
+    pad = bytes(16)  # a PADDING block rides along, exercising multi-append
+    tagged = m.flac_insert_metadata(plain, [(4, body), (1, pad)])
+    d = m.parse_flac_metadata(tagged)
+    assert d["block_types"] == [0, 4, 1]
+    assert d["streaminfo"]["n_channels"] == 1
+    assert d["streaminfo"]["total_samples"] == 4
+    # keys uppercase per the case-insensitive field-name rule
+    assert d["comments"]["comments"] == [("TITLE", "t"), ("LANG", "en")]
+    assert decode_flac_samples(tagged)["samples"] == samples
+
+    with _pt.raises(ValueError, match="bad stream marker"):
+        m.parse_flac_metadata(b"OggS")
+    with _pt.raises(ValueError, match="truncated metadata block"):
+        m.parse_flac_metadata(tagged[: len(plain) + 3])
+    # a chain whose first block is not STREAMINFO violates the spec
+    forged = b"fLaC" + bytes([0x84]) + len(body).to_bytes(3, "big") + body
+    with _pt.raises(ValueError, match="must be STREAMINFO"):
+        m.parse_flac_metadata(forged)
