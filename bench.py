@@ -154,6 +154,7 @@ HEADLINE = [
     "multimodal_jpeg_exif",
     "multimodal_mp3_sideinfo",
     "multimodal_flac_tags",
+    "multimodal_png_text",
 ]
 
 

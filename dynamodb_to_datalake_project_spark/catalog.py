@@ -120,6 +120,7 @@ _PRIORITY: list[str] = [
     "multimodal_jpeg_exif",
     "multimodal_mp3_sideinfo",
     "multimodal_flac_tags",
+    "multimodal_png_text",
     # --- r6-green but the round-7 PSI section_length fix changed the
     # emitted container bytes: re-pin ---
     "multimodal_mpegts_stats",

@@ -231,6 +231,92 @@ def encode_png(
     )
 
 
+def png_insert_chunks(payload: bytes, chunks: "list[tuple[bytes, bytes]]") -> bytes:
+    """Splice ancillary chunks right after IHDR (the position the spec
+    prescribes for pHYs and allows for tEXt/iTXt) — each framed with
+    its real CRC32; the IDAT stream is untouched."""
+    import struct as _struct
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    (ihdr_len,) = _struct.unpack_from(">I", payload, 8)
+    cut = 8 + 12 + ihdr_len
+    spliced = b"".join(_png_chunk(t, d) for t, d in chunks)
+    return payload[:cut] + spliced + payload[cut:]
+
+
+def parse_png_metadata(payload: bytes) -> dict:
+    """PNG ancillary-metadata walk (PNG spec §11.3): every chunk CRC
+    verified, tEXt (latin-1 keyword\\0value, keyword 1-79 bytes), iTXt
+    (compression flag/method, language tag, translated keyword, UTF-8
+    text, zlib-inflated when compressed), and pHYs (pixels-per-unit +
+    unit). Raises on bad signature, CRC mismatch, malformed field
+    structure, or a reserved iTXt compression method — corrupt-upload
+    quarantine. Returns dims + texts in wire order + pHYs."""
+    import struct as _struct
+    import zlib as _zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    texts: "list[tuple[str, str, str]]" = []  # (keyword, lang, text)
+    phys = None
+    n_chunks = 0
+    while pos + 12 <= len(payload):
+        (length,) = _struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError(f"png: chunk {ctype!r} overruns the payload")
+        (crc,) = _struct.unpack_from(">I", payload, pos + 8 + length)
+        if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: chunk {ctype!r} CRC mismatch")
+        n_chunks += 1
+        if ctype == b"IHDR":
+            width, height = _struct.unpack_from(">II", data)
+        elif ctype == b"tEXt":
+            if b"\x00" not in data:
+                raise ValueError("png: tEXt without keyword separator")
+            kw, txt = data.split(b"\x00", 1)
+            if not 1 <= len(kw) <= 79:
+                raise ValueError("png: tEXt keyword length out of range")
+            texts.append((kw.decode("latin-1"), "", txt.decode("latin-1")))
+        elif ctype == b"iTXt":
+            if data.count(b"\x00") < 3:
+                raise ValueError("png: iTXt missing separators")
+            kw, rest = data.split(b"\x00", 1)
+            if not 1 <= len(kw) <= 79 or len(rest) < 2:
+                raise ValueError("png: malformed iTXt")
+            comp_flag, comp_method = rest[0], rest[1]
+            lang, rest2 = rest[2:].split(b"\x00", 1)
+            _translated, txt = rest2.split(b"\x00", 1)
+            if comp_flag not in (0, 1) or comp_method != 0:
+                raise ValueError("png: reserved iTXt compression")
+            if comp_flag:
+                txt = _zlib.decompress(txt)
+            texts.append(
+                (kw.decode("latin-1"), lang.decode("ascii"), txt.decode("utf-8"))
+            )
+        elif ctype == b"pHYs":
+            if length != 9:
+                raise ValueError("png: bad pHYs length")
+            x, y, unit = _struct.unpack(">IIB", data)
+            phys = {"ppu_x": x, "ppu_y": y, "unit": unit}
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("png: no IHDR chunk")
+    return {
+        "width": width,
+        "height": height,
+        "texts": texts,
+        "phys": phys,
+        "n_chunks": n_chunks,
+    }
+
+
 def decode_png_array(payload: bytes) -> dict:
     """REAL codec (stdlib `zlib` + `struct`): parse an 8-bit truecolor
     non-interlaced PNG — chunk walk with CRC verification, inflate of
@@ -2015,6 +2101,107 @@ def q_multimodal_jpeg_exif(spark, sf_dir):
     ExifIFD pointer)."""
     docs = load_table(spark, sf_dir, "documents")
     return jpeg_exif_stats(docs)
+
+
+PNG_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("comment", T.StringType()),
+        T.StructField("comment_lang", T.StringType()),
+        T.StructField("compressed", T.LongType()),
+        T.StructField("ppu_x", T.LongType()),
+        T.StructField("n_chunks", T.LongType()),
+    ]
+)
+
+
+def png_text_stats(docs: DataFrame) -> DataFrame:
+    """Per document: a real 2x2 PNG with tEXt + iTXt (compressed on
+    every third doc) + pHYs spliced after IHDR, metadata walked back
+    out, and the pixel decode re-run on the spliced payload to prove
+    the chunks leave the image bit-exact. Arrow `mapInPandas`,
+    map-only."""
+    import struct as _struct
+    import zlib as _zlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        out: dict[str, list] = {f.name: [] for f in PNG_TEXT_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id, lang in zip(pdf["doc_id"], pdf["lang"]):
+                did = int(doc_id)
+                px = np.full((2, 2, 3), (did * 13) % 251, dtype=np.uint8)
+                plain = encode_png(px, 2, 2)
+                comp = 1 if did % 3 == 0 else 0
+                txt = f"c-{did}".encode("utf-8")
+                itxt = (
+                    b"Comment\x00"
+                    + bytes((comp, 0))
+                    + str(lang).encode("ascii")
+                    + b"\x00\x00"
+                    + (_zlib.compress(txt) if comp else txt)
+                )
+                phys = _struct.pack(">IIB", 2835 + did % 100, 2835, 1)
+                tagged = png_insert_chunks(
+                    plain,
+                    [
+                        (b"tEXt", b"Title\x00" + f"doc-{did}".encode("latin-1")),
+                        (b"iTXt", itxt),
+                        (b"pHYs", phys),
+                    ],
+                )
+                d = parse_png_metadata(tagged)
+                dec = decode_png_array(tagged)  # pixels still bit-exact
+                if not (dec["px"] == px).all():
+                    raise ValueError("png: text splice corrupted pixels")
+                tmap = {k: (lg, v) for k, lg, v in d["texts"]}
+                out["doc_id"].append(did)
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["title"].append(tmap["Title"][1])
+                out["comment"].append(tmap["Comment"][1])
+                out["comment_lang"].append(tmap["Comment"][0])
+                out["compressed"].append(comp)
+                out["ppu_x"].append(d["phys"]["ppu_x"])
+                out["n_chunks"].append(d["n_chunks"])
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "lang").repartition(par).mapInPandas(op, PNG_TEXT_SCHEMA)
+    )
+
+
+@query(
+    "multimodal_png_text",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS width,
+           CAST(2 AS BIGINT) AS height,
+           'doc-' || CAST(doc_id AS VARCHAR) AS title,
+           'c-' || CAST(doc_id AS VARCHAR) AS comment,
+           lang AS comment_lang,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS compressed,
+           CAST(2835 + doc_id % 100 AS BIGINT) AS ppu_x,
+           CAST(6 AS BIGINT) AS n_chunks
+    FROM documents
+    """,
+)
+def q_multimodal_png_text(spark, sf_dir):
+    """PNG ancillary metadata (spec §11.3): tEXt/iTXt/pHYs spliced
+    into a real PNG with live CRCs, walked back out (iTXt zlib
+    inflation on every third doc), pixel decode re-verified on the
+    tagged payload. The iTXt language tag carries the actual `lang`
+    column, so the oracle reads it off `documents` with no parser —
+    the image-side counterpart of the MP3/Ogg/FLAC tags family."""
+    docs = load_table(spark, sf_dir, "documents")
+    return png_text_stats(docs)
 
 
 WEBP_STATS_SCHEMA = T.StructType(

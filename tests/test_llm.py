@@ -2726,3 +2726,57 @@ def test_flac_metadata_chain_and_comment_block():
     forged = b"fLaC" + bytes([0x84]) + len(body).to_bytes(3, "big") + body
     with _pt.raises(ValueError, match="must be STREAMINFO"):
         m.parse_flac_metadata(forged)
+
+
+def test_png_text_chunks_and_rejects():
+    """PNG ancillary walk: tEXt/iTXt (plain + compressed)/pHYs
+    goldens, CRC enforcement, keyword-length and compression-method
+    rejects, pixel decode unchanged after splice."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    plain = m.encode_png(px, 2, 2)
+    itxt = b"Comment\x00\x01\x00fr\x00tk\x00" + zlib.compress("héllo".encode())
+    tagged = m.png_insert_chunks(
+        plain,
+        [
+            (b"tEXt", b"Title\x00t1"),
+            (b"iTXt", itxt),
+            (b"pHYs", struct.pack(">IIB", 2835, 2836, 1)),
+        ],
+    )
+    d = m.parse_png_metadata(tagged)
+    assert (d["width"], d["height"], d["n_chunks"]) == (2, 2, 6)
+    assert d["texts"] == [("Title", "", "t1"), ("Comment", "fr", "héllo")]
+    assert d["phys"] == {"ppu_x": 2835, "ppu_y": 2836, "unit": 1}
+    assert (m.decode_png_array(tagged)["px"] == px).all()
+    # uncompressed iTXt path
+    d2 = m.parse_png_metadata(
+        m.png_insert_chunks(plain, [(b"iTXt", b"K\x00\x00\x00en\x00\x00v")])
+    )
+    assert d2["texts"] == [("K", "en", "v")]
+
+    with _pt.raises(ValueError, match="not a PNG"):
+        m.parse_png_metadata(b"\x89PNX" + bytes(8))
+    corrupt = bytearray(tagged)
+    corrupt[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with _pt.raises(ValueError, match="CRC mismatch"):
+        m.parse_png_metadata(bytes(corrupt))
+    with _pt.raises(ValueError, match="keyword separator"):
+        m.parse_png_metadata(m.png_insert_chunks(plain, [(b"tEXt", b"nokw")]))
+    with _pt.raises(ValueError, match="keyword length"):
+        m.parse_png_metadata(
+            m.png_insert_chunks(plain, [(b"tEXt", b"\x00v")])
+        )
+    with _pt.raises(ValueError, match="reserved iTXt compression"):
+        m.parse_png_metadata(
+            m.png_insert_chunks(plain, [(b"iTXt", b"K\x00\x00\x07en\x00\x00v")])
+        )
+    with _pt.raises(ValueError, match="bad pHYs length"):
+        m.parse_png_metadata(m.png_insert_chunks(plain, [(b"pHYs", bytes(5))]))
