@@ -45,24 +45,36 @@ def query(name: str, oracle: str | None = None):
 
 # Catalog iteration order. External harnesses that sample a bounded
 # prefix of the catalog (~50 entries/round) should see the queries
-# with the LEAST independent-correctness coverage first. After the
-# round-6 sample no query's newest driver row is older than r3; the
-# round-7 order finishes the freshness rotation (VERDICT r6 ask #1):
-# the 5 new round-7 queries lead (no driver row possible yet),
-# then the 44 queries whose newest row is r3, then
+# with the LEAST independent-correctness coverage first. Round-7
+# order: the 15 round-7 additions lead (no driver row possible yet —
+# the weakest coverage class), then the 44 queries whose newest row
+# is r3 (35 of which fit the window; the last 9 refresh in r8), then
 # multimodal_mpegts_stats (its r6 row predates the round-7 PSI
 # section_length fix — same output columns, but re-sampling re-pins
-# the changed encoder) — exactly one 50-entry window. The rows-only
-# fast paths and the r4/r5/r6-green groups trail, freshest last. The
-# set is identical either way — only iteration order changes.
+# the changed encoder). The rows-only fast paths and the r4/r5/r6-
+# green groups trail, freshest last. The set is identical either way
+# — only iteration order changes.
 _PRIORITY: list[str] = [
-    # --- new in round 7 (no driver row possible yet) ---
+    # --- new in round 7 (no driver row possible yet): never-sampled
+    # queries are the weakest coverage, so ALL 15 lead; the ~50-entry
+    # window then reaches 35 of the 44 r3-stale rotation entries —
+    # the last 9 r3 rows refresh in r8 (a known r3-green is a smaller
+    # blind spot than a query with no independent row at all) ---
     "web_url_canonicalize",
     "web_domain_stats",
     "web_domain_quality_join",
     "multimodal_ogg_codec_stats",
     "multimodal_mp4_pts_stats",
     "graph_triangles",
+    "graph_clustering_coeff",
+    "web_url_dedup",
+    "multimodal_ogg_tags",
+    "multimodal_mp3_tags",
+    "ts_gapfill_locf",
+    "multimodal_jpeg_exif",
+    "multimodal_mp3_sideinfo",
+    "multimodal_flac_tags",
+    "multimodal_png_text",
     # --- newest driver row r3: the freshness-rotation tail ---
     "q11_value_concentration",
     "q14_promo_revenue",
@@ -108,19 +120,6 @@ _PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "multimodal_wav_stats",
     "skew_salted_event_stats",
-    # --- also new in round 7, placed AFTER the stale-44 so the
-    # freshness rotation completes inside the ~50-entry window; these
-    # two get their first driver row in r8 (the in-repo oracle gate
-    # covers them meanwhile) ---
-    "graph_clustering_coeff",
-    "web_url_dedup",
-    "multimodal_ogg_tags",
-    "multimodal_mp3_tags",
-    "ts_gapfill_locf",
-    "multimodal_jpeg_exif",
-    "multimodal_mp3_sideinfo",
-    "multimodal_flac_tags",
-    "multimodal_png_text",
     # --- r6-green but the round-7 PSI section_length fix changed the
     # emitted container bytes: re-pin ---
     "multimodal_mpegts_stats",
