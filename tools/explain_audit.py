@@ -138,7 +138,7 @@ NOTES = {
     "graph_triangles": "triangle counting: basket-bounded co-purchase pairs -> degree orientation (out-degree O(sqrt m) under any skew) -> ONE apex self-join for wedges -> one closure equi-join -> explode+count; all-integer",
     "graph_clustering_coeff": "triangle_count's plan + one node-keyed degree agg + one node-keyed LEFT join; coefficient = one double division of exact integers",
     "web_url_dedup": "canonicalization (map-only) -> ONE hash-partitioned window on url_canonical (latest-wins shape): no join, no second scan",
-    "ts_gapfill_locf": "hypertable gapfill: ONE (user,bucket) hash agg over raw events -> spine explode + left join + two fill windows, all on the bucket-sized table - raw events shuffled once",
+    "ts_gapfill_locf": "hypertable gapfill: (user,bucket) hash agg + a 2-column min/max spine scan (Catalyst folds the spine agg straight onto the pruned scan, both map-side combined) -> spine explode + left join + two user-keyed fill windows on the bucket-sized table",
     "multimodal_jpeg_exif": "EXIF metadata: APP1 TIFF-IFD build (II and MM) spliced into a real baseline JPEG, marker walk + IFD walk back out, ONE ArrowEvalPython stage - map-only, no shuffle",
     "multimodal_mp3_sideinfo": "Layer III side info: MSB-first 59-bit granule field groups bit-packed into a real frame and unpacked back, ONE ArrowEvalPython stage - map-only, no shuffle",
     "multimodal_flac_tags": "FLAC VORBIS_COMMENT: metadata-chain splice with last-flag rewrite, tags+STREAMINFO walk, sample decode re-verified on the tagged payload, ONE ArrowEvalPython stage - map-only, no shuffle",
