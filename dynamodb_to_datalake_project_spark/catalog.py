@@ -47,13 +47,13 @@ def query(name: str, oracle: str | None = None):
 # prefix of the catalog (~50 entries/round) should see the queries
 # with the LEAST independent-correctness coverage first. Round-7
 # order: the 15 round-7 additions lead (no driver row possible yet —
-# the weakest coverage class), then the 44 queries whose newest row
-# is r3 (35 of which fit the window; the last 9 refresh in r8), then
-# multimodal_mpegts_stats (its r6 row predates the round-7 PSI
-# section_length fix — same output columns, but re-sampling re-pins
-# the changed encoder). The rows-only fast paths and the r4/r5/r6-
-# green groups trail, freshest last. The set is identical either way
-# — only iteration order changes.
+# the weakest coverage class), then multimodal_mpegts_stats (its r6
+# row predates the round-7 PSI section_length fix, so it no longer
+# reproduces under current code — re-sampling re-pins the changed
+# encoder), then the 44 queries whose newest row is r3 (34 of which
+# fit the ~50-entry window; the last 10 refresh in r8). The rows-only
+# fast paths and the r4/r5/r6-green groups trail, freshest last. The
+# set is identical either way — only iteration order changes.
 _PRIORITY: list[str] = [
     # --- new in round 7 (no driver row possible yet): never-sampled
     # queries are the weakest coverage, so ALL 15 lead; the ~50-entry
@@ -75,6 +75,10 @@ _PRIORITY: list[str] = [
     "multimodal_mp3_sideinfo",
     "multimodal_flac_tags",
     "multimodal_png_text",
+    # --- r6-green but the round-7 PSI section_length fix changed the
+    # emitted container bytes: the r6 row no longer reproduces under
+    # current code, so re-pin ahead of the r3-stale greens ---
+    "multimodal_mpegts_stats",
     # --- newest driver row r3: the freshness-rotation tail ---
     "q11_value_concentration",
     "q14_promo_revenue",
@@ -120,9 +124,6 @@ _PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "multimodal_wav_stats",
     "skew_salted_event_stats",
-    # --- r6-green but the round-7 PSI section_length fix changed the
-    # emitted container bytes: re-pin ---
-    "multimodal_mpegts_stats",
     # --- rows-only fast paths (fresh r6 rows-only rows; each has an
     # oracle-green lossless twin) ---
     "dedup_minhash_lsh",
