@@ -155,6 +155,7 @@ HEADLINE = [
     "multimodal_mp3_sideinfo",
     "multimodal_flac_tags",
     "multimodal_png_text",
+    "multimodal_wav_tags",
 ]
 
 

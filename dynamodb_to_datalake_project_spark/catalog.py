@@ -46,19 +46,19 @@ def query(name: str, oracle: str | None = None):
 # Catalog iteration order. External harnesses that sample a bounded
 # prefix of the catalog (~50 entries/round) should see the queries
 # with the LEAST independent-correctness coverage first. Round-7
-# order: the 15 round-7 additions lead (no driver row possible yet —
+# order: the 16 round-7 additions lead (no driver row possible yet —
 # the weakest coverage class), then multimodal_mpegts_stats (its r6
 # row predates the round-7 PSI section_length fix, so it no longer
 # reproduces under current code — re-sampling re-pins the changed
-# encoder), then the 44 queries whose newest row is r3 (34 of which
-# fit the ~50-entry window; the last 10 refresh in r8). The rows-only
+# encoder), then the 44 queries whose newest row is r3 (~33 of which
+# fit the ~50-entry window; the rest refresh in r8). The rows-only
 # fast paths and the r4/r5/r6-green groups trail, freshest last. The
 # set is identical either way — only iteration order changes.
 _PRIORITY: list[str] = [
     # --- new in round 7 (no driver row possible yet): never-sampled
-    # queries are the weakest coverage, so ALL 15 lead; the ~50-entry
-    # window then reaches 35 of the 44 r3-stale rotation entries —
-    # the last 9 r3 rows refresh in r8 (a known r3-green is a smaller
+    # queries are the weakest coverage, so ALL 16 lead; the ~50-entry
+    # window then reaches ~33 of the 44 r3-stale rotation entries —
+    # the rest refresh in r8 (a known r3-green is a smaller
     # blind spot than a query with no independent row at all) ---
     "web_url_canonicalize",
     "web_domain_stats",
@@ -75,6 +75,7 @@ _PRIORITY: list[str] = [
     "multimodal_mp3_sideinfo",
     "multimodal_flac_tags",
     "multimodal_png_text",
+    "multimodal_wav_tags",
     # --- r6-green but the round-7 PSI section_length fix changed the
     # emitted container bytes: the r6 row no longer reproduces under
     # current code, so re-pin ahead of the r3-stale greens ---

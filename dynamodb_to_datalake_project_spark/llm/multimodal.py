@@ -1330,6 +1330,86 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def wav_append_info(payload: bytes, fields: "list[tuple[str, str]]") -> bytes:
+    """Append a RIFF `LIST`/`INFO` metadata chunk (the WAV tagging
+    convention: INAM title, IART artist, ILNG language, ...) and patch
+    the RIFF size field — each sub-chunk word-aligned with a NUL pad
+    byte as RIFF requires."""
+    import struct as _struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE payload")
+    body = bytearray(b"INFO")
+    for fourcc, value in fields:
+        v = value.encode("utf-8") + b"\x00"  # NUL-terminated per convention
+        if len(v) % 2:
+            v += b"\x00"
+        body += fourcc.encode("ascii") + _struct.pack("<I", len(v)) + v
+    chunk = b"LIST" + _struct.pack("<I", len(body)) + bytes(body)
+    new_size = _struct.unpack_from("<I", payload, 4)[0] + len(chunk)
+    return payload[:4] + _struct.pack("<I", new_size) + payload[8:] + chunk
+
+
+def parse_wav_info(payload: bytes) -> dict:
+    """RIFF chunk walk: fmt fields, data byte count, and the
+    LIST/INFO tag fields. Validates the RIFF/WAVE magic, the declared
+    RIFF size against the buffer, per-chunk bounds, and word-aligned
+    stepping; raises on violations (corrupt-upload quarantine)."""
+    import struct as _struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE payload")
+    (riff_size,) = _struct.unpack_from("<I", payload, 4)
+    if 8 + riff_size > len(payload):
+        raise ValueError("wav: RIFF size overruns the payload")
+    pos, end = 12, 8 + riff_size
+    fmt = None
+    data_bytes = None
+    info: "list[tuple[str, str]]" = []
+    n_chunks = 0
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (clen,) = _struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"wav: chunk {cid!r} overruns the payload")
+        n_chunks += 1
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("wav: fmt chunk too short")
+            fmt_tag, n_ch, rate = _struct.unpack_from("<HHI", body)
+            bits = _struct.unpack_from("<H", body, 14)[0]
+            fmt = {
+                "format": fmt_tag,
+                "n_channels": n_ch,
+                "sample_rate": rate,
+                "bits": bits,
+            }
+        elif cid == b"data":
+            data_bytes = clen
+        elif cid == b"LIST" and body[:4] == b"INFO":
+            at = 4
+            while at + 8 <= clen:
+                sub = body[at : at + 4]
+                (slen,) = _struct.unpack_from("<I", body, at + 4)
+                sval = body[at + 8 : at + 8 + slen]
+                if len(sval) != slen:
+                    raise ValueError(f"wav: INFO field {sub!r} overruns LIST")
+                info.append(
+                    (sub.decode("ascii"), sval.rstrip(b"\x00").decode("utf-8"))
+                )
+                at += 8 + slen + (slen % 2)
+        pos += 8 + clen + (clen % 2)
+    if fmt is None:
+        raise ValueError("wav: no fmt chunk")
+    return {
+        "fmt": fmt,
+        "data_bytes": data_bytes,
+        "info": info,
+        "n_chunks": n_chunks,
+    }
+
+
 def decode_audio(payload: bytes) -> "object":
     """Audio decode: RIFF/WAVE payloads via the stdlib parser
     (`decode_wav`), FLAC via the zero-dep Rice/LPC decoder in
@@ -1494,6 +1574,85 @@ def q_multimodal_wav_stats(spark, sf_dir):
     the PCM frames fails the hash."""
     docs = load_table(spark, sf_dir, "documents")
     return wav_roundtrip_stats(docs)
+
+
+WAV_TAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("data_bytes", T.LongType()),
+        T.StructField("n_chunks", T.LongType()),
+    ]
+)
+
+
+def wav_tags_stats(docs: DataFrame) -> DataFrame:
+    """Per document: a real 16-bit PCM WAV with a LIST/INFO tag chunk
+    appended (RIFF size patched), the chunk walk run back over it, and
+    the stdlib decode re-run on the tagged payload to prove the tags
+    leave the PCM frames intact. Arrow `mapInPandas`, map-only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in WAV_TAGS_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id, lang in zip(pdf["doc_id"], pdf["lang"]):
+                did = int(doc_id)
+                n = 2 + did % 3
+                samples = [((did * 131 + i) % 65536) - 32768 for i in range(n)]
+                fields = [("INAM", f"doc-{did}"), ("ILNG", str(lang))]
+                if did % 5 == 0:
+                    fields.append(("IART", f"artist-{did % 7}"))
+                tagged = wav_append_info(encode_wav(samples), fields)
+                d = parse_wav_info(tagged)
+                feat = decode_wav(tagged)  # stdlib decode still clean
+                if feat["n_samples"] != n:
+                    raise ValueError("wav: tag append corrupted frames")
+                tags = dict(d["info"])
+                out["doc_id"].append(did)
+                out["title"].append(tags.get("INAM"))
+                out["language"].append(tags.get("ILNG"))
+                out["artist"].append(tags.get("IART"))
+                out["sample_rate"].append(d["fmt"]["sample_rate"])
+                out["n_samples"].append(feat["n_samples"])
+                out["data_bytes"].append(d["data_bytes"])
+                out["n_chunks"].append(d["n_chunks"])
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "lang").repartition(par).mapInPandas(op, WAV_TAGS_SCHEMA)
+    )
+
+
+@query(
+    "multimodal_wav_tags",
+    oracle="""
+    SELECT doc_id,
+           'doc-' || CAST(doc_id AS VARCHAR) AS title,
+           lang AS language,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'artist-' || CAST(doc_id % 7 AS VARCHAR) END AS artist,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(2 + doc_id % 3 AS BIGINT) AS n_samples,
+           CAST(2 * (2 + doc_id % 3) AS BIGINT) AS data_bytes,
+           CAST(3 AS BIGINT) AS n_chunks
+    FROM documents
+    """,
+)
+def q_multimodal_wav_tags(spark, sf_dir):
+    """WAV LIST/INFO metadata: the RIFF tagging convention (INAM/ILNG/
+    IART) appended with a patched RIFF size, chunk-walked back out,
+    and the stdlib PCM decode re-verified on the tagged payload. ILNG
+    carries the actual `lang` column, so the oracle reads it off
+    `documents` with no parser — closing the tags family across
+    MP3/Ogg/FLAC/PNG/JPEG/WAV."""
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_tags_stats(docs)
 
 
 FLAC_STATS_SCHEMA = T.StructType(

@@ -2780,3 +2780,42 @@ def test_png_text_chunks_and_rejects():
         )
     with _pt.raises(ValueError, match="bad pHYs length"):
         m.parse_png_metadata(m.png_insert_chunks(plain, [(b"pHYs", bytes(5))]))
+
+
+def test_wav_info_chunk_walk_and_rejects():
+    """RIFF LIST/INFO: size patch, word-aligned stepping (odd-length
+    value pads), stdlib decode unchanged, and the reject paths."""
+    import struct
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    samples = [1, -2, 3]
+    plain = m.encode_wav(samples)
+    tagged = m.wav_append_info(plain, [("INAM", "t"), ("ILNG", "en")])
+    d = m.parse_wav_info(tagged)
+    assert d["fmt"] == {
+        "format": 1, "n_channels": 1, "sample_rate": 16000, "bits": 16,
+    }
+    assert d["data_bytes"] == 6 and d["n_chunks"] == 3
+    assert d["info"] == [("INAM", "t"), ("ILNG", "en")]
+    # RIFF size patched: declared size spans the whole file minus 8
+    assert struct.unpack_from("<I", tagged, 4)[0] == len(tagged) - 8
+    assert m.decode_wav(tagged)["n_samples"] == 3
+    # odd-length value ("abc" + NUL = 4... use "ab" + NUL = 3 -> pad)
+    d2 = m.parse_wav_info(m.wav_append_info(plain, [("INAM", "ab"), ("X2__", "y")]))
+    assert d2["info"] == [("INAM", "ab"), ("X2__", "y")]
+
+    with _pt.raises(ValueError, match="not a RIFF/WAVE"):
+        m.parse_wav_info(b"RIFX" + plain[4:])
+    with _pt.raises(ValueError, match="RIFF size overruns"):
+        m.parse_wav_info(tagged[:-4])
+    corrupt = bytearray(tagged)
+    # inflate the LIST chunk's declared length past the buffer
+    at = tagged.find(b"LIST")
+    corrupt[at + 4 : at + 8] = struct.pack("<I", 10_000)
+    with _pt.raises(ValueError, match="overruns"):
+        m.parse_wav_info(bytes(corrupt))
+    with _pt.raises(ValueError, match="no fmt chunk"):
+        m.parse_wav_info(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
