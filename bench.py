@@ -156,6 +156,7 @@ HEADLINE = [
     "multimodal_flac_tags",
     "multimodal_png_text",
     "multimodal_wav_tags",
+    "multimodal_mp4_tags",
 ]
 
 

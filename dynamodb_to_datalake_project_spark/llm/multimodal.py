@@ -3459,6 +3459,162 @@ def parse_mp4_boxes(payload: bytes) -> dict:
     return {"brand": brand, "tracks": out}
 
 
+def encode_mp4_udta_tags(
+    texts: "list[tuple[str, str]]", trkn: "tuple[int, int] | None" = None
+) -> bytes:
+    """A `udta` box carrying the iTunes-style tag tree (udta → meta
+    [FullBox] → hdlr 'mdir' + ilst): each text tag is a 4CC item box
+    (e.g. '©nam') holding one `data` box with type indicator 1 (UTF-8)
+    and locale 0; `trkn` is the classic type-0 binary item
+    (0, track, total, 0 as 16-bit fields)."""
+    import struct as _struct
+
+    items = bytearray()
+    for fourcc, text in texts:
+        fcc = fourcc.encode("latin-1")  # © = 0xA9
+        if len(fcc) != 4:
+            raise ValueError(f"mp4 tags: item code must be 4 bytes, got {fourcc!r}")
+        data = _mp4_box(
+            b"data", _struct.pack(">II", 1, 0) + text.encode("utf-8")
+        )
+        items += _mp4_box(fcc, data)
+    if trkn is not None:
+        data = _mp4_box(
+            b"data",
+            _struct.pack(">II", 0, 0) + _struct.pack(">HHHH", 0, *trkn, 0),
+        )
+        items += _mp4_box(b"trkn", data)
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0, b"\x00" * 4 + b"mdir" + b"appl" + b"\x00" * 9
+    )
+    meta = _mp4_full(b"meta", 0, 0, hdlr + _mp4_box(b"ilst", bytes(items)))
+    return _mp4_box(b"udta", meta)
+
+
+def mp4_insert_udta(payload: bytes, udta: bytes) -> bytes:
+    """Splice a `udta` box into the top-level `moov` of a finished
+    ISO-BMFF file — the surgery a tagger actually performs: the moov
+    size field is patched AND every stco/co64 chunk offset at or past
+    the insertion point is shifted by the splice length, so the sample
+    tables still resolve to the same mdat bytes (re-demuxing the
+    tagged file is the proof). 64-bit `largesize` moov is rejected
+    (our encoder never emits one)."""
+    import struct as _struct
+
+    pos, end = 0, len(payload)
+    moov_at = moov_end = None
+    while pos + 8 <= end:
+        (size,) = _struct.unpack_from(">I", payload, pos)
+        fourcc = payload[pos + 4 : pos + 8]
+        if size == 1:
+            raise ValueError("mp4 tags: 64-bit moov not supported")
+        if size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"mp4 tags: truncated box {fourcc!r}")
+        if fourcc == b"moov":
+            moov_at, moov_end = pos, pos + size
+            break
+        pos += size
+    if moov_at is None:
+        raise ValueError("mp4 tags: no moov box")
+    delta = len(udta)
+    out = bytearray(payload[:moov_end] + udta + payload[moov_end:])
+    (moov_size,) = _struct.unpack_from(">I", out, moov_at)
+    _struct.pack_into(">I", out, moov_at, moov_size + delta)
+
+    # shift stco/co64 offsets >= the insertion point (mdat after moov)
+    def shift(lo: int, hi: int) -> None:
+        p = lo
+        while p + 8 <= hi:
+            (size,) = _struct.unpack_from(">I", out, p)
+            fcc = bytes(out[p + 4 : p + 8])
+            body = p + 8
+            if size == 1:
+                (size,) = _struct.unpack_from(">Q", out, p + 8)
+                body = p + 16
+            elif size == 0:
+                size = hi - p
+            if fcc in _MP4_CONTAINERS:
+                shift(body, p + size)
+            elif fcc in (b"stco", b"co64"):
+                (n,) = _struct.unpack_from(">I", out, body + 4)
+                wide = fcc == b"co64"
+                for i in range(n):
+                    at = body + 8 + i * (8 if wide else 4)
+                    fmt = ">Q" if wide else ">I"
+                    (off,) = _struct.unpack_from(fmt, out, at)
+                    if off >= moov_end:
+                        _struct.pack_into(fmt, out, at, off + delta)
+            p += size
+
+    shift(moov_at + 8, moov_end + delta)
+    return bytes(out)
+
+
+def parse_mp4_tags(payload: bytes) -> dict:
+    """Walk moov → udta → meta (FullBox: 4 post-header bytes) → ilst
+    and decode the tag items: type-1 `data` payloads as UTF-8, the
+    type-0 `trkn` binary as (track, total). Raises on a missing tag
+    tree, a non-'data' child, an unknown type indicator, or truncated
+    boxes — corrupt-upload quarantine."""
+    import struct as _struct
+
+    def walk(lo: int, hi: int):
+        p = lo
+        while p + 8 <= hi:
+            (size,) = _struct.unpack_from(">I", payload, p)
+            fcc = payload[p + 4 : p + 8]
+            body = p + 8
+            if size == 1:
+                (size,) = _struct.unpack_from(">Q", payload, p + 8)
+                body = p + 16
+            elif size == 0:
+                size = hi - p
+            if size < body - p or p + size > hi:
+                raise ValueError(f"mp4 tags: truncated box {fcc!r}")
+            yield fcc, body, p + size
+            p += size
+
+    def find(lo: int, hi: int, fourcc: bytes, skip: int = 0):
+        for fcc, body, end in walk(lo, hi):
+            if fcc == fourcc:
+                return body + skip, end
+        return None
+
+    span = find(0, len(payload), b"moov")
+    if span is None:
+        raise ValueError("mp4 tags: no moov box")
+    span = find(*span, b"udta")
+    if span is None:
+        raise ValueError("mp4 tags: no udta box")
+    span = find(*span, b"meta", skip=4)  # FullBox version/flags
+    if span is None:
+        raise ValueError("mp4 tags: no meta box")
+    span = find(*span, b"ilst")
+    if span is None:
+        raise ValueError("mp4 tags: no ilst box")
+    texts: "list[tuple[str, str]]" = []
+    trkn = None
+    n_items = 0
+    for fcc, body, end in walk(*span):
+        n_items += 1
+        d = find(body, end, b"data")
+        if d is None:
+            raise ValueError(f"mp4 tags: item {fcc!r} has no data box")
+        dbody, dend = d
+        typ, loc = _struct.unpack_from(">II", payload, dbody)
+        val = payload[dbody + 8 : dend]
+        if typ == 1:
+            texts.append((fcc.decode("latin-1"), val.decode("utf-8")))
+        elif typ == 0 and fcc == b"trkn":
+            _z, track, total, _z2 = _struct.unpack(">HHHH", val)
+            trkn = (track, total)
+        else:
+            raise ValueError(f"mp4 tags: unknown data type {typ} in {fcc!r}")
+    return {"texts": texts, "trkn": trkn, "n_items": n_items}
+
+
 MP4_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -3600,6 +3756,112 @@ def q_multimodal_mp4_stats(spark, sf_dir):
     encoder, the box walk, AND the offset resolution."""
     docs = load_table(spark, sf_dir, "documents")
     return mp4_container_stats(docs)
+
+
+MP4_TAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("year", T.StringType()),
+        T.StructField("track_no", T.LongType()),
+        T.StructField("track_total", T.LongType()),
+        T.StructField("n_items", T.LongType()),
+        T.StructField("first_byte_sum", T.LongType()),
+    ]
+)
+
+
+def mp4_tags_stats(docs: DataFrame) -> DataFrame:
+    """Per document: a real single-track mp4, an iTunes-style tag tree
+    spliced into the finished file with `mp4_insert_udta` (moov size
+    patched, stco offsets shifted), tags walked back out, and the FULL
+    demux re-run on the tagged payload — the emitted first-byte sum
+    comes from the TAGGED file's resolved sample offsets, so a hash
+    match proves the offset surgery byte-exactly. Arrow `mapInPandas`,
+    map-only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in MP4_TAGS_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                did = int(doc_id)
+                nv = 2 + did % 3
+                vsamples = [
+                    bytes([(did * 3 + i * 17) % 256])
+                    + bytes([(did + i) % 256]) * (9 + (did + i) % 20)
+                    for i in range(nv)
+                ]
+                plain = encode_mp4_container(
+                    [
+                        {
+                            "handler": "vide",
+                            "codec": "avc1",
+                            "timescale": 1000,
+                            "sample_delta": 40,
+                            "samples": vsamples,
+                            "width": 16,
+                            "height": 16,
+                        }
+                    ]
+                )
+                udta = encode_mp4_udta_tags(
+                    [
+                        ("©nam", f"doc-{did}"),
+                        ("©ART", str(source)),
+                        ("©day", str(2000 + did % 25)),
+                    ],
+                    trkn=(1 + did % 12, 12),
+                )
+                tagged = mp4_insert_udta(plain, udta)
+                t = parse_mp4_tags(tagged)
+                d = parse_mp4_boxes(tagged)  # offsets must still resolve
+                texts = dict(t["texts"])
+                out["doc_id"].append(did)
+                out["title"].append(texts.get("©nam"))
+                out["artist"].append(texts.get("©ART"))
+                out["year"].append(texts.get("©day"))
+                out["track_no"].append(t["trkn"][0])
+                out["track_total"].append(t["trkn"][1])
+                out["n_items"].append(t["n_items"])
+                out["first_byte_sum"].append(d["tracks"][0]["first_byte_sum"])
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "source")
+        .repartition(par)
+        .mapInPandas(op, MP4_TAGS_SCHEMA)
+    )
+
+
+@query(
+    "multimodal_mp4_tags",
+    oracle="""
+    SELECT doc_id,
+           'doc-' || CAST(doc_id AS VARCHAR) AS title,
+           source AS artist,
+           CAST(2000 + doc_id % 25 AS VARCHAR) AS year,
+           CAST(1 + doc_id % 12 AS BIGINT) AS track_no,
+           CAST(12 AS BIGINT) AS track_total,
+           CAST(4 AS BIGINT) AS n_items,
+           CAST(list_sum(list_transform(range(0, 2 + doc_id % 3),
+                i -> (doc_id * 3 + i * 17) % 256)) AS BIGINT)
+             AS first_byte_sum
+    FROM documents
+    """,
+)
+def q_multimodal_mp4_tags(spark, sf_dir):
+    """MP4/M4A iTunes-style tags (moov→udta→meta→ilst): the tag tree
+    spliced into a FINISHED file — real tagger surgery, moov size
+    patched and every stco offset shifted — then walked back out, with
+    the full demux re-run on the tagged payload. `first_byte_sum` is
+    read through the TAGGED file's sample tables, so the oracle hash
+    match pins the offset patch, not just the text decode; ©ART
+    carries the actual `source` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mp4_tags_stats(docs)
 
 
 MP4_PTS_SCHEMA = T.StructType(

@@ -2819,3 +2819,58 @@ def test_wav_info_chunk_walk_and_rejects():
         m.parse_wav_info(bytes(corrupt))
     with _pt.raises(ValueError, match="no fmt chunk"):
         m.parse_wav_info(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_mp4_udta_tag_surgery_and_rejects():
+    """ilst tag splice into a finished file: moov size patch, stco
+    shift (re-demux equality is the proof), meta FullBox skip, type-0
+    trkn decode, and the reject paths."""
+    import struct
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    plain = m.encode_mp4_container(
+        [
+            {
+                "handler": "vide", "codec": "avc1", "timescale": 1000,
+                "sample_delta": 40, "width": 16, "height": 16,
+                "samples": [b"\x05abc", b"\x07defg", b"\x02x"],
+            },
+            {
+                "handler": "soun", "codec": "mp4a", "timescale": 48000,
+                "sample_delta": 1024, "samples": [b"\x09xy", b"\x01z"],
+            },
+        ]
+    )
+    udta = m.encode_mp4_udta_tags(
+        [("©nam", "t"), ("©ART", "a")], trkn=(3, 12)
+    )
+    tagged = m.mp4_insert_udta(plain, udta)
+    # the strongest check: full demux of the tagged file equals the
+    # untagged demux — sample offsets still land on the same bytes
+    assert m.parse_mp4_boxes(tagged) == m.parse_mp4_boxes(plain)
+    d = m.parse_mp4_tags(tagged)
+    assert d == {
+        "texts": [("©nam", "t"), ("©ART", "a")], "trkn": (3, 12), "n_items": 3,
+    }
+
+    with _pt.raises(ValueError, match="no moov"):
+        m.mp4_insert_udta(plain[: plain.index(b"moov") - 4], udta)
+    with _pt.raises(ValueError, match="no udta"):
+        m.parse_mp4_tags(plain)
+    with _pt.raises(ValueError, match="item code must be 4 bytes"):
+        m.encode_mp4_udta_tags([("nam", "x")])
+    # unknown data type indicator quarantines
+    bad = bytearray(tagged)
+    at = tagged.index(b"data", tagged.index(b"ilst"))
+    struct.pack_into(">I", bad, at + 4, 7)
+    with _pt.raises(ValueError, match="unknown data type"):
+        m.parse_mp4_tags(bytes(bad))
+    # an ilst item whose child is not a data box
+    ilst = m._mp4_box(b"ilst", m._mp4_box(b"\xa9nam", m._mp4_box(b"blob", b"")))
+    meta = m._mp4_full(b"meta", 0, 0, ilst)
+    forged = m.mp4_insert_udta(plain, m._mp4_box(b"udta", meta))
+    with _pt.raises(ValueError, match="has no data box"):
+        m.parse_mp4_tags(forged)

@@ -144,6 +144,7 @@ NOTES = {
     "multimodal_flac_tags": "FLAC VORBIS_COMMENT: metadata-chain splice with last-flag rewrite, tags+STREAMINFO walk, sample decode re-verified on the tagged payload, ONE ArrowEvalPython stage - map-only, no shuffle",
     "multimodal_png_text": "PNG tEXt/iTXt/pHYs: CRC-live chunk splice + metadata walk + pixel re-verify, ONE ArrowEvalPython stage - map-only, no shuffle",
     "multimodal_wav_tags": "WAV LIST/INFO: RIFF-size-patched tag append + chunk walk + stdlib decode re-verify, ONE ArrowEvalPython stage - map-only, no shuffle",
+    "multimodal_mp4_tags": "MP4 ilst tags: udta splice into a finished file (moov size patch + stco shift), tag walk + full re-demux through the patched sample tables, ONE ArrowEvalPython stage - map-only, no shuffle",
     "multimodal_mp3_tags": "ID3v2 metadata: v2.3 tag build + syncsafe header walk + text-frame decode ahead of the Layer III frame validation, ONE ArrowEvalPython stage - map-only, no shuffle",
     "multimodal_ogg_tags": "Opus metadata: conformant OpusHead+OpusTags+audio build, page-CRC demux, comment-structure parse of the reassembled second packet in ONE ArrowEvalPython stage — map-only, no shuffle",
 }
