@@ -25,6 +25,7 @@ def main() -> None:
         jpeg_exif_stats,
         mp3_sideinfo_stats,
         mp3_tags_stats,
+        mp4_tags_stats,
         wav_tags_stats,
     )
     from dynamodb_to_datalake_project_spark.timeseries import gapfill_resample
@@ -72,6 +73,7 @@ def main() -> None:
         ("mp3_tags (ID3v2 walk)", mp3_tags_stats, frames),
         ("flac_tags (chain splice + decode)", flac_tags_stats, frames),
         ("wav_tags (RIFF INFO walk)", wav_tags_stats, frames),
+        ("mp4_tags (udta splice + re-demux)", mp4_tags_stats, frames),
     ]
 
     for name, build, fr in probes:
