@@ -157,6 +157,7 @@ HEADLINE = [
     "multimodal_png_text",
     "multimodal_wav_tags",
     "multimodal_mp4_tags",
+    "multimodal_gif_meta",
 ]
 
 

@@ -46,7 +46,7 @@ def query(name: str, oracle: str | None = None):
 # Catalog iteration order. External harnesses that sample a bounded
 # prefix of the catalog (~50 entries/round) should see the queries
 # with the LEAST independent-correctness coverage first. Round-7
-# order: the 17 round-7 additions lead (no driver row possible yet —
+# order: the 18 round-7 additions lead (no driver row possible yet —
 # the weakest coverage class), then multimodal_mpegts_stats (its r6
 # row predates the round-7 PSI section_length fix, so it no longer
 # reproduces under current code — re-sampling re-pins the changed
@@ -56,7 +56,7 @@ def query(name: str, oracle: str | None = None):
 # set is identical either way — only iteration order changes.
 _PRIORITY: list[str] = [
     # --- new in round 7 (no driver row possible yet): never-sampled
-    # queries are the weakest coverage, so ALL 17 lead; the ~50-entry
+    # queries are the weakest coverage, so ALL 18 lead; the ~50-entry
     # window then reaches ~33 of the 44 r3-stale rotation entries —
     # the rest refresh in r8 (a known r3-green is a smaller
     # blind spot than a query with no independent row at all) ---
@@ -77,6 +77,7 @@ _PRIORITY: list[str] = [
     "multimodal_png_text",
     "multimodal_wav_tags",
     "multimodal_mp4_tags",
+    "multimodal_gif_meta",
     # --- r6-green but the round-7 PSI section_length fix changed the
     # emitted container bytes: the r6 row no longer reproduces under
     # current code, so re-pin ahead of the r3-stale greens ---

@@ -231,6 +231,116 @@ def encode_png(
     )
 
 
+def _gif_gct_end(payload: bytes) -> int:
+    """Offset just past the Logical Screen Descriptor + Global Color
+    Table — where extension blocks may begin (GIF89a spec layout)."""
+    import struct as _struct
+
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("gif: bad signature")
+    packed = payload[10]
+    at = 13
+    if packed & 0x80:
+        at += 3 * (2 << (packed & 0x07))
+    return at
+
+
+def gif_insert_extensions(
+    payload: bytes, comment: "str | None" = None, loop_count: "int | None" = None
+) -> bytes:
+    """Insert a Comment Extension (0xFE, sub-blocked at 255 bytes) and
+    a NETSCAPE2.0 looping Application Extension right after the global
+    color table — the canonical position. Requires a GIF89a stream
+    (extensions are an 89a feature)."""
+    import struct as _struct
+
+    if payload[:6] != b"GIF89a":
+        raise ValueError("gif: extensions require GIF89a")
+    at = _gif_gct_end(payload)
+    blocks = bytearray()
+    if loop_count is not None:
+        blocks += (
+            b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+            + _struct.pack("<H", loop_count)
+            + b"\x00"
+        )
+    if comment is not None:
+        raw = comment.encode("latin-1")
+        blocks += b"\x21\xfe"
+        for i in range(0, len(raw), 255):
+            chunk = raw[i : i + 255]
+            blocks += bytes([len(chunk)]) + chunk
+        blocks += b"\x00"
+    return payload[:at] + bytes(blocks) + payload[at:]
+
+
+def parse_gif_extensions(payload: bytes) -> dict:
+    """GIF block walk (GIF89a spec appendix): comment text (sub-blocks
+    reassembled), the NETSCAPE2.0 loop count, image count, and screen
+    dims — without LZW-decoding a pixel. Raises on a bad signature,
+    sub-blocks overrunning the payload, a malformed NETSCAPE block, a
+    missing trailer, or an unknown top-level block byte."""
+    import struct as _struct
+
+    width, height = _struct.unpack_from("<HH", payload, 6)
+    pos = _gif_gct_end(payload)
+
+    def subblocks(at: int) -> "tuple[bytes, int]":
+        buf = bytearray()
+        while True:
+            if at >= len(payload):
+                raise ValueError("gif: sub-blocks overrun the payload")
+            n = payload[at]
+            at += 1
+            if n == 0:
+                return bytes(buf), at
+            if at + n > len(payload):
+                raise ValueError("gif: sub-block overruns the payload")
+            buf += payload[at : at + n]
+            at += n
+
+    comment = None
+    loop_count = None
+    n_images = 0
+    trailer = False
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:
+            label = payload[pos + 1]
+            data, pos = subblocks(pos + 2)
+            if label == 0xFE:
+                comment = data.decode("latin-1")
+            elif label == 0xFF:
+                if data[:11] == b"NETSCAPE2.0":
+                    # sub-blocks reassembled: 11-byte app id + the
+                    # 3-byte (0x01, loop lo, loop hi) data sub-block
+                    if len(data) != 14 or data[11] != 0x01:
+                        raise ValueError("gif: malformed NETSCAPE block")
+                    (loop_count,) = _struct.unpack_from("<H", data, 12)
+        elif block == 0x2C:
+            n_images += 1
+            packed = payload[pos + 9]
+            pos += 10
+            if packed & 0x80:
+                pos += 3 * (2 << (packed & 0x07))
+            pos += 1  # LZW minimum code size
+            _, pos = subblocks(pos)
+        elif block == 0x3B:
+            trailer = True
+            break
+        else:
+            raise ValueError(f"gif: unknown block 0x{block:02x} at {pos}")
+    if not trailer:
+        raise ValueError("gif: missing trailer")
+    return {
+        "width": width,
+        "height": height,
+        "comment": comment,
+        "loop_count": loop_count,
+        "n_images": n_images,
+    }
+
+
 def png_insert_chunks(payload: bytes, chunks: "list[tuple[bytes, bytes]]") -> bytes:
     """Splice ancillary chunks right after IHDR (the position the spec
     prescribes for pHYs and allows for tEXt/iTXt) — each framed with
@@ -2361,6 +2471,78 @@ def q_multimodal_png_text(spark, sf_dir):
     the image-side counterpart of the MP3/Ogg/FLAC tags family."""
     docs = load_table(spark, sf_dir, "documents")
     return png_text_stats(docs)
+
+
+GIF_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("comment", T.StringType()),
+        T.StructField("loop_count", T.LongType()),
+        T.StructField("n_images", T.LongType()),
+    ]
+)
+
+
+def gif_meta_stats(docs: DataFrame) -> DataFrame:
+    """Per document: a real GIF89a with a Comment Extension and a
+    NETSCAPE2.0 loop count spliced after the global color table, the
+    block walk run back over it, and the LZW pixel decode re-run on
+    the tagged payload. Arrow `mapInPandas`, map-only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        out: dict[str, list] = {f.name: [] for f in GIF_META_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                px = np.full((2, 2, 3), (did * 29) % 251, dtype=np.uint8)
+                plain = encode_gif(px, 2, 2)
+                tagged = gif_insert_extensions(
+                    plain, comment=f"doc-{did}", loop_count=did % 100
+                )
+                d = parse_gif_extensions(tagged)
+                dec = decode_gif(tagged)  # LZW decode still clean
+                if dec["pixels"] != [tuple(int(c) for c in p) for row in px for p in row]:
+                    raise ValueError("gif: extension splice corrupted pixels")
+                out["doc_id"].append(did)
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["comment"].append(d["comment"])
+                out["loop_count"].append(d["loop_count"])
+                out["n_images"].append(d["n_images"])
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id").repartition(par).mapInPandas(op, GIF_META_SCHEMA)
+    )
+
+
+@query(
+    "multimodal_gif_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS width,
+           CAST(2 AS BIGINT) AS height,
+           'doc-' || CAST(doc_id AS VARCHAR) AS comment,
+           CAST(doc_id % 100 AS BIGINT) AS loop_count,
+           CAST(1 AS BIGINT) AS n_images
+    FROM documents
+    """,
+)
+def q_multimodal_gif_meta(spark, sf_dir):
+    """GIF89a extension metadata: Comment + NETSCAPE2.0 loop count
+    spliced into a real GIF, walked back out by the block walk
+    (sub-block reassembly, image-descriptor skip without LZW decode),
+    with the full pixel decode re-verified on the tagged payload —
+    the last leg of the tags family (MP3/Ogg/FLAC/WAV/MP4/PNG/JPEG/
+    GIF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return gif_meta_stats(docs)
 
 
 WEBP_STATS_SCHEMA = T.StructType(

@@ -2874,3 +2874,46 @@ def test_mp4_udta_tag_surgery_and_rejects():
     forged = m.mp4_insert_udta(plain, m._mp4_box(b"udta", meta))
     with _pt.raises(ValueError, match="has no data box"):
         m.parse_mp4_tags(forged)
+
+
+def test_gif_extensions_walk_and_rejects():
+    """GIF89a comment/NETSCAPE splice: sub-block reassembly across the
+    255-byte boundary, loop-count decode, image skip without LZW, LZW
+    decode unchanged, and the reject paths."""
+    import numpy as np
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    plain = m.encode_gif(px, 2, 2)
+    long_comment = "x" * 300  # forces two comment sub-blocks
+    tagged = m.gif_insert_extensions(plain, comment=long_comment, loop_count=7)
+    d = m.parse_gif_extensions(tagged)
+    assert d == {
+        "width": 2, "height": 2, "comment": long_comment,
+        "loop_count": 7, "n_images": 1,
+    }
+    assert m.decode_gif(tagged)["pixels"] == m.decode_gif(plain)["pixels"]
+    # extensions are optional independently
+    assert m.parse_gif_extensions(plain)["comment"] is None
+    assert (
+        m.parse_gif_extensions(m.gif_insert_extensions(plain, comment="c"))[
+            "loop_count"
+        ]
+        is None
+    )
+
+    with _pt.raises(ValueError, match="bad signature"):
+        m.parse_gif_extensions(b"JIF89a" + plain[6:])
+    with _pt.raises(ValueError, match="extensions require GIF89a"):
+        m.gif_insert_extensions(b"GIF87a" + plain[6:], comment="c")
+    with _pt.raises(ValueError, match="missing trailer"):
+        m.parse_gif_extensions(tagged[:-1])
+    with _pt.raises(ValueError, match="sub-block overruns"):
+        at = m._gif_gct_end(tagged)
+        m.parse_gif_extensions(tagged[: at + 2] + b"\xff" + b"z" * 10)
+    with _pt.raises(ValueError, match="malformed NETSCAPE"):
+        bad = b"\x21\xff\x0bNETSCAPE2.0\x03\x02\x07\x00\x00"
+        at = m._gif_gct_end(plain)
+        m.parse_gif_extensions(plain[:at] + bad + plain[at:])

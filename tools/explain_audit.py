@@ -145,6 +145,7 @@ NOTES = {
     "multimodal_png_text": "PNG tEXt/iTXt/pHYs: CRC-live chunk splice + metadata walk + pixel re-verify, ONE ArrowEvalPython stage - map-only, no shuffle",
     "multimodal_wav_tags": "WAV LIST/INFO: RIFF-size-patched tag append + chunk walk + stdlib decode re-verify, ONE ArrowEvalPython stage - map-only, no shuffle",
     "multimodal_mp4_tags": "MP4 ilst tags: udta splice into a finished file (moov size patch + stco shift), tag walk + full re-demux through the patched sample tables, ONE ArrowEvalPython stage - map-only, no shuffle",
+    "multimodal_gif_meta": "GIF89a comment/NETSCAPE loop: post-GCT splice + block walk (image skip without LZW) + pixel decode re-verify, ONE ArrowEvalPython stage - map-only, no shuffle",
     "multimodal_mp3_tags": "ID3v2 metadata: v2.3 tag build + syncsafe header walk + text-frame decode ahead of the Layer III frame validation, ONE ArrowEvalPython stage - map-only, no shuffle",
     "multimodal_ogg_tags": "Opus metadata: conformant OpusHead+OpusTags+audio build, page-CRC demux, comment-structure parse of the reassembled second packet in ONE ArrowEvalPython stage — map-only, no shuffle",
 }
