@@ -22,6 +22,7 @@ def main() -> None:
     from dynamodb_to_datalake_project_spark.lake import load_table
     from dynamodb_to_datalake_project_spark.llm.multimodal import (
         flac_tags_stats,
+        gif_meta_stats,
         jpeg_exif_stats,
         mp3_sideinfo_stats,
         mp3_tags_stats,
@@ -74,6 +75,7 @@ def main() -> None:
         ("flac_tags (chain splice + decode)", flac_tags_stats, frames),
         ("wav_tags (RIFF INFO walk)", wav_tags_stats, frames),
         ("mp4_tags (udta splice + re-demux)", mp4_tags_stats, frames),
+        ("gif_meta (extension splice + decode)", gif_meta_stats, frames),
     ]
 
     for name, build, fr in probes:
