@@ -975,8 +975,31 @@ def q_graph_bfs_levels(spark, sf_dir):
     return bfs_levels(sym, seeds, n_rounds=4)
 
 
-def triangle_count(
+def canonical_undirected(
     edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Canonical undirected edge set (u, v) with u < v: self-loops
+    dropped, both orientations collapsed by least/greatest + distinct,
+    then localCheckpoint'ed eagerly — it feeds several downstream
+    consumers (degree agg, orientation join, wedge closure), and
+    recomputing the distinct per consumer would rescan the raw edges."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    return (
+        e.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph (either
     orientation of each edge, or both, may be present; self-loops are
@@ -1000,17 +1023,12 @@ def triangle_count(
     node-keyed joins to orient, ONE self-equi-join on the wedge apex
     (the bounded-out-degree join), one equi-join to close, one explode
     + count. The canonical edge table is materialized once for its
-    three consumers (degree, wedges, closure). All-integer arithmetic."""
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        F.col("a") != F.col("b")
-    )
-    und = (
-        e.select(
-            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    three consumers (degree, wedges, closure) — callers that already
+    hold it (clustering_coefficient) pass it via `und` so the full
+    edge-list distinct never runs twice per query. All-integer
+    arithmetic."""
+    if und is None:
+        und = canonical_undirected(edges, src, dst)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -1125,13 +1143,11 @@ def clustering_coefficient(
 
     Scale shape: `triangle_count`'s cost plus one node-keyed degree
     agg and one node-keyed LEFT join (nodes without triangles keep
-    coefficient 0) — nothing beyond node-sized tables added."""
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        F.col("a") != F.col("b")
-    )
-    und = e.select(
-        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-    ).distinct()
+    coefficient 0) — nothing beyond node-sized tables added. The
+    canonical undirected edge set is materialized ONCE and shared with
+    `triangle_count` (which otherwise rebuilds it), so the full
+    edge-list distinct runs a single time per query."""
+    und = canonical_undirected(edges, src, dst)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -1139,7 +1155,7 @@ def clustering_coefficient(
         .agg(F.count("*").alias("degree"))
         .filter(F.col("degree") >= 2)
     )
-    tri = triangle_count(edges, src, dst)
+    tri = triangle_count(edges, src, dst, und=und)
     joined = deg.join(tri, "node", "left").select(
         "node",
         "degree",

@@ -238,6 +238,8 @@ def _gif_gct_end(payload: bytes) -> int:
 
     if payload[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("gif: bad signature")
+    if len(payload) < 13:
+        raise ValueError("gif: truncated logical screen descriptor")
     packed = payload[10]
     at = 13
     if packed & 0x80:
@@ -279,11 +281,12 @@ def parse_gif_extensions(payload: bytes) -> dict:
     reassembled), the NETSCAPE2.0 loop count, image count, and screen
     dims — without LZW-decoding a pixel. Raises on a bad signature,
     sub-blocks overrunning the payload, a malformed NETSCAPE block, a
-    missing trailer, or an unknown top-level block byte."""
+    missing trailer, truncated block headers, or an unknown top-level
+    block byte — never IndexError/struct.error on corrupt uploads."""
     import struct as _struct
 
+    pos = _gif_gct_end(payload)  # validates signature + LSD length
     width, height = _struct.unpack_from("<HH", payload, 6)
-    pos = _gif_gct_end(payload)
 
     def subblocks(at: int) -> "tuple[bytes, int]":
         buf = bytearray()
@@ -306,6 +309,8 @@ def parse_gif_extensions(payload: bytes) -> dict:
     while pos < len(payload):
         block = payload[pos]
         if block == 0x21:
+            if pos + 2 > len(payload):
+                raise ValueError("gif: truncated extension introducer")
             label = payload[pos + 1]
             data, pos = subblocks(pos + 2)
             if label == 0xFE:
@@ -318,6 +323,8 @@ def parse_gif_extensions(payload: bytes) -> dict:
                         raise ValueError("gif: malformed NETSCAPE block")
                     (loop_count,) = _struct.unpack_from("<H", data, 12)
         elif block == 0x2C:
+            if pos + 10 > len(payload):
+                raise ValueError("gif: truncated image descriptor")
             n_images += 1
             packed = payload[pos + 9]
             pos += 10
@@ -404,7 +411,10 @@ def parse_png_metadata(payload: bytes) -> dict:
             if comp_flag not in (0, 1) or comp_method != 0:
                 raise ValueError("png: reserved iTXt compression")
             if comp_flag:
-                txt = _zlib.decompress(txt)
+                try:
+                    txt = _zlib.decompress(txt)
+                except _zlib.error as exc:
+                    raise ValueError(f"png: corrupt iTXt zlib stream: {exc}")
             texts.append(
                 (kw.decode("latin-1"), lang.decode("ascii"), txt.decode("utf-8"))
             )
@@ -1303,6 +1313,8 @@ def parse_jpeg_exif(payload: bytes) -> dict:
         pos += 2 + seglen
     if tiff is None:
         raise ValueError("exif: no APP1 Exif segment")
+    if len(tiff) < 8:
+        raise ValueError("exif: truncated TIFF header")
     if tiff[:2] == b"II":
         e = "<"
     elif tiff[:2] == b"MM":
@@ -1444,11 +1456,21 @@ def wav_append_info(payload: bytes, fields: "list[tuple[str, str]]") -> bytes:
     """Append a RIFF `LIST`/`INFO` metadata chunk (the WAV tagging
     convention: INAM title, IART artist, ILNG language, ...) and patch
     the RIFF size field — each sub-chunk word-aligned with a NUL pad
-    byte as RIFF requires."""
+    byte as RIFF requires. The declared RIFF size must match the
+    buffer exactly (8 + size == len) — a stale size or trailing bytes
+    would make the patched header lie about where the LIST chunk sits,
+    so that input raises instead."""
     import struct as _struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("wav: not a RIFF/WAVE payload")
+    if len(payload) < 12:
+        raise ValueError("wav: truncated RIFF header")
+    if 8 + _struct.unpack_from("<I", payload, 4)[0] != len(payload):
+        raise ValueError(
+            "wav: declared RIFF size does not match the buffer "
+            "(stale size or trailing bytes)"
+        )
     body = bytearray(b"INFO")
     for fourcc, value in fields:
         v = value.encode("utf-8") + b"\x00"  # NUL-terminated per convention
@@ -1456,7 +1478,7 @@ def wav_append_info(payload: bytes, fields: "list[tuple[str, str]]") -> bytes:
             v += b"\x00"
         body += fourcc.encode("ascii") + _struct.pack("<I", len(v)) + v
     chunk = b"LIST" + _struct.pack("<I", len(body)) + bytes(body)
-    new_size = _struct.unpack_from("<I", payload, 4)[0] + len(chunk)
+    new_size = len(payload) + len(chunk) - 8
     return payload[:4] + _struct.pack("<I", new_size) + payload[8:] + chunk
 
 
@@ -3200,8 +3222,11 @@ def _apply_edit_list(
     running presentation cursor; duration 0 on the LAST entry means
     to-end. Samples no edit covers return None (trimmed — exactly what
     a negative-ctts lead frame plus a trim edit produces). Dwell
-    (rate 0) and rate-scaled edits raise honestly — they need a
-    player's clock, not a demuxer's."""
+    (rate 0), rate-scaled edits, and edit lists that RE-present an
+    already-presented media range (ISO 14496-12 allows a sample to be
+    presented more than once; a single pts-per-sample column can't
+    represent that) raise honestly — they need a player's timeline,
+    not a demuxer's."""
     if not elst:
         return list(cts)
     out: "list[int | None]" = [None] * len(cts)
@@ -3227,11 +3252,15 @@ def _apply_edit_list(
         else:
             seg_media = seg_dur * media_ts // movie_ts
         for i, c in enumerate(cts):
-            if (
-                out[i] is None
-                and c >= media_time
-                and (seg_media is None or c < media_time + seg_media)
+            if c >= media_time and (
+                seg_media is None or c < media_time + seg_media
             ):
+                if out[i] is not None:
+                    raise NotImplementedError(
+                        "mp4: edit list re-presents an already-presented "
+                        "sample (repeat presentations need a player "
+                        "timeline, not one pts per sample)"
+                    )
                 out[i] = c - media_time + pcur
         if seg_media is None:
             break
@@ -4463,8 +4492,9 @@ def parse_id3v2(payload: bytes) -> dict:
     """Parse a leading ID3v2 tag (v2.3 or v2.4): header version +
     syncsafe tag size, then a frame walk — v2.3 plain sizes vs v2.4
     syncsafe sizes, stop at zero-padding, text frames (T***) decoded
-    per their encoding byte (0x00 latin-1 / 0x01 UTF-16 w/ BOM / 0x03
-    UTF-8), other frames skipped by size. Raises on missing tag,
+    per their encoding byte (0x00 latin-1 / 0x01 UTF-16 w/ BOM / 0x02
+    UTF-16BE-no-BOM v2.4-only / 0x03 UTF-8), other frames skipped by
+    size. Raises on missing tag,
     unsupported versions, frames overrunning the tag, or unknown text
     encodings — corrupt-upload quarantine. Returns version and the
     (id, text) list in wire order."""
@@ -4509,6 +4539,10 @@ def parse_id3v2(payload: bytes) -> dict:
                 text = raw.decode("latin-1")
             elif enc == 0x01:
                 text = raw.decode("utf-16")
+            elif enc == 0x02 and ver == 4:
+                # UTF-16BE without BOM: legal in v2.4 only
+                # (id3v2.4.0-structure §4)
+                text = raw.decode("utf-16-be")
             elif enc == 0x03:
                 text = raw.decode("utf-8")
             else:

@@ -2917,3 +2917,104 @@ def test_gif_extensions_walk_and_rejects():
         bad = b"\x21\xff\x0bNETSCAPE2.0\x03\x02\x07\x00\x00"
         at = m._gif_gct_end(plain)
         m.parse_gif_extensions(plain[:at] + bad + plain[at:])
+
+
+def test_corrupt_upload_quarantine_is_uniform_valueerror():
+    """Round-8 hardening: truncated/corrupt metadata payloads raise the
+    documented ValueError — never IndexError/struct.error/zlib.error —
+    so the quarantine contract holds uniformly across parsers."""
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    # GIF: 0x21 introducer as the LAST byte; truncated LSD; truncated
+    # image descriptor
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    plain = m.encode_gif(px, 2, 2)
+    at = m._gif_gct_end(plain)
+    with _pt.raises(ValueError, match="truncated extension introducer"):
+        m.parse_gif_extensions(plain[:at] + b"\x21")
+    with _pt.raises(ValueError, match="truncated logical screen"):
+        m.parse_gif_extensions(b"GIF89a\x02\x00\x02\x00")
+    with _pt.raises(ValueError, match="truncated image descriptor"):
+        m.parse_gif_extensions(plain[:at] + b"\x2c\x00\x00")
+
+    # PNG: compressed iTXt whose chunk CRC is VALID but whose zlib
+    # stream is garbage must quarantine, not raise zlib.error
+    png = m.encode_png(px, 2, 2)
+    forged = m.png_insert_chunks(
+        png, [(b"iTXt", b"K\x00\x01\x00en\x00\x00notzlib")]
+    )
+    with _pt.raises(ValueError, match="corrupt iTXt zlib"):
+        m.parse_png_metadata(forged)
+
+    # Exif: APP1 whose TIFF body is shorter than one header
+    seg = b"Exif\x00\x00" + b"II\x2a\x00"
+    jpg = b"\xff\xd8\xff\xe1" + struct.pack(">H", 2 + len(seg)) + seg
+    with _pt.raises(ValueError, match="truncated TIFF header"):
+        m.parse_jpeg_exif(jpg)
+
+
+def test_wav_append_info_validates_declared_riff_size():
+    """wav_append_info refuses payloads whose declared RIFF size does
+    not span the buffer exactly — patching a stale size would declare
+    an inconsistent length while LIST sits at the true end."""
+    import struct
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    plain = m.encode_wav([1, -2, 3])
+    with _pt.raises(ValueError, match="does not match the buffer"):
+        m.wav_append_info(plain + b"\x00\x00", [("INAM", "t")])  # trailing bytes
+    stale = plain[:4] + struct.pack(
+        "<I", struct.unpack_from("<I", plain, 4)[0] + 4
+    ) + plain[8:]
+    with _pt.raises(ValueError, match="does not match the buffer"):
+        m.wav_append_info(stale, [("INAM", "t")])
+    # the happy path still patches to exactly len-8
+    tagged = m.wav_append_info(plain, [("INAM", "t")])
+    assert struct.unpack_from("<I", tagged, 4)[0] == len(tagged) - 8
+
+
+def test_id3v24_utf16be_encoding_byte():
+    """Encoding byte 0x02 (UTF-16BE, no BOM) is legal ID3v2.4 text —
+    decoded there, still rejected in v2.3 where it is undefined."""
+    import struct
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    body = "héllo".encode("utf-16-be")
+    frame = b"TIT2" + m._syncsafe(1 + len(body)) + b"\x00\x00\x02" + body
+    tag4 = b"ID3" + bytes((4, 0, 0)) + m._syncsafe(len(frame)) + frame
+    assert m.parse_id3v2(tag4)["frames"] == [("TIT2", "héllo")]
+
+    frame3 = b"TIT2" + struct.pack(">I", 1 + len(body)) + b"\x00\x00\x02" + body
+    tag3 = b"ID3" + bytes((3, 0, 0)) + m._syncsafe(len(frame3)) + frame3
+    with _pt.raises(ValueError, match="unknown text encoding"):
+        m.parse_id3v2(tag3)
+
+
+def test_edit_list_repeat_presentation_raises():
+    """ISO 14496-12 allows an edit list to present the same media range
+    twice; one pts per sample can't represent that, so it must raise
+    (honest-stub policy) instead of silently keeping the first pts."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    # single trim edit: samples at cts 0/100 present, 200 trimmed
+    assert m._apply_edit_list([0, 100, 200], [(200, 0, 1.0)], 1000, 1000) == [
+        0, 100, None,
+    ]
+    # two edits re-presenting the same range → honest raise
+    with _pt.raises(NotImplementedError, match="re-presents"):
+        m._apply_edit_list(
+            [0, 100], [(100, 0, 1.0), (100, 0, 1.0)], 1000, 1000
+        )
