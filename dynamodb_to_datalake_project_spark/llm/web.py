@@ -523,3 +523,303 @@ def q_web_url_dedup(spark, sf_dir):
         )
     )
     return dedup_by_canonical_url(canon)
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (boilerplate removal) — the canonical
+# FIRST stage of a CCNet/RefinedWeb pipeline: raw fetched HTML → the
+# main text every later stage (dedup, quality, tokenization) consumes.
+# Generic text-density block scoring (Kohlschütter-style boilerpipe
+# heuristic): split the markup into block-level segments, score each
+# by chars-per-tag and anchor-text share, keep the dense low-link
+# blocks. Map-only Arrow work — on 100 TB of crawl HTML this runs at
+# parquet-scan speed with zero shuffles.
+# ---------------------------------------------------------------------------
+
+#: tags that delimit text blocks in the density walk (everything else —
+#: a, b, i, em, span, … — is inline and counts toward the block's tag
+#: weight without splitting it)
+HTML_BLOCK_TAGS = frozenset(
+    "html body main article section aside nav header footer div p li ul ol "
+    "h1 h2 h3 h4 h5 h6 table thead tbody tr td th blockquote pre figure "
+    "figcaption br hr title form".split()
+)
+
+_ENTITY_MAP = {
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+    "nbsp": "\xa0",
+    "copy": "©",
+}
+
+_ENTITY_RE = None  # compiled lazily on executors (module import stays light)
+
+
+def decode_html_entities(s: str) -> str:
+    """Decode named (&amp; &lt; &gt; &quot; &apos; &nbsp; &copy;),
+    decimal (&#32;) and hex (&#x20;) character references; unknown
+    named entities pass through verbatim (lenient, like browsers)."""
+    import re
+
+    global _ENTITY_RE
+    if _ENTITY_RE is None:
+        _ENTITY_RE = re.compile(r"&(#?[0-9a-zA-Z]+);")
+
+    def sub(mo):
+        e = mo.group(1)
+        if e[:2] in ("#x", "#X"):
+            try:
+                return chr(int(e[2:], 16))
+            except ValueError:
+                return mo.group(0)
+        if e[:1] == "#":
+            try:
+                return chr(int(e[1:]))
+            except ValueError:
+                return mo.group(0)
+        return _ENTITY_MAP.get(e, mo.group(0))
+
+    return _ENTITY_RE.sub(sub, s)
+
+
+def synth_html(doc_id: int, text: str, source: str) -> str:
+    """Deterministic fixture page for a document — the same
+    fixture-formula pattern as `synth_url`/`llm.multimodal`: head with
+    title/style/script, an HTML comment containing fake tags, a nav
+    of 4 + doc_id%7 two-char links, a CDATA block on every 4th doc,
+    the REAL document text equal-split into ceil(len/80)-chunk <p>
+    paragraphs inside <div id="main"> (first space of every chunk
+    entity-encoded as &#32;; first word of chunk 0 wrapped in nested
+    <b><i> on every 3rd doc), then a link-dense footer + short
+    copyright line and a trailing script. Extraction must recover the
+    document text EXACTLY (chunks concatenate back to it) and drop
+    every boilerplate block — which the DuckDB oracle checks via
+    md5(text) with no HTML parser at all."""
+    n_links = 4 + doc_id % 7
+    n = (len(text) + 79) // 80
+    base, rem = divmod(len(text), n)
+    chunks, at = [], 0
+    for i in range(n):
+        size = base + (1 if i < rem else 0)
+        chunks.append(text[at : at + size])
+        at += size
+    paras = []
+    for i, c in enumerate(chunks):
+        c = c.replace(" ", "&#32;", 1)
+        if doc_id % 3 == 0 and i == 0:
+            head, sep, rest = c.partition("&#32;")
+            c = f"<b><i>{head}</i></b>{sep}{rest}"
+        paras.append(f"<p>{c}</p>")
+    nav = "".join(f'<li><a href="/s{i}">l{i}</a></li>' for i in range(n_links))
+    cdata = (
+        '<div class="x"><![CDATA[x<y&z]]></div>' if doc_id % 4 == 0 else ""
+    )
+    return (
+        "<!DOCTYPE html>\n<html>\n<head>\n"
+        f"<title>doc {doc_id}</title>\n"
+        "<style>body { margin: 0; }</style>\n"
+        f"<script>var n = {doc_id}; if (n < 2 && n > -1) {{ n = n & 1; }}"
+        "</script>\n"
+        "</head>\n<body>\n"
+        "<!-- synthetic page: <fake> tags & entities inside a comment -->\n"
+        f"<nav><ul>{nav}</ul></nav>\n"
+        f"{cdata}\n"
+        '<div id="main">' + "".join(paras) + "</div>\n"
+        '<footer><p><a href="/about">about us</a> | '
+        '<a href="/tos">terms of use</a> | '
+        '<a href="/privacy">privacy</a> | '
+        '<a href="/contact">contact</a></p>'
+        f"<p>&copy; site {source}</p></footer>\n"
+        "<script>track() && send();</script>\n"
+        "</body>\n</html>\n"
+    )
+
+
+def extract_main_content(
+    html: str,
+    density_threshold: float = 5.0,
+    max_link_density: float = 0.5,
+) -> dict:
+    """Generic HTML main-content extraction: strip comments, inline
+    CDATA content as text, drop <script>/<style> bodies wholesale,
+    pull <title> then drop <head>, walk the remaining markup into
+    text blocks delimited by HTML_BLOCK_TAGS, decode entities, and
+    keep blocks whose text density (chars per tag, counting the
+    block's own delimiters) clears `density_threshold` and whose
+    anchor-text share stays under `max_link_density` — the boilerpipe
+    heuristic: body paragraphs are dense and low-link, nav/footer
+    chrome is sparse and link-heavy.
+
+    Returns title, the kept text (blocks concatenated in document
+    order), block counts, and kept/dropped char totals. Works on any
+    HTML (unclosed tags are fine — every tag is processed
+    independently); no third-party parser."""
+    import re
+
+    html = re.sub(r"<!--.*?-->", "", html, flags=re.S)
+    html = re.sub(
+        r"<!\[CDATA\[(.*?)\]\]>",
+        lambda mo: mo.group(1)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;"),
+        html,
+        flags=re.S,
+    )
+    # declarations (<!DOCTYPE …>) — after CDATA so <![CDATA[ can't match
+    html = re.sub(r"<![^>]*>", "", html)
+    html = re.sub(
+        r"<(script|style)\b[^>]*>.*?</\1\s*>", "", html, flags=re.S | re.I
+    )
+    title = None
+    mo = re.search(r"<title[^>]*>(.*?)</title\s*>", html, flags=re.S | re.I)
+    if mo:
+        title = decode_html_entities(mo.group(1))
+    html = re.sub(r"<head\b[^>]*>.*?</head\s*>", "", html, flags=re.S | re.I)
+
+    blocks: "list[tuple[str, int, int]]" = []  # (text, n_tags, link_chars)
+    parts: "list[str]" = []
+    n_tags = link_chars = 0
+    in_a = 0
+
+    def finalize() -> None:
+        nonlocal parts, n_tags, link_chars
+        txt = decode_html_entities("".join(parts))
+        if txt.strip():
+            blocks.append((txt, n_tags, link_chars))
+        parts, n_tags, link_chars = [], 0, 0
+
+    pos = 0
+    for tag in re.finditer(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>", html):
+        seg = html[pos : tag.start()]
+        if seg:
+            parts.append(seg)
+            if in_a:
+                link_chars += len(decode_html_entities(seg))
+        pos = tag.end()
+        closing, name = tag.group(1) == "/", tag.group(2).lower()
+        if name in HTML_BLOCK_TAGS:
+            if closing:
+                n_tags += 1
+                finalize()
+            else:
+                finalize()
+                n_tags += 1
+        else:
+            n_tags += 1
+            if name == "a":
+                in_a = max(0, in_a - 1) if closing else in_a + 1
+    seg = html[pos:]
+    if seg:
+        parts.append(seg)
+        if in_a:
+            link_chars += len(decode_html_entities(seg))
+    finalize()
+
+    kept: "list[str]" = []
+    boilerplate_chars = 0
+    for txt, tags, lchars in blocks:
+        density = len(txt) / (1 + tags)
+        link_density = lchars / len(txt) if txt else 0.0
+        if density >= density_threshold and link_density <= max_link_density:
+            kept.append(txt)
+        else:
+            boilerplate_chars += len(txt)
+    extracted = "".join(kept)
+    return {
+        "title": title,
+        "extracted": extracted,
+        "n_blocks": len(blocks),
+        "n_kept": len(kept),
+        "extracted_chars": len(extracted),
+        "boilerplate_chars": boilerplate_chars,
+    }
+
+
+def html_extract_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize the fixture page per document, run the generic
+    extractor, and emit one row per document with an md5 of the
+    recovered main text. Arrow `mapInPandas`, map-only — the
+    100 TB shape is a straight scan."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("n_blocks", T.LongType()),
+            T.StructField("n_kept", T.LongType()),
+            T.StructField("extracted_chars", T.LongType()),
+            T.StructField("extracted_md5", T.StringType()),
+            T.StructField("boilerplate_chars", T.LongType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for pdf in batches:
+            for did, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                d = extract_main_content(synth_html(int(did), text, source))
+                out["doc_id"].append(int(did))
+                out["title"].append(d["title"])
+                out["n_blocks"].append(d["n_blocks"])
+                out["n_kept"].append(d["n_kept"])
+                out["extracted_chars"].append(d["extracted_chars"])
+                out["extracted_md5"].append(
+                    hashlib.md5(d["extracted"].encode("utf-8")).hexdigest()
+                )
+                out["boilerplate_chars"].append(d["boilerplate_chars"])
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text", "source")
+        .repartition(par)
+        .mapInPandas(op, schema)
+    )
+
+
+@query(
+    "web_html_extract",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, source,
+             length(text) AS L,
+             4 + doc_id % 7 AS n_links,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS has_cdata,
+             (length(text) + 79) // 80 AS n_chunks
+      FROM documents
+    )
+    SELECT doc_id,
+           'doc ' || doc_id AS title,
+           CAST(n_links + has_cdata + n_chunks + 2 AS BIGINT) AS n_blocks,
+           CAST(n_chunks AS BIGINT) AS n_kept,
+           CAST(L AS BIGINT) AS extracted_chars,
+           md5(text) AS extracted_md5,
+           CAST(2 * n_links + 5 * has_cdata + 43 + 7 + length(source)
+                AS BIGINT) AS boilerplate_chars
+    FROM d
+    """,
+)
+def q_web_html_extract(spark, sf_dir):
+    """HTML main-content extraction over the documents table: build a
+    full fixture page per document (nav/footer/script/style/comment/
+    CDATA boilerplate around the REAL text split into <p> chunks),
+    run the generic density extractor, and prove via md5 that the
+    recovered main text equals the original document text byte-for-
+    byte while every boilerplate block is dropped. The DuckDB oracle
+    re-derives every column from the fixture formulas and md5(text) —
+    no HTML parser on the oracle side, so a hash match pins the
+    synthesizer AND the extractor end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return html_extract_stats(docs)

@@ -147,3 +147,91 @@ def test_url_dedup_fixture_has_real_collisions(spark):
     assert sum(r["n_fetches"] for r in rows) == n_docs
     assert any(r["n_fetches"] > 1 for r in rows)
     assert len(rows) < n_docs
+
+
+def test_html_extract_branches():
+    """Pure-Python extractor branches: nested inline tags, named/
+    decimal/hex entities, comments with fake tags, CDATA, script/style
+    bodies with angle brackets, head/title handling, link-density
+    drop, and malformed (unclosed) tags."""
+    from dynamodb_to_datalake_project_spark.llm.web import (
+        decode_html_entities,
+        extract_main_content,
+    )
+
+    # entity decode: named, decimal, hex, unknown passthrough
+    assert decode_html_entities("a&amp;b&lt;c&gt;d&#32;e&#x41;f&bogus;g") == (
+        'a&b<c>d eAf&bogus;g'
+    )
+
+    d = extract_main_content(
+        "<!DOCTYPE html><html><head><title>T &amp; t</title>"
+        "<style>p { color: red; }</style>"
+        "<script>if (a<b && c>d) { x('&'); }</script></head>"
+        "<body><!-- <p>fake</p> & noise -->"
+        "<p>This paragraph has <b><i>nested</i></b> inline tags and "
+        "stays dense enough to keep for sure.</p>"
+        "<ul><li><a href='/x'>x1</a></li><li><a href='/y'>y2</a></li></ul>"
+        "<p>Entities: &lt;tag&gt; &amp; &#72;&#x49; inside content "
+        "padding padding padding padding padding.</p>"
+        "</body></html>"
+    )
+    assert d["title"] == "T & t"
+    assert d["n_kept"] == 2
+    # nested tags stripped, entities decoded, comment/script/style gone
+    assert "nested inline tags" in d["extracted"]
+    assert "<tag> & HI inside content" in d["extracted"]
+    assert "fake" not in d["extracted"] and "color" not in d["extracted"]
+    # the two 2-char nav links were dropped as boilerplate
+    assert d["n_blocks"] == 4 and d["boilerplate_chars"] == 4
+
+    # CDATA: content becomes text (tags inside NOT parsed), low-density
+    # block dropped; high-density CDATA kept with brackets preserved
+    d2 = extract_main_content(
+        "<div><![CDATA[x<y&z]]></div>"
+        "<p><![CDATA[kept cdata text with <angle> brackets & ampersands, "
+        "long enough to clear the density threshold easily]]></p>"
+    )
+    assert d2["n_kept"] == 1 and "with <angle> brackets &" in d2["extracted"]
+    assert d2["boilerplate_chars"] == 5
+
+    # link-density rule: a long-but-link-heavy block is dropped even
+    # though its char density is high
+    d3 = extract_main_content(
+        "<p><a href='/a'>this entire long paragraph is one giant anchor "
+        "with plenty of characters</a></p>"
+        "<p>plain dense paragraph that should be kept as main content "
+        "without any anchors at all</p>"
+    )
+    assert d3["n_kept"] == 1 and d3["extracted"].startswith("plain dense")
+
+    # malformed: unclosed tags never crash; text still extracted
+    d4 = extract_main_content(
+        "<p>unclosed paragraph with enough text to keep around here"
+        "<div>another unclosed block also with plenty of text in it"
+    )
+    assert d4["n_kept"] == 2 and "unclosed paragraph" in d4["extracted"]
+
+
+def test_html_extract_roundtrip_on_fixture(spark):
+    """End-to-end over the parquet fixture through Spark: extraction
+    recovers every document's text exactly (md5 equality) and the
+    plan is a map-only scan (no shuffle except the spread
+    repartition)."""
+    import hashlib
+
+    from dynamodb_to_datalake_project_spark.catalog import QUERIES, load_all
+    from dynamodb_to_datalake_project_spark.lake import load_table
+    from tests.conftest import SF_DIR
+
+    load_all()
+    got = {
+        r["doc_id"]: (r["extracted_md5"], r["n_kept"])
+        for r in QUERIES["web_html_extract"](spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    assert len(got) == len(docs)
+    for r in docs:
+        md5 = hashlib.md5(r["text"].encode()).hexdigest()
+        assert got[r["doc_id"]][0] == md5
+        assert got[r["doc_id"]][1] == (len(r["text"]) + 79) // 80
