@@ -5914,3 +5914,250 @@ def q_multimodal_fmp4_stats(spark, sf_dir):
     from the fragment formulas with no parser."""
     docs = load_table(spark, sf_dir, "documents")
     return mp4_fragmented_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# AAC ADTS stream framing — the audio twin of the mp3 frame-sync walk
+# (ISO/IEC 13818-7 §6.2): 7-byte fixed+variable headers (9 with CRC),
+# syncword stepping by the 13-bit aac_frame_length field. Raw-data-
+# block DECODE (the AAC filterbank) is honestly out of scope — the
+# framing every ADTS demuxer/ingest filter syncs on is the real thing.
+# ---------------------------------------------------------------------------
+
+#: ISO/IEC 14496-3 sampling_frequency_index table (0-12; 13/14
+#: reserved, 15 = explicit-frequency escape, both rejected)
+_AAC_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350,
+)
+_AAC_SAMPLES_PER_FRAME = 1024  # one raw_data_block
+
+
+def _crc16_adts(data: bytes) -> int:
+    """CRC-16 with the ADTS polynomial x^16+x^15+x^2+1 (0x8005),
+    MSB-first, initial value 0xFFFF (ISO 13818-7 adts_error_check)."""
+    crc = 0xFFFF
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) & 0xFFFF
+    return crc
+
+
+def encode_aac_adts(
+    payloads: "list[bytes]",
+    profile: int,
+    sf_idx: int,
+    channels: int,
+    crc: bool = False,
+) -> bytes:
+    """REAL ADTS framing: per raw-data-block payload a genuine header —
+    12-bit syncword, MPEG-4 ID, layer 00, protection_absent,
+    2-bit profile (Main/LC/SSR), sampling_frequency_index, 3-bit
+    channel_configuration, the 13-bit aac_frame_length covering
+    header+crc+payload, 11-bit buffer fullness (0x7FF = VBR), and
+    single-raw-data-block frames. With crc=True the 16-bit
+    adts_error_check is a real CRC-16/0x8005 over the 7 header bytes
+    (the spec's scattered multi-rdb coverage doesn't arise in
+    single-rdb frames). The payload bytes are opaque filler — AAC
+    DECODE needs the full MDCT filterbank, honestly out of scope."""
+    if not 0 <= profile <= 2:
+        raise ValueError("aac: profile must be 0 (Main), 1 (LC) or 2 (SSR)")
+    if not 0 <= sf_idx < len(_AAC_RATES):
+        raise ValueError(f"aac: sampling_frequency_index {sf_idx} out of range")
+    if not 1 <= channels <= 7:
+        raise ValueError("aac: channel_configuration must be 1-7")
+    out = bytearray()
+    hdr_len = 9 if crc else 7
+    for payload in payloads:
+        flen = hdr_len + len(payload)
+        if flen >= 1 << 13:
+            raise ValueError("aac: frame length overflows the 13-bit field")
+        hdr = bytearray(7)
+        hdr[0] = 0xFF
+        hdr[1] = 0xF0 | (0 << 3) | (0 << 1) | (0 if crc else 1)
+        hdr[2] = (profile << 6) | (sf_idx << 2) | ((channels >> 2) & 1)
+        hdr[3] = ((channels & 0x3) << 6) | ((flen >> 11) & 0x3)
+        hdr[4] = (flen >> 3) & 0xFF
+        hdr[5] = ((flen & 0x7) << 5) | 0x1F  # buffer fullness hi (0x7FF VBR)
+        hdr[6] = 0xFC | 0  # fullness lo + number_of_rdbs-1 = 0
+        out += hdr
+        if crc:
+            out += _crc16_adts(bytes(hdr)).to_bytes(2, "big")
+        out += payload
+    return bytes(out)
+
+
+def parse_aac_adts(payload: bytes) -> dict:
+    """REAL ADTS frame-sync walk (demux half, mirroring
+    `parse_mp3_frames`): validate the 12-bit syncword and layer bits,
+    decode profile / sampling_frequency_index / channel_configuration,
+    step EXACTLY by aac_frame_length, recompute and verify the CRC of
+    protected frames, and quarantine corrupt uploads — lost sync,
+    reserved/escape frequency index, zero channel config, frames
+    shorter than their own header, truncation, mid-stream parameter
+    changes, CRC mismatch, multi-rdb frames — by raising ValueError.
+
+    Returns frame count, stream/payload byte totals, the decoded
+    routing fields, integer duration (1024 samples/frame), CRC frame
+    count, and the first payload byte of every frame (proof the walk
+    lands on real frame boundaries)."""
+    pos, end = 0, len(payload)
+    n = stream_bytes = payload_bytes = crc_frames = first_byte_sum = 0
+    profile = sf_idx = channels = None
+    while pos < end:
+        if pos + 7 > end:
+            raise ValueError("aac: truncated ADTS header")
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xF0) != 0xF0:
+            raise ValueError(f"aac: lost frame sync at offset {pos}")
+        if (payload[pos + 1] >> 1) & 0x3 != 0:
+            raise ValueError("aac: layer bits must be 00 in ADTS")
+        protected = not (payload[pos + 1] & 0x1)
+        prof = payload[pos + 2] >> 6
+        sfi = (payload[pos + 2] >> 2) & 0xF
+        if sfi >= len(_AAC_RATES):
+            raise ValueError(f"aac: reserved/escape frequency index {sfi}")
+        ch = ((payload[pos + 2] & 1) << 2) | (payload[pos + 3] >> 6)
+        if ch == 0:
+            raise ValueError("aac: channel_configuration 0 (PCE) unsupported")
+        flen = (
+            ((payload[pos + 3] & 0x3) << 11)
+            | (payload[pos + 4] << 3)
+            | (payload[pos + 5] >> 5)
+        )
+        hdr_len = 9 if protected else 7
+        if flen < hdr_len:
+            raise ValueError("aac: frame length shorter than its header")
+        if pos + flen > end:
+            raise ValueError("aac: frame extends past end of stream")
+        if payload[pos + 6] & 0x3 != 0:
+            raise ValueError("aac: multi-raw-data-block frames unsupported")
+        if profile is None:
+            profile, sf_idx, channels = prof, sfi, ch
+        elif (prof, sfi, ch) != (profile, sf_idx, channels):
+            raise ValueError("aac: stream parameters change mid-stream")
+        if protected:
+            want = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+            if _crc16_adts(payload[pos : pos + 7]) != want:
+                raise ValueError(f"aac: CRC mismatch at offset {pos}")
+            crc_frames += 1
+        n += 1
+        stream_bytes += flen
+        payload_bytes += flen - hdr_len
+        if flen > hdr_len:
+            first_byte_sum += payload[pos + hdr_len]
+        pos += flen
+    if n == 0:
+        raise ValueError("aac: no frames")
+    sr = _AAC_RATES[sf_idx]
+    return {
+        "n_frames": n,
+        "profile": profile,
+        "sample_rate": sr,
+        "channels": channels,
+        "stream_bytes": stream_bytes,
+        "payload_bytes": payload_bytes,
+        "duration_ms": n * _AAC_SAMPLES_PER_FRAME * 1000 // sr,
+        "crc_frames": crc_frames,
+        "first_byte_sum": first_byte_sum,
+    }
+
+
+AAC_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("profile", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("stream_bytes", T.LongType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("crc_frames", T.LongType()),
+        T.StructField("first_byte_sum", T.LongType()),
+    ]
+)
+
+
+def aac_stream_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL ADTS stream per document (frame count,
+    payload sizes, profile/rate/channels and the CRC-vs-not header
+    variant all by doc_id formula), walk it back with
+    `parse_aac_adts`, one row per document. Arrow `mapInPandas`,
+    map-only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in AAC_STATS_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nf = 4 + did % 8
+                payloads = [
+                    bytes(
+                        (did * 13 + i * 31 + j) % 256
+                        for j in range(20 + (did * 5 + i * 11) % 200)
+                    )
+                    for i in range(nf)
+                ]
+                stream = encode_aac_adts(
+                    payloads,
+                    profile=did % 3,
+                    sf_idx=3 + did % 6,
+                    channels=1 + did % 2,
+                    crc=did % 3 == 0,
+                )
+                d = parse_aac_adts(stream)
+                out["doc_id"].append(did)
+                for f in AAC_STATS_SCHEMA.fields[1:]:
+                    out[f.name].append(d[f.name])
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return docs.select("doc_id").repartition(par).mapInPandas(op, AAC_STATS_SCHEMA)
+
+
+@query(
+    "multimodal_aac_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             4 + doc_id % 8 AS nf,
+             doc_id % 3 AS profile,
+             list_extract([48000,44100,32000,24000,22050,16000],
+                          CAST(doc_id % 6 + 1 AS INTEGER)) AS sr,
+             1 + doc_id % 2 AS channels,
+             CASE WHEN doc_id % 3 = 0 THEN 9 ELSE 7 END AS hdr_len
+      FROM documents
+    ), f AS (
+      SELECT doc_id, nf, profile, sr, channels, hdr_len, u.i,
+             20 + (doc_id * 5 + u.i * 11) % 200 AS plen
+      FROM t, LATERAL (SELECT unnest(range(0, nf)) AS i) u
+    )
+    SELECT doc_id,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(MAX(profile) AS BIGINT) AS profile,
+           CAST(MAX(sr) AS BIGINT) AS sample_rate,
+           CAST(MAX(channels) AS BIGINT) AS channels,
+           CAST(SUM(hdr_len + plen) AS BIGINT) AS stream_bytes,
+           CAST(SUM(plen) AS BIGINT) AS payload_bytes,
+           CAST(MAX(nf) * 1024 * 1000 // MAX(sr) AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN MAX(nf) ELSE 0 END AS BIGINT)
+             AS crc_frames,
+           CAST(SUM((doc_id * 13 + i * 31) % 256) AS BIGINT)
+             AS first_byte_sum
+    FROM f
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_aac_stats(spark, sf_dir):
+    """REAL AAC ADTS demux over the documents table (the audio twin of
+    `multimodal_mp3_stats`): build a valid ADTS stream per document —
+    profile/rate/channel fields, 13-bit frame-length stepping, CRC
+    headers on every 3rd doc recomputed and verified — then walk it
+    back, one row per document. The DuckDB oracle re-derives every
+    column from the header-length formulas with no parser, so a hash
+    match pins the encoder, the sync walk, the CRC verification, AND
+    the per-frame offsets (via the first-payload-byte checksum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return aac_stream_stats(docs)

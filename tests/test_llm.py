@@ -3018,3 +3018,60 @@ def test_edit_list_repeat_presentation_raises():
         m._apply_edit_list(
             [0, 100], [(100, 0, 1.0), (100, 0, 1.0)], 1000, 1000
         )
+
+
+def test_aac_adts_framing_and_rejects():
+    """ADTS goldens: header bit layout, CRC recompute/verify, frame
+    stepping, and the corrupt-upload quarantine paths."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    payloads = [b"\x11" * 30, b"\x22" * 45, b"\x33" * 7]
+    plain = m.encode_aac_adts(payloads, profile=1, sf_idx=4, channels=2)
+    d = m.parse_aac_adts(plain)
+    assert d == {
+        "n_frames": 3, "profile": 1, "sample_rate": 44100, "channels": 2,
+        "stream_bytes": 21 + 82, "payload_bytes": 82,
+        "duration_ms": 3 * 1024 * 1000 // 44100, "crc_frames": 0,
+        "first_byte_sum": 0x11 + 0x22 + 0x33,
+    }
+    # CRC variant: 9-byte headers, all frames verified
+    prot = m.encode_aac_adts(payloads, profile=0, sf_idx=3, channels=1, crc=True)
+    dp = m.parse_aac_adts(prot)
+    assert (dp["crc_frames"], dp["stream_bytes"]) == (3, 27 + 82)
+    # flipping one header bit breaks the CRC check
+    corrupt = bytearray(prot)
+    corrupt[2] ^= 0x04  # sampling_frequency_index bit
+    with _pt.raises(ValueError, match="CRC mismatch"):
+        m.parse_aac_adts(bytes(corrupt))
+    # flipping a payload byte does NOT (CRC covers the header)
+    corrupt2 = bytearray(prot)
+    corrupt2[10] ^= 0xFF
+    assert m.parse_aac_adts(bytes(corrupt2))["n_frames"] == 3
+
+    with _pt.raises(ValueError, match="lost frame sync"):
+        m.parse_aac_adts(b"\xfe" + plain[1:])
+    with _pt.raises(ValueError, match="truncated ADTS header"):
+        m.parse_aac_adts(plain[:5])
+    with _pt.raises(ValueError, match="extends past end"):
+        m.parse_aac_adts(plain[:-3])
+    with _pt.raises(ValueError, match="reserved/escape frequency"):
+        bad = bytearray(plain)
+        bad[2] = (bad[2] & 0xC3) | (15 << 2)
+        m.parse_aac_adts(bytes(bad))
+    with _pt.raises(ValueError, match="layer bits"):
+        bad = bytearray(plain)
+        bad[1] |= 0x06
+        m.parse_aac_adts(bytes(bad))
+    with _pt.raises(ValueError, match="parameters change mid-stream"):
+        two = m.encode_aac_adts([b"x" * 10], 1, 4, 2) + m.encode_aac_adts(
+            [b"y" * 10], 2, 4, 2
+        )
+        m.parse_aac_adts(two)
+    with _pt.raises(ValueError, match="no frames"):
+        m.parse_aac_adts(b"")
+    with _pt.raises(ValueError, match="out of range"):
+        m.encode_aac_adts([b"x"], 1, 14, 2)
+    with _pt.raises(ValueError, match="overflows the 13-bit"):
+        m.encode_aac_adts([b"x" * 9000], 1, 4, 2)
