@@ -3075,3 +3075,69 @@ def test_aac_adts_framing_and_rejects():
         m.encode_aac_adts([b"x"], 1, 14, 2)
     with _pt.raises(ValueError, match="overflows the 13-bit"):
         m.encode_aac_adts([b"x" * 9000], 1, 4, 2)
+
+
+def test_h264_annexb_walk_sps_and_rejects():
+    """Annex-B goldens: exp-Golomb SPS round trip across profiles and
+    crop shapes, EPB insert/strip on adversarial byte runs, 3- vs
+    4-byte start codes, and the corrupt-upload quarantine paths.
+    Slice decode is the only NotImplementedError."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import h264 as h
+
+    # EPB: RBSP containing raw start-code-ish runs survives the trip
+    hot = b"\x00\x00\x01\x00\x00\x00\x02\x00\x00\x03ab\x00\x00"
+    assert h.ebsp_to_rbsp(h.rbsp_to_ebsp(hot)) == hot
+    assert h.rbsp_to_ebsp(b"\x00\x00\x01") == b"\x00\x00\x03\x01"
+    with _pt.raises(ValueError, match="corrupt encapsulation"):
+        h.ebsp_to_rbsp(b"\x00\x00\x03\x99")
+
+    # SPS: interlaced (frame_mbs_only=0) doubles map units
+    w = h._BitWriter()
+    w.bits(77, 8); w.bits(0, 8); w.bits(30, 8)
+    w.ue(0); w.ue(4); w.ue(2)  # sps_id, frame_num, poc_type 2
+    w.ue(3); w.bits(0, 1)  # refs, gaps
+    w.ue(19); w.ue(8)  # 320 x (2*144)
+    w.bits(0, 1)  # frame_mbs_only = 0 (interlaced)
+    w.bits(0, 1)  # mb_adaptive
+    w.bits(1, 1)  # direct_8x8
+    w.bits(0, 1); w.bits(0, 1)  # no crop, no vui
+    d = h.parse_sps(w.trailing())
+    assert (d["width"], d["height"], d["frame_mbs_only"]) == (320, 288, 0)
+
+    # poc_type 1 branch with a ref-frame offset list parses through
+    w = h._BitWriter()
+    w.bits(66, 8); w.bits(0, 8); w.bits(10, 8)
+    w.ue(0); w.ue(4); w.ue(1)
+    w.bits(0, 1); w.ue(2); w.ue(3)  # always_zero, 2 se values (ue-coded +2/-2... se reads)
+    w.ue(2); w.ue(1); w.ue(2)  # num_offsets=2? -> careful: se() reads ue then maps
+    w.ue(3); w.bits(0, 1)
+    w.ue(9); w.ue(5); w.bits(1, 1); w.bits(1, 1); w.bits(0, 1); w.bits(0, 1)
+    d1 = h.parse_sps(w.trailing())
+    assert (d1["width"], d1["height"]) == (160, 96)
+
+    # full-stream rejects
+    sps = h.encode_sps(66, 30, 10, 6)
+    ok = h.encode_h264_annexb([(3, 7, sps), (3, 5, b"\x40\x41")])
+    assert h.parse_h264_annexb(ok)["n_idr"] == 1
+    with _pt.raises(ValueError, match="does not begin with a start code"):
+        h.parse_h264_annexb(b"\x00\x01" + ok)
+    with _pt.raises(ValueError, match="forbidden_zero_bit"):
+        bad = bytearray(ok); bad[4] |= 0x80
+        h.parse_h264_annexb(bytes(bad))
+    with _pt.raises(ValueError, match="reserved nal_unit_type"):
+        bad = bytearray(ok); bad[4] = (bad[4] & 0xE0) | 24
+        h.parse_h264_annexb(bytes(bad))
+    with _pt.raises(ValueError, match="no SPS"):
+        h.parse_h264_annexb(h.encode_h264_annexb([(3, 5, b"\x40")]))
+    with _pt.raises(ValueError, match="bit read past end"):
+        h.parse_sps(sps[:4])
+    with _pt.raises(NotImplementedError, match="scaling"):
+        # high-profile SPS with seq_scaling_matrix_present_flag forged on
+        w = h._BitWriter()
+        w.bits(100, 8); w.bits(0, 8); w.bits(40, 8)
+        w.ue(0); w.ue(1); w.ue(0); w.ue(0); w.bits(0, 1); w.bits(1, 1)
+        h.parse_sps(w.trailing())
+    with _pt.raises(NotImplementedError, match="slice decode"):
+        h.decode_h264_slices(ok)
