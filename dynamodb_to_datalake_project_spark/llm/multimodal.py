@@ -6161,3 +6161,250 @@ def q_multimodal_aac_stats(spark, sf_dir):
     the per-frame offsets (via the first-payload-byte checksum)."""
     docs = load_table(spark, sf_dir, "documents")
     return aac_stream_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Subtitle / caption parsing (WebVTT + SRT) — the text–video alignment
+# column a multimodal training pipeline joins against the per-sample
+# PTS from `multimodal_mp4_pts_stats`: cue timing + payload text.
+# Pure text munging, map-only; full formula oracle.
+# ---------------------------------------------------------------------------
+
+def _fmt_ts(ms: int, sep: str) -> str:
+    """HH:MM:SS.mmm (WebVTT) / HH:MM:SS,mmm (SRT) timestamp."""
+    h, rem = divmod(ms, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    s, frac = divmod(rem, 1_000)
+    return f"{h:02d}:{m:02d}:{s:02d}{sep}{frac:03d}"
+
+
+def _parse_ts(token: str) -> int:
+    """Parse a WebVTT/SRT timestamp to integer milliseconds. WebVTT's
+    short MM:SS.mmm form is accepted; raises on anything else."""
+    import re as _re
+
+    mo = _re.fullmatch(
+        r"(?:(\d{2,}):)?(\d{2}):(\d{2})[.,](\d{3})", token
+    )
+    if mo is None:
+        raise ValueError(f"subtitles: malformed timestamp {token!r}")
+    h = int(mo.group(1) or 0)
+    m, s, frac = int(mo.group(2)), int(mo.group(3)), int(mo.group(4))
+    if m >= 60 or s >= 60:
+        raise ValueError(f"subtitles: out-of-range timestamp {token!r}")
+    return ((h * 60 + m) * 60 + s) * 1000 + frac
+
+
+def encode_subtitles(
+    cues: "list[tuple[int, int, list[str]]]",
+    fmt: str,
+    note: "str | None" = None,
+    idents: bool = False,
+    settings: "str | None" = None,
+) -> str:
+    """Serialize cues ((start_ms, end_ms, text_lines)) as a WebVTT or
+    SRT file: WEBVTT header + optional NOTE comment block + optional
+    cue identifiers + optional cue settings (VTT), or 1-based counter
+    lines and comma-decimal timestamps (SRT) — the two wire formats'
+    actual differences."""
+    if fmt == "vtt":
+        out = ["WEBVTT", ""]
+        if note is not None:
+            out += ["NOTE " + note, ""]
+        for i, (start, end, lines) in enumerate(cues):
+            if idents and i % 2 == 1:
+                out.append(f"cue-{i}")
+            timing = f"{_fmt_ts(start, '.')} --> {_fmt_ts(end, '.')}"
+            if settings is not None and i % 3 == 0:
+                timing += " " + settings
+            out.append(timing)
+            out += list(lines)
+            out.append("")
+        return "\n".join(out)
+    if fmt == "srt":
+        out = []
+        for i, (start, end, lines) in enumerate(cues):
+            out.append(str(i + 1))
+            out.append(f"{_fmt_ts(start, ',')} --> {_fmt_ts(end, ',')}")
+            out += list(lines)
+            out.append("")
+        return "\n".join(out)
+    raise ValueError(f"subtitles: unknown format {fmt!r}")
+
+
+def parse_subtitles(payload: str) -> dict:
+    """REAL WebVTT/SRT cue walk: detect the format (WEBVTT magic vs
+    1-based SRT counters), skip VTT NOTE/STYLE/REGION blocks and cue
+    identifiers, parse both timestamp dialects (dot vs comma
+    milliseconds; VTT's short MM:SS.mmm form), collect multi-line cue
+    text, and quarantine malformed uploads — bad/missing timing
+    arrows, out-of-range or reversed timestamps, SRT counter gaps,
+    cues without text — by raising ValueError.
+
+    Returns format, cue count, first start / last end, summed cue
+    duration, summed inter-cue gaps, and total text chars (newlines
+    excluded) — the alignment stats a caption-quality filter needs."""
+    lines = payload.split("\n")
+    is_vtt = lines and lines[0].split(" ")[0].rstrip("\r") == "WEBVTT"
+    at = 0
+    if is_vtt:
+        at = 1
+        while at < len(lines) and lines[at].strip():
+            at += 1  # header metadata lines
+    cues: "list[tuple[int, int, int]]" = []  # (start, end, text_chars)
+    counter = 0
+    while at < len(lines):
+        if not lines[at].strip():
+            at += 1
+            continue
+        block: "list[str]" = []
+        while at < len(lines) and lines[at].strip():
+            block.append(lines[at].rstrip("\r"))
+            at += 1
+        if is_vtt and block[0].split(" ")[0] in ("NOTE", "STYLE", "REGION"):
+            continue
+        if is_vtt and "-->" not in block[0]:
+            block = block[1:]  # cue identifier line
+            if not block:
+                raise ValueError("subtitles: identifier without a cue")
+        if not is_vtt:
+            head = block[0].strip()
+            if not head.isdigit():
+                raise ValueError(f"subtitles: SRT counter expected, got {head!r}")
+            counter += 1
+            if int(head) != counter:
+                raise ValueError(
+                    f"subtitles: SRT counter {head} out of order "
+                    f"(expected {counter})"
+                )
+            block = block[1:]
+        if not block or "-->" not in block[0]:
+            raise ValueError("subtitles: cue without a timing line")
+        parts = block[0].split("-->")
+        if len(parts) != 2:
+            raise ValueError(f"subtitles: malformed timing {block[0]!r}")
+        start = _parse_ts(parts[0].strip())
+        end_tok = parts[1].strip().split(" ")[0]  # settings may follow
+        end = _parse_ts(end_tok)
+        if end <= start:
+            raise ValueError(f"subtitles: cue ends at {end} before start {start}")
+        text_lines = block[1:]
+        if not text_lines:
+            raise ValueError("subtitles: cue without text")
+        cues.append((start, end, sum(len(ln) for ln in text_lines)))
+    if not cues:
+        raise ValueError("subtitles: no cues")
+    total_dur = sum(e - s for s, e, _ in cues)
+    gaps = sum(
+        max(0, cues[i + 1][0] - cues[i][1]) for i in range(len(cues) - 1)
+    )
+    return {
+        "format": "vtt" if is_vtt else "srt",
+        "n_cues": len(cues),
+        "first_start_ms": cues[0][0],
+        "last_end_ms": cues[-1][1],
+        "total_dur_ms": total_dur,
+        "gap_ms": gaps,
+        "text_chars": sum(c for _, _, c in cues),
+    }
+
+
+VTT_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_cues", T.LongType()),
+        T.StructField("first_start_ms", T.LongType()),
+        T.StructField("last_end_ms", T.LongType()),
+        T.StructField("total_dur_ms", T.LongType()),
+        T.StructField("gap_ms", T.LongType()),
+        T.StructField("text_chars", T.LongType()),
+    ]
+)
+
+
+def subtitle_cue_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize a caption file per document (WebVTT on even doc ids
+    with NOTE blocks / identifiers / cue settings, SRT on odd ids;
+    cue timing and text by doc_id formula), parse it back with
+    `parse_subtitles`, one row per document. Arrow `mapInPandas`,
+    map-only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in VTT_STATS_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                fmt = "vtt" if did % 2 == 0 else "srt"
+                nc = 3 + did % 6
+                step = 1500 + did % 500
+                off = did % 100
+                cues = []
+                for i in range(nc):
+                    start = off + i * step
+                    dur = 900 + (did * 7 + i * 13) % 600
+                    lines = [f"cue {i} of doc {did}"]
+                    if i % 2 == 0:
+                        lines.append("line two")
+                    cues.append((start, start + dur, lines))
+                payload = encode_subtitles(
+                    cues,
+                    fmt,
+                    note=f"doc {did}" if did % 4 == 0 and fmt == "vtt" else None,
+                    idents=fmt == "vtt",
+                    settings="align:start position:10%" if fmt == "vtt" else None,
+                )
+                d = parse_subtitles(payload)
+                out["doc_id"].append(did)
+                for f in VTT_STATS_SCHEMA.fields[1:]:
+                    out[f.name].append(d[f.name])
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return docs.select("doc_id").repartition(par).mapInPandas(op, VTT_STATS_SCHEMA)
+
+
+@query(
+    "multimodal_vtt_cues",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'vtt' ELSE 'srt' END AS fmt,
+             3 + doc_id % 6 AS nc,
+             1500 + doc_id % 500 AS step,
+             doc_id % 100 AS off
+      FROM documents
+    ), c AS (
+      SELECT doc_id, nc, step, off, u.i,
+             900 + (doc_id * 7 + u.i * 13) % 600 AS dur,
+             length('cue ' || u.i || ' of doc ' || doc_id)
+               + CASE WHEN u.i % 2 = 0 THEN 8 ELSE 0 END AS chars
+      FROM t, LATERAL (SELECT unnest(range(0, nc)) AS i) u
+    )
+    SELECT t.doc_id,
+           MAX(t.fmt) AS format,
+           CAST(MAX(c.nc) AS BIGINT) AS n_cues,
+           CAST(MAX(c.off) AS BIGINT) AS first_start_ms,
+           CAST(MAX(CASE WHEN c.i = c.nc - 1
+                         THEN c.off + c.i * c.step + c.dur END) AS BIGINT)
+             AS last_end_ms,
+           CAST(SUM(c.dur) AS BIGINT) AS total_dur_ms,
+           CAST((MAX(c.nc) - 1) * MAX(c.step) - SUM(c.dur)
+                + MAX(CASE WHEN c.i = c.nc - 1 THEN c.dur END) AS BIGINT)
+             AS gap_ms,
+           CAST(SUM(c.chars) AS BIGINT) AS text_chars
+    FROM t JOIN c ON t.doc_id = c.doc_id
+    GROUP BY t.doc_id
+    """,
+)
+def q_multimodal_vtt_cues(spark, sf_dir):
+    """REAL WebVTT/SRT caption demux over the documents table: build a
+    cue file per document — WebVTT with NOTE blocks, identifiers and
+    cue settings on even ids, SRT with counter lines and comma
+    timestamps on odd ids — parse it back, one row per document. The
+    DuckDB oracle re-derives every column (timing sums, inter-cue
+    gaps, text chars) from the cue formulas with no parser, pinning
+    the timestamp serializer, both dialect walks, and the gap math."""
+    docs = load_table(spark, sf_dir, "documents")
+    return subtitle_cue_stats(docs)

@@ -3141,3 +3141,56 @@ def test_h264_annexb_walk_sps_and_rejects():
         h.parse_sps(w.trailing())
     with _pt.raises(NotImplementedError, match="slice decode"):
         h.decode_h264_slices(ok)
+
+
+def test_subtitle_parsing_dialects_and_rejects():
+    """WebVTT vs SRT goldens: header/NOTE/identifier/settings handling,
+    comma vs dot milliseconds, short MM:SS.mmm form, CRLF tolerance,
+    and the malformed-cue quarantine paths."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    cues = [(100, 1200, ["hello", "world"]), (2000, 3500, ["bye"])]
+    vtt = m.encode_subtitles(
+        cues, "vtt", note="meta", idents=True, settings="align:start"
+    )
+    d = m.parse_subtitles(vtt)
+    assert d == {
+        "format": "vtt", "n_cues": 2, "first_start_ms": 100,
+        "last_end_ms": 3500, "total_dur_ms": 1100 + 1500, "gap_ms": 800,
+        "text_chars": 10 + 3,
+    }
+    srt = m.encode_subtitles(cues, "srt")
+    assert "," in srt.split("\n")[1] and m.parse_subtitles(srt) == {
+        **d, "format": "srt",
+    }
+    # CRLF + short VTT timestamp form
+    short = "WEBVTT\r\n\r\n01:02.500 --> 01:03.000\r\nhi\r\n"
+    ds = m.parse_subtitles(short)
+    assert (ds["first_start_ms"], ds["last_end_ms"]) == (62500, 63000)
+    # VTT header may carry metadata after the magic
+    assert m.parse_subtitles(
+        "WEBVTT - with description\nKind: captions\n\n"
+        "00:00:00.000 --> 00:00:01.000\nx\n"
+    )["n_cues"] == 1
+
+    with _pt.raises(ValueError, match="malformed timestamp"):
+        m.parse_subtitles("WEBVTT\n\n0:0.5 --> 00:00:01.000\nx\n")
+    with _pt.raises(ValueError, match="out-of-range timestamp"):
+        m.parse_subtitles("WEBVTT\n\n00:99:00.000 --> 01:40:00.000\nx\n")
+    with _pt.raises(ValueError, match="ends at"):
+        m.parse_subtitles("WEBVTT\n\n00:00:02.000 --> 00:00:01.000\nx\n")
+    with _pt.raises(ValueError, match="counter expected"):
+        m.parse_subtitles("one\n00:00:00,000 --> 00:00:01,000\nx\n")
+    with _pt.raises(ValueError, match="out of order"):
+        m.parse_subtitles(
+            "1\n00:00:00,000 --> 00:00:01,000\nx\n\n"
+            "3\n00:00:02,000 --> 00:00:03,000\ny\n"
+        )
+    with _pt.raises(ValueError, match="cue without text"):
+        m.parse_subtitles("WEBVTT\n\n00:00:00.000 --> 00:00:01.000\n")
+    with _pt.raises(ValueError, match="no cues"):
+        m.parse_subtitles("WEBVTT\n\nNOTE just a comment\n")
+    with _pt.raises(ValueError, match="unknown format"):
+        m.encode_subtitles(cues, "ass")
