@@ -1274,6 +1274,156 @@ def q_corpus_ingest_novel(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming near-dup ingest — the streaming twin of `corpus_ingest_novel`:
+# a continuous crawl feed where every micro-batch must be deduped
+# against ALL previously-accepted history, exactly once through crashes
+# and restarts. Same epoch-fence idea as `rollup.py`, but the store is
+# an APPEND-ONLY manifest (one immutable parquet dir per accepted
+# batch, atomic pointer swap of {files, last_epoch}) — at 100 TB the
+# accepted corpus is the BIG side and must never be rewritten per
+# batch; each refresh costs one batch-sized self-dedup plus
+# `novel_against`'s incremental-sized joins against the touched blocks.
+# ---------------------------------------------------------------------------
+
+_INGEST_POINTER = "_ingest.json"
+
+
+def _read_ingest_pointer(store_path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(store_path, _INGEST_POINTER)
+    if not _os.path.isfile(p):
+        return {"files": [], "last_epoch": -1}
+    with open(p) as f:
+        return _json.load(f)
+
+
+def _commit_ingest_pointer(store_path: str, files: "list[str]", last_epoch: int) -> None:
+    """Atomic commit: file visibility and the epoch fence move in one
+    os.replace, so a replayed micro-batch can never double-append (a
+    pre-swap crash leaves an orphaned batch dir the deterministic
+    epoch-named overwrite reclaims on replay)."""
+    import json as _json
+    import os as _os
+
+    tmp = _os.path.join(store_path, f".{_INGEST_POINTER}.tmp")
+    with open(tmp, "w") as f:
+        _json.dump({"files": files, "last_epoch": last_epoch}, f)
+    _os.replace(tmp, _os.path.join(store_path, _INGEST_POINTER))
+
+
+def read_ingest_store(spark, store_path: str, schema=None) -> DataFrame:
+    """Read the accepted-corpus store (committed batches only)."""
+    meta = _read_ingest_pointer(store_path)
+    if not meta["files"]:
+        if schema is None:
+            raise FileNotFoundError(f"no committed ingest batches at {store_path}")
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*meta["files"])
+
+
+def ingest_novel_batch(
+    store: DataFrame | None,
+    batch: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_block: int = 1000,
+) -> DataFrame:
+    """One ingest step, shared verbatim by the streaming sink and its
+    batch twin (so stream == batch is equality of plumbing, not luck):
+    self-dedup the batch (exact keep-min-doc_id + blocked near-dup
+    prune via `clean_corpus` with the quality gate disabled), then
+    keep what `novel_against` finds novel vs the accepted store."""
+    self_deduped = clean_corpus(
+        batch,
+        min_tokens=0,
+        jaccard_threshold=threshold,
+        max_block=max_block,
+    )
+    if store is None:
+        return self_deduped
+    return novel_against(
+        store, self_deduped, threshold=threshold,
+        shingle_n=shingle_n, max_block=max_block,
+    )
+
+
+def make_ingest_batch_fn(
+    store_path: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_block: int = 1000,
+):
+    """foreachBatch body: epoch fence → self-dedup + novel_against →
+    write the accepted rows as an immutable epoch-named batch dir →
+    atomic pointer swap. Replayed epochs ≤ last_epoch are skipped."""
+    import os as _os
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        meta = _read_ingest_pointer(store_path)
+        if epoch_id <= meta["last_epoch"]:
+            return
+        spark = batch_df.sparkSession
+        store = (
+            spark.read.parquet(*meta["files"]) if meta["files"] else None
+        )
+        novel = ingest_novel_batch(
+            store, batch_df, threshold=threshold,
+            shingle_n=shingle_n, max_block=max_block,
+        )
+        batch_dir = _os.path.join(store_path, f"batch-e{int(epoch_id)}")
+        novel.write.mode("overwrite").parquet(batch_dir)
+        files = meta["files"]
+        # an all-duplicate batch commits only the fence (an empty
+        # parquet dir in the manifest would poison later unions)
+        if any(
+            f.startswith("part-") and f.endswith(".parquet")
+            for f in _os.listdir(batch_dir)
+        ):
+            files = files + [batch_dir]
+        _commit_ingest_pointer(store_path, files, int(epoch_id))
+
+    return process_batch
+
+
+def start_streaming_ingest(
+    spark,
+    source_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 1,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_block: int = 1000,
+):
+    """Continuous-crawl near-dup ingest: stream JSON document drops,
+    dedupe each micro-batch against itself and against all accepted
+    history, append survivors to the manifest store exactly once
+    (restart-safe: offsets live in the checkpoint, the applied fence
+    in the store pointer — a replayed batch is skipped)."""
+    import os as _os
+
+    _os.makedirs(store_path, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            make_ingest_batch_fn(
+                store_path, threshold=threshold,
+                shingle_n=shingle_n, max_block=max_block,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 @query(
     "fuzzy_name_pairs",
     oracle="""

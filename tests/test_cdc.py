@@ -1185,3 +1185,97 @@ def test_streaming_quantile_grid_rollup(spark, tmp_path):
     width = 1000.0 / 256
     for i, q in enumerate(qs):
         assert abs(est[q] - exact[i]) <= width + 1e-9
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _doc(doc_id, text):
+    return {
+        "doc_id": doc_id, "text": text, "lang": "en",
+        "source": f"src{doc_id % 3}", "n_chars": len(text),
+    }
+
+
+def test_streaming_near_dup_ingest_exactly_once(spark, tmp_path):
+    """Streaming twin of corpus_ingest_novel: micro-batches of crawled
+    documents are deduped against themselves AND all accepted history
+    via a persisted manifest store; a restart from checkpoint (epoch
+    fence) plus one more drop must leave the store equal to the batch
+    twin that applies ingest_novel_batch drop-by-drop — no double
+    appends, no lost batches."""
+    import os
+
+    from dynamodb_to_datalake_project_spark.llm import dedup as D
+
+    src = tmp_path / "crawl"
+    store = tmp_path / "store"
+    ckpt = tmp_path / "ickpt"
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about spark shuffles and parquet files"
+    third = "a third unrelated document mentioning tokenizers and embeddings here"
+    drops = [
+        # drop 0: two novel docs
+        [_doc(1, base), _doc(2, other)],
+        # drop 1: near-dup of base (shares the 32-char block prefix,
+        # jaccard > 0.8), exact dup of other, one novel doc
+        [_doc(3, base + " extra"), _doc(4, other), _doc(5, third)],
+        # drop 2: within-batch near-dup pair (9 dropped against 8)
+        # plus a near-dup of history and a novel doc
+        [
+            _doc(6, third + " more"),
+            _doc(7, "fresh unseen text with enough tokens to pass every stage fine"),
+            _doc(8, "identical within batch content that repeats in this very drop"),
+            _doc(9, "identical within batch content that repeats in this very drop ok"),
+        ],
+    ]
+    for i, recs in enumerate(drops):
+        _write_drop(src, f"c{i}.json", recs)
+        os.utime(src / f"c{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run():
+        q = D.start_streaming_ingest(
+            spark, str(src), DOC_SCHEMA, str(store), str(ckpt),
+            max_files_per_trigger=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    meta1 = D._read_ingest_pointer(str(store))
+    assert meta1["last_epoch"] == 2 and len(meta1["files"]) == 3
+
+    # restart: replays nothing new (fence) + a fourth drop with one
+    # exact dup of drop-0 history and one novel doc
+    _write_drop(src, "c3.json", [_doc(10, base), _doc(11, "final novel doc closing out the stream with plenty of words")])
+    os.utime(src / "c3.json", (1_700_000_003, 1_700_000_003))
+    run()
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in D.read_ingest_store(spark, str(store)).collect()
+    }
+    # batch twin: same helper applied drop-by-drop
+    store_df = None
+    for recs in drops + [[_doc(10, base), _doc(11, "final novel doc closing out the stream with plenty of words")]]:
+        batch = spark.createDataFrame(
+            [(r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"]) for r in recs],
+            DOC_SCHEMA,
+        )
+        novel = D.ingest_novel_batch(store_df, batch)
+        store_df = novel if store_df is None else store_df.unionByName(novel)
+    expect = {r["doc_id"]: r["text"] for r in store_df.collect()}
+    assert got == expect
+    # and the dedup actually dropped things: 3, 4, 6, 9, 10 rejected
+    assert set(got) == {1, 2, 5, 7, 8, 11}
