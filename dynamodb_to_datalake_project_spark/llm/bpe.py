@@ -210,7 +210,7 @@ def train_bpe_merges(
     )
 
 
-@query("bpe_train_merges")  # rows-only: iterative argmax loop, not ANSI-SQL
+@query("bpe_train_merges", rows_only_twin="bpe_encode_stats")  # iterative argmax loop
 def q_bpe_train_merges(spark, sf_dir):
     """Train 16 BPE merges on the documents corpus. Correctness is
     pinned by `tests/test_llm.py::test_bpe_matches_reference`, which

@@ -741,7 +741,7 @@ def q_dedup_jaccard(spark, sf_dir):
     return blocked_jaccard_pairs(docs, F.substring("text", 1, 32), threshold=0.8)
 
 
-@query("dedup_minhash_lsh")  # rows-only: banding not expressible in ANSI SQL
+@query("dedup_minhash_lsh", rows_only_twin="dedup_minhash_md5")  # banding not ANSI-SQL
 def q_dedup_minhash(spark, sf_dir):
     """Banding tuned for this corpus: the synthetic vocab is tiny, so
     unrelated docs already share ~0.6 of their word sets — b=4, r=16
@@ -751,7 +751,7 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(docs, num_hashes=64, bands=4, threshold=0.8)
 
 
-@query("dedup_simhash")  # rows-only
+@query("dedup_simhash", rows_only_twin="dedup_simhash_md5")
 def q_dedup_simhash(spark, sf_dir):
     docs = _shingle_sets(load_table(spark, sf_dir, "documents"))
     return simhash_pairs(docs, bits=48, max_hamming=3)

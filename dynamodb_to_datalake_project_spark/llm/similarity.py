@@ -297,7 +297,7 @@ def q_knn_bruteforce(spark, sf_dir):
     )
 
 
-@query("sim_ann_lsh")  # rows-only: hash-derived hyperplanes not ANSI-SQL
+@query("sim_ann_lsh", rows_only_twin="sim_ann_lsh_fullprobe")  # hyperplanes not ANSI-SQL
 def q_ann_lsh(spark, sf_dir):
     return ann_lsh(load_table(spark, sf_dir, "embeddings"))
 
@@ -412,7 +412,7 @@ def ann_ivf(
     )
 
 
-@query("sim_ann_ivf")  # rows-only: KMeans cells are engine-specific
+@query("sim_ann_ivf", rows_only_twin="sim_ann_ivf_fullprobe")  # KMeans cells engine-specific
 def q_ann_ivf(spark, sf_dir):
     return ann_ivf(load_table(spark, sf_dir, "embeddings"))
 
@@ -602,7 +602,7 @@ def pca_project(
     return embeddings.select(id_col, *cols)
 
 
-@query("embed_pca_project")
+@query("embed_pca_project", rows_only_twin="embed_pca_invariants")
 def q_embed_pca_project(spark, sf_dir):
     """PCA dimensionality reduction (the pre-ANN compression step):
     top-4 components from the distributed covariance, projection as
@@ -1033,7 +1033,7 @@ def ann_ivf_pq(
     )
 
 
-@query("sim_ann_ivfpq")  # rows-only: KMeans cells + PQ codes are engine-specific
+@query("sim_ann_ivfpq", rows_only_twin="sim_ann_ivfpq_fullprobe")  # PQ codes engine-specific
 def q_ann_ivfpq(spark, sf_dir):
     """IVF-PQ: probe → code-only ADC shortlist → exact rerank; recall
     vs brute force pinned by `tests/test_llm.py::test_ivfpq_recall`."""

@@ -175,7 +175,7 @@ def rollup_sketches(per_type: DataFrame) -> DataFrame:
     )
 
 
-@query("sketch_hll_daily_users")
+@query("sketch_hll_daily_users", rows_only_twin="sketch_hll_exact_twin")
 def q_sketch_hll_daily_users(spark, sf_dir):
     """Daily distinct-user estimates from UNIONING per-event-type HLL
     sketches (never re-scanning raw rows at the day grain). Rows-only
@@ -412,7 +412,7 @@ def event_type_overlap_sketch(ev: DataFrame, lg_k: int = 12) -> DataFrame:
     )
 
 
-@query("sketch_hll_overlap")
+@query("sketch_hll_overlap", rows_only_twin="sketch_hll_overlap_exact")
 def q_sketch_hll_overlap(spark, sf_dir):
     """Pairwise distinct-user overlap between event types from HLL
     sketch algebra (inclusion-exclusion over stored sketches — no
