@@ -158,6 +158,12 @@ HEADLINE = [
     "multimodal_wav_tags",
     "multimodal_mp4_tags",
     "multimodal_gif_meta",
+    # round 8
+    "web_html_extract",
+    "web_robots_filter",
+    "multimodal_aac_stats",
+    "multimodal_h264_nal_stats",
+    "multimodal_vtt_cues",
 ]
 
 

@@ -78,6 +78,7 @@ def query(name: str, oracle: str | None = None, rows_only_twin: str | None = Non
 _PRIORITY: list[str] = [
     # --- new in round 8 (no driver row possible yet) ---
     "web_html_extract",
+    "web_robots_filter",
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",

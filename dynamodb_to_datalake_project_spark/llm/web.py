@@ -823,3 +823,227 @@ def q_web_html_extract(spark, sf_dir):
     synthesizer AND the extractor end to end."""
     docs = load_table(spark, sf_dir, "documents")
     return html_extract_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing + crawl-permission filter (RFC 9309) — the
+# politeness gate that sits NEXT TO URL canonicalization at the top of
+# the crawl pipeline: a fetch frontier joins every candidate URL
+# against its domain's parsed rule group. Rules per registered domain
+# are tiny (a broadcast-sized table at any corpus scale); the URL side
+# is map-only.
+# ---------------------------------------------------------------------------
+
+
+def robots_match_len(pattern: str, path: str) -> "int | None":
+    """RFC 9309 §2.2.2 path matching: literal prefix match with `*`
+    matching any run (including empty) and a trailing `$` anchoring
+    the end. Returns the PATTERN length (the specificity key — longest
+    match wins) when it matches, else None. Empty patterns match
+    everything at specificity 0."""
+    import re
+
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(part) for part in core.split("*"))
+    if not anchored:
+        rx += ".*"
+    return len(pattern) if re.fullmatch(rx, path) else None
+
+
+def parse_robots(text: str, agent: str) -> dict:
+    """Parse a robots.txt (RFC 9309): comment stripping, group
+    assembly (consecutive User-agent lines share one rule group), and
+    group selection — ALL groups naming `agent` (case-insensitive
+    product token) merge; the `*` groups apply only when no specific
+    group exists. Returns the effective (allow, pattern) rules,
+    Crawl-delay (common extension), and the file-wide Sitemap URLs.
+    Unknown fields are ignored per the spec; a file with no groups
+    (or none applicable) yields an empty rule set = allow all."""
+    groups: "list[tuple[list[str], list[tuple[bool, str]], float | None]]" = []
+    sitemaps: "list[str]" = []
+    agents_cur: "list[str]" = []
+    rules_cur: "list[tuple[bool, str]]" = []
+    delay_cur: "float | None" = None
+    in_group_body = False
+
+    def close() -> None:
+        nonlocal agents_cur, rules_cur, delay_cur, in_group_body
+        if agents_cur:
+            groups.append((agents_cur, rules_cur, delay_cur))
+        agents_cur, rules_cur, delay_cur = [], [], None
+        in_group_body = False
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if ":" not in line:
+            raise ValueError(f"robots: malformed line {raw!r}")
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip()
+        if field == "user-agent":
+            if in_group_body:
+                close()
+            agents_cur.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_body = True
+            if value:  # empty Disallow: = allow everything (no rule)
+                rules_cur.append((field == "allow", value))
+        elif field == "crawl-delay":
+            in_group_body = True
+            try:
+                delay_cur = float(value)
+            except ValueError:
+                raise ValueError(f"robots: bad crawl-delay {value!r}")
+        elif field == "sitemap":
+            sitemaps.append(value)  # file-wide, group-independent
+        # unknown fields: ignored (spec-mandated forward compatibility)
+    close()
+
+    want = agent.lower()
+    exact = [g for g in groups if want in g[0]]
+    chosen = exact if exact else [g for g in groups if "*" in g[0]]
+    rules: "list[tuple[bool, str]]" = []
+    delay: "float | None" = None
+    for _, rs, dl in chosen:
+        rules.extend(rs)
+        if dl is not None:
+            delay = dl
+    return {"rules": rules, "crawl_delay": delay, "sitemaps": sitemaps}
+
+
+def robots_allowed(rules: "list[tuple[bool, str]]", path: str) -> "tuple[bool, int]":
+    """Evaluate a path against parsed rules: the longest matching
+    pattern wins; on a specificity tie Allow beats Disallow (RFC 9309
+    §2.2.2). No matching rule = allowed at specificity 0."""
+    best_len, best_allow = -1, True
+    for allow, pattern in rules:
+        m = robots_match_len(pattern, path)
+        if m is None:
+            continue
+        if m > best_len or (m == best_len and allow and not best_allow):
+            best_len, best_allow = m, allow
+    return best_allow, max(best_len, 0)
+
+
+def synth_robots_txt(domain_id: int) -> str:
+    """Deterministic fixture robots.txt for a domain: a decoy group
+    (denies a different bot everything), the trainbot group with a
+    section Disallow + a LONGER page-prefix Allow carve-out + a
+    wildcard-and-anchored .html Disallow + Crawl-delay, a `*` group
+    that must NOT apply (a specific group exists), comments, and a
+    file-wide Sitemap line — every RFC 9309 branch the parser handles."""
+    a = domain_id % 8
+    b = (domain_id + 3) % 8
+    return (
+        "# synthetic robots fixture\n"
+        "User-agent: otherbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: trainbot\n"
+        f"Disallow: /sec{a}/   # section ban\n"
+        f"Allow: /sec{a}/page-1\n"
+        f"Disallow: /sec{b}/*.html$\n"
+        f"Crawl-delay: {1 + domain_id % 5}\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        f"Sitemap: https://site{domain_id}.example/sitemap.xml\n"
+    )
+
+
+def robots_filter_stats(docs: DataFrame, agent: str = "trainbot") -> DataFrame:
+    """Synthesize each document's fetch URL path and its domain's
+    robots.txt (10 fixture domains; parsed once per batch and cached —
+    the broadcast-rules shape), evaluate RFC 9309 longest-match
+    permission, and emit one row per document. Arrow `mapInPandas`,
+    map-only."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("domain", T.StringType()),
+            T.StructField("allowed", T.LongType()),
+            T.StructField("matched_len", T.LongType()),
+            T.StructField("crawl_delay", T.LongType()),
+            T.StructField("n_sitemaps", T.LongType()),
+        ]
+    )
+
+    def op(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        parsed: dict[int, dict] = {}
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                k = did % 10
+                if k not in parsed:
+                    parsed[k] = parse_robots(synth_robots_txt(k), agent)
+                r = parsed[k]
+                path = f"/sec{did % 8}/page-{did}" + (
+                    ".html" if did % 3 == 0 else ""
+                )
+                ok, mlen = robots_allowed(r["rules"], path)
+                out["doc_id"].append(did)
+                out["domain"].append(f"site{k}.example")
+                out["allowed"].append(int(ok))
+                out["matched_len"].append(mlen)
+                out["crawl_delay"].append(int(r["crawl_delay"]))
+                out["n_sitemaps"].append(len(r["sitemaps"]))
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return docs.select("doc_id").repartition(par).mapInPandas(op, schema)
+
+
+@query(
+    "web_robots_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             doc_id % 10 AS k,
+             doc_id % 8 AS s,
+             (doc_id % 10) % 8 AS a,
+             ((doc_id % 10) + 3) % 8 AS b,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS html,
+             CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%' THEN 1 ELSE 0 END
+               AS page1
+      FROM documents
+    )
+    SELECT doc_id,
+           'site' || k || '.example' AS domain,
+           CAST(CASE
+                  WHEN s = a AND page1 = 1 THEN 1        -- Allow carve-out
+                  WHEN s = a THEN 0                      -- section ban
+                  WHEN s = b AND html = 1 THEN 0         -- *.html$ ban
+                  ELSE 1
+                END AS BIGINT) AS allowed,
+           CAST(CASE
+                  WHEN s = a AND page1 = 1 THEN 12       -- /secA/page-1
+                  WHEN s = a THEN 6                      -- /secA/
+                  WHEN s = b AND html = 1 THEN 13        -- /secB/*.html$
+                  ELSE 0
+                END AS BIGINT) AS matched_len,
+           CAST(1 + k % 5 AS BIGINT) AS crawl_delay,
+           CAST(1 AS BIGINT) AS n_sitemaps
+    FROM t
+    """,
+)
+def q_web_robots_filter(spark, sf_dir):
+    """RFC 9309 crawl-permission filter over the documents table: each
+    document's fetch path is evaluated against its domain's fixture
+    robots.txt — specific-group selection over a decoy group and a
+    `*` group, a section Disallow beaten by a longer page Allow
+    carve-out, a wildcard+anchored `*.html$` ban, Crawl-delay and
+    Sitemap extraction. The DuckDB oracle re-derives the longest-match
+    outcome (allowed + matched pattern length) from the fixture
+    formulas with no parser, pinning group selection, wildcard/anchor
+    matching, and the tie rules."""
+    docs = load_table(spark, sf_dir, "documents")
+    return robots_filter_stats(docs)

@@ -235,3 +235,63 @@ def test_html_extract_roundtrip_on_fixture(spark):
         md5 = hashlib.md5(r["text"].encode()).hexdigest()
         assert got[r["doc_id"]][0] == md5
         assert got[r["doc_id"]][1] == (len(r["text"]) + 79) // 80
+
+
+def test_robots_parsing_and_longest_match():
+    """RFC 9309 branches: group assembly/merging, specific-vs-* group
+    selection, wildcard and $ anchor matching, longest-match with
+    allow-wins ties, empty Disallow, comments, unknown fields,
+    Crawl-delay and file-wide Sitemap, malformed-line rejects."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.web import (
+        parse_robots,
+        robots_allowed,
+        robots_match_len,
+    )
+
+    txt = (
+        "# top comment\n"
+        "User-agent: alpha\n"
+        "User-agent: beta\n"
+        "Disallow: /x/\n"
+        "Allow: /x/pub  # carve-out\n"
+        "Unknown-field: ignored\n"
+        "\n"
+        "Sitemap: https://e.com/s1.xml\n"
+        "User-agent: beta\n"
+        "Disallow: /y$\n"
+        "Crawl-delay: 2.5\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    # beta merges BOTH its groups (RFC: all matching groups combine)
+    r = parse_robots(txt, "BETA")
+    assert r["rules"] == [(False, "/x/"), (True, "/x/pub"), (False, "/y$")]
+    assert r["crawl_delay"] == 2.5 and r["sitemaps"] == ["https://e.com/s1.xml"]
+    # alpha gets only the shared group
+    assert parse_robots(txt, "alpha")["rules"][:2] == r["rules"][:2]
+    # no specific group -> the * group applies
+    assert parse_robots(txt, "gamma")["rules"] == [(False, "/")]
+
+    # longest match + allow-wins tie + $ anchor
+    assert robots_allowed(r["rules"], "/x/secret") == (False, 3)
+    assert robots_allowed(r["rules"], "/x/public") == (True, 6)
+    assert robots_allowed(r["rules"], "/y") == (False, 3)
+    assert robots_allowed(r["rules"], "/yes") == (True, 0)  # $ blocked only /y
+    assert robots_allowed([(True, "/a"), (False, "/a")], "/ab") == (True, 2)
+
+    # wildcard/anchor matcher
+    assert robots_match_len("/a*b$", "/a-x-b") == 5
+    assert robots_match_len("/a*b$", "/a-x-bc") is None
+    assert robots_match_len("/p*.html", "/p/q/r.html?x") == 8  # prefix after *
+    assert robots_match_len("", "/anything") == 0
+
+    # empty Disallow: is allow-everything (no rule recorded)
+    assert parse_robots("User-agent: a\nDisallow:\n", "a")["rules"] == []
+
+    with _pt.raises(ValueError, match="malformed line"):
+        parse_robots("User-agent a\nDisallow /\n", "a")
+    with _pt.raises(ValueError, match="bad crawl-delay"):
+        parse_robots("User-agent: a\nCrawl-delay: soon\n", "a")
