@@ -161,6 +161,7 @@ HEADLINE = [
     # round 8
     "web_html_extract",
     "web_robots_filter",
+    "web_warc_stats",
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",

@@ -79,6 +79,7 @@ _PRIORITY: list[str] = [
     # --- new in round 8 (no driver row possible yet) ---
     "web_html_extract",
     "web_robots_filter",
+    "web_warc_stats",
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",
@@ -220,6 +221,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.ebml  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.h264  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.mpegts  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.warc  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.web  # noqa: F401
 
     lead = [n for n in _PRIORITY if n in QUERIES]

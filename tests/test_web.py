@@ -295,3 +295,71 @@ def test_robots_parsing_and_longest_match():
         parse_robots("User-agent a\nDisallow /\n", "a")
     with _pt.raises(ValueError, match="bad crawl-delay"):
         parse_robots("User-agent: a\nCrawl-delay: soon\n", "a")
+
+
+def test_warc_record_walk_and_rejects():
+    """WARC goldens: framing round trip, member-gzip split, chunked
+    dechunk equality, and the corrupt-archive quarantine paths."""
+    import gzip
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import warc as W
+
+    body = bytes(range(100))
+    resp_plain = W.encode_http_response(200, "text/html", body)
+    resp_chunk = W.encode_http_response(200, "text/html", body, chunked=True, chunk_size=7)
+    # dechunked body equals the plain body exactly
+    assert W.parse_http_response(resp_chunk)["body"] == body
+    assert W.parse_http_response(resp_plain)["body"] == body
+
+    records = [
+        {"type": "warcinfo", "block": b"software: t\r\n"},
+        {"type": "request", "uri": "https://e.com/", "block": b"GET / HTTP/1.1\r\n\r\n"},
+        {"type": "response", "uri": "https://e.com/", "block": resp_chunk},
+        {"type": "response", "uri": "https://e.com/2",
+         "block": W.encode_http_response(404, "text/plain", b"gone")},
+    ]
+    raw = W.encode_warc(records)
+    d = W.parse_warc(raw)
+    assert d == {
+        "n_records": 4, "has_warcinfo": 1, "n_requests": 1,
+        "n_responses": 2, "n_200": 1, "n_html": 1, "chunked_responses": 1,
+        "body_bytes": 104, "first_byte_sum": 0 + ord("g"),
+    }
+    # member-gzip: same stats through the split path
+    bounds, at = [], 0
+    for rec in records:
+        at += len(W.encode_warc([rec]))
+        bounds.append(at)
+    gz = W.gzip_members(raw, bounds)
+    assert W.parse_warc(gz, gzipped=True) == d
+    assert len(W.split_gzip_members(gz)) == 4
+
+    with _pt.raises(ValueError, match="bad version line"):
+        W.parse_warc(b"WARC/2.0\r\n" + raw[10:])
+    with _pt.raises(ValueError, match="missing Content-Length"):
+        W.parse_warc(b"WARC/1.0\r\nWARC-Type: x\r\n\r\nbody\r\n\r\n")
+    with _pt.raises(ValueError, match="extends past end"):
+        W.parse_warc(raw[:-10])
+    with _pt.raises(ValueError, match="missing record separator"):
+        corrupt = bytearray(raw)
+        corrupt[len(W.encode_warc(records[:1])) - 2] = 0x58  # break first sep
+        W.parse_warc(bytes(corrupt))
+    with _pt.raises(ValueError, match="truncated gzip member"):
+        W.parse_warc(gz[:-5], gzipped=True)
+    with _pt.raises(ValueError, match="corrupt gzip member"):
+        W.parse_warc(b"\x1f\x8b\x08\x00junkjunkjunk", gzipped=True)
+    with _pt.raises(ValueError, match="bad chunk size"):
+        W.decode_chunked(b"zz\r\nabc\r\n0\r\n\r\n")
+    with _pt.raises(ValueError, match="chunk extends past end"):
+        W.decode_chunked(b"ff\r\nshort\r\n0\r\n\r\n")
+    with _pt.raises(ValueError, match="missing size line"):
+        W.decode_chunked(b"5")
+    with _pt.raises(ValueError, match="bad HTTP status line"):
+        W.parse_http_response(b"NOPE\r\n\r\n")
+    with _pt.raises(ValueError, match="no records"):
+        W.parse_warc(b"")
+    # gzip helper validates coverage
+    with _pt.raises(ValueError, match="boundaries do not cover"):
+        W.gzip_members(raw, bounds[:-1])
