@@ -162,6 +162,7 @@ HEADLINE = [
     "web_html_extract",
     "web_robots_filter",
     "web_warc_stats",
+    "text_unicode_repair",
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",

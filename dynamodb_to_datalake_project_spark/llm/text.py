@@ -1209,3 +1209,189 @@ def q_text_collapse_repeats(spark, sf_dir):
         (F.size("tk") - F.size(kept)).cast("long").alias("n_collapsed"),
         F.md5(F.array_join(kept, " ")).alias("collapsed_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode repair (ftfy-style) — the encoding-hygiene stage every
+# web-scraped corpus needs before tokenization: mojibake reversal
+# (UTF-8 bytes mis-decoded as cp1252/latin-1, iterated to a fixpoint
+# for double-encodes), NFC normalization, NBSP→space, and zero-width/
+# BOM/control stripping. Pure per-row Python (codec tables), map-only
+# Arrow work — scan speed at any corpus size.
+# ---------------------------------------------------------------------------
+
+#: characters removed outright by repair (zero-widths + BOM)
+_ZERO_WIDTH = "​‌‍﻿"
+
+
+def _fix_mojibake_once(text: str) -> "str | None":
+    """One reversal step: if re-encoding the text via cp1252 (then
+    latin-1) yields bytes that are VALID UTF-8, the text was UTF-8
+    mis-decoded — return the correct decode. The UTF-8 validity check
+    is the safety: genuinely-correct text ('é' = byte E9 under either
+    codec) is never valid UTF-8, so it can't be 'fixed' into garbage.
+    Returns None when no confident fix exists (including pure ASCII)."""
+    if all(ord(c) < 128 for c in text):
+        return None
+    for enc in ("cp1252", "latin-1"):
+        try:
+            raw = text.encode(enc)
+        except UnicodeEncodeError:
+            continue
+        try:
+            dec = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        if dec != text:
+            return dec
+    return None
+
+
+def repair_unicode(text: str) -> dict:
+    """Full repair pass: mojibake reversal to a fixpoint (≤3 rounds —
+    double-encoded text needs two), NFC normalization, NBSP → space,
+    and removal of zero-width characters, the BOM, and C0/C1 controls
+    other than \\n and \\t. Returns the clean text plus per-fix
+    counters (the audit columns a corpus-hygiene report aggregates)."""
+    import unicodedata
+
+    mojibake_rounds = 0
+    for _ in range(3):
+        fixed = _fix_mojibake_once(text)
+        if fixed is None:
+            break
+        text = fixed
+        mojibake_rounds += 1
+    nfc = unicodedata.normalize("NFC", text)
+    nfc_fixed = int(nfc != text)
+    text = nfc
+    nbsp_fixed = text.count("\xa0")
+    text = text.replace("\xa0", " ")
+    kept: "list[str]" = []
+    removed_chars = 0
+    for ch in text:
+        if ch in _ZERO_WIDTH or (
+            unicodedata.category(ch) == "Cc" and ch not in "\n\t"
+        ):
+            removed_chars += 1
+        else:
+            kept.append(ch)
+    clean = "".join(kept)
+    return {
+        "text": clean,
+        "mojibake_rounds": mojibake_rounds,
+        "nfc_fixed": nfc_fixed,
+        "nbsp_fixed": nbsp_fixed,
+        "removed_chars": removed_chars,
+    }
+
+
+#: fixture accent words (NFC forms); index = doc_id % 6
+_ACCENT_WORDS = ("café", "naïve", "señor", "über", "fiancée", "jalapeño")
+
+
+def unicode_repair_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize a corrupted variant of each document's text — an
+    accent word appended, then per doc_id%4: NFD decomposition, single
+    mojibake, double mojibake, or zero-width/BOM/NBSP/control
+    injection — run `repair_unicode`, and prove the repair recovers
+    the clean NFC text exactly (md5). Arrow `mapInPandas`, map-only."""
+    import hashlib
+    import unicodedata
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mojibake_rounds", T.LongType()),
+            T.StructField("nfc_fixed", T.LongType()),
+            T.StructField("nbsp_fixed", T.LongType()),
+            T.StructField("removed_chars", T.LongType()),
+            T.StructField("clean_chars", T.LongType()),
+            T.StructField("clean_md5", T.StringType()),
+        ]
+    )
+
+    def op(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                clean = text + " " + _ACCENT_WORDS[did % 6]
+                case = did % 4
+                if case == 0:
+                    corrupted = unicodedata.normalize("NFD", clean)
+                elif case == 1:
+                    corrupted = clean.encode("utf-8").decode("latin-1")
+                elif case == 2:
+                    corrupted = (
+                        clean.encode("utf-8")
+                        .decode("latin-1")
+                        .encode("utf-8")
+                        .decode("latin-1")
+                    )
+                else:
+                    corrupted = (
+                        "﻿"
+                        + clean[0]
+                        + "​"
+                        + clean[1:].replace(" ", "\xa0", 1)
+                        + "\x07"
+                    )
+                d = repair_unicode(corrupted)
+                assert d["text"] == clean  # fixture invariant
+                out["doc_id"].append(did)
+                out["mojibake_rounds"].append(d["mojibake_rounds"])
+                out["nfc_fixed"].append(d["nfc_fixed"])
+                out["nbsp_fixed"].append(d["nbsp_fixed"])
+                out["removed_chars"].append(d["removed_chars"])
+                out["clean_chars"].append(len(d["text"]))
+                out["clean_md5"].append(
+                    hashlib.md5(d["text"].encode("utf-8")).hexdigest()
+                )
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text").repartition(par).mapInPandas(op, schema)
+    )
+
+
+@query(
+    "text_unicode_repair",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' ' ||
+             (['café','naïve','señor','über','fiancée','jalapeño'])
+               [(doc_id % 6) + 1] AS clean,
+             doc_id % 4 AS c
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE c WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END AS BIGINT)
+             AS mojibake_rounds,
+           CAST(CASE WHEN c = 0 THEN 1 ELSE 0 END AS BIGINT) AS nfc_fixed,
+           CAST(CASE WHEN c = 3 THEN 1 ELSE 0 END AS BIGINT) AS nbsp_fixed,
+           CAST(CASE WHEN c = 3 THEN 3 ELSE 0 END AS BIGINT) AS removed_chars,
+           CAST(length(clean) AS BIGINT) AS clean_chars,
+           md5(clean) AS clean_md5
+    FROM t
+    """,
+)
+def q_text_unicode_repair(spark, sf_dir):
+    """Encoding-hygiene repair over the documents table: each text is
+    corrupted by formula (NFD decomposition / single mojibake / DOUBLE
+    mojibake / zero-width+BOM+NBSP+control injection) and repaired;
+    the DuckDB oracle pins the fix counters AND the repaired text via
+    md5 against the clean NFC form it computes directly — so a hash
+    match proves the mojibake fixpoint iteration, the UTF-8-validity
+    safety check, NFC normalization, and the strip rules byte-for-
+    byte. No false positives by construction: genuinely-correct
+    non-ASCII text never re-encodes to valid UTF-8."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unicode_repair_stats(docs)

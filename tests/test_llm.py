@@ -3194,3 +3194,32 @@ def test_subtitle_parsing_dialects_and_rejects():
         m.parse_subtitles("WEBVTT\n\nNOTE just a comment\n")
     with _pt.raises(ValueError, match="unknown format"):
         m.encode_subtitles(cues, "ass")
+
+
+def test_unicode_repair_branches_and_safety():
+    """Repair branches: single/double mojibake, NFD -> NFC, NBSP,
+    zero-width/BOM/control strip — and the safety property that
+    genuinely-correct text is NEVER altered (UTF-8 validity check)."""
+    from dynamodb_to_datalake_project_spark.llm.text import (
+        _fix_mojibake_once,
+        repair_unicode,
+    )
+
+    assert _fix_mojibake_once("cafÃ©") == "café"
+    assert _fix_mojibake_once("plain") is None
+    assert _fix_mojibake_once("café") is None  # E9 is never valid UTF-8
+    # cp1252 branch: curly apostrophe mojibake (â€™ -> ’)
+    moji = "it’s".encode("utf-8").decode("cp1252")
+    d = repair_unicode(moji)
+    assert d["text"] == "it’s" and d["mojibake_rounds"] == 1
+    # double-encode needs two rounds
+    dbl = "é".encode("utf-8").decode("latin-1").encode("utf-8").decode("latin-1")
+    d2 = repair_unicode(dbl)
+    assert d2["text"] == "é" and d2["mojibake_rounds"] == 2
+    # NFD -> NFC, NBSP, zero-width, control
+    d3 = repair_unicode("café\xa0x​﻿\x07\n\tok")
+    assert d3["text"] == "café x\n\tok"
+    assert (d3["nfc_fixed"], d3["nbsp_fixed"], d3["removed_chars"]) == (1, 1, 3)
+    # idempotence: repairing clean output changes nothing
+    again = repair_unicode(d3["text"])
+    assert again["text"] == d3["text"] and again["mojibake_rounds"] == 0

@@ -148,6 +148,7 @@ NOTES = {
     "multimodal_gif_meta": "GIF89a comment/NETSCAPE loop: post-GCT splice + block walk (image skip without LZW) + pixel decode re-verify, ONE ArrowEvalPython stage - map-only, no shuffle",
     "multimodal_mp3_tags": "ID3v2 metadata: v2.3 tag build + syncsafe header walk + text-frame decode ahead of the Layer III frame validation, ONE ArrowEvalPython stage - map-only, no shuffle",
     "multimodal_ogg_tags": "Opus metadata: conformant OpusHead+OpusTags+audio build, page-CRC demux, comment-structure parse of the reassembled second packet in ONE ArrowEvalPython stage — map-only, no shuffle",
+    "text_unicode_repair": "ftfy-style repair: mojibake fixpoint + NFC + strip rules with md5-exact oracle, ONE ArrowEvalPython stage - map-only, no shuffle",
     "web_warc_stats": "WARC demux: member-gzip split + Content-Length record walk + HTTP parse + dechunk, ONE ArrowEvalPython stage - map-only, no shuffle (parallelizes across archive files)",
     "web_robots_filter": "RFC 9309 crawl gate: per-domain rule parse (cached, broadcast-shaped) + longest-match evaluation, ONE ArrowEvalPython stage - map-only, no shuffle",
     "web_html_extract": "HTML boilerplate removal: fixture-page synth + density block walk + entity decode + md5 of the recovered text, ONE ArrowEvalPython stage - map-only, no shuffle (scan-speed at 100 TB)",
