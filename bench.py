@@ -163,6 +163,7 @@ HEADLINE = [
     "web_robots_filter",
     "web_warc_stats",
     "text_unicode_repair",
+    "web_sitemap_stats",
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",

@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     "web_robots_filter",
     "web_warc_stats",
     "text_unicode_repair",
+    "web_sitemap_stats",
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",

@@ -1047,3 +1047,195 @@ def q_web_robots_filter(spark, sf_dir):
     matching, and the tie rules."""
     docs = load_table(spark, sf_dir, "documents")
     return robots_filter_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Sitemap XML parsing — the discovery companion to robots.txt (the
+# Sitemap: lines it emits point here): <urlset> entries with
+# loc/lastmod/changefreq/priority, and <sitemapindex> indirection.
+# Zero-dep tag-level walk (the subset of XML sitemaps actually use);
+# map-only per sitemap blob.
+# ---------------------------------------------------------------------------
+
+
+def parse_sitemap(xml: str) -> dict:
+    """Parse a sitemap (sitemaps.org protocol): detect <urlset> vs
+    <sitemapindex>, extract per-entry <loc> (required), <lastmod>
+    (W3C date validated), <changefreq> (enumerated), <priority>
+    (0.0-1.0 validated). XML entities in loc decode (&amp; is the one
+    sitemaps legally need). Raises on a missing root, an entry
+    without <loc>, an out-of-range priority, a bad changefreq, or a
+    malformed lastmod — feed-corruption quarantine."""
+    import re
+
+    def field(block: str, tag: str) -> "str | None":
+        mo = re.search(rf"<{tag}>\s*(.*?)\s*</{tag}>", block, flags=re.S)
+        return mo.group(1) if mo else None
+
+    if "<urlset" in xml:
+        kind, entry_tag = "urlset", "url"
+    elif "<sitemapindex" in xml:
+        kind, entry_tag = "sitemapindex", "sitemap"
+    else:
+        raise ValueError("sitemap: no <urlset> or <sitemapindex> root")
+    entries = []
+    for mo in re.finditer(
+        rf"<{entry_tag}>(.*?)</{entry_tag}>", xml, flags=re.S
+    ):
+        block = mo.group(1)
+        loc = field(block, "loc")
+        if loc is None:
+            raise ValueError("sitemap: entry without <loc>")
+        loc = (
+            loc.replace("&amp;", "&")
+            .replace("&lt;", "<")
+            .replace("&gt;", ">")
+            .replace("&apos;", "'")
+            .replace("&quot;", '"')
+        )
+        lastmod = field(block, "lastmod")
+        if lastmod is not None and not re.fullmatch(
+            r"\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2}(\.\d+)?"
+            r"(Z|[+-]\d{2}:\d{2}))?",
+            lastmod,
+        ):
+            raise ValueError(f"sitemap: malformed lastmod {lastmod!r}")
+        changefreq = field(block, "changefreq")
+        if changefreq is not None and changefreq not in (
+            "always", "hourly", "daily", "weekly", "monthly", "never", "yearly",
+        ):
+            raise ValueError(f"sitemap: bad changefreq {changefreq!r}")
+        priority = field(block, "priority")
+        pr = None
+        if priority is not None:
+            try:
+                pr = float(priority)
+            except ValueError:
+                raise ValueError(f"sitemap: bad priority {priority!r}")
+            if not 0.0 <= pr <= 1.0:
+                raise ValueError(f"sitemap: priority {pr} out of range")
+        entries.append(
+            {"loc": loc, "lastmod": lastmod, "changefreq": changefreq,
+             "priority": pr}
+        )
+    return {"kind": kind, "entries": entries}
+
+
+def synth_sitemap(domain_id: int, n_urls: int) -> str:
+    """Deterministic fixture: a <sitemapindex> on every 4th domain
+    (pointing at n_urls child sitemaps), else a <urlset> of n_urls
+    pages with lastmod/changefreq/priority cycling by formula, one
+    &amp;-escaped query URL per set."""
+    freqs = ("daily", "weekly", "monthly")
+    if domain_id % 4 == 0:
+        body = "".join(
+            f"<sitemap><loc>https://site{domain_id}.example/maps/s{i}.xml"
+            f"</loc><lastmod>2024-0{1 + i % 9}-01</lastmod></sitemap>"
+            for i in range(n_urls)
+        )
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{body}</sitemapindex>"
+        )
+    body = "".join(
+        f"<url><loc>https://site{domain_id}.example/p{i}"
+        + ("?a=1&amp;b=2" if i == 0 else "")
+        + "</loc>"
+        + f"<lastmod>2024-0{1 + i % 9}-01</lastmod>"
+        + f"<changefreq>{freqs[i % 3]}</changefreq>"
+        + f"<priority>0.{1 + (domain_id + i) % 9}</priority></url>"
+        for i in range(n_urls)
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"{body}</urlset>"
+    )
+
+
+def sitemap_stats(docs: DataFrame) -> DataFrame:
+    """One fixture sitemap per document (domain = doc_id%10, size by
+    formula), parsed back; priorities summed in integer tenths so the
+    oracle is exact. Arrow `mapInPandas`, map-only."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("n_entries", T.LongType()),
+            T.StructField("n_daily", T.LongType()),
+            T.StructField("priority_tenths", T.LongType()),
+            T.StructField("n_escaped", T.LongType()),
+        ]
+    )
+
+    def op(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                k = did % 10
+                n = 3 + did % 7
+                d = parse_sitemap(synth_sitemap(k, n))
+                out["doc_id"].append(did)
+                out["kind"].append(d["kind"])
+                out["n_entries"].append(len(d["entries"]))
+                out["n_daily"].append(
+                    sum(1 for e in d["entries"] if e["changefreq"] == "daily")
+                )
+                out["priority_tenths"].append(
+                    sum(
+                        round(e["priority"] * 10)
+                        for e in d["entries"]
+                        if e["priority"] is not None
+                    )
+                )
+                out["n_escaped"].append(
+                    sum(1 for e in d["entries"] if "&" in e["loc"])
+                )
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return docs.select("doc_id").repartition(par).mapInPandas(op, schema)
+
+
+@query(
+    "web_sitemap_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 10 AS k, 3 + doc_id % 7 AS n
+      FROM documents
+    ), e AS (
+      SELECT doc_id, k, n, u.i,
+             CASE WHEN u.i % 3 = 0 THEN 1 ELSE 0 END AS daily,
+             1 + (k + u.i) % 9 AS tenths
+      FROM t, LATERAL (SELECT unnest(range(0, n)) AS i) u
+    )
+    SELECT doc_id,
+           CASE WHEN MAX(k) % 4 = 0 THEN 'sitemapindex' ELSE 'urlset' END
+             AS kind,
+           CAST(MAX(n) AS BIGINT) AS n_entries,
+           CAST(CASE WHEN MAX(k) % 4 = 0 THEN 0 ELSE SUM(daily) END
+                AS BIGINT) AS n_daily,
+           CAST(CASE WHEN MAX(k) % 4 = 0 THEN 0 ELSE SUM(tenths) END
+                AS BIGINT) AS priority_tenths,
+           CAST(CASE WHEN MAX(k) % 4 = 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS n_escaped
+    FROM e GROUP BY doc_id
+    """,
+)
+def q_web_sitemap_stats(spark, sf_dir):
+    """Sitemap-protocol parsing over the documents table: <urlset>
+    pages with lastmod/changefreq/priority and an &amp;-escaped URL,
+    <sitemapindex> indirection on every 4th domain. The DuckDB oracle
+    re-derives entry counts, the changefreq census, the exact
+    integer-tenths priority sum, and the entity-decode count from the
+    fixture formulas with no parser."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sitemap_stats(docs)

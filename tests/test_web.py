@@ -363,3 +363,49 @@ def test_warc_record_walk_and_rejects():
     # gzip helper validates coverage
     with _pt.raises(ValueError, match="boundaries do not cover"):
         W.gzip_members(raw, bounds[:-1])
+
+
+def test_sitemap_parsing_and_rejects():
+    """Sitemap protocol branches: urlset vs sitemapindex, entity
+    decode in <loc>, optional fields, and the validation rejects."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.web import parse_sitemap
+
+    d = parse_sitemap(
+        "<urlset><url><loc>https://e.com/?a=1&amp;b=2</loc>"
+        "<lastmod>2024-01-02T03:04:05Z</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://e.com/bare</loc></url></urlset>"
+    )
+    assert d["kind"] == "urlset" and len(d["entries"]) == 2
+    assert d["entries"][0]["loc"] == "https://e.com/?a=1&b=2"
+    assert d["entries"][0]["priority"] == 0.8
+    assert d["entries"][1] == {
+        "loc": "https://e.com/bare", "lastmod": None,
+        "changefreq": None, "priority": None,
+    }
+    idx = parse_sitemap(
+        "<sitemapindex><sitemap><loc>https://e.com/s1.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    assert idx["kind"] == "sitemapindex" and len(idx["entries"]) == 1
+
+    with _pt.raises(ValueError, match="no <urlset>"):
+        parse_sitemap("<rss></rss>")
+    with _pt.raises(ValueError, match="without <loc>"):
+        parse_sitemap("<urlset><url><priority>0.5</priority></url></urlset>")
+    with _pt.raises(ValueError, match="malformed lastmod"):
+        parse_sitemap(
+            "<urlset><url><loc>x</loc><lastmod>01/02/2024</lastmod>"
+            "</url></urlset>"
+        )
+    with _pt.raises(ValueError, match="bad changefreq"):
+        parse_sitemap(
+            "<urlset><url><loc>x</loc><changefreq>often</changefreq>"
+            "</url></urlset>"
+        )
+    with _pt.raises(ValueError, match="out of range"):
+        parse_sitemap(
+            "<urlset><url><loc>x</loc><priority>1.5</priority></url></urlset>"
+        )
