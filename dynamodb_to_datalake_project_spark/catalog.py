@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "web_warc_stats",
     "text_unicode_repair",
     "web_sitemap_stats",
+    "multimodal_exif_gps_scrub",
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",

@@ -1260,21 +1260,32 @@ def encode_exif_app1(
     ifd0: "list[tuple[int, int, int, bytes]]",
     exif_ifd: "list[tuple[int, int, int, bytes]]",
     big_endian: bool = False,
+    gps_ifd: "list[tuple[int, int, int, bytes]] | None" = None,
 ) -> bytes:
     """A complete JPEG APP1 Exif segment (marker + length + `Exif\\0\\0`
     + TIFF stream): IFD0 with an ExifIFD pointer (tag 0x8769) to the
-    Exif sub-IFD — Exif 2.32 §4.5.2, both byte orders."""
+    Exif sub-IFD and, when `gps_ifd` is given, a GPSInfo pointer
+    (tag 0x8825) to the GPS sub-IFD — Exif 2.32 §4.5.2/§4.6.6, both
+    byte orders."""
     import struct as _struct
 
     e = ">" if big_endian else "<"
     hdr = (b"MM\x00\x2a" if big_endian else b"II\x2a\x00") + _struct.pack(
         e + "I", 8
     )
-    # two-pass: size IFD0 (with the pointer entry) to place the sub-IFD
-    probe = ifd0 + [(0x8769, 4, 1, _struct.pack(e + "I", 0))]
-    exif_at = 8 + len(_tiff_ifd(probe, 8, e))
+    # two-pass: size IFD0 (with the pointer entries) to place sub-IFDs
+    zero = _struct.pack(e + "I", 0)
+    pointers = [(0x8769, 4, 1, zero)]
+    if gps_ifd is not None:
+        pointers.append((0x8825, 4, 1, zero))
+    exif_at = 8 + len(_tiff_ifd(ifd0 + pointers, 8, e))
     ifd0_w = ifd0 + [(0x8769, 4, 1, _struct.pack(e + "I", exif_at))]
-    tiff = hdr + _tiff_ifd(ifd0_w, 8, e) + _tiff_ifd(exif_ifd, exif_at, e)
+    tail = _tiff_ifd(exif_ifd, exif_at, e)
+    if gps_ifd is not None:
+        gps_at = exif_at + len(tail)
+        ifd0_w.append((0x8825, 4, 1, _struct.pack(e + "I", gps_at)))
+        tail += _tiff_ifd(gps_ifd, gps_at, e)
+    tiff = hdr + _tiff_ifd(ifd0_w, 8, e) + tail
     body = b"Exif\x00\x00" + tiff
     return b"\xff\xe1" + _struct.pack(">H", len(body) + 2) + body
 
@@ -1366,6 +1377,28 @@ def parse_jpeg_exif(payload: bytes) -> dict:
     ifd0 = read_ifd(ifd0_at)
     exif = read_ifd(ifd0[0x8769]) if 0x8769 in ifd0 else {}
     exposure = exif.get(0x829A)
+    gps = None
+    if 0x8825 in ifd0:
+        g = read_ifd(ifd0[0x8825])
+        gps = {"n_tags": len(g)}
+        for key, ref_tag, val_tag, neg in (
+            ("lat_mas", 0x0001, 0x0002, "S"),
+            ("lon_mas", 0x0003, 0x0004, "W"),
+        ):
+            ref, dms = g.get(ref_tag), g.get(val_tag)
+            if ref is None or dms is None or len(dms) != 3:
+                gps[key] = None
+                continue
+            # exact integer milliarcseconds (1° = 3 600 000 mas);
+            # floor division per component — exact for the den values
+            # real cameras write (1 / 1 / 100ths-of-a-second)
+            mas = (
+                dms[0][0] * 3_600_000 // dms[0][1]
+                + dms[1][0] * 60_000 // dms[1][1]
+                + dms[2][0] * 1_000 // dms[2][1]
+            )
+            gps[key] = -mas if ref == neg else mas
+            gps[key.replace("_mas", "_ref")] = ref
     return {
         "byte_order": "MM" if e == ">" else "II",
         "n_ifd0": len(ifd0),
@@ -1376,7 +1409,96 @@ def parse_jpeg_exif(payload: bytes) -> dict:
         "pixel_y": exif.get(0xA003),
         "exposure_num": exposure[0] if exposure else None,
         "exposure_den": exposure[1] if exposure else None,
+        "gps": gps,
     }
+
+
+def _read_ifd_raw(tiff: bytes, at: int, e: str) -> "list[tuple[int, int, int, bytes]]":
+    """Read an IFD back as RAW (tag, type, count, wire-bytes) entries —
+    the lossless form `_tiff_ifd`/`encode_exif_app1` re-serialize, so
+    surgery (GPS scrub) preserves every non-touched tag bit-for-bit.
+    Unknown types keep their 4 inline bytes untouched."""
+    import struct as _struct
+
+    if at + 2 > len(tiff):
+        raise ValueError("exif: IFD offset overruns the TIFF stream")
+    (n,) = _struct.unpack_from(e + "H", tiff, at)
+    if at + 2 + 12 * n + 4 > len(tiff):
+        raise ValueError("exif: IFD table overruns the TIFF stream")
+    out: "list[tuple[int, int, int, bytes]]" = []
+    for i in range(n):
+        ent = at + 2 + 12 * i
+        tag, typ, count = _struct.unpack_from(e + "HHI", tiff, ent)
+        width = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}.get(typ)
+        if width is None:
+            out.append((tag, typ, count, tiff[ent + 8 : ent + 12]))
+            continue
+        size = width * count
+        if size <= 4:
+            data = tiff[ent + 8 : ent + 8 + size]
+        else:
+            (off,) = _struct.unpack_from(e + "I", tiff, ent + 8)
+            if off + size > len(tiff):
+                raise ValueError(f"exif: tag 0x{tag:04x} overruns the stream")
+            data = tiff[off : off + size]
+        out.append((tag, typ, count, data))
+    return out
+
+
+def strip_exif_gps(payload: bytes) -> "tuple[bytes, bool]":
+    """Image-PII scrub: remove the GPS sub-IFD (and its IFD0 pointer)
+    from a JPEG's APP1 Exif segment, preserving every other tag
+    bit-for-bit by re-serializing the raw IFD entries — the privacy
+    pass a training-image pipeline runs before anything else. The
+    compressed image data is untouched (only the APP1 segment is
+    rebuilt). Returns (payload, had_gps); a JPEG without GPS (or
+    without Exif) passes through unchanged."""
+    import struct as _struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("exif: not a JPEG (no SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("exif: marker desync in segment walk")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = _struct.unpack_from(">H", payload, pos + 2)
+        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            break
+        if marker == 0xDA:
+            return payload, False  # no Exif before image data
+        pos += 2 + seglen
+    else:
+        return payload, False
+    tiff = payload[pos + 10 : pos + 2 + seglen]
+    if len(tiff) < 8:
+        raise ValueError("exif: truncated TIFF header")
+    if tiff[:2] == b"II":
+        e, big = "<", False
+    elif tiff[:2] == b"MM":
+        e, big = ">", True
+    else:
+        raise ValueError(f"exif: bad byte-order mark {tiff[:2]!r}")
+    (ifd0_at,) = _struct.unpack_from(e + "I", tiff, 4)
+    ifd0_raw = _read_ifd_raw(tiff, ifd0_at, e)
+    if not any(tag == 0x8825 for tag, _, _, _ in ifd0_raw):
+        return payload, False
+    exif_ptr = next(
+        (d for tag, _, _, d in ifd0_raw if tag == 0x8769), None
+    )
+    exif_raw: "list[tuple[int, int, int, bytes]]" = []
+    if exif_ptr is not None:
+        exif_raw = _read_ifd_raw(
+            tiff, _struct.unpack(e + "I", exif_ptr)[0], e
+        )
+    clean0 = [
+        ent for ent in ifd0_raw if ent[0] not in (0x8769, 0x8825)
+    ]
+    new_app1 = encode_exif_app1(clean0, exif_raw, big_endian=big)
+    return payload[:pos] + new_app1 + payload[pos + 2 + seglen :], True
 
 
 def decode_image(payload: bytes) -> "object":
@@ -6408,3 +6530,135 @@ def q_multimodal_vtt_cues(spark, sf_dir):
     the timestamp serializer, both dialect walks, and the gap math."""
     docs = load_table(spark, sf_dir, "documents")
     return subtitle_cue_stats(docs)
+
+
+EXIF_GPS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("had_gps", T.LongType()),
+        T.StructField("lat_mas", T.LongType()),
+        T.StructField("lon_mas", T.LongType()),
+        T.StructField("lat_ref", T.StringType()),
+        T.StructField("lon_ref", T.StringType()),
+        T.StructField("n_ifd0_before", T.LongType()),
+        T.StructField("n_ifd0_after", T.LongType()),
+        T.StructField("intact", T.LongType()),
+    ]
+)
+
+
+def exif_gps_scrub_stats(docs: DataFrame) -> DataFrame:
+    """Per document: a real baseline JPEG with a full Exif APP1 —
+    GPS sub-IFD (exact DMS rationals, N/S/E/W refs) on two of every
+    three docs — read the coordinates, SCRUB them with
+    `strip_exif_gps`, and verify the scrubbed file re-parses with no
+    GPS, identical remaining tags, and an untouched compressed image
+    stream. Arrow `mapInPandas`, map-only."""
+    import struct as _struct
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        out: dict[str, list] = {f.name: [] for f in EXIF_GPS_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                big = did % 2 == 1
+                e = ">" if big else "<"
+                ifd0 = [
+                    (0x010E, *_exif_ascii(f"doc-{did}")),
+                    (0x0112, 3, 1, _struct.pack(e + "H", 1 + did % 8)),
+                ]
+                exif_ifd = [
+                    (0x829A, 5, 1, _struct.pack(e + "II", 1, 50 + did % 200)),
+                ]
+                gps_ifd = None
+                if did % 3 != 2:
+                    lat_ref = b"N\x00" if did % 2 == 0 else b"S\x00"
+                    lon_ref = b"E\x00" if did % 4 < 2 else b"W\x00"
+                    deg, minu, sec = did % 90, did % 60, did % 600
+                    dms = _struct.pack(e + "6I", deg, 1, minu, 1, sec, 10)
+                    gps_ifd = [
+                        (0x0001, 2, 2, lat_ref),
+                        (0x0002, 5, 3, dms),
+                        (0x0003, 2, 2, lon_ref),
+                        (0x0004, 5, 3, dms),
+                    ]
+                app1 = encode_exif_app1(
+                    ifd0, exif_ifd, big_endian=big, gps_ifd=gps_ifd
+                )
+                px = np.full((8, 8, 3), (did * 13) % 211 + 20, dtype=np.uint8)
+                jpg = encode_jpeg(px, 8, 8, quality=95)
+                payload = jpg[:2] + app1 + jpg[2:]
+                before = parse_jpeg_exif(payload)
+                scrubbed, had = strip_exif_gps(payload)
+                after = parse_jpeg_exif(scrubbed)
+                # surgery invariants: GPS gone, everything else equal,
+                # compressed image stream untouched
+                assert after["gps"] is None
+                assert scrubbed.endswith(jpg[2:])
+                intact = int(
+                    all(
+                        before[k] == after[k]
+                        for k in (
+                            "byte_order", "description", "orientation",
+                            "exposure_num", "exposure_den",
+                        )
+                    )
+                )
+                g = before["gps"]
+                out["doc_id"].append(did)
+                out["had_gps"].append(int(had))
+                out["lat_mas"].append(g["lat_mas"] if g else None)
+                out["lon_mas"].append(g["lon_mas"] if g else None)
+                out["lat_ref"].append(g.get("lat_ref") if g else None)
+                out["lon_ref"].append(g.get("lon_ref") if g else None)
+                out["n_ifd0_before"].append(before["n_ifd0"])
+                out["n_ifd0_after"].append(after["n_ifd0"])
+                out["intact"].append(intact)
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return docs.select("doc_id").repartition(par).mapInPandas(op, EXIF_GPS_SCHEMA)
+
+
+@query(
+    "multimodal_exif_gps_scrub",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 <> 2 THEN 1 ELSE 0 END AS has_gps,
+             (doc_id % 90) * 3600000 + (doc_id % 60) * 60000
+               + (doc_id % 600) * 100 AS mas,
+             CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS latr,
+             CASE WHEN doc_id % 4 < 2 THEN 'E' ELSE 'W' END AS lonr
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(has_gps AS BIGINT) AS had_gps,
+           CAST(CASE WHEN has_gps = 0 THEN NULL
+                     WHEN latr = 'S' THEN -mas ELSE mas END AS BIGINT)
+             AS lat_mas,
+           CAST(CASE WHEN has_gps = 0 THEN NULL
+                     WHEN lonr = 'W' THEN -mas ELSE mas END AS BIGINT)
+             AS lon_mas,
+           CASE WHEN has_gps = 1 THEN latr END AS lat_ref,
+           CASE WHEN has_gps = 1 THEN lonr END AS lon_ref,
+           CAST(2 + 1 + has_gps AS BIGINT) AS n_ifd0_before,
+           CAST(3 AS BIGINT) AS n_ifd0_after,
+           CAST(1 AS BIGINT) AS intact
+    FROM t
+    """,
+)
+def q_multimodal_exif_gps_scrub(spark, sf_dir):
+    """Image-PII scrub end to end: real JPEGs carry a GPS sub-IFD
+    (exact DMS rationals in milliarcseconds, all four hemisphere
+    refs); coordinates are extracted, then `strip_exif_gps` rebuilds
+    the APP1 without them — the parser proves GPS is gone, every
+    other tag survives bit-for-bit, and the compressed image stream
+    is untouched. The oracle re-derives coordinates and IFD counts
+    from the fixture formulas with no parser (n_ifd0 counts written
+    tags + sub-IFD pointers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exif_gps_scrub_stats(docs)

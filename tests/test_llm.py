@@ -3223,3 +3223,55 @@ def test_unicode_repair_branches_and_safety():
     # idempotence: repairing clean output changes nothing
     again = repair_unicode(d3["text"])
     assert again["text"] == d3["text"] and again["mojibake_rounds"] == 0
+
+
+def test_exif_gps_parse_and_scrub():
+    """GPS sub-IFD goldens: exact milliarcsecond decode in all four
+    hemispheres, both endians; scrub removes GPS + pointer while
+    preserving every other tag bit-for-bit and the image stream."""
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    for big in (False, True):
+        e = ">" if big else "<"
+        # 12° 30' 15.5" S, 45° 0' 0.25" W
+        lat = struct.pack(e + "6I", 12, 1, 30, 1, 155, 10)
+        lon = struct.pack(e + "6I", 45, 1, 0, 1, 25, 100)
+        gps = [
+            (0x0001, 2, 2, b"S\x00"), (0x0002, 5, 3, lat),
+            (0x0003, 2, 2, b"W\x00"), (0x0004, 5, 3, lon),
+        ]
+        ifd0 = [(0x010E, *m._exif_ascii("t"))]
+        exif = [(0xA002, 4, 1, struct.pack(e + "I", 8))]
+        app1 = m.encode_exif_app1(ifd0, exif, big_endian=big, gps_ifd=gps)
+        px = np.full((8, 8, 3), 99, dtype=np.uint8)
+        jpg = m.encode_jpeg(px, 8, 8)
+        payload = jpg[:2] + app1 + jpg[2:]
+        d = m.parse_jpeg_exif(payload)
+        assert d["gps"]["lat_mas"] == -(12 * 3_600_000 + 30 * 60_000 + 15_500)
+        assert d["gps"]["lon_mas"] == -(45 * 3_600_000 + 250)
+        assert (d["gps"]["lat_ref"], d["gps"]["lon_ref"]) == ("S", "W")
+        scrubbed, had = m.strip_exif_gps(payload)
+        assert had
+        d2 = m.parse_jpeg_exif(scrubbed)
+        assert d2["gps"] is None and d2["n_ifd0"] == d["n_ifd0"] - 1
+        assert d2["description"] == "t" and d2["pixel_x"] == 8
+        # image stream and pixels untouched
+        assert scrubbed.endswith(jpg[2:])
+        assert (
+            m.decode_jpeg_array(scrubbed)["px"] == m.decode_jpeg_array(payload)["px"]
+        ).all()
+        # idempotent: scrubbing again is a no-op
+        again, had2 = m.strip_exif_gps(scrubbed)
+        assert not had2 and again == scrubbed
+
+    # a JPEG with no Exif passes through
+    plain = m.encode_jpeg(px, 8, 8)
+    out, had = m.strip_exif_gps(plain)
+    assert not had and out == plain
+    with _pt.raises(ValueError, match="no SOI"):
+        m.strip_exif_gps(b"nope")
