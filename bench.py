@@ -165,6 +165,7 @@ HEADLINE = [
     "text_unicode_repair",
     "web_sitemap_stats",
     "multimodal_exif_gps_scrub",
+    "multimodal_audio_quality",
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",

@@ -6662,3 +6662,121 @@ def q_multimodal_exif_gps_scrub(spark, sf_dir):
     tags + sub-IFD pointers)."""
     docs = load_table(spark, sf_dir, "documents")
     return exif_gps_scrub_stats(docs)
+
+
+def wav_pcm_quality(payload: bytes) -> dict:
+    """Audio-quality features off the REAL PCM decode (stdlib `wave`):
+    exact integer peak, clipped-sample count (|s| at the 16-bit
+    rails), sum of squares (the RMS numerator), DC sum (the offset
+    numerator), and strict sign-change zero crossings — the gating
+    signals an audio-corpus curation pass filters on (clipped or
+    DC-biased uploads are mic/transcode defects; near-zero crossing
+    rates flag silence or DC)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM decode implemented")
+        samples = struct.unpack(
+            f"<{w.getnframes() * w.getnchannels()}h",
+            w.readframes(w.getnframes()),
+        )
+    if not samples:
+        raise ValueError("wav: no samples")
+    n_clipped = sum(1 for s in samples if s >= 32767 or s <= -32768)
+    zc = sum(
+        1 for a, b in zip(samples, samples[1:]) if (a < 0 < b) or (b < 0 < a)
+    )
+    return {
+        "n_samples": len(samples),
+        "peak": max(abs(s) for s in samples),
+        "n_clipped": n_clipped,
+        "sum_sq": sum(s * s for s in samples),
+        "dc_sum": sum(samples),
+        "zero_crossings": zc,
+    }
+
+
+AUDIO_QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("n_clipped", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("dc_sum", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_quality_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize formula PCM per document (noise with planted clipped
+    rails), round-trip it through the REAL WAV codec, and emit the
+    quality features. Arrow `mapInPandas`, map-only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in AUDIO_QUALITY_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 200 + did % 300
+                samples = [
+                    32767 if i % 50 == 7
+                    else -32768 if i % 97 == 13
+                    else ((did * 31 + i * 97) % 65536) - 32768
+                    for i in range(n)
+                ]
+                d = wav_pcm_quality(encode_wav(samples))
+                out["doc_id"].append(did)
+                for f in AUDIO_QUALITY_SCHEMA.fields[1:]:
+                    out[f.name].append(d[f.name])
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return docs.select("doc_id").repartition(par).mapInPandas(
+        op, AUDIO_QUALITY_SCHEMA
+    )
+
+
+@query(
+    "multimodal_audio_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, 200 + doc_id % 300 AS n FROM documents
+    ), s AS (
+      SELECT doc_id, u.i,
+             CASE WHEN u.i % 50 = 7 THEN 32767
+                  WHEN u.i % 97 = 13 THEN -32768
+                  ELSE ((doc_id * 31 + u.i * 97) % 65536) - 32768
+             END AS v
+      FROM t, LATERAL (SELECT unnest(range(0, n)) AS i) u
+    ), z AS (
+      SELECT doc_id, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN v >= 32767 OR v <= -32768 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(SUM(v) AS BIGINT) AS dc_sum,
+           CAST(SUM(CASE WHEN (pv < 0 AND v > 0) OR (pv > 0 AND v < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM z GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio_quality(spark, sf_dir):
+    """Audio-quality gating over the documents table: formula PCM with
+    planted clipped rails round-trips the real WAV codec; peak /
+    clipping / RMS-numerator / DC / zero-crossing features come off
+    the decoded samples. The DuckDB oracle replays the sample formula
+    and a lag-window zero-crossing count with no codec — a hash match
+    pins the PCM round trip exactly (every feature is integer-exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_quality_stats(docs)

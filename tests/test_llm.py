@@ -3275,3 +3275,26 @@ def test_exif_gps_parse_and_scrub():
     assert not had and out == plain
     with _pt.raises(ValueError, match="no SOI"):
         m.strip_exif_gps(b"nope")
+
+
+def test_wav_pcm_quality_features():
+    """Quality features off the PCM decode: hand-computed goldens for
+    peak/clipping/sum-sq/DC/zero-crossings, and the empty reject."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    samples = [0, 100, -50, 32767, -32768, 20, -20, 0, 5]
+    d = m.wav_pcm_quality(m.encode_wav(samples))
+    assert d == {
+        "n_samples": 9,
+        "peak": 32768,
+        "n_clipped": 2,
+        "sum_sq": sum(s * s for s in samples),
+        "dc_sum": sum(samples),
+        # strict sign changes: 100/-50, -50/32767, 32767/-32768,
+        # -32768/20, 20/-20  (zeros never cross)
+        "zero_crossings": 5,
+    }
+    with _pt.raises(ValueError, match="no samples"):
+        m.wav_pcm_quality(m.encode_wav([]))
