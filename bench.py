@@ -166,6 +166,7 @@ HEADLINE = [
     "web_sitemap_stats",
     "multimodal_exif_gps_scrub",
     "multimodal_audio_quality",
+    "sft_dialogue_stats",
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",

@@ -1395,3 +1395,171 @@ def q_text_unicode_repair(spark, sf_dir):
     non-ASCII text never re-encodes to valid UTF-8."""
     docs = load_table(spark, sf_dir, "documents")
     return unicode_repair_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# SFT dialogue validation — the schema gate for chat-format training
+# data (OpenAI-style messages JSON): role vocabulary, system-first,
+# strict user/assistant alternation, non-empty contents, per-role
+# char budgets. Map-only Arrow work over a real JSON parse.
+# ---------------------------------------------------------------------------
+
+
+def parse_dialogue(raw: str) -> dict:
+    """Parse + validate a chat-format training example: a JSON array
+    of {role, content} messages — an optional leading system message,
+    then STRICT user/assistant alternation starting with user, ending
+    on assistant, every content a non-empty string. Violations raise
+    ValueError (malformed SFT rows must quarantine, not train).
+    Returns message/turn counts and per-role char totals."""
+    import json
+
+    try:
+        msgs = json.loads(raw)
+    except json.JSONDecodeError as exc:
+        raise ValueError(f"dialogue: invalid JSON: {exc}")
+    if not isinstance(msgs, list) or not msgs:
+        raise ValueError("dialogue: expected a non-empty message array")
+    chars = {"system": 0, "user": 0, "assistant": 0}
+    roles: "list[str]" = []
+    for m in msgs:
+        if not isinstance(m, dict) or set(m) != {"role", "content"}:
+            raise ValueError(f"dialogue: malformed message {m!r}")
+        role, content = m["role"], m["content"]
+        if role not in chars:
+            raise ValueError(f"dialogue: unknown role {role!r}")
+        if not isinstance(content, str) or not content:
+            raise ValueError(f"dialogue: empty/non-string {role} content")
+        roles.append(role)
+        chars[role] += len(content)
+    has_system = roles[0] == "system"
+    turns = roles[1:] if has_system else roles
+    if "system" in turns:
+        raise ValueError("dialogue: system message not at the start")
+    if not turns:
+        raise ValueError("dialogue: no conversation turns")
+    for i, r in enumerate(turns):
+        want = "user" if i % 2 == 0 else "assistant"
+        if r != want:
+            raise ValueError(
+                f"dialogue: turn {i} is {r!r}, expected {want!r} "
+                "(strict alternation starting with user)"
+            )
+    if turns[-1] != "assistant":
+        raise ValueError("dialogue: must end on an assistant turn")
+    return {
+        "n_messages": len(roles),
+        "n_turns": len(turns) // 2,
+        "has_system": int(has_system),
+        "system_chars": chars["system"],
+        "user_chars": chars["user"],
+        "assistant_chars": chars["assistant"],
+    }
+
+
+_SYSTEM_PROMPT = "You are a helpful assistant."
+
+
+def dialogue_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize a chat example per document — the REAL text
+    equal-split across 2·(1 + doc_id%4) alternating user/assistant
+    contents (concatenation reconstructs the text exactly), a
+    constant system prompt on every 3rd doc — serialize through real
+    JSON, validate + extract. Arrow `mapInPandas`, map-only."""
+    import hashlib
+    import json
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_messages", T.LongType()),
+            T.StructField("n_turns", T.LongType()),
+            T.StructField("has_system", T.LongType()),
+            T.StructField("user_chars", T.LongType()),
+            T.StructField("assistant_chars", T.LongType()),
+            T.StructField("convo_md5", T.StringType()),
+        ]
+    )
+
+    def op(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                n = 2 * (1 + did % 4)
+                base, rem = divmod(len(text), n)
+                msgs = []
+                if did % 3 == 0:
+                    msgs.append({"role": "system", "content": _SYSTEM_PROMPT})
+                at = 0
+                for j in range(n):
+                    size = base + (1 if j < rem else 0)
+                    msgs.append(
+                        {
+                            "role": "user" if j % 2 == 0 else "assistant",
+                            "content": text[at : at + size],
+                        }
+                    )
+                    at += size
+                d = parse_dialogue(json.dumps(msgs))
+                convo = "".join(
+                    m["content"] for m in msgs if m["role"] != "system"
+                )
+                out["doc_id"].append(did)
+                out["n_messages"].append(d["n_messages"])
+                out["n_turns"].append(d["n_turns"])
+                out["has_system"].append(d["has_system"])
+                out["user_chars"].append(d["user_chars"])
+                out["assistant_chars"].append(d["assistant_chars"])
+                out["convo_md5"].append(
+                    hashlib.md5(convo.encode("utf-8")).hexdigest()
+                )
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text").repartition(par).mapInPandas(op, schema)
+    )
+
+
+@query(
+    "sft_dialogue_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS L,
+             2 * (1 + doc_id % 4) AS n,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS sys
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n, u.j,
+             (L // n) + CASE WHEN u.j < (L % n) THEN 1 ELSE 0 END AS clen
+      FROM t, LATERAL (SELECT unnest(range(0, n)) AS j) u
+    )
+    SELECT t.doc_id,
+           CAST(t.n + t.sys AS BIGINT) AS n_messages,
+           CAST(t.n // 2 AS BIGINT) AS n_turns,
+           CAST(t.sys AS BIGINT) AS has_system,
+           CAST(SUM(CASE WHEN c.j % 2 = 0 THEN c.clen ELSE 0 END) AS BIGINT)
+             AS user_chars,
+           CAST(SUM(CASE WHEN c.j % 2 = 1 THEN c.clen ELSE 0 END) AS BIGINT)
+             AS assistant_chars,
+           md5(t.text) AS convo_md5
+    FROM t JOIN c ON t.doc_id = c.doc_id
+    GROUP BY t.doc_id, t.n, t.sys, t.text
+    """,
+)
+def q_sft_dialogue_stats(spark, sf_dir):
+    """Chat-format SFT validation over the documents table: each text
+    becomes an alternating user/assistant conversation (plus a system
+    prompt on every 3rd doc), serialized through real JSON and
+    re-validated by the strict schema gate. The oracle re-derives
+    message/turn counts and per-role char budgets from the equal-split
+    formula and pins the full conversation content via md5(text)
+    (chunks concatenate back to the document)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dialogue_stats(docs)

@@ -3298,3 +3298,48 @@ def test_wav_pcm_quality_features():
     }
     with _pt.raises(ValueError, match="no samples"):
         m.wav_pcm_quality(m.encode_wav([]))
+
+
+def test_sft_dialogue_validation():
+    """Chat-schema gate: valid shapes parse; every violation class
+    (bad JSON, wrong keys, unknown role, empty content, system
+    mid-conversation, broken alternation, trailing user) raises."""
+    import json
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.text import parse_dialogue
+
+    ok = [
+        {"role": "system", "content": "s"},
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "hello"},
+        {"role": "user", "content": "more"},
+        {"role": "assistant", "content": "sure"},
+    ]
+    d = parse_dialogue(json.dumps(ok))
+    assert d == {
+        "n_messages": 5, "n_turns": 2, "has_system": 1,
+        "system_chars": 1, "user_chars": 6, "assistant_chars": 9,
+    }
+    assert parse_dialogue(
+        '[{"role":"user","content":"q"},{"role":"assistant","content":"a"}]'
+    )["has_system"] == 0
+
+    cases = [
+        ("not json", "invalid JSON"),
+        ("[]", "non-empty message array"),
+        ('[{"role":"user"}]', "malformed message"),
+        ('[{"role":"tool","content":"x"}]', "unknown role"),
+        ('[{"role":"user","content":""}]', "empty/non-string"),
+        ('[{"role":"user","content":"q"},{"role":"system","content":"s"}]',
+         "not at the start"),
+        ('[{"role":"assistant","content":"a"}]', "expected 'user'"),
+        ('[{"role":"user","content":"q"},{"role":"user","content":"q2"}]',
+         "expected 'assistant'"),
+        ('[{"role":"user","content":"q"}]', "end on an assistant"),
+        ('[{"role":"system","content":"s"}]', "no conversation turns"),
+    ]
+    for raw, msg in cases:
+        with _pt.raises(ValueError, match=msg):
+            parse_dialogue(raw)
