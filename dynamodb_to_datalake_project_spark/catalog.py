@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "multimodal_exif_gps_scrub",
     "multimodal_audio_quality",
     "sft_dialogue_stats",
+    "dataset_fim_transform",
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",

@@ -1563,3 +1563,82 @@ def q_sft_dialogue_stats(spark, sf_dir):
     (chunks concatenate back to the document)."""
     docs = load_table(spark, sf_dir, "documents")
     return dialogue_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle (FIM) transform — the code-corpus augmentation
+# (Bavarian et al. 2022): split each document at two cut points and
+# re-serialize with sentinel tokens in PSM or SPM order. Pure
+# Catalyst column expressions (substring/concat) — whole-stage
+# codegen, zero Python, scan speed at any corpus size.
+# ---------------------------------------------------------------------------
+
+FIM_PRE, FIM_SUF, FIM_MID = "<PRE>", "<SUF>", "<MID>"
+
+
+def fim_transform(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic FIM split: cut points at L·(1+id%2)/5 and
+    L·(3+id%2)/5 (always ordered), sentinel order PSM on even ids /
+    SPM on odd (the 50/50 mix the FIM paper trains with). Returns the
+    transformed string plus the span lengths. Pure column exprs."""
+    d = F.col(id_col)
+    text = F.col(text_col)
+    L = F.length(text)
+    # integer FLOOR division on both engines (Spark `div`, DuckDB `//`)
+    # — a double divide + cast would truncate here but ROUND in DuckDB
+    p1 = F.expr(f"length({text_col}) * (1 + {id_col} % 2) div 5")
+    p2 = F.expr(f"length({text_col}) * (3 + {id_col} % 2) div 5")
+    pre = text.substr(F.lit(1), p1)
+    mid = text.substr(p1 + 1, p2 - p1)
+    suf = text.substr(p2 + 1, L)
+    psm = F.concat(
+        F.lit(FIM_PRE), pre, F.lit(FIM_SUF), suf, F.lit(FIM_MID), mid
+    )
+    spm = F.concat(
+        F.lit(FIM_SUF), suf, F.lit(FIM_PRE), pre, F.lit(FIM_MID), mid
+    )
+    return docs.select(
+        d.alias("doc_id"),
+        F.when(d % 2 == 0, F.lit("psm")).otherwise(F.lit("spm")).alias("mode"),
+        p1.alias("prefix_chars"),
+        (p2 - p1).alias("middle_chars"),
+        (L - p2).alias("suffix_chars"),
+        F.when(d % 2 == 0, psm).otherwise(spm).alias("fim_text"),
+    )
+
+
+@query(
+    "dataset_fim_transform",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS L,
+             length(text) * (1 + doc_id % 2) // 5 AS p1,
+             length(text) * (3 + doc_id % 2) // 5 AS p2
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+           CAST(p1 AS BIGINT) AS prefix_chars,
+           CAST(p2 - p1 AS BIGINT) AS middle_chars,
+           CAST(L - p2 AS BIGINT) AS suffix_chars,
+           CASE WHEN doc_id % 2 = 0
+                THEN '<PRE>' || substr(text, 1, p1)
+                  || '<SUF>' || substr(text, p2 + 1)
+                  || '<MID>' || substr(text, p1 + 1, p2 - p1)
+                ELSE '<SUF>' || substr(text, p2 + 1)
+                  || '<PRE>' || substr(text, 1, p1)
+                  || '<MID>' || substr(text, p1 + 1, p2 - p1)
+           END AS fim_text
+    FROM t
+    """,
+)
+def q_dataset_fim_transform(spark, sf_dir):
+    """FIM augmentation over the documents table: sentinel-delimited
+    prefix/suffix/middle re-serialization in both PSM and SPM orders,
+    pure Catalyst substring/concat (zero Python, zero shuffles). The
+    oracle replays the cut-point arithmetic and the full transformed
+    string — a hash match pins every span boundary character."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fim_transform(docs)

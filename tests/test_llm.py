@@ -3343,3 +3343,31 @@ def test_sft_dialogue_validation():
     for raw, msg in cases:
         with _pt.raises(ValueError, match=msg):
             parse_dialogue(raw)
+
+
+def test_fim_transform_spans_and_plan(spark):
+    """FIM split invariants: spans partition the text, PSM/SPM orders
+    reassemble to the original, and the plan is a pure projection
+    (zero exchanges — Catalyst only)."""
+    from dynamodb_to_datalake_project_spark.llm.text import fim_transform
+
+    df = spark.createDataFrame(
+        [(0, "0123456789abcdefghij"), (1, "xyzzy plugh and magic words")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in fim_transform(df).collect()}
+    for did, text in ((0, "0123456789abcdefghij"), (1, "xyzzy plugh and magic words")):
+        r = rows[did]
+        L = len(text)
+        p1 = L * (1 + did % 2) // 5
+        p2 = L * (3 + did % 2) // 5
+        assert (r["prefix_chars"], r["middle_chars"], r["suffix_chars"]) == (
+            p1, p2 - p1, L - p2,
+        )
+        pre, mid, suf = text[:p1], text[p1:p2], text[p2:]
+        if did % 2 == 0:
+            assert r["fim_text"] == f"<PRE>{pre}<SUF>{suf}<MID>{mid}"
+        else:
+            assert r["fim_text"] == f"<SUF>{suf}<PRE>{pre}<MID>{mid}"
+    plan = fim_transform(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
