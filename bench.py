@@ -168,6 +168,7 @@ HEADLINE = [
     "multimodal_audio_quality",
     "sft_dialogue_stats",
     "dataset_fim_transform",
+    "doc_pdf_extract",
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",

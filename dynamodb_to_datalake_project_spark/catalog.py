@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     "multimodal_audio_quality",
     "sft_dialogue_stats",
     "dataset_fim_transform",
+    "doc_pdf_extract",
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",
@@ -227,6 +228,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.ebml  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.h264  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.mpegts  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.pdf  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.warc  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.web  # noqa: F401
 

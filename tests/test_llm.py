@@ -3371,3 +3371,56 @@ def test_fim_transform_spans_and_plan(spark):
             assert r["fim_text"] == f"<SUF>{suf}<PRE>{pre}<MID>{mid}"
     plan = fim_transform(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pdf_parse_structure_and_rejects():
+    """PDF chain goldens: string escapes (parens, backslash, octal,
+    nesting), xref offset validation, stream length/filter handling,
+    and the honest-subset rejects."""
+    import re
+    import struct
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import pdf as P
+
+    pdf = P.encode_pdf([("a(b)c\\d ", "x", "y")])
+    d = P.parse_pdf(pdf)
+    assert d["text"] == "a(b)c\\d xy" and d["n_pages"] == 1
+
+    # octal escape + nested parens survive the string parser
+    s, at = P._parse_pdf_string(b"(a\\050b\\051 (nested) \\101)", 0)
+    assert s == "a(b) (nested) A"
+    # content tokenizer: TJ kern numbers ignored, ops counted
+    text, ops = P._content_text(
+        b"BT /F1 9 Tf (one) Tj [(two) -40 (three)] TJ ET"
+    )
+    assert text == "onetwothree" and ops == 2
+
+    with _pt.raises(ValueError, match="missing %PDF"):
+        P.parse_pdf(b"not a pdf")
+    with _pt.raises(ValueError, match="missing startxref"):
+        P.parse_pdf(b"%PDF-1.4\n no tail")
+    with _pt.raises(ValueError, match="offset for object"):
+        # corrupt the first xref offset so it points at garbage
+        bad = bytearray(pdf)
+        at = pdf.index(b"xref")
+        row = pdf.index(b"0000000000 65535", at) + 20
+        bad[row : row + 10] = b"0000000003"
+        P.parse_pdf(bytes(bad))
+    with _pt.raises(ValueError, match="corrupt Flate"):
+        bad = bytearray(pdf)
+        at = pdf.index(b"stream\n") + 7
+        bad[at : at + 4] = b"\x00\x00\x00\x00"
+        P.parse_pdf(bytes(bad))
+    with _pt.raises(NotImplementedError, match="cross-reference streams"):
+        # forge startxref to point at a non-'xref' byte
+        forged = pdf.replace(
+            b"startxref\n" + str(pdf.rindex(b"xref\n0")).encode(),
+            b"startxref\n0",
+        )
+        P.parse_pdf(forged)
+    with _pt.raises(ValueError, match="unterminated string"):
+        P._parse_pdf_string(b"(never closed", 0)
+    with _pt.raises(ValueError, match="non-Latin-1"):
+        P.encode_pdf([("日本語", "x", "y")])
