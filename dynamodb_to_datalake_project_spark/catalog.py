@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     "sft_dialogue_stats",
     "dataset_fim_transform",
     "doc_pdf_extract",
+    "multimodal_webdataset_stats",
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",

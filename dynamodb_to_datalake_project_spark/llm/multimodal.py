@@ -6780,3 +6780,225 @@ def q_multimodal_audio_quality(spark, sf_dir):
     pins the PCM round trip exactly (every feature is integer-exact)."""
     docs = load_table(spark, sf_dir, "documents")
     return audio_quality_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar-shard demux — the layout multimodal training sets
+# actually ship in (tar shards whose members group by key prefix:
+# 000017.jpg + 000017.txt + 000017.json form one sample). Hand-rolled
+# ustar header walk with checksum verification — the 512-byte-block
+# framing every tar reader syncs on.
+# ---------------------------------------------------------------------------
+
+
+def encode_tar(members: "list[tuple[str, bytes]]") -> bytes:
+    """Serialize a POSIX ustar archive: per member a 512-byte header
+    (name, octal size/mtime/mode, typeflag '0', 'ustar' magic, a REAL
+    checksum — sum of header bytes with the checksum field as spaces)
+    + 512-padded data, then two zero blocks."""
+    out = bytearray()
+    for name, data in members:
+        if len(name) > 100:
+            raise ValueError("tar: name exceeds the 100-byte ustar field")
+        hdr = bytearray(512)
+        hdr[0 : len(name)] = name.encode("utf-8")
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = f"{len(data):011o}\x00".encode("ascii")
+        hdr[136:148] = b"00000000000\x00"
+        hdr[148:156] = b" " * 8  # checksum computed over spaces
+        hdr[156] = ord("0")  # regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = f"{chk:06o}\x00 ".encode("ascii")
+        out += hdr + data
+        if len(data) % 512:
+            out += bytes(512 - len(data) % 512)
+    return bytes(out) + bytes(1024)
+
+
+def parse_tar(payload: bytes) -> "list[tuple[str, bytes]]":
+    """REAL ustar walk: 512-byte header blocks, checksum RECOMPUTED
+    and verified, octal size parse, exact data stepping with padding,
+    end at the two-zero-block terminator. Raises on a bad magic,
+    checksum mismatch, malformed size, truncation, or a missing
+    terminator — corrupt-shard quarantine."""
+    members: "list[tuple[str, bytes]]" = []
+    at = 0
+    n = len(payload)
+    while True:
+        if at + 512 > n:
+            raise ValueError("tar: truncated header block")
+        hdr = payload[at : at + 512]
+        if hdr == bytes(512):
+            if payload[at + 512 : at + 1024] != bytes(512):
+                raise ValueError("tar: missing second terminator block")
+            return members
+        if hdr[257:262] != b"ustar":
+            raise ValueError(f"tar: bad magic at offset {at}")
+        want = int(hdr[148:155].rstrip(b"\x00 "), 8)
+        got = sum(hdr[:148]) + 8 * 32 + sum(hdr[156:])
+        if want != got:
+            raise ValueError(f"tar: checksum mismatch at offset {at}")
+        try:
+            size = int(hdr[124:135].rstrip(b"\x00 "), 8)
+        except ValueError:
+            raise ValueError(f"tar: malformed size field at offset {at}")
+        name = hdr[:100].rstrip(b"\x00").decode("utf-8")
+        data_at = at + 512
+        if data_at + size > n:
+            raise ValueError("tar: member data extends past end")
+        if hdr[156] in (0, ord("0")):
+            members.append((name, payload[data_at : data_at + size]))
+        at = data_at + size
+        if size % 512:
+            at += 512 - size % 512
+
+
+def group_webdataset(members: "list[tuple[str, bytes]]") -> dict:
+    """WebDataset sample grouping: members sharing the name up to the
+    FIRST dot form one sample; the remainder is the field extension.
+    Returns {key: {ext: bytes}}; a repeated (key, ext) raises (a
+    corrupt shard would silently drop data otherwise)."""
+    out: dict[str, dict[str, bytes]] = {}
+    for name, data in members:
+        key, dot, ext = name.partition(".")
+        if not dot:
+            raise ValueError(f"tar: member {name!r} has no extension")
+        fields = out.setdefault(key, {})
+        if ext in fields:
+            raise ValueError(f"tar: duplicate field {ext!r} for key {key!r}")
+        fields[ext] = data
+    return out
+
+
+WEBDATASET_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_members", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("complete_samples", T.LongType()),
+        T.StructField("txt_bytes", T.LongType()),
+        T.StructField("bin_bytes", T.LongType()),
+        T.StructField("tar_bytes", T.LongType()),
+        T.StructField("text_md5", T.StringType()),
+    ]
+)
+
+
+def webdataset_stats(docs: DataFrame) -> DataFrame:
+    """Per document: a WebDataset shard of 2 + doc_id%5 samples —
+    each sample a .txt field carrying an equal-split slice of the
+    REAL text plus a .bin payload of formula bytes; every 3rd shard
+    drops one sample's .bin (an incomplete sample the grouper must
+    surface, not hide). Round-trips the ustar walk + grouping.
+    Arrow `mapInPandas`, map-only."""
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in WEBDATASET_SCHEMA.fields}
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                ns = 2 + did % 5
+                base, rem = divmod(len(text), ns)
+                members: "list[tuple[str, bytes]]" = []
+                at = 0
+                for s in range(ns):
+                    size = base + (1 if s < rem else 0)
+                    key = f"{did:06d}-{s:03d}"
+                    members.append(
+                        (key + ".txt", text[at : at + size].encode("utf-8"))
+                    )
+                    at += size
+                    if not (did % 3 == 0 and s == 0):
+                        members.append(
+                            (
+                                key + ".bin",
+                                bytes(
+                                    (did * 7 + s * 13 + j) % 256
+                                    for j in range(10 + (did + s) % 40)
+                                ),
+                            )
+                        )
+                tar = encode_tar(members)
+                groups = group_webdataset(parse_tar(tar))
+                txt = b"".join(
+                    groups[k]["txt"] for k in sorted(groups)
+                ).decode("utf-8")
+                assert txt == text  # fixture invariant
+                complete = sum(
+                    1 for f in groups.values() if {"txt", "bin"} <= set(f)
+                )
+                out["doc_id"].append(did)
+                out["n_members"].append(len(members))
+                out["n_samples"].append(len(groups))
+                out["complete_samples"].append(complete)
+                out["txt_bytes"].append(
+                    sum(len(f["txt"]) for f in groups.values())
+                )
+                out["bin_bytes"].append(
+                    sum(len(f.get("bin", b"")) for f in groups.values())
+                )
+                out["tar_bytes"].append(len(tar))
+                out["text_md5"].append(
+                    hashlib.md5(txt.encode("utf-8")).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return docs.select("doc_id", "text").repartition(par).mapInPandas(
+        op, WEBDATASET_SCHEMA
+    )
+
+
+@query(
+    "multimodal_webdataset_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, length(text) AS L, 2 + doc_id % 5 AS ns,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS dropped,
+             text
+      FROM documents
+    ), s AS (
+      SELECT doc_id, ns, dropped, L, u.i,
+             (L // ns) + CASE WHEN u.i < (L % ns) THEN 1 ELSE 0 END AS tlen,
+             CASE WHEN dropped = 1 AND u.i = 0 THEN NULL
+                  ELSE 10 + (doc_id + u.i) % 40 END AS blen
+      FROM t, LATERAL (SELECT unnest(range(0, ns)) AS i) u
+    ), agg AS (
+      SELECT doc_id,
+             SUM(tlen) AS txt_bytes,
+             SUM(COALESCE(blen, 0)) AS bin_bytes,
+             SUM(CASE WHEN blen IS NULL THEN 0 ELSE 1 END) AS complete,
+             -- per member: 512-byte header + data padded to 512
+             SUM(512 + 512 * ((tlen + 511) // 512)
+                 + COALESCE(512 + 512 * ((blen + 511) // 512), 0))
+               AS member_blocks
+      FROM s GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(2 * t.ns - t.dropped AS BIGINT) AS n_members,
+           CAST(t.ns AS BIGINT) AS n_samples,
+           CAST(agg.complete AS BIGINT) AS complete_samples,
+           CAST(agg.txt_bytes AS BIGINT) AS txt_bytes,
+           CAST(agg.bin_bytes AS BIGINT) AS bin_bytes,
+           CAST(agg.member_blocks + 1024 AS BIGINT) AS tar_bytes,
+           md5(t.text) AS text_md5
+    FROM t JOIN agg ON t.doc_id = agg.doc_id
+    """,
+)
+def q_multimodal_webdataset_stats(spark, sf_dir):
+    """WebDataset shard demux over the documents table: real ustar
+    framing (verified checksums, octal sizes, 512-block stepping,
+    zero-block terminator) + key-prefix sample grouping, with an
+    incomplete sample planted on every 3rd shard. The oracle
+    re-derives member/sample/byte counts — INCLUDING the exact tar
+    byte size from the 512-block arithmetic — and pins the reassembled
+    text via md5(text), so a hash match proves the writer, the header
+    walk, and the grouping end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return webdataset_stats(docs)

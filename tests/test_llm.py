@@ -3424,3 +3424,45 @@ def test_pdf_parse_structure_and_rejects():
         P._parse_pdf_string(b"(never closed", 0)
     with _pt.raises(ValueError, match="non-Latin-1"):
         P.encode_pdf([("日本語", "x", "y")])
+
+
+def test_tar_webdataset_walk_and_rejects():
+    """ustar goldens: checksum verify, 512-block stepping with odd
+    sizes, terminator handling, sample grouping, and quarantine."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    members = [
+        ("0001.txt", b"hello"),
+        ("0001.bin", bytes(513)),  # spills into a second data block
+        ("0002.txt", b""),         # zero-size member
+        ("0002.json", b"{}"),
+    ]
+    tar = m.encode_tar(members)
+    assert m.parse_tar(tar) == members
+    groups = m.group_webdataset(m.parse_tar(tar))
+    assert set(groups) == {"0001", "0002"}
+    assert groups["0001"]["bin"] == bytes(513)
+    assert groups["0002"] == {"txt": b"", "json": b"{}"}
+
+    with _pt.raises(ValueError, match="checksum mismatch"):
+        bad = bytearray(tar)
+        bad[0] ^= 0xFF  # flip a name byte: checksum no longer matches
+        m.parse_tar(bytes(bad))
+    with _pt.raises(ValueError, match="bad magic"):
+        bad = bytearray(tar)
+        bad[257] = 0x58
+        m.parse_tar(bytes(bad))
+    with _pt.raises(ValueError, match="truncated header"):
+        m.parse_tar(tar[:100])
+    with _pt.raises(ValueError, match="extends past end"):
+        m.parse_tar(tar[:512] + b"x")
+    with _pt.raises(ValueError, match="missing second terminator"):
+        m.parse_tar(tar[:-512])
+    with _pt.raises(ValueError, match="no extension"):
+        m.group_webdataset([("plainname", b"")])
+    with _pt.raises(ValueError, match="duplicate field"):
+        m.group_webdataset([("a.txt", b"1"), ("a.txt", b"2")])
+    with _pt.raises(ValueError, match="100-byte"):
+        m.encode_tar([("x" * 101, b"")])
