@@ -170,6 +170,7 @@ HEADLINE = [
     "dataset_fim_transform",
     "doc_pdf_extract",
     "multimodal_webdataset_stats",
+    "code_quality_filter",
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",

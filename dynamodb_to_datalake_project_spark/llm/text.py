@@ -1642,3 +1642,105 @@ def q_dataset_fim_transform(spark, sf_dir):
     string — a hash match pins every span boundary character."""
     docs = load_table(spark, sf_dir, "documents")
     return fim_transform(docs)
+
+
+# ---------------------------------------------------------------------------
+# Code-corpus quality gate — the StarCoder/The-Stack line heuristics
+# (max/mean line length, autogenerated-file markers, minimum line
+# count) as PURE Catalyst column expressions: zero Python, whole-stage
+# codegen, scan speed on 100 TB of source files.
+# ---------------------------------------------------------------------------
+
+AUTOGEN_MARKER = "// auto-generated do not edit"
+
+
+def code_line_features(
+    df: DataFrame, text_col: str = "code", id_col: str = "doc_id"
+) -> DataFrame:
+    """Line-based quality features + keep decision, all JVM-side:
+    per-line char lengths via transform/slice grouping, max/sum
+    aggregates via array HOFs, the autogenerated-marker flag, and the
+    StarCoder-style gate (max line ≤ 120, ≥ 2 lines, no marker)."""
+    lines = F.split(F.col(text_col), "\n")
+    lens = F.transform(lines, lambda ln: F.length(ln))
+    max_line = F.array_max(lens)
+    sum_chars = F.aggregate(
+        lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n_lines = F.size(lines)
+    autogen = F.col(text_col).contains(AUTOGEN_MARKER)
+    keep = (max_line <= 120) & (n_lines >= 2) & ~autogen
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.cast("long").alias("n_lines"),
+        max_line.cast("long").alias("max_line_chars"),
+        sum_chars.alias("sum_line_chars"),
+        autogen.cast("long").alias("autogen"),
+        keep.cast("long").alias("keep"),
+    )
+
+
+@query(
+    "code_quality_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+             3 + doc_id % 5 AS k
+      FROM documents
+    ), lined AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 7 = 0
+                   THEN '// auto-generated do not edit' || chr(10)
+                   ELSE '' END)
+             || array_to_string(
+                  list_transform(
+                    range(0, (len(tk) + k - 1) // k),
+                    g -> array_to_string(tk[g*k + 1 : g*k + k], ' ')),
+                  chr(10)) AS code
+      FROM t
+    ), feat AS (
+      SELECT doc_id, string_split(code, chr(10)) AS lines FROM lined
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(list_max(list_transform(lines, x -> length(x))) AS BIGINT)
+             AS max_line_chars,
+           CAST(list_sum(list_transform(lines, x -> length(x))) AS BIGINT)
+             AS sum_line_chars,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS autogen,
+           CAST(CASE WHEN
+                  list_max(list_transform(lines, x -> length(x))) <= 120
+                  AND len(lines) >= 2
+                  AND doc_id % 7 <> 0
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM feat
+    """,
+)
+def q_code_quality_filter(spark, sf_dir):
+    """Code-corpus quality gate over the documents table: texts are
+    re-lined by formula (3 + doc_id%5 words per line; an
+    autogenerated-marker header on every 7th doc) entirely in Catalyst
+    — split/slice/transform/aggregate HOFs — then gated on the
+    StarCoder-style rules. Zero Python anywhere in the plan; the
+    oracle replays the lining and the per-line length aggregates in
+    DuckDB list functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    k = (F.col("doc_id") % 5 + 3).cast("int")
+    ng = F.ceil(F.size(tk) / k).cast("int")
+    lined = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), ng - 1),
+            lambda g: F.array_join(F.slice(tk, g * k + 1, k), " "),
+        ),
+        "\n",
+    )
+    code = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit(AUTOGEN_MARKER + "\n"), lined),
+    ).otherwise(lined)
+    return code_line_features(
+        docs.select("doc_id", code.alias("code")), text_col="code"
+    )

@@ -3466,3 +3466,28 @@ def test_tar_webdataset_walk_and_rejects():
         m.group_webdataset([("a.txt", b"1"), ("a.txt", b"2")])
     with _pt.raises(ValueError, match="100-byte"):
         m.encode_tar([("x" * 101, b"")])
+
+
+def test_code_quality_filter_rules(spark):
+    """Gate rules on hand-built code: long lines, single-line files,
+    and autogen markers are dropped; the plan stays Python-free."""
+    from dynamodb_to_datalake_project_spark.llm.text import (
+        AUTOGEN_MARKER,
+        code_line_features,
+    )
+
+    rows = [
+        (0, "short line\nanother line"),            # keep
+        (1, "x" * 200 + "\nok"),                     # max line > 120
+        (2, "single line only"),                     # < 2 lines
+        (3, AUTOGEN_MARKER + "\nreal code\nmore"),   # marker
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, code string")
+    got = {r["doc_id"]: r for r in code_line_features(df).collect()}
+    assert [got[i]["keep"] for i in range(4)] == [1, 0, 0, 0]
+    assert got[0]["n_lines"] == 2 and got[0]["max_line_chars"] == 12
+    assert got[1]["max_line_chars"] == 200
+    assert got[3]["autogen"] == 1
+    assert got[0]["sum_line_chars"] == len("short line") + len("another line")
+    plan = code_line_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
