@@ -724,3 +724,155 @@ def test_funnel_matches_sequential_replay(spark, events):
             cur = nxt
             want[s] += 1
     assert got == want
+
+
+@given(
+    members=st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z]{1,8}\.(txt|bin|json)", fullmatch=True),
+            st.binary(max_size=1200),
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_tar_roundtrip_property(members):
+    """ustar encode→parse is the identity on (name, bytes) pairs for
+    any member sizes (incl. 0 and >512 spills)."""
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    assert m.parse_tar(m.encode_tar(members)) == members
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=255), max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_pdf_string_escape_roundtrip_property(s):
+    """PDF literal-string escape → parse is the identity over all of
+    Latin-1 printable space, incl. parens and backslashes."""
+    from dynamodb_to_datalake_project_spark.llm import pdf as P
+
+    esc = P._pdf_escape(s).encode("latin-1")
+    got, at = P._parse_pdf_string(b"(" + esc + b")", 0)
+    assert got == s and at == len(esc) + 2
+
+
+@given(
+    pages=st.lists(
+        st.tuples(
+            st.text(alphabet="abc ()\\", max_size=30),
+            st.text(alphabet="xyz", max_size=10),
+            st.text(alphabet="pq ", max_size=10),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_pdf_roundtrip_property(pages):
+    """Full PDF encode→parse recovers the concatenated page text for
+    arbitrary content (escape-heavy included)."""
+    from dynamodb_to_datalake_project_spark.llm import pdf as P
+
+    d = P.parse_pdf(P.encode_pdf(pages))
+    assert d["text"] == "".join(a + b + c for a, b, c in pages)
+    assert d["n_pages"] == len(pages)
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_chunked_transfer_roundtrip_property(body):
+    """Chunked encode (via encode_http_response) → dechunk recovers
+    any byte body at any chunk size."""
+    from dynamodb_to_datalake_project_spark.llm import warc as W
+
+    for cs in (1, 7, 64):
+        resp = W.encode_http_response(200, "x/y", body, chunked=True, chunk_size=cs)
+        assert W.parse_http_response(resp)["body"] == body
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=40, deadline=None)
+def test_h264_epb_roundtrip_property(rbsp):
+    """Emulation-prevention insert→strip is the identity on arbitrary
+    RBSP bytes (zero-run-heavy inputs included by shrinking)."""
+    from dynamodb_to_datalake_project_spark.llm import h264 as h
+
+    ebsp = h.rbsp_to_ebsp(rbsp)
+    assert h.ebsp_to_rbsp(ebsp) == rbsp
+    # the EBSP never contains a start code or a bare 00 00 00
+    assert b"\x00\x00\x01" not in ebsp and b"\x00\x00\x00" not in ebsp
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**30), min_size=1, max_size=30))
+@settings(max_examples=40, deadline=None)
+def test_exp_golomb_roundtrip_property(values):
+    """ue(v) write→read round-trips arbitrary 30-bit values."""
+    from dynamodb_to_datalake_project_spark.llm import h264 as h
+
+    w = h._BitWriter()
+    for v in values:
+        w.ue(v)
+    w.bits(1, 1)
+    r = h._BitReader(w.trailing())
+    assert [r.ue() for _ in values] == values
+
+
+@given(st.integers(min_value=0, max_value=359_999_999))
+@settings(max_examples=60, deadline=None)
+def test_subtitle_timestamp_roundtrip_property(ms):
+    """HH:MM:SS.mmm format→parse is the identity for both dialects."""
+    from dynamodb_to_datalake_project_spark.llm import multimodal as m
+
+    assert m._parse_ts(m._fmt_ts(ms, ".")) == ms
+    assert m._parse_ts(m._fmt_ts(ms, ",")) == ms
+
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        max_size=80,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_unicode_repair_idempotent_property(s):
+    """repair(repair(x)) == repair(x): the cleanup is a projection —
+    running the hygiene pass twice never changes the result again."""
+    from dynamodb_to_datalake_project_spark.llm.text import repair_unicode
+
+    once = repair_unicode(s)["text"]
+    again = repair_unicode(once)
+    assert again["text"] == once
+    assert (again["nbsp_fixed"], again["removed_chars"]) == (0, 0)
+
+
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.from_regex(r"/[a-z*$]{0,8}", fullmatch=True)),
+        max_size=6,
+    ),
+    st.from_regex(r"/[a-z]{0,10}", fullmatch=True),
+)
+@settings(max_examples=60, deadline=None)
+def test_robots_longest_match_property(rules, path):
+    """robots_allowed always returns the verdict of a maximal-length
+    matching rule (allow on ties), independent of rule order."""
+    from dynamodb_to_datalake_project_spark.llm.web import (
+        robots_allowed,
+        robots_match_len,
+    )
+
+    allowed, mlen = robots_allowed(rules, path)
+    matches = [
+        (robots_match_len(p, path), a)
+        for a, p in rules
+        if robots_match_len(p, path) is not None
+    ]
+    if not matches:
+        assert (allowed, mlen) == (True, 0)
+    else:
+        best = max(m for m, _ in matches)
+        assert mlen == max(best, 0)
+        verdicts = {a for m, a in matches if m == best}
+        assert allowed == (True in verdicts)
+    # order-independence
+    assert robots_allowed(list(reversed(rules)), path) == (allowed, mlen)
