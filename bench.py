@@ -171,6 +171,7 @@ HEADLINE = [
     "doc_pdf_extract",
     "multimodal_webdataset_stats",
     "code_quality_filter",
+    "web_crawl_to_text",
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",

@@ -1248,37 +1248,45 @@ def _fix_mojibake_once(text: str) -> "str | None":
 
 
 def repair_unicode(text: str) -> dict:
-    """Full repair pass: mojibake reversal to a fixpoint (≤3 rounds —
-    double-encoded text needs two), NFC normalization, NBSP → space,
-    and removal of zero-width characters, the BOM, and C0/C1 controls
-    other than \\n and \\t. Returns the clean text plus per-fix
-    counters (the audit columns a corpus-hygiene report aggregates)."""
+    """Full repair to a WHOLE-PASS fixpoint: each pass runs mojibake
+    reversal (double-encoded text needs two rounds), NFC
+    normalization, NBSP → space, and removal of zero-width characters,
+    the BOM, and C0/C1 controls other than \\n and \\t — and the pass
+    REPEATS until nothing changes (≤8 passes; a property test found
+    that a single ordered pass is not idempotent: a zero-width char
+    spliced INSIDE a mojibake byte pair blocks the re-encode until the
+    strip removes it, and a mojibake fix can itself decode to a C1
+    control that the next strip must take). Returns the clean text
+    plus per-fix counters summed across passes."""
     import unicodedata
 
-    mojibake_rounds = 0
-    for _ in range(3):
-        fixed = _fix_mojibake_once(text)
-        if fixed is None:
+    mojibake_rounds = nfc_fixed = nbsp_fixed = removed_chars = 0
+    for _ in range(8):
+        before = text
+        for _ in range(3):
+            fixed = _fix_mojibake_once(text)
+            if fixed is None:
+                break
+            text = fixed
+            mojibake_rounds += 1
+        nfc = unicodedata.normalize("NFC", text)
+        nfc_fixed += int(nfc != text)
+        text = nfc
+        nbsp_fixed += text.count("\xa0")
+        text = text.replace("\xa0", " ")
+        kept: "list[str]" = []
+        for ch in text:
+            if ch in _ZERO_WIDTH or (
+                unicodedata.category(ch) == "Cc" and ch not in "\n\t"
+            ):
+                removed_chars += 1
+            else:
+                kept.append(ch)
+        text = "".join(kept)
+        if text == before:
             break
-        text = fixed
-        mojibake_rounds += 1
-    nfc = unicodedata.normalize("NFC", text)
-    nfc_fixed = int(nfc != text)
-    text = nfc
-    nbsp_fixed = text.count("\xa0")
-    text = text.replace("\xa0", " ")
-    kept: "list[str]" = []
-    removed_chars = 0
-    for ch in text:
-        if ch in _ZERO_WIDTH or (
-            unicodedata.category(ch) == "Cc" and ch not in "\n\t"
-        ):
-            removed_chars += 1
-        else:
-            kept.append(ch)
-    clean = "".join(kept)
     return {
-        "text": clean,
+        "text": text,
         "mojibake_rounds": mojibake_rounds,
         "nfc_fixed": nfc_fixed,
         "nbsp_fixed": nbsp_fixed,

@@ -177,24 +177,14 @@ def parse_http_response(block: bytes) -> dict:
     return {"status": status, "headers": headers, "body": body}
 
 
-def parse_warc(payload: bytes, gzipped: bool = False) -> dict:
-    """REAL WARC record walk: per record validate the WARC/1.0|1.1
-    version line, collect named headers, step EXACTLY Content-Length
-    block bytes, require the two-CRLF separator; parse response
-    records' HTTP blocks (status, content type, dechunked body).
-    With gzipped=True the stream is split into per-record gzip
-    members first. Raises on bad magic, missing Content-Length,
-    overruns, missing separators, or malformed HTTP — quarantine.
-
-    Returns record/response censuses, status and content-type counts,
-    summed dechunked body bytes, and the first body byte of every
-    response (proof the walk lands on real block boundaries)."""
+def iter_warc_records(payload: bytes, gzipped: bool = False):
+    """Core record walk shared by `parse_warc` (censuses) and the
+    crawl-to-text pipeline (bodies): yields (headers, block) per
+    record with the same framing validation — version line,
+    Content-Length-exact stepping, two-CRLF separators."""
     chunks = split_gzip_members(payload) if gzipped else [payload]
     data = b"".join(chunks)
     at, end = 0, len(data)
-    n_records = n_responses = n_requests = has_warcinfo = 0
-    n_200 = n_html = chunked_responses = 0
-    body_bytes = first_byte_sum = 0
     while at < end:
         nl = data.find(_CRLF, at)
         if nl < 0:
@@ -224,6 +214,25 @@ def parse_warc(payload: bytes, gzipped: bool = False) -> dict:
         if data[at + clen : at + clen + 4] != _CRLF + _CRLF:
             raise ValueError("warc: missing record separator")
         at += clen + 4
+        yield headers, block
+
+
+def parse_warc(payload: bytes, gzipped: bool = False) -> dict:
+    """REAL WARC record walk: per record validate the WARC/1.0|1.1
+    version line, collect named headers, step EXACTLY Content-Length
+    block bytes, require the two-CRLF separator; parse response
+    records' HTTP blocks (status, content type, dechunked body).
+    With gzipped=True the stream is split into per-record gzip
+    members first. Raises on bad magic, missing Content-Length,
+    overruns, missing separators, or malformed HTTP — quarantine.
+
+    Returns record/response censuses, status and content-type counts,
+    summed dechunked body bytes, and the first body byte of every
+    response (proof the walk lands on real block boundaries)."""
+    n_records = n_responses = n_requests = has_warcinfo = 0
+    n_200 = n_html = chunked_responses = 0
+    body_bytes = first_byte_sum = 0
+    for headers, block in iter_warc_records(payload, gzipped=gzipped):
         rtype = headers.get("warc-type", "")
         n_records += 1
         if rtype == "warcinfo":

@@ -1239,3 +1239,146 @@ def q_web_sitemap_stats(spark, sf_dir):
     fixture formulas with no parser."""
     docs = load_table(spark, sf_dir, "documents")
     return sitemap_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-to-clean-text capstone — the whole web front end composed:
+# WARC record walk → HTTP parse (dechunk) → keep 200/text-html →
+# HTML main-content extraction → unicode repair. One Arrow stage per
+# archive blob; at 100 TB this is the map-only pass that feeds every
+# dedup/quality stage downstream.
+# ---------------------------------------------------------------------------
+
+
+def crawl_to_text_stats(docs: DataFrame) -> DataFrame:
+    """Per document: a WARC archive whose 200/text-html response
+    carries the full fixture page from `synth_html` (chunked transfer
+    on every 3rd doc, member-gzip on even ids) next to a 404 decoy
+    and a text/plain decoy; the pipeline walks the archive, picks the
+    HTML 200s, strips boilerplate, repairs encoding, and must recover
+    the document text byte-for-byte. Arrow `mapInPandas`, map-only."""
+    import hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    from dynamodb_to_datalake_project_spark.llm.text import repair_unicode
+    from dynamodb_to_datalake_project_spark.llm.warc import (
+        encode_http_response,
+        encode_warc,
+        gzip_members,
+        iter_warc_records,
+        parse_http_response,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("n_html_ok", T.LongType()),
+            T.StructField("n_kept_blocks", T.LongType()),
+            T.StructField("extracted_chars", T.LongType()),
+            T.StructField("clean_md5", T.StringType()),
+        ]
+    )
+
+    def op(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for pdf in batches:
+            for did, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                did = int(did)
+                page = synth_html(did, text, source).encode("utf-8")
+                records = [
+                    {"type": "warcinfo", "block": b"software: fx/1\r\n"},
+                    {
+                        "type": "response",
+                        "uri": f"https://site{did % 10}.example/p",
+                        "block": encode_http_response(
+                            200, "text/html; charset=utf-8", page,
+                            chunked=did % 3 == 0,
+                        ),
+                    },
+                    {
+                        "type": "response",
+                        "uri": "https://x.example/gone",
+                        "block": encode_http_response(404, "text/html", b"gone"),
+                    },
+                    {
+                        "type": "response",
+                        "uri": "https://x.example/robots.txt",
+                        "block": encode_http_response(
+                            200, "text/plain", b"User-agent: *\r\n"
+                        ),
+                    },
+                ]
+                raw = encode_warc(records)
+                if did % 2 == 0:
+                    bounds, at = [], 0
+                    for rec in records:
+                        at += len(encode_warc([rec]))
+                        bounds.append(at)
+                    raw, gz = gzip_members(raw, bounds), True
+                else:
+                    gz = False
+                texts: "list[str]" = []
+                n_records = n_html_ok = n_kept = 0
+                for headers, block in iter_warc_records(raw, gzipped=gz):
+                    n_records += 1
+                    if headers.get("warc-type") != "response":
+                        continue
+                    resp = parse_http_response(block)
+                    ctype = resp["headers"].get("content-type", "")
+                    if resp["status"] != 200 or not ctype.startswith("text/html"):
+                        continue
+                    n_html_ok += 1
+                    d = extract_main_content(
+                        resp["body"].decode("utf-8")
+                    )
+                    n_kept += d["n_kept"]
+                    texts.append(repair_unicode(d["extracted"])["text"])
+                clean = "".join(texts)
+                assert clean == text  # end-to-end fixture invariant
+                out["doc_id"].append(did)
+                out["n_records"].append(n_records)
+                out["n_html_ok"].append(n_html_ok)
+                out["n_kept_blocks"].append(n_kept)
+                out["extracted_chars"].append(len(clean))
+                out["clean_md5"].append(
+                    hashlib.md5(clean.encode("utf-8")).hexdigest()
+                )
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text", "source")
+        .repartition(par)
+        .mapInPandas(op, schema)
+    )
+
+
+@query(
+    "web_crawl_to_text",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS n_records,
+           CAST(1 AS BIGINT) AS n_html_ok,
+           CAST((length(text) + 79) // 80 AS BIGINT) AS n_kept_blocks,
+           CAST(length(text) AS BIGINT) AS extracted_chars,
+           md5(text) AS clean_md5
+    FROM documents
+    """,
+)
+def q_web_crawl_to_text(spark, sf_dir):
+    """The web front end composed end to end: WARC walk (member-gzip
+    on even ids) → HTTP parse with dechunking → 200/text-html routing
+    past two decoy responses → density-scored boilerplate removal →
+    unicode repair — and the recovered text must equal the original
+    document byte-for-byte (md5 oracle). One Arrow stage; the map-only
+    crawl-to-clean-text pass every downstream dedup/quality stage
+    consumes at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return crawl_to_text_stats(docs)

@@ -150,6 +150,7 @@ NOTES = {
     "multimodal_ogg_tags": "Opus metadata: conformant OpusHead+OpusTags+audio build, page-CRC demux, comment-structure parse of the reassembled second packet in ONE ArrowEvalPython stage — map-only, no shuffle",
     "text_unicode_repair": "ftfy-style repair: mojibake fixpoint + NFC + strip rules with md5-exact oracle, ONE ArrowEvalPython stage - map-only, no shuffle",
     "web_warc_stats": "WARC demux: member-gzip split + Content-Length record walk + HTTP parse + dechunk, ONE ArrowEvalPython stage - map-only, no shuffle (parallelizes across archive files)",
+    "web_crawl_to_text": "crawl capstone: WARC walk + HTTP dechunk + HTML density extract + unicode repair composed, ONE ArrowEvalPython stage - map-only, md5-exact recovery",
     "code_quality_filter": "StarCoder-style line gate: pure Catalyst split/slice/transform/aggregate HOFs - zero Python, scan speed",
     "multimodal_webdataset_stats": "WebDataset shard demux: verified-checksum ustar walk + key grouping with exact-tar-size oracle, ONE ArrowEvalPython stage - map-only, no shuffle",
     "doc_pdf_extract": "PDF extraction: xref walk + Flate inflate + content tokenize with md5-exact text recovery, ONE ArrowEvalPython stage - map-only, no shuffle",
