@@ -1752,3 +1752,195 @@ def q_code_quality_filter(spark, sf_dir):
     return code_line_features(
         docs.select("doc_id", code.alias("code")), text_col="code"
     )
+
+
+# ---------------------------------------------------------------------------
+# Markdown → plain text — the strip pass for README/docs/forum corpora
+# (GitHub + StackExchange dumps are markdown): fences, headers, list
+# and quote markers, links/images, emphasis and code spans, with
+# feature counts for quality gating. Map-only Arrow work.
+# ---------------------------------------------------------------------------
+
+
+def strip_markdown(md: str) -> dict:
+    """Generic markdown-to-text: fenced code blocks keep their content
+    (fences dropped), ATX header markers / list bullets / blockquote
+    markers stripped at line level, images become their alt text,
+    links their anchor text (URLs dropped), bold/italic/strikethrough
+    markers removed, inline code spans unwrapped. Returns the text
+    plus the per-feature counts a docs-corpus quality gate uses."""
+    import re
+
+    counts = {"fences": 0, "headers": 0, "links": 0, "images": 0,
+              "code_spans": 0, "emphasis": 0, "list_items": 0, "quotes": 0}
+
+    def fence(mo):
+        counts["fences"] += 1
+        return mo.group(1)
+
+    md = re.sub(r"```[^\n]*\n(.*?)```", fence, md, flags=re.S)
+    lines = []
+    for ln in md.split("\n"):
+        h = re.match(r"(#{1,6})\s+(.*)$", ln)
+        if h:
+            counts["headers"] += 1
+            ln = h.group(2)
+        else:
+            li = re.match(r"\s*[-*+]\s+(.*)$", ln)
+            if li:
+                counts["list_items"] += 1
+                ln = li.group(1)
+            else:
+                q = re.match(r">\s?(.*)$", ln)
+                if q:
+                    counts["quotes"] += 1
+                    ln = q.group(1)
+        lines.append(ln)
+    text = "\n".join(lines)
+
+    def image(mo):
+        counts["images"] += 1
+        return mo.group(1)
+
+    def link(mo):
+        counts["links"] += 1
+        return mo.group(1)
+
+    text = re.sub(r"!\[([^\]]*)\]\([^)]*\)", image, text)
+    text = re.sub(r"\[([^\]]+)\]\([^)]*\)", link, text)
+
+    def emph(mo):
+        counts["emphasis"] += 1
+        return mo.group(2)
+
+    text = re.sub(r"(\*\*|__)([^*_]+)\1", emph, text)
+    text = re.sub(r"(\*|_)([^*_]+)\1", emph, text)
+    text = re.sub(r"~~([^~]+)~~", lambda m: (counts.__setitem__(
+        "emphasis", counts["emphasis"] + 1) or m.group(1)), text)
+
+    def code(mo):
+        counts["code_spans"] += 1
+        return mo.group(1)
+
+    text = re.sub(r"`([^`]+)`", code, text)
+    return {"text": text, **counts}
+
+
+def markdown_strip_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize a markdown document per row — an ATX header, the
+    REAL text with every 7th-cycle word decorated (italic / bold /
+    code span / link by position formula), and a trailing code fence —
+    strip it back to plain text, and prove the recovery byte-exact.
+    Arrow `mapInPandas`, map-only."""
+    import hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_headers", T.LongType()),
+            T.StructField("n_links", T.LongType()),
+            T.StructField("n_code_spans", T.LongType()),
+            T.StructField("n_emphasis", T.LongType()),
+            T.StructField("n_fences", T.LongType()),
+            T.StructField("extracted_chars", T.LongType()),
+            T.StructField("extracted_md5", T.StringType()),
+        ]
+    )
+
+    def op(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                words = text.split(" ")
+                deco = []
+                for i, w in enumerate(words):
+                    m = i % 7
+                    if w and m == 1:
+                        deco.append(f"*{w}*")
+                    elif w and m == 2:
+                        deco.append(f"**{w}**")
+                    elif w and m == 3:
+                        deco.append(f"`{w}`")
+                    elif w and m == 4:
+                        deco.append(f"[{w}](https://x.example/p{did})")
+                    else:
+                        deco.append(w)
+                md = (
+                    f"# doc {did}\n"
+                    + " ".join(deco)
+                    + f"\n```py\ncode sample {did % 10}\n```"
+                )
+                d = strip_markdown(md)
+                expect = f"doc {did}\n{text}\ncode sample {did % 10}\n"
+                assert d["text"] == expect  # fixture invariant
+                out["doc_id"].append(did)
+                out["n_headers"].append(d["headers"])
+                out["n_links"].append(d["links"])
+                out["n_code_spans"].append(d["code_spans"])
+                out["n_emphasis"].append(d["emphasis"])
+                out["n_fences"].append(d["fences"])
+                out["extracted_chars"].append(len(d["text"]))
+                out["extracted_md5"].append(
+                    hashlib.md5(d["text"].encode("utf-8")).hexdigest()
+                )
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text").repartition(par).mapInPandas(op, schema)
+    )
+
+
+@query(
+    "doc_markdown_strip",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS w
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             len(list_filter(list_transform(range(0, len(w)),
+                 i -> CASE WHEN i % 7 = 1 AND w[i+1] <> '' THEN 1 END),
+                 x -> x IS NOT NULL)) AS n_ital,
+             len(list_filter(list_transform(range(0, len(w)),
+                 i -> CASE WHEN i % 7 = 2 AND w[i+1] <> '' THEN 1 END),
+                 x -> x IS NOT NULL)) AS n_bold,
+             len(list_filter(list_transform(range(0, len(w)),
+                 i -> CASE WHEN i % 7 = 3 AND w[i+1] <> '' THEN 1 END),
+                 x -> x IS NOT NULL)) AS n_code,
+             len(list_filter(list_transform(range(0, len(w)),
+                 i -> CASE WHEN i % 7 = 4 AND w[i+1] <> '' THEN 1 END),
+                 x -> x IS NOT NULL)) AS n_link
+      FROM t
+    )
+    SELECT t.doc_id,
+           CAST(1 AS BIGINT) AS n_headers,
+           CAST(c.n_link AS BIGINT) AS n_links,
+           CAST(c.n_code AS BIGINT) AS n_code_spans,
+           CAST(c.n_ital + c.n_bold AS BIGINT) AS n_emphasis,
+           CAST(1 AS BIGINT) AS n_fences,
+           CAST(length('doc ' || t.doc_id) + 1 + length(t.text) + 1
+                + length('code sample ' || (t.doc_id % 10)) + 1
+                AS BIGINT) AS extracted_chars,
+           md5('doc ' || t.doc_id || chr(10) || t.text || chr(10)
+               || 'code sample ' || (t.doc_id % 10) || chr(10))
+             AS extracted_md5
+    FROM t JOIN c ON t.doc_id = c.doc_id
+    """,
+)
+def q_doc_markdown_strip(spark, sf_dir):
+    """Markdown → text over the documents table: the real text is
+    decorated by position formula (italic/bold/code/link on a 7-word
+    cycle) under an ATX header with a trailing code fence, then
+    stripped back — recovery must be byte-exact (md5 oracle). The
+    oracle re-derives the per-feature counts from the same word-cycle
+    formula in DuckDB list functions with no markdown engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return markdown_strip_stats(docs)

@@ -463,3 +463,63 @@ def q_sample_weighted_aes(spark, sf_dir):
     return weighted_sample_aes(docs, "doc_id", "n_chars", 200).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@query(
+    "dataset_mix_temperature",
+    oracle="""
+    WITH c AS (
+      SELECT lang, count(*) AS n_avail FROM documents GROUP BY lang
+    ), s AS (
+      SELECT lang, n_avail,
+             CAST(floor(sqrt(n_avail)) AS BIGINT) AS score
+      FROM c
+    ), tot AS (
+      SELECT sum(score) AS score_sum, sum(n_avail) // 2 AS budget FROM s
+    )
+    SELECT lang,
+           CAST(n_avail AS BIGINT) AS n_avail,
+           score,
+           CAST(LEAST(n_avail, budget * score // score_sum) AS BIGINT)
+             AS n_kept,
+           CAST(score * 1000 // score_sum AS BIGINT) AS mix_pm
+    FROM s, tot ORDER BY lang
+    """,
+)
+def q_dataset_mix_temperature(spark, sf_dir):
+    """Temperature-scaled training mix (the multilingual sampling rule
+    p_i ∝ q_i^α with α = 0.5 — upweights tail languages relative to
+    proportional sampling): per-language score = isqrt(n_avail)
+    (IEEE sqrt + floor is exact for any corpus count), half-corpus
+    budget split by integer score share, capped at availability.
+    Pure integer outputs, so Spark and DuckDB agree bit-for-bit; one
+    bounded-key agg + one scalar cross-join — nothing scales with the
+    corpus except the count."""
+    from dynamodb_to_datalake_project_spark.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n_avail"))
+    s = c.withColumn(
+        "score", F.floor(F.sqrt(F.col("n_avail"))).cast("long")
+    )
+    tot = s.agg(
+        F.sum("score").alias("score_sum"),
+        (F.sum("n_avail") / 2).cast("long").alias("budget"),
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n_avail").cast("long").alias("n_avail"),
+            "score",
+            F.least(
+                F.col("n_avail").cast("long"),
+                # integer `div` (not double / + cast): a double quotient
+                # that lands a hair under an exact integer would
+                # truncate differently than DuckDB's // floor
+                F.expr("budget * score div score_sum"),
+            ).alias("n_kept"),
+            F.expr("score * 1000 div score_sum").alias("mix_pm"),
+        )
+        .orderBy("lang")
+    )

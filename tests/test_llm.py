@@ -3491,3 +3491,41 @@ def test_code_quality_filter_rules(spark):
     assert got[0]["sum_line_chars"] == len("short line") + len("another line")
     plan = code_line_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_strip_markdown_branches():
+    """Every markdown feature the stripper claims: fences keep their
+    body, ATX headers / list bullets / blockquotes strip at line
+    level, images become alt text, links their anchor, bold / italic /
+    strikethrough unwrap, code spans unwrap — with counts."""
+    from dynamodb_to_datalake_project_spark.llm.text import strip_markdown
+
+    md = (
+        "## Title\n"
+        "- item one\n"
+        "> quoted\n"
+        "A **bold** and *ital* and ~~gone~~ word.\n"
+        "See [anchor](https://x.example/u?q=1) and ![alt text](img.png).\n"
+        "Inline `code()` span.\n"
+        "```python\nkeep this body\n```"
+    )
+    d = strip_markdown(md)
+    assert d["text"] == (
+        "Title\n"
+        "item one\n"
+        "quoted\n"
+        "A bold and ital and gone word.\n"
+        "See anchor and alt text.\n"
+        "Inline code() span.\n"
+        "keep this body\n"
+    )
+    assert d["headers"] == 1 and d["list_items"] == 1 and d["quotes"] == 1
+    assert d["emphasis"] == 3 and d["links"] == 1 and d["images"] == 1
+    assert d["code_spans"] == 1 and d["fences"] == 1
+    # fence body is immune to inline rules even if it looks like markdown
+    d2 = strip_markdown("```\n**not bold** [not](a link)\n```")
+    assert d2["fences"] == 1
+    # plain text passes through unchanged
+    d3 = strip_markdown("no markdown here at all")
+    assert d3["text"] == "no markdown here at all"
+    assert sum(v for k, v in d3.items() if k != "text") == 0
