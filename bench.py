@@ -175,6 +175,16 @@ HEADLINE = [
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",
+    "doc_markdown_strip",
+    "dataset_mix_temperature",
+    "sft_preference_pairs",
+    "multimodal_image_dhash",
+    "multimodal_image_neardup",
+    "multimodal_zip_stats",
+    "wiki_dump_extract",
+    "web_wet_conversion",
+    "sim_bitext_margin",
+    "web_table_extract",
 ]
 
 

@@ -229,6 +229,9 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.lm  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.cluster  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.ebml  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.imagehash  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.ziparc  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.wikidump  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.h264  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.mpegts  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.pdf  # noqa: F401

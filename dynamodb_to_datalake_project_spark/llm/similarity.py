@@ -1247,3 +1247,152 @@ def q_hard_negatives(spark, sf_dir):
     return hard_negatives(
         e.filter(F.col("vec_id") < 8), e.filter(F.col("vec_id") >= 8), k=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (Artetxe & Schwenk 2019 — the LASER/
+# CCMatrix recipe): candidate translation pairs are MUTUAL nearest
+# neighbors across two embedding spaces, scored by the margin ratio
+# cos(x,y) / mean(topk-cos(x) ∪ topk-cos(y)) — the normalization that
+# suppresses hub vectors which are "closest" to everything.
+# ---------------------------------------------------------------------------
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold_ppm: int = 1_050_000,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Mine translation pairs between two embedded corpora: full
+    cosine pairs (tgt broadcast — the bruteforce baseline; at 100 TB
+    the pair generation routes through the ANN shortlist exactly like
+    `hard_negatives`), then ONE window pipeline derives forward/
+    backward ranks and top-k cosine sums, keeps mutual-best pairs,
+    and scores margin = cos·2k / (Σtopk_src + Σtopk_tgt).
+
+    Everything after the cosine is INTEGER-exact: cosines land as
+    ppm BIGINTs (round(cos·1e6)), top-k sums and the margin use
+    integer arithmetic only — so an independent SQL engine reproduces
+    every output bit. Window order is arranged so the src-keyed rank
+    and sum share one exchange, the tgt-keyed pair the other: 2
+    shuffles total over the pair set.
+
+    Returns (src_id, tgt_id, cos_ppm, margin_ppm) with margin_ppm >
+    threshold_ppm (1.05 margin ≈ 1_050_000)."""
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("sv"),
+        norm(F.col(vec_col)).alias("sn"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("tv"),
+        norm(F.col(vec_col)).alias("tn"),
+    )
+    pairs = s.crossJoin(F.broadcast(t)).select(
+        "src_id",
+        "tgt_id",
+        F.round(
+            dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn"))
+            * F.lit(1_000_000.0),
+            0,
+        ).cast("long").alias("cos_ppm"),
+    )
+    w_f = Window.partitionBy("src_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("tgt_id").asc()
+    )
+    w_b = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("src_id").asc()
+    )
+    scored = (
+        pairs.withColumn("rnk_f", F.row_number().over(w_f))
+        .withColumn(
+            "sum_src",
+            F.sum(F.when(F.col("rnk_f") <= k, F.col("cos_ppm"))).over(
+                Window.partitionBy("src_id")
+            ),
+        )
+        .withColumn("rnk_b", F.row_number().over(w_b))
+        .withColumn(
+            "sum_tgt",
+            F.sum(F.when(F.col("rnk_b") <= k, F.col("cos_ppm"))).over(
+                Window.partitionBy("tgt_id")
+            ),
+        )
+    )
+    return (
+        scored.filter(
+            (F.col("rnk_f") == 1)
+            & (F.col("rnk_b") == 1)
+            & (F.col("sum_src") + F.col("sum_tgt") > 0)
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_ppm",
+            F.expr(f"cos_ppm * {2 * k} * 1000000 div (sum_src + sum_tgt)")
+            .alias("margin_ppm"),
+        )
+        .filter(F.col("margin_ppm") > threshold_ppm)
+    )
+
+
+_BITEXT_SQL = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), t AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 3 = 0 THEN v ELSE list_reverse(v) END AS v
+      FROM e
+    ), p AS (
+      SELECT e.vec_id AS src_id, t.vec_id AS tgt_id,
+             CAST(round(list_dot_product(e.v, t.v)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(t.v, t.v))) * 1000000)
+               AS BIGINT) AS cos_ppm
+      FROM e CROSS JOIN t
+    ), r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY src_id
+                           ORDER BY cos_ppm DESC, tgt_id ASC) AS rnk_f,
+        row_number() OVER (PARTITION BY tgt_id
+                           ORDER BY cos_ppm DESC, src_id ASC) AS rnk_b
+      FROM p
+    ), sums AS (
+      SELECT *,
+        SUM(CASE WHEN rnk_f <= 4 THEN cos_ppm END)
+          OVER (PARTITION BY src_id) AS sum_src,
+        SUM(CASE WHEN rnk_b <= 4 THEN cos_ppm END)
+          OVER (PARTITION BY tgt_id) AS sum_tgt
+      FROM r
+    )
+    SELECT src_id, tgt_id, cos_ppm, margin_ppm FROM (
+      SELECT src_id, tgt_id, cos_ppm,
+             CAST(cos_ppm * 8 * 1000000 // (sum_src + sum_tgt) AS BIGINT) AS margin_ppm
+      FROM sums
+      WHERE rnk_f = 1 AND rnk_b = 1 AND sum_src + sum_tgt > 0
+    ) WHERE margin_ppm > 1050000
+    """
+
+
+@query("sim_bitext_margin", oracle=_BITEXT_SQL)
+def q_bitext_margin(spark, sf_dir):
+    """Bitext mining over the embeddings table: the 'target language'
+    side reuses each vector unchanged on every 3rd id (a planted true
+    translation) and dimension-REVERSED otherwise (a decorrelated
+    decoy), so mutual-best + margin must recover exactly the planted
+    alignments while hub suppression holds off the random mutuals.
+    The oracle replays the cross-cosine matrix, both rank windows,
+    the integer top-4 sums, and the integer margin bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double_vec("embedding").alias("v"))
+    t = e.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 3 == 0, F.col("v"))
+        .otherwise(F.reverse(F.col("v")))
+        .alias("v"),
+    )
+    return bitext_mine(e, t, k=4, threshold_ppm=1_050_000)

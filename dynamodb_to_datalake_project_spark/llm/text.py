@@ -1944,3 +1944,163 @@ def q_doc_markdown_strip(spark, sf_dir):
     formula in DuckDB list functions with no markdown engine."""
     docs = load_table(spark, sf_dir, "documents")
     return markdown_strip_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair (DPO/RLHF) validation — the schema gate for
+# prompt/chosen/rejected training rows, the reward-model twin of the
+# SFT dialogue gate above. Map-only Arrow work over a real JSON parse;
+# invalid rows are CLASSIFIED (error-code census), not dropped, so a
+# curation run can report exactly why each row was quarantined.
+# ---------------------------------------------------------------------------
+
+#: the quarantine classes parse_preference_pair distinguishes
+PREF_ERROR_CLASSES = (
+    "invalid_json",
+    "not_object",
+    "bad_keys",
+    "empty_prompt",
+    "empty_chosen",
+    "empty_rejected",
+    "identical_pair",
+)
+
+
+def parse_preference_pair(raw: str) -> dict:
+    """Parse + validate one DPO-format training row: a JSON object
+    with EXACTLY the keys {prompt, chosen, rejected}, each a non-empty
+    string, and chosen != rejected (an identical pair carries zero
+    preference signal — it must quarantine, not train). Returns
+    per-field char counts on success; raises ValueError whose message
+    starts with one of PREF_ERROR_CLASSES on violation."""
+    import json
+
+    try:
+        obj = json.loads(raw)
+    except json.JSONDecodeError as exc:
+        raise ValueError(f"invalid_json: {exc}")
+    if not isinstance(obj, dict):
+        raise ValueError("not_object: preference row must be a JSON object")
+    if set(obj) != {"prompt", "chosen", "rejected"}:
+        raise ValueError(f"bad_keys: got {sorted(obj)}")
+    for key in ("prompt", "chosen", "rejected"):
+        v = obj[key]
+        if not isinstance(v, str) or not v:
+            raise ValueError(f"empty_{key}: non-empty string required")
+    if obj["chosen"] == obj["rejected"]:
+        raise ValueError("identical_pair: chosen == rejected")
+    return {
+        "prompt_chars": len(obj["prompt"]),
+        "chosen_chars": len(obj["chosen"]),
+        "rejected_chars": len(obj["rejected"]),
+    }
+
+
+def preference_pair_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize a DPO row per document — prompt = first third of the
+    REAL text, chosen = the rest, rejected = chosen + ' [worse]'
+    (longer by construction, so never identical) — then plant one
+    violation class per doc_id%10 residue: 7 → identical pair,
+    8 → empty rejected, 9 → missing key. Serialize through real JSON,
+    parse + classify with the gate. Arrow `mapInPandas`, map-only."""
+    import hashlib
+    import json
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("prompt_chars", T.LongType()),
+            T.StructField("chosen_chars", T.LongType()),
+            T.StructField("rejected_chars", T.LongType()),
+            T.StructField("pair_md5", T.StringType()),
+        ]
+    )
+
+    def op(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                cut = len(text) // 3
+                prompt, chosen = text[:cut], text[cut:]
+                m = did % 10
+                if m == 7:
+                    row = {"prompt": prompt, "chosen": chosen,
+                           "rejected": chosen}
+                elif m == 8:
+                    row = {"prompt": prompt, "chosen": chosen,
+                           "rejected": ""}
+                elif m == 9:
+                    row = {"prompt": prompt, "chosen": chosen}
+                else:
+                    row = {"prompt": prompt, "chosen": chosen,
+                           "rejected": chosen + " [worse]"}
+                raw = json.dumps(row)
+                try:
+                    d = parse_preference_pair(raw)
+                    status = "ok"
+                except ValueError as exc:
+                    d = None
+                    status = str(exc).split(":", 1)[0]
+                out["doc_id"].append(did)
+                out["status"].append(status)
+                out["prompt_chars"].append(d and d["prompt_chars"])
+                out["chosen_chars"].append(d and d["chosen_chars"])
+                out["rejected_chars"].append(d and d["rejected_chars"])
+                out["pair_md5"].append(
+                    hashlib.md5(
+                        (row["prompt"] + row["chosen"] + row["rejected"])
+                        .encode("utf-8")
+                    ).hexdigest()
+                    if d
+                    else None
+                )
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text").repartition(par).mapInPandas(op, schema)
+    )
+
+
+@query(
+    "sft_preference_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS L, length(text) // 3 AS cut,
+             doc_id % 10 AS m
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN m = 7 THEN 'identical_pair'
+                WHEN m = 8 THEN 'empty_rejected'
+                WHEN m = 9 THEN 'bad_keys'
+                ELSE 'ok' END AS status,
+           CASE WHEN m IN (7, 8, 9) THEN NULL
+                ELSE CAST(cut AS BIGINT) END AS prompt_chars,
+           CASE WHEN m IN (7, 8, 9) THEN NULL
+                ELSE CAST(L - cut AS BIGINT) END AS chosen_chars,
+           CASE WHEN m IN (7, 8, 9) THEN NULL
+                ELSE CAST(L - cut + 8 AS BIGINT) END AS rejected_chars,
+           CASE WHEN m IN (7, 8, 9) THEN NULL
+                ELSE md5(substr(text, 1, cut) || substr(text, cut + 1)
+                         || substr(text, cut + 1) || ' [worse]') END
+             AS pair_md5
+    FROM t
+    """,
+)
+def q_sft_preference_pairs(spark, sf_dir):
+    """DPO/RLHF preference-pair validation over the documents table:
+    each text becomes a prompt/chosen/rejected row through real JSON,
+    with three violation classes planted by doc_id residue (identical
+    pair, empty rejected, missing key). The oracle re-derives the
+    status census and per-field char budgets from the split formula
+    and pins valid rows' content via md5(prompt||chosen||rejected)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return preference_pair_stats(docs)

@@ -65,7 +65,10 @@ def encode_warc(records: "list[dict]") -> bytes:
     """Serialize WARC/1.0 records (ISO 28500 §4): version line, named
     headers, Content-Length of the block, blank line, block, and the
     two-CRLF record separator. Each record dict carries
-    {type, uri, block} (uri omitted for warcinfo)."""
+    {type, uri, block} (uri omitted for warcinfo), plus optional
+    `content_type` (overrides the type-derived default — WET
+    conversion records are text/plain) and `refers_to` (emitted as
+    WARC-Refers-To, the conversion→source link)."""
     out = bytearray()
     for i, rec in enumerate(records):
         block = rec["block"]
@@ -77,7 +80,11 @@ def encode_warc(records: "list[dict]") -> bytes:
         ]
         if rec.get("uri"):
             head.append(f"WARC-Target-URI: {rec['uri']}")
-        if rec["type"] in ("response", "request"):
+        if rec.get("refers_to"):
+            head.append(f"WARC-Refers-To: {rec['refers_to']}")
+        if rec.get("content_type"):
+            head.append(f"Content-Type: {rec['content_type']}")
+        elif rec["type"] in ("response", "request"):
             head.append("Content-Type: application/http; "
                         f"msgtype={rec['type']}")
         else:

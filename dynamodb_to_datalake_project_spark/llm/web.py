@@ -1382,3 +1382,355 @@ def q_web_crawl_to_text(spark, sf_dir):
     consumes at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     return crawl_to_text_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# WET conversion — the Common Crawl *.warc.wet.gz product: for every
+# 200/text-html response in a WARC, one `conversion` record holding
+# the extracted plain text (text/plain, WARC-Refers-To the source
+# response). Completes the crawl chain: WARC → WET is exactly what a
+# pretraining pipeline consumes when it skips raw archives.
+# ---------------------------------------------------------------------------
+
+
+def warc_to_wet(raw: bytes, gzipped: bool = False) -> bytes:
+    """Convert a WARC byte stream to WET: walk the records, parse each
+    response's HTTP block (dechunking as needed), keep 200/text-html,
+    extract main content, and emit a warcinfo header record plus one
+    text/plain `conversion` record per kept page — each carrying the
+    source's WARC-Target-URI and a WARC-Refers-To link. Malformed
+    records raise through the underlying walks (quarantine)."""
+    from dynamodb_to_datalake_project_spark.llm.warc import (
+        encode_warc,
+        iter_warc_records,
+        parse_http_response,
+    )
+
+    wet: "list[dict]" = [
+        {"type": "warcinfo", "block": b"software: wet-converter/1\r\n"}
+    ]
+    for headers, block in iter_warc_records(raw, gzipped=gzipped):
+        if headers.get("warc-type") != "response":
+            continue
+        resp = parse_http_response(block)
+        ctype = resp["headers"].get("content-type", "")
+        if resp["status"] != 200 or not ctype.startswith("text/html"):
+            continue
+        text = extract_main_content(resp["body"].decode("utf-8"))["extracted"]
+        wet.append(
+            {
+                "type": "conversion",
+                "uri": headers.get("warc-target-uri"),
+                "refers_to": headers.get("warc-record-id"),
+                "content_type": "text/plain",
+                "block": text.encode("utf-8"),
+            }
+        )
+    return encode_warc(wet)
+
+
+def wet_conversion_stats(docs: DataFrame) -> DataFrame:
+    """Per doc: the crawl fixture WARC (HTML 200 + two decoys,
+    chunked/member-gzip variants) → `warc_to_wet` → re-parse the WET
+    and prove the conversion record carries the document text."""
+    import hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    from dynamodb_to_datalake_project_spark.llm.warc import (
+        encode_http_response,
+        encode_warc,
+        gzip_members,
+        iter_warc_records,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_wet_records", T.LongType()),
+            T.StructField("n_conversions", T.LongType()),
+            T.StructField("refers_linked", T.LongType()),
+            T.StructField("conversion_chars", T.LongType()),
+            T.StructField("wet_text_md5", T.StringType()),
+        ]
+    )
+
+    def op(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for pdf in batches:
+            for did, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                did = int(did)
+                page = synth_html(did, text, source).encode("utf-8")
+                records = [
+                    {"type": "warcinfo", "block": b"software: fx/1\r\n"},
+                    {
+                        "type": "response",
+                        "uri": f"https://site{did % 10}.example/p",
+                        "block": encode_http_response(
+                            200, "text/html; charset=utf-8", page,
+                            chunked=did % 3 == 0,
+                        ),
+                    },
+                    {
+                        "type": "response",
+                        "uri": "https://x.example/gone",
+                        "block": encode_http_response(404, "text/html", b"gone"),
+                    },
+                    {
+                        "type": "response",
+                        "uri": "https://x.example/robots.txt",
+                        "block": encode_http_response(
+                            200, "text/plain", b"User-agent: *\r\n"
+                        ),
+                    },
+                ]
+                raw = encode_warc(records)
+                if did % 2 == 0:
+                    bounds, at = [], 0
+                    for rec in records:
+                        at += len(encode_warc([rec]))
+                        bounds.append(at)
+                    raw, gz = gzip_members(raw, bounds), True
+                else:
+                    gz = False
+                wet = warc_to_wet(raw, gzipped=gz)
+                n_rec = n_conv = linked = 0
+                texts: "list[str]" = []
+                for headers, block in iter_warc_records(wet):
+                    n_rec += 1
+                    if headers.get("warc-type") != "conversion":
+                        continue
+                    n_conv += 1
+                    if headers.get("warc-refers-to"):
+                        linked += 1
+                    if headers.get("content-type") != "text/plain":
+                        raise ValueError("wet: conversion not text/plain")
+                    texts.append(block.decode("utf-8"))
+                clean = "".join(texts)
+                assert clean == text  # WARC→WET fixture invariant
+                out["doc_id"].append(did)
+                out["n_wet_records"].append(n_rec)
+                out["n_conversions"].append(n_conv)
+                out["refers_linked"].append(linked)
+                out["conversion_chars"].append(len(clean))
+                out["wet_text_md5"].append(
+                    hashlib.md5(clean.encode("utf-8")).hexdigest()
+                )
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text", "source")
+        .repartition(par)
+        .mapInPandas(op, schema)
+    )
+
+
+@query(
+    "web_wet_conversion",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_wet_records,
+           CAST(1 AS BIGINT) AS n_conversions,
+           CAST(1 AS BIGINT) AS refers_linked,
+           CAST(length(text) AS BIGINT) AS conversion_chars,
+           md5(text) AS wet_text_md5
+    FROM documents
+    """,
+)
+def q_web_wet_conversion(spark, sf_dir):
+    """WARC → WET conversion over the crawl fixture: the 200/text-html
+    response (past a 404 and a text/plain decoy, through chunked
+    transfer and member-gzip variants) becomes exactly one text/plain
+    conversion record with a WARC-Refers-To link, and its block must
+    equal the document text byte-for-byte (md5 oracle) — the
+    *.warc.wet.gz product a pretraining pipeline actually reads."""
+    docs = load_table(spark, sf_dir, "documents")
+    return wet_conversion_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# HTML table extraction — the structured-data twin of
+# `extract_main_content`: web tables are the raw material for
+# table-QA / table-to-text training sets, and a curation pipeline
+# lifts them into rows, not prose.
+# ---------------------------------------------------------------------------
+
+
+def extract_html_tables(html: str) -> "list[dict]":
+    """Parse every non-nested <table> into {header: [cells] | None,
+    rows: [[cells]], n_rows, n_cols}. Cell text is entity-decoded;
+    attributes on table/tr/th/td are tolerated and ignored EXCEPT
+    colspan/rowspan, which raise NotImplementedError (a spanned grid
+    has no faithful row-major cell list — honest-subset boundary).
+    Nested tables raise NotImplementedError; ragged rows (unequal
+    cell counts) raise ValueError — the quarantine contract."""
+    import re as _re
+
+    from dynamodb_to_datalake_project_spark.llm.wikidump import xml_unescape
+
+    tables: "list[dict]" = []
+    for tmo in _re.finditer(
+        r"<table(?:\s[^>]*)?>(.*?)</table>", html, _re.S | _re.I
+    ):
+        body = tmo.group(1)
+        if _re.search(r"<table(?:\s[^>]*)?>", body, _re.I):
+            raise NotImplementedError("html: nested tables not implemented")
+        header: "list[str] | None" = None
+        rows: "list[list[str]]" = []
+        for rmo in _re.finditer(
+            r"<tr(?:\s[^>]*)?>(.*?)</tr>", body, _re.S | _re.I
+        ):
+            cells: "list[str]" = []
+            kinds: "list[str]" = []
+            for cmo in _re.finditer(
+                r"<(th|td)((?:\s[^>]*)?)>(.*?)</\1>",
+                rmo.group(1), _re.S | _re.I,
+            ):
+                attrs = cmo.group(2)
+                if _re.search(r"(colspan|rowspan)\s*=", attrs, _re.I):
+                    raise NotImplementedError(
+                        "html: colspan/rowspan tables not implemented"
+                    )
+                kinds.append(cmo.group(1).lower())
+                cells.append(xml_unescape(cmo.group(3)))
+            if not cells:
+                raise ValueError("html: <tr> with no th/td cells")
+            if header is None and not rows and all(k == "th" for k in kinds):
+                header = cells
+            else:
+                rows.append(cells)
+        widths = {len(c) for c in ([header] if header else []) + rows}
+        if len(widths) > 1:
+            raise ValueError(f"html: ragged table (widths {sorted(widths)})")
+        if not widths:
+            raise ValueError("html: table with no rows")
+        tables.append(
+            {
+                "header": header,
+                "rows": rows,
+                "n_rows": len(rows),
+                "n_cols": widths.pop(),
+            }
+        )
+    return tables
+
+
+def table_extract_stats(docs: DataFrame) -> DataFrame:
+    """Per doc: a (3 + id%4)-row × (2 + id%3)-col table whose cells
+    are the document's words by row-major index formula (header row
+    of <th> on every 2nd doc), embedded in boilerplate; extract and
+    pin the full cell grid via md5."""
+    import hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    from dynamodb_to_datalake_project_spark.llm.wikidump import xml_escape
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tables", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_cols", T.LongType()),
+            T.StructField("has_header", T.LongType()),
+            T.StructField("cells_md5", T.StringType()),
+        ]
+    )
+
+    def op(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                words = text.split(" ")
+                n_rows, n_cols = 3 + did % 4, 2 + did % 3
+                hdr = did % 2 == 0
+
+                def cell(r: int, c: int) -> str:
+                    return words[(r * n_cols + c) % len(words)]
+
+                parts = ['<table class="data">']
+                if hdr:
+                    parts.append(
+                        "<tr>" + "".join(
+                            f"<th>{xml_escape(cell(0, c))}</th>"
+                            for c in range(n_cols)
+                        ) + "</tr>"
+                    )
+                for r in range(n_rows):
+                    parts.append(
+                        "<tr>" + "".join(
+                            f'<td align="left">'
+                            f"{xml_escape(cell(r + 1, c))}</td>"
+                            for c in range(n_cols)
+                        ) + "</tr>"
+                    )
+                parts.append("</table>")
+                page = (
+                    "<html><body><p>intro prose</p>"
+                    + "".join(parts)
+                    + "<p>footer</p></body></html>"
+                )
+                tables = extract_html_tables(page)
+                assert len(tables) == 1
+                t = tables[0]
+                grid = ([t["header"]] if t["header"] else []) + t["rows"]
+                flat = "\n".join("\t".join(row) for row in grid)
+                out["doc_id"].append(did)
+                out["n_tables"].append(len(tables))
+                out["n_rows"].append(t["n_rows"])
+                out["n_cols"].append(t["n_cols"])
+                out["has_header"].append(int(t["header"] is not None))
+                out["cells_md5"].append(
+                    hashlib.md5(flat.encode("utf-8")).hexdigest()
+                )
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text").repartition(par).mapInPandas(op, schema)
+    )
+
+
+@query(
+    "web_table_extract",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             3 + doc_id % 4 AS nr, 2 + doc_id % 3 AS nc,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS hdr
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_tables,
+           CAST(nr AS BIGINT) AS n_rows,
+           CAST(nc AS BIGINT) AS n_cols,
+           CAST(hdr AS BIGINT) AS has_header,
+           md5(array_to_string(
+             list_transform(range(0, nr + hdr), r ->
+               array_to_string(
+                 list_transform(range(0, nc), c ->
+                   w[((r + 1 - hdr) * nc + c) % len(w) + 1]),
+                 chr(9))),
+             chr(10))) AS cells_md5
+    FROM t
+    """,
+)
+def q_web_table_extract(spark, sf_dir):
+    """HTML table extraction over the documents table: each doc's
+    words fill a formula-indexed row-major grid (header row of <th>
+    on even ids, attribute noise on cells, boilerplate prose around
+    the table); `extract_html_tables` must lift the exact cell grid
+    back out — the oracle rebuilds the full tab/newline-joined grid
+    from the same index formula and compares md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return table_extract_stats(docs)

@@ -3529,3 +3529,375 @@ def test_strip_markdown_branches():
     d3 = strip_markdown("no markdown here at all")
     assert d3["text"] == "no markdown here at all"
     assert sum(v for k, v in d3.items() if k != "text") == 0
+
+
+def test_preference_pair_validation():
+    """DPO-schema gate: a valid prompt/chosen/rejected row parses with
+    exact char counts; every violation class (bad JSON, non-object,
+    wrong/extra/missing keys, empty fields, identical pair) raises
+    with its PREF_ERROR_CLASSES prefix."""
+    import json
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.text import (
+        PREF_ERROR_CLASSES,
+        parse_preference_pair,
+    )
+
+    ok = {"prompt": "2+2?", "chosen": "4", "rejected": "5"}
+    assert parse_preference_pair(json.dumps(ok)) == {
+        "prompt_chars": 4, "chosen_chars": 1, "rejected_chars": 1,
+    }
+
+    cases = [
+        ("not json", "invalid_json"),
+        ('["prompt"]', "not_object"),
+        ('{"prompt":"p","chosen":"c"}', "bad_keys"),
+        ('{"prompt":"p","chosen":"c","rejected":"r","extra":1}', "bad_keys"),
+        ('{"prompt":"","chosen":"c","rejected":"r"}', "empty_prompt"),
+        ('{"prompt":"p","chosen":null,"rejected":"r"}', "empty_chosen"),
+        ('{"prompt":"p","chosen":"c","rejected":""}', "empty_rejected"),
+        ('{"prompt":"p","chosen":"same","rejected":"same"}',
+         "identical_pair"),
+    ]
+    for raw, cls in cases:
+        assert cls in PREF_ERROR_CLASSES
+        with _pt.raises(ValueError, match=f"^{cls}"):
+            parse_preference_pair(raw)
+
+
+def test_image_dhash_known_bits():
+    """dHash on hand-built gradients: a strictly increasing horizontal
+    ramp sets every bit (all comparisons right > left); a decreasing
+    ramp sets none; gray pixels (R=G=B=v) map to luma exactly v."""
+    import numpy as np
+
+    from dynamodb_to_datalake_project_spark.llm.imagehash import (
+        gray_u8,
+        image_ahash,
+        image_dhash,
+    )
+
+    ramp = np.repeat(
+        np.tile(np.arange(0, 90, 5, dtype=np.uint8), (16, 1))[:, :, None],
+        3, axis=2,
+    )  # 16 rows × 18 cols, +5 per col
+    assert image_dhash(ramp) == (0xFFFFFFFF, 0xFFFFFFFF)
+    assert image_dhash(ramp[:, ::-1]) == (0, 0)
+    v = np.full((4, 4, 3), 200, dtype=np.uint8)
+    assert int(gray_u8(v)[0, 0]) == 200
+    # aHash of a flat image: no cell exceeds the mean -> all zero
+    assert image_ahash(v) == (0, 0)
+
+
+def test_image_neardup_pairs_planted(spark):
+    """Banded near-dup join finds a planted ≤4-bit pair, excludes a
+    far pair, and the plan is equi-join only (no BNLJ/cartesian)."""
+    from dynamodb_to_datalake_project_spark.llm.imagehash import (
+        image_neardup_pairs,
+    )
+
+    rows = [
+        # a/b differ in 2 low bits of dhash_lo; c is ~32 bits away
+        (1, 0x12345678, 0x9ABCDEF0),
+        (2, 0x12345678, 0x9ABCDEF3),
+        (3, 0x76543210, 0x0FEDCBA9),
+    ]
+    hashes = spark.createDataFrame(rows, "doc_id long, dhash_hi long, dhash_lo long")
+    got = image_neardup_pairs(hashes, max_hamming=4).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in got] == [(1, 2, 2)]
+    plan = (
+        image_neardup_pairs(hashes)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_hamming"):
+        image_neardup_pairs(hashes, max_hamming=8)
+
+
+def test_image_hashes_roundtrip(spark):
+    """image_hashes decodes REAL BMP payloads: a ramp image through
+    encode_bmp_array yields the all-ones dhash and a correct bit
+    count."""
+    import numpy as np
+
+    from dynamodb_to_datalake_project_spark.llm.imagehash import image_hashes
+    from dynamodb_to_datalake_project_spark.llm.multimodal import (
+        encode_bmp_array,
+    )
+
+    ramp = np.repeat(
+        np.tile(np.arange(0, 90, 5, dtype=np.uint8), (16, 1))[:, :, None],
+        3, axis=2,
+    )
+    payload = encode_bmp_array(ramp, 18, 16)
+    df = spark.createDataFrame([(7, bytearray(payload))],
+                               "doc_id long, payload binary")
+    row = image_hashes(df).collect()[0]
+    assert (row.dhash_hi, row.dhash_lo) == (0xFFFFFFFF, 0xFFFFFFFF)
+    assert row.dhash_bits == 64
+
+
+def test_zip_roundtrip_and_interop():
+    """encode_zip → parse_zip roundtrips (deflate + stored), and both
+    directions interoperate with stdlib zipfile (our archives read by
+    zipfile; zipfile's archives read by our parse)."""
+    import io
+    import zipfile
+
+    from dynamodb_to_datalake_project_spark.llm.ziparc import (
+        encode_zip,
+        parse_zip,
+    )
+
+    m = [("a.txt", b"hello world" * 10), ("b.bin", bytes(range(256)))]
+    z = encode_zip(m, deflate={"a.txt"})
+    d = parse_zip(z)
+    assert d["members"] == m
+    assert (d["n_deflated"], d["n_stored"]) == (1, 1)
+
+    zf = zipfile.ZipFile(io.BytesIO(z))
+    assert zf.read("a.txt") == m[0][1]
+    assert zf.testzip() is None
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as w:
+        w.writestr("x.txt", "some text payload " * 20)
+    got = dict(parse_zip(buf.getvalue())["members"])
+    assert got["x.txt"] == b"some text payload " * 20
+
+
+def test_zip_corruption_rejects():
+    """Every quarantine class: missing EOCD, bad comment length, CRC
+    mismatch, central/local name mismatch, truncated member data,
+    central-directory count mismatch — ValueError; encryption,
+    data-descriptor, zip64 and exotic methods — NotImplementedError."""
+    import struct
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.ziparc import (
+        encode_zip,
+        parse_zip,
+    )
+
+    z = bytearray(encode_zip([("f.txt", b"payload bytes here")]))
+
+    with _pt.raises(ValueError, match="end-of-central-directory"):
+        parse_zip(b"PK\x03\x04 not a real zip")
+    bad_comment = bytes(z) + b"trailing junk"  # comment_len says 0
+    with _pt.raises(ValueError, match="comment length"):
+        parse_zip(bad_comment)
+
+    flipped = bytearray(z)
+    flipped[30 + 5 + 3] ^= 0xFF  # a data byte of the stored member
+    with _pt.raises(ValueError, match="CRC-32 mismatch"):
+        parse_zip(bytes(flipped))
+
+    renamed = bytearray(z)
+    renamed[30] = ord("g")  # local header name only
+    with _pt.raises(ValueError, match="name mismatch"):
+        parse_zip(bytes(renamed))
+
+    # corrupt the central count: EOCD total-entries field -> 2
+    eocd = bytes(z).rfind(b"PK\x05\x06")
+    counted = bytearray(z)
+    struct.pack_into("<HH", counted, eocd + 8, 2, 2)
+    with _pt.raises(ValueError, match="bad central directory"):
+        parse_zip(bytes(counted))
+
+    # flags: encrypted / data descriptor (patch central entry flags)
+    cdir = bytes(z).find(b"PK\x01\x02")
+    for flag, msg in ((0x1, "encrypted"), (0x8, "data descriptors")):
+        patched = bytearray(z)
+        struct.pack_into("<H", patched, cdir + 8, flag)
+        with _pt.raises(NotImplementedError, match=msg):
+            parse_zip(bytes(patched))
+    patched = bytearray(z)
+    struct.pack_into("<H", patched, cdir + 10, 9)  # method 9 (deflate64)
+    with _pt.raises(NotImplementedError, match="method 9"):
+        parse_zip(bytes(patched))
+
+
+def test_wiki_dump_parse_and_rejects():
+    """Export-XML walk: entity-escaped titles/text roundtrip, redirect
+    attribute extraction, multi-page walks; malformed dumps (missing
+    root, unclosed page/revision/text, missing title, non-integer ns,
+    unknown entity) raise ValueError."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.wikidump import (
+        encode_wiki_dump,
+        parse_wiki_dump,
+    )
+
+    pages = [
+        {"title": "A & B <x>", "ns": 0, "id": 1,
+         "text": 'body with "quotes" & <tags>'},
+        {"title": "R", "ns": 4, "id": 2, "redirect": "A & B <x>",
+         "text": "#REDIRECT [[A]]"},
+    ]
+    got = parse_wiki_dump(encode_wiki_dump(pages))
+    assert [p["title"] for p in got] == ["A & B <x>", "R"]
+    assert got[0]["text"] == pages[0]["text"]
+    assert got[0]["redirect"] is None
+    assert got[1]["redirect"] == "A & B <x>"
+    assert got[1]["ns"] == 4
+
+    ok = encode_wiki_dump(pages[:1])
+    cases = [
+        ("no root at all", "missing <mediawiki>"),
+        (ok.replace("</mediawiki>", ""), "unclosed <mediawiki>"),
+        (ok.replace("</page>", ""), "unclosed <page>"),
+        (ok.replace("<title>", "<notitle>").replace("</title>", "</notitle>"),
+         "missing title/ns/id"),
+        (ok.replace("<ns>0</ns>", "<ns>zero</ns>"), "non-integer <ns>"),
+        (ok.replace("</revision>", ""), "unclosed <revision>"),
+        (ok.replace("&amp;", "&bogus;"), "unknown XML entity"),
+    ]
+    for xml, msg in cases:
+        with _pt.raises(ValueError, match=msg):
+            parse_wiki_dump(xml)
+
+
+def test_strip_wikitext_branches():
+    """Every strip rule: refs (paired + self-closing), templates,
+    plain and piped links, headings, bold, italic, redirect."""
+    from dynamodb_to_datalake_project_spark.llm.wikidump import (
+        strip_wikitext,
+    )
+
+    d = strip_wikitext(
+        "== Top ==\n"
+        "See [[plain]] and [[Target|piped]] text<ref>cite</ref> "
+        "with {{tmpl|arg}}word '''bold''' and ''ital''<ref name=x/> end"
+    )
+    assert d["text"] == (
+        "Top\nSee plain and piped text with word bold and ital end"
+    )
+    assert (d["links"], d["templates"], d["refs"]) == (2, 1, 2)
+    assert (d["bold"], d["italic"], d["headings"]) == (1, 1, 1)
+    r = strip_wikitext("#REDIRECT [[Elsewhere]]")
+    assert r["redirect"] == 1 and r["text"] == ""
+
+
+def test_warc_to_wet_conversion():
+    """WET product: 200/text-html responses become text/plain
+    conversion records with WARC-Refers-To; decoys (404, text/plain)
+    yield none; an empty WARC yields just the warcinfo record."""
+    from dynamodb_to_datalake_project_spark.llm.warc import (
+        encode_http_response,
+        encode_warc,
+        iter_warc_records,
+    )
+    from dynamodb_to_datalake_project_spark.llm.web import (
+        synth_html,
+        warc_to_wet,
+    )
+
+    text = "alpha beta gamma delta " * 8
+    page = synth_html(3, text, "web").encode("utf-8")
+    raw = encode_warc(
+        [
+            {"type": "warcinfo", "block": b"software: t\r\n"},
+            {"type": "response", "uri": "https://a.example/p",
+             "block": encode_http_response(200, "text/html", page)},
+            {"type": "response", "uri": "https://a.example/404",
+             "block": encode_http_response(404, "text/html", b"x")},
+        ]
+    )
+    wet = warc_to_wet(raw)
+    recs = list(iter_warc_records(wet))
+    convs = [r for r in recs if r[0].get("warc-type") == "conversion"]
+    assert len(recs) == 2 and len(convs) == 1
+    headers, block = convs[0]
+    assert headers["content-type"] == "text/plain"
+    assert headers["warc-target-uri"] == "https://a.example/p"
+    assert "urn:uuid" in headers["warc-refers-to"]
+    assert block.decode("utf-8") == text
+
+    empty = warc_to_wet(encode_warc(
+        [{"type": "warcinfo", "block": b"software: t\r\n"}]
+    ))
+    assert len(list(iter_warc_records(empty))) == 1
+
+
+def test_bitext_mine_planted(spark):
+    """Margin mining on hand-built vectors: a planted identical pair
+    is mutual-best with a high margin; a hub vector close to
+    everything is suppressed by the top-k normalization; non-mutual
+    bests never surface."""
+    from dynamodb_to_datalake_project_spark.llm.similarity import (
+        bitext_mine,
+    )
+
+    # src 1 == tgt 10 (planted); src 2 near-orthogonal to everything;
+    # tgt 11/12 are decoys correlated with BOTH src vectors (hubs get
+    # normalized away by the top-k divisor)
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, v array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.5, 0.5, 0.1, 0.0]),
+            (12, [0.4, 0.6, 0.0, 0.1]),
+        ],
+        "vec_id long, v array<double>",
+    )
+    got = bitext_mine(src, tgt, k=2, threshold_ppm=1_050_000).collect()
+    rows = {(r.src_id, r.tgt_id): r for r in got}
+    assert (1, 10) in rows
+    r = rows[(1, 10)]
+    assert r.cos_ppm == 1_000_000
+    assert r.margin_ppm > 1_050_000
+    # src 2's best (tgt 12, cos .8) is mutual too but margin-weak vs
+    # its own top-2 sum — verify anything else surfacing passed the
+    # threshold honestly
+    for key, row in rows.items():
+        assert row.margin_ppm > 1_050_000
+
+
+def test_extract_html_tables_branches():
+    """Table lift: header detection (all-th first row), attribute
+    noise ignored, entity decode, multiple tables; nested tables and
+    colspan/rowspan raise NotImplementedError; ragged and cell-less
+    rows raise ValueError."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.web import (
+        extract_html_tables,
+    )
+
+    html = (
+        "<p>x</p><table id=t1><tr><th>a</th><th>b</th></tr>"
+        "<tr><td>1 &amp; 2</td><td align=r>2</td></tr></table>"
+        "<table><tr><td>only</td></tr></table>"
+    )
+    t1, t2 = extract_html_tables(html)
+    assert t1["header"] == ["a", "b"]
+    assert t1["rows"] == [["1 & 2", "2"]]
+    assert (t1["n_rows"], t1["n_cols"]) == (1, 2)
+    assert t2["header"] is None and t2["rows"] == [["only"]]
+
+    with _pt.raises(NotImplementedError, match="nested"):
+        extract_html_tables(
+            "<table><tr><td><table><tr><td>x</td></tr></table>"
+            "</td></tr></table>"
+        )
+    with _pt.raises(NotImplementedError, match="colspan"):
+        extract_html_tables(
+            '<table><tr><td colspan="2">x</td></tr></table>'
+        )
+    with _pt.raises(ValueError, match="ragged"):
+        extract_html_tables(
+            "<table><tr><td>a</td></tr><tr><td>b</td><td>c</td></tr></table>"
+        )
+    with _pt.raises(ValueError, match="no th/td"):
+        extract_html_tables("<table><tr>bare</tr></table>")

@@ -17,6 +17,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = "/root/testdata/sf0.01"
 
 NOTES = {
+    "sft_preference_pairs": "DPO schema gate: one ArrowEvalPython map stage over doc_id+text — zero exchanges beyond the input spread",
+    "multimodal_image_dhash": "real BMP encode→decode→dHash/aHash in ONE Arrow stage; signature table is 5 longs/image",
+    "multimodal_image_neardup": "banded LSH over dHash: posexplode 8 bands → bucket equi-join (never all-pairs) → bit_count(xor) verify",
+    "multimodal_zip_stats": "EOCD-driven ZIP walk + inflate + CRC verify in ONE Arrow map stage — shard-count parallelism, no shuffle",
+    "wiki_dump_extract": "export-XML parse + wikitext strip in ONE Arrow map stage; md5-pinned byte-exact recovery",
+    "web_wet_conversion": "WARC→WET in ONE Arrow map stage: walk, dechunk, extract, re-emit conversion records",
+    "sim_bitext_margin": "broadcast cross-cosine → 2-exchange window pipeline (src rank+sum share one, tgt the other) → integer margin",
+    "web_table_extract": "table lift in ONE Arrow map stage; md5-pinned full cell grid",
+    "doc_markdown_strip": "markdown strip in one Arrow map stage; byte-exact recovery pinned by md5",
+    "dataset_mix_temperature": "bounded-key lang agg + ONE broadcast scalar cross-join; integer-exact temperature mix",
     "q1_pricing_summary": "single scan → partial+final hash agg; shipdate filter pushed to parquet; decimal sums for oracle determinism",
     "q3_shipping_priority": "selective filters below both joins; top-10 via TakeOrderedAndProject (no global sort)",
     "q10_returned_items": "broadcast nation; returnflag + date filters pushed; top-20 heap",
