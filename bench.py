@@ -185,6 +185,9 @@ HEADLINE = [
     "web_wet_conversion",
     "sim_bitext_margin",
     "web_table_extract",
+    "multimodal_audio_fingerprint",
+    "multimodal_audio_neardup",
+    "multimodal_video_scenecut",
 ]
 
 

@@ -122,33 +122,41 @@ def image_hashes(
     ).mapInPandas(op, IMAGE_HASH_SCHEMA)
 
 
-def image_neardup_pairs(
-    hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 4
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hi_col: str = "dhash_hi",
+    lo_col: str = "dhash_lo",
+    max_hamming: int = 4,
 ) -> DataFrame:
-    """Banded near-dup join over dHash signatures: the 64-bit hash
-    splits into 8 bands of 8 bits; candidate pairs share (band_idx,
-    band_value); verification is `bit_count(xor)` on the JVM. By
-    pigeonhole any pair within Hamming 7 shares a band, so recall is
-    EXACT for max_hamming ≤ 7 — no all-pairs product anywhere, and
-    bucket sizes are bounded by how many images genuinely collide on
-    8 bits of gradient structure (the LSH argument, pixel edition).
+    """Banded near-dup join over ANY 64-bit (hi32, lo32) signature
+    column pair — shared by the image dHash and the audio energy
+    fingerprint: the hash splits into 8 bands of 8 bits; candidate
+    pairs share (band_idx, band_value); verification is
+    `bit_count(xor)` on the JVM. By pigeonhole any pair within
+    Hamming 7 shares a band, so recall is EXACT for max_hamming ≤ 7 —
+    no all-pairs product anywhere, and bucket sizes are bounded by
+    how many signatures genuinely collide on 8 structure bits (the
+    LSH argument).
 
-    Input: (id, dhash_hi, dhash_lo). Output: (doc_a, doc_b, hamming)
-    with doc_a < doc_b, hamming ≤ max_hamming."""
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b, hamming ≤
+    max_hamming."""
     if not 0 <= max_hamming <= 7:
         raise ValueError("max_hamming must be in [0, 7] for 8-band recall")
     bands = F.array(
         *[
-            F.expr(f"shiftrightunsigned(dhash_hi, {8 * (3 - k)}) & 255")
+            F.expr(f"shiftrightunsigned({hi_col}, {8 * (3 - k)}) & 255")
             for k in range(4)
         ],
         *[
-            F.expr(f"shiftrightunsigned(dhash_lo, {8 * (7 - k)}) & 255")
+            F.expr(f"shiftrightunsigned({lo_col}, {8 * (7 - k)}) & 255")
             for k in range(4, 8)
         ],
     )
     sig = hashes.select(
-        F.col(id_col).alias("id"), "dhash_hi", "dhash_lo",
+        F.col(id_col).alias("id"),
+        F.col(hi_col).alias("sig_hi"),
+        F.col(lo_col).alias("sig_lo"),
         F.posexplode(bands).alias("band_idx", "band_val"),
     )
     a, b = sig.alias("a"), sig.alias("b")
@@ -163,14 +171,25 @@ def image_neardup_pairs(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
             F.expr(
-                "bit_count(a.dhash_hi ^ b.dhash_hi)"
-                " + bit_count(a.dhash_lo ^ b.dhash_lo)"
+                "bit_count(a.sig_hi ^ b.sig_hi)"
+                " + bit_count(a.sig_lo ^ b.sig_lo)"
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
     return pairs
+
+
+def image_neardup_pairs(
+    hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 4
+) -> DataFrame:
+    """dHash near-dup join — `banded_hamming_pairs` over the image
+    signature table (see that function for the scale argument)."""
+    return banded_hamming_pairs(
+        hashes, id_col=id_col, hi_col="dhash_hi", lo_col="dhash_lo",
+        max_hamming=max_hamming,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -7002,3 +7002,126 @@ def q_multimodal_webdataset_stats(spark, sf_dir):
     walk, and the grouping end to end."""
     docs = load_table(spark, sf_dir, "documents")
     return webdataset_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut detection — the shot-boundary pass a video curation
+# pipeline runs before sampling frames: consecutive-frame difference
+# energy, cut where it jumps. Integer-exact over the REAL AVI/MJPEG
+# decode (flat frames at q95 decode bit-identically), so the oracle
+# replays every diff.
+# ---------------------------------------------------------------------------
+
+SCENECUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_cuts", T.LongType()),
+        T.StructField("first_cut", T.LongType()),
+        T.StructField("sum_diff", T.LongType()),
+        T.StructField("max_diff", T.LongType()),
+    ]
+)
+
+
+def detect_scene_cuts(frames: "list", threshold: int = 30) -> dict:
+    """Shot boundaries from decoded frames: per consecutive pair, the
+    mean absolute pixel difference summed over channels (integer —
+    the per-pixel sum is always divisible by the pixel count on flat
+    frames, and near-exact otherwise via floor); a cut fires where
+    the diff exceeds `threshold`. Returns cut indices + diff stats."""
+    import numpy as np
+
+    diffs: "list[int]" = []
+    for a, b in zip(frames, frames[1:]):
+        d = np.abs(a.astype(np.int64) - b.astype(np.int64)).sum()
+        diffs.append(int(d) // (a.shape[0] * a.shape[1]))
+    cuts = [i + 1 for i, d in enumerate(diffs) if d > threshold]
+    return {
+        "cuts": cuts,
+        "sum_diff": sum(diffs),
+        "max_diff": max(diffs, default=0),
+    }
+
+
+def video_scenecut_stats(docs: DataFrame, threshold: int = 30) -> DataFrame:
+    """Per doc: a (12 + id%5)-frame MJPEG video built from flat scenes
+    of length 3 + id%3 (±1 luma jitter inside a scene, ≥58-point color
+    jumps at scene boundaries), decoded for real and scanned for
+    cuts."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in SCENECUT_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nf, scene_len = 12 + did % 5, 3 + did % 3
+                frames = []
+                for f in range(nf):
+                    s, k = divmod(f, scene_len)
+                    col = np.array(
+                        [
+                            (did * 31 + s * 59) % 180 + 20 + k % 2,
+                            (did * 37 + s * 61) % 180 + 20 + k % 2,
+                            (did * 29 + s * 67) % 180 + 20 + k % 2,
+                        ],
+                        dtype=np.uint8,
+                    )
+                    frames.append(np.broadcast_to(col, (8, 8, 3)).copy())
+                payload = encode_avi_mjpeg(frames, 8, 8, quality=95)
+                d = decode_avi_frames(payload, every=1)
+                sc = detect_scene_cuts(d["frames"], threshold=threshold)
+                out["doc_id"].append(did)
+                out["n_frames"].append(d["n_frames"])
+                out["n_cuts"].append(len(sc["cuts"]))
+                out["first_cut"].append(sc["cuts"][0] if sc["cuts"] else None)
+                out["sum_diff"].append(sc["sum_diff"])
+                out["max_diff"].append(sc["max_diff"])
+        yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id").repartition(par).mapInPandas(op, SCENECUT_SCHEMA)
+    )
+
+
+@query(
+    "multimodal_video_scenecut",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, 12 + doc_id % 5 AS nf, 3 + doc_id % 3 AS L
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, u.f,
+             (doc_id*31 + (u.f // L)*59) % 180 + 20 + (u.f % L) % 2 AS r,
+             (doc_id*37 + (u.f // L)*61) % 180 + 20 + (u.f % L) % 2 AS g,
+             (doc_id*29 + (u.f // L)*67) % 180 + 20 + (u.f % L) % 2 AS b
+      FROM t, LATERAL (SELECT unnest(range(0, nf)) AS f) u
+    ), d AS (
+      SELECT doc_id, f,
+             abs(r - lag(r) OVER w) + abs(g - lag(g) OVER w)
+             + abs(b - lag(b) OVER w) AS diff
+      FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) FILTER (diff > 30) AS BIGINT) AS n_cuts,
+           CAST(MIN(f) FILTER (diff > 30) AS BIGINT) AS first_cut,
+           CAST(COALESCE(SUM(diff), 0) AS BIGINT) AS sum_diff,
+           CAST(COALESCE(MAX(diff), 0) AS BIGINT) AS max_diff
+    FROM d GROUP BY doc_id
+    """,
+)
+def q_multimodal_video_scenecut(spark, sf_dir):
+    """Shot-boundary detection over the documents table: every doc
+    becomes a 12-16 frame MJPEG video of flat scenes (length 3 + id%3)
+    with ±1 in-scene jitter and ≥58-point jumps at boundaries —
+    decoded frame-by-frame with the zero-dep T.81 codec, diffed, and
+    thresholded at 30. The margin (3 vs 58) makes every boundary
+    decision unambiguous, and q95 flat frames decode bit-exactly, so
+    the oracle replays every diff, the cut census, the first cut
+    position, and the exact diff sums from the color formula alone."""
+    docs = load_table(spark, sf_dir, "documents")
+    return video_scenecut_stats(docs)

@@ -3901,3 +3901,52 @@ def test_extract_html_tables_branches():
         )
     with _pt.raises(ValueError, match="no th/td"):
         extract_html_tables("<table><tr>bare</tr></table>")
+
+
+def test_audio_energy_fingerprint():
+    """Envelope hash: a strictly loudening staircase (energy rises
+    every frame) sets all 64 bits; reversing it clears them; too-short
+    signals raise; a one-frame bump moves only the adjacent bits."""
+    import numpy as np
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.audiofp import (
+        audio_energy_fingerprint,
+    )
+
+    up = np.repeat(np.arange(1, 66, dtype=np.int64) * 10, 10)
+    assert audio_energy_fingerprint(up) == (0xFFFFFFFF, 0xFFFFFFFF)
+    assert audio_energy_fingerprint(up[::-1]) == (0, 0)
+    with _pt.raises(ValueError, match="need"):
+        audio_energy_fingerprint(np.arange(10))
+
+    from dynamodb_to_datalake_project_spark.llm.audiofp import (
+        _fixture_samples,
+    )
+
+    h0 = audio_energy_fingerprint(_fixture_samples(0))
+    h1 = audio_energy_fingerprint(_fixture_samples(1))
+    h4 = audio_energy_fingerprint(_fixture_samples(4))
+    ham = lambda a, b: bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")  # noqa: E731
+    assert ham(h0, h1) <= 2
+    assert ham(h0, h4) > 7
+
+
+def test_detect_scene_cuts():
+    """Cut scan on hand-built frames: identical frames yield no cuts,
+    a hard color jump fires exactly one at the right index, jitter
+    below threshold stays quiet, diffs are integer-exact."""
+    import numpy as np
+
+    from dynamodb_to_datalake_project_spark.llm.multimodal import (
+        detect_scene_cuts,
+    )
+
+    flat = lambda v: np.full((8, 8, 3), v, dtype=np.uint8)  # noqa: E731
+    d = detect_scene_cuts([flat(100), flat(100), flat(101)])
+    assert d["cuts"] == [] and d["sum_diff"] == 3 and d["max_diff"] == 3
+    d = detect_scene_cuts([flat(100), flat(100), flat(200), flat(200)])
+    assert d["cuts"] == [2] and d["max_diff"] == 300
+    assert detect_scene_cuts([flat(5)]) == {
+        "cuts": [], "sum_diff": 0, "max_diff": 0,
+    }

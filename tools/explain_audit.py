@@ -25,6 +25,9 @@ NOTES = {
     "web_wet_conversion": "WARC→WET in ONE Arrow map stage: walk, dechunk, extract, re-emit conversion records",
     "sim_bitext_margin": "broadcast cross-cosine → 2-exchange window pipeline (src rank+sum share one, tgt the other) → integer margin",
     "web_table_extract": "table lift in ONE Arrow map stage; md5-pinned full cell grid",
+    "multimodal_audio_fingerprint": "real WAV encode→decode→energy-envelope hash in ONE Arrow stage",
+    "multimodal_audio_neardup": "banded LSH over energy fingerprints — same 8-band bucket join as images, never all-pairs",
+    "multimodal_video_scenecut": "AVI demux + per-frame T.81 decode + integer diff scan in ONE Arrow stage",
     "doc_markdown_strip": "markdown strip in one Arrow map stage; byte-exact recovery pinned by md5",
     "dataset_mix_temperature": "bounded-key lang agg + ONE broadcast scalar cross-join; integer-exact temperature mix",
     "q1_pricing_summary": "single scan → partial+final hash agg; shipdate filter pushed to parquet; decimal sums for oracle determinism",
