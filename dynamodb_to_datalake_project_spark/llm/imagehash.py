@@ -128,29 +128,49 @@ def banded_hamming_pairs(
     hi_col: str = "dhash_hi",
     lo_col: str = "dhash_lo",
     max_hamming: int = 4,
+    band_bits: int = 8,
 ) -> DataFrame:
     """Banded near-dup join over ANY 64-bit (hi32, lo32) signature
     column pair — shared by the image dHash and the audio energy
-    fingerprint: the hash splits into 8 bands of 8 bits; candidate
+    fingerprint: the hash splits into 64/band_bits bands; candidate
     pairs share (band_idx, band_value); verification is
     `bit_count(xor)` on the JVM. By pigeonhole any pair within
-    Hamming 7 shares a band, so recall is EXACT for max_hamming ≤ 7 —
-    no all-pairs product anywhere, and bucket sizes are bounded by
-    how many signatures genuinely collide on 8 structure bits (the
-    LSH argument).
+    Hamming (n_bands - 1) shares a band, so recall is EXACT for
+    max_hamming ≤ n_bands - 1 — no all-pairs product anywhere.
+
+    band_bits is the corpus-size dial: 8-bit bands (256 buckets/band,
+    recall to Hamming 7) suit up to ~10⁵ signatures; beyond that the
+    random-collision floor N²·bands/2^band_bits dominates, and 16-bit
+    bands (65 536 buckets, recall to Hamming 3) cut candidates 256×
+    per decade of corpus — the same rows-per-band trade MinHash LSH
+    makes in `llm.dedup`.
 
     Output: (doc_a, doc_b, hamming) with doc_a < doc_b, hamming ≤
     max_hamming."""
-    if not 0 <= max_hamming <= 7:
-        raise ValueError("max_hamming must be in [0, 7] for 8-band recall")
+    if band_bits not in (8, 16):
+        raise ValueError("band_bits must be 8 or 16")
+    n_bands = 64 // band_bits
+    if not 0 <= max_hamming <= n_bands - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, {n_bands - 1}] for "
+            f"{n_bands}-band recall"
+        )
+    mask = (1 << band_bits) - 1
+    half = n_bands // 2
     bands = F.array(
         *[
-            F.expr(f"shiftrightunsigned({hi_col}, {8 * (3 - k)}) & 255")
-            for k in range(4)
+            F.expr(
+                f"shiftrightunsigned({hi_col}, "
+                f"{band_bits * (half - 1 - k)}) & {mask}"
+            )
+            for k in range(half)
         ],
         *[
-            F.expr(f"shiftrightunsigned({lo_col}, {8 * (7 - k)}) & 255")
-            for k in range(4, 8)
+            F.expr(
+                f"shiftrightunsigned({lo_col}, "
+                f"{band_bits * (n_bands - 1 - k)}) & {mask}"
+            )
+            for k in range(half, n_bands)
         ],
     )
     sig = hashes.select(

@@ -3950,3 +3950,28 @@ def test_detect_scene_cuts():
     assert detect_scene_cuts([flat(5)]) == {
         "cuts": [], "sum_diff": 0, "max_diff": 0,
     }
+
+
+def test_banded_hamming_band_widths(spark):
+    """The corpus-size dial: 8-bit bands (recall ≤ 7) and 16-bit
+    bands (recall ≤ 3) find the same close pair; out-of-range
+    max_hamming and bad widths raise."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.imagehash import (
+        banded_hamming_pairs,
+    )
+
+    rows = [
+        (1, 0x12345678, 0x9ABCDEF0),
+        (2, 0x12345678, 0x9ABCDEF3),  # 2 bits off doc 1
+        (3, 0x76543210, 0x0FEDCBA9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dhash_hi long, dhash_lo long")
+    for bb, mh in ((8, 4), (16, 3)):
+        got = banded_hamming_pairs(df, max_hamming=mh, band_bits=bb).collect()
+        assert [(r.doc_a, r.doc_b, r.hamming) for r in got] == [(1, 2, 2)]
+    with _pt.raises(ValueError, match=r"\[0, 3\]"):
+        banded_hamming_pairs(df, max_hamming=4, band_bits=16)
+    with _pt.raises(ValueError, match="band_bits"):
+        banded_hamming_pairs(df, band_bits=32)
