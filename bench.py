@@ -188,6 +188,8 @@ HEADLINE = [
     "multimodal_audio_fingerprint",
     "multimodal_audio_neardup",
     "multimodal_video_scenecut",
+    "lm_kneser_ney_score",
+    "lm_perplexity_buckets",
 ]
 
 

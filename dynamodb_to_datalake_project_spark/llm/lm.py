@@ -345,3 +345,171 @@ def q_source_unigram_kl(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM — the KenLM-family smoothing the
+# CCNet quality pipeline actually ships (add-k above is the teaching
+# baseline; KN's continuation probability is what separates "rare but
+# well-formed" from "malformed" text). Absolute discount D = 3/4.
+# ---------------------------------------------------------------------------
+
+
+def kn_score_docs(docs: DataFrame) -> DataFrame:
+    """Per-doc average negative log-likelihood under an interpolated
+    Kneser-Ney bigram LM trained on the same corpus:
+
+        P_KN(y|x) = (max(c_xy - D, 0) + D·N1+(x·)·P_cont(y)) / c_x
+        P_cont(y) = N1+(·y) / N1+(··),   D = 3/4
+
+    With D = 3/4 the probability is a ratio of INTEGERS multiplied
+    through by 4·N1+(··):
+
+        num = max(4·c_xy - 3, 0)·N1+(··) + 3·N1+(x·)·N1+(·y)
+        den = 4·c_x·N1+(··)
+
+    so every ln() argument is an integer-derived double — bit-
+    identical across engines (the module's float discipline); only
+    the per-doc sum is order-dependent and lands rounded to 6.
+
+    Plan shape matches `lm_score_docs`: ONE corpus pass builds the
+    bigram table; c_x and N1+(x·) are windows over that vocab-bounded
+    table, N1+(·y) one more vocab-bounded agg, N1+(··) a scalar; the
+    finished model localCheckpoints (megabytes) and scoring is one
+    equi-join + per-doc agg. Counts stay inside int64 for any corpus
+    where c_xy·N1+(··) < 2^63 — beyond that, promote to DECIMAL."""
+    from pyspark.sql import Window
+
+    bd = doc_bigrams(docs)
+    gb = (
+        bd.groupBy("bigram")
+        .agg(F.sum("m").alias("c_xy"))
+        .withColumn("x", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("y", F.split(F.col("bigram"), " ").getItem(1))
+    )
+    wx = Window.partitionBy("x")
+    model = (
+        gb.withColumn("c_x", F.sum("c_xy").over(wx))
+        .withColumn("n1p_fx", F.count("*").over(wx))
+        .localCheckpoint(eager=True)
+    )
+    n1p_pw = model.groupBy("y").agg(F.count("*").alias("n1p_pw"))
+    n1p_all = model.agg(F.count("*").alias("n1p_all"))
+    full = (
+        model.join(n1p_pw, "y")
+        .crossJoin(F.broadcast(n1p_all))
+        .select(
+            "bigram",
+            (
+                F.greatest(4 * F.col("c_xy") - 3, F.lit(0))
+                * F.col("n1p_all")
+                + 3 * F.col("n1p_fx") * F.col("n1p_pw")
+            ).alias("num"),
+            (4 * F.col("c_x") * F.col("n1p_all")).alias("den"),
+        )
+    )
+    scored = bd.join(full, "bigram")
+    nll_term = F.col("m") * (F.log(F.col("den")) - F.log(F.col("num")))
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.round(F.sum(nll_term) / F.sum("m"), 6).alias("avg_nll"),
+    )
+
+
+_KN_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), bd AS (
+      SELECT doc_id, bigram, count(*) AS m FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        FROM t WHERE len(tk) >= 2
+      ) GROUP BY doc_id, bigram
+    ), gb AS (
+      SELECT bigram, sum(m) AS c_xy,
+             string_split(bigram, ' ')[1] AS x,
+             string_split(bigram, ' ')[2] AS y
+      FROM bd GROUP BY ALL
+    ), ctx AS (
+      SELECT x, sum(c_xy) AS c_x, count(*) AS n1p_fx FROM gb GROUP BY x
+    ), pw AS (
+      SELECT y, count(*) AS n1p_pw FROM gb GROUP BY y
+    ), tot AS (
+      SELECT count(*) AS n1p_all FROM gb
+    )
+    SELECT bd.doc_id,
+           CAST(sum(bd.m) AS BIGINT) AS n_bigrams,
+           round(sum(bd.m * (ln(4 * ctx.c_x * tot.n1p_all)
+                             - ln(greatest(4 * gb.c_xy - 3, 0) * tot.n1p_all
+                                  + 3 * ctx.n1p_fx * pw.n1p_pw)))
+                 / sum(bd.m), 6) AS avg_nll
+    FROM bd
+    JOIN gb USING (bigram)
+    JOIN ctx ON ctx.x = gb.x
+    JOIN pw ON pw.y = gb.y
+    CROSS JOIN tot
+    GROUP BY bd.doc_id
+    """
+
+
+@query("lm_kneser_ney_score", oracle=_KN_ORACLE)
+def q_lm_kneser_ney_score(spark, sf_dir):
+    """Interpolated Kneser-Ney perplexity scoring of the documents
+    corpus (train + score in one plan) — the production-grade
+    companion to `lm_perplexity_score`: same pipeline shape, KN
+    continuation smoothing, every log argument integer-exact."""
+    return kn_score_docs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing — the published head/middle/tail split:
+# per language, rank documents by LM perplexity and cut into tertiles;
+# "head" trains first, "tail" is usually dropped or down-weighted.
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(docs: DataFrame) -> DataFrame:
+    """Per-language head/middle/tail tertiles over the add-k bigram
+    NLL from `lm_score_docs`. The rank orders on the ROUNDED avg_nll
+    (deterministic across engines) with doc_id tie-break; one extra
+    window over the scored frame — no new corpus pass."""
+    from pyspark.sql import Window
+
+    scored = lm_score_docs(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_nll").asc(), F.col("doc_id").asc()
+    )
+    tert = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "avg_nll",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tert
+        ).alias("bucket"),
+    )
+
+
+@query(
+    "lm_perplexity_buckets",
+    oracle=f"""
+    WITH scored AS (
+      {_LM_ORACLE}
+    )
+    SELECT s.doc_id, d.lang, s.avg_nll,
+           ['head', 'middle', 'tail'][
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.avg_nll ASC, s.doc_id ASC)] AS bucket
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    """,
+)
+def q_lm_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail: per-language perplexity tertiles over
+    the documents corpus. The oracle replays the full LM scoring AND
+    the tertile window — deterministic because the rank key is the
+    6-rounded avg_nll with doc_id tie-break."""
+    return perplexity_buckets(load_table(spark, sf_dir, "documents"))

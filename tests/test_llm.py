@@ -3975,3 +3975,33 @@ def test_banded_hamming_band_widths(spark):
         banded_hamming_pairs(df, max_hamming=4, band_bits=16)
     with _pt.raises(ValueError, match="band_bits"):
         banded_hamming_pairs(df, band_bits=32)
+
+
+def test_kneser_ney_hand_computed(spark):
+    """KN probabilities on a tiny corpus, hand-computed: corpus
+    'a b a b a c' gives bigrams ab:2, ba:2, ac:1; P_KN sums to 1 over
+    each context's followers (the interpolation identity), and the
+    scored avg_nll matches the closed-form."""
+    import math
+
+    from dynamodb_to_datalake_project_spark.llm.lm import kn_score_docs
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a c")], "doc_id long, text string"
+    )
+    got = kn_score_docs(docs).collect()[0]
+    assert got.n_bigrams == 5
+    # model: c_ab=2 c_ba=2 c_ac=1; c_a=3 c_b=2; N1+(a·)=2 N1+(b·)=1
+    # N1+(·a)=1 N1+(·b)=1 N1+(·c)=1; N1+(··)=3; D=3/4
+    def p(c_xy, c_x, nfx, npw):
+        return (max(c_xy - 0.75, 0) + 0.75 * nfx * (npw / 3)) / c_x
+
+    p_ab = p(2, 3, 2, 1)
+    p_ba = p(2, 2, 1, 1)
+    p_ac = p(1, 3, 2, 1)
+    # interpolation identity: P(a|a)+P(b|a)+P(c|a) = 1 (unseen 'a a'
+    # gets pure continuation mass)
+    assert abs(p_ab + p_ac + p(0, 3, 2, 1) - 1.0) < 1e-12
+    expect = -(2 * math.log(p_ab) + 2 * math.log(p_ba)
+               + math.log(p_ac)) / 5
+    assert abs(got.avg_nll - round(expect, 6)) < 2e-6
