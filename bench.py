@@ -190,6 +190,7 @@ HEADLINE = [
     "multimodal_video_scenecut",
     "lm_kneser_ney_score",
     "lm_perplexity_buckets",
+    "gopher_quality_gate",
 ]
 
 

@@ -2104,3 +2104,190 @@ def q_sft_preference_pairs(spark, sf_dir):
     and pins valid rows' content via md5(prompt||chosen||rejected)."""
     docs = load_table(spark, sf_dir, "documents")
     return preference_pair_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A) — the named rule
+# bundle most open pretraining pipelines start from. Pure Catalyst:
+# every ratio test is cross-multiplied to an INTEGER comparison, so
+# the gate is bit-deterministic on any engine.
+# ---------------------------------------------------------------------------
+
+#: the Gopher required-stopword list (rule: a real document contains
+#: at least 2 of these)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule flags (1 = pass) + the overall keep:
+
+      r_wordcount : 50 ≤ n_words ≤ 100 000
+      r_wordlen   : 3 ≤ mean word length ≤ 10   (3n ≤ Σlen ≤ 10n)
+      r_symbol    : words carrying '#'/'...' ≤ 10%  (10s ≤ n)
+      r_bullet    : bullet-started lines ≤ 90%      (10b ≤ 9L)
+      r_ellipsis  : '...'-ended lines ≤ 30%         (10e ≤ 3L)
+      r_alpha     : words with a letter ≥ 80%       (5a ≥ 4n)
+      r_stopword  : ≥ 2 distinct GOPHER_STOPWORDS present
+
+    Words are whitespace tokens (space or newline) with empties
+    dropped; lines split on newline. Map-only column expressions —
+    scan speed at any corpus size."""
+    text = F.col(text_col)
+    words = F.filter(
+        F.split(text, r"[ \n]"), lambda w: w != ""
+    )
+    lines = F.split(text, r"\n")
+    n = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_sym = F.size(
+        F.filter(
+            words,
+            lambda w: w.contains("#") | w.contains("..."),
+        )
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda ln: ln.startswith("- ")))
+    n_ellip = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0).cast("long")  # noqa: E731
+    out = df.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        flag((n >= 50) & (n <= 100_000)).alias("r_wordcount"),
+        flag((sum_len >= 3 * n) & (sum_len <= 10 * n)).alias("r_wordlen"),
+        flag(10 * n_sym <= n).alias("r_symbol"),
+        flag(10 * n_bullet <= 9 * n_lines).alias("r_bullet"),
+        flag(10 * n_ellip <= 3 * n_lines).alias("r_ellipsis"),
+        flag(5 * n_alpha >= 4 * n).alias("r_alpha"),
+        flag(n_stop >= 2).alias("r_stopword"),
+    )
+    rules = [c for c in out.columns if c.startswith("r_")]
+    keep = rules[0]
+    expr = F.col(rules[0])
+    for r in rules[1:]:
+        expr = expr * F.col(r)
+    return out.withColumn("keep", expr.cast("long"))
+
+
+@query(
+    "gopher_quality_gate",
+    oracle="""
+    WITH deco AS (
+      SELECT doc_id, doc_id % 8 AS m,
+        list_transform(
+          CASE WHEN doc_id % 8 = 5
+               THEN string_split(text, ' ')[1:10]
+               ELSE string_split(text, ' ') END,
+          (w, i) -> CASE
+            WHEN doc_id % 8 = 1 AND (i-1) % 5 = 0 AND w <> ''
+              THEN '#' || w
+            WHEN doc_id % 8 = 4 AND (i-1) % 3 = 0 AND w <> ''
+              THEN CAST(doc_id * 7919 + i - 1 AS VARCHAR)
+            ELSE w END) AS ws0
+      FROM documents
+    ), built AS (
+      SELECT doc_id, m,
+        CASE WHEN m = 6 THEN ws0
+             ELSE list_concat(['the', 'of', 'and'], ws0) END AS ws
+      FROM deco
+    ), lined AS (
+      SELECT doc_id, m,
+        list_transform(range(0, (len(ws) + 7) // 8), j ->
+          CASE WHEN m = 2 THEN '- ' ELSE '' END
+          || array_to_string(ws[j*8+1 : j*8+8], ' ')
+          || CASE WHEN m = 3 THEN '...' ELSE '' END) AS lns
+      FROM built
+    ), doc AS (
+      SELECT doc_id, array_to_string(lns, chr(10)) AS text FROM lined
+    ), met AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(text, '[ \n]'), w -> w <> '') AS w,
+        string_split(text, chr(10)) AS l
+      FROM doc
+    ), st AS (
+      SELECT doc_id,
+        len(w) AS n,
+        list_sum(list_transform(w, x -> length(x))) AS sum_len,
+        len(list_filter(w, x -> contains(x, '#')
+                              OR contains(x, '...'))) AS n_sym,
+        len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        len(l) AS n_lines,
+        len(list_filter(l, x -> x LIKE '- %')) AS n_bullet,
+        len(list_filter(l, x -> x LIKE '%...')) AS n_ellip,
+        len(list_intersect(w,
+            ['the','be','to','of','and','that','have','with'])) AS n_stop
+      FROM met
+    )
+    SELECT doc_id,
+      CAST(n AS BIGINT) AS n_words,
+      CAST(CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END AS BIGINT)
+        AS r_wordcount,
+      CAST(CASE WHEN sum_len >= 3*n AND sum_len <= 10*n THEN 1 ELSE 0 END
+        AS BIGINT) AS r_wordlen,
+      CAST(CASE WHEN 10*n_sym <= n THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
+      CAST(CASE WHEN 10*n_bullet <= 9*n_lines THEN 1 ELSE 0 END AS BIGINT)
+        AS r_bullet,
+      CAST(CASE WHEN 10*n_ellip <= 3*n_lines THEN 1 ELSE 0 END AS BIGINT)
+        AS r_ellipsis,
+      CAST(CASE WHEN 5*n_alpha >= 4*n THEN 1 ELSE 0 END AS BIGINT)
+        AS r_alpha,
+      CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stopword,
+      CAST(CASE WHEN n >= 50 AND n <= 100000
+                 AND sum_len >= 3*n AND sum_len <= 10*n
+                 AND 10*n_sym <= n
+                 AND 10*n_bullet <= 9*n_lines
+                 AND 10*n_ellip <= 3*n_lines
+                 AND 5*n_alpha >= 4*n
+                 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM st
+    """,
+)
+def q_gopher_quality_gate(spark, sf_dir):
+    """Gopher rules over synthesized documents: the real text is
+    decorated per doc_id%8 — symbol-prefixed words (1), bullet lines
+    (2), ellipsis lines (3), digit words (4), a 10-word truncation
+    (5), stopword-header withheld (6) — lined at 8 words, stopword
+    header 'the of and' otherwise. Every rule fires on its planted
+    class; both engines evaluate the SAME integer cross-multiplied
+    comparisons, so the flag table hash-matches bit-for-bit. Pure
+    Catalyst on both the synthesis and the gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 8
+    ws0 = F.when(
+        m == 5, F.slice(F.split(F.col("text"), " "), 1, 10)
+    ).otherwise(F.split(F.col("text"), " "))
+    deco = F.transform(
+        ws0,
+        lambda w, i: F.when(
+            (m == 1) & (i % 5 == 0) & (w != ""), F.concat(F.lit("#"), w)
+        )
+        .when(
+            (m == 4) & (i % 3 == 0) & (w != ""),
+            (F.col("doc_id") * 7919 + i).cast("string"),
+        )
+        .otherwise(w),
+    )
+    ws = F.when(m == 6, deco).otherwise(
+        F.concat(F.array(F.lit("the"), F.lit("of"), F.lit("and")), deco)
+    )
+    built = docs.select("doc_id", ws.alias("ws"))
+    lns = F.transform(
+        F.sequence(F.lit(0), F.expr("(size(ws) + 7) div 8 - 1")),
+        lambda j: F.concat(
+            F.when(m == 2, F.lit("- ")).otherwise(F.lit("")),
+            F.array_join(F.slice("ws", j * 8 + 1, 8), " "),
+            F.when(m == 3, F.lit("...")).otherwise(F.lit("")),
+        ),
+    )
+    doc = built.select(
+        "doc_id", F.array_join(lns, "\n").alias("text")
+    )
+    return gopher_rules(doc)

@@ -4005,3 +4005,35 @@ def test_kneser_ney_hand_computed(spark):
     expect = -(2 * math.log(p_ab) + 2 * math.log(p_ba)
                + math.log(p_ac)) / 5
     assert abs(got.avg_nll - round(expect, 6)) < 2e-6
+
+
+def test_gopher_rules_flags(spark):
+    """Each Gopher rule on a crafted doc: a clean 60-word doc with
+    stopwords passes all; symbol/bullet/ellipsis/digit/short/
+    stopword-free variants fail exactly their rule. Plan stays
+    Python-free."""
+    from dynamodb_to_datalake_project_spark.llm.text import gopher_rules
+
+    clean = "the of " + " ".join(f"word{i:02d}" for i in range(58))
+    rows = [
+        (0, clean),
+        (1, "the of " + " ".join("#w%d" % i for i in range(58))),
+        (2, "\n".join("- the of " + " ".join(["wordy"] * 15)
+                      for _ in range(4))),
+        (3, "\n".join("the of " + " ".join(["wordy"] * 15) + "..."
+                      for _ in range(4))),
+        (4, "the of " + " ".join(str(1000 + i) for i in range(58))),
+        (5, "the of tiny doc"),
+        (6, " ".join(f"word{i:02d}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[0].keep == 1
+    assert out[1].r_symbol == 0 and out[1].keep == 0
+    assert out[2].r_bullet == 0
+    assert out[3].r_ellipsis == 0
+    assert out[4].r_alpha == 0
+    assert out[5].r_wordcount == 0
+    assert out[6].r_stopword == 0 and out[6].r_wordcount == 1
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
