@@ -191,6 +191,7 @@ HEADLINE = [
     "lm_kneser_ney_score",
     "lm_perplexity_buckets",
     "gopher_quality_gate",
+    "parquet_footer_audit",
 ]
 
 

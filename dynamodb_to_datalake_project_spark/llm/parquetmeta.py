@@ -1,0 +1,344 @@
+"""Parquet footer metadata parse — lake audit at O(footer) cost.
+
+A 100 TB lake audit ("how many rows, which columns, what codec, are
+the files healthy?") must NOT read data pages; everything it needs
+sits in the Thrift-compact-encoded FileMetaData footer. This module
+hand-rolls the public Thrift Compact Protocol (the parquet-format
+spec's only wire format) and the FileMetaData/SchemaElement/RowGroup/
+ColumnMetaData field maps from the public `parquet.thrift`, with the
+module-family contract: malformed footers raise ValueError
+(quarantine), unknown-but-wellformed fields are skipped by type (the
+Thrift forward-compat rule), and everything runs inside Arrow batches
+over opaque binary cells — no Spark scan of the file's own data.
+
+Cross-validated against real files: the tests parse pyarrow-written
+parquet (including the driver's own /root/testdata fixtures) and
+compare field-for-field with pyarrow's metadata object.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# thrift compact element types
+_CT_STOP = 0
+_CT_TRUE = 1
+_CT_FALSE = 2
+_CT_BYTE = 3
+_CT_I16 = 4
+_CT_I32 = 5
+_CT_I64 = 6
+_CT_DOUBLE = 7
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_SET = 10
+_CT_MAP = 11
+_CT_STRUCT = 12
+
+
+class _Reader:
+    """Cursor over a thrift-compact buffer; every read bounds-checks
+    and raises ValueError on truncation."""
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def byte(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("parquet: truncated thrift (byte)")
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def varint(self) -> int:
+        out = shift = 0
+        while True:
+            b = self.byte()
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+            if shift > 70:
+                raise ValueError("parquet: varint too long")
+
+    def zigzag(self) -> int:
+        v = self.varint()
+        return (v >> 1) ^ -(v & 1)
+
+    def binary(self) -> bytes:
+        n = self.varint()
+        if self.pos + n > len(self.buf):
+            raise ValueError("parquet: truncated thrift (binary)")
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def value(self, ctype: int):
+        """One value of the given compact type (inside a list, or a
+        non-bool struct field)."""
+        if ctype in (_CT_TRUE, _CT_FALSE):
+            return self.byte() == 1  # list-element bools are a byte
+        if ctype == _CT_BYTE:
+            b = self.byte()
+            return b - 256 if b > 127 else b
+        if ctype in (_CT_I16, _CT_I32, _CT_I64):
+            return self.zigzag()
+        if ctype == _CT_DOUBLE:
+            if self.pos + 8 > len(self.buf):
+                raise ValueError("parquet: truncated thrift (double)")
+            (v,) = struct.unpack_from("<d", self.buf, self.pos)
+            self.pos += 8
+            return v
+        if ctype == _CT_BINARY:
+            return self.binary()
+        if ctype == _CT_LIST or ctype == _CT_SET:
+            return self.list_()
+        if ctype == _CT_MAP:
+            return self.map_()
+        if ctype == _CT_STRUCT:
+            return self.struct()
+        raise ValueError(f"parquet: unknown thrift compact type {ctype}")
+
+    def list_(self) -> list:
+        hdr = self.byte()
+        size, etype = hdr >> 4, hdr & 0x0F
+        if size == 15:
+            size = self.varint()
+        return [self.value(etype) for _ in range(size)]
+
+    def map_(self) -> dict:
+        size = self.varint()
+        if size == 0:
+            return {}
+        kv = self.byte()
+        ktype, vtype = kv >> 4, kv & 0x0F
+        return {self.value(ktype): self.value(vtype) for _ in range(size)}
+
+    def struct(self) -> "dict[int, object]":
+        """Generic struct: {field_id: value}; bool fields come from
+        the type nibble itself (compact's bool-in-header rule)."""
+        out: "dict[int, object]" = {}
+        fid = 0
+        while True:
+            hdr = self.byte()
+            if hdr == _CT_STOP:
+                return out
+            delta, ctype = hdr >> 4, hdr & 0x0F
+            fid = fid + delta if delta else self.zigzag()
+            if ctype == _CT_TRUE:
+                out[fid] = True
+            elif ctype == _CT_FALSE:
+                out[fid] = False
+            else:
+                out[fid] = self.value(ctype)
+
+
+_PARQUET_TYPES = {
+    0: "BOOLEAN", 1: "INT32", 2: "INT64", 3: "INT96",
+    4: "FLOAT", 5: "DOUBLE", 6: "BYTE_ARRAY", 7: "FIXED_LEN_BYTE_ARRAY",
+}
+_CODECS = {
+    0: "UNCOMPRESSED", 1: "SNAPPY", 2: "GZIP", 3: "LZO", 4: "BROTLI",
+    5: "LZ4", 6: "ZSTD", 7: "LZ4_RAW",
+}
+_ENCODINGS = {
+    0: "PLAIN", 2: "PLAIN_DICTIONARY", 3: "RLE", 4: "BIT_PACKED",
+    5: "DELTA_BINARY_PACKED", 6: "DELTA_LENGTH_BYTE_ARRAY",
+    7: "DELTA_BYTE_ARRAY", 8: "RLE_DICTIONARY", 9: "BYTE_STREAM_SPLIT",
+}
+
+
+def parse_parquet_footer(payload: bytes) -> dict:
+    """Parse a parquet file's footer: validates both PAR1 magics and
+    the footer length, decodes the Thrift-compact FileMetaData, and
+    returns the audit surface — version, num_rows, created_by, leaf
+    schema (name/type per column), per-row-group row counts and byte
+    sizes, and per-column-chunk codec/encodings/value counts.
+    Data pages are never touched."""
+    n = len(payload)
+    if n < 12 or payload[:4] != b"PAR1" or payload[-4:] != b"PAR1":
+        raise ValueError("parquet: missing PAR1 magic")
+    (flen,) = struct.unpack_from("<I", payload, n - 8)
+    if flen + 12 > n:
+        raise ValueError("parquet: footer length overruns the file")
+    meta = _Reader(payload, n - 8 - flen).struct()
+
+    schema_raw = meta.get(2) or []
+    if not schema_raw:
+        raise ValueError("parquet: FileMetaData has no schema")
+    leaves = []
+    for el in schema_raw[1:]:  # element 0 is the root group
+        if not isinstance(el, dict):
+            raise ValueError("parquet: malformed SchemaElement")
+        if 5 in el and el[5]:  # num_children > 0 => group node
+            continue
+        leaves.append(
+            {
+                "name": el.get(4, b"").decode("utf-8"),
+                "type": _PARQUET_TYPES.get(el.get(1), f"UNKNOWN({el.get(1)})"),
+            }
+        )
+
+    row_groups = []
+    for rg in meta.get(4) or []:
+        cols = []
+        for cc in rg.get(1) or []:
+            md = cc.get(3)
+            if not isinstance(md, dict):
+                raise ValueError("parquet: column chunk missing metadata")
+            cols.append(
+                {
+                    "path": b".".join(md.get(3) or []).decode("utf-8"),
+                    "codec": _CODECS.get(md.get(4), f"UNKNOWN({md.get(4)})"),
+                    "encodings": sorted(
+                        _ENCODINGS.get(e, f"UNKNOWN({e})")
+                        for e in (md.get(2) or [])
+                    ),
+                    "num_values": md.get(5, 0),
+                    "compressed_bytes": md.get(7, 0),
+                    "uncompressed_bytes": md.get(6, 0),
+                }
+            )
+        row_groups.append(
+            {
+                "num_rows": rg.get(3, 0),
+                "total_byte_size": rg.get(2, 0),
+                "columns": cols,
+            }
+        )
+
+    return {
+        "version": meta.get(1),
+        "num_rows": meta.get(3, 0),
+        "created_by": (meta.get(6) or b"").decode("utf-8", "replace"),
+        "columns": leaves,
+        "row_groups": row_groups,
+        "footer_bytes": flen,
+    }
+
+
+def parquet_audit_stats(docs):
+    """Per doc: write a REAL parquet file (pyarrow) holding that doc's
+    words as a two-column table with doc_id%3+1 row groups, then audit
+    it through `parse_parquet_footer` ALONE — row counts, row-group
+    census, leaf schema, and per-chunk value counts all come from the
+    hand-parsed footer and are cross-checked against the known layout
+    in-op."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("num_rows", T.LongType()),
+            T.StructField("n_row_groups", T.LongType()),
+            T.StructField("n_leaf_columns", T.LongType()),
+            T.StructField("schema_sig", T.StringType()),
+            T.StructField("sum_chunk_values", T.LongType()),
+            T.StructField("uncompressed", T.LongType()),
+        ]
+    )
+
+    def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                words = [w for w in text.split(" ") if w]
+                table = pa.table(
+                    {
+                        "idx": pa.array(range(len(words)), pa.int64()),
+                        "word": pa.array(words, pa.string()),
+                    }
+                )
+                buf = io.BytesIO()
+                n_rg = did % 3 + 1
+                rows_per = max(1, -(-len(words) // n_rg))
+                pq.write_table(
+                    table, buf, row_group_size=rows_per,
+                    compression="NONE", use_dictionary=False,
+                )
+                d = parse_parquet_footer(buf.getvalue())
+                assert d["num_rows"] == len(words)
+                assert sum(rg["num_rows"] for rg in d["row_groups"]) == len(
+                    words
+                )
+                uncompressed = all(
+                    c["codec"] == "UNCOMPRESSED"
+                    for rg in d["row_groups"]
+                    for c in rg["columns"]
+                )
+                out["doc_id"].append(did)
+                out["num_rows"].append(d["num_rows"])
+                out["n_row_groups"].append(len(d["row_groups"]))
+                out["n_leaf_columns"].append(len(d["columns"]))
+                out["schema_sig"].append(
+                    ",".join(f"{c['name']}:{c['type']}" for c in d["columns"])
+                )
+                out["sum_chunk_values"].append(
+                    sum(
+                        c["num_values"]
+                        for rg in d["row_groups"]
+                        for c in rg["columns"]
+                    )
+                )
+                out["uncompressed"].append(int(uncompressed))
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text").repartition(par).mapInPandas(op, schema)
+    )
+
+
+def _register() -> None:
+    from dynamodb_to_datalake_project_spark.catalog import query
+    from dynamodb_to_datalake_project_spark.lake import load_table
+
+    @query(
+        "parquet_footer_audit",
+        oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS n,
+                 doc_id % 3 + 1 AS n_rg
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS num_rows,
+               -- pyarrow packs ceil(n / ceil(n / n_rg)) groups
+               CAST((n + ((n + n_rg - 1) // n_rg) - 1)
+                    // ((n + n_rg - 1) // n_rg) AS BIGINT) AS n_row_groups,
+               CAST(2 AS BIGINT) AS n_leaf_columns,
+               'idx:INT64,word:BYTE_ARRAY' AS schema_sig,
+               CAST(2 * n AS BIGINT) AS sum_chunk_values,
+               CAST(1 AS BIGINT) AS uncompressed
+        FROM t
+        """,
+    )
+    def q_parquet_footer_audit(spark, sf_dir):
+        """Parquet lake audit over the documents table: each doc's
+        words become a REAL pyarrow-written parquet file (1-3 row
+        groups, plain encoding), audited by the hand-rolled Thrift-
+        compact footer parse alone — no data page is read. The oracle
+        recomputes row counts, pyarrow's row-group packing arithmetic,
+        the leaf schema signature, and per-chunk value totals from the
+        word-count formula; the in-op asserts cross-check the parse
+        against the known layout, and the unit tests cross-check it
+        field-for-field against pyarrow's own metadata object on the
+        driver's real fixture files."""
+        docs = load_table(spark, sf_dir, "documents")
+        return parquet_audit_stats(docs)
+
+
+_register()

@@ -4037,3 +4037,54 @@ def test_gopher_rules_flags(spark):
     assert out[6].r_stopword == 0 and out[6].r_wordcount == 1
     plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_parquet_footer_vs_pyarrow():
+    """The hand-rolled Thrift-compact footer parse agrees with
+    pyarrow's own metadata object field-for-field on REAL files: the
+    driver's fixture lake (snappy + dictionary encodings) and an
+    in-memory multi-row-group write; corrupt magic/length raise."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        parse_parquet_footer,
+    )
+
+    for path in (
+        "/root/testdata/sf0.001/documents.parquet",
+        "/root/testdata/sf0.001/orders.parquet",
+    ):
+        payload = open(path, "rb").read()
+        d = parse_parquet_footer(payload)
+        m = pq.ParquetFile(path).metadata
+        assert d["num_rows"] == m.num_rows
+        assert len(d["row_groups"]) == m.num_row_groups
+        assert [c["name"] for c in d["columns"]] == list(m.schema.names)
+        assert d["created_by"] == m.created_by
+        for i, rg in enumerate(d["row_groups"]):
+            mrg = m.row_group(i)
+            assert rg["num_rows"] == mrg.num_rows
+            for j, c in enumerate(rg["columns"]):
+                mc = mrg.column(j)
+                assert c["num_values"] == mc.num_values
+                assert c["codec"].lower() == mc.compression.lower()
+                assert c["path"] == mc.path_in_schema
+
+    table = pa.table({"a": list(range(100)), "b": [f"s{i}" for i in range(100)]})
+    buf = io.BytesIO()
+    pq.write_table(table, buf, row_group_size=30, compression="zstd")
+    d = parse_parquet_footer(buf.getvalue())
+    assert len(d["row_groups"]) == 4
+    assert d["row_groups"][-1]["num_rows"] == 10
+    assert d["row_groups"][0]["columns"][0]["codec"] == "ZSTD"
+
+    with _pt.raises(ValueError, match="PAR1"):
+        parse_parquet_footer(b"not parquet at all")
+    good = buf.getvalue()
+    bad = good[:-8] + (2**31 - 1).to_bytes(4, "little") + good[-4:]
+    with _pt.raises(ValueError, match="footer length"):
+        parse_parquet_footer(bad)
