@@ -192,6 +192,7 @@ HEADLINE = [
     "lm_perplexity_buckets",
     "gopher_quality_gate",
     "parquet_footer_audit",
+    "parquet_lake_audit",
 ]
 
 
