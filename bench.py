@@ -193,6 +193,7 @@ HEADLINE = [
     "gopher_quality_gate",
     "parquet_footer_audit",
     "parquet_lake_audit",
+    "parquet_column_scan",
 ]
 
 

@@ -409,3 +409,252 @@ def _register_lake() -> None:
 
 
 _register_lake()
+
+
+# ---------------------------------------------------------------------------
+# Minimal column scan — the footer parse above plus page-header walk,
+# RLE/bit-packed definition levels, and PLAIN decode: a genuine
+# zero-dep parquet READER for the uncompressed/no-dictionary/
+# no-null/flat subset, honestly gated with NotImplementedError
+# everywhere outside it. Exists to prove the format work end to end
+# (and to audit values in quarantined files no engine will open).
+# ---------------------------------------------------------------------------
+
+
+def _decode_rle_bitpacked(buf: bytes, bit_width: int, n: int) -> "list[int]":
+    """Parquet's RLE/bit-packed hybrid (levels encoding): varint run
+    headers — LSB 0 = RLE (count, single value in ceil(bw/8) bytes),
+    LSB 1 = bit-packed (count*8 values, LSB-first within each byte).
+    Returns exactly n values; raises on truncation."""
+    r = _Reader(buf)
+    out: "list[int]" = []
+    vbytes = (bit_width + 7) // 8
+    while len(out) < n:
+        hdr = r.varint()
+        if hdr & 1 == 0:  # RLE run
+            count = hdr >> 1
+            v = int.from_bytes(
+                buf[r.pos : r.pos + vbytes], "little"
+            )
+            if r.pos + vbytes > len(buf):
+                raise ValueError("parquet: truncated RLE run")
+            r.pos += vbytes
+            out.extend([v] * count)
+        else:  # bit-packed groups of 8
+            groups = hdr >> 1
+            nbytes = groups * bit_width
+            if r.pos + nbytes > len(buf):
+                raise ValueError("parquet: truncated bit-packed run")
+            bits = int.from_bytes(buf[r.pos : r.pos + nbytes], "little")
+            r.pos += nbytes
+            mask = (1 << bit_width) - 1
+            for i in range(groups * 8):
+                out.append((bits >> (i * bit_width)) & mask)
+    return out[:n]
+
+
+def read_parquet_column(payload: bytes, column: str) -> list:
+    """Read every value of one flat column from a parquet payload
+    with the zero-dep page walk. Supported subset (everything else
+    raises NotImplementedError): UNCOMPRESSED codec, PLAIN encoding
+    (no dictionary page), INT32/INT64/DOUBLE/BYTE_ARRAY physical
+    types, REQUIRED or no-null OPTIONAL columns, v1 data pages.
+    Returns ints/floats/bytes per type."""
+    meta = parse_parquet_footer(payload)
+    raw = _Reader(payload, len(payload) - 8
+                  - struct.unpack_from("<I", payload, len(payload) - 8)[0]
+                  ).struct()
+    # locate the schema element for repetition info
+    rep_by_name: "dict[str, int]" = {}
+    type_by_name: "dict[str, int]" = {}
+    for el in (raw.get(2) or [])[1:]:
+        if isinstance(el, dict) and not el.get(5):
+            nm = el.get(4, b"").decode("utf-8")
+            rep_by_name[nm] = el.get(3, 0)
+            type_by_name[nm] = el.get(1)
+    if column not in rep_by_name:
+        raise ValueError(f"parquet: no leaf column {column!r}")
+    rep = rep_by_name[column]
+    if rep == 2:
+        raise NotImplementedError("parquet: repeated columns not implemented")
+    ptype = type_by_name[column]
+    if ptype not in (1, 2, 5, 6):
+        raise NotImplementedError(
+            f"parquet: physical type {_PARQUET_TYPES.get(ptype)} "
+            "not implemented"
+        )
+
+    values: list = []
+    for rg in raw.get(4) or []:
+        for cc in rg.get(1) or []:
+            md = cc.get(3)
+            if b".".join(md.get(3) or []).decode("utf-8") != column:
+                continue
+            if md.get(4, 0) != 0:
+                raise NotImplementedError(
+                    "parquet: only UNCOMPRESSED column scan implemented"
+                )
+            if md.get(11) is not None:
+                raise NotImplementedError(
+                    "parquet: dictionary-encoded chunks not implemented"
+                )
+            off = md.get(9)
+            want = md.get(5, 0)
+            got = 0
+            while got < want:
+                r = _Reader(payload, off)
+                ph = r.struct()
+                if ph.get(1) != 0:
+                    raise NotImplementedError(
+                        f"parquet: page type {ph.get(1)} not implemented"
+                    )
+                size = ph.get(3)
+                dph = ph.get(5) or {}
+                n = dph.get(1, 0)
+                if dph.get(2, 0) != 0:
+                    raise NotImplementedError(
+                        "parquet: non-PLAIN page encoding not implemented"
+                    )
+                data = payload[r.pos : r.pos + size]
+                if len(data) != size:
+                    raise ValueError("parquet: truncated data page")
+                at = 0
+                if rep == 1:  # optional: def levels, bit width 1
+                    (dlen,) = struct.unpack_from("<I", data, 0)
+                    defs = _decode_rle_bitpacked(
+                        data[4 : 4 + dlen], 1, n
+                    )
+                    if any(d == 0 for d in defs):
+                        raise NotImplementedError(
+                            "parquet: null values not implemented"
+                        )
+                    at = 4 + dlen
+                if ptype == 2:
+                    values.extend(
+                        struct.unpack_from(f"<{n}q", data, at)
+                    )
+                elif ptype == 1:
+                    values.extend(
+                        struct.unpack_from(f"<{n}i", data, at)
+                    )
+                elif ptype == 5:
+                    values.extend(
+                        struct.unpack_from(f"<{n}d", data, at)
+                    )
+                else:  # BYTE_ARRAY: 4-byte length + bytes, repeated
+                    for _ in range(n):
+                        (ln,) = struct.unpack_from("<I", data, at)
+                        at += 4
+                        if at + ln > len(data):
+                            raise ValueError(
+                                "parquet: BYTE_ARRAY overruns the page"
+                            )
+                        values.append(data[at : at + ln])
+                        at += ln
+                got += n
+                off = r.pos + size
+    if len(values) != meta["num_rows"]:
+        raise ValueError(
+            f"parquet: column {column!r} yielded {len(values)} values "
+            f"for {meta['num_rows']} rows"
+        )
+    return values
+
+
+def parquet_scan_stats(docs):
+    """Per doc: the audit fixture's parquet file read BACK through the
+    zero-dep column scan — integer sums over idx, byte totals and md5
+    over the word column. The in-op assert proves value-level equality
+    with the source lists."""
+    import hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_values", T.LongType()),
+            T.StructField("sum_idx", T.LongType()),
+            T.StructField("word_bytes", T.LongType()),
+            T.StructField("words_md5", T.StringType()),
+        ]
+    )
+
+    def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                words = [w for w in text.split(" ") if w]
+                table = pa.table(
+                    {
+                        "idx": pa.array(range(len(words)), pa.int64()),
+                        "word": pa.array(words, pa.string()),
+                    }
+                )
+                buf = io.BytesIO()
+                pq.write_table(
+                    table, buf, compression="NONE", use_dictionary=False,
+                    row_group_size=max(1, -(-len(words) // (did % 3 + 1))),
+                )
+                payload = buf.getvalue()
+                idx = read_parquet_column(payload, "idx")
+                ws = read_parquet_column(payload, "word")
+                assert idx == list(range(len(words)))
+                assert [w.decode() for w in ws] == words
+                joined = b" ".join(ws)
+                out["doc_id"].append(did)
+                out["n_values"].append(len(idx))
+                out["sum_idx"].append(sum(idx))
+                out["word_bytes"].append(sum(len(w) for w in ws))
+                out["words_md5"].append(hashlib.md5(joined).hexdigest())
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text").repartition(par).mapInPandas(op, schema)
+    )
+
+
+def _register_scan() -> None:
+    from dynamodb_to_datalake_project_spark.catalog import query
+    from dynamodb_to_datalake_project_spark.lake import load_table
+
+    @query(
+        "parquet_column_scan",
+        oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS w
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_values,
+               CAST(len(w) * (len(w) - 1) // 2 AS BIGINT) AS sum_idx,
+               CAST(list_sum(list_transform(w, x -> length(x)))
+                 AS BIGINT) AS word_bytes,
+               md5(array_to_string(w, ' ')) AS words_md5
+        FROM t
+        """,
+    )
+    def q_parquet_column_scan(spark, sf_dir):
+        """Zero-dep parquet VALUE read: each doc's words become a real
+        pyarrow file (uncompressed, plain, multi row group), read back
+        column-by-column through the hand-rolled page walk — page
+        headers, RLE def levels, PLAIN INT64 and BYTE_ARRAY decode.
+        The oracle pins the recovered values (index sum, byte totals,
+        md5 of the re-joined words) from the word formula; the in-op
+        asserts prove element-level equality with the source."""
+        docs = load_table(spark, sf_dir, "documents")
+        return parquet_scan_stats(docs)
+
+
+_register_scan()

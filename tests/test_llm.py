@@ -4088,3 +4088,50 @@ def test_parquet_footer_vs_pyarrow():
     bad = good[:-8] + (2**31 - 1).to_bytes(4, "little") + good[-4:]
     with _pt.raises(ValueError, match="footer length"):
         parse_parquet_footer(bad)
+
+
+def test_parquet_column_scan_subset():
+    """Zero-dep value read: int64/double/byte_array roundtrip across
+    multiple row groups; unsupported shapes raise NotImplementedError
+    (snappy codec, dictionary encoding, nulls) and a missing column
+    raises ValueError."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        read_parquet_column,
+    )
+
+    t = pa.table(
+        {
+            "a": pa.array(range(500), pa.int64()),
+            "s": pa.array([f"w{i}" for i in range(500)], pa.string()),
+            "d": pa.array([i / 4 for i in range(500)], pa.float64()),
+        }
+    )
+
+    def wr(**kw):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, **kw)
+        return buf.getvalue()
+
+    plain = wr(compression="NONE", use_dictionary=False, row_group_size=123)
+    assert read_parquet_column(plain, "a") == list(range(500))
+    assert read_parquet_column(plain, "s")[499] == b"w499"
+    assert read_parquet_column(plain, "d")[8] == 2.0
+    with _pt.raises(ValueError, match="no leaf column"):
+        read_parquet_column(plain, "zz")
+    with _pt.raises(NotImplementedError, match="UNCOMPRESSED"):
+        read_parquet_column(
+            wr(compression="snappy", use_dictionary=False), "a"
+        )
+    with _pt.raises(NotImplementedError, match="dictionary"):
+        read_parquet_column(wr(compression="NONE"), "a")
+    tn = pa.table({"a": pa.array([1, None, 3], pa.int64())})
+    buf = io.BytesIO()
+    pq.write_table(tn, buf, compression="NONE", use_dictionary=False)
+    with _pt.raises(NotImplementedError, match="null"):
+        read_parquet_column(buf.getvalue(), "a")
