@@ -194,6 +194,7 @@ HEADLINE = [
     "parquet_footer_audit",
     "parquet_lake_audit",
     "parquet_column_scan",
+    "parquet_lake_value_scan",
 ]
 
 

@@ -658,3 +658,289 @@ def _register_scan() -> None:
 
 
 _register_scan()
+
+
+# ---------------------------------------------------------------------------
+# Snappy block decompression + dictionary pages — the two features
+# between the scan above and REAL lake files (parquet-cpp writes
+# snappy + RLE_DICTIONARY by default). Both from the public specs:
+# google/snappy format_description.txt and parquet-format Encodings.
+# ---------------------------------------------------------------------------
+
+
+def snappy_decompress(buf: bytes) -> bytes:
+    """Pure-Python snappy block decode: varint uncompressed length,
+    then literal (tag&3==0) and copy (1/2/4-byte offset) elements.
+    Overlapping copies append byte-by-byte as the format requires.
+    Raises ValueError on malformed streams (truncation, zero/OOB
+    offsets, length mismatch)."""
+    r = _Reader(buf)
+    want = r.varint()
+    out = bytearray()
+    while r.pos < len(buf):
+        tag = r.byte()
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                ln = int.from_bytes(buf[r.pos : r.pos + nb], "little")
+                if r.pos + nb > len(buf):
+                    raise ValueError("snappy: truncated literal length")
+                r.pos += nb
+            ln += 1
+            if r.pos + ln > len(buf):
+                raise ValueError("snappy: truncated literal")
+            out += buf[r.pos : r.pos + ln]
+            r.pos += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | r.byte()
+        elif kind == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(buf[r.pos : r.pos + 2], "little")
+            if r.pos + 2 > len(buf):
+                raise ValueError("snappy: truncated copy offset")
+            r.pos += 2
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(buf[r.pos : r.pos + 4], "little")
+            if r.pos + 4 > len(buf):
+                raise ValueError("snappy: truncated copy offset")
+            r.pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: copy offset out of range")
+        for _ in range(ln):  # overlapping copies are the RLE idiom
+            out.append(out[-off])
+    if len(out) != want:
+        raise ValueError(
+            f"snappy: decompressed {len(out)} bytes, header says {want}"
+        )
+    return bytes(out)
+
+
+def _plain_values(data: bytes, at: int, n: int, ptype: int) -> "tuple[list, int]":
+    """n PLAIN-encoded values of the given physical type from data[at:]."""
+    if ptype == 2:
+        return list(struct.unpack_from(f"<{n}q", data, at)), at + 8 * n
+    if ptype == 1:
+        return list(struct.unpack_from(f"<{n}i", data, at)), at + 4 * n
+    if ptype == 5:
+        return list(struct.unpack_from(f"<{n}d", data, at)), at + 8 * n
+    if ptype == 6:
+        out = []
+        for _ in range(n):
+            (ln,) = struct.unpack_from("<I", data, at)
+            at += 4
+            if at + ln > len(data):
+                raise ValueError("parquet: BYTE_ARRAY overruns the page")
+            out.append(data[at : at + ln])
+            at += ln
+        return out, at
+    raise NotImplementedError(
+        f"parquet: physical type {_PARQUET_TYPES.get(ptype)} not implemented"
+    )
+
+
+def read_parquet_column_full(payload: bytes, column: str) -> list:
+    """The lake-grade variant of `read_parquet_column`: additionally
+    handles SNAPPY-compressed pages and dictionary encoding
+    (PLAIN dictionary page + RLE_DICTIONARY/PLAIN_DICTIONARY index
+    pages) — the default parquet-cpp layout, so this reads the actual
+    driver-written fixture files. Still honestly gated: nulls,
+    repeated columns, v2 pages and other codecs raise."""
+    meta = parse_parquet_footer(payload)
+    raw = _Reader(payload, len(payload) - 8
+                  - struct.unpack_from("<I", payload, len(payload) - 8)[0]
+                  ).struct()
+    rep_by_name: "dict[str, int]" = {}
+    type_by_name: "dict[str, int]" = {}
+    for el in (raw.get(2) or [])[1:]:
+        if isinstance(el, dict) and not el.get(5):
+            nm = el.get(4, b"").decode("utf-8")
+            rep_by_name[nm] = el.get(3, 0)
+            type_by_name[nm] = el.get(1)
+    if column not in rep_by_name:
+        raise ValueError(f"parquet: no leaf column {column!r}")
+    rep = rep_by_name[column]
+    if rep == 2:
+        raise NotImplementedError("parquet: repeated columns not implemented")
+    ptype = type_by_name[column]
+
+    values: list = []
+    for rg in raw.get(4) or []:
+        for cc in rg.get(1) or []:
+            md = cc.get(3)
+            if b".".join(md.get(3) or []).decode("utf-8") != column:
+                continue
+            codec = md.get(4, 0)
+            if codec not in (0, 1):
+                raise NotImplementedError(
+                    f"parquet: codec {_CODECS.get(codec)} not implemented"
+                )
+            dict_vals = None
+            off = md.get(11) if md.get(11) is not None else md.get(9)
+            want = md.get(5, 0)
+            got = 0
+            while got < want:
+                r = _Reader(payload, off)
+                ph = r.struct()
+                size = ph.get(3)
+                data = payload[r.pos : r.pos + size]
+                if len(data) != size:
+                    raise ValueError("parquet: truncated page")
+                if codec == 1:
+                    data = snappy_decompress(data)
+                if ph.get(1) == 2:  # dictionary page
+                    dph2 = ph.get(7) or {}
+                    if dph2.get(2, 0) not in (0, 2):
+                        raise NotImplementedError(
+                            "parquet: non-PLAIN dictionary page"
+                        )
+                    dict_vals, _ = _plain_values(
+                        data, 0, dph2.get(1, 0), ptype
+                    )
+                    off = r.pos + size
+                    continue
+                if ph.get(1) != 0:
+                    raise NotImplementedError(
+                        f"parquet: page type {ph.get(1)} not implemented"
+                    )
+                dph = ph.get(5) or {}
+                n = dph.get(1, 0)
+                enc = dph.get(2, 0)
+                at = 0
+                if rep == 1:
+                    (dlen,) = struct.unpack_from("<I", data, 0)
+                    defs = _decode_rle_bitpacked(data[4 : 4 + dlen], 1, n)
+                    if any(d == 0 for d in defs):
+                        raise NotImplementedError(
+                            "parquet: null values not implemented"
+                        )
+                    at = 4 + dlen
+                if enc == 0:
+                    vals, _ = _plain_values(data, at, n, ptype)
+                elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+                    if dict_vals is None:
+                        raise ValueError(
+                            "parquet: dictionary-encoded page before "
+                            "any dictionary page"
+                        )
+                    bw = data[at]
+                    idx = _decode_rle_bitpacked(data[at + 1 :], bw, n)
+                    bad = [i for i in idx if i >= len(dict_vals)]
+                    if bad:
+                        raise ValueError("parquet: dictionary index OOB")
+                    vals = [dict_vals[i] for i in idx]
+                else:
+                    raise NotImplementedError(
+                        f"parquet: encoding {_ENCODINGS.get(enc)} "
+                        "not implemented"
+                    )
+                values.extend(vals)
+                got += n
+                off = r.pos + size
+    if len(values) != meta["num_rows"]:
+        raise ValueError(
+            f"parquet: column {column!r} yielded {len(values)} values "
+            f"for {meta['num_rows']} rows"
+        )
+    return values
+
+
+#: real-lake columns audited by parquet_lake_value_scan: (table,
+#: column, is_string)
+_LAKE_SCAN_COLS = (
+    ("region", "r_regionkey", False),
+    ("nation", "n_name", True),
+    ("customer", "c_custkey", False),
+    ("supplier", "s_name", True),
+    ("part", "p_partkey", False),
+    ("documents", "lang", True),
+)
+
+
+def lake_value_scan(spark, sf_dir: str):
+    """Value-level audit of the REAL lake through the zero-dep reader:
+    for each audited column, count + integer sum (numeric) or the md5
+    of the sorted utf-8 values (string) — all derived from bytes the
+    hand-rolled snappy/dictionary/page walk decoded itself."""
+    import hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("table_name", T.StringType()),
+            T.StructField("column_name", T.StringType()),
+            T.StructField("n_values", T.LongType()),
+            T.StructField("int_sum", T.LongType()),
+            T.StructField("sorted_md5", T.StringType()),
+        ]
+    )
+
+    def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for pdf in batches:
+            for t, c, is_str in zip(
+                pdf["t"], pdf["c"], pdf["is_str"]
+            ):
+                with open(f"{sf_dir}/{t}.parquet", "rb") as fh:
+                    vals = read_parquet_column_full(fh.read(), str(c))
+                out["table_name"].append(str(t))
+                out["column_name"].append(str(c))
+                out["n_values"].append(len(vals))
+                if is_str:
+                    joined = " ".join(
+                        sorted(v.decode("utf-8") for v in vals)
+                    )
+                    out["int_sum"].append(None)
+                    out["sorted_md5"].append(
+                        hashlib.md5(joined.encode()).hexdigest()
+                    )
+                else:
+                    out["int_sum"].append(int(sum(vals)))
+                    out["sorted_md5"].append(None)
+        yield _pd.DataFrame(out)
+
+    rows = [(t, c, s) for t, c, s in _LAKE_SCAN_COLS]
+    frame = spark.createDataFrame(rows, "t string, c string, is_str boolean")
+    return frame.repartition(len(rows)).mapInPandas(op, schema)
+
+
+def _register_value_scan() -> None:
+    from dynamodb_to_datalake_project_spark.catalog import query
+
+    union = "\nUNION ALL\n".join(
+        (
+            f"SELECT '{t}' AS table_name, '{c}' AS column_name,"
+            f" CAST((SELECT count(*) FROM {t}) AS BIGINT) AS n_values,"
+            + (
+                f" CAST(NULL AS BIGINT) AS int_sum,"
+                f" (SELECT md5(array_to_string(list_sort(list({c})), ' '))"
+                f"  FROM {t}) AS sorted_md5"
+                if is_str
+                else
+                f" (SELECT CAST(sum({c}) AS BIGINT) FROM {t}) AS int_sum,"
+                f" CAST(NULL AS VARCHAR) AS sorted_md5"
+            )
+        )
+        for t, c, is_str in _LAKE_SCAN_COLS
+    )
+
+    @query("parquet_lake_value_scan", oracle=union)
+    def q_parquet_lake_value_scan(spark, sf_dir):
+        """The capstone of the parquet leg: the hand-rolled reader —
+        thrift footer, page headers, SNAPPY block decode, dictionary
+        pages, RLE/bit-packed hybrid — reads VALUES out of the actual
+        driver-written lake files, and DuckDB's own reader audits the
+        same columns through its views. Counts, integer sums, and
+        sorted-value md5s must agree between two fully independent
+        parquet implementations."""
+        return lake_value_scan(spark, sf_dir)
+
+
+_register_value_scan()

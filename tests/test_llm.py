@@ -4135,3 +4135,39 @@ def test_parquet_column_scan_subset():
     pq.write_table(tn, buf, compression="NONE", use_dictionary=False)
     with _pt.raises(NotImplementedError, match="null"):
         read_parquet_column(buf.getvalue(), "a")
+
+
+def test_snappy_decompress_and_lake_read():
+    """Pure-Python snappy agrees with real compressed data (roundtrip
+    through pyarrow's snappy writer via a real lake file), handles
+    overlapping-copy RLE idioms, and rejects malformed streams; the
+    full reader matches DuckDB on lineitem (600k rows via sf0.001's
+    6k) including dictionary + snappy pages."""
+    import duckdb
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        read_parquet_column_full,
+        snappy_decompress,
+    )
+
+    # overlapping copy: literal 'ab' + copy(offset 2, len 6) = 'abababab'
+    # tag for copy-1: kind 1, len 6 -> (6-4)<<2 | 1; offset 2
+    lit = bytes([8, (1 << 2) | 0]) + b"ab" + bytes([((6 - 4) << 2) | 1 | 0, 2])
+    assert snappy_decompress(lit) == b"abababab"
+    with _pt.raises(ValueError, match="offset out of range"):
+        snappy_decompress(bytes([4, (1 << 2) | 0]) + b"ab" + bytes([1, 9]))
+    with _pt.raises(ValueError, match="header says"):
+        snappy_decompress(bytes([99, (1 << 2) | 0]) + b"ab")
+
+    for table, col in (("lineitem", "l_orderkey"), ("customer", "c_name")):
+        payload = open(f"/root/testdata/sf0.001/{table}.parquet", "rb").read()
+        vals = read_parquet_column_full(payload, col)
+        ref = [
+            r[0] for r in duckdb.sql(
+                f"SELECT {col} FROM "
+                f"'/root/testdata/sf0.001/{table}.parquet'"
+            ).fetchall()
+        ]
+        dec = [v.decode() if isinstance(v, bytes) else v for v in vals]
+        assert dec == ref
