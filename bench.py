@@ -195,6 +195,7 @@ HEADLINE = [
     "parquet_lake_audit",
     "parquet_column_scan",
     "parquet_lake_value_scan",
+    "avro_container_stats",
 ]
 
 

@@ -1,0 +1,362 @@
+"""Avro Object Container File demux — the other canonical lake/stream
+format (Kafka archives, Iceberg manifests, classic Hadoop exports ship
+as .avro). Hand-rolled against the public Apache Avro 1.x spec, both
+directions, in the zip/tar/warc family style:
+
+- container framing: `Obj\\x01` magic, the avro.schema/avro.codec
+  metadata map, the 16-byte sync marker, and per-block
+  (count, byte-size, data, sync) framing — every sync marker verified;
+- binary record codec for the flat subset a curation pass meets in
+  practice: null/boolean/int/long/double/string/bytes fields and the
+  ubiquitous ["null", T] optional union; zigzag varints throughout;
+- codecs: null and deflate (raw zlib);
+- ValueError on corruption (bad magic, sync mismatch, truncation,
+  count drift), NotImplementedError on the honest subset boundary
+  (arrays, maps, enums, fixed, nested records, other codecs).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+_MAGIC = b"Obj\x01"
+_SIMPLE = ("null", "boolean", "int", "long", "double", "string", "bytes")
+
+
+def _zz_encode(v: int) -> bytes:
+    u = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+class _AvroReader:
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def read(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise ValueError("avro: truncated")
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def zigzag(self) -> int:
+        out = shift = 0
+        while True:
+            b = self.read(1)[0]
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 70:
+                raise ValueError("avro: varint too long")
+        return (out >> 1) ^ -(out & 1)
+
+    def bytes_(self) -> bytes:
+        n = self.zigzag()
+        if n < 0:
+            raise ValueError("avro: negative length")
+        return self.read(n)
+
+
+def _field_types(schema: dict) -> "list[tuple[str, object]]":
+    """Validate the schema subset; return [(name, type)] where type is
+    a _SIMPLE name or ('optional', simple) for ["null", simple]."""
+    if schema.get("type") != "record":
+        raise NotImplementedError("avro: only record schemas implemented")
+    out: "list[tuple[str, object]]" = []
+    for f in schema.get("fields", []):
+        t = f["type"]
+        if isinstance(t, str) and t in _SIMPLE:
+            out.append((f["name"], t))
+        elif (
+            isinstance(t, list) and len(t) == 2 and t[0] == "null"
+            and isinstance(t[1], str) and t[1] in _SIMPLE
+        ):
+            out.append((f["name"], ("optional", t[1])))
+        else:
+            raise NotImplementedError(
+                f"avro: field type {t!r} not implemented"
+            )
+    return out
+
+
+def _write_value(t: str, v) -> bytes:
+    if t == "null":
+        if v is not None:
+            raise ValueError("avro: non-None for null field")
+        return b""
+    if t == "boolean":
+        return b"\x01" if v else b"\x00"
+    if t in ("int", "long"):
+        return _zz_encode(int(v))
+    if t == "double":
+        return struct.pack("<d", float(v))
+    if t == "string":
+        enc = v.encode("utf-8")
+        return _zz_encode(len(enc)) + enc
+    if t == "bytes":
+        return _zz_encode(len(v)) + bytes(v)
+    raise NotImplementedError(f"avro: type {t}")
+
+
+def _read_value(r: _AvroReader, t: str):
+    if t == "null":
+        return None
+    if t == "boolean":
+        b = r.read(1)[0]
+        if b not in (0, 1):
+            raise ValueError("avro: bad boolean byte")
+        return bool(b)
+    if t in ("int", "long"):
+        return r.zigzag()
+    if t == "double":
+        (v,) = struct.unpack("<d", r.read(8))
+        return v
+    if t == "string":
+        return r.bytes_().decode("utf-8")
+    if t == "bytes":
+        return r.bytes_()
+    raise NotImplementedError(f"avro: type {t}")
+
+
+def encode_avro(
+    records: "list[dict]",
+    schema: dict,
+    codec: str = "null",
+    records_per_block: int = 1000,
+    sync: bytes = b"\x00\x01\x02\x03\x04\x05\x06\x07"
+                  b"\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f",
+) -> bytes:
+    """Serialize records to a conformant container file: metadata map,
+    sync marker, blocks of `records_per_block` with real counts and
+    byte sizes, deflate-compressed when codec='deflate'."""
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro: codec {codec!r} not implemented")
+    fts = _field_types(schema)
+    meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": codec.encode("ascii"),
+    }
+    out = bytearray(_MAGIC)
+    out += _zz_encode(len(meta))
+    for k, v in meta.items():
+        kb = k.encode("utf-8")
+        out += _zz_encode(len(kb)) + kb + _zz_encode(len(v)) + v
+    out += _zz_encode(0)
+    out += sync
+    for at in range(0, len(records), records_per_block):
+        chunk = records[at : at + records_per_block]
+        body = bytearray()
+        for rec in chunk:
+            for name, t in fts:
+                v = rec.get(name)
+                if isinstance(t, tuple):  # optional union
+                    if v is None:
+                        body += _zz_encode(0)
+                    else:
+                        body += _zz_encode(1) + _write_value(t[1], v)
+                else:
+                    body += _write_value(t, v)
+        data = bytes(body)
+        if codec == "deflate":
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            data = co.compress(data) + co.flush()
+        out += _zz_encode(len(chunk)) + _zz_encode(len(data)) + data + sync
+    return bytes(out)
+
+
+def parse_avro(payload: bytes) -> dict:
+    """Walk a container file back to records: validates the magic,
+    decodes the metadata map, checks EVERY block's sync marker and
+    byte size, inflates deflate blocks, and decodes each record per
+    the embedded schema (flat subset). Returns {"records", "schema",
+    "codec", "n_blocks"}."""
+    r = _AvroReader(payload)
+    if r.read(4) != _MAGIC:
+        raise ValueError("avro: bad magic")
+    meta: "dict[str, bytes]" = {}
+    while True:
+        n = r.zigzag()
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count = abs count + byte size follows
+            r.zigzag()
+            n = -n
+        for _ in range(n):
+            k = r.bytes_().decode("utf-8")
+            meta[k] = r.bytes_()
+    if "avro.schema" not in meta:
+        raise ValueError("avro: missing avro.schema metadata")
+    try:
+        schema = json.loads(meta["avro.schema"])
+    except json.JSONDecodeError as exc:
+        raise ValueError(f"avro: malformed schema JSON: {exc}")
+    codec = meta.get("avro.codec", b"null").decode("ascii")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro: codec {codec!r} not implemented")
+    fts = _field_types(schema)
+    sync = r.read(16)
+
+    records: "list[dict]" = []
+    n_blocks = 0
+    while r.pos < len(payload):
+        count = r.zigzag()
+        size = r.zigzag()
+        if count < 0 or size < 0:
+            raise ValueError("avro: negative block header")
+        data = r.read(size)
+        if r.read(16) != sync:
+            raise ValueError("avro: sync marker mismatch")
+        if codec == "deflate":
+            try:
+                data = zlib.decompress(data, -15)
+            except zlib.error as exc:
+                raise ValueError(f"avro: bad deflate block: {exc}")
+        br = _AvroReader(data)
+        for _ in range(count):
+            rec = {}
+            for name, t in fts:
+                if isinstance(t, tuple):
+                    branch = br.zigzag()
+                    if branch == 0:
+                        rec[name] = None
+                    elif branch == 1:
+                        rec[name] = _read_value(br, t[1])
+                    else:
+                        raise ValueError("avro: union branch out of range")
+                else:
+                    rec[name] = _read_value(br, t)
+            records.append(rec)
+        if br.pos != len(data):
+            raise ValueError("avro: trailing bytes inside a block")
+        n_blocks += 1
+    return {
+        "records": records,
+        "schema": schema,
+        "codec": codec,
+        "n_blocks": n_blocks,
+    }
+
+
+def avro_roundtrip_stats(docs):
+    """Per doc: the words become {idx: long, word: string, alt:
+    optional string} records (alt null on every 3rd word), written
+    with deflate on even ids / null codec on odd, 16 records per
+    block — then parsed back and proven equal."""
+    import hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema_t = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("n_blocks", T.LongType()),
+            T.StructField("n_null_alt", T.LongType()),
+            T.StructField("sum_idx", T.LongType()),
+            T.StructField("words_md5", T.StringType()),
+        ]
+    )
+    avro_schema = {
+        "type": "record",
+        "name": "w",
+        "fields": [
+            {"name": "idx", "type": "long"},
+            {"name": "word", "type": "string"},
+            {"name": "alt", "type": ["null", "string"]},
+        ],
+    }
+
+    def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        out: dict[str, list] = {f.name: [] for f in schema_t.fields}
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                words = [w for w in text.split(" ") if w]
+                recs = [
+                    {
+                        "idx": i,
+                        "word": w,
+                        "alt": None if i % 3 == 0 else w.upper(),
+                    }
+                    for i, w in enumerate(words)
+                ]
+                payload = encode_avro(
+                    recs, avro_schema,
+                    codec="deflate" if did % 2 == 0 else "null",
+                    records_per_block=16,
+                )
+                d = parse_avro(payload)
+                assert d["records"] == recs  # container roundtrip
+                out["doc_id"].append(did)
+                out["n_records"].append(len(d["records"]))
+                out["n_blocks"].append(d["n_blocks"])
+                out["n_null_alt"].append(
+                    sum(1 for rec in d["records"] if rec["alt"] is None)
+                )
+                out["sum_idx"].append(
+                    sum(rec["idx"] for rec in d["records"])
+                )
+                out["words_md5"].append(
+                    hashlib.md5(
+                        " ".join(rec["word"] for rec in d["records"])
+                        .encode("utf-8")
+                    ).hexdigest()
+                )
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text").repartition(par)
+        .mapInPandas(op, schema_t)
+    )
+
+
+def _register() -> None:
+    from dynamodb_to_datalake_project_spark.catalog import query
+    from dynamodb_to_datalake_project_spark.lake import load_table
+
+    @query(
+        "avro_container_stats",
+        oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS w
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_records,
+               CAST((len(w) + 15) // 16 AS BIGINT) AS n_blocks,
+               CAST((len(w) + 2) // 3 AS BIGINT) AS n_null_alt,
+               CAST(len(w) * (len(w) - 1) // 2 AS BIGINT) AS sum_idx,
+               md5(array_to_string(w, ' ')) AS words_md5
+        FROM t
+        """,
+    )
+    def q_avro_container_stats(spark, sf_dir):
+        """Avro container roundtrip over the documents table: words
+        become long/string/optional-union records through the REAL
+        encode → binary → sync-verified parse chain (deflate blocks on
+        even ids), and the oracle recomputes record/block/null
+        censuses, index sums and the recovered word stream md5 from
+        the word formula — varint zigzag, union branches, block
+        framing and inflate all have to survive byte-for-byte."""
+        docs = load_table(spark, sf_dir, "documents")
+        return avro_roundtrip_stats(docs)
+
+
+_register()

