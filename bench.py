@@ -196,6 +196,7 @@ HEADLINE = [
     "parquet_column_scan",
     "parquet_lake_value_scan",
     "avro_container_stats",
+    "delta_log_replay",
 ]
 
 

@@ -4223,3 +4223,50 @@ def test_avro_container_roundtrip_and_rejects():
                                              "items": "long"}}]})
     with _pt.raises(NotImplementedError, match="codec"):
         encode_avro(recs, schema, codec="snappy")
+
+
+def test_delta_log_replay():
+    """Snapshot fold semantics: last action per path wins (re-add
+    after remove is active), unknown actions ignored, non-contiguous
+    versions / malformed JSON / checkpoint markers raise."""
+    import json
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.deltalog import (
+        replay_delta_log,
+    )
+
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "a", "type": "long", "nullable": True, "metadata": {}}]})
+    c0 = "\n".join([
+        json.dumps({"protocol": {"minReaderVersion": 1,
+                                 "minWriterVersion": 2}}),
+        json.dumps({"metaData": {"id": "t", "schemaString": schema,
+                                 "partitionColumns": []}}),
+        json.dumps({"add": {"path": "a.parquet", "size": 10,
+                            "stats": json.dumps({"numRecords": 4})}}),
+        json.dumps({"add": {"path": "b.parquet", "size": 20,
+                            "stats": json.dumps({"numRecords": 6})}}),
+        json.dumps({"futureAction": {"x": 1}}),  # forward-compat
+    ])
+    c1 = "\n".join([
+        json.dumps({"remove": {"path": "a.parquet"}}),
+        json.dumps({"add": {"path": "a.parquet", "size": 11,
+                            "stats": json.dumps({"numRecords": 5})}}),
+        json.dumps({"remove": {"path": "never-existed.parquet"}}),
+    ])
+    s = replay_delta_log([(1, c1), (0, c0)])  # order-insensitive input
+    assert s["version"] == 1
+    assert sorted(s["active_files"]) == ["a.parquet", "b.parquet"]
+    assert s["active_files"]["a.parquet"]["num_records"] == 5
+    assert s["total_rows"] == 11 and s["total_bytes"] == 31
+    assert s["n_removed"] == 1  # phantom remove doesn't count
+    assert s["schema_cols"] == ["a"]
+
+    with _pt.raises(ValueError, match="contiguous"):
+        replay_delta_log([(0, c0), (2, c1)])
+    with _pt.raises(ValueError, match="malformed action"):
+        replay_delta_log([(0, "not json")])
+    with _pt.raises(NotImplementedError, match="checkpoint"):
+        replay_delta_log([(0, json.dumps({"checkpointMetadata": {}}))])
