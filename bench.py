@@ -197,6 +197,7 @@ HEADLINE = [
     "parquet_lake_value_scan",
     "avro_container_stats",
     "delta_log_replay",
+    "table_format_audit",
 ]
 
 

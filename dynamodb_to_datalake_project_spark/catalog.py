@@ -236,6 +236,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.parquetmeta  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.avrofile  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.deltalog  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.tablemeta  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.h264  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.mpegts  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.pdf  # noqa: F401

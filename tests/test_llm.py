@@ -4270,3 +4270,49 @@ def test_delta_log_replay():
         replay_delta_log([(0, "not json")])
     with _pt.raises(NotImplementedError, match="checkpoint"):
         replay_delta_log([(0, json.dumps({"checkpointMetadata": {}}))])
+
+
+def test_hudi_timeline_and_iceberg_metadata():
+    """Hudi COW fold: latest file slice wins, censuses accumulate;
+    compaction timelines and out-of-order instants raise. Iceberg:
+    current snapshot resolved, v1 inline schema accepted, dangling
+    current-snapshot-id and unknown format versions raise."""
+    import json
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.tablemeta import (
+        parse_iceberg_metadata,
+        replay_hudi_timeline,
+    )
+
+    c0 = json.dumps({"operationType": "insert", "partitionToWriteStats": {
+        "p=1": [{"fileId": "fg-0", "path": "p=1/a.parquet",
+                 "numWrites": 10, "numInserts": 10, "numDeletes": 0,
+                 "numUpdateWrites": 0, "totalWriteBytes": 100}],
+    }})
+    c1 = json.dumps({"operationType": "upsert", "partitionToWriteStats": {
+        "p=1": [{"fileId": "fg-0", "path": "p=1/b.parquet",
+                 "numWrites": 12, "numInserts": 2, "numDeletes": 0,
+                 "numUpdateWrites": 10, "totalWriteBytes": 120}],
+    }})
+    s = replay_hudi_timeline([("001", c0), ("002", c1)])
+    assert s["n_file_groups"] == 1
+    assert s["live_files"]["fg-0"]["path"] == "p=1/b.parquet"
+    assert s["live_records"] == 12 and s["total_updates"] == 10
+    with _pt.raises(ValueError, match="unique and in order"):
+        replay_hudi_timeline([("002", c1), ("001", c0)])
+    with _pt.raises(NotImplementedError, match="compaction"):
+        replay_hudi_timeline([("001", json.dumps(
+            {"operationType": "compact", "partitionToWriteStats": {}}))])
+
+    v1 = {"format-version": 1, "schema": {"fields": [{"name": "x"}]},
+          "snapshots": [], "current-snapshot-id": None}
+    assert parse_iceberg_metadata(json.dumps(v1))["schema_cols"] == ["x"]
+    with _pt.raises(ValueError, match="not in snapshots"):
+        parse_iceberg_metadata(json.dumps({
+            "format-version": 2, "schemas": [{"schema-id": 0, "fields": []}],
+            "current-schema-id": 0, "current-snapshot-id": 99,
+            "snapshots": [{"snapshot-id": 1}]}))
+    with _pt.raises(NotImplementedError, match="format-version"):
+        parse_iceberg_metadata(json.dumps({"format-version": 9}))
