@@ -198,6 +198,7 @@ HEADLINE = [
     "avro_container_stats",
     "delta_log_replay",
     "table_format_audit",
+    "tfrecord_stats",
 ]
 
 

@@ -76,7 +76,33 @@ def query(name: str, oracle: str | None = None, rows_only_twin: str | None = Non
 # `err: no_oracle`, which is an annotation, not information. The set
 # is identical either way — only iteration order changes.
 _PRIORITY: list[str] = [
-    # --- new in round 8 (no driver row possible yet) ---
+    # --- new in the round-8 continuation session (no driver row
+    # possible yet — the weakest coverage class leads the window) ---
+    "sft_preference_pairs",
+    "doc_markdown_strip",
+    "dataset_mix_temperature",
+    "multimodal_image_dhash",
+    "multimodal_image_neardup",
+    "multimodal_zip_stats",
+    "wiki_dump_extract",
+    "web_wet_conversion",
+    "sim_bitext_margin",
+    "web_table_extract",
+    "multimodal_audio_fingerprint",
+    "multimodal_audio_neardup",
+    "multimodal_video_scenecut",
+    "lm_kneser_ney_score",
+    "lm_perplexity_buckets",
+    "gopher_quality_gate",
+    "parquet_footer_audit",
+    "parquet_lake_audit",
+    "parquet_column_scan",
+    "parquet_lake_value_scan",
+    "avro_container_stats",
+    "delta_log_replay",
+    "table_format_audit",
+    "tfrecord_stats",
+    # --- new earlier in round 8 ---
     "web_html_extract",
     "web_robots_filter",
     "web_warc_stats",
@@ -237,6 +263,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.avrofile  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.deltalog  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.tablemeta  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.tfrecord  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.h264  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.mpegts  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.pdf  # noqa: F401

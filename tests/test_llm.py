@@ -4316,3 +4316,57 @@ def test_hudi_timeline_and_iceberg_metadata():
             "snapshots": [{"snapshot-id": 1}]}))
     with _pt.raises(NotImplementedError, match="format-version"):
         parse_iceberg_metadata(json.dumps({"format-version": 9}))
+
+
+def test_tfrecord_crc_and_example_roundtrip():
+    """CRC32C matches the published check value; TFRecord frames
+    verify and reject corruption; tf.Example roundtrips bytes/int64/
+    float features incl. negative ints and unpacked encodings."""
+    import struct
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.tfrecord import (
+        crc32c,
+        encode_tf_example,
+        encode_tfrecord,
+        parse_tf_example,
+        parse_tfrecord,
+    )
+
+    # the canonical CRC-32C check value
+    assert crc32c(b"123456789") == 0xE3069283
+
+    exs = [
+        encode_tf_example({"text": "hi", "idx": [0, 1, -5],
+                           "score": [1.5, -0.25]}),
+        encode_tf_example({"text": b"\x00\xff"}),
+    ]
+    shard = encode_tfrecord(exs)
+    back = parse_tfrecord(shard)
+    assert back == exs
+    d = parse_tf_example(back[0])
+    assert d["text"] == b"hi"
+    assert d["idx"] == [0, 1, -5]
+    assert d["score"] == [1.5, -0.25]
+
+    corrupt = bytearray(shard)
+    corrupt[14] ^= 0xFF  # inside the first record payload
+    with _pt.raises(ValueError, match="data CRC"):
+        parse_tfrecord(bytes(corrupt))
+    with _pt.raises(ValueError, match="truncated"):
+        parse_tfrecord(shard[:-2])
+
+    # unpacked int64_list (legal alternative encoding): field 1,
+    # wire 0 varints inside Int64List
+    from dynamodb_to_datalake_project_spark.llm.tfrecord import (
+        _pb_len,
+        _pb_tag,
+        _pb_varint,
+    )
+
+    unpacked = _pb_tag(1, 0) + _pb_varint(7) + _pb_tag(1, 0) + _pb_varint(9)
+    feature = _pb_len(3, unpacked)
+    entry = _pb_len(1, b"n") + _pb_len(2, feature)
+    ex = _pb_len(1, _pb_len(1, entry))
+    assert parse_tf_example(ex) == {"n": [7, 9]}
