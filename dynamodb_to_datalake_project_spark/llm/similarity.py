@@ -1282,24 +1282,69 @@ def bitext_mine(
 
     Returns (src_id, tgt_id, cos_ppm, margin_ppm) with margin_ppm >
     threshold_ppm (1.05 margin ≈ 1_050_000)."""
-    s = src.select(
-        F.col(id_col).alias("src_id"),
-        F.col(vec_col).alias("sv"),
-        norm(F.col(vec_col)).alias("sn"),
+    # Pair generation is an Arrow/BLAS stage, not a per-pair HOF dot:
+    # the interpreted lambda fold costs ~64 evaluator ops per pair
+    # (measured 33 s at 2000x2000x64 on local[32]); one numpy matmul
+    # per Arrow batch does the same arithmetic at memory-bandwidth
+    # speed. The mined-against side is collected to the driver — the
+    # SAME bytes the broadcast join would ship to every executor, so
+    # the baseline's scale envelope is unchanged (and the ANN
+    # shortlist remains the 100 TB path). Rounding emulates
+    # HALF_UP exactly (sign * floor(|x| + 0.5)) to match both
+    # engines' round().
+    import numpy as _np
+    import pandas as _pd
+    from collections.abc import Iterator as _Iterator
+    from pyspark.sql import types as _T
+
+    tgt_rows = tgt.select(id_col, vec_col).collect()
+    t_ids = _np.array([r[0] for r in tgt_rows], dtype=_np.int64)
+    t_mat = _np.array([list(r[1]) for r in tgt_rows], dtype=_np.float64)
+    t_norm = _np.sqrt((t_mat * t_mat).sum(axis=1))
+
+    pair_schema = _T.StructType(
+        [
+            _T.StructField("src_id", _T.LongType()),
+            _T.StructField("tgt_id", _T.LongType()),
+            _T.StructField("cos_ppm", _T.LongType()),
+        ]
     )
-    t = tgt.select(
-        F.col(id_col).alias("tgt_id"),
-        F.col(vec_col).alias("tv"),
-        norm(F.col(vec_col)).alias("tn"),
-    )
-    pairs = s.crossJoin(F.broadcast(t)).select(
-        "src_id",
-        "tgt_id",
-        F.round(
-            dot(F.col("sv"), F.col("tv")) / (F.col("sn") * F.col("tn"))
-            * F.lit(1_000_000.0),
-            0,
-        ).cast("long").alias("cos_ppm"),
+
+    def _pairs_op(
+        batches: "_Iterator[_pd.DataFrame]",
+    ) -> "_Iterator[_pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            s_ids = pdf["_bt_id"].to_numpy(dtype=_np.int64)
+            s_mat = _np.array(
+                [list(v) for v in pdf["_bt_v"]], dtype=_np.float64
+            )
+            s_norm = _np.sqrt((s_mat * s_mat).sum(axis=1))
+            cos = (s_mat @ t_mat.T) / (
+                s_norm[:, None] * t_norm[None, :]
+            )
+            scaled = cos * 1_000_000.0
+            ppm = (
+                _np.sign(scaled) * _np.floor(_np.abs(scaled) + 0.5)
+            ).astype(_np.int64)
+            n_t = len(t_ids)
+            yield _pd.DataFrame(
+                {
+                    "src_id": _np.repeat(s_ids, n_t),
+                    "tgt_id": _np.tile(t_ids, len(s_ids)),
+                    "cos_ppm": ppm.ravel(),
+                }
+            )
+
+    spark = src.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = (
+        src.select(
+            F.col(id_col).alias("_bt_id"), F.col(vec_col).alias("_bt_v")
+        )
+        .repartition(par)
+        .mapInPandas(_pairs_op, pair_schema)
     )
     w_f = Window.partitionBy("src_id").orderBy(
         F.col("cos_ppm").desc(), F.col("tgt_id").asc()

@@ -876,3 +876,133 @@ def test_robots_longest_match_property(rules, path):
         assert allowed == (True in verdicts)
     # order-independence
     assert robots_allowed(list(reversed(rules)), path) == (allowed, mlen)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z][a-z0-9_./-]{0,20}", fullmatch=True),
+            st.binary(max_size=200),
+        ),
+        max_size=6,
+        unique_by=lambda kv: kv[0],
+    ),
+    st.sets(st.integers(0, 5), max_size=6),
+)
+@settings(max_examples=80, deadline=None)
+def test_zip_roundtrip_property(members, deflate_idx):
+    """encode_zip → parse_zip is the identity for any member list,
+    any mix of stored/deflated members, including empty archives and
+    empty members."""
+    from dynamodb_to_datalake_project_spark.llm.ziparc import (
+        encode_zip,
+        parse_zip,
+    )
+
+    deflate = {m[0] for i, m in enumerate(members) if i in deflate_idx}
+    d = parse_zip(encode_zip(members, deflate=deflate))
+    assert d["members"] == members
+    assert d["n_deflated"] == len([m for m in members if m[0] in deflate])
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "i": st.integers(-(2 ** 62), 2 ** 62),
+                "s": st.text(max_size=40),
+                "o": st.one_of(st.none(), st.integers(-100, 100)),
+            }
+        ),
+        max_size=25,
+    ),
+    st.sampled_from(["null", "deflate"]),
+    st.integers(1, 7),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_roundtrip_property(records, codec, per_block):
+    """encode_avro → parse_avro is the identity for any record list
+    under either codec and any block size, incl. nullable unions."""
+    from dynamodb_to_datalake_project_spark.llm.avrofile import (
+        encode_avro,
+        parse_avro,
+    )
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "o", "type": ["null", "long"]},
+        ],
+    }
+    z = encode_avro(records, schema, codec=codec,
+                    records_per_block=per_block)
+    d = parse_avro(z)
+    assert d["records"] == records
+    assert d["n_blocks"] == -(-len(records) // per_block)
+
+
+@given(st.lists(st.binary(max_size=300), max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_tfrecord_roundtrip_property(payloads):
+    """TFRecord framing is the identity for any payload list, and any
+    single-bit corruption of a payload byte is caught by the masked
+    CRC32C."""
+    from dynamodb_to_datalake_project_spark.llm.tfrecord import (
+        encode_tfrecord,
+        parse_tfrecord,
+    )
+
+    shard = encode_tfrecord(payloads)
+    assert parse_tfrecord(shard) == payloads
+    if payloads and payloads[0]:
+        bad = bytearray(shard)
+        bad[12] ^= 0x01  # first byte of the first payload
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            parse_tfrecord(bytes(bad))
+
+
+@given(
+    st.dictionaries(
+        st.from_regex(r"[a-z][a-z0-9_.]{0,15}", fullmatch=True),
+        st.one_of(
+            st.binary(max_size=50),
+            st.lists(st.integers(-(2 ** 62), 2 ** 62), max_size=8),
+        ),
+        max_size=5,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_tf_example_roundtrip_property(features):
+    """tf.Example encode → decode is the identity over bytes and
+    int64-list features (floats roundtrip via f32 and are tested
+    separately with exact halves)."""
+    from dynamodb_to_datalake_project_spark.llm.tfrecord import (
+        encode_tf_example,
+        parse_tf_example,
+    )
+
+    got = parse_tf_example(encode_tf_example(features))
+    assert got == features
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=100, deadline=None)
+def test_snappy_never_misdecodes(buf):
+    """Arbitrary bytes either decode to SOMETHING consistent with the
+    declared length or raise ValueError — never crash, never return a
+    wrong-length buffer (the quarantine contract)."""
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        snappy_decompress,
+    )
+
+    try:
+        out = snappy_decompress(buf)
+    except ValueError:
+        return
+    # if it decoded, the length invariant held by construction; check
+    # determinism too
+    assert snappy_decompress(buf) == out

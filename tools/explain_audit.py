@@ -23,7 +23,7 @@ NOTES = {
     "multimodal_zip_stats": "EOCD-driven ZIP walk + inflate + CRC verify in ONE Arrow map stage — shard-count parallelism, no shuffle",
     "wiki_dump_extract": "export-XML parse + wikitext strip in ONE Arrow map stage; md5-pinned byte-exact recovery",
     "web_wet_conversion": "WARC→WET in ONE Arrow map stage: walk, dechunk, extract, re-emit conversion records",
-    "sim_bitext_margin": "broadcast cross-cosine → 2-exchange window pipeline (src rank+sum share one, tgt the other) → integer margin",
+    "sim_bitext_margin": "Arrow/BLAS cross-cosine (33s→3.3s vs HOF fold) → 2-exchange window pipeline → integer margin",
     "web_table_extract": "table lift in ONE Arrow map stage; md5-pinned full cell grid",
     "multimodal_audio_fingerprint": "real WAV encode→decode→energy-envelope hash in ONE Arrow stage",
     "multimodal_audio_neardup": "banded LSH over energy fingerprints — same 8-band bucket join as images, never all-pairs",
