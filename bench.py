@@ -200,6 +200,7 @@ HEADLINE = [
     "table_format_audit",
     "tfrecord_stats",
     "tensor_file_audit",
+    "kafka_segment_stats",
 ]
 
 

@@ -4434,3 +4434,54 @@ def test_safetensors_and_npy():
     f = npy.replace(b"'fortran_order': False", b"'fortran_order': True ")
     with _pt.raises(NotImplementedError, match="fortran"):
         parse_npy(f)
+
+
+def test_kafka_batch_roundtrip_and_rejects():
+    """v2 batch: null keys/values/header-values roundtrip, offsets and
+    timestamps reconstruct from deltas, multi-batch segments walk;
+    CRC corruption, magic != 2, compression bits, and framing drift
+    raise."""
+    import struct
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.kafkabatch import (
+        encode_kafka_batch,
+        parse_kafka_batch,
+        parse_kafka_segment,
+    )
+
+    recs = [
+        {"key": b"k0", "value": b"v0", "ts_delta": 0,
+         "headers": [("op", b"I")]},
+        {"key": None, "value": None, "ts_delta": 5,
+         "headers": [("op", b"D"), ("n", None)]},
+    ]
+    b = encode_kafka_batch(recs, base_offset=100,
+                           base_timestamp=1_000_000)
+    d = parse_kafka_batch(b)
+    assert [r["offset"] for r in d["records"]] == [100, 101]
+    assert d["records"][1]["timestamp"] == 1_000_005
+    assert d["records"][1]["key"] is None
+    assert d["records"][1]["headers"] == [("op", b"D"), ("n", None)]
+    assert d["max_timestamp"] == 1_000_005
+
+    seg = b + encode_kafka_batch(recs, base_offset=102)
+    assert [x["base_offset"] for x in parse_kafka_segment(seg)] == [100, 102]
+
+    corrupt = bytearray(b)
+    corrupt[-1] ^= 0xFF
+    with _pt.raises(ValueError, match="CRC32C"):
+        parse_kafka_batch(bytes(corrupt))
+    magic1 = bytearray(b)
+    magic1[16] = 1
+    with _pt.raises(NotImplementedError, match="magic 1"):
+        parse_kafka_batch(bytes(magic1))
+    # set a compression codec bit INSIDE the crc'd region, re-crc
+    from dynamodb_to_datalake_project_spark.llm.tfrecord import crc32c
+
+    gz = bytearray(b)
+    struct.pack_into(">h", gz, 21, 1)  # attributes: gzip
+    struct.pack_into(">I", gz, 17, crc32c(bytes(gz[21:])))
+    with _pt.raises(NotImplementedError, match="compressed"):
+        parse_kafka_batch(bytes(gz))
