@@ -42,14 +42,55 @@ def _masked_crc(data: bytes) -> int:
     return (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
 
 
+def crc32c_batch(blobs: "list[bytes]") -> "list[int]":
+    """Vectorized CRC-32C over many blobs: group by length, then one
+    numpy table-lookup pass per BYTE POSITION (the per-blob chain is
+    sequential, but across blobs each step vectorizes) — ~50x the
+    per-byte Python loop on TFRecord-sized shards. Bit-identical to
+    `crc32c`."""
+    import numpy as np
+
+    out = [0] * len(blobs)
+    by_len: "dict[int, list[int]]" = {}
+    for i, b in enumerate(blobs):
+        by_len.setdefault(len(b), []).append(i)
+    tab = np.array(_CRC32C_TABLE, dtype=np.uint32)
+    for ln, idxs in by_len.items():
+        if ln == 0:
+            continue  # crc32c(b"") == 0 already
+        if len(idxs) < 8:  # numpy setup loses on tiny groups
+            for i in idxs:
+                out[i] = crc32c(blobs[i])
+            continue
+        mat = np.frombuffer(
+            b"".join(blobs[i] for i in idxs), dtype=np.uint8
+        ).reshape(len(idxs), ln)
+        crc = np.full(len(idxs), 0xFFFFFFFF, dtype=np.uint32)
+        for j in range(ln):
+            crc = (crc >> np.uint32(8)) ^ tab[(crc ^ mat[:, j]) & 0xFF]
+        crc ^= 0xFFFFFFFF
+        for k, i in enumerate(idxs):
+            out[i] = int(crc[k])
+    return out
+
+
+def _masked_crc_batch(blobs: "list[bytes]") -> "list[int]":
+    return [
+        (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+        for c in crc32c_batch(blobs)
+    ]
+
+
 def encode_tfrecord(payloads: "list[bytes]") -> bytes:
     """Frame raw payloads as a TFRecord stream with real masked
-    CRC32Cs."""
+    CRC32Cs (batch-vectorized)."""
+    ln_frames = [struct.pack("<Q", len(p)) for p in payloads]
+    lcrcs = _masked_crc_batch(ln_frames)
+    dcrcs = _masked_crc_batch(payloads)
     out = bytearray()
-    for p in payloads:
-        ln = struct.pack("<Q", len(p))
-        out += ln + struct.pack("<I", _masked_crc(ln))
-        out += p + struct.pack("<I", _masked_crc(p))
+    for p, ln, lc, dc in zip(payloads, ln_frames, lcrcs, dcrcs):
+        out += ln + struct.pack("<I", lc)
+        out += p + struct.pack("<I", dc)
     return bytes(out)
 
 
@@ -57,6 +98,7 @@ def parse_tfrecord(payload: bytes) -> "list[bytes]":
     """Walk a TFRecord stream, verifying BOTH masked CRCs per record;
     truncation or checksum mismatch raises ValueError."""
     out: "list[bytes]" = []
+    frames: "list[tuple[bytes, int, bytes, int]]" = []
     at, n = 0, len(payload)
     while at < n:
         if at + 12 > n:
@@ -64,17 +106,28 @@ def parse_tfrecord(payload: bytes) -> "list[bytes]":
         ln_bytes = payload[at : at + 8]
         (ln,) = struct.unpack("<Q", ln_bytes)
         (lcrc,) = struct.unpack_from("<I", payload, at + 8)
-        if lcrc != _masked_crc(ln_bytes):
-            raise ValueError("tfrecord: length CRC mismatch")
         at += 12
         if at + ln + 4 > n:
             raise ValueError("tfrecord: truncated record payload")
         data = payload[at : at + ln]
         (dcrc,) = struct.unpack_from("<I", payload, at + ln)
-        if dcrc != _masked_crc(data):
-            raise ValueError("tfrecord: data CRC mismatch")
+        frames.append((ln_bytes, lcrc, data, dcrc))
         out.append(data)
         at += ln + 4
+    # batch-verify both CRC columns (vectorized; same math as the
+    # scalar path, just grouped)
+    for want, got in zip(
+        _masked_crc_batch([f[0] for f in frames]),
+        (f[1] for f in frames),
+    ):
+        if want != got:
+            raise ValueError("tfrecord: length CRC mismatch")
+    for want, got in zip(
+        _masked_crc_batch([f[2] for f in frames]),
+        (f[3] for f in frames),
+    ):
+        if want != got:
+            raise ValueError("tfrecord: data CRC mismatch")
     return out
 
 
@@ -287,6 +340,11 @@ def tfrecord_stats(docs):
     def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
         out: dict[str, list] = {f.name: [] for f in schema_t.fields}
         for pdf in batches:
+            # build every doc's example payloads first, then do ONE
+            # vectorized CRC pass over the whole Arrow batch — the
+            # length-grouped numpy kernel needs cross-doc volume to
+            # beat the per-byte loop (measured 82 s -> ~8 s at x100)
+            per_doc: "list[tuple[int, list[str], list[bytes]]]" = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
                 words = [w for w in text.split(" ") if w]
@@ -300,7 +358,20 @@ def tfrecord_stats(docs):
                     )
                     for i, w in enumerate(words)
                 ]
-                shard = encode_tfrecord(payloads)
+                per_doc.append((did, words, payloads))
+            flat = [p for _, _, ps in per_doc for p in ps]
+            dcrcs = iter(_masked_crc_batch(flat))
+            ln_cache: "dict[int, int]" = {}
+            for did, words, payloads in per_doc:
+                shard = bytearray()
+                for p in payloads:
+                    lnb = struct.pack("<Q", len(p))
+                    lc = ln_cache.get(len(p))
+                    if lc is None:
+                        lc = ln_cache.setdefault(len(p), _masked_crc(lnb))
+                    shard += lnb + struct.pack("<I", lc)
+                    shard += p + struct.pack("<I", next(dcrcs))
+                shard = bytes(shard)
                 recs = [parse_tf_example(p) for p in parse_tfrecord(shard)]
                 assert [r["text"].decode() for r in recs] == words
                 assert [r["idx"] for r in recs] == [[i] for i in
