@@ -201,6 +201,7 @@ HEADLINE = [
     "tfrecord_stats",
     "tensor_file_audit",
     "kafka_segment_stats",
+    "orc_tail_audit",
 ]
 
 

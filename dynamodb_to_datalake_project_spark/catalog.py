@@ -104,6 +104,7 @@ _PRIORITY: list[str] = [
     "tfrecord_stats",
     "tensor_file_audit",
     "kafka_segment_stats",
+    "orc_tail_audit",
     # --- new earlier in round 8 ---
     "web_html_extract",
     "web_robots_filter",
@@ -268,6 +269,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.tfrecord  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.tensorfile  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.kafkabatch  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.orcmeta  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.h264  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.mpegts  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.pdf  # noqa: F401

@@ -4485,3 +4485,45 @@ def test_kafka_batch_roundtrip_and_rejects():
     struct.pack_into(">I", gz, 17, crc32c(bytes(gz[21:])))
     with _pt.raises(NotImplementedError, match="compressed"):
         parse_kafka_batch(bytes(gz))
+
+
+def test_orc_tail_vs_pyarrow():
+    """The protobuf tail parse agrees with pyarrow's ORCFile on rows,
+    stripes (multi-stripe at 5000 rows: 1024-row batches), field
+    names and ZLIB tails; corrupt magic and truncation raise."""
+    import io
+
+    import pyarrow as pa
+    import pytest as _pt
+    from pyarrow import orc
+
+    from dynamodb_to_datalake_project_spark.llm.orcmeta import (
+        parse_orc_tail,
+    )
+
+    t = pa.table(
+        {
+            "idx": pa.array(range(5000), pa.int64()),
+            "word": pa.array([f"w{i}" for i in range(5000)], pa.string()),
+        }
+    )
+    for kw in ({}, {"stripe_size": 2048}, {"compression": "zlib"}):
+        buf = io.BytesIO()
+        orc.write_table(t, buf, **kw)
+        d = parse_orc_tail(buf.getvalue())
+        f = orc.ORCFile(io.BytesIO(buf.getvalue()))
+        assert d["num_rows"] == f.nrows == 5000
+        assert d["n_stripes"] == f.nstripes
+        assert sum(d["stripe_rows"]) == 5000
+        assert d["field_names"] == ["idx", "word"]
+        assert d["column_kinds"] == ["STRUCT", "LONG", "STRING"]
+        want = "NONE" if f.compression == "UNCOMPRESSED" else f.compression
+        assert d["compression"] == want
+
+    buf = io.BytesIO()
+    orc.write_table(t, buf)
+    good = buf.getvalue()
+    with _pt.raises(ValueError, match="magic"):
+        parse_orc_tail(good[:-4] + b"XXX" + good[-1:])
+    with _pt.raises(ValueError, match="too short|postscript"):
+        parse_orc_tail(b"OR")

@@ -41,6 +41,7 @@ NOTES = {
     "tfrecord_stats": "CRC32C-framed TFRecord walk + protobuf Example decode; exact wire-size oracle",
     "tensor_file_audit": "safetensors offset-contiguity validation + npy header parse in ONE Arrow stage",
     "kafka_segment_stats": "CRC32C-verified v2 batch walk + varint record decode in ONE Arrow stage",
+    "orc_tail_audit": "protobuf postscript+footer walk in ONE Arrow stage; completes the parquet/avro/orc trio",
     "doc_markdown_strip": "markdown strip in one Arrow map stage; byte-exact recovery pinned by md5",
     "dataset_mix_temperature": "bounded-key lang agg + ONE broadcast scalar cross-join; integer-exact temperature mix",
     "q1_pricing_summary": "single scan → partial+final hash agg; shipdate filter pushed to parquet; decimal sums for oracle determinism",
