@@ -202,6 +202,8 @@ HEADLINE = [
     "tensor_file_audit",
     "kafka_segment_stats",
     "orc_tail_audit",
+    "annotation_fleiss_kappa",
+    "annotation_bradley_terry",
 ]
 
 

