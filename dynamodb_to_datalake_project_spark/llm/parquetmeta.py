@@ -775,7 +775,7 @@ def read_parquet_column_full(payload: bytes, column: str) -> list:
             if b".".join(md.get(3) or []).decode("utf-8") != column:
                 continue
             codec = md.get(4, 0)
-            if codec not in (0, 1):
+            if codec not in (0, 1, 7):
                 raise NotImplementedError(
                     f"parquet: codec {_CODECS.get(codec)} not implemented"
                 )
@@ -792,6 +792,8 @@ def read_parquet_column_full(payload: bytes, column: str) -> list:
                     raise ValueError("parquet: truncated page")
                 if codec == 1:
                     data = snappy_decompress(data)
+                elif codec == 7:
+                    data = lz4_block_decompress(data, ph.get(2))
                 if ph.get(1) == 2:  # dictionary page
                     dph2 = ph.get(7) or {}
                     if dph2.get(2, 0) not in (0, 2):
@@ -944,3 +946,57 @@ def _register_value_scan() -> None:
 
 
 _register_value_scan()
+
+
+def lz4_block_decompress(buf: bytes, expected: int) -> bytes:
+    """Pure-Python LZ4 block decode (the public block format —
+    LZ4_RAW in parquet): token nibbles for literal/match lengths with
+    255-byte extensions, 2-byte little-endian match offsets,
+    overlap-capable copies, a literals-only final sequence. The
+    caller supplies the expected output size (parquet stores it in
+    the page header); raises ValueError on malformed streams."""
+    out = bytearray()
+    at, n = 0, len(buf)
+    while at < n:
+        token = buf[at]
+        at += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if at >= n:
+                    raise ValueError("lz4: truncated literal length")
+                b = buf[at]
+                at += 1
+                lit += b
+                if b != 255:
+                    break
+        if at + lit > n:
+            raise ValueError("lz4: truncated literals")
+        out += buf[at : at + lit]
+        at += lit
+        if at >= n:
+            break  # final sequence: literals only
+        if at + 2 > n:
+            raise ValueError("lz4: truncated match offset")
+        off = buf[at] | (buf[at + 1] << 8)
+        at += 2
+        if off == 0 or off > len(out):
+            raise ValueError("lz4: match offset out of range")
+        mlen = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                if at >= n:
+                    raise ValueError("lz4: truncated match length")
+                b = buf[at]
+                at += 1
+                mlen += b
+                if b != 255:
+                    break
+        for _ in range(mlen):  # overlap copies are the RLE idiom
+            out.append(out[-off])
+    if len(out) != expected:
+        raise ValueError(
+            f"lz4: decompressed {len(out)} bytes, page header says "
+            f"{expected}"
+        )
+    return bytes(out)

@@ -4565,3 +4565,43 @@ def test_bradley_terry_recovers_order(spark):
     assert got[0].strength < got[1].strength < got[2].strength
     assert abs(sum(r.strength for r in got.values()) - 1.0) < 1e-5
     assert got[2].n_wins == 12 and got[2].n_games == 12
+
+
+def test_lz4_block_and_parquet_lz4_read():
+    """Pure-Python LZ4 block decode: overlap-copy RLE, 255-extension
+    lengths, malformed-stream rejects; the full parquet reader then
+    reads LZ4_RAW files (plain + dictionary, multi row group) that
+    pyarrow wrote, matching its values exactly."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        lz4_block_decompress,
+        read_parquet_column_full,
+    )
+
+    # literal 'ab' + match(offset 2, len 6): token 0x22, lits, off LE
+    blk = bytes([0x22]) + b"ab" + bytes([2, 0])
+    assert lz4_block_decompress(blk, 8) == b"abababab"
+    with _pt.raises(ValueError, match="offset out of range"):
+        lz4_block_decompress(bytes([0x12]) + b"a" + bytes([9, 0]), 7)
+    with _pt.raises(ValueError, match="page header says"):
+        lz4_block_decompress(bytes([0x20]) + b"ab", 99)
+
+    t = pa.table(
+        {
+            "a": pa.array(range(5000), pa.int64()),
+            "s": pa.array([f"word{i % 37}" for i in range(5000)],
+                          pa.string()),
+        }
+    )
+    for dic in (False, True):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, compression="lz4", use_dictionary=dic,
+                       row_group_size=1234)
+        p = buf.getvalue()
+        assert read_parquet_column_full(p, "a") == list(range(5000))
+        assert read_parquet_column_full(p, "s")[40] == b"word3"
