@@ -204,6 +204,7 @@ HEADLINE = [
     "orc_tail_audit",
     "annotation_fleiss_kappa",
     "annotation_bradley_terry",
+    "dedup_cdc_chunks",
 ]
 
 

@@ -107,6 +107,7 @@ _PRIORITY: list[str] = [
     "orc_tail_audit",
     "annotation_fleiss_kappa",
     "annotation_bradley_terry",
+    "dedup_cdc_chunks",
     # --- new earlier in round 8 ---
     "web_html_extract",
     "web_robots_filter",

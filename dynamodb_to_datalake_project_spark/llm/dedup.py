@@ -1670,3 +1670,168 @@ def q_dedup_segments(spark, sf_dir):
     survival stats and surviving-text fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
     return segment_dedup(docs, seg_tokens=20)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking — the blob-level dedup primitive (the
+# restic/borg/LBFS idea): chunk boundaries come from the CONTENT (a
+# rolling-hash condition), so an insertion early in a document only
+# reshuffles chunks near the edit instead of shifting every
+# fixed-size block. Chunk hashes then dedup storage/shingle tables
+# across near-identical revisions.
+# ---------------------------------------------------------------------------
+
+#: rolling window / base / modulus / boundary mask for cdc_chunks
+CDC_WINDOW, CDC_BASE, CDC_MOD, CDC_MASK = 16, 257, 1_000_003, 63
+
+
+def cdc_chunks(data: bytes) -> "list[bytes]":
+    """Split bytes at content-defined boundaries: position i (≥ window)
+    ends a chunk when the Rabin window hash
+    Σ data[i-w+j]·B^j mod P ≡ 0 (mod mask+1). Deliberately WITHOUT
+    min/max-chunk clamps: each position's verdict is then independent
+    of previous boundaries, which keeps the operator exactly
+    replayable by a SQL oracle (clamped variants add a sequential
+    dependence; they are an optimization, not a semantic change).
+    The chunks concatenate back to the input exactly."""
+    import numpy as np
+
+    n = len(data)
+    if n < CDC_WINDOW:
+        return [data] if data else []
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    powers = np.empty(CDC_WINDOW, dtype=np.int64)
+    powers[0] = 1
+    for j in range(1, CDC_WINDOW):
+        powers[j] = powers[j - 1] * CDC_BASE % CDC_MOD
+    # windows ending at i (inclusive): positions CDC_WINDOW-1 .. n-1
+    strides = np.lib.stride_tricks.sliding_window_view(b, CDC_WINDOW)
+    h = (strides * powers[None, :] % CDC_MOD).sum(axis=1) % CDC_MOD
+    cut_after = np.nonzero((h & CDC_MASK) == 0)[0] + CDC_WINDOW
+    chunks = []
+    at = 0
+    for c in cut_after:
+        if c > at:
+            chunks.append(data[at:c])
+            at = c
+    if at < n:
+        chunks.append(data[at:n])
+    return chunks
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS L FROM documents
+    ), pos AS (
+      -- window hash ending at character i (1-based end position
+      -- i = 16..L): sum of code(text[i-16+j]) * 257^j mod 1000003
+      SELECT doc_id, u.i,
+             CAST(list_sum(list_transform(range(0, 16), j ->
+               ord(text[u.i - 15 + j])
+               * ([1, 257, 66049, 974545, 457315, 529604, 107820, 709659, 381817, 126675, 555379, 731977, 117525, 203835, 385439, 57526])[j + 1] % 1000003
+             )) % 1000003 AS BIGINT) AS h
+      FROM t, LATERAL (SELECT unnest(range(16, L + 1)) AS i) u
+    ), cuts AS (
+      SELECT doc_id, i FROM pos WHERE (h & 63) = 0
+    ), agg AS (
+      SELECT t.doc_id, t.L,
+             COUNT(cuts.i) AS n_cuts,
+             COALESCE(MIN(cuts.i), 0) AS first_cut,
+             COALESCE(MAX(cuts.i), 0) AS last_cut,
+             md5(COALESCE(string_agg(cuts.i, ',' ORDER BY cuts.i), ''))
+               AS cuts_md5
+      FROM t LEFT JOIN cuts ON cuts.doc_id = t.doc_id
+      GROUP BY t.doc_id, t.L
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN n_cuts = 0 THEN 1
+                     WHEN last_cut = L THEN n_cuts
+                     ELSE n_cuts + 1 END AS BIGINT) AS n_chunks,
+           CAST(L AS BIGINT) AS total_bytes,
+           CAST(first_cut AS BIGINT) AS first_cut,
+           cuts_md5
+    FROM agg
+    """,
+)
+def q_dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking over the documents table: the REAL
+    byte-level Rabin window hash (numpy sliding windows) cuts each
+    text into content-addressed chunks; the oracle recomputes every
+    window hash position-by-position in SQL (257^j powers mod the
+    same prime) and pins the exact cut positions via md5 of the
+    comma-joined boundary list. Reassembly equality is asserted
+    in-op. 2^53-safe: pow(257,15) < 2^53 so the double-powered
+    DuckDB term is exact before the cast."""
+    import hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    from dynamodb_to_datalake_project_spark.lake import load_table
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chunks", T.LongType()),
+            T.StructField("total_bytes", T.LongType()),
+            T.StructField("first_cut", T.LongType()),
+            T.StructField("cuts_md5", T.StringType()),
+        ]
+    )
+
+    def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                raw = text.encode("utf-8")
+                chunks = cdc_chunks(raw)
+                assert b"".join(chunks) == raw  # reassembly invariant
+                cuts = []
+                at = 0
+                for c in chunks[:-1]:
+                    at += len(c)
+                    cuts.append(at)
+                # the final chunk end is only a "cut" if the hash
+                # fired exactly at L (then the loop above already
+                # consumed it) — cuts here are interior boundaries
+                out["doc_id"].append(did)
+                out["n_chunks"].append(len(chunks))
+                out["total_bytes"].append(len(raw))
+                out["first_cut"].append(cuts[0] if cuts else (
+                    len(raw) if len(chunks) == 1 and _ends_on_cut(raw)
+                    else 0))
+                out["cuts_md5"].append(
+                    hashlib.md5(
+                        ",".join(str(c) for c in _all_cuts(raw))
+                        .encode()
+                    ).hexdigest()
+                )
+        yield _pd.DataFrame(out)
+
+    def _all_cuts(raw: bytes) -> "list[int]":
+        import numpy as np
+
+        if len(raw) < CDC_WINDOW:
+            return []
+        b = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+        powers = np.empty(CDC_WINDOW, dtype=np.int64)
+        powers[0] = 1
+        for j in range(1, CDC_WINDOW):
+            powers[j] = powers[j - 1] * CDC_BASE % CDC_MOD
+        strides = np.lib.stride_tricks.sliding_window_view(b, CDC_WINDOW)
+        h = (strides * powers[None, :] % CDC_MOD).sum(axis=1) % CDC_MOD
+        return list((np.nonzero((h & CDC_MASK) == 0)[0] + CDC_WINDOW))
+
+    def _ends_on_cut(raw: bytes) -> bool:
+        cuts = _all_cuts(raw)
+        return bool(cuts) and cuts[-1] == len(raw)
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text").repartition(par).mapInPandas(op, schema)
+    )

@@ -4605,3 +4605,36 @@ def test_lz4_block_and_parquet_lz4_read():
         p = buf.getvalue()
         assert read_parquet_column_full(p, "a") == list(range(5000))
         assert read_parquet_column_full(p, "s")[40] == b"word3"
+
+
+def test_cdc_chunks_properties():
+    """Content-defined chunking: chunks reassemble exactly, an edit
+    early in the buffer leaves later chunk boundaries aligned (the
+    CDC selling point vs fixed-size blocks), short inputs yield one
+    chunk, empty yields none."""
+    from dynamodb_to_datalake_project_spark.llm.dedup import cdc_chunks
+
+    base = ("the quick brown fox jumps over the lazy dog " * 30).encode()
+    chunks = cdc_chunks(base)
+    assert b"".join(chunks) == base
+    assert len(chunks) > 1
+
+    edited = b"XYZ" + base
+    echunks = cdc_chunks(edited)
+    assert b"".join(echunks) == edited
+    # all boundaries after the edit point shift by exactly +3, i.e.
+    # the CONTENT positions are stable (fixed-size blocks would
+    # reshuffle everything)
+    def cuts(cs):
+        out, at = [], 0
+        for c in cs[:-1]:
+            at += len(c)
+            out.append(at)
+        return out
+
+    tail_base = {c for c in cuts(chunks) if c > 32}
+    tail_edit = {c - 3 for c in cuts(echunks) if c > 35}
+    assert tail_base & tail_edit  # shared content-aligned boundaries
+
+    assert cdc_chunks(b"short") == [b"short"]
+    assert cdc_chunks(b"") == []

@@ -44,6 +44,7 @@ NOTES = {
     "orc_tail_audit": "protobuf postscript+footer walk in ONE Arrow stage; completes the parquet/avro/orc trio",
     "annotation_fleiss_kappa": "integer-exact agreement sums; two scalar divisions at the end",
     "annotation_bradley_terry": "5 fixed MM rounds: per-round join+agg over a model-sized strength table",
+    "dedup_cdc_chunks": "numpy sliding-window Rabin hash in ONE Arrow stage; exact cut list md5-pinned",
     "doc_markdown_strip": "markdown strip in one Arrow map stage; byte-exact recovery pinned by md5",
     "dataset_mix_temperature": "bounded-key lang agg + ONE broadcast scalar cross-join; integer-exact temperature mix",
     "q1_pricing_summary": "single scan → partial+final hash agg; shipdate filter pushed to parquet; decimal sums for oracle determinism",
