@@ -64,20 +64,84 @@ def query(name: str, oracle: str | None = None, rows_only_twin: str | None = Non
 
 
 # Catalog iteration order. External harnesses that sample a bounded
-# prefix of the catalog (~50 entries/round) should see the queries
-# with the LEAST independent-correctness coverage first. Round-8
-# order: the 4 round-8 additions lead (no driver row possible yet —
-# the weakest coverage class), then the 13 rotation-tail queries whose
-# newest driver row is still round 3, then the round-4-green group
-# (~33 of its 43 fit the remaining window; the rest refresh in r9).
-# The r5/r7-green groups trail, freshest last, and the rows-only
-# entries (annotated with their oracle-checked twins in
+# prefix of the catalog (exactly 50 entries/round, observed r1-r8)
+# should see the queries with the LEAST independent-correctness
+# coverage first. Round-9 order (round-8 verdict item 2: retire the
+# rotation tail): the 52 queries whose newest driver row is r3/r4 —
+# the core §2 parity set — LEAD the window, r3-stale first. 52 > 50,
+# so two cannot fit: `a1_count_preview` (COUNT(*)) and `a2_distinct`
+# (SELECT DISTINCT) sit at positions 51-52 because they are the two
+# most redundantly-covered entries in the catalog (every test asserts
+# row counts; DISTINCT is the first stage of the r7-green dedup_exact)
+# — they refresh in r10 alongside the round-9 additions, which follow
+# the stale block. The r5+-green groups trail, freshest last, and the
+# rows-only entries (annotated with their oracle-checked twins in
 # ROWS_ONLY_TWIN) sort to the very end: sampling one only re-records
 # `err: no_oracle`, which is an annotation, not information. The set
 # is identical either way — only iteration order changes.
 _PRIORITY: list[str] = [
-    # --- new in the round-8 continuation session (no driver row
-    # possible yet — the weakest coverage class leads the window) ---
+    # --- newest driver row r3 (9 entries) ---
+    "text_collapse_repeats",
+    "lm_perplexity_score",
+    "quality_nb_score",
+    "source_overlap_matrix",
+    "bpe_encode_stats",
+    "bpe_fertility_by_lang",
+    "multimodal_frame_sample",
+    "multimodal_wav_stats",
+    "skew_salted_event_stats",
+    # --- newest driver row r4 (43 entries; 41 fit the window,
+    # a1/a2 spill to r10 — see ordering note above) ---
+    "sim_hard_negatives",
+    "source_unigram_kl",
+    "multimodal_image_stats",
+    "embed_pca_invariants",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "j1_full_diff",
+    "j2_star_join_revenue",
+    "j3_semi_anti_join",
+    "j4_outer_join",
+    "s1_scan_pushdown",
+    "s8_upsert_merge",
+    "p1_ddb_decode_roundtrip",
+    "p2_surrogate_key",
+    "p3_partition_derive",
+    "f1_cdc_event_filter",
+    "f3_time_range_prune",
+    "w1_latest_wins",
+    "w2_topk_per_key",
+    "w3_window_family",
+    "w4_ranking_family",
+    "o1_topn_orders",
+    "o3_reverse_listing",
+    "a5_agg_stats",
+    "a5_fixed_chunking",
+    "a6_rollup",
+    "a7_cube",
+    "a8_percentiles",
+    "a10_grouping_sets",
+    "a11_variance_stats",
+    "c_scalar_funcs",
+    "c3_datetime_funcs",
+    "c7_json_extract",
+    "t2_tumbling_window",
+    "sql_late_orders",
+    "asof_join_views",
+    "events_anomaly_flags",
+    "grouped_pct_rank",
+    "pivot_event_counts",
+    "unpivot_metrics",
+    "a1_count_preview",
+    "a2_distinct",
+    # --- new in round 9 (no driver row yet; lead the r10 window
+    # together with a1/a2 above) ---
+    "parquet_gzip_value_scan",
+    "iceberg_manifest_audit",
+    "sketch_hdr_quantile",
+    "multimodal_tiff_stats",
+    # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",
     "dataset_mix_temperature",
@@ -108,7 +172,6 @@ _PRIORITY: list[str] = [
     "annotation_fleiss_kappa",
     "annotation_bradley_terry",
     "dedup_cdc_chunks",
-    # --- new earlier in round 8 ---
     "web_html_extract",
     "web_robots_filter",
     "web_warc_stats",
@@ -125,65 +188,10 @@ _PRIORITY: list[str] = [
     "multimodal_aac_stats",
     "multimodal_h264_nal_stats",
     "multimodal_vtt_cues",
-    # --- newest driver row r3: the last of the freshness-rotation
-    # tail (13 of 44; the other 31 re-greened in the r7 window) ---
     "doc_chunking",
     "doc_packing",
     "doc_repetition_stats",
     "doc_rare_bigram_filter",
-    "text_collapse_repeats",
-    "lm_perplexity_score",
-    "quality_nb_score",
-    "source_overlap_matrix",
-    "bpe_encode_stats",
-    "bpe_fertility_by_lang",
-    "multimodal_frame_sample",
-    "multimodal_wav_stats",
-    "skew_salted_event_stats",
-    # --- newest driver row r4 (43 entries; ~33 fit the window) ---
-    "sim_hard_negatives",
-    "source_unigram_kl",
-    "multimodal_image_stats",
-    "embed_pca_invariants",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "j1_full_diff",
-    "j2_star_join_revenue",
-    "j3_semi_anti_join",
-    "j4_outer_join",
-    "s1_scan_pushdown",
-    "s8_upsert_merge",
-    "p1_ddb_decode_roundtrip",
-    "p2_surrogate_key",
-    "p3_partition_derive",
-    "f1_cdc_event_filter",
-    "f3_time_range_prune",
-    "w1_latest_wins",
-    "w2_topk_per_key",
-    "w3_window_family",
-    "w4_ranking_family",
-    "o1_topn_orders",
-    "o3_reverse_listing",
-    "a1_count_preview",
-    "a2_distinct",
-    "a5_agg_stats",
-    "a5_fixed_chunking",
-    "a6_rollup",
-    "a7_cube",
-    "a8_percentiles",
-    "a10_grouping_sets",
-    "a11_variance_stats",
-    "c_scalar_funcs",
-    "c3_datetime_funcs",
-    "c7_json_extract",
-    "t2_tumbling_window",
-    "sql_late_orders",
-    "asof_join_views",
-    "events_anomaly_flags",
-    "grouped_pct_rank",
-    "pivot_event_counts",
-    "unpivot_metrics",
     # --- newest driver row r5 ---
     "cluster_kmeans_train",
     "cluster_kmeans_maximin",
@@ -273,6 +281,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.tensorfile  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.kafkabatch  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.orcmeta  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.tiff  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.h264  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.mpegts  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.pdf  # noqa: F401
