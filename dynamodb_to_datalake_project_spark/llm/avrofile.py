@@ -71,7 +71,11 @@ class _AvroReader:
 
 def _field_types(schema: dict) -> "list[tuple[str, object]]":
     """Validate the schema subset; return [(name, type)] where type is
-    a _SIMPLE name or ('optional', simple) for ["null", simple]."""
+    a _SIMPLE name, ('optional', simple) for ["null", simple], or
+    ('record', subfields) for a nested record (Iceberg manifests nest
+    `data_file` and its `partition` struct — the composition target of
+    this module, round-8 verdict item 3). Recursion depth follows the
+    schema; unions of records and other complex types still raise."""
     if schema.get("type") != "record":
         raise NotImplementedError("avro: only record schemas implemented")
     out: "list[tuple[str, object]]" = []
@@ -84,6 +88,8 @@ def _field_types(schema: dict) -> "list[tuple[str, object]]":
             and isinstance(t[1], str) and t[1] in _SIMPLE
         ):
             out.append((f["name"], ("optional", t[1])))
+        elif isinstance(t, dict) and t.get("type") == "record":
+            out.append((f["name"], ("record", _field_types(t))))
         else:
             raise NotImplementedError(
                 f"avro: field type {t!r} not implemented"
@@ -110,6 +116,21 @@ def _write_value(t: str, v) -> bytes:
     raise NotImplementedError(f"avro: type {t}")
 
 
+def _write_field(t, v) -> bytes:
+    """One field of any subset type: simple, optional union (branch
+    index then value), or nested record (fields concatenated in
+    schema order — Avro records have no per-record framing)."""
+    if isinstance(t, tuple):
+        if t[0] == "optional":
+            if v is None:
+                return _zz_encode(0)
+            return _zz_encode(1) + _write_value(t[1], v)
+        if not isinstance(v, dict):
+            raise ValueError("avro: nested record value must be a dict")
+        return b"".join(_write_field(st, v.get(nm)) for nm, st in t[1])
+    return _write_value(t, v)
+
+
 def _read_value(r: _AvroReader, t: str):
     if t == "null":
         return None
@@ -128,6 +149,21 @@ def _read_value(r: _AvroReader, t: str):
     if t == "bytes":
         return r.bytes_()
     raise NotImplementedError(f"avro: type {t}")
+
+
+def _read_field(r: _AvroReader, t):
+    """Inverse of `_write_field`: simple value, optional union (branch
+    0 → None, 1 → value, else ValueError), or nested record → dict."""
+    if isinstance(t, tuple):
+        if t[0] == "optional":
+            branch = r.zigzag()
+            if branch == 0:
+                return None
+            if branch == 1:
+                return _read_value(r, t[1])
+            raise ValueError("avro: union branch out of range")
+        return {nm: _read_field(r, st) for nm, st in t[1]}
+    return _read_value(r, t)
 
 
 def encode_avro(
@@ -160,14 +196,7 @@ def encode_avro(
         body = bytearray()
         for rec in chunk:
             for name, t in fts:
-                v = rec.get(name)
-                if isinstance(t, tuple):  # optional union
-                    if v is None:
-                        body += _zz_encode(0)
-                    else:
-                        body += _zz_encode(1) + _write_value(t[1], v)
-                else:
-                    body += _write_value(t, v)
+                body += _write_field(t, rec.get(name))
         data = bytes(body)
         if codec == "deflate":
             co = zlib.compressobj(9, zlib.DEFLATED, -15)
@@ -225,19 +254,7 @@ def parse_avro(payload: bytes) -> dict:
                 raise ValueError(f"avro: bad deflate block: {exc}")
         br = _AvroReader(data)
         for _ in range(count):
-            rec = {}
-            for name, t in fts:
-                if isinstance(t, tuple):
-                    branch = br.zigzag()
-                    if branch == 0:
-                        rec[name] = None
-                    elif branch == 1:
-                        rec[name] = _read_value(br, t[1])
-                    else:
-                        raise ValueError("avro: union branch out of range")
-                else:
-                    rec[name] = _read_value(br, t)
-            records.append(rec)
+            records.append({name: _read_field(br, t) for name, t in fts})
         if br.pos != len(data):
             raise ValueError("avro: trailing bytes inside a block")
         n_blocks += 1
