@@ -608,6 +608,176 @@ def q_sketch_quantile_grid(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# HDR quantile sketch (log2 octave + linear sub-bucket — mergeable
+# quantiles over an UNKNOWN range, the gap quantile_grid leaves open)
+# ---------------------------------------------------------------------------
+
+
+def hdr_sketch_build(
+    items: DataFrame,
+    value_col: str,
+    scale: int = 1_000_000,
+    sub_buckets: int = 32,
+) -> DataFrame:
+    """Mergeable quantile sketch over an UNKNOWN value range — the
+    HdrHistogram design (Tene, public domain; same family as
+    DDSketch's log buckets, VLDB'19): values scale to integer ticks,
+    each tick lands in (octave e = floor(log2(t)), linear sub-bucket
+    within the octave). Guarantees follow from the bucketing, with no
+    prior [lo, hi) knowledge:
+
+    - relative-error contract: a bucket spans 2^e/S ticks inside
+      [2^e, 2^(e+1)), so any read is within a factor (1 + 1/S) of an
+      exact quantile (property-tested);
+    - bounded state: <= 64*S + 1 possible rows, whatever the data;
+    - SUM-merge: sketches merge by adding cnt per (e, sub) — the same
+      relational-sketch discipline as cms_build/quantile_grid, which
+      is what makes the sketch ANSI-SQL-replayable where KLL/t-digest
+      byte blobs would be rows-only.
+
+    Integer-exactness is deliberate: e comes from the BINARY-STRING
+    length of t (never floating log, whose libm rounding differs
+    across engines at bucket edges) and sub-bucket math is shifts and
+    integer division, so Spark and DuckDB agree bit-for-bit. Nulls
+    drop; values <= 0 clamp to the zero bucket (e = -1) — the
+    HdrHistogram non-negative convention. `sub_buckets` must be a
+    power of two (shift-only math; 32 -> 3.1% relative error).
+
+    100 TB shape: map-side partial aggregation collapses every
+    partition to the bounded bucket set before one bounded shuffle;
+    nothing scales with row count, distinct count, or value range."""
+    s = sub_buckets.bit_length() - 1
+    if sub_buckets != 1 << s:
+        raise ValueError("hdr: sub_buckets must be a power of two")
+    t = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor(F.col(value_col) * F.lit(scale)).cast("long"),
+    )
+    return (
+        items.filter(F.col(value_col).isNotNull())
+        .select(t.alias("t"))
+        .withColumn(
+            "e",
+            F.when(F.col("t") <= 0, F.lit(-1)).otherwise(
+                F.length(F.bin(F.col("t"))) - 1
+            ),
+        )
+        .withColumn(
+            "sub",
+            F.when(F.col("e") < 0, F.lit(0).cast("long")).otherwise(
+                # (t - 2^e) / (2^e / S), overflow-safe split: shift
+                # down when the octave is wider than S, multiply up
+                # when it is narrower (then everything is tiny)
+                F.expr(
+                    f"CASE WHEN e >= {s} THEN"
+                    f" (t - shiftleft(1L, e)) div shiftleft(1L, e - {s})"
+                    f" ELSE ((t - shiftleft(1L, e)) * {1 << s})"
+                    f" div shiftleft(1L, e) END"
+                )
+            ),
+        )
+        .groupBy("e", "sub")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def hdr_sketch_read(
+    grid: DataFrame, qs: "list[float]", sub_buckets: int = 32
+) -> DataFrame:
+    """Quantile reads from an HDR sketch: rank = ceil(q*N), first
+    bucket (octave-major order) whose cumulative count reaches it,
+    estimate = the bucket's UPPER edge in ticks (the quantile_grid
+    convention — deterministic, merge-stable, pure integer math; no
+    interpolation, so reads hash-match across engines). One row per
+    q: (q, rank, est_ticks)."""
+    s = sub_buckets.bit_length() - 1
+    w = Window.orderBy("e", "sub").rowsBetween(Window.unboundedPreceding, 0)
+    edge = F.expr(
+        f"CASE WHEN e < 0 THEN 0L"
+        f" WHEN e >= {s} THEN"
+        f" shiftleft(1L, e) + (sub + 1) * shiftleft(1L, e - {s})"
+        f" ELSE shiftleft(1L, e)"
+        f" + ((sub + 1) * shiftleft(1L, e)) div {1 << s} END"
+    )
+    cum = grid.select(
+        edge.alias("edge"), "cnt", F.sum("cnt").over(w).cast("long").alias("cum")
+    )
+    n = grid.agg(F.sum("cnt").cast("long").alias("n"))
+    qdf = None
+    for q in qs:
+        rank = n.select(
+            F.lit(q).alias("q"),
+            F.ceil(F.lit(q) * F.col("n")).cast("long").alias("rank"),
+        )
+        pick = (
+            rank.join(cum, cum["cum"] >= rank["rank"])
+            .orderBy("edge")
+            .limit(1)
+            .select("q", "rank", F.col("edge").alias("est_ticks"))
+        )
+        qdf = pick if qdf is None else qdf.unionByName(pick)
+    return qdf.orderBy("q")
+
+
+_HDR_SQL = """
+WITH t AS (
+  SELECT GREATEST(CAST(0 AS BIGINT),
+                  CAST(FLOOR(value * 1000000) AS BIGINT)) AS t
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT t,
+         CASE WHEN t <= 0 THEN -1
+              ELSE length(bin(t)) - 1 END AS e
+  FROM t
+), g AS (
+  SELECT e,
+         CASE WHEN e < 0 THEN 0
+              WHEN e >= 5 THEN
+                (t - (CAST(1 AS BIGINT) << e))
+                  // (CAST(1 AS BIGINT) << (e - 5))
+              ELSE ((t - (CAST(1 AS BIGINT) << e)) * 32)
+                  // (CAST(1 AS BIGINT) << e) END AS sub,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2
+), cum AS (
+  SELECT CASE WHEN e < 0 THEN CAST(0 AS BIGINT)
+              WHEN e >= 5 THEN
+                (CAST(1 AS BIGINT) << e)
+                  + (sub + 1) * (CAST(1 AS BIGINT) << (e - 5))
+              ELSE (CAST(1 AS BIGINT) << e)
+                  + ((sub + 1) * (CAST(1 AS BIGINT) << e)) // 32
+         END AS edge,
+         cnt,
+         CAST(SUM(cnt) OVER (ORDER BY e, sub) AS BIGINT) AS cum
+  FROM g
+), n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+SELECT CAST(q AS DOUBLE) AS q,
+       CAST(CEIL(q * n.n) AS BIGINT) AS rank,
+       (SELECT MIN(edge) FROM cum WHERE cum.cum >= CEIL(q * n.n))
+         AS est_ticks
+FROM qs, n
+ORDER BY q
+"""
+
+
+@query("sketch_hdr_quantile", oracle=_HDR_SQL)
+def q_sketch_hdr_quantile(spark, sf_dir):
+    """Quantiles of the events value column from an HDR sketch that
+    was told NOTHING about the value range (round-8 verdict item 5 —
+    quantile_grid requires a known [lo, hi); real telemetry doesn't
+    have one). The oracle rebuilds octaves, sub-buckets, cumulative
+    ranks, and upper-edge reads in pure integer SQL — every cell
+    hash-matches because bucket indices come from binary-string
+    length and shifts, never floating log. Accuracy ((1 + 1/S)
+    relative) and SUM-merge invariants are property-tested in
+    test_llm.py."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = hdr_sketch_build(ev, "value", 1_000_000, 32)
+    return hdr_sketch_read(grid, [0.5, 0.9, 0.99], 32)
+
+
+# ---------------------------------------------------------------------------
 # KMV distinct sketch (k-minimum-values — approximate COUNT DISTINCT
 # with a FULL oracle, unlike the binary HLL blobs)
 # ---------------------------------------------------------------------------
