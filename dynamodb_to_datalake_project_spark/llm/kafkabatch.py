@@ -195,6 +195,131 @@ def parse_kafka_segment(payload: bytes) -> "list[dict]":
     return out
 
 
+def read_kafka_segment_stream(
+    spark,
+    segment_dir: str,
+    value_schema,
+    max_files_per_trigger: int = 20,
+    path_glob: str = "*.log",
+):
+    """S6 generalized to Kafka archives (round-8 verdict item 6): a
+    Structured Streaming file source over raw v2 segment files
+    (`binaryFile` — path-glob filtered, bounded files/trigger = T6),
+    decoded executor-side by the CRC-verified batch walk above in one
+    Arrow stage, then the JSON record values parsed against the CDC
+    schema. The reference behavior being generalized is S6
+    (`dynamodb_stream_consumer.py:31-49` — its Kafka-world twin is a
+    topic whose archived segments look exactly like this).
+
+    Returns a streaming DataFrame of (kafka_offset, kafka_ts,
+    <value_schema fields>). 100 TB shape: each segment file is one
+    task's worth of work, decode is map-only (no shuffle before the
+    sink), and offsets/checkpointing ride the file source's exactly-
+    once contract."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # the binaryFile source's schema is fixed by the format, but the
+    # STREAMING variant requires it stated explicitly
+    bin_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", path_glob)
+        .option("recursiveFileLookup", "true")
+        .load(segment_dir)
+        .select("content")
+    )
+    rec_schema = T.StructType(
+        [
+            T.StructField("kafka_offset", T.LongType()),
+            T.StructField("kafka_ts", T.LongType()),
+            T.StructField("kafka_key", T.StringType()),
+            T.StructField("kafka_value", T.StringType()),
+        ]
+    )
+
+    def op(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            cols: "dict[str, list]" = {f.name: [] for f in rec_schema.fields}
+            for content in pdf["content"]:
+                for b in parse_kafka_segment(bytes(content)):
+                    for r in b["records"]:
+                        cols["kafka_offset"].append(r["offset"])
+                        cols["kafka_ts"].append(r["timestamp"])
+                        cols["kafka_key"].append(
+                            None if r["key"] is None
+                            else r["key"].decode("utf-8")
+                        )
+                        cols["kafka_value"].append(
+                            None if r["value"] is None
+                            else r["value"].decode("utf-8")
+                        )
+            yield _pd.DataFrame(cols)
+
+    decoded = raw.mapInPandas(op, rec_schema)
+    return decoded.select(
+        "kafka_offset",
+        "kafka_ts",
+        F.from_json("kafka_value", value_schema).alias("v"),
+    ).select("kafka_offset", "kafka_ts", "v.*")
+
+
+def start_kafka_segment_merge(
+    spark,
+    segment_dir: str,
+    value_schema,
+    table_path: str,
+    keys: "list[str]",
+    precombine: "list[str]",
+    partition_cols: "list[str]",
+    checkpoint_dir: str,
+    event_type_col: "str | None" = None,
+    drop_event_types: "tuple[str, ...]" = ("REMOVE",),
+    max_files_per_trigger: int = 20,
+    processing_time: str = "0 seconds",
+    delete_mode: str = "drop",
+    path_glob: str = "*.log",
+):
+    """The incremental pipeline with Kafka segments as the wire: the
+    same foreachBatch merge body as `cdc.start_cdc_merge` (T7/T8
+    policies included), fed by `read_kafka_segment_stream`. Restart
+    from `checkpoint_dir` is exactly-once: the file source replays
+    only unprocessed segments, and the merge is idempotent on
+    (keys, precombine) for anything the failure boundary re-delivers
+    (T4/T9)."""
+    from dynamodb_to_datalake_project_spark.cdc import make_merge_batch_fn
+
+    stream = read_kafka_segment_stream(
+        spark, segment_dir, value_schema, max_files_per_trigger, path_glob
+    ).drop("kafka_offset", "kafka_ts")
+    process_batch = make_merge_batch_fn(
+        table_path,
+        keys,
+        precombine,
+        partition_cols,
+        event_type_col=event_type_col,
+        drop_event_types=drop_event_types,
+        delete_mode=delete_mode,
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=processing_time)
+        .start()
+    )
+
+
 def kafka_segment_stats(docs):
     """Per doc: the words become CDC-shaped records (key = word index,
     value = word, one 'op' header cycling I/U/D) split across
