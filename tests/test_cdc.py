@@ -1205,6 +1205,96 @@ def _doc(doc_id, text):
     }
 
 
+def test_kafka_segment_cdc_merge_exactly_once(spark, tmp_path):
+    """Round-9 S6 generalization: the incremental pipeline fed by RAW
+    Kafka v2 segment files — CRC-verified batch walk, JSON values
+    parsed against the CDC schema, the same foreachBatch merge as the
+    JSON-drop leg. Restart from the same checkpoint processes only new
+    segments; stale updates lose on precombine; REMOVE is dropped per
+    the reference delete policy."""
+    import os
+
+    from dynamodb_to_datalake_project_spark.llm.kafkabatch import (
+        encode_kafka_batch,
+        start_kafka_segment_merge,
+    )
+
+    seg_dir = tmp_path / "segments"
+    table = tmp_path / "klake"
+    ckpt = tmp_path / "kckpt"
+    seg_dir.mkdir(parents=True)
+
+    def write_segment(name, events, base_offset, mtime):
+        recs = [
+            {
+                "key": e["id"].encode(),
+                "value": json.dumps(e).encode(),
+                "ts_delta": i,
+            }
+            for i, e in enumerate(events)
+        ]
+        (seg_dir / name).write_bytes(
+            encode_kafka_batch(recs, base_offset=base_offset)
+        )
+        os.utime(seg_dir / name, (mtime, mtime))
+
+    def run():
+        q = start_kafka_segment_merge(
+            spark, str(seg_dir), CDC_SCHEMA, str(table),
+            keys=["id"], precombine=["update_at"],
+            partition_cols=["day"], checkpoint_dir=str(ckpt),
+            event_type_col="event_name", max_files_per_trigger=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_segment(
+        "00000000.log",
+        [
+            {"id": "a", "update_at": "2023-01-01T00:00:00", "note": "v1",
+             "day": "2023-01-01", "event_name": "INSERT"},
+            {"id": "a", "update_at": "2023-01-01T01:00:00", "note": "v2",
+             "day": "2023-01-01", "event_name": "MODIFY"},
+            {"id": "b", "update_at": "2023-01-01T00:00:00", "note": "b1",
+             "day": "2023-01-02", "event_name": "INSERT"},
+            {"id": "b", "update_at": "2023-01-01T02:00:00", "note": "gone",
+             "day": "2023-01-02", "event_name": "REMOVE"},
+        ],
+        base_offset=0,
+        mtime=1_700_000_000,
+    )
+    run()
+    state = {r.id: r.note for r in spark.read.parquet(str(table)).collect()}
+    assert state == {"a": "v2", "b": "b1"}  # REMOVE dropped, latest wins
+
+    # restart with a second segment: a stale update (loses), one new key
+    write_segment(
+        "00000004.log",
+        [
+            {"id": "a", "update_at": "2023-01-01T00:30:00", "note": "stale",
+             "day": "2023-01-01", "event_name": "MODIFY"},
+            {"id": "c", "update_at": "2023-01-01T03:00:00", "note": "new",
+             "day": "2023-01-02", "event_name": "INSERT"},
+        ],
+        base_offset=4,
+        mtime=1_700_000_001,
+    )
+    run()
+    final = spark.read.parquet(str(table))
+    assert {r.id: (r.update_at, r.note) for r in final.collect()} == {
+        "a": ("2023-01-01T01:00:00", "v2"),
+        "b": ("2023-01-01T00:00:00", "b1"),
+        "c": ("2023-01-01T03:00:00", "new"),
+    }
+    assert final.count() == 3  # restart re-processed nothing
+
+    # a third run with no new segments is a no-op (checkpoint fence)
+    run()
+    assert spark.read.parquet(str(table)).count() == 3
+
+
 def test_streaming_near_dup_ingest_exactly_once(spark, tmp_path):
     """Streaming twin of corpus_ingest_novel: micro-batches of crawled
     documents are deduped against themselves AND all accepted history

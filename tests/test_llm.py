@@ -2501,6 +2501,71 @@ def test_linear_fit_recovers_known_line(spark):
     assert abs(got["b"].slope) < 1e-12 and got["b"].r2 is None
 
 
+def test_hdr_sketch_accuracy_and_merge(spark):
+    """HDR-sketch invariants (round 9 — unknown-range quantiles):
+    (a) every read is within a factor (1 + 1/S) of the exact quantile
+    even though the sketch was never told the range; (b) per-half
+    sketches SUM-merged equal the direct sketch cell-for-cell and
+    read identically; (c) nulls drop, non-positives land in the zero
+    bucket, and state stays bounded under wild magnitudes."""
+    from dynamodb_to_datalake_project_spark.llm import sketch as lsk
+
+    S, scale = 32, 1_000_000
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    grid = lsk.hdr_sketch_build(ev, "value", scale, S)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = {
+        r.q: r.est_ticks
+        for r in lsk.hdr_sketch_read(grid, qs, S).collect()
+    }
+    # compare against the exact ORDER STATISTIC the sketch targets
+    # (rank = ceil(q*N)) — NOT interpolated percentile(), which can sit
+    # an arbitrary value gap above the rank statistic
+    vals = sorted(
+        r.value for r in ev.select("value").collect() if r.value is not None
+    )
+    import math as _math
+
+    for q in qs:
+        t_r = int(_math.floor(vals[_math.ceil(q * len(vals)) - 1] * scale))
+        # upper-edge convention: the bucket holding the rank tick ends
+        # strictly above it, at most one sub-bucket (t_r/S) higher
+        assert t_r < got[q] <= t_r * (1 + 1.0 / S) + 1, (q, got[q], t_r)
+
+    # merge = direct, and merged reads match
+    h = ev.withColumn("half", (F.xxhash64("event_id") % 2 == 0).cast("int"))
+    halves = [
+        lsk.hdr_sketch_build(h.filter(F.col("half") == i), "value", scale, S)
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0].unionAll(halves[1])
+        .groupBy("e", "sub").agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert {(r.e, r.sub): r.cnt for r in merged.collect()} == {
+        (r.e, r.sub): r.cnt for r in grid.collect()
+    }
+    assert [
+        r.est_ticks for r in lsk.hdr_sketch_read(merged, qs, S).collect()
+    ] == [r.est_ticks for r in lsk.hdr_sketch_read(grid, qs, S).collect()]
+
+    # edge behavior: null drops, <=0 clamps to the zero bucket,
+    # huge magnitudes stay one bounded bucket each
+    wild = spark.createDataFrame(
+        [(None,), (-3.5,), (0.0,), (1e12,)], "value double"
+    )
+    cells = {
+        (r.e, r.sub): r.cnt
+        for r in lsk.hdr_sketch_build(wild, "value", scale, S).collect()
+    }
+    assert cells[(-1, 0)] == 2 and len(cells) == 2
+    assert sum(cells.values()) == 3  # the null row dropped
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="power of two"):
+        lsk.hdr_sketch_build(wild, "value", scale, 31)
+
+
 def test_kmv_accuracy_exact_path_and_merge(spark):
     """KMV invariants: (a) below k distinct the estimate is EXACT;
     (b) at 20k distinct a KMV(256) estimate lands within 5 standard
@@ -4318,6 +4383,158 @@ def test_hudi_timeline_and_iceberg_metadata():
         parse_iceberg_metadata(json.dumps({"format-version": 9}))
 
 
+def test_tiff_codec_roundtrip_and_rejects():
+    """Round-9 TIFF leg: lossless roundtrip across compression x byte
+    order x strip layouts; PackBits replicate/literal/no-op paths; the
+    honest boundaries (tiles, planar, LZW) and corruption rejects."""
+    import numpy as np
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.tiff import (
+        decode_tiff_array,
+        encode_tiff_array,
+        packbits_decode,
+        packbits_encode,
+    )
+
+    # PackBits unit semantics (TIFF 6.0 §9 worked example family)
+    assert packbits_decode(packbits_encode(b"aaaa"), 4) == b"aaaa"
+    assert packbits_decode(packbits_encode(b"abcd"), 4) == b"abcd"
+    run_heavy = b"\x00" * 300 + b"xyz" + b"\xff" * 130
+    enc = packbits_encode(run_heavy)
+    assert len(enc) < len(run_heavy) // 3  # replicate runs compress
+    assert packbits_decode(enc, len(run_heavy)) == run_heavy
+    assert packbits_decode(b"\x80\x00a", 1) == b"a"  # 128 is a no-op
+    with _pt.raises(ValueError, match="truncated literal"):
+        packbits_decode(b"\x05ab", 6)
+    with _pt.raises(ValueError, match="truncated replicate"):
+        packbits_decode(b"\xfe", 3)
+    with _pt.raises(ValueError, match="strip expects"):
+        packbits_decode(packbits_encode(b"aaaa"), 5)
+
+    rng = np.random.RandomState(9)
+    for h, w in ((1, 3), (5, 7), (9, 2)):
+        arr = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        for comp in ("none", "packbits"):
+            for be in (False, True):
+                p = encode_tiff_array(arr, w, h, comp, 4, be)
+                d = decode_tiff_array(p)
+                assert np.array_equal(d["px"], arr), (h, w, comp, be)
+                assert d["n_strips"] == -(-h // 4)
+                assert d["byte_order"] == ("MM" if be else "II")
+
+    flat = np.zeros((4, 4, 3), np.uint8)  # run-heavy image
+    p = encode_tiff_array(flat, 4, 4, "packbits")
+    assert len(p) < encode_tiff_array(flat, 4, 4, "none").__len__()
+    assert np.array_equal(decode_tiff_array(p)["px"], flat)
+
+    good = encode_tiff_array(flat, 4, 4, "none")
+    with _pt.raises(ValueError, match="byte-order"):
+        decode_tiff_array(b"XX" + good[2:])
+    with _pt.raises(ValueError, match="bad magic"):
+        decode_tiff_array(good[:2] + b"\x00\x00" + good[4:])
+    with _pt.raises(ValueError, match="overruns"):
+        decode_tiff_array(good[:40])  # strips cut off
+    import struct as _st
+
+    # tiled layout is an honest boundary: splice a TileWidth tag in
+    tiled = encode_tiff_array(flat, 4, 4, "none", big_endian=False)
+    ifd_at = _st.unpack_from("<I", tiled, 4)[0]
+    n = _st.unpack_from("<H", tiled, ifd_at)[0]
+    patched = bytearray(tiled)
+    # overwrite the last entry's tag with TileWidth (322)
+    _st.pack_into("<H", patched, ifd_at + 2 + 12 * (n - 1), 322)
+    with _pt.raises(NotImplementedError, match="til"):
+        decode_tiff_array(bytes(patched))
+
+
+def test_iceberg_manifest_resolution():
+    """Round-9: nested-record Avro roundtrip (manifest entries) and
+    the full metadata → manifest-list → manifests walk; every
+    redundant count the format carries rejects on mismatch."""
+    import json
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.avrofile import (
+        encode_avro,
+        parse_avro,
+    )
+    from dynamodb_to_datalake_project_spark.llm.tablemeta import (
+        MANIFEST_LIST_SCHEMA,
+        MANIFEST_SCHEMA,
+        resolve_iceberg_snapshot,
+    )
+
+    def entry(i, status, rec):
+        return {
+            "status": status,
+            "snapshot_id": 7 if status == 1 else None,
+            "data_file": {
+                "file_path": f"data/f{i}.parquet",
+                "file_format": "PARQUET",
+                "partition": {"dt": f"2024-01-{1 + i % 2:02d}"},
+                "record_count": rec,
+                "file_size_in_bytes": 1000 * (i + 1),
+            },
+        }
+
+    entries = [entry(0, 1, 10), entry(1, 1, 20), entry(2, 2, 5)]
+    blob = encode_avro(entries, MANIFEST_SCHEMA, codec="deflate",
+                       records_per_block=2)
+    assert parse_avro(blob)["records"] == entries  # nested roundtrip
+
+    ml_row = {
+        "manifest_path": "meta/m0.avro", "manifest_length": len(blob),
+        "partition_spec_id": 0, "added_snapshot_id": 7,
+        "added_files_count": 2, "existing_files_count": 0,
+        "deleted_files_count": 1, "added_rows_count": 30,
+        "existing_rows_count": 0, "deleted_rows_count": 5,
+    }
+    files = {
+        "meta/ml.avro": encode_avro([ml_row], MANIFEST_LIST_SCHEMA),
+        "meta/m0.avro": blob,
+    }
+    meta = {
+        "format-version": 2, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": [{"name": "id"}]}],
+        "current-snapshot-id": 7,
+        "snapshots": [{
+            "snapshot-id": 7, "manifest-list": "meta/ml.avro",
+            "summary": {"total-records": "30", "total-data-files": "2"},
+        }],
+    }
+    res = resolve_iceberg_snapshot(json.dumps(meta), files)
+    assert res["live_files"] == 2 and res["live_records"] == 30
+    assert res["deleted_files"] == 1 and res["live_bytes"] == 3000
+    assert res["n_manifests"] == 1 and res["n_partitions"] == 2
+
+    # manifest_length mismatch
+    bad = dict(files, **{"meta/m0.avro": blob + b"x"})
+    with _pt.raises(ValueError, match="manifest list says"):
+        resolve_iceberg_snapshot(json.dumps(meta), bad)
+    # per-manifest count drift
+    lied = dict(ml_row, added_files_count=3)
+    bad = dict(files, **{
+        "meta/ml.avro": encode_avro([lied], MANIFEST_LIST_SCHEMA)})
+    with _pt.raises(ValueError, match="entries say"):
+        resolve_iceberg_snapshot(json.dumps(meta), bad)
+    # summary drift
+    meta_bad = json.loads(json.dumps(meta))
+    meta_bad["snapshots"][0]["summary"]["total-records"] = "31"
+    with _pt.raises(ValueError, match="manifest walk found"):
+        resolve_iceberg_snapshot(json.dumps(meta_bad), files)
+    # missing manifest file
+    with _pt.raises(ValueError, match="missing"):
+        resolve_iceberg_snapshot(
+            json.dumps(meta), {"meta/ml.avro": files["meta/ml.avro"]})
+    # v1 inline manifests stay an honest boundary
+    meta_v1 = json.loads(json.dumps(meta))
+    del meta_v1["snapshots"][0]["manifest-list"]
+    with _pt.raises(NotImplementedError, match="manifest-list"):
+        resolve_iceberg_snapshot(json.dumps(meta_v1), files)
+
+
 def test_tfrecord_crc_and_example_roundtrip():
     """CRC32C matches the published check value; TFRecord frames
     verify and reject corruption; tf.Example roundtrips bytes/int64/
@@ -4601,6 +4818,49 @@ def test_lz4_block_and_parquet_lz4_read():
     for dic in (False, True):
         buf = io.BytesIO()
         pq.write_table(t, buf, compression="lz4", use_dictionary=dic,
+                       row_group_size=1234)
+        p = buf.getvalue()
+        assert read_parquet_column_full(p, "a") == list(range(5000))
+        assert read_parquet_column_full(p, "s")[40] == b"word3"
+
+
+def test_parquet_gzip_pages():
+    """GZIP codec (round-9): pyarrow-written gzip pages decode through
+    the RFC 1952 member path, with and without dictionary encoding;
+    malformed streams and size mismatches reject with ValueError."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        gzip_member_decompress,
+        read_parquet_column_full,
+    )
+
+    import gzip as _gz
+
+    body = b"page payload " * 50
+    member = _gz.compress(body)
+    assert gzip_member_decompress(member, len(body)) == body
+    with _pt.raises(ValueError, match="malformed"):
+        gzip_member_decompress(member[:-4], len(body))  # truncated CRC
+    with _pt.raises(ValueError, match="malformed"):
+        gzip_member_decompress(b"\x00" + member, len(body))  # bad magic
+    with _pt.raises(ValueError, match="page header says"):
+        gzip_member_decompress(member, len(body) + 1)
+
+    t = pa.table(
+        {
+            "a": pa.array(range(5000), pa.int64()),
+            "s": pa.array([f"word{i % 37}" for i in range(5000)],
+                          pa.string()),
+        }
+    )
+    for dic in (False, True):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, compression="gzip", use_dictionary=dic,
                        row_group_size=1234)
         p = buf.getvalue()
         assert read_parquet_column_full(p, "a") == list(range(5000))
