@@ -141,6 +141,7 @@ _PRIORITY: list[str] = [
     "iceberg_manifest_audit",
     "sketch_hdr_quantile",
     "multimodal_tiff_stats",
+    "parquet_zstd_value_scan",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",

@@ -9,10 +9,11 @@ content length). The generic protobuf wire reader from
 numbers — no ORC library anywhere.
 
 Subset contract: NONE-compressed tails fully parsed (pyarrow's
-default); ZLIB-compressed tails are inflated per the ORC chunked
-codec framing (3-byte header: length<<1 | is_original); SNAPPY/LZO/
-LZ4/ZSTD tails raise NotImplementedError. Malformed tails raise
-ValueError (quarantine)."""
+default); ZLIB- and ZSTD-compressed tails are decoded per the ORC
+chunked codec framing (3-byte header: length<<1 | is_original; ZSTD
+chunks are RFC 8878 frames via the zero-dep `llm.zstd` decoder);
+SNAPPY/LZO/LZ4 tails raise NotImplementedError. Malformed tails
+raise ValueError (quarantine)."""
 
 from __future__ import annotations
 
@@ -38,7 +39,7 @@ def _orc_decompress(buf: bytes, kind: int) -> bytes:
     header = chunk_len << 1 | is_original][chunk]."""
     if kind == 0:
         return buf
-    if kind != 1:
+    if kind not in (1, 5):
         raise NotImplementedError(
             f"orc: {_ORC_COMPRESSION.get(kind, kind)} tails not implemented"
         )
@@ -56,11 +57,17 @@ def _orc_decompress(buf: bytes, kind: int) -> bytes:
         at += ln
         if original:
             out += chunk
-        else:
+        elif kind == 1:
             try:
                 out += zlib.decompress(chunk, -15)
             except zlib.error as exc:
                 raise ValueError(f"orc: bad ZLIB chunk: {exc}")
+        else:  # ZSTD: each non-original chunk is one RFC 8878 frame
+            from dynamodb_to_datalake_project_spark.llm.zstd import (
+                zstd_decompress,
+            )
+
+            out += zstd_decompress(chunk)
     return bytes(out)
 
 

@@ -680,6 +680,23 @@ def _register_scan() -> None:
             docs, compression="GZIP", use_dictionary=True
         )
 
+    @query("parquet_zstd_value_scan", oracle=_SCAN_ORACLE)
+    def q_parquet_zstd_value_scan(spark, sf_dir):
+        """ZSTD twin of `parquet_column_scan`: the fixtures are
+        written `compression="ZSTD", use_dictionary=True` and read
+        back through the pure-Python RFC 8878 decoder in `llm.zstd`
+        (frames, FSE, Huffman 1/4-stream literals, sequences,
+        repeat offsets) — zstd is the dominant codec of the modern
+        lakehouse and was the last gap in the page-codec family
+        (snappy/gzip/LZ4 landed in r8). Same codec-independent
+        oracle; the unit tests additionally cross-check the decoder
+        bit-for-bit against pyarrow's bundled libzstd across
+        compression levels 1-22."""
+        docs = load_table(spark, sf_dir, "documents")
+        return parquet_scan_stats(
+            docs, compression="ZSTD", use_dictionary=True
+        )
+
 
 _register_scan()
 
@@ -769,11 +786,12 @@ def _plain_values(data: bytes, at: int, n: int, ptype: int) -> "tuple[list, int]
 
 def read_parquet_column_full(payload: bytes, column: str) -> list:
     """The lake-grade variant of `read_parquet_column`: additionally
-    handles SNAPPY-, GZIP- and LZ4_RAW-compressed pages and dictionary
-    encoding (PLAIN dictionary page + RLE_DICTIONARY/PLAIN_DICTIONARY
-    index pages) — the default parquet-cpp layout, so this reads the
-    actual driver-written fixture files. Still honestly gated: nulls,
-    repeated columns, v2 pages and other codecs raise."""
+    handles SNAPPY-, GZIP-, ZSTD- and LZ4_RAW-compressed pages and
+    dictionary encoding (PLAIN dictionary page + RLE_DICTIONARY/
+    PLAIN_DICTIONARY index pages) — the default parquet-cpp layout,
+    so this reads the actual driver-written fixture files. Still
+    honestly gated: nulls, repeated columns, v2 pages and other
+    codecs raise."""
     meta = parse_parquet_footer(payload)
     raw = _Reader(payload, len(payload) - 8
                   - struct.unpack_from("<I", payload, len(payload) - 8)[0]
@@ -799,7 +817,7 @@ def read_parquet_column_full(payload: bytes, column: str) -> list:
             if b".".join(md.get(3) or []).decode("utf-8") != column:
                 continue
             codec = md.get(4, 0)
-            if codec not in (0, 1, 2, 7):
+            if codec not in (0, 1, 2, 6, 7):
                 raise NotImplementedError(
                     f"parquet: codec {_CODECS.get(codec)} not implemented"
                 )
@@ -818,6 +836,17 @@ def read_parquet_column_full(payload: bytes, column: str) -> list:
                     data = snappy_decompress(data)
                 elif codec == 2:
                     data = gzip_member_decompress(data, ph.get(2))
+                elif codec == 6:
+                    from dynamodb_to_datalake_project_spark.llm.zstd import (
+                        zstd_decompress,
+                    )
+
+                    data = zstd_decompress(data)
+                    if len(data) != ph.get(2):
+                        raise ValueError(
+                            f"parquet: ZSTD page decoded {len(data)} bytes,"
+                            f" header says {ph.get(2)}"
+                        )
                 elif codec == 7:
                     data = lz4_block_decompress(data, ph.get(2))
                 if ph.get(1) == 2:  # dictionary page

@@ -1,0 +1,214 @@
+"""Pure-Python Zstandard decoder (`llm.zstd`) — RFC 8878 conformance,
+cross-checked bit-for-bit against an independent implementation
+(pyarrow's bundled libzstd), plus the parquet/ORC codec integrations.
+
+Reference behavior generalized: the reference lake stores compressed
+files and delegates the codec to the engine
+(vendor/aws_dynamodb_export_to_s3.py:80-100 reads gzip exports); zstd
+is the modern-lakehouse equivalent of that codec seam."""
+
+from __future__ import annotations
+
+import io
+import random
+
+import pytest
+
+from dynamodb_to_datalake_project_spark.llm.zstd import (
+    xxh64,
+    zstd_decompress,
+)
+
+
+def _codec(level=None):
+    import pyarrow as pa
+
+    if level is None:
+        return pa.Codec("zstd")
+    return pa.Codec("zstd", compression_level=level)
+
+
+def test_xxh64_public_vectors():
+    """The public XXH64 test vectors (xxHash reference README)."""
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"", seed=1) != xxh64(b"")
+    # Prime-seeded sanity: decode-independent self-consistency
+    assert xxh64(b"a") != xxh64(b"b")
+    # 32+ byte path (lane loop) vs byte-at-a-time tail
+    data = bytes(range(256))
+    assert xxh64(data) == xxh64(data[:128] + data[128:])
+    # known vector from the xxHash repository
+    assert xxh64(b"xxhash") == 0x32DD38952C4BC720
+
+
+@pytest.mark.parametrize("level", [1, 3, 9, 19, 22])
+def test_roundtrip_vs_libzstd_levels(level):
+    """Every compression level exercises different table shapes
+    (predefined vs FSE-described, 1- vs 4-stream literals, treeless
+    reuse): the decoder must agree with libzstd on all of them."""
+    rnd = random.Random(level)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    cases = [
+        b"",
+        b"x",
+        b"ab" * 5,
+        ("the quick brown fox " * 400).encode(),
+        " ".join(rnd.choice(words) for _ in range(30_000)).encode(),
+        rnd.randbytes(4096),  # incompressible -> raw blocks
+        bytes(rnd.choice(b"aabbbcccc\n ") for _ in range(50_000)),
+    ]
+    c = _codec(level)
+    for raw in cases:
+        comp = bytes(c.compress(raw))
+        assert zstd_decompress(comp) == raw
+
+
+def test_multiblock_frame():
+    """> 128 KiB regenerates across multiple blocks within one frame
+    (treeless literals + repeat FSE tables + repeat offsets carry
+    state block-to-block)."""
+    rnd = random.Random(7)
+    words = [f"tok{i}" for i in range(500)]
+    raw = " ".join(rnd.choice(words) for _ in range(300_000)).encode()
+    assert len(raw) > 1 << 20
+    comp = bytes(_codec(3).compress(raw))
+    assert zstd_decompress(comp) == raw
+
+
+def test_multi_frame_and_skippable():
+    """Concatenated frames decode in order; skippable frames are
+    skipped (RFC 8878 §3.1.2)."""
+    a, b = b"first frame " * 100, b"second frame " * 100
+    f1 = bytes(_codec().compress(a))
+    f2 = bytes(_codec().compress(b))
+    skip = (
+        (0x184D2A53).to_bytes(4, "little")
+        + (7).to_bytes(4, "little")
+        + b"padding"
+    )
+    assert zstd_decompress(f1 + skip + f2) == a + b
+
+
+def test_handbuilt_raw_rle_and_checksum():
+    """Hand-assembled frames: raw block, RLE block, and an XXH64
+    content checksum that must verify (and fail closed when bit-
+    flipped)."""
+    magic = (0xFD2FB528).to_bytes(4, "little")
+    # single_segment, checksum, FCS 1 byte (flag 0 + single segment)
+    content = b"hello zstd!"
+    fhd = bytes([(0 << 6) | (1 << 5) | (1 << 2)])
+    fcs = bytes([len(content)])
+    raw_hdr = ((len(content) << 3) | (0 << 1) | 1).to_bytes(3, "little")
+    csum = (xxh64(content) & 0xFFFFFFFF).to_bytes(4, "little")
+    frame = magic + fhd + fcs + raw_hdr + content + csum
+    assert zstd_decompress(frame) == content
+    bad = bytearray(frame)
+    bad[10] ^= 0x01  # flip a content bit -> checksum must catch it
+    with pytest.raises(ValueError, match="checksum|frame header"):
+        zstd_decompress(bytes(bad))
+
+    # RLE block: 'z' * 300, no checksum, no FCS, not single-segment
+    fhd2 = bytes([0])
+    window = bytes([0x58])  # exponent only — plenty for 300 bytes
+    rle_hdr = ((300 << 3) | (1 << 1) | 1).to_bytes(3, "little")
+    frame2 = magic + fhd2 + window + rle_hdr + b"z"
+    assert zstd_decompress(frame2) == b"z" * 300
+
+
+def test_corrupt_inputs_raise():
+    good = bytes(_codec().compress(b"payload " * 50))
+    with pytest.raises(ValueError, match="magic"):
+        zstd_decompress(b"\x00\x11\x22\x33" + good[4:])
+    with pytest.raises(ValueError):
+        zstd_decompress(good[: len(good) // 2])
+    with pytest.raises(ValueError, match="empty"):
+        zstd_decompress(b"")
+    # reserved block type (3) in a hand-built frame
+    magic = (0xFD2FB528).to_bytes(4, "little")
+    frame = magic + bytes([0x20]) + bytes([0x01]) + ((5 << 3) | 7).to_bytes(
+        3, "little"
+    )
+    with pytest.raises(ValueError, match="reserved|frame"):
+        zstd_decompress(frame)
+    # frame content size that lies
+    magic_frame = bytearray(bytes(_codec().compress(b"abcdef")))
+    # FCS byte for single-segment small frames sits at offset 5
+    if magic_frame[4] & 0x20:
+        magic_frame[5] ^= 0x7F
+        with pytest.raises(ValueError):
+            zstd_decompress(bytes(magic_frame))
+
+
+def test_dictionary_frame_not_implemented():
+    """A frame demanding an external dictionary is an honest
+    boundary: decoding without the dictionary bytes is impossible."""
+    magic = (0xFD2FB528).to_bytes(4, "little")
+    # fhd: single_segment=1, dictid flag=1 (1 byte), fcs flag 0
+    fhd = bytes([(1 << 5) | 1])
+    frame = magic + fhd + bytes([42]) + bytes([3]) + b""  # dict id 42
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        zstd_decompress(frame)
+
+
+def test_output_cap_enforced():
+    raw = b"a" * 100_000
+    comp = bytes(_codec().compress(raw))
+    with pytest.raises(ValueError, match="cap"):
+        zstd_decompress(comp, max_output=1000)
+
+
+def test_parquet_zstd_page_read():
+    """The lake-grade parquet reader decodes ZSTD pages (dictionary +
+    data) through `llm.zstd` and recovers exact values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        read_parquet_column_full,
+    )
+
+    words = ("zstd page walk fixture words repeat repeat " * 60).split()
+    t = pa.table(
+        {
+            "idx": pa.array(range(len(words)), pa.int64()),
+            "word": pa.array(words, pa.string()),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, compression="ZSTD", use_dictionary=True, row_group_size=71
+    )
+    payload = buf.getvalue()
+    assert read_parquet_column_full(payload, "idx") == list(
+        range(len(words))
+    )
+    assert [w.decode() for w in read_parquet_column_full(payload, "word")] \
+        == words
+
+
+def test_orc_zstd_tail_parse():
+    """ORC tails compressed with ZSTD (chunked framing, RFC 8878
+    frames per chunk) parse identically to NONE/ZLIB tails and agree
+    with pyarrow's own metadata."""
+    import pyarrow as pa
+    from pyarrow import orc
+
+    from dynamodb_to_datalake_project_spark.llm.orcmeta import (
+        parse_orc_tail,
+    )
+
+    n = 3000  # > 1024 rows -> multiple stripes at default batch size
+    t = pa.table(
+        {
+            "idx": pa.array(range(n), pa.int64()),
+            "word": pa.array([f"w{i}" for i in range(n)], pa.string()),
+        }
+    )
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression="zstd")
+    d = parse_orc_tail(buf.getvalue())
+    f = orc.ORCFile(io.BytesIO(buf.getvalue()))
+    assert d["compression"] == "ZSTD"
+    assert d["num_rows"] == n == f.nrows
+    assert d["n_stripes"] == f.nstripes
+    assert d["field_names"] == ["idx", "word"]
