@@ -142,6 +142,7 @@ _PRIORITY: list[str] = [
     "sketch_hdr_quantile",
     "multimodal_tiff_stats",
     "parquet_zstd_value_scan",
+    "orc_value_scan",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",

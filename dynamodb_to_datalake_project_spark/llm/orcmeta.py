@@ -107,17 +107,24 @@ def parse_orc_tail(payload: bytes) -> dict:
 
     num_rows = content_length = None
     stripe_rows: "list[int]" = []
+    stripes: "list[dict]" = []
     kinds: "list[str]" = []
     field_names: "list[str]" = []
     for field, wire, v in _PbReader(footer).fields():
         if field == 2 and wire == 0:
             content_length = v
         elif field == 3 and wire == 2:  # StripeInformation
-            rows = 0
-            for sf, sw, sv in _PbReader(v).fields():
-                if sf == 5 and sw == 0:
-                    rows = sv
-            stripe_rows.append(rows)
+            si = {sf: sv for sf, sw, sv in _PbReader(v).fields()}
+            stripes.append(
+                {
+                    "offset": si.get(1, 0),
+                    "index_length": si.get(2, 0),
+                    "data_length": si.get(3, 0),
+                    "footer_length": si.get(4, 0),
+                    "rows": si.get(5, 0),
+                }
+            )
+            stripe_rows.append(si.get(5, 0))
         elif field == 4 and wire == 2:  # Type
             kind = 0
             for tf, tw, tv in _PbReader(v).fields():
@@ -137,10 +144,12 @@ def parse_orc_tail(payload: bytes) -> dict:
         )
     return {
         "compression": _ORC_COMPRESSION.get(compression, str(compression)),
+        "compression_kind": compression,
         "num_rows": num_rows,
         "content_length": content_length,
         "n_stripes": len(stripe_rows),
         "stripe_rows": stripe_rows,
+        "stripes": stripes,
         "column_kinds": kinds,
         "field_names": field_names,
     }
@@ -212,6 +221,380 @@ def orc_audit_stats(docs):
     )
 
 
+# ---------------------------------------------------------------------------
+# ORC VALUE reading — the stripe-data walk that turns the tail parse
+# into an actual column scan, mirroring what `llm.parquetmeta`'s
+# `read_parquet_column_full` does for parquet. From the public ORC
+# v1 spec: stripe footer (protobuf stream/encoding lists), Boolean/
+# byte RLE for PRESENT, integer RLE v2 (all four sub-encodings:
+# short-repeat, direct, patched-base, delta) and string DIRECT_V2 /
+# DICTIONARY_V2. Honest subset: LONG and STRING columns (what the
+# fixture schema uses); other types raise NotImplementedError.
+# ---------------------------------------------------------------------------
+
+#: RLEv2 5-bit encoded width -> actual bit width (ORC spec table)
+_RLE_WIDTH = {24: 26, 25: 28, 26: 30, 27: 32, 28: 40, 29: 48, 30: 56, 31: 64}
+
+
+def _bit_width(enc: int) -> int:
+    return enc + 1 if enc <= 23 else _RLE_WIDTH[enc]
+
+
+def _closest_fixed_bits(w: int) -> int:
+    """Round a bit width up to the nearest encodable width — ORC
+    packs patched-base patch entries at this width, not at the raw
+    (gap width + patch width) sum."""
+    if w <= 24:
+        return max(w, 1)
+    for cand in (26, 28, 30, 32, 40, 48, 56, 64):
+        if w <= cand:
+            return cand
+    raise ValueError(f"orc: bit width {w} > 64")
+
+
+def _unpack_bits(buf: bytes, pos: int, n: int, w: int):
+    """n values of w bits each, MSB-first (ORC bit packing). Returns
+    (values, next byte position) — runs always end byte-aligned."""
+    if w == 0:
+        return [0] * n, pos
+    out = []
+    acc = nb = 0
+    mask = (1 << w) - 1
+    for _ in range(n):
+        while nb < w:
+            if pos >= len(buf):
+                raise ValueError("orc: bit-packed run truncated")
+            acc = (acc << 8) | buf[pos]
+            pos += 1
+            nb += 8
+        nb -= w
+        out.append((acc >> nb) & mask)
+        acc &= (1 << nb) - 1
+    return out, pos
+
+
+def _varint(buf: bytes, pos: int):
+    """Unsigned LEB128 (protobuf varint) used by RLEv1/v2 literals."""
+    v = shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("orc: truncated varint")
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def rlev2_decode(buf: bytes, signed: bool) -> "list[int]":
+    """Integer RLE v2: decode ALL runs in `buf` (a whole ORC stream).
+    Sub-encodings per the spec: short repeat (00), direct (01),
+    patched base (10), delta (11). Signed streams zigzag-decode
+    short-repeat/direct values and the delta base; patched-base
+    carries sign in its base value's MSB."""
+    out: "list[int]" = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        h = buf[pos]
+        pos += 1
+        kind = h >> 6
+        if kind == 0:  # short repeat
+            width = ((h >> 3) & 7) + 1
+            count = (h & 7) + 3
+            if pos + width > n:
+                raise ValueError("orc: truncated short-repeat value")
+            v = int.from_bytes(buf[pos : pos + width], "big")
+            pos += width
+            if signed:
+                v = _unzigzag(v)
+            out.extend([v] * count)
+        elif kind == 1:  # direct
+            w = _bit_width((h >> 1) & 0x1F)
+            if pos >= n:
+                raise ValueError("orc: truncated direct header")
+            count = ((h & 1) << 8 | buf[pos]) + 1
+            pos += 1
+            vals, pos = _unpack_bits(buf, pos, count, w)
+            if signed:
+                out.extend(_unzigzag(v) for v in vals)
+            else:
+                out.extend(vals)
+        elif kind == 2:  # patched base
+            w = _bit_width((h >> 1) & 0x1F)
+            if pos + 3 > n:
+                raise ValueError("orc: truncated patched-base header")
+            count = ((h & 1) << 8 | buf[pos]) + 1
+            bw = ((buf[pos + 1] >> 5) & 7) + 1
+            pw = _bit_width(buf[pos + 1] & 0x1F)
+            pgw = ((buf[pos + 2] >> 5) & 7) + 1
+            pll = buf[pos + 2] & 0x1F
+            pos += 3
+            if pos + bw > n:
+                raise ValueError("orc: truncated patched-base base")
+            base = int.from_bytes(buf[pos : pos + bw], "big")
+            pos += bw
+            sign_mask = 1 << (bw * 8 - 1)
+            if base & sign_mask:
+                base = -(base & (sign_mask - 1))
+            vals, pos = _unpack_bits(buf, pos, count, w)
+            entry_w = _closest_fixed_bits(pgw + pw)
+            patches, pos = _unpack_bits(buf, pos, pll, entry_w)
+            idx = 0
+            for p in patches:
+                gap, patch = p >> pw, p & ((1 << pw) - 1)
+                idx += gap
+                if patch:
+                    if idx >= count:
+                        raise ValueError("orc: patch index out of range")
+                    vals[idx] |= patch << w
+            out.extend(base + v for v in vals)
+        else:  # delta
+            dw_enc = (h >> 1) & 0x1F
+            dw = 0 if dw_enc == 0 else _bit_width(dw_enc)
+            if pos >= n:
+                raise ValueError("orc: truncated delta header")
+            count = ((h & 1) << 8 | buf[pos]) + 1
+            pos += 1
+            base, pos = _varint(buf, pos)
+            if signed:
+                base = _unzigzag(base)
+            db_raw, pos = _varint(buf, pos)
+            delta_base = _unzigzag(db_raw)
+            vals = [base]
+            if count > 1:
+                vals.append(base + delta_base)
+                if count > 2:
+                    deltas, pos = _unpack_bits(buf, pos, count - 2, dw)
+                    sign = -1 if delta_base < 0 else 1
+                    cur = vals[1]
+                    if dw == 0:
+                        for _ in range(count - 2):
+                            cur += delta_base
+                            vals.append(cur)
+                    else:
+                        for d in deltas:
+                            cur += sign * d
+                            vals.append(cur)
+            out.extend(vals)
+    return out
+
+
+def _byte_rle(buf: bytes) -> bytes:
+    """Byte RLE (PRESENT/dictionary-control streams): control byte
+    0-127 -> run of (c+3) copies of the next byte; 128-255 ->
+    (256-c) literal bytes."""
+    out = bytearray()
+    pos = 0
+    while pos < len(buf):
+        c = buf[pos]
+        pos += 1
+        if c < 128:
+            if pos >= len(buf):
+                raise ValueError("orc: truncated byte-RLE run")
+            out += bytes([buf[pos]]) * (c + 3)
+            pos += 1
+        else:
+            ln = 256 - c
+            if pos + ln > len(buf):
+                raise ValueError("orc: truncated byte-RLE literals")
+            out += buf[pos : pos + ln]
+            pos += ln
+    return bytes(out)
+
+
+def _bool_rle(buf: bytes, n: int) -> "list[bool]":
+    """Boolean RLE: byte RLE, then bits MSB-first, truncated to n."""
+    bits = _byte_rle(buf)
+    out: "list[bool]" = []
+    for byte in bits:
+        for k in range(7, -1, -1):
+            out.append(bool((byte >> k) & 1))
+            if len(out) == n:
+                return out
+    if len(out) < n:
+        raise ValueError("orc: PRESENT stream shorter than row count")
+    return out
+
+
+#: stream kinds (orc_proto.Stream.Kind)
+_K_PRESENT, _K_DATA, _K_LENGTH, _K_DICT = 0, 1, 2, 3
+
+
+def read_orc_column(payload: bytes, column: str) -> list:
+    """Read one column's values out of an ORC file with no ORC
+    library: tail parse -> per-stripe footer -> stream slices
+    (decompressed per the chunked codec framing: NONE/ZLIB/ZSTD) ->
+    RLEv2 / byte-RLE decode. LONG columns return ints, STRING
+    columns return bytes, nulls return None (PRESENT stream).
+    Mirrors `llm.parquetmeta.read_parquet_column_full`; reference
+    write pattern being audited: glue_jobs/initial_load.py:163-179
+    (columnar lake files the engine must be able to open by hand)."""
+    tail = parse_orc_tail(payload)
+    if column not in tail["field_names"]:
+        raise ValueError(f"orc: no column {column!r}")
+    for k in tail["column_kinds"][1:]:
+        if k in ("LIST", "MAP", "STRUCT", "UNION"):
+            raise NotImplementedError("orc: nested types not implemented")
+    col = 1 + tail["field_names"].index(column)
+    kind = tail["column_kinds"][col]
+    if kind not in ("LONG", "INT", "SHORT", "STRING"):
+        raise NotImplementedError(f"orc: {kind} columns not implemented")
+    comp = tail["compression_kind"]
+
+    values: list = []
+    for st in tail["stripes"]:
+        foot_at = st["offset"] + st["index_length"] + st["data_length"]
+        sfoot = _orc_decompress(
+            payload[foot_at : foot_at + st["footer_length"]], comp
+        )
+        streams: "list[tuple[int, int, int]]" = []
+        encodings: "list[tuple[int, int]]" = []
+        for f, w, v in _PbReader(sfoot).fields():
+            if f == 1 and w == 2:
+                d = {sf: sv for sf, sw, sv in _PbReader(v).fields()}
+                streams.append((d.get(1, 0), d.get(2, 0), d.get(3, 0)))
+            elif f == 2 and w == 2:
+                d = {sf: sv for sf, sw, sv in _PbReader(v).fields()}
+                encodings.append((d.get(1, 0), d.get(2, 0)))
+        enc, dict_size = encodings[col]
+        if enc not in (2, 3):  # DIRECT_V2 / DICTIONARY_V2
+            raise NotImplementedError(
+                f"orc: column encoding {enc} not implemented (RLEv1)"
+            )
+        # data region: non-index streams in list order after the index
+        at = st["offset"] + st["index_length"]
+        chunks: "dict[int, bytes]" = {}
+        for skind, scol, slen in streams:
+            if skind == 6 or skind == 7:  # ROW_INDEX / BLOOM_FILTER
+                continue
+            if scol == col and skind in (
+                _K_PRESENT, _K_DATA, _K_LENGTH, _K_DICT,
+            ):
+                chunks[skind] = _orc_decompress(
+                    payload[at : at + slen], comp
+                )
+            at += slen
+        nrows = st["rows"]
+        present = (
+            _bool_rle(chunks[_K_PRESENT], nrows)
+            if _K_PRESENT in chunks
+            else None
+        )
+        n_set = sum(present) if present is not None else nrows
+        if kind == "STRING":
+            if enc == 3:  # DICTIONARY_V2
+                lengths = rlev2_decode(chunks[_K_LENGTH], signed=False)
+                if len(lengths) != dict_size:
+                    raise ValueError("orc: dictionary size mismatch")
+                blob = chunks.get(_K_DICT, b"")
+                words, o = [], 0
+                for ln in lengths:
+                    words.append(blob[o : o + ln])
+                    o += ln
+                idxs = rlev2_decode(chunks[_K_DATA], signed=False)[:n_set]
+                got = [words[i] for i in idxs]
+            else:
+                lengths = rlev2_decode(chunks[_K_LENGTH], signed=False)[
+                    :n_set
+                ]
+                blob = chunks.get(_K_DATA, b"")
+                got, o = [], 0
+                for ln in lengths:
+                    if o + ln > len(blob):
+                        raise ValueError("orc: string data truncated")
+                    got.append(blob[o : o + ln])
+                    o += ln
+        else:
+            got = rlev2_decode(chunks[_K_DATA], signed=True)[:n_set]
+        if len(got) < n_set:
+            raise ValueError("orc: stream decoded fewer values than rows")
+        if present is None:
+            values.extend(got)
+        else:
+            it = iter(got)
+            values.extend(next(it) if p else None for p in present)
+    if len(values) != tail["num_rows"]:
+        raise ValueError(
+            f"orc: decoded {len(values)} values, footer says "
+            f"{tail['num_rows']}"
+        )
+    return values
+
+
+def orc_value_scan_stats(docs, compression_by_doc: bool = True):
+    """Per doc: the words become a real pyarrow-written ORC file
+    (codec rotates NONE/ZLIB/ZSTD by doc_id so every row exercises
+    the chunked-codec framing too), read BACK value-by-value through
+    the zero-dep stripe walk — RLEv2 ints, DIRECT_V2 strings. The
+    in-op asserts prove element-level equality with the source; the
+    emitted surface is a pure function of the word list, shared with
+    the parquet scans (`_SCAN_ORACLE`)."""
+    import hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_values", T.LongType()),
+            T.StructField("sum_idx", T.LongType()),
+            T.StructField("word_bytes", T.LongType()),
+            T.StructField("words_md5", T.StringType()),
+        ]
+    )
+    codecs = [None, "zlib", "zstd"]
+
+    def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        import io
+
+        import pyarrow as pa
+        from pyarrow import orc as _orc
+
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                words = [w for w in text.split(" ") if w]
+                table = pa.table(
+                    {
+                        "idx": pa.array(range(len(words)), pa.int64()),
+                        "word": pa.array(words, pa.string()),
+                    }
+                )
+                buf = io.BytesIO()
+                codec = codecs[did % 3] if compression_by_doc else None
+                if codec is None:
+                    _orc.write_table(table, buf)
+                else:
+                    _orc.write_table(table, buf, compression=codec)
+                payload = buf.getvalue()
+                idx = read_orc_column(payload, "idx")
+                ws = read_orc_column(payload, "word")
+                assert idx == list(range(len(words)))
+                assert [w.decode() for w in ws] == words
+                joined = b" ".join(ws)
+                out["doc_id"].append(did)
+                out["n_values"].append(len(idx))
+                out["sum_idx"].append(sum(idx))
+                out["word_bytes"].append(sum(len(w) for w in ws))
+                out["words_md5"].append(hashlib.md5(joined).hexdigest())
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text").repartition(par).mapInPandas(op, schema)
+    )
+
+
 def _register() -> None:
     from dynamodb_to_datalake_project_spark.catalog import query
     from dynamodb_to_datalake_project_spark.lake import load_table
@@ -245,6 +628,24 @@ def _register() -> None:
         ZLIB-compressed tails."""
         docs = load_table(spark, sf_dir, "documents")
         return orc_audit_stats(docs)
+
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        _SCAN_ORACLE,
+    )
+
+    @query("orc_value_scan", oracle=_SCAN_ORACLE)
+    def q_orc_value_scan(spark, sf_dir):
+        """ORC VALUE read with no ORC library — the stripe-data walk
+        on top of the round-8 tail parse: stripe footers, RLEv2
+        (short-repeat/direct/patched-base/delta), DIRECT_V2 strings,
+        chunked NONE/ZLIB/ZSTD codec framing (rotating per doc, so
+        the pure-Python RFC 8878 decoder is in the loop every third
+        row). Same codec-independent oracle as the parquet scans:
+        the recovered values are a pure function of the word list.
+        Completes the columnar trio's value story — parquet (r8),
+        avro (r8), now ORC."""
+        docs = load_table(spark, sf_dir, "documents")
+        return orc_value_scan_stats(docs)
 
 
 _register()
