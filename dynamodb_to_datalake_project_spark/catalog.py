@@ -143,6 +143,7 @@ _PRIORITY: list[str] = [
     "multimodal_tiff_stats",
     "parquet_zstd_value_scan",
     "orc_value_scan",
+    "iceberg_delete_read",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",

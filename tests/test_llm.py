@@ -4535,6 +4535,114 @@ def test_iceberg_manifest_resolution():
         resolve_iceberg_snapshot(json.dumps(meta_v1), files)
 
 
+def test_iceberg_position_delete_read():
+    """Round-9: Iceberg v2 merge-on-read — position-delete parquet
+    files applied to data parquet files via content-routed Avro
+    manifests, everything read by the zero-dep readers; every
+    integrity violation the spec lets a reader catch, rejected."""
+    import io
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.avrofile import encode_avro
+    from dynamodb_to_datalake_project_spark.llm.tablemeta import (
+        MANIFEST_LIST_V2_SCHEMA,
+        MANIFEST_V2_SCHEMA,
+        read_iceberg_with_deletes,
+    )
+
+    def pq_bytes(**cols):
+        arrays = {}
+        for k, v in cols.items():
+            typ = pa.int64() if isinstance(v[0], int) else pa.string()
+            arrays[k] = pa.array(v, typ)
+        buf = io.BytesIO()
+        pq.write_table(pa.table(arrays), buf)
+        return buf.getvalue()
+
+    words0 = [f"a{i}" for i in range(10)]
+    words1 = [f"b{i}" for i in range(7)]
+    del_rows = [("data/f0.parquet", 2), ("data/f0.parquet", 5),
+                ("data/f1.parquet", 0)]
+
+    def build(del_rows, f0_count=10, unsorted=False, content=1):
+        files = {
+            "data/f0.parquet": pq_bytes(word=words0),
+            "data/f1.parquet": pq_bytes(word=words1),
+            "data/del.parquet": pq_bytes(
+                file_path=[r[0] for r in del_rows],
+                pos=[r[1] for r in del_rows],
+            ),
+        }
+        def df(path, content, rec):
+            return {
+                "status": 1, "snapshot_id": 7,
+                "data_file": {
+                    "content": content, "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {"dt": "2024-01-01"},
+                    "record_count": rec,
+                    "file_size_in_bytes": len(files[path]),
+                },
+            }
+        m0 = encode_avro(
+            [df("data/f0.parquet", 0, f0_count),
+             df("data/f1.parquet", 0, 7)], MANIFEST_V2_SCHEMA)
+        m1 = encode_avro(
+            [df("data/del.parquet", content, len(del_rows))],
+            MANIFEST_V2_SCHEMA)
+        files["meta/m0.avro"] = m0
+        files["meta/m1.avro"] = m1
+        def ml(path, content, blob):
+            return {
+                "manifest_path": path, "manifest_length": len(blob),
+                "partition_spec_id": 0, "content": content,
+                "added_snapshot_id": 7, "added_files_count": 1,
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": 0, "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        files["meta/ml.avro"] = encode_avro(
+            [ml("meta/m0.avro", 0, m0), ml("meta/m1.avro", content, m1)],
+            MANIFEST_LIST_V2_SCHEMA)
+        meta = {
+            "format-version": 2, "current-snapshot-id": 7,
+            "snapshots": [
+                {"snapshot-id": 7, "manifest-list": "meta/ml.avro"}],
+        }
+        return json.dumps(meta), files
+
+    meta, files = build(del_rows)
+    got = read_iceberg_with_deletes(meta, files, "word")
+    assert [w.decode() for w in got["data/f0.parquet"]] == [
+        w for i, w in enumerate(words0) if i not in (2, 5)]
+    assert [w.decode() for w in got["data/f1.parquet"]] == words1[1:]
+
+    # record_count that disagrees with the parquet footer
+    meta, files = build(del_rows, f0_count=11)
+    with _pt.raises(ValueError, match="manifest\n? *says|rows, manifest"):
+        read_iceberg_with_deletes(meta, files, "word")
+    # out-of-range position
+    meta, files = build([("data/f0.parquet", 99)])
+    with _pt.raises(ValueError, match="out of range"):
+        read_iceberg_with_deletes(meta, files, "word")
+    # dangling file reference
+    meta, files = build([("data/nope.parquet", 0)])
+    with _pt.raises(ValueError, match="unknown file"):
+        read_iceberg_with_deletes(meta, files, "word")
+    # unsorted delete file
+    meta, files = build([("data/f0.parquet", 5), ("data/f0.parquet", 2)])
+    with _pt.raises(ValueError, match="not sorted"):
+        read_iceberg_with_deletes(meta, files, "word")
+    # equality deletes stay an honest boundary
+    meta, files = build(del_rows, content=2)
+    with _pt.raises(NotImplementedError, match="equality"):
+        read_iceberg_with_deletes(meta, files, "word")
+
+
 def test_tfrecord_crc_and_example_roundtrip():
     """CRC32C matches the published check value; TFRecord frames
     verify and reject corruption; tf.Example roundtrips bytes/int64/
