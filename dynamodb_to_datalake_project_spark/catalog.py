@@ -144,6 +144,8 @@ _PRIORITY: list[str] = [
     "parquet_zstd_value_scan",
     "orc_value_scan",
     "iceberg_delete_read",
+    "zorder_layout_stats",
+    "zorder_prune_gain",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",
@@ -261,6 +263,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.audit  # noqa: F401
     import dynamodb_to_datalake_project_spark.graph  # noqa: F401
     import dynamodb_to_datalake_project_spark.skew  # noqa: F401
+    import dynamodb_to_datalake_project_spark.layout  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.text  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.dedup  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.similarity  # noqa: F401
