@@ -146,6 +146,7 @@ _PRIORITY: list[str] = [
     "iceberg_delete_read",
     "zorder_layout_stats",
     "zorder_prune_gain",
+    "zstd_codec_roundtrip",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",
@@ -287,6 +288,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.tensorfile  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.kafkabatch  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.orcmeta  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.zstd  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.tiff  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.h264  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.mpegts  # noqa: F401

@@ -195,6 +195,79 @@ def write_json_lines(
     w.json(path)
 
 
+def write_json_lines_zstd(df: DataFrame, path: str) -> int:
+    """S10's modern sibling: a `.json.zst` JSON-lines sink. This
+    container's Hadoop has no zstd codec (gzip/lz4/snappy only), so
+    the engine brings its own RFC 8878 encoder (`llm.zstd`): each
+    partition serializes JVM-side (`df.toJSON()` — identical framing
+    to the gzip sink) and writes one part file compressed by
+    `zstd_compress`, temp-file + atomic rename so task retries can't
+    leave partial parts. Returns the row count written. On a real
+    cluster the rename target is the job-commit protocol's problem;
+    the per-partition encode is the portable piece."""
+    import os as _os
+    import uuid as _uuid
+
+    from dynamodb_to_datalake_project_spark.llm.zstd import zstd_compress
+
+    _os.makedirs(path, exist_ok=True)
+
+    def write_part(idx, lines):
+        payload = ("\n".join(lines) + "\n").encode("utf-8")
+        if payload == b"\n":
+            return iter([0])
+        blob = zstd_compress(payload)
+        tmp = _os.path.join(path, f".tmp-{_uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        _os.replace(tmp, _os.path.join(path, f"part-{idx:05d}.json.zst"))
+        return iter([payload.count(b"\n")])
+
+    counts = df.toJSON().mapPartitionsWithIndex(write_part).collect()
+    return int(sum(counts))
+
+
+def read_json_lines_zstd(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """Scan `.json.zst` JSON-lines parts written by
+    `write_json_lines_zstd` (or any zstd tool): binaryFile source ->
+    one Arrow stage decompressing with the zero-dep RFC 8878 decoder
+    -> `from_json` with the explicit schema (mandatory at scale, as
+    everywhere in this module). Files parallelize by part; each part
+    decodes independently, so the scan scales with partition count
+    exactly like the gzip path."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    def decode(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        from dynamodb_to_datalake_project_spark.llm.zstd import (
+            zstd_decompress,
+        )
+
+        for pdf in batches:
+            lines: list[str] = []
+            for blob in pdf["content"]:
+                text = zstd_decompress(bytes(blob)).decode("utf-8")
+                lines.extend(ln for ln in text.split("\n") if ln)
+            yield _pd.DataFrame({"line": lines})
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.json.zst")
+        .load(path)
+        .select("content")
+    )
+    lines = raw.mapInPandas(decode, "line string")
+    if isinstance(schema, T.StructType):
+        schema = schema.simpleString()
+    return lines.select(
+        F.from_json("line", schema).alias("j")
+    ).select("j.*")
+
+
 def manifest_paths(spark: SparkSession, manifest_file: str, base_dir: str | None = None) -> list[str]:
     """S2: manifest-driven file enumeration. DynamoDB exports ship a
     `manifest-files.json` (one `{"dataFileS3Key": …, "itemCount": …,

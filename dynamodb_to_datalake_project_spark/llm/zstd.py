@@ -659,6 +659,225 @@ def _decode_block(block: bytes, state: _FrameState, out: bytearray) -> None:
     out += literals[lpos:]
 
 
+# --- encoder ---------------------------------------------------------------
+#
+# The write side: real RFC 8878 frames any zstd decoder opens. One
+# strategy (greedy hash-chain LZ77 + predefined FSE sequence tables +
+# raw literals), because the goal is a correct, portable stream, not
+# libzstd's ratio. Blocks that don't compress fall back to Raw.
+# Cross-checked in the tests by decompressing with libzstd (pyarrow).
+
+
+def _ll_code_of(ll: int) -> "tuple[int, int, int]":
+    """literal length -> (code, extra-bit value, extra-bit count)."""
+    if ll < 16:
+        return ll, 0, 0
+    for code in range(35, 15, -1):
+        base, nb = _LL_EXTRA[code - 16]
+        if ll >= base:
+            return code, ll - base, nb
+    raise ValueError(f"zstd: literal length {ll} unencodable")
+
+
+def _ml_code_of(ml: int) -> "tuple[int, int, int]":
+    if ml < 3:
+        raise ValueError(f"zstd: match length {ml} < 3")
+    if ml < 35:
+        return ml - 3, 0, 0
+    for code in range(52, 31, -1):
+        base, nb = _ML_EXTRA[code - 32]
+        if ml >= base:
+            return code, ml - base, nb
+    raise ValueError(f"zstd: match length {ml} unencodable")
+
+
+def _fse_encode_cells(counts: "list[int]", al: int):
+    """Per-symbol cell list for FSE *encoding* against the same
+    table the decoder builds: symbol -> [(cell index, nb, baseline)]."""
+    table = _fse_table(counts, al)
+    cells: "dict[int, list]" = {}
+    for idx, (sym, nb, base) in enumerate(table):
+        cells.setdefault(sym, []).append((idx, nb, base))
+    return cells
+
+
+def _fse_pick(cells, sym: int, target: int):
+    """The one cell of `sym` whose (baseline, nb) window contains
+    `target` (the next decoder state): returns (cell, bits, nb)."""
+    for idx, nb, base in cells[sym]:
+        if base <= target < base + (1 << nb):
+            return idx, target - base, nb
+    raise ValueError(f"zstd: no FSE cell reaches state {target}")
+
+
+_ENC_LL_CELLS = _fse_encode_cells(
+    _LL_DEFAULT[0] + [0] * (36 - len(_LL_DEFAULT[0])), _LL_DEFAULT[1]
+)
+_ENC_ML_CELLS = _fse_encode_cells(
+    _ML_DEFAULT[0] + [0] * (53 - len(_ML_DEFAULT[0])), _ML_DEFAULT[1]
+)
+_ENC_OF_CELLS = _fse_encode_cells(
+    _OF_DEFAULT[0] + [0] * (32 - len(_OF_DEFAULT[0])), _OF_DEFAULT[1]
+)
+
+_MIN_MATCH = 4
+_MAX_MATCH = 65_000  # < ML code 52's reach; keeps splits trivial
+_BLOCK = 1 << 17  # 128 KiB
+
+
+def _find_sequences(data: bytes, lo: int, hi: int):
+    """Greedy hash-chain matcher over data[lo:hi]; matches may reach
+    back into [0, lo) (the frame window). Yields (lit_start, lit_len,
+    offset, match_len) triples plus the trailing literal run."""
+    seqs = []
+    head: "dict[int, int]" = {}
+    i = lo
+    anchor = lo
+    limit = hi - _MIN_MATCH
+    while i <= limit:
+        key = data[i : i + _MIN_MATCH]
+        cand = head.get(key)  # type: ignore[arg-type]
+        head[key] = i  # type: ignore[index]
+        if cand is not None and data[cand : cand + _MIN_MATCH] == key:
+            ml = _MIN_MATCH
+            maxl = min(hi - i, _MAX_MATCH)
+            while ml < maxl and data[cand + ml] == data[i + ml]:
+                ml += 1
+            offset = i - cand
+            ll = i - anchor
+            if ll > 131_071:
+                return None  # literal run exceeds LL code 35's reach
+            seqs.append((anchor, ll, offset, ml))
+            i += ml
+            anchor = i
+        else:
+            i += 1
+    if hi - anchor > 131_071:
+        return None
+    return seqs, anchor
+
+
+def _encode_block(data: bytes, lo: int, hi: int) -> "bytes | None":
+    """One Compressed block for data[lo:hi], or None when raw is
+    better (no matches / expansion / literal run too long)."""
+    found = _find_sequences(data, lo, hi)
+    if not found or not found[0]:
+        return None
+    seqs, tail_anchor = found
+    literals = bytearray()
+    rows = []
+    for anchor, ll, offset, ml in seqs:
+        literals += data[anchor : anchor + ll]
+        ofv = offset + 3  # never a repeat offset
+        of_code = ofv.bit_length() - 1
+        if of_code > 28:
+            return None  # beyond the predefined OF table's reach
+        ll_c, ll_b, ll_n = _ll_code_of(ll)
+        ml_c, ml_b, ml_n = _ml_code_of(ml)
+        rows.append(
+            (ll_c, ll_b, ll_n, of_code, ofv - (1 << of_code), of_code,
+             ml_c, ml_b, ml_n)
+        )
+    literals += data[tail_anchor:hi]
+
+    # literals section: raw, sized header
+    rs = len(literals)
+    if rs < 32:
+        lit_hdr = bytes([(rs << 3) | 0])
+    elif rs < 4096:
+        lit_hdr = bytes([((rs & 0xF) << 4) | 0b0100, rs >> 4])
+    else:
+        lit_hdr = bytes(
+            [((rs & 0xF) << 4) | 0b1100, (rs >> 4) & 0xFF, rs >> 12]
+        )
+
+    nseq = len(rows)
+    if nseq < 128:
+        seq_hdr = bytes([nseq])
+    elif nseq < 0x7F00:
+        seq_hdr = bytes([128 + (nseq >> 8), nseq & 0xFF])
+    else:
+        seq_hdr = bytes([255, nseq & 0xFF, (nseq >> 8) & 0xFF])
+    seq_hdr += bytes([0])  # all three tables Predefined
+
+    # backward pass: choose FSE cells; the i-th update targets the
+    # cell index of sequence i+1's state
+    # any cell of the symbol is valid for the last sequence
+    ll_cell = _ENC_LL_CELLS[rows[-1][0]][0][0]
+    ml_cell = _ENC_ML_CELLS[rows[-1][6]][0][0]
+    of_cell = _ENC_OF_CELLS[rows[-1][3]][0][0]
+    updates = [None] * (nseq - 1)
+    for i in range(nseq - 2, -1, -1):
+        nll, bll, wll = _fse_pick(_ENC_LL_CELLS, rows[i][0], ll_cell)
+        nml, bml, wml = _fse_pick(_ENC_ML_CELLS, rows[i][6], ml_cell)
+        nof, bof, wof = _fse_pick(_ENC_OF_CELLS, rows[i][3], of_cell)
+        updates[i] = (bll, wll, bml, wml, bof, wof)
+        ll_cell, ml_cell, of_cell = nll, nml, nof
+
+    # forward pass: append bits in decoder read order onto a sentinel
+    acc, nbits = 1, 0
+
+    def put(v: int, n: int):
+        nonlocal acc, nbits
+        if n:
+            acc = (acc << n) | v
+            nbits += n
+
+    put(ll_cell, _LL_DEFAULT[1])
+    put(of_cell, _OF_DEFAULT[1])
+    put(ml_cell, _ML_DEFAULT[1])
+    for i, r in enumerate(rows):
+        put(r[4], r[5])  # OF extra
+        put(r[7], r[8])  # ML extra
+        put(r[1], r[2])  # LL extra
+        if i + 1 < nseq:
+            bll, wll, bml, wml, bof, wof = updates[i]
+            put(bll, wll)
+            put(bml, wml)
+            put(bof, wof)
+    stream = acc.to_bytes((acc.bit_length() + 7) // 8, "little")
+
+    body = lit_hdr + bytes(literals) + seq_hdr + stream
+    return body if len(body) < hi - lo else None
+
+
+def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
+    """Encode `data` as one RFC 8878 frame: single-segment, frame
+    content size, optional XXH64 checksum; per 128 KiB block a
+    greedy-LZ Compressed block with predefined FSE tables and raw
+    literals, falling back to Raw when that doesn't pay. The output
+    is a *portable* zstd stream — the tests hand it to libzstd."""
+    n = len(data)
+    out = bytearray(_MAGIC.to_bytes(4, "little"))
+    if n < 256:
+        out.append((0 << 6) | (1 << 5) | (int(checksum) << 2))
+        fcs = bytes([n])
+    elif n - 256 < 65536:
+        out.append((1 << 6) | (1 << 5) | (int(checksum) << 2))
+        fcs = (n - 256).to_bytes(2, "little")
+    else:
+        out.append((2 << 6) | (1 << 5) | (int(checksum) << 2))
+        fcs = n.to_bytes(4, "little")
+    out += fcs
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # last, Raw, size 0
+    pos = 0
+    while pos < n:
+        hi = min(pos + _BLOCK, n)
+        last = 1 if hi == n else 0
+        body = _encode_block(data, pos, hi)
+        if body is None:
+            out += ((hi - pos) << 3 | last).to_bytes(3, "little")
+            out += data[pos:hi]
+        else:
+            out += (len(body) << 3 | (2 << 1) | last).to_bytes(3, "little")
+            out += body
+        pos = hi
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
 def zstd_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
     """Decode a Zstandard stream: one or more frames (skippable
     frames skipped), concatenated. Verifies Frame_Content_Size and
@@ -765,3 +984,77 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
                 )
         out_all += frame_out
     return bytes(out_all)
+
+
+def zstd_roundtrip_stats(docs):
+    """Per doc: text -> `zstd_compress` -> `zstd_decompress`, with an
+    in-op cross-check that an INDEPENDENT implementation (pyarrow's
+    bundled libzstd) also decodes our frame to the same bytes. The
+    emitted surface is derived only from the decoded text, so the
+    oracle recomputes it straight from `documents.text` — equality
+    proves the codec is transparent end to end."""
+    import hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema_t = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("orig_bytes", T.LongType()),
+            T.StructField("roundtrip_md5", T.StringType()),
+        ]
+    )
+
+    def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        import pyarrow as pa
+
+        codec = pa.Codec("zstd")
+        out: dict[str, list] = {f.name: [] for f in schema_t.fields}
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                enc = zstd_compress(raw)
+                dec = zstd_decompress(enc)
+                assert dec == raw
+                assert bytes(codec.decompress(enc, len(raw))) == raw
+                out["doc_id"].append(int(did))
+                out["orig_bytes"].append(len(dec))
+                out["roundtrip_md5"].append(
+                    hashlib.md5(dec).hexdigest()
+                )
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text").repartition(par)
+        .mapInPandas(op, schema_t)
+    )
+
+
+def _register() -> None:
+    from dynamodb_to_datalake_project_spark.catalog import query
+    from dynamodb_to_datalake_project_spark.lake import load_table
+
+    @query(
+        "zstd_codec_roundtrip",
+        oracle="""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS orig_bytes,
+               md5(text) AS roundtrip_md5
+        FROM documents
+        """,
+    )
+    def q_zstd_codec_roundtrip(spark, sf_dir):
+        """Both directions of the zero-dep RFC 8878 codec over the
+        documents table: encode (greedy LZ + predefined FSE) then
+        decode, with libzstd cross-decoding every frame in-op. The
+        oracle recomputes byte length and md5 from the source text —
+        transparency is the claim being hashed."""
+        docs = load_table(spark, sf_dir, "documents")
+        return zstd_roundtrip_stats(docs)
+
+
+_register()

@@ -186,6 +186,87 @@ def test_parquet_zstd_page_read():
         == words
 
 
+@pytest.mark.parametrize(
+    "shape",
+    ["empty", "tiny", "words", "random", "runs", "alphabet", "multiblock"],
+)
+def test_encoder_roundtrip_both_decoders(shape):
+    """`zstd_compress` emits portable RFC 8878 frames: our decoder
+    AND libzstd (an independent implementation) must both recover
+    the input exactly — greedy-LZ compressed blocks, raw fallbacks,
+    checksum, multi-block frames."""
+    from dynamodb_to_datalake_project_spark.llm.zstd import zstd_compress
+
+    rnd = random.Random(hash(shape) & 0xFFFF)
+    words = ["alpha", "bravo", "charlie", "delta", "echo"]
+    raw = {
+        "empty": b"",
+        "tiny": b"ab",
+        "words": " ".join(
+            rnd.choice(words) for _ in range(40_000)
+        ).encode(),
+        "random": rnd.randbytes(20_000),
+        "runs": b"a" * 300_000,
+        "alphabet": bytes(rnd.choice(b"abcd") for _ in range(200_000)),
+        "multiblock": b"pattern " * 60_000,  # > 2 blocks, cross-block
+    }[shape]
+    enc = zstd_compress(raw)
+    assert zstd_decompress(enc) == raw
+    assert bytes(_codec().decompress(enc, len(raw))) == raw
+    if shape in ("words", "runs", "multiblock"):
+        assert len(enc) < len(raw) // 2  # actually compresses
+
+
+def test_encoder_checksum_flag():
+    from dynamodb_to_datalake_project_spark.llm.zstd import zstd_compress
+
+    raw = b"checksum me " * 100
+    with_ck = zstd_compress(raw, checksum=True)
+    without = zstd_compress(raw, checksum=False)
+    assert len(with_ck) == len(without) + 4
+    assert zstd_decompress(with_ck) == raw
+    assert zstd_decompress(without) == raw
+    bad = bytearray(with_ck)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        zstd_decompress(bytes(bad))
+
+
+def test_zstd_json_sink_and_scan(spark, tmp_path):
+    """S10's zstd sibling: write .json.zst parts with the engine's
+    own encoder, read them back through the Arrow-stage scan, and
+    prove Spark's own JSON reader agrees on the gzip twin of the
+    same frame."""
+    from dynamodb_to_datalake_project_spark.lake import (
+        read_json_lines_zstd,
+        write_json_lines_zstd,
+    )
+
+    df = spark.range(500).selectExpr(
+        "id", "concat('value-', id) AS v", "id % 7 AS grp"
+    )
+    out = str(tmp_path / "zst")
+    n = write_json_lines_zstd(df.repartition(4), out)
+    assert n == 500
+    import os
+
+    parts = [f for f in os.listdir(out) if f.endswith(".json.zst")]
+    assert len(parts) >= 1
+    back = read_json_lines_zstd(
+        spark, out, "id bigint, v string, grp bigint"
+    )
+    assert back.count() == 500
+    assert sorted(r.v for r in back.collect()) == sorted(
+        f"value-{i}" for i in range(500)
+    )
+    # the parts are PORTABLE zstd: libzstd opens every one too
+    for part in parts:
+        blob = open(os.path.join(out, part), "rb").read()
+        raw = zstd_decompress(blob)
+        text = bytes(_codec().decompress(blob, len(raw)))
+        assert text == raw and text.startswith(b"{")
+
+
 def test_orc_zstd_tail_parse():
     """ORC tails compressed with ZSTD (chunked framing, RFC 8878
     frames per chunk) parse identically to NONE/ZLIB tails and agree
