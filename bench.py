@@ -210,6 +210,13 @@ HEADLINE = [
     "iceberg_manifest_audit",
     "sketch_hdr_quantile",
     "multimodal_tiff_stats",
+    "parquet_zstd_value_scan",
+    "orc_value_scan",
+    "iceberg_delete_read",
+    "zorder_layout_stats",
+    "zorder_prune_gain",
+    "zstd_codec_roundtrip",
+    "iceberg_equality_delete_read",
 ]
 
 

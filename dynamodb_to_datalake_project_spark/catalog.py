@@ -147,6 +147,7 @@ _PRIORITY: list[str] = [
     "zorder_layout_stats",
     "zorder_prune_gain",
     "zstd_codec_roundtrip",
+    "iceberg_equality_delete_read",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",

@@ -572,6 +572,7 @@ MANIFEST_LIST_V2_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
         {"name": "added_snapshot_id", "type": "long"},
         {"name": "added_files_count", "type": "int"},
         {"name": "existing_files_count", "type": "int"},
@@ -620,12 +621,15 @@ def read_iceberg_with_deletes(
     metadata: str, files: "dict[str, bytes]", column: str
 ) -> "dict[str, list]":
     """Merge-on-read over an Iceberg v2 snapshot: resolve the
-    manifest list, split data (content 0) from position-delete
-    (content 1) manifests, read every live parquet data file's
-    `column` AND every delete file's (file_path, pos) pairs through
-    `llm.parquetmeta.read_parquet_column_full`, cross-check each
-    data_file.record_count against the actual parquet footer, then
-    drop deleted ordinals. Returns {data file path: surviving
+    manifest list, route data (content 0), position-delete
+    (content 1) and equality-delete (content 2) manifests, read
+    every live parquet data file's `column` AND every delete file
+    through `llm.parquetmeta.read_parquet_column_full`, cross-check
+    each data_file.record_count against the actual parquet footer,
+    then drop rows per the spec's sequence rules: a position delete
+    applies to data files with sequence_number <= its own; an
+    equality delete applies strictly to OLDER data files
+    (sequence_number < its own). Returns {data file path: surviving
     values in position order}. Raises ValueError on dangling delete
     references, out-of-range positions, or count mismatches."""
     from dynamodb_to_datalake_project_spark.llm.avrofile import parse_avro
@@ -649,8 +653,9 @@ def read_iceberg_with_deletes(
     if ml_path not in files:
         raise ValueError(f"iceberg: manifest list {ml_path!r} missing")
 
-    data_files: "list[dict]" = []
-    delete_files: "list[dict]" = []
+    data_files: "list[tuple[dict, int]]" = []
+    pos_deletes: "list[tuple[dict, int]]" = []
+    eq_deletes: "list[tuple[dict, int]]" = []
     for mrow in parse_avro(files[ml_path])["records"]:
         path = mrow["manifest_path"]
         if path not in files:
@@ -659,6 +664,7 @@ def read_iceberg_with_deletes(
         if len(blob) != mrow["manifest_length"]:
             raise ValueError(f"iceberg: manifest {path!r} length mismatch")
         content = mrow.get("content", 0)
+        seq = mrow.get("sequence_number", 0)
         for e in parse_avro(blob)["records"]:
             if e["status"] == _DELETED:
                 continue
@@ -668,17 +674,18 @@ def read_iceberg_with_deletes(
                     "iceberg: entry content disagrees with its manifest"
                 )
             if content == 0:
-                data_files.append(df)
+                data_files.append((df, seq))
             elif content == 1:
-                delete_files.append(df)
+                pos_deletes.append((df, seq))
+            elif content == 2:
+                eq_deletes.append((df, seq))
             else:
-                raise NotImplementedError(
-                    "iceberg: equality deletes not implemented"
-                )
+                raise ValueError(f"iceberg: manifest content {content}")
 
     # read data columns; pin record_count against the real footer
     values: "dict[str, list]" = {}
-    for df in data_files:
+    data_seq: "dict[str, int]" = {}
+    for df, seq in data_files:
         p = df["file_path"]
         if p not in files:
             raise ValueError(f"iceberg: data file {p!r} missing")
@@ -689,10 +696,12 @@ def read_iceberg_with_deletes(
                 f"says {df['record_count']}"
             )
         values[p] = read_parquet_column_full(files[p], column)
+        data_seq[p] = seq
 
-    # collect (file_path, pos) pairs, sorted per spec, then apply
+    # position deletes: (file_path, pos) pairs, sorted per spec;
+    # apply to data files with sequence_number <= the delete's
     drops: "dict[str, set]" = {}
-    for df in delete_files:
+    for df, seq in pos_deletes:
         p = df["file_path"]
         if p not in files:
             raise ValueError(f"iceberg: delete file {p!r} missing")
@@ -714,12 +723,32 @@ def read_iceberg_with_deletes(
                 raise ValueError(
                     f"iceberg: delete pos {pos} out of range for {target!r}"
                 )
-            drops.setdefault(target, set()).add(pos)
+            if data_seq[target] <= seq:
+                drops.setdefault(target, set()).add(pos)
 
-    return {
-        p: [v for i, v in enumerate(vals) if i not in drops.get(p, set())]
-        for p, vals in values.items()
-    }
+    # equality deletes: value sets, applied strictly to OLDER files
+    eq_sets: "list[tuple[set, int]]" = []
+    for df, seq in eq_deletes:
+        p = df["file_path"]
+        if p not in files:
+            raise ValueError(f"iceberg: delete file {p!r} missing")
+        vals = read_parquet_column_full(files[p], column)
+        if len(vals) != df["record_count"]:
+            raise ValueError(f"iceberg: delete file {p!r} count mismatch")
+        eq_sets.append((set(vals), seq))
+
+    out: "dict[str, list]" = {}
+    for p, vals in values.items():
+        dropped = drops.get(p, set())
+        eq_live = [
+            s for s, seq in eq_sets if data_seq[p] < seq
+        ]
+        out[p] = [
+            v
+            for i, v in enumerate(vals)
+            if i not in dropped and not any(v in s for s in eq_live)
+        ]
+    return out
 
 
 def iceberg_delete_read_stats(docs):
@@ -838,6 +867,7 @@ def iceberg_delete_read_stats(docs):
                             "manifest_length": len(blob),
                             "partition_spec_id": 0,
                             "content": content,
+                            "sequence_number": 1 if content == 0 else 2,
                             "added_snapshot_id": 7,
                             "added_files_count": len(entries),
                             "existing_files_count": 0,
@@ -899,9 +929,177 @@ def iceberg_delete_read_stats(docs):
     )
 
 
+def iceberg_equality_delete_stats(docs):
+    """Per doc: the strict-ordering semantics of Iceberg equality
+    deletes, end to end. Data file f0 (sequence 1) holds every word;
+    an equality-delete file at sequence 2 deletes the VALUES whose
+    length ≡ doc_id (mod 3); data file f1 (sequence 3) re-adds every
+    7th word. The spec says an equality delete applies strictly to
+    older sequences — so matching rows die in f0 but the re-added
+    copies in f1 survive (`n_shielded` counts exactly those). The
+    oracle replays both rules from the word formulas."""
+    import hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    from dynamodb_to_datalake_project_spark.llm.avrofile import encode_avro
+
+    schema_t = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_live", T.LongType()),
+            T.StructField("n_shielded", T.LongType()),
+            T.StructField("live_md5", T.StringType()),
+        ]
+    )
+
+    def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def pq_words(ws):
+            buf = io.BytesIO()
+            pq.write_table(
+                pa.table({"word": pa.array(ws, pa.string())}), buf
+            )
+            return buf.getvalue()
+
+        out: dict[str, list] = {f.name: [] for f in schema_t.fields}
+        rows = []
+        for pdf in batches:
+            rows.extend(zip(pdf["doc_id"], pdf["text"]))
+        for did, text in rows:
+            did = int(did)
+            words = [w for w in text.split(" ") if w]
+            f1_words = [w for i, w in enumerate(words) if i % 7 == 0]
+            dels = sorted({w for w in words if len(w) % 3 == did % 3})
+            files = {
+                "data/f0.parquet": pq_words(words),
+                "data/f1.parquet": pq_words(f1_words),
+                "data/eq.parquet": pq_words(dels),
+            }
+
+            def df_entry(path, content, rec):
+                return {
+                    "status": _ADDED,
+                    "snapshot_id": 7,
+                    "data_file": {
+                        "content": content,
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "partition": {"dt": "2024-01-01"},
+                        "record_count": rec,
+                        "file_size_in_bytes": len(files[path]),
+                    },
+                }
+
+            manifests = [
+                ("meta/m0.avro", 0, 1,
+                 [df_entry("data/f0.parquet", 0, len(words))]),
+                ("meta/m1.avro", 2, 2,
+                 [df_entry("data/eq.parquet", 2, len(dels))]),
+                ("meta/m2.avro", 0, 3,
+                 [df_entry("data/f1.parquet", 0, len(f1_words))]),
+            ]
+            ml_rows = []
+            for path, content, seq, entries in manifests:
+                blob = encode_avro(entries, MANIFEST_V2_SCHEMA)
+                files[path] = blob
+                ml_rows.append(
+                    {
+                        "manifest_path": path,
+                        "manifest_length": len(blob),
+                        "partition_spec_id": 0,
+                        "content": content,
+                        "sequence_number": seq,
+                        "added_snapshot_id": 7,
+                        "added_files_count": len(entries),
+                        "existing_files_count": 0,
+                        "deleted_files_count": 0,
+                        "added_rows_count": sum(
+                            e["data_file"]["record_count"] for e in entries
+                        ),
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                    }
+                )
+            files["meta/ml.avro"] = encode_avro(
+                ml_rows, MANIFEST_LIST_V2_SCHEMA
+            )
+            metadata = json.dumps(
+                {
+                    "format-version": 2,
+                    "current-snapshot-id": 7,
+                    "snapshots": [
+                        {"snapshot-id": 7, "manifest-list": "meta/ml.avro"}
+                    ],
+                }
+            )
+            got = read_iceberg_with_deletes(metadata, files, "word")
+            f0_live = [w.decode() for w in got["data/f0.parquet"]]
+            f1_live = [w.decode() for w in got["data/f1.parquet"]]
+            want_f0 = [w for w in words if len(w) % 3 != did % 3]
+            assert f0_live == want_f0
+            assert f1_live == f1_words  # seq 3 > 2: shielded
+            live = f0_live + f1_live
+            out["doc_id"].append(did)
+            out["n_live"].append(len(live))
+            out["n_shielded"].append(
+                sum(1 for w in f1_words if len(w) % 3 == did % 3)
+            )
+            out["live_md5"].append(
+                hashlib.md5(" ".join(live).encode()).hexdigest()
+            )
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text").repartition(par)
+        .mapInPandas(op, schema_t)
+    )
+
+
 def _register() -> None:
     from dynamodb_to_datalake_project_spark.catalog import query
     from dynamodb_to_datalake_project_spark.lake import load_table
+
+    @query(
+        "iceberg_equality_delete_read",
+        oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS w
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 list_filter(w, x -> length(x) % 3 <> doc_id % 3)
+                   AS f0_live,
+                 list_filter(w, (x, i) -> (i - 1) % 7 = 0) AS f1
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(len(f0_live) + len(f1) AS BIGINT) AS n_live,
+               CAST(len(list_filter(f1,
+                 x -> length(x) % 3 = doc_id % 3)) AS BIGINT)
+                 AS n_shielded,
+               md5(array_to_string(f0_live || f1, ' ')) AS live_md5
+        FROM s
+        """,
+    )
+    def q_iceberg_equality_delete_read(spark, sf_dir):
+        """Iceberg v2 equality deletes with the spec's strict
+        sequence rule: values deleted at sequence 2 vanish from the
+        sequence-1 data file but NOT from the sequence-3 file that
+        re-added them (n_shielded counts the survivors that match
+        the delete set). Whole chain through the zero-dep Avro +
+        parquet readers; oracle replays both formulas."""
+        docs = load_table(spark, sf_dir, "documents")
+        return iceberg_equality_delete_stats(docs)
 
     @query(
         "iceberg_delete_read",

@@ -4557,7 +4557,11 @@ def test_iceberg_position_delete_read():
     def pq_bytes(**cols):
         arrays = {}
         for k, v in cols.items():
-            typ = pa.int64() if isinstance(v[0], int) else pa.string()
+            typ = (
+                pa.int64()
+                if v and isinstance(v[0], int)
+                else pa.string()
+            )
             arrays[k] = pa.array(v, typ)
         buf = io.BytesIO()
         pq.write_table(pa.table(arrays), buf)
@@ -4600,6 +4604,7 @@ def test_iceberg_position_delete_read():
             return {
                 "manifest_path": path, "manifest_length": len(blob),
                 "partition_spec_id": 0, "content": content,
+                "sequence_number": 1 if content == 0 else 2,
                 "added_snapshot_id": 7, "added_files_count": 1,
                 "existing_files_count": 0, "deleted_files_count": 0,
                 "added_rows_count": 0, "existing_rows_count": 0,
@@ -4637,10 +4642,43 @@ def test_iceberg_position_delete_read():
     meta, files = build([("data/f0.parquet", 5), ("data/f0.parquet", 2)])
     with _pt.raises(ValueError, match="not sorted"):
         read_iceberg_with_deletes(meta, files, "word")
-    # equality deletes stay an honest boundary
-    meta, files = build(del_rows, content=2)
-    with _pt.raises(NotImplementedError, match="equality"):
-        read_iceberg_with_deletes(meta, files, "word")
+    # equality deletes: values die in older files, survive in newer
+    # ones (strict < rule) — f0 is seq 1, f1 seq... both data files
+    # share seq 1 here, the eq manifest is seq 2, so matches die in
+    # both; a value absent from the table is a no-op
+    meta, files = build([])
+    files["data/eqdel.parquet"] = pq_bytes(word=["a3", "b2", "zz"])
+    from dynamodb_to_datalake_project_spark.llm.avrofile import (
+        parse_avro as _pa,
+    )
+
+    eq_entry = {
+        "status": 1, "snapshot_id": 7,
+        "data_file": {
+            "content": 2, "file_path": "data/eqdel.parquet",
+            "file_format": "PARQUET",
+            "partition": {"dt": "2024-01-01"},
+            "record_count": 3,
+            "file_size_in_bytes": len(files["data/eqdel.parquet"]),
+        },
+    }
+    m3 = encode_avro([eq_entry], MANIFEST_V2_SCHEMA)
+    files["meta/m3.avro"] = m3
+    ml_rows = _pa(files["meta/ml.avro"])["records"]
+    ml_rows.append({
+        "manifest_path": "meta/m3.avro", "manifest_length": len(m3),
+        "partition_spec_id": 0, "content": 2, "sequence_number": 2,
+        "added_snapshot_id": 7, "added_files_count": 1,
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": 0, "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    })
+    files["meta/ml.avro"] = encode_avro(ml_rows, MANIFEST_LIST_V2_SCHEMA)
+    got = read_iceberg_with_deletes(meta, files, "word")
+    assert [w.decode() for w in got["data/f0.parquet"]] == [
+        w for w in words0 if w != "a3"]
+    assert [w.decode() for w in got["data/f1.parquet"]] == [
+        w for w in words1 if w != "b2"]
 
 
 def test_tfrecord_crc_and_example_roundtrip():
