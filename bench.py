@@ -217,6 +217,7 @@ HEADLINE = [
     "zorder_prune_gain",
     "zstd_codec_roundtrip",
     "iceberg_equality_delete_read",
+    "json_schema_infer",
 ]
 
 

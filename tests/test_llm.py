@@ -4535,6 +4535,45 @@ def test_iceberg_manifest_resolution():
         resolve_iceberg_snapshot(json.dumps(meta_v1), files)
 
 
+def test_json_schema_infer_lattice(spark):
+    """Round-9: the type lattice on hand-planted conflicts —
+    int+float -> DOUBLE, bool+string -> VARCHAR, NULL is the bottom,
+    arrays of objects recurse, malformed rows quarantine as
+    $ MALFORMED instead of failing the scan."""
+    from dynamodb_to_datalake_project_spark.llm.jsoninfer import (
+        infer_json_schema,
+    )
+
+    rows = [
+        ("g1", '{"a": 1, "b": [{"x": true}], "c": null}'),
+        ("g1", '{"a": 2.5, "b": [{"x": "yes"}], "c": 7}'),
+        ("g1", '{"a": 3}'),
+        ("g2", 'not json at all {'),
+        ("g2", '{"a": "s"}'),
+    ]
+    df = spark.createDataFrame(rows, "src string, js string")
+    got = {
+        (r.grp, r.path): (r.n_present, r.n_types, r.merged_type)
+        for r in infer_json_schema(df, "src", "js").collect()
+    }
+    assert got[("g1", "$.a")] == (3, 2, "DOUBLE")  # BIGINT+DOUBLE
+    assert got[("g1", "$.b")] == (2, 1, "ARRAY")
+    assert got[("g1", "$.b[*]")] == (2, 1, "OBJECT")
+    assert got[("g1", "$.b[*].x")] == (2, 2, "VARCHAR")  # bool+str
+    assert got[("g1", "$.c")] == (2, 2, "BIGINT")  # NULL is bottom
+    assert got[("g1", "$")] == (3, 1, "OBJECT")
+    assert got[("g2", "$")][2] in ("VARCHAR",)  # OBJECT+MALFORMED
+    # element dedup: one row observes each array path once
+    df2 = spark.createDataFrame(
+        [("g", '{"t": ["a", "b", "c"]}')], "src string, js string"
+    )
+    got2 = {
+        r.path: r.n_present
+        for r in infer_json_schema(df2, "src", "js").collect()
+    }
+    assert got2["$.t[*]"] == 1
+
+
 def test_iceberg_position_delete_read():
     """Round-9: Iceberg v2 merge-on-read — position-delete parquet
     files applied to data parquet files via content-routed Avro
