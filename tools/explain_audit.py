@@ -45,6 +45,18 @@ NOTES = {
     "annotation_fleiss_kappa": "integer-exact agreement sums; two scalar divisions at the end",
     "annotation_bradley_terry": "5 fixed MM rounds: per-round join+agg over a model-sized strength table",
     "dedup_cdc_chunks": "numpy sliding-window Rabin hash in ONE Arrow stage; exact cut list md5-pinned",
+    "parquet_gzip_value_scan": "RFC 1952 member-per-page decode under the zero-dep page walk — ONE Arrow stage",
+    "iceberg_manifest_audit": "metadata→manifest-list→manifests Avro walk per doc in ONE Arrow stage; every redundant count enforced",
+    "sketch_hdr_quantile": "pure-Catalyst octave/sub-bucket grid (≤64·S+1 rows) + tiny cumulative window — sketch build is ONE agg shuffle",
+    "multimodal_tiff_stats": "PackBits strips encode→decode roundtrip in ONE Arrow stage; cost ∝ pixel bytes",
+    "parquet_zstd_value_scan": "RFC 8878 decode (FSE+Huffman+sequences) per page under the page walk — ONE Arrow stage",
+    "orc_value_scan": "stripe walk + RLEv2 + DIRECT_V2 strings, codec rotating NONE/ZLIB/ZSTD — ONE Arrow stage",
+    "iceberg_delete_read": "position-delete parquet anti-applied to data parquet via content-routed manifests — ONE Arrow stage; cluster shape = broadcast anti-join",
+    "iceberg_equality_delete_read": "equality deletes with the strict-sequence shield — ONE Arrow stage",
+    "zorder_layout_stats": "Morton interleave is shift/mask arithmetic in WholeStageCodegen; NTILE sort is the documented repartitionByRange stand-in",
+    "zorder_prune_gain": "two layouts' file stats + broadcast NLJ probe overlap — all stats frames broadcast (64 rows)",
+    "zstd_codec_roundtrip": "encoder+decoder+libzstd cross-decode in ONE Arrow stage",
+    "json_schema_infer": "Arrow path/type walk → ONE partial-aggregated shuffle; lattice is a collect_set CASE, no driver state",
     "doc_markdown_strip": "markdown strip in one Arrow map stage; byte-exact recovery pinned by md5",
     "dataset_mix_temperature": "bounded-key lang agg + ONE broadcast scalar cross-join; integer-exact temperature mix",
     "q1_pricing_summary": "single scan → partial+final hash agg; shipdate filter pushed to parquet; decimal sums for oracle determinism",
