@@ -218,6 +218,7 @@ HEADLINE = [
     "zstd_codec_roundtrip",
     "iceberg_equality_delete_read",
     "json_schema_infer",
+    "parquet_handwrite_roundtrip",
 ]
 
 

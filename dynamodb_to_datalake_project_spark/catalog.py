@@ -149,6 +149,7 @@ _PRIORITY: list[str] = [
     "zstd_codec_roundtrip",
     "iceberg_equality_delete_read",
     "json_schema_infer",
+    "parquet_handwrite_roundtrip",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",
@@ -292,6 +293,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.orcmeta  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.zstd  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.jsoninfer  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.parquetwrite  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.tiff  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.h264  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.mpegts  # noqa: F401
