@@ -219,6 +219,7 @@ HEADLINE = [
     "iceberg_equality_delete_read",
     "json_schema_infer",
     "parquet_handwrite_roundtrip",
+    "roaring_dv_delete_read",
 ]
 
 

@@ -4605,6 +4605,63 @@ def test_iceberg_manifest_resolution():
         resolve_iceberg_snapshot(json.dumps(meta_v1), files)
 
 
+def test_roaring_portable_format():
+    """Round-9: portable roaring — spec-layout byte vector, all three
+    container kinds, chunk boundaries, the 64-bit wrapper, DV
+    application, and corrupt rejects."""
+    import random
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.roaring import (
+        apply_delete_vector,
+        roaring64_deserialize,
+        roaring64_serialize,
+        roaring_deserialize,
+        roaring_serialize,
+    )
+
+    rnd = random.Random(3)
+    cases = [
+        [],
+        [0],
+        [65535, 65536],  # chunk boundary split
+        list(range(1000, 1200)),  # run container
+        sorted(rnd.sample(range(100000), 500)),  # array containers
+        sorted(rnd.sample(range(70000), 60000)),  # bitmap containers
+        sorted(set(range(5000)) | set(rnd.sample(range(1 << 31), 100))),
+    ]
+    for vals in cases:
+        blob = roaring_serialize(vals)
+        assert roaring_deserialize(blob) == sorted(set(vals))
+
+    # exact spec layout: {1,2,3} = no-run cookie 12346, count 1,
+    # key 0 / card-1 = 2, offset 16, three LE uint16 values
+    blob = roaring_serialize([1, 2, 3])
+    assert blob == (
+        (12346).to_bytes(4, "little") + (1).to_bytes(4, "little")
+        + (0).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (16).to_bytes(4, "little") + b"\x01\x00\x02\x00\x03\x00"
+    )
+    # run-cookie layout: a long run flips to cookie 12347 with flags
+    run_blob = roaring_serialize(list(range(100, 400)))
+    assert int.from_bytes(run_blob[0:2], "little") == 12347
+
+    vals64 = [5, (1 << 33) + 7, (1 << 33) + 8, (1 << 40)]
+    assert roaring64_deserialize(roaring64_serialize(vals64)) == vals64
+
+    assert apply_delete_vector(
+        list("abcdef"), roaring_serialize([1, 4])
+    ) == ["a", "c", "d", "f"]
+    with _pt.raises(ValueError, match="out of range"):
+        apply_delete_vector(["a"], roaring_serialize([5]))
+    for bad in (b"", b"\x00" * 8, blob[:10]):
+        with _pt.raises(ValueError):
+            roaring_deserialize(bad)
+    with _pt.raises(ValueError, match="uint32"):
+        roaring_serialize([1 << 33])
+
+
 def test_json_schema_infer_lattice(spark):
     """Round-9: the type lattice on hand-planted conflicts —
     int+float -> DOUBLE, bool+string -> VARCHAR, NULL is the bottom,
