@@ -220,6 +220,7 @@ HEADLINE = [
     "json_schema_infer",
     "parquet_handwrite_roundtrip",
     "roaring_dv_delete_read",
+    "arrow_ipc_stream_scan",
 ]
 
 

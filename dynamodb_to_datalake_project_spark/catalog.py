@@ -151,6 +151,7 @@ _PRIORITY: list[str] = [
     "json_schema_infer",
     "parquet_handwrite_roundtrip",
     "roaring_dv_delete_read",
+    "arrow_ipc_stream_scan",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",
@@ -296,6 +297,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.jsoninfer  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.parquetwrite  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.roaring  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.arrowipc  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.tiff  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.h264  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.mpegts  # noqa: F401

@@ -4605,6 +4605,65 @@ def test_iceberg_manifest_resolution():
         resolve_iceberg_snapshot(json.dumps(meta_v1), files)
 
 
+def test_arrow_ipc_reader_vs_pyarrow():
+    """Round-9: the zero-dep Arrow IPC stream reader vs pyarrow (the
+    format's reference implementation) — 7 primitive types, nulls,
+    multi-batch streams, plus framing/subset rejects."""
+    import io
+    import random
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.arrowipc import (
+        read_arrow_stream,
+    )
+
+    rnd = random.Random(2)
+    n = 300
+    cols = {
+        "idx": pa.array([None if i % 7 == 0 else i for i in range(n)],
+                        pa.int64()),
+        "word": pa.array([f"w{i}" for i in range(n)], pa.string()),
+        "flag": pa.array([bool(i % 3) if i % 11 else None
+                          for i in range(n)], pa.bool_()),
+        "score": pa.array([i * 0.5 if i % 5 else None for i in range(n)],
+                          pa.float64()),
+        "f32": pa.array([float(i) for i in range(n)], pa.float32()),
+        "i8": pa.array([rnd.randrange(-128, 128) for _ in range(n)],
+                       pa.int8()),
+        "u32": pa.array([i * 3 for i in range(n)], pa.uint32()),
+    }
+    t = pa.table(cols)
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, t.schema) as w:
+        for b in t.to_batches(max_chunksize=77):
+            w.write_batch(b)
+    got = read_arrow_stream(buf.getvalue())
+    for name, arr in cols.items():
+        assert got[name] == arr.to_pylist(), name
+
+    # empty table, single batch
+    buf2 = io.BytesIO()
+    with ipc.new_stream(buf2, t.schema) as w:
+        pass
+    got2 = read_arrow_stream(buf2.getvalue())
+    assert all(v == [] for v in got2.values())
+
+    # rejects: truncation, garbage, dictionary encoding
+    with _pt.raises(ValueError):
+        read_arrow_stream(buf.getvalue()[: len(buf.getvalue()) // 3])
+    with _pt.raises(ValueError):
+        read_arrow_stream(b"\x00" * 32)
+    d = pa.table({"s": pa.array(["a", "b", "a"]).dictionary_encode()})
+    buf3 = io.BytesIO()
+    with ipc.new_stream(buf3, d.schema) as w:
+        w.write_table(d)
+    with _pt.raises(NotImplementedError, match="dictionary"):
+        read_arrow_stream(buf3.getvalue())
+
+
 def test_roaring_portable_format():
     """Round-9: portable roaring — spec-layout byte vector, all three
     container kinds, chunk boundaries, the 64-bit wrapper, DV

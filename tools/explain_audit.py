@@ -57,6 +57,8 @@ NOTES = {
     "zorder_prune_gain": "two layouts' file stats + broadcast NLJ probe overlap — all stats frames broadcast (64 rows)",
     "zstd_codec_roundtrip": "encoder+decoder+libzstd cross-decode in ONE Arrow stage",
     "json_schema_infer": "Arrow path/type walk → ONE partial-aggregated shuffle; lattice is a collect_set CASE, no driver state",
+    "parquet_handwrite_roundtrip": "zero-dep parquet WRITE + 2-reader verify in ONE Arrow stage; ZSTD pages by our own encoder on odd ids",
+    "roaring_dv_delete_read": "portable-roaring DV build/parse/apply over hand-written parquet — ONE Arrow stage; cluster shape = broadcast DV blobs",
     "doc_markdown_strip": "markdown strip in one Arrow map stage; byte-exact recovery pinned by md5",
     "dataset_mix_temperature": "bounded-key lang agg + ONE broadcast scalar cross-join; integer-exact temperature mix",
     "q1_pricing_summary": "single scan → partial+final hash agg; shipdate filter pushed to parquet; decimal sums for oracle determinism",
