@@ -221,6 +221,7 @@ HEADLINE = [
     "parquet_handwrite_roundtrip",
     "roaring_dv_delete_read",
     "arrow_ipc_stream_scan",
+    "avro_schema_evolution",
 ]
 
 

@@ -152,6 +152,7 @@ _PRIORITY: list[str] = [
     "parquet_handwrite_roundtrip",
     "roaring_dv_delete_read",
     "arrow_ipc_stream_scan",
+    "avro_schema_evolution",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",

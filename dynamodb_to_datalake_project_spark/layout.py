@@ -23,6 +23,15 @@ This module is that operator, Spark-first:
   per-file stats under BOTH layouts (z-order vs single-column
   sort) and counts files a min/max-pruning scanner must touch —
   the number that justifies the shuffle at 100 TB.
+
+Relation to `lake.zorder_write`: that is the production WRITE path
+(quantile-bucketed ranks — skew-proof — + repartitionByRange, real
+parquet files, footer stats verified by `lake.overlapping_files`).
+This module is the oracle-checked ANALYSIS twin: min-max
+normalization and NTILE placement are deliberately deterministic so
+DuckDB replays the exact interleave and file assignment bit-for-bit,
+and the pruning payoff becomes a hash-checked catalog query instead
+of a test-only observation. Same curve, two verification regimes.
 """
 
 from __future__ import annotations

@@ -266,6 +266,231 @@ def parse_avro(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Schema RESOLUTION (reader vs writer schema — Avro spec "Schema
+# Resolution"): the property that makes Avro the lake's evolution
+# format. A reader schema may rename fields via aliases, drop writer
+# fields, add fields with defaults, and promote types
+# (int→long→double, string↔bytes); anything else is an error, not a
+# silent null.
+# ---------------------------------------------------------------------------
+
+#: writer type -> reader type promotions the spec allows (subset)
+_PROMOTE = {
+    ("int", "long"), ("int", "double"), ("long", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+}
+
+
+def _one_field_type(t):
+    """A single reader field's type in `_field_types` form."""
+    return _field_types({"type": "record", "fields": [
+        {"name": "_", "type": t}
+    ]})[0][1]
+
+
+def _promote_value(wt: str, rt: str, v):
+    if wt == rt:
+        return v
+    if (wt, rt) not in _PROMOTE:
+        raise ValueError(f"avro: cannot promote {wt} to {rt}")
+    if rt == "double":
+        return float(v)
+    if rt == "long":
+        return int(v)
+    if rt == "bytes":
+        return v.encode("utf-8")
+    return v.decode("utf-8")
+
+
+def _conversion(wt, rt):
+    """Value converter writer-type -> reader-type, or raise
+    ValueError when the spec says the pair is unresolvable."""
+    w_opt = isinstance(wt, tuple) and wt[0] == "optional"
+    r_opt = isinstance(rt, tuple) and rt[0] == "optional"
+    if isinstance(wt, tuple) and wt[0] == "record":
+        if not (isinstance(rt, tuple) and rt[0] == "record"):
+            raise ValueError("avro: record resolved against non-record")
+        raise NotImplementedError(
+            "avro: nested-record resolution not implemented"
+        )
+    if w_opt and r_opt:
+        inner = _conversion(wt[1], rt[1])
+        return lambda v: None if v is None else inner(v)
+    if r_opt:  # required writer value fits the reader's [null, T]
+        inner = _conversion(wt, rt[1])
+        return lambda v: inner(v)
+    if w_opt:  # reader demands a value: None becomes a data error
+        inner = _conversion(wt[1], rt)
+
+        def strict(v):
+            if v is None:
+                raise ValueError(
+                    "avro: null written where the reader schema "
+                    "requires a value"
+                )
+            return inner(v)
+
+        return strict
+    return lambda v: _promote_value(wt, rt, v)
+
+
+def _default_value(f: dict, rt):
+    if "default" not in f:
+        raise ValueError(
+            f"avro: reader field {f['name']!r} missing from the writer "
+            "schema and has no default"
+        )
+    d = f["default"]
+    if isinstance(rt, tuple) and rt[0] == "optional":
+        return d  # JSON default for ["null", T] is null -> None
+    if rt == "bytes" and isinstance(d, str):
+        return d.encode("latin-1")  # spec: bytes defaults are \u00XX
+    if rt == "double" and isinstance(d, (int, float)):
+        return float(d)
+    return d
+
+
+def resolution_plan(writer_schema: dict, reader_schema: dict):
+    """[(reader field name, 'take'|'default', source name | default,
+    converter)] — aliases honored, writer-only fields skipped."""
+    wmap = dict(_field_types(writer_schema))
+    plan = []
+    for f in reader_schema.get("fields", []):
+        rt = _one_field_type(f["type"])
+        src = next(
+            (
+                nm
+                for nm in [f["name"], *f.get("aliases", [])]
+                if nm in wmap
+            ),
+            None,
+        )
+        if src is None:
+            plan.append((f["name"], "default", _default_value(f, rt), None))
+        else:
+            plan.append((f["name"], "take", src, _conversion(wmap[src], rt)))
+    return plan
+
+
+def resolve_avro(payload: bytes, reader_schema: dict) -> dict:
+    """`parse_avro`, then deliver every record per the READER schema
+    (Avro spec Schema Resolution): aliases rename, writer-only
+    fields drop, reader-only fields take their defaults, promotions
+    convert. Unresolvable pairs and defaultless missing fields raise
+    ValueError up front (before any record is touched)."""
+    parsed = parse_avro(payload)
+    plan = resolution_plan(parsed["schema"], reader_schema)
+    out = []
+    for rec in parsed["records"]:
+        row = {}
+        for name, kind, src, conv in plan:
+            row[name] = conv(rec[src]) if kind == "take" else src
+        out.append(row)
+    return {
+        "records": out,
+        "writer_schema": parsed["schema"],
+        "codec": parsed["codec"],
+        "n_blocks": parsed["n_blocks"],
+    }
+
+
+def avro_evolution_stats(docs):
+    """Per doc: records written under schema v1 (int id, string name,
+    optional int score, a `tag` field v2 drops) and read under v2
+    (long record_id via alias, optional DOUBLE score via in-union
+    promotion, new double weight with default 1.5) — the resolved
+    census is a pure function of the word formulas."""
+    import hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema_t = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("sum_record_id", T.LongType()),
+            T.StructField("null_scores", T.LongType()),
+            T.StructField("score_sum", T.DoubleType()),
+            T.StructField("weight_sum", T.DoubleType()),
+            T.StructField("names_md5", T.StringType()),
+        ]
+    )
+    v1 = {
+        "type": "record", "name": "r1",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": ["null", "int"]},
+            {"name": "tag", "type": "string"},
+        ],
+    }
+    v2 = {
+        "type": "record", "name": "r2",
+        "fields": [
+            {"name": "record_id", "type": "long", "aliases": ["id"]},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": ["null", "double"]},
+            {"name": "weight", "type": "double", "default": 1.5},
+        ],
+    }
+
+    def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        out: dict[str, list] = {f.name: [] for f in schema_t.fields}
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                words = [w for w in text.split(" ") if w]
+                recs = [
+                    {
+                        "id": i,
+                        "name": w,
+                        "score": None if i % 5 == 0 else i * 3,
+                        "tag": "x" + w,
+                    }
+                    for i, w in enumerate(words)
+                ]
+                blob = encode_avro(
+                    recs, v1, codec="deflate" if did % 2 else "null",
+                    records_per_block=7,
+                )
+                got = resolve_avro(blob, v2)["records"]
+                assert [g["record_id"] for g in got] == list(
+                    range(len(words))
+                )
+                assert all("tag" not in g for g in got)
+                assert all(g["weight"] == 1.5 for g in got)
+                out["doc_id"].append(did)
+                out["n_records"].append(len(got))
+                out["sum_record_id"].append(
+                    sum(g["record_id"] for g in got)
+                )
+                out["null_scores"].append(
+                    sum(1 for g in got if g["score"] is None)
+                )
+                out["score_sum"].append(
+                    float(sum(g["score"] or 0.0 for g in got))
+                )
+                out["weight_sum"].append(
+                    float(sum(g["weight"] for g in got))
+                )
+                out["names_md5"].append(
+                    hashlib.md5(
+                        " ".join(g["name"] for g in got).encode()
+                    ).hexdigest()
+                )
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text").repartition(par)
+        .mapInPandas(op, schema_t)
+    )
+
+
 def avro_roundtrip_stats(docs):
     """Per doc: the words become {idx: long, word: string, alt:
     optional string} records (alt null on every 3rd word), written
@@ -374,6 +599,40 @@ def _register() -> None:
         framing and inflate all have to survive byte-for-byte."""
         docs = load_table(spark, sf_dir, "documents")
         return avro_roundtrip_stats(docs)
+
+    @query(
+        "avro_schema_evolution",
+        oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS w
+          FROM documents
+        ), s AS (
+          SELECT doc_id, w, len(w) AS n FROM t
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_records,
+               CAST(n * (n - 1) // 2 AS BIGINT) AS sum_record_id,
+               CAST((n + 4) // 5 AS BIGINT) AS null_scores,
+               CAST(3 * (n * (n - 1) // 2 - (
+                 SELECT COALESCE(SUM(i), 0)
+                 FROM unnest(range(0, n)) AS u(i) WHERE i % 5 = 0
+               )) AS DOUBLE) AS score_sum,
+               CAST(n AS DOUBLE) * 1.5 AS weight_sum,
+               md5(array_to_string(w, ' ')) AS names_md5
+        FROM s
+        """,
+    )
+    def q_avro_schema_evolution(spark, sf_dir):
+        """Avro schema RESOLUTION end-to-end: v1-written container
+        files read under a v2 reader schema — alias rename
+        (id→record_id), int→long and in-union int→double promotions,
+        a dropped field, a defaulted new field — per the spec's
+        Schema Resolution rules, both codecs. The oracle replays the
+        resolved census from the word formulas; unresolvable shapes
+        are ValueError-tested in the unit suite."""
+        docs = load_table(spark, sf_dir, "documents")
+        return avro_evolution_stats(docs)
 
 
 _register()

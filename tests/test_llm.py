@@ -4605,6 +4605,62 @@ def test_iceberg_manifest_resolution():
         resolve_iceberg_snapshot(json.dumps(meta_v1), files)
 
 
+def test_avro_schema_resolution_rules():
+    """Round-9: Avro spec Schema Resolution — aliases, promotions
+    (incl. inside [null, T] unions), defaults, dropped fields, and
+    every unresolvable shape rejected up front."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.avrofile import (
+        encode_avro,
+        resolve_avro,
+    )
+
+    v1 = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "s", "type": "string"},
+        {"name": "opt", "type": ["null", "int"]},
+        {"name": "gone", "type": "double"},
+    ]}
+    recs = [
+        {"id": 1, "s": "a", "opt": None, "gone": 9.0},
+        {"id": 2, "s": "b", "opt": 7, "gone": 8.0},
+    ]
+    blob = encode_avro(recs, v1)
+
+    v2 = {"type": "record", "name": "r", "fields": [
+        {"name": "key", "type": "long", "aliases": ["id"]},
+        {"name": "s", "type": "bytes"},         # string -> bytes
+        {"name": "opt", "type": ["null", "double"]},  # union promote
+        {"name": "w", "type": "double", "default": 2.5},
+    ]}
+    got = resolve_avro(blob, v2)["records"]
+    assert got == [
+        {"key": 1, "s": b"a", "opt": None, "w": 2.5},
+        {"key": 2, "s": b"b", "opt": 7.0, "w": 2.5},
+    ]
+
+    # required writer value fits a [null, T] reader union
+    v3 = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": ["null", "long"]},
+    ]}
+    assert [r["id"] for r in resolve_avro(blob, v3)["records"]] == [1, 2]
+
+    # missing field without default
+    with _pt.raises(ValueError, match="no default"):
+        resolve_avro(blob, {"type": "record", "name": "r", "fields": [
+            {"name": "nope", "type": "int"}]})
+    # illegal promotion (double -> int)
+    with _pt.raises(ValueError, match="promote"):
+        resolve_avro(blob, {"type": "record", "name": "r", "fields": [
+            {"name": "gone", "type": "int"}]})
+    # optional writer into required reader: fails on the null ROW
+    v4 = {"type": "record", "name": "r", "fields": [
+        {"name": "opt", "type": "long"}]}
+    with _pt.raises(ValueError, match="requires a value"):
+        resolve_avro(blob, v4)
+
+
 def test_arrow_ipc_reader_vs_pyarrow():
     """Round-9: the zero-dep Arrow IPC stream reader vs pyarrow (the
     format's reference implementation) — 7 primitive types, nulls,
