@@ -222,6 +222,8 @@ HEADLINE = [
     "roaring_dv_delete_read",
     "arrow_ipc_stream_scan",
     "avro_schema_evolution",
+    "sim_ann_binary_rescore",
+    "sim_binary_recall",
 ]
 
 

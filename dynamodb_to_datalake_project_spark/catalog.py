@@ -153,6 +153,8 @@ _PRIORITY: list[str] = [
     "roaring_dv_delete_read",
     "arrow_ipc_stream_scan",
     "avro_schema_evolution",
+    "sim_ann_binary_rescore",
+    "sim_binary_recall",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",

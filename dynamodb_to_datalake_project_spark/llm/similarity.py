@@ -435,6 +435,171 @@ def q_ann_ivf_fullprobe(spark, sf_dir):
     )
 
 
+def binary_code(vec_col: str) -> F.Column:
+    """Sign-quantize a double vector into ONE 64-bit code (bit b set
+    iff v[b] > 0), folded with bitwise OR so bit 63 can't overflow an
+    addition — pure Catalyst, identical expression in the oracle."""
+    return F.expr(
+        f"aggregate(sequence(0, 63), 0L, (acc, b) -> acc | "
+        f"IF(element_at({vec_col}, b + 1) > 0D, shiftleft(1L, b), 0L))"
+    )
+
+
+def ann_binary_rescore(
+    emb: DataFrame, shortlist: int = 20, k: int = 5
+) -> DataFrame:
+    """Binary-quantization ANN (the modern RAG memory trade: 64x
+    smaller vectors, Hamming shortlist, exact rescore): sign-codes
+    for every vector, top-`shortlist` corpus candidates per query by
+    bit_count(xor) — integer SIMD work instead of float dot products
+    — then exact cosine only on the shortlist. At 100 TB the
+    shortlist join ships ONE long per vector; full floats are
+    touched for shortlist x queries rows only. Deterministic
+    everywhere (hamming/id then cosine/id tiebreaks), so the DuckDB
+    oracle replays the whole pipeline — stronger than the LSH legs'
+    rows-only twins."""
+    e = emb.select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    ).withColumn("code", binary_code("v")).withColumn(
+        "n", norm(F.col("v"))
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("code").alias("qc"), F.col("n").alias("qn"),
+    )
+    c = e.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("code").alias("cc"), F.col("n").alias("cn"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).withColumn(
+        "hamming",
+        F.bit_count(F.col("qc").bitwiseXOR(F.col("cc"))).cast("long"),
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    short = pairs.withColumn(
+        "hrnk", F.row_number().over(wh)
+    ).filter(F.col("hrnk") <= shortlist)
+    rescored = short.withColumn(
+        "cosine",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        ),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(wc).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine", "hamming")
+    )
+
+
+_BINARY_CODED_SQL = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_aggregate(list_transform(generate_series(0, 63),
+               b -> CASE WHEN embedding[b + 1] <= 0
+                    THEN CAST(0 AS BIGINT)
+                    WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                    ELSE (CAST(1 AS BIGINT) << b) END), 'bit_or') AS code
+      FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < 8),
+       c AS (SELECT * FROM e WHERE vec_id >= 8),
+       p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS hamming,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+      FROM q CROSS JOIN c
+    ), short AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY hamming ASC, neighbor_id ASC) AS hrnk
+        FROM p
+      ) WHERE hrnk <= 20
+    )
+"""
+
+_BINARY_RESCORE_SQL = _BINARY_CODED_SQL + """
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           cosine, hamming
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM short
+    ) WHERE rnk <= 5
+"""
+
+
+@query("sim_ann_binary_rescore", oracle=_BINARY_RESCORE_SQL)
+def q_sim_ann_binary_rescore(spark, sf_dir):
+    """Sign-quantized Hamming shortlist + exact-cosine rescore; the
+    oracle replays codes, shortlist and rescore bit-for-bit."""
+    return ann_binary_rescore(load_table(spark, sf_dir, "embeddings"))
+
+
+_BINARY_RECALL_SQL = _BINARY_CODED_SQL + """
+    , brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        FROM p
+      ) WHERE rnk <= 5
+    ), approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        FROM short
+      ) WHERE rnk <= 5
+    )
+    SELECT b.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           count(a.neighbor_id) / 5.0 AS recall
+    FROM brute b LEFT JOIN approx a
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+"""
+
+
+@query("sim_binary_recall", oracle=_BINARY_RECALL_SQL)
+def q_sim_binary_recall(spark, sf_dir):
+    """Recall@5 of the binary-quantized shortlist against exact
+    brute force, per query — the accuracy side of the 64x memory
+    trade, measured (not assumed) and hash-oracled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double_vec("embedding").alias("v"))
+    brute = knn_bruteforce(
+        e.filter(F.col("vec_id") < 8), e.filter(F.col("vec_id") >= 8), k=5
+    ).select("query_id", F.col("neighbor_id").alias("b_id"))
+    approx = ann_binary_rescore(emb).select(
+        "query_id", F.col("neighbor_id").alias("a_id")
+    )
+    return (
+        brute.join(
+            approx,
+            (brute["query_id"] == approx["query_id"])
+            & (F.col("b_id") == F.col("a_id")),
+            "left",
+        )
+        .groupBy(brute["query_id"].alias("query_id"))
+        .agg(
+            F.count("a_id").alias("hits"),
+            (F.count("a_id") / F.lit(5.0)).alias("recall"),
+        )
+        .select(
+            "query_id",
+            F.col("hits").cast("long").alias("hits"),
+            "recall",
+        )
+    )
+
+
 @query(
     "embed_quantize_int8",
     oracle="""
