@@ -224,6 +224,7 @@ HEADLINE = [
     "avro_schema_evolution",
     "sim_ann_binary_rescore",
     "sim_binary_recall",
+    "delta_checkpoint_replay",
 ]
 
 

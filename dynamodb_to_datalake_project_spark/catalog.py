@@ -155,6 +155,7 @@ _PRIORITY: list[str] = [
     "avro_schema_evolution",
     "sim_ann_binary_rescore",
     "sim_binary_recall",
+    "delta_checkpoint_replay",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",

@@ -784,31 +784,66 @@ def _plain_values(data: bytes, at: int, n: int, ptype: int) -> "tuple[list, int]
     )
 
 
+def _schema_leaves(raw: dict) -> "dict[str, tuple[int, int, bool]]":
+    """DFS over the footer's flat SchemaElement list (parents precede
+    children; num_children delimits groups): dotted leaf path ->
+    (physical type, max definition level, has-repeated-ancestor)."""
+    els = raw.get(2) or []
+    leaves: "dict[str, tuple[int, int, bool]]" = {}
+    pos = 1  # skip the root
+
+    def walk(prefix: str, max_def: int, has_rep: bool) -> None:
+        nonlocal pos
+        if pos >= len(els):
+            raise ValueError("parquet: schema list shorter than declared")
+        el = els[pos]
+        pos += 1
+        nm = el.get(4, b"").decode("utf-8")
+        rep_t = el.get(3, 0)
+        md = max_def + (1 if rep_t == 1 else 0)
+        hr = has_rep or rep_t == 2
+        path = f"{prefix}.{nm}" if prefix else nm
+        nchild = el.get(5)
+        if nchild:
+            for _ in range(nchild):
+                walk(path, md, hr)
+        else:
+            leaves[path] = (el.get(1), md, hr)
+
+    n_root = (els[0].get(5) or 0) if els else 0
+    for _ in range(n_root):
+        walk("", 0, False)
+    return leaves
+
+
 def read_parquet_column_full(payload: bytes, column: str) -> list:
     """The lake-grade variant of `read_parquet_column`: additionally
-    handles SNAPPY-, GZIP-, ZSTD- and LZ4_RAW-compressed pages and
+    handles SNAPPY-, GZIP-, ZSTD- and LZ4_RAW-compressed pages,
     dictionary encoding (PLAIN dictionary page + RLE_DICTIONARY/
-    PLAIN_DICTIONARY index pages) — the default parquet-cpp layout,
-    so this reads the actual driver-written fixture files. Still
-    honestly gated: nulls, repeated columns, v2 pages and other
-    codecs raise."""
+    PLAIN_DICTIONARY index pages), NULL values (returned as None),
+    and STRUCT-nested leaves addressed by dotted path ("add.path" —
+    definition levels at the full nesting depth; Delta checkpoints
+    are the motivating file shape). Still honestly gated: repeated
+    columns (lists/maps), v2 pages and other codecs raise."""
     meta = parse_parquet_footer(payload)
     raw = _Reader(payload, len(payload) - 8
                   - struct.unpack_from("<I", payload, len(payload) - 8)[0]
                   ).struct()
-    rep_by_name: "dict[str, int]" = {}
-    type_by_name: "dict[str, int]" = {}
-    for el in (raw.get(2) or [])[1:]:
-        if isinstance(el, dict) and not el.get(5):
-            nm = el.get(4, b"").decode("utf-8")
-            rep_by_name[nm] = el.get(3, 0)
-            type_by_name[nm] = el.get(1)
-    if column not in rep_by_name:
-        raise ValueError(f"parquet: no leaf column {column!r}")
-    rep = rep_by_name[column]
-    if rep == 2:
+    leaves = _schema_leaves(raw)
+    if column in leaves:
+        path = column
+    else:
+        tails = [p for p in leaves if p.rsplit(".", 1)[-1] == column]
+        if len(tails) != 1:
+            raise ValueError(
+                f"parquet: no leaf column {column!r}"
+                + (f" (ambiguous: {tails})" if tails else "")
+            )
+        path = tails[0]
+    ptype, max_def, has_rep = leaves[path]
+    if has_rep:
         raise NotImplementedError("parquet: repeated columns not implemented")
-    ptype = type_by_name[column]
+    column = path
 
     values: list = []
     for rg in raw.get(4) or []:
@@ -868,16 +903,17 @@ def read_parquet_column_full(payload: bytes, column: str) -> list:
                 n = dph.get(1, 0)
                 enc = dph.get(2, 0)
                 at = 0
-                if rep == 1:
+                defs = None
+                n_present = n
+                if max_def > 0:
                     (dlen,) = struct.unpack_from("<I", data, 0)
-                    defs = _decode_rle_bitpacked(data[4 : 4 + dlen], 1, n)
-                    if any(d == 0 for d in defs):
-                        raise NotImplementedError(
-                            "parquet: null values not implemented"
-                        )
+                    defs = _decode_rle_bitpacked(
+                        data[4 : 4 + dlen], max_def.bit_length(), n
+                    )
+                    n_present = sum(1 for d in defs if d == max_def)
                     at = 4 + dlen
                 if enc == 0:
-                    vals, _ = _plain_values(data, at, n, ptype)
+                    vals, _ = _plain_values(data, at, n_present, ptype)
                 elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
                     if dict_vals is None:
                         raise ValueError(
@@ -885,7 +921,9 @@ def read_parquet_column_full(payload: bytes, column: str) -> list:
                             "any dictionary page"
                         )
                     bw = data[at]
-                    idx = _decode_rle_bitpacked(data[at + 1 :], bw, n)
+                    idx = _decode_rle_bitpacked(
+                        data[at + 1 :], bw, n_present
+                    )
                     bad = [i for i in idx if i >= len(dict_vals)]
                     if bad:
                         raise ValueError("parquet: dictionary index OOB")
@@ -895,6 +933,11 @@ def read_parquet_column_full(payload: bytes, column: str) -> list:
                         f"parquet: encoding {_ENCODINGS.get(enc)} "
                         "not implemented"
                     )
+                if defs is not None and n_present != n:
+                    it = iter(vals)
+                    vals = [
+                        next(it) if d == max_def else None for d in defs
+                    ]
                 values.extend(vals)
                 got += n
                 off = r.pos + size

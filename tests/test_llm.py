@@ -4605,6 +4605,119 @@ def test_iceberg_manifest_resolution():
         resolve_iceberg_snapshot(json.dumps(meta_v1), files)
 
 
+def test_parquet_nested_struct_and_null_reads():
+    """Round-9: the reader's struct-nesting + NULL upgrade — dotted
+    paths, definition levels at depth, null reassembly, ambiguity
+    rejection, flat-file regression — against pyarrow-written files."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        read_parquet_column_full,
+    )
+
+    n = 200
+    add = [
+        {"path": f"f{i}.parquet", "size": i * 10} if i % 3 else None
+        for i in range(n)
+    ]
+    remove = [{"path": f"g{i}"} if i % 7 == 0 else None for i in range(n)]
+    flat = [i if i % 4 else None for i in range(n)]
+    t = pa.table({
+        "add": pa.array(add, pa.struct(
+            [("path", pa.string()), ("size", pa.int64())])),
+        "remove": pa.array(remove, pa.struct([("path", pa.string())])),
+        "flat": pa.array(flat, pa.int64()),
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf, row_group_size=61)
+    p = buf.getvalue()
+    assert read_parquet_column_full(p, "add.path") == [
+        d["path"].encode() if d else None for d in add]
+    assert read_parquet_column_full(p, "add.size") == [
+        d["size"] if d else None for d in add]
+    assert read_parquet_column_full(p, "flat") == flat
+    with _pt.raises(ValueError, match="ambiguous"):
+        read_parquet_column_full(p, "path")
+    assert read_parquet_column_full(p, "size") == \
+        read_parquet_column_full(p, "add.size")
+    # lists stay an honest boundary
+    t2 = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    buf2 = io.BytesIO()
+    pq.write_table(t2, buf2)
+    with _pt.raises(NotImplementedError, match="repeated"):
+        read_parquet_column_full(buf2.getvalue(), "l.list.element")
+
+
+def test_delta_checkpoint_replay_rules():
+    """Round-9: checkpoint cold start — adds/protocol/metaData from
+    the parquet rows, post-checkpoint commits folded, contiguity and
+    one-action-per-row enforced."""
+    import io
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.deltalog import (
+        replay_delta_checkpoint,
+    )
+
+    add_t = pa.struct([("path", pa.string()), ("size", pa.int64()),
+                       ("stats", pa.string())])
+    rem_t = pa.struct([("path", pa.string())])
+    meta_t = pa.struct([("schemaString", pa.string())])
+    proto_t = pa.struct([("minReaderVersion", pa.int64()),
+                         ("minWriterVersion", pa.int64())])
+
+    def checkpoint(rows):
+        t = pa.table({
+            "add": pa.array([r.get("add") for r in rows], add_t),
+            "remove": pa.array([r.get("remove") for r in rows], rem_t),
+            "metaData": pa.array([r.get("metaData") for r in rows], meta_t),
+            "protocol": pa.array([r.get("protocol") for r in rows], proto_t),
+        })
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        return buf.getvalue()
+
+    cp = checkpoint([
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"schemaString": json.dumps(
+            {"fields": [{"name": "pk"}]})}},
+        {"add": {"path": "a.parquet", "size": 100,
+                 "stats": json.dumps({"numRecords": 10})}},
+        {"add": {"path": "b.parquet", "size": 200,
+                 "stats": json.dumps({"numRecords": 20})}},
+        {"remove": {"path": "old.parquet"}},  # expired tombstone
+    ])
+    res = replay_delta_checkpoint(cp, 2, [
+        (3, json.dumps({"remove": {"path": "a.parquet"}})),
+        (4, json.dumps({"add": {"path": "c.parquet", "size": 300,
+                                "stats": json.dumps({"numRecords": 30})}})),
+    ])
+    assert res["version"] == 4
+    assert sorted(res["active_files"]) == ["b.parquet", "c.parquet"]
+    assert res["total_rows"] == 50 and res["total_bytes"] == 500
+    assert res["n_removed"] == 1 and res["protocol"] == (1, 2)
+    assert res["schema_cols"] == ["pk"]
+
+    # non-contiguous post-checkpoint commits
+    with _pt.raises(ValueError, match="contiguous"):
+        replay_delta_checkpoint(cp, 2, [(5, "{}")])
+    # two actions in one checkpoint row
+    bad = checkpoint([
+        {"add": {"path": "x", "size": 1, "stats": None},
+         "protocol": {"minReaderVersion": 1, "minWriterVersion": 1}},
+    ])
+    with _pt.raises(ValueError, match="exactly one action"):
+        replay_delta_checkpoint(bad, 0, [])
+
+
 def test_avro_schema_resolution_rules():
     """Round-9: Avro spec Schema Resolution — aliases, promotions
     (incl. inside [null, T] unions), defaults, dropped fields, and
