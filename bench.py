@@ -225,6 +225,8 @@ HEADLINE = [
     "sim_ann_binary_rescore",
     "sim_binary_recall",
     "delta_checkpoint_replay",
+    "ingest_encoding_detect",
+    "ingest_csv_sniff",
 ]
 
 

@@ -156,6 +156,8 @@ _PRIORITY: list[str] = [
     "sim_ann_binary_rescore",
     "sim_binary_recall",
     "delta_checkpoint_replay",
+    "ingest_encoding_detect",
+    "ingest_csv_sniff",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",
@@ -302,6 +304,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.parquetwrite  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.roaring  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.arrowipc  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.ingest  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.tiff  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.h264  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.mpegts  # noqa: F401

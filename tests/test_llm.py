@@ -4605,6 +4605,52 @@ def test_iceberg_manifest_resolution():
         resolve_iceberg_snapshot(json.dumps(meta_v1), files)
 
 
+def test_ingest_encoding_and_csv_sniff():
+    """Round-9: the ingest front door — the UTF-16-before-UTF-8
+    ordering trap, BOM table, cp1252/latin-1 split, RFC 4180 quoting
+    edge cases, deterministic dialect choice and the header rule."""
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.ingest import (
+        detect_encoding,
+        parse_csv_rfc4180,
+        sniff_csv_dialect,
+    )
+
+    text = "the quick brown fox 123"
+    cases = [
+        (text.encode("utf-8"), "utf-8", False),
+        (b"\xef\xbb\xbf" + text.encode("utf-8"), "utf-8", True),
+        (b"\xff\xfe" + text.encode("utf-16-le"), "utf-16-le", True),
+        (b"\xfe\xff" + text.encode("utf-16-be"), "utf-16-be", True),
+        # the trap: UTF-16 ASCII bytes are VALID UTF-8
+        (text.encode("utf-16-le"), "utf-16-le", False),
+        (text.encode("utf-16-be"), "utf-16-be", False),
+        ("café naïve".encode("utf-8"), "utf-8", False),
+        ("café".encode("cp1252") + b" \x93quoted\x94", "cp1252", False),
+        ("plain café".encode("latin-1"), "latin-1", False),
+    ]
+    for raw, enc, bom in cases:
+        d = detect_encoding(raw)
+        assert (d["encoding"], d["had_bom"]) == (enc, bom), raw[:16]
+    assert detect_encoding(text.encode("utf-16-le"))["text"] == text
+
+    # RFC 4180: embedded delimiter, doubled quote, embedded newline
+    csv_text = 'a,"b,with ""q"" and\nnewline",c\r\n1,2,3\r\n'
+    rows = parse_csv_rfc4180(csv_text)
+    assert rows == [["a", 'b,with "q" and\nnewline', "c"],
+                    ["1", "2", "3"]]
+    with _pt.raises(ValueError, match="unterminated"):
+        parse_csv_rfc4180('a,"open\n')
+
+    for d in (",", ";", "\t", "|"):
+        t = d.join(["name", "count"]) + "\n" + d.join(["x", "5"]) + "\n"
+        got = sniff_csv_dialect(t)
+        assert got["delimiter"] == d and got["has_header"]
+    # no numeric signal anywhere -> no header claimed
+    assert not sniff_csv_dialect("a,b\nc,d\n")["has_header"]
+
+
 def test_parquet_nested_struct_and_null_reads():
     """Round-9: the reader's struct-nesting + NULL upgrade — dotted
     paths, definition levels at depth, null reassembly, ambiguity
