@@ -227,6 +227,7 @@ HEADLINE = [
     "delta_checkpoint_replay",
     "ingest_encoding_detect",
     "ingest_csv_sniff",
+    "linkage_em_weights",
 ]
 
 

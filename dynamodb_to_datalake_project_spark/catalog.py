@@ -158,6 +158,7 @@ _PRIORITY: list[str] = [
     "delta_checkpoint_replay",
     "ingest_encoding_detect",
     "ingest_csv_sniff",
+    "linkage_em_weights",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",
@@ -305,6 +306,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.llm.roaring  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.arrowipc  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.ingest  # noqa: F401
+    import dynamodb_to_datalake_project_spark.llm.linkage  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.tiff  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.h264  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.mpegts  # noqa: F401

@@ -4605,6 +4605,49 @@ def test_iceberg_manifest_resolution():
         resolve_iceberg_snapshot(json.dumps(meta_v1), files)
 
 
+def test_linkage_em_fit_properties():
+    """Round-9: Fellegi-Sunter EM — on a cleanly separated census
+    the learned parameters recover the planted structure (m high on
+    agreeing-fields-among-matches, u low, λ near the match rate),
+    and the SQL generator replays the Python evaluator bit-for-bit
+    in DuckDB."""
+    import duckdb
+
+    from dynamodb_to_datalake_project_spark.llm.linkage import (
+        _ROUNDS,
+        em_fit,
+        em_round_ctes,
+    )
+
+    counts = [40, 0, 3, 0, 25, 1, 0, 30]  # mostly patterns 0/4/7
+    fit = em_fit(counts)
+    assert 0.2 < fit["lam"] < 0.8
+    assert fit["m"][2] < fit["m"][0]  # exact-match field rarer than first-char
+    assert fit["u"][2] < 0.05  # non-matches almost never exact-equal
+    assert fit["posterior"][7] > 0.95 and fit["posterior"][0] < 0.05
+
+    con = duckdb.connect()
+    c_defs = ", ".join(
+        f"CAST({c} AS DOUBLE) AS c{p}" for p, c in enumerate(counts)
+    )
+    nn = "0.0"
+    for p in range(8):
+        nn = f"({nn} + c{p})"
+    rounds, prev = "", "cc"
+    for r in range(1, _ROUNDS + 1):
+        rounds += f", r{r} AS ({em_round_ctes(prev, r)})"
+        prev = f"r{r}"
+    db = con.execute(
+        f"WITH pp AS (SELECT 1 AS doc_id, [1] AS pats, 1 AS n), "
+        f"cc AS (SELECT doc_id, pats, n, {c_defs}, {nn} AS nn FROM pp)"
+        f"{rounds} SELECT lam, m1, m2, m3, u1, u2, u3, "
+        + ", ".join(f"q{p}" for p in range(8))
+        + f" FROM r{_ROUNDS}"
+    ).fetchone()
+    py = [fit["lam"]] + fit["m"] + fit["u"] + fit["posterior"]
+    assert all(a == b for a, b in zip(py, db)), "EM not bit-identical"
+
+
 def test_ingest_encoding_and_csv_sniff():
     """Round-9: the ingest front door — the UTF-16-before-UTF-8
     ordering trap, BOM table, cp1252/latin-1 split, RFC 4180 quoting

@@ -59,6 +59,14 @@ NOTES = {
     "json_schema_infer": "Arrow path/type walk → ONE partial-aggregated shuffle; lattice is a collect_set CASE, no driver state",
     "parquet_handwrite_roundtrip": "zero-dep parquet WRITE + 2-reader verify in ONE Arrow stage; ZSTD pages by our own encoder on odd ids",
     "roaring_dv_delete_read": "portable-roaring DV build/parse/apply over hand-written parquet — ONE Arrow stage; cluster shape = broadcast DV blobs",
+    "arrow_ipc_stream_scan": "flatbuffers walk of pyarrow-written IPC streams — ONE Arrow stage",
+    "avro_schema_evolution": "v1->v2 schema resolution per container — ONE Arrow stage",
+    "sim_ann_binary_rescore": "one-long-per-vector Hamming shortlist then cosine on shortlist only; broadcast queries, two windows",
+    "sim_binary_recall": "binary top-5 LEFT JOIN exact top-5; same broadcast pattern twice + one join",
+    "delta_checkpoint_replay": "nested-column checkpoint read + JSON fold per doc — ONE Arrow stage",
+    "ingest_encoding_detect": "five wire forms detected/decoded — ONE Arrow stage",
+    "ingest_csv_sniff": "dialect score + RFC 4180 parse — ONE Arrow stage",
+    "linkage_em_weights": "pattern census in ONE Arrow stage; EM is closed-form over 8 counts, no iterative shuffle",
     "doc_markdown_strip": "markdown strip in one Arrow map stage; byte-exact recovery pinned by md5",
     "dataset_mix_temperature": "bounded-key lang agg + ONE broadcast scalar cross-join; integer-exact temperature mix",
     "q1_pricing_summary": "single scan → partial+final hash agg; shipdate filter pushed to parquet; decimal sums for oracle determinism",
