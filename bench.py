@@ -228,6 +228,7 @@ HEADLINE = [
     "ingest_encoding_detect",
     "ingest_csv_sniff",
     "linkage_em_weights",
+    "tokenizer_wordpiece_greedy",
 ]
 
 

@@ -159,6 +159,7 @@ _PRIORITY: list[str] = [
     "ingest_encoding_detect",
     "ingest_csv_sniff",
     "linkage_em_weights",
+    "tokenizer_wordpiece_greedy",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",

@@ -450,3 +450,202 @@ def q_bpe_fertility_by_lang(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy longest-match tokenizer (the BERT inference
+# algorithm) with a corpus-learned substring vocabulary — the
+# non-merge-based sibling of the BPE loop above. Vocabulary
+# selection is ONE distributed count+rank pass; segmentation is
+# greedy max-match per word, single-char fallback, fully
+# deterministic (ties: longest piece, then lexicographically
+# greatest), so the DuckDB oracle replays both stages — the
+# segmentation via a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_WP_TOPK = 120
+_WP_LENS = (2, 3, 4)
+
+
+def wordpiece_vocab(docs) -> "list[str]":
+    """Top-K substrings (lengths 2-4, occurrence-weighted, count
+    DESC then piece ASC) of the corpus words — pure Catalyst explode
+    + count + rank; only the K final strings reach the driver."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+        ).alias("w")
+    )
+    subs = words.select(
+        F.explode(
+            F.flatten(
+                F.array(*[
+                    F.expr(
+                        # sequence(1, 0) counts DOWN in Spark — gate
+                        # short words to an empty array instead
+                        f"IF(length(w) >= {L}, "
+                        f"transform(sequence(1, length(w) - {L} + 1),"
+                        f" i -> substring(w, i, {L})), "
+                        f"CAST(array() AS ARRAY<STRING>))"
+                    )
+                    for L in _WP_LENS
+                ])
+            )
+        ).alias("piece")
+    )
+    ranked = (
+        subs.groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+            ),
+        )
+        .filter(F.col("rk") <= _WP_TOPK)
+    )
+    return [r.piece for r in ranked.collect()]
+
+
+def wordpiece_segment(word: str, vocab: "set[str]") -> "list[str]":
+    """Greedy longest-match; ties inside one length class resolve to
+    the lexicographically greatest piece (mirrors the SQL max over
+    'LL'||piece); unknown positions consume one char."""
+    out = []
+    pos = 0
+    n = len(word)
+    while pos < n:
+        cands = [
+            word[pos : pos + L]
+            for L in _WP_LENS
+            if pos + L <= n and word[pos : pos + L] in vocab
+        ]
+        if cands:
+            best = max(cands, key=lambda v: (len(v), v))
+        else:
+            best = word[pos]
+        out.append(best)
+        pos += len(best)
+    return out
+
+
+def wordpiece_stats(docs):
+    """Per doc: greedy max-match segmentation of every word under
+    the corpus vocabulary; emits piece counts, fertility, and the
+    md5 of the full piece stream in word order."""
+    import hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    vocab = set(wordpiece_vocab(docs))
+
+    schema_t = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_pieces", T.LongType()),
+            T.StructField("fertility", T.DoubleType()),
+            T.StructField("pieces_md5", T.StringType()),
+        ]
+    )
+
+    def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        out: dict[str, list] = {f.name: [] for f in schema_t.fields}
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                words = [w for w in text.split(" ") if w]
+                pieces: "list[str]" = []
+                for w in words:
+                    pieces.extend(wordpiece_segment(w, vocab))
+                out["doc_id"].append(did)
+                out["n_words"].append(len(words))
+                out["n_pieces"].append(len(pieces))
+                out["fertility"].append(
+                    float(len(pieces)) / len(words) if words else 0.0
+                )
+                out["pieces_md5"].append(
+                    hashlib.md5(" ".join(pieces).encode()).hexdigest()
+                )
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select("doc_id", "text").repartition(par)
+        .mapInPandas(op, schema_t)
+    )
+
+
+_WP_ORACLE = f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, u.w, u.i AS widx
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+    FROM documents
+  ), LATERAL (
+    SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+  ) u
+), subs AS (
+  SELECT unnest(flatten([
+           [substr(w, i, 2) for i in range(1, greatest(length(w) - 1, 0) + 1)],
+           [substr(w, i, 3) for i in range(1, greatest(length(w) - 2, 0) + 1)],
+           [substr(w, i, 4) for i in range(1, greatest(length(w) - 3, 0) + 1)]
+         ])) AS piece
+  FROM words
+), vocab AS (
+  SELECT piece FROM (
+    SELECT piece, row_number() OVER (
+      ORDER BY count(*) DESC, piece ASC) AS rk
+    FROM subs GROUP BY piece
+  ) WHERE rk <= {_WP_TOPK}
+), seg AS (
+  SELECT doc_id, widx, w, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces
+  FROM words
+  UNION ALL
+  SELECT s.doc_id, s.widx, s.w, s.pos + length(p.best),
+         list_append(s.pieces, p.best)
+  FROM seg s, LATERAL (
+    SELECT COALESCE(
+      (SELECT substr(max(lpad(CAST(length(piece) AS VARCHAR), 2, '0')
+                         || piece), 3)
+       FROM vocab
+       WHERE substr(s.w, s.pos, length(piece)) = piece),
+      substr(s.w, s.pos, 1)) AS best
+  ) p
+  WHERE s.pos <= length(s.w)
+), done AS (
+  SELECT doc_id, widx, pieces FROM seg WHERE pos > length(w)
+), perdoc AS (
+  SELECT doc_id,
+         count(*) AS n_words,
+         string_agg(array_to_string(pieces, ' '), ' '
+                    ORDER BY widx) AS stream
+  FROM done GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(len(string_split(stream, ' ')) AS BIGINT) AS n_pieces,
+       CAST(len(string_split(stream, ' ')) AS DOUBLE) / n_words
+         AS fertility,
+       md5(stream) AS pieces_md5
+FROM perdoc
+"""
+
+
+@query("tokenizer_wordpiece_greedy", oracle=_WP_ORACLE)
+def q_tokenizer_wordpiece_greedy(spark, sf_dir):
+    """WordPiece greedy max-match over a corpus-learned top-120
+    substring vocabulary: the vocab pass is pure Catalyst (explode +
+    count + rank, only 120 strings reach the driver); segmentation
+    is one Arrow stage. The oracle replays vocab selection AND the
+    greedy walk itself (recursive CTE, longest-then-lex-greatest tie
+    rule, single-char fallback) — the full piece stream md5 must
+    match."""
+    docs = load_table(spark, sf_dir, "documents")
+    return wordpiece_stats(docs)

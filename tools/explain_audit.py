@@ -67,6 +67,7 @@ NOTES = {
     "ingest_encoding_detect": "five wire forms detected/decoded — ONE Arrow stage",
     "ingest_csv_sniff": "dialect score + RFC 4180 parse — ONE Arrow stage",
     "linkage_em_weights": "pattern census in ONE Arrow stage; EM is closed-form over 8 counts, no iterative shuffle",
+    "tokenizer_wordpiece_greedy": "vocab = explode+count+rank (bounded K to driver); greedy max-match in ONE Arrow stage",
     "doc_markdown_strip": "markdown strip in one Arrow map stage; byte-exact recovery pinned by md5",
     "dataset_mix_temperature": "bounded-key lang agg + ONE broadcast scalar cross-join; integer-exact temperature mix",
     "q1_pricing_summary": "single scan → partial+final hash agg; shipdate filter pushed to parquet; decimal sums for oracle determinism",
