@@ -855,9 +855,12 @@ def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
     elif n - 256 < 65536:
         out.append((1 << 6) | (1 << 5) | (int(checksum) << 2))
         fcs = (n - 256).to_bytes(2, "little")
-    else:
+    elif n < 1 << 32:
         out.append((2 << 6) | (1 << 5) | (int(checksum) << 2))
         fcs = n.to_bytes(4, "little")
+    else:
+        out.append((3 << 6) | (1 << 5) | (int(checksum) << 2))
+        fcs = n.to_bytes(8, "little")
     out += fcs
     if n == 0:
         out += (1).to_bytes(3, "little")  # last, Raw, size 0
