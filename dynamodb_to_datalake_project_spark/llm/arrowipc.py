@@ -20,6 +20,11 @@ Dictionary batches, compressed bodies (LZ4_FRAME/ZSTD body
 compression), nested types and big-endian streams raise
 NotImplementedError. Malformed framing raises ValueError.
 
+Reference behavior generalized: the reference moves data between
+services as JSON lines (lambda_functions/dynamodb_stream_consumer.py
+:74-90 writes drops; Athena reads them back); Arrow IPC is the
+binary interchange the same hop uses in an engine-to-engine world.
+
 The tests cross-check against pyarrow's own IPC writer — the
 reference implementation of the format."""
 

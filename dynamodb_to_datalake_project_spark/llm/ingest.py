@@ -2,8 +2,8 @@
 dialect sniffing + a strict RFC 4180 parser.
 
 The reference pipeline knows its bytes are UTF-8 JSON
-(vendor/aws_dynamodb_export_to_s3.py decodes lines directly); a
-general lake cannot assume that — the first touch of an unknown
+(vendor/aws_dynamodb_export_to_s3.py:80-100 decodes export lines
+directly); a general lake cannot assume that — the first touch of an unknown
 export is "what encoding is this?" and, for delimited files, "what
 dialect?". Both answers here are DETERMINISTIC rule chains (no
 statistical guessing), so the DuckDB oracle replays every verdict:

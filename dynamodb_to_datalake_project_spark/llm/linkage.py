@@ -15,6 +15,11 @@ unrolled with every floating-point operation in a pinned order, so
 the DuckDB oracle replays the arithmetic bit-for-bit (the k-means /
 Bradley-Terry precedent).
 
+Reference behavior generalized: the reference reconciles source and
+lake by EXACT key equality (compare.py:17-26 scans and diffs on the
+primary key); entity resolution is the same reconciliation when keys
+are dirty — learned match weights replace exact equality.
+
 `em_rounds` is the single source of truth for that arithmetic: the
 Python evaluator and the SQL generator are derived from the same
 term order, which is what makes the cross-engine hash equality

@@ -25,6 +25,12 @@ value list — the within-task kernel of a DV-aware scan (cluster
 shape: broadcast the per-file DV blobs, filter each file's rows by
 membership — no shuffle at all).
 
+Reference behavior generalized: the reference handles REMOVE events
+by deleting whole JSON drops (lambda_functions/
+dynamodb_stream_consumer.py:31-49 emits per-key delete records);
+row-level delete VECTORS are how a columnar lake expresses the same
+tombstones without rewriting files.
+
 Everything raises ValueError on malformed bytes (truncation, bad
 cookie, out-of-order keys, overlapping runs)."""
 
