@@ -229,6 +229,7 @@ HEADLINE = [
     "ingest_csv_sniff",
     "linkage_em_weights",
     "tokenizer_wordpiece_greedy",
+    "iceberg_bounds_prune",
 ]
 
 

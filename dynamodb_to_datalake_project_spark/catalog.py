@@ -160,6 +160,7 @@ _PRIORITY: list[str] = [
     "ingest_csv_sniff",
     "linkage_em_weights",
     "tokenizer_wordpiece_greedy",
+    "iceberg_bounds_prune",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",

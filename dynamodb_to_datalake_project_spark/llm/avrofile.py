@@ -90,6 +90,18 @@ def _field_types(schema: dict) -> "list[tuple[str, object]]":
             out.append((f["name"], ("optional", t[1])))
         elif isinstance(t, dict) and t.get("type") == "record":
             out.append((f["name"], ("record", _field_types(t))))
+        elif isinstance(t, dict) and t.get("type") == "array":
+            items = t.get("items")
+            if isinstance(items, str) and items in _SIMPLE:
+                out.append((f["name"], ("array", items)))
+            elif isinstance(items, dict) and items.get("type") == "record":
+                out.append(
+                    (f["name"], ("array", ("record", _field_types(items))))
+                )
+            else:
+                raise NotImplementedError(
+                    f"avro: array items {items!r} not implemented"
+                )
         else:
             raise NotImplementedError(
                 f"avro: field type {t!r} not implemented"
@@ -125,6 +137,16 @@ def _write_field(t, v) -> bytes:
             if v is None:
                 return _zz_encode(0)
             return _zz_encode(1) + _write_value(t[1], v)
+        if t[0] == "array":
+            # one block: count, items, then the 0 terminator
+            items = list(v or [])
+            out = bytearray()
+            if items:
+                out += _zz_encode(len(items))
+                for el in items:
+                    out += _write_field(t[1], el)
+            out += _zz_encode(0)
+            return bytes(out)
         if not isinstance(v, dict):
             raise ValueError("avro: nested record value must be a dict")
         return b"".join(_write_field(st, v.get(nm)) for nm, st in t[1])
@@ -162,6 +184,17 @@ def _read_field(r: _AvroReader, t):
             if branch == 1:
                 return _read_value(r, t[1])
             raise ValueError("avro: union branch out of range")
+        if t[0] == "array":
+            out = []
+            while True:
+                count = r.zigzag()
+                if count == 0:
+                    return out
+                if count < 0:  # spec: abs count + block byte size
+                    r.zigzag()
+                    count = -count
+                for _ in range(count):
+                    out.append(_read_field(r, t[1]))
         return {nm: _read_field(r, st) for nm, st in t[1]}
     return _read_value(r, t)
 

@@ -610,11 +610,194 @@ MANIFEST_V2_SCHEMA = {
                     },
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # per-column value bounds (real manifests carry
+                    # map<int, binary>; the audit fixture models the
+                    # decoded long bounds — Avro array-of-record,
+                    # empty = no stats for the file)
+                    {
+                        "name": "column_bounds",
+                        "type": {
+                            "type": "array",
+                            "items": {
+                                "type": "record",
+                                "name": "bound",
+                                "fields": [
+                                    {"name": "field_id", "type": "int"},
+                                    {"name": "lo", "type": "long"},
+                                    {"name": "hi", "type": "long"},
+                                ],
+                            },
+                        },
+                    },
                 ],
             },
         },
     ],
 }
+
+
+def iceberg_scan_plan(
+    metadata: str, files: "dict[str, bytes]", field_id: int,
+    lo: int, hi: int,
+) -> dict:
+    """Manifest-bounds scan planning — the file-skipping decision an
+    Iceberg reader makes BEFORE touching any data file: walk the
+    manifest list -> manifests, keep live data entries, and split
+    them into scanned vs skipped by whether [lo, hi) intersects the
+    entry's `column_bounds` for `field_id`. Files without bounds for
+    the column MUST be scanned (missing stats never skip — the same
+    conservative rule as `lake.overlapping_files`). Returns
+    {"scanned", "skipped", "total", "scanned_rows"}."""
+    from dynamodb_to_datalake_project_spark.llm.avrofile import parse_avro
+
+    m = json.loads(metadata)
+    cur = next(
+        (
+            s
+            for s in m.get("snapshots", [])
+            if s.get("snapshot-id") == m.get("current-snapshot-id")
+        ),
+        None,
+    )
+    if cur is None:
+        raise ValueError("iceberg: no current snapshot to resolve")
+    ml_path = cur.get("manifest-list")
+    if ml_path not in files:
+        raise ValueError(f"iceberg: manifest list {ml_path!r} missing")
+    scanned = skipped = scanned_rows = 0
+    for mrow in parse_avro(files[ml_path])["records"]:
+        if mrow.get("content", 0) != 0:
+            continue
+        path = mrow["manifest_path"]
+        if path not in files:
+            raise ValueError(f"iceberg: manifest {path!r} missing")
+        for e in parse_avro(files[path])["records"]:
+            if e["status"] == _DELETED:
+                continue
+            df = e["data_file"]
+            b = next(
+                (
+                    x
+                    for x in df.get("column_bounds", [])
+                    if x["field_id"] == field_id
+                ),
+                None,
+            )
+            if b is None or (b["hi"] >= lo and b["lo"] < hi):
+                scanned += 1
+                scanned_rows += df["record_count"]
+            else:
+                skipped += 1
+    return {
+        "scanned": scanned,
+        "skipped": skipped,
+        "total": scanned + skipped,
+        "scanned_rows": scanned_rows,
+    }
+
+
+def iceberg_bounds_prune_stats(docs):
+    """Per doc: a snapshot of 6 + id%5 data files whose pk bounds
+    tile an overlapping ladder (file j covers [100j, 100j+149];
+    every 4th file ships NO bounds and must always scan), probed
+    with two ranges — a narrow one-file window and a half-domain
+    scan. All through REAL Avro manifests (arrays of bound records
+    — the Avro subset gained arrays for this)."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    from dynamodb_to_datalake_project_spark.llm.avrofile import encode_avro
+
+    schema_t = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_files", T.LongType()),
+            T.StructField("narrow_scanned", T.LongType()),
+            T.StructField("narrow_skipped", T.LongType()),
+            T.StructField("half_scanned", T.LongType()),
+            T.StructField("narrow_rows", T.LongType()),
+        ]
+    )
+
+    def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        out: dict[str, list] = {f.name: [] for f in schema_t.fields}
+        for doc_id in _pd.concat(list(batches))["doc_id"]:
+            did = int(doc_id)
+            k = 6 + did % 5
+            entries = []
+            for j in range(k):
+                bounds = (
+                    []
+                    if j % 4 == 3
+                    else [{"field_id": 1, "lo": 100 * j,
+                           "hi": 100 * j + 149}]
+                )
+                entries.append(
+                    {
+                        "status": _ADDED,
+                        "snapshot_id": 7,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": f"data/f{j}.parquet",
+                            "file_format": "PARQUET",
+                            "partition": {"dt": "2024-01-01"},
+                            "record_count": 10 + j,
+                            "file_size_in_bytes": 1000,
+                            "column_bounds": bounds,
+                        },
+                    }
+                )
+            blob = encode_avro(entries, MANIFEST_V2_SCHEMA)
+            files = {"meta/m0.avro": blob}
+            files["meta/ml.avro"] = encode_avro(
+                [
+                    {
+                        "manifest_path": "meta/m0.avro",
+                        "manifest_length": len(blob),
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "sequence_number": 1,
+                        "added_snapshot_id": 7,
+                        "added_files_count": k,
+                        "existing_files_count": 0,
+                        "deleted_files_count": 0,
+                        "added_rows_count": sum(
+                            10 + j for j in range(k)
+                        ),
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                    }
+                ],
+                MANIFEST_LIST_V2_SCHEMA,
+            )
+            metadata = json.dumps(
+                {
+                    "format-version": 2,
+                    "current-snapshot-id": 7,
+                    "snapshots": [
+                        {"snapshot-id": 7, "manifest-list": "meta/ml.avro"}
+                    ],
+                }
+            )
+            # narrow probe: one 50-wide window at file did%k's start
+            w = did % k
+            narrow = iceberg_scan_plan(
+                metadata, files, 1, 100 * w, 100 * w + 50
+            )
+            half = iceberg_scan_plan(metadata, files, 1, 0, 50 * k)
+            out["doc_id"].append(did)
+            out["n_files"].append(narrow["total"])
+            out["narrow_scanned"].append(narrow["scanned"])
+            out["narrow_skipped"].append(narrow["skipped"])
+            out["half_scanned"].append(half["scanned"])
+            out["narrow_rows"].append(narrow["scanned_rows"])
+        yield _pd.DataFrame(out)
+
+    spark = docs.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return docs.select("doc_id").repartition(par).mapInPandas(op, schema_t)
 
 
 def read_iceberg_with_deletes(
@@ -1067,6 +1250,51 @@ def iceberg_equality_delete_stats(docs):
 def _register() -> None:
     from dynamodb_to_datalake_project_spark.catalog import query
     from dynamodb_to_datalake_project_spark.lake import load_table
+
+    @query(
+        "iceberg_bounds_prune",
+        oracle="""
+        WITH d AS (
+          SELECT doc_id, 6 + doc_id % 5 AS k FROM documents
+        ), e AS (
+          SELECT doc_id, k, doc_id % k AS w FROM d
+        )
+        SELECT doc_id,
+               CAST(k AS BIGINT) AS n_files,
+               CAST(k // 4 + (
+                 SELECT COALESCE(SUM(CASE WHEN (i = w OR i = w - 1)
+                        AND i % 4 <> 3 THEN 1 ELSE 0 END), 0)
+                 FROM unnest(range(0, k)) u(i)) AS BIGINT)
+                 AS narrow_scanned,
+               CAST(k - (k // 4 + (
+                 SELECT COALESCE(SUM(CASE WHEN (i = w OR i = w - 1)
+                        AND i % 4 <> 3 THEN 1 ELSE 0 END), 0)
+                 FROM unnest(range(0, k)) u(i))) AS BIGINT)
+                 AS narrow_skipped,
+               CAST(k // 4 + (
+                 SELECT COALESCE(SUM(CASE WHEN i < (k + 1) // 2
+                        AND i % 4 <> 3 THEN 1 ELSE 0 END), 0)
+                 FROM unnest(range(0, k)) u(i)) AS BIGINT)
+                 AS half_scanned,
+               CAST((
+                 SELECT COALESCE(SUM(CASE WHEN i % 4 = 3
+                        OR (i = w OR i = w - 1)
+                        THEN 10 + i ELSE 0 END), 0)
+                 FROM unnest(range(0, k)) u(i)) AS BIGINT)
+                 AS narrow_rows
+        FROM e
+        """,
+    )
+    def q_iceberg_bounds_prune(spark, sf_dir):
+        """Iceberg manifest-bounds scan planning: per-column value
+        bounds carried in REAL Avro manifests (array-of-record —
+        the Avro subset gained arrays for this) decide which data
+        files a range probe must read; files without stats always
+        scan. A narrow probe touches the 1-2 overlapping files plus
+        the stat-less ones; the half-domain probe scales with k —
+        the oracle replays the tiling arithmetic."""
+        docs = load_table(spark, sf_dir, "documents")
+        return iceberg_bounds_prune_stats(docs)
 
     @query(
         "iceberg_equality_delete_read",

@@ -4807,6 +4807,81 @@ def test_delta_checkpoint_replay_rules():
         replay_delta_checkpoint(bad, 0, [])
 
 
+def test_avro_arrays_and_iceberg_bounds_pruning():
+    """Round-9: the Avro subset's ARRAY support (block framing,
+    array-of-record, empty arrays, both codecs) and the manifest-
+    bounds scan planner built on it — stat-less files always scan."""
+    import json
+
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.avrofile import (
+        encode_avro,
+        parse_avro,
+    )
+    from dynamodb_to_datalake_project_spark.llm.tablemeta import (
+        MANIFEST_LIST_V2_SCHEMA,
+        MANIFEST_V2_SCHEMA,
+        iceberg_scan_plan,
+    )
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "pts", "type": {"type": "array", "items": {
+            "type": "record", "name": "p", "fields": [
+                {"name": "x", "type": "long"},
+                {"name": "y", "type": "long"}]}}},
+    ]}
+    recs = [
+        {"tags": ["a", "b", "c"], "pts": [{"x": 1, "y": 2}]},
+        {"tags": [], "pts": []},
+    ]
+    for codec in ("null", "deflate"):
+        assert parse_avro(
+            encode_avro(recs, schema, codec=codec)
+        )["records"] == recs
+    with _pt.raises(NotImplementedError, match="array items"):
+        encode_avro([], {"type": "record", "name": "r", "fields": [
+            {"name": "m", "type": {"type": "array", "items": {
+                "type": "array", "items": "long"}}}]})
+
+    def entry(j, bounds):
+        return {
+            "status": 1, "snapshot_id": 7,
+            "data_file": {
+                "content": 0, "file_path": f"f{j}", "file_format": "PARQUET",
+                "partition": {"dt": "d"}, "record_count": 10 + j,
+                "file_size_in_bytes": 1, "column_bounds": bounds,
+            },
+        }
+
+    m0 = encode_avro(
+        [entry(0, [{"field_id": 1, "lo": 0, "hi": 99}]),
+         entry(1, [{"field_id": 1, "lo": 100, "hi": 199}]),
+         entry(2, []),  # no stats -> must scan
+         entry(3, [{"field_id": 2, "lo": 0, "hi": 5}])],  # other column
+        MANIFEST_V2_SCHEMA)
+    files = {"meta/m0.avro": m0}
+    files["meta/ml.avro"] = encode_avro([{
+        "manifest_path": "meta/m0.avro", "manifest_length": len(m0),
+        "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+        "added_snapshot_id": 7, "added_files_count": 4,
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": 46, "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }], MANIFEST_LIST_V2_SCHEMA)
+    meta = json.dumps({
+        "format-version": 2, "current-snapshot-id": 7,
+        "snapshots": [{"snapshot-id": 7, "manifest-list": "meta/ml.avro"}],
+    })
+    plan = iceberg_scan_plan(meta, files, 1, 150, 160)
+    # f1 intersects; f2 (no stats) and f3 (no bounds for col 1) scan
+    assert (plan["scanned"], plan["skipped"]) == (3, 1)
+    assert plan["scanned_rows"] == 11 + 12 + 13
+    plan2 = iceberg_scan_plan(meta, files, 1, 500, 600)
+    assert (plan2["scanned"], plan2["skipped"]) == (2, 2)
+
+
 def test_avro_schema_resolution_rules():
     """Round-9: Avro spec Schema Resolution — aliases, promotions
     (incl. inside [null, T] unions), defaults, dropped fields, and

@@ -68,6 +68,7 @@ NOTES = {
     "ingest_csv_sniff": "dialect score + RFC 4180 parse — ONE Arrow stage",
     "linkage_em_weights": "pattern census in ONE Arrow stage; EM is closed-form over 8 counts, no iterative shuffle",
     "tokenizer_wordpiece_greedy": "vocab = explode+count+rank (bounded K to driver); greedy max-match in ONE Arrow stage",
+    "iceberg_bounds_prune": "manifest-bounds file skipping decided at O(metadata) — ONE Arrow stage, zero data files touched",
     "doc_markdown_strip": "markdown strip in one Arrow map stage; byte-exact recovery pinned by md5",
     "dataset_mix_temperature": "bounded-key lang agg + ONE broadcast scalar cross-join; integer-exact temperature mix",
     "q1_pricing_summary": "single scan → partial+final hash agg; shipdate filter pushed to parquet; decimal sums for oracle determinism",
