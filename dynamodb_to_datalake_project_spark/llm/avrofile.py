@@ -6,13 +6,16 @@ directions, in the zip/tar/warc family style:
 - container framing: `Obj\\x01` magic, the avro.schema/avro.codec
   metadata map, the 16-byte sync marker, and per-block
   (count, byte-size, data, sync) framing — every sync marker verified;
-- binary record codec for the flat subset a curation pass meets in
-  practice: null/boolean/int/long/double/string/bytes fields and the
-  ubiquitous ["null", T] optional union; zigzag varints throughout;
+- binary record codec: null/boolean/int/long/double/string/bytes
+  fields, the ["null", T] optional union, nested records, ARRAYS
+  (block-framed, simple or record items — Iceberg column bounds),
+  MAPS (string keys, simple values, sorted for deterministic bytes),
+  ENUMS (symbol index) and FIXED; zigzag varints throughout;
 - codecs: null and deflate (raw zlib);
 - ValueError on corruption (bad magic, sync mismatch, truncation,
-  count drift), NotImplementedError on the honest subset boundary
-  (arrays, maps, enums, fixed, nested records, other codecs).
+  count drift, bad enum index / fixed size), NotImplementedError on
+  the remaining subset boundary (nested arrays-of-arrays, non-simple
+  map values, wider unions, other codecs).
 """
 
 from __future__ import annotations
@@ -102,6 +105,24 @@ def _field_types(schema: dict) -> "list[tuple[str, object]]":
                 raise NotImplementedError(
                     f"avro: array items {items!r} not implemented"
                 )
+        elif isinstance(t, dict) and t.get("type") == "map":
+            values = t.get("values")
+            if isinstance(values, str) and values in _SIMPLE:
+                out.append((f["name"], ("map", values)))
+            else:
+                raise NotImplementedError(
+                    f"avro: map values {values!r} not implemented"
+                )
+        elif isinstance(t, dict) and t.get("type") == "enum":
+            symbols = t.get("symbols") or []
+            if not symbols:
+                raise ValueError("avro: enum with no symbols")
+            out.append((f["name"], ("enum", list(symbols))))
+        elif isinstance(t, dict) and t.get("type") == "fixed":
+            size = t.get("size")
+            if not isinstance(size, int) or size < 0:
+                raise ValueError("avro: fixed with bad size")
+            out.append((f["name"], ("fixed", size)))
         else:
             raise NotImplementedError(
                 f"avro: field type {t!r} not implemented"
@@ -147,6 +168,29 @@ def _write_field(t, v) -> bytes:
                     out += _write_field(t[1], el)
             out += _zz_encode(0)
             return bytes(out)
+        if t[0] == "map":
+            # sorted keys: deterministic bytes for identical dicts
+            pairs = sorted((v or {}).items())
+            out = bytearray()
+            if pairs:
+                out += _zz_encode(len(pairs))
+                for k, mv in pairs:
+                    kb = k.encode("utf-8")
+                    out += _zz_encode(len(kb)) + kb
+                    out += _write_value(t[1], mv)
+            out += _zz_encode(0)
+            return bytes(out)
+        if t[0] == "enum":
+            try:
+                return _zz_encode(t[1].index(v))
+            except ValueError:
+                raise ValueError(f"avro: {v!r} not an enum symbol")
+        if t[0] == "fixed":
+            if len(v) != t[1]:
+                raise ValueError(
+                    f"avro: fixed size {t[1]} got {len(v)} bytes"
+                )
+            return bytes(v)
         if not isinstance(v, dict):
             raise ValueError("avro: nested record value must be a dict")
         return b"".join(_write_field(st, v.get(nm)) for nm, st in t[1])
@@ -195,6 +239,25 @@ def _read_field(r: _AvroReader, t):
                     count = -count
                 for _ in range(count):
                     out.append(_read_field(r, t[1]))
+        if t[0] == "map":
+            d: dict = {}
+            while True:
+                count = r.zigzag()
+                if count == 0:
+                    return d
+                if count < 0:
+                    r.zigzag()
+                    count = -count
+                for _ in range(count):
+                    k = r.bytes_().decode("utf-8")
+                    d[k] = _read_value(r, t[1])
+        if t[0] == "enum":
+            idx = r.zigzag()
+            if not 0 <= idx < len(t[1]):
+                raise ValueError(f"avro: enum index {idx} out of range")
+            return t[1][idx]
+        if t[0] == "fixed":
+            return r.read(t[1])
         return {nm: _read_field(r, st) for nm, st in t[1]}
     return _read_value(r, t)
 

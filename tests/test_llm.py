@@ -4845,6 +4845,25 @@ def test_avro_arrays_and_iceberg_bounds_pruning():
             {"name": "m", "type": {"type": "array", "items": {
                 "type": "array", "items": "long"}}}]})
 
+    # maps (sorted deterministic bytes), enums, fixed
+    s2 = {"type": "record", "name": "r2", "fields": [
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+        {"name": "kind", "type": {"type": "enum", "name": "k",
+                                  "symbols": ["A", "B"]}},
+        {"name": "fx", "type": {"type": "fixed", "name": "f", "size": 3}},
+    ]}
+    recs2 = [{"props": {"b": 2, "a": 1}, "kind": "B", "fx": b"xyz"}]
+    blob2 = encode_avro(recs2, s2)
+    assert parse_avro(blob2)["records"] == [
+        {"props": {"a": 1, "b": 2}, "kind": "B", "fx": b"xyz"}]
+    assert blob2 == encode_avro(
+        [{"props": {"a": 1, "b": 2}, "kind": "B", "fx": b"xyz"}], s2
+    )  # key order canonicalized
+    with _pt.raises(ValueError, match="enum symbol"):
+        encode_avro([{"props": {}, "kind": "Z", "fx": b"xyz"}], s2)
+    with _pt.raises(ValueError, match="fixed size"):
+        encode_avro([{"props": {}, "kind": "A", "fx": b"x"}], s2)
+
     def entry(j, bounds):
         return {
             "status": 1, "snapshot_id": 7,
