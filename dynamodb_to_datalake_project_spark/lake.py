@@ -268,6 +268,107 @@ def read_json_lines_zstd(
     ).select("j.*")
 
 
+def read_json_lines_zstd_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    max_files_per_trigger: int = 20,
+):
+    """Streaming twin of `read_json_lines_zstd` — S6 with `.json.zst`
+    drops as the wire (the reference's stream consumer writes plain
+    .json drops, lambda_functions/dynamodb_stream_consumer.py:74-90;
+    a zstd-compressing producer is the same pipeline with a codec).
+    binaryFile file source (explicit schema, bounded files/trigger =
+    T6, glob-filtered) -> one Arrow decode stage -> from_json.
+    Offsets/exactly-once ride the file source's checkpoint contract."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    bin_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "*.json.zst")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("content")
+    )
+
+    def decode(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        from dynamodb_to_datalake_project_spark.llm.zstd import (
+            zstd_decompress,
+        )
+
+        for pdf in batches:
+            lines: list[str] = []
+            for blob in pdf["content"]:
+                text = zstd_decompress(bytes(blob)).decode("utf-8")
+                lines.extend(ln for ln in text.split("\n") if ln)
+            yield _pd.DataFrame({"line": lines})
+
+    if isinstance(schema, T.StructType):
+        schema = schema.simpleString()
+    return (
+        raw.mapInPandas(decode, "line string")
+        .select(F.from_json("line", schema).alias("j"))
+        .select("j.*")
+    )
+
+
+def start_zstd_json_merge(
+    spark: SparkSession,
+    drop_dir: str,
+    value_schema,
+    table_path: str,
+    keys: list[str],
+    precombine: list[str],
+    partition_cols: list[str],
+    checkpoint_dir: str,
+    event_type_col: str | None = None,
+    drop_event_types: tuple[str, ...] = ("REMOVE",),
+    max_files_per_trigger: int = 20,
+    processing_time: str = "0 seconds",
+    delete_mode: str = "drop",
+):
+    """The incremental pipeline with `.json.zst` drops as the wire:
+    the same foreachBatch merge body as `cdc.start_cdc_merge` (T7/T8
+    policies included), fed by `read_json_lines_zstd_stream`.
+    Restart from `checkpoint_dir` is exactly-once: the file source
+    replays only unprocessed drops, and the merge is idempotent on
+    (keys, precombine) for anything a failure boundary re-delivers
+    (T4/T9) — the Kafka-segment leg's contract, third wire format."""
+    from dynamodb_to_datalake_project_spark.cdc import make_merge_batch_fn
+
+    stream = read_json_lines_zstd_stream(
+        spark, drop_dir, value_schema, max_files_per_trigger
+    )
+    process_batch = make_merge_batch_fn(
+        table_path,
+        keys,
+        precombine,
+        partition_cols,
+        event_type_col=event_type_col,
+        drop_event_types=drop_event_types,
+        delete_mode=delete_mode,
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=processing_time)
+        .start()
+    )
+
+
 def manifest_paths(spark: SparkSession, manifest_file: str, base_dir: str | None = None) -> list[str]:
     """S2: manifest-driven file enumeration. DynamoDB exports ship a
     `manifest-files.json` (one `{"dataFileS3Key": …, "itemCount": …,

@@ -1369,3 +1369,78 @@ def test_streaming_near_dup_ingest_exactly_once(spark, tmp_path):
     assert got == expect
     # and the dedup actually dropped things: 3, 4, 6, 9, 10 rejected
     assert set(got) == {1, 2, 5, 7, 8, 11}
+
+
+def test_zstd_json_cdc_merge_exactly_once(spark, tmp_path):
+    """Round-9: S6 with `.json.zst` drops as the wire — the engine's
+    own RFC 8878 decoder in the streaming scan, same foreachBatch
+    merge, exactly-once through restart; stale updates lose on
+    precombine; REMOVE dropped per the reference delete policy."""
+    import os
+
+    from dynamodb_to_datalake_project_spark.lake import (
+        start_zstd_json_merge,
+    )
+    from dynamodb_to_datalake_project_spark.llm.zstd import zstd_compress
+
+    drop_dir = tmp_path / "drops"
+    table = tmp_path / "zlake"
+    ckpt = tmp_path / "zckpt"
+    drop_dir.mkdir(parents=True)
+
+    def write_drop(name, events, mtime):
+        payload = (
+            "\n".join(json.dumps(e) for e in events) + "\n"
+        ).encode("utf-8")
+        (drop_dir / name).write_bytes(zstd_compress(payload))
+        os.utime(drop_dir / name, (mtime, mtime))
+
+    def run():
+        q = start_zstd_json_merge(
+            spark, str(drop_dir), CDC_SCHEMA, str(table),
+            keys=["id"], precombine=["update_at"],
+            partition_cols=["day"], checkpoint_dir=str(ckpt),
+            event_type_col="event_name", max_files_per_trigger=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_drop(
+        "d0.json.zst",
+        [
+            {"id": "a", "update_at": "2023-01-01T00:00:00", "note": "v1",
+             "day": "2023-01-01", "event_name": "INSERT"},
+            {"id": "a", "update_at": "2023-01-01T01:00:00", "note": "v2",
+             "day": "2023-01-01", "event_name": "MODIFY"},
+            {"id": "b", "update_at": "2023-01-01T00:00:00", "note": "b1",
+             "day": "2023-01-02", "event_name": "INSERT"},
+            {"id": "b", "update_at": "2023-01-01T02:00:00", "note": "gone",
+             "day": "2023-01-02", "event_name": "REMOVE"},
+        ],
+        mtime=1_700_000_000,
+    )
+    run()
+    state = {r.id: r.note for r in spark.read.parquet(str(table)).collect()}
+    assert state == {"a": "v2", "b": "b1"}
+
+    write_drop(
+        "d1.json.zst",
+        [
+            {"id": "a", "update_at": "2023-01-01T00:30:00", "note": "stale",
+             "day": "2023-01-01", "event_name": "MODIFY"},
+            {"id": "c", "update_at": "2023-01-01T03:00:00", "note": "new",
+             "day": "2023-01-02", "event_name": "INSERT"},
+        ],
+        mtime=1_700_000_001,
+    )
+    run()
+    final = spark.read.parquet(str(table))
+    assert {r.id: (r.update_at, r.note) for r in final.collect()} == {
+        "a": ("2023-01-01T01:00:00", "v2"),
+        "b": ("2023-01-01T00:00:00", "b1"),
+        "c": ("2023-01-01T03:00:00", "new"),
+    }
+    run()  # no new drops: checkpoint fence, no re-processing
+    assert spark.read.parquet(str(table)).count() == 3
