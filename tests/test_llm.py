@@ -4351,11 +4351,16 @@ def test_avro_container_roundtrip_and_rejects():
     corrupt[-1] ^= 0xFF  # last sync byte
     with _pt.raises(ValueError, match="sync marker"):
         parse_avro(bytes(corrupt))
+    # arrays/maps/enums/fixed landed in round 9 (see
+    # test_avro_arrays_and_iceberg_bounds_pruning); the remaining
+    # honest boundary is nested complex types inside arrays
     with _pt.raises(NotImplementedError, match="not implemented"):
         encode_avro([], {"type": "record", "name": "x",
                         "fields": [{"name": "a",
                                     "type": {"type": "array",
-                                             "items": "long"}}]})
+                                             "items": {
+                                                 "type": "map",
+                                                 "values": "long"}}}]})
     with _pt.raises(NotImplementedError, match="codec"):
         encode_avro(recs, schema, codec="snappy")
 
