@@ -18,8 +18,15 @@ JSON for exactly this reason) — and the proof that the format
 knowledge in the reader is complete enough to round-trip.
 
 Subset contract: INT64, DOUBLE, BYTE_ARRAY(UTF8) columns; REQUIRED
-or OPTIONAL (None values); PLAIN encoding; UNCOMPRESSED/ZSTD codecs.
-Dictionaries, nesting and other types raise NotImplementedError.
+or OPTIONAL (None values); PLAIN encoding; all four codecs the
+zero-dep reader decodes — UNCOMPRESSED, SNAPPY (the block encoder
+below, write-dual of `parquetmeta.snappy_decompress`), GZIP
+(RFC 1952 member per page via stdlib zlib) and ZSTD (the engine's
+own RFC 8878 encoder); per-chunk Statistics (min_value/max_value/
+null_count) with TypeDefinedOrder column_orders, so engines
+zone-map-prune row groups in the hand-written files exactly as in
+production ones. Dictionaries, nesting and other types raise
+NotImplementedError.
 """
 
 from __future__ import annotations
@@ -30,7 +37,70 @@ _T_I16, _T_I32, _T_I64, _T_DOUBLE = 4, 5, 6, 7
 _T_BINARY, _T_LIST, _T_STRUCT = 8, 9, 12
 
 _PHYS = {"INT64": 2, "DOUBLE": 5, "BYTE_ARRAY": 6}
-_CODEC_IDS = {"UNCOMPRESSED": 0, "ZSTD": 6}
+_CODEC_IDS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Pure-Python snappy block ENCODE — the dual of
+    `parquetmeta.snappy_decompress`, from the public format
+    description (google/snappy format_description.txt): varint
+    uncompressed-length preamble, then literal and copy elements.
+    Greedy 4-byte-hash match finder (last-occurrence table, the
+    reference implementation's strategy); matches are emitted as
+    2-byte-offset copies (len 4..64 per element, offset < 65536 —
+    always legal), long matches chunked at 64. Every output is
+    decodable by snappy_decompress AND by pyarrow's snappy (the
+    tests cross-check both)."""
+    out = bytearray()
+    n = len(data)
+    v = n
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+    def emit_literal(lo: int, hi: int) -> None:
+        ln = hi - lo
+        while ln > 0:
+            take = min(ln, 1 << 24)
+            if take <= 60:
+                out.append((take - 1) << 2)
+            else:
+                nb = ((take - 1).bit_length() + 7) // 8
+                out.append((59 + nb) << 2)
+                out.extend((take - 1).to_bytes(nb, "little"))
+            out.extend(data[lo : lo + take])
+            lo += take
+            ln -= take
+
+    table: dict[bytes, int] = {}
+    i = 0
+    lit_start = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or i - cand > 0xFFFF:
+            i += 1
+            continue
+        # extend the match forward
+        mlen = 4
+        while i + mlen < n and data[cand + mlen] == data[i + mlen]:
+            mlen += 1
+        emit_literal(lit_start, i)
+        off = i - cand
+        rem = mlen
+        while rem > 0:
+            take = min(rem, 64)
+            if rem - take in (1, 2, 3):  # never strand a <4-byte tail
+                take = rem - 4 if rem > 4 else rem
+            out.append(((take - 1) << 2) | 2)
+            out += off.to_bytes(2, "little")
+            rem -= take
+        i += mlen
+        lit_start = i
+    emit_literal(lit_start, n)
+    return bytes(out)
 
 
 class _TWriter:
@@ -199,6 +269,15 @@ def write_parquet(
                 )
 
                 paged = zstd_compress(body)
+            elif codec == "SNAPPY":
+                paged = snappy_compress(body)
+            elif codec == "GZIP":
+                # RFC 1952 member per page (wbits=31), the framing
+                # parquetmeta.gzip_member_decompress expects.
+                import zlib as _z
+
+                co = _z.compressobj(6, _z.DEFLATED, 31)
+                paged = co.compress(body) + co.flush()
             else:
                 paged = body
             ph = _TWriter()
@@ -214,6 +293,29 @@ def write_parquet(
             hdr = ph.finish()
             offset = len(out)
             out += hdr + paged
+            # Chunk statistics (parquet-format Statistics struct):
+            # min_value/max_value use SIGNED order for INT64/DOUBLE and
+            # UNSIGNED byte-wise order for BYTE_ARRAY — exactly Python's
+            # int/float `<` and bytes `<`. NaN poisons float ordering, so
+            # a DOUBLE chunk containing NaN carries no min/max (the
+            # spec's prescription); null_count is always emitted.
+            stats = None
+            if present:
+                import struct as _s
+
+                if ptype == "INT64":
+                    vmin, vmax = min(present), max(present)
+                    stats = (_s.pack("<q", vmin), _s.pack("<q", vmax))
+                elif ptype == "DOUBLE":
+                    if not any(v != v for v in present):
+                        vmin, vmax = min(present), max(present)
+                        stats = (_s.pack("<d", vmin), _s.pack("<d", vmax))
+                else:
+                    enc2 = [
+                        v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                        for v in present
+                    ]
+                    stats = (min(enc2), max(enc2))
             chunk_meta.append(
                 (
                     name,
@@ -223,6 +325,8 @@ def write_parquet(
                         "unc": len(hdr) + len(body),
                         "comp": len(hdr) + len(paged),
                         "offset": offset,
+                        "nulls": len(sl) - len(present),
+                        "stats": stats,
                     },
                 )
             )
@@ -266,6 +370,13 @@ def write_parquet(
             cc.i64(6, m["unc"])
             cc.i64(7, m["comp"])
             cc.i64(9, m["offset"])  # data_page_offset
+            cc.begin_struct(12)  # Statistics
+            cc.i64(3, m["nulls"])  # null_count
+            if m["stats"] is not None:
+                lo_b, hi_b = m["stats"]
+                cc.binary(5, hi_b)  # max_value
+                cc.binary(6, lo_b)  # min_value
+            cc.end_struct()
             cc.end_struct()
             rg.b += cc.finish()
             total += m["comp"]
@@ -273,6 +384,16 @@ def write_parquet(
         rg.i64(3, rg_rows)
         fm.b += rg.finish()
     fm.string(6, created_by)
+    # column_orders: TYPE_ORDER (TypeDefinedOrder) per leaf — readers
+    # (pyarrow included) only trust min_value/max_value when the file
+    # declares the defined sort order; without field 7 the statistics
+    # above would be parsed but ignored.
+    fm.list_header(7, len(names), _T_STRUCT)
+    for _ in names:
+        co = _TWriter()
+        co.begin_struct(1)  # ColumnOrder union: TYPE_ORDER {}
+        co.end_struct()
+        fm.b += co.finish()
     footer = fm.finish()
     out += footer
     out += len(footer).to_bytes(4, "little")
@@ -282,8 +403,9 @@ def write_parquet(
 
 def handwritten_parquet_stats(docs):
     """Per doc: the words table serialized by the zero-dep WRITER
-    (codec alternates UNCOMPRESSED / ZSTD-by-our-own-encoder per
-    doc parity, multi row group on id%3), then read back THREE ways
+    (codec rotates UNCOMPRESSED / SNAPPY / GZIP / ZSTD on doc_id%4 —
+    the SNAPPY and ZSTD pages compressed by the engine's own
+    encoders — multi row group on id%3), then read back THREE ways
     in-op — pyarrow (independent parquet implementation), the
     zero-dep reader, and the null mask round-tripped — before the
     word-formula census is emitted. A single malformed byte anywhere
@@ -323,14 +445,21 @@ def handwritten_parquet_stats(docs):
                         "idx": ("INT64", list(range(len(words)))),
                         "word": ("BYTE_ARRAY", words),
                     },
-                    codec="ZSTD" if did % 2 else "UNCOMPRESSED",
+                    codec=("UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD")[
+                        did % 4
+                    ],
                     row_group_size=max(1, -(-len(words) // (did % 3 + 1))),
                 )
-                t = pq.read_table(io.BytesIO(payload))
+                pf = pq.ParquetFile(io.BytesIO(payload))
+                t = pf.read()
                 assert t.column("idx").to_pylist() == list(
                     range(len(words))
                 )
                 assert t.column("word").to_pylist() == words
+                if words:  # pyarrow trusts the hand-written stats
+                    st = pf.metadata.row_group(0).column(0).statistics
+                    assert st.has_min_max and st.min == 0
+                    assert st.null_count == 0
                 assert read_parquet_column_full(payload, "idx") == list(
                     range(len(words))
                 )
@@ -362,12 +491,13 @@ def _register() -> None:
     @query("parquet_handwrite_roundtrip", oracle=_SCAN_ORACLE)
     def q_parquet_handwrite_roundtrip(spark, sf_dir):
         """Zero-dep parquet WRITE: thrift compact footers, PLAIN v1
-        pages, multi row group, pages compressed by the engine's own
-        RFC 8878 encoder on odd ids — and pyarrow (an independent
-        implementation) plus the zero-dep reader both recover every
-        value in-op. The write direction completes the parquet
-        story the way avro/tiff/npy already are: both directions,
-        no library."""
+        pages, multi row group, per-chunk min/max/null statistics,
+        codec rotating UNCOMPRESSED/SNAPPY/GZIP/ZSTD on doc_id%4
+        (SNAPPY and ZSTD by the engine's own encoders) — and pyarrow
+        (an independent implementation) plus the zero-dep reader both
+        recover every value in-op. The write direction completes the
+        parquet story the way avro/tiff/npy already are: both
+        directions, no library."""
         docs = load_table(spark, sf_dir, "documents")
         return handwritten_parquet_stats(docs)
 

@@ -4106,9 +4106,13 @@ def test_gopher_rules_flags(spark):
 
 def test_parquet_handwriter_three_readers():
     """Round-9: the zero-dep parquet WRITER — thrift compact footer,
-    PLAIN v1 pages, RLE def levels, multi row group, ZSTD pages via
-    the engine's own encoder — opened by pyarrow, DuckDB and the
-    zero-dep reader; nulls round-trip; subset boundaries raise."""
+    PLAIN v1 pages, RLE def levels, multi row group, all four codecs
+    the zero-dep reader decodes (SNAPPY and ZSTD pages via the
+    engine's own encoders, GZIP via RFC 1952 members), per-chunk
+    min/max/null_count statistics with TypeDefinedOrder column_orders
+    — opened by pyarrow, DuckDB and the zero-dep reader; nulls
+    round-trip; pyarrow trusts the stats (has_min_max); a NaN DOUBLE
+    chunk carries no min/max; subset boundaries raise."""
     import io
 
     import duckdb
@@ -4127,7 +4131,7 @@ def test_parquet_handwriter_three_readers():
     idx = list(range(len(words)))
     opt = [i if i % 4 else None for i in idx]
     dbl = [i * 0.25 for i in idx]
-    for codec in ("UNCOMPRESSED", "ZSTD"):
+    for codec in ("UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"):
         payload = write_parquet(
             {
                 "idx": ("INT64", idx),
@@ -4138,7 +4142,8 @@ def test_parquet_handwriter_three_readers():
             codec=codec,
             row_group_size=23,
         )
-        t = pq.read_table(io.BytesIO(payload))
+        pf = pq.ParquetFile(io.BytesIO(payload))
+        t = pf.read()
         assert t.column("idx").to_pylist() == idx
         assert t.column("word").to_pylist() == words
         assert t.column("score").to_pylist() == dbl
@@ -4146,6 +4151,34 @@ def test_parquet_handwriter_three_readers():
         assert read_parquet_column_full(payload, "idx") == idx
         meta = parse_parquet_footer(payload)
         assert meta["num_rows"] == len(words)
+        # pyarrow (independent impl) trusts the hand-written chunk
+        # statistics: min/max in type order, null counts exact.
+        md = pf.metadata
+        for rg in range(md.num_row_groups):
+            lo, hi = rg * 23, min(rg * 23 + 23, len(words))
+            st = md.row_group(rg).column(0).statistics
+            assert st.has_min_max and (st.min, st.max) == (lo, hi - 1)
+            assert st.null_count == 0
+            stw = md.row_group(rg).column(1).statistics
+            assert (stw.min, stw.max) == (
+                min(words[lo:hi]),
+                max(words[lo:hi]),
+            )
+            sto = md.row_group(rg).column(3).statistics
+            assert sto.null_count == sum(
+                1 for v in opt[lo:hi] if v is None
+            )
+        # a DOUBLE chunk containing NaN must carry no min/max
+        nan_payload = write_parquet(
+            {"x": ("DOUBLE", [1.0, float("nan"), 3.0])}, codec=codec
+        )
+        stn = (
+            pq.ParquetFile(io.BytesIO(nan_payload))
+            .metadata.row_group(0)
+            .column(0)
+            .statistics
+        )
+        assert not (stn and stn.has_min_max)
         con = duckdb.connect()
         con.execute(
             "CREATE TABLE t AS SELECT * FROM read_parquet(?)",
@@ -4158,11 +4191,55 @@ def test_parquet_handwriter_three_readers():
         con.close()
 
     with _pt.raises(NotImplementedError, match="codec"):
-        write_parquet({"a": ("INT64", [1])}, codec="SNAPPY")
+        write_parquet({"a": ("INT64", [1])}, codec="BROTLI")
     with _pt.raises(NotImplementedError, match="type"):
         write_parquet({"a": ("INT32", [1])})
     with _pt.raises(ValueError, match="ragged"):
         write_parquet({"a": ("INT64", [1]), "b": ("INT64", [1, 2])})
+
+
+def test_snappy_encoder_cross_implementations():
+    """Round-9: the pure-Python snappy block ENCODER — varint
+    preamble, greedy 4-byte-hash matches as 2-byte-offset copies
+    chunked at 64, 1/2-byte literal lengths — decoded back by BOTH
+    the engine's own `snappy_decompress` and pyarrow's snappy (an
+    independent implementation), over empty/short/repetitive/random/
+    long-match inputs; repetitive input actually shrinks."""
+    import random
+
+    import pyarrow as pa
+
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        snappy_decompress,
+    )
+    from dynamodb_to_datalake_project_spark.llm.parquetwrite import (
+        snappy_compress,
+    )
+
+    rnd = random.Random(7)
+    cases = [
+        b"",
+        b"a",
+        b"abc",
+        b"abcd" * 500,
+        b"hello world " * 100,
+        bytes(rnd.randrange(256) for _ in range(5000)),
+        (b"the quick brown fox " * 7 + b"jumps over") * 40,
+        bytes(rnd.randrange(4) for _ in range(70000)),
+        b"x" * 100_000,  # one literal + a long chunked RLE-style copy
+    ]
+    for i, d in enumerate(cases):
+        c = snappy_compress(d)
+        assert snappy_decompress(c) == d, i
+        assert (
+            pa.decompress(
+                c, decompressed_size=len(d), codec="snappy", asbytes=True
+            )
+            == d
+        ), i
+    assert len(snappy_compress(b"abcd" * 500)) < 120
+    # max copy element is 64 bytes for 3 tag bytes -> ~4.7k floor
+    assert len(snappy_compress(b"x" * 100_000)) < 5000
 
 
 def _write_tmp(payload: bytes) -> str:
