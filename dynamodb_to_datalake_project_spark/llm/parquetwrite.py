@@ -25,7 +25,9 @@ below, write-dual of `parquetmeta.snappy_decompress`), GZIP
 own RFC 8878 encoder); per-chunk Statistics (min_value/max_value/
 null_count) with TypeDefinedOrder column_orders, so engines
 zone-map-prune row groups in the hand-written files exactly as in
-production ones. Dictionaries, nesting and other types raise
+production ones; optional dictionary encoding (PLAIN dictionary
+page + RLE_DICTIONARY hybrid index pages — the parquet-mr default
+layout for repetitive columns). Nesting and other types raise
 NotImplementedError.
 """
 
@@ -198,6 +200,75 @@ def _plain_encode(vals: list, ptype: str) -> bytes:
     return bytes(out)
 
 
+def _compress_page(body: bytes, codec: str) -> bytes:
+    if codec == "ZSTD":
+        from dynamodb_to_datalake_project_spark.llm.zstd import (
+            zstd_compress,
+        )
+
+        return zstd_compress(body)
+    if codec == "SNAPPY":
+        return snappy_compress(body)
+    if codec == "GZIP":
+        # RFC 1952 member per page (wbits=31), the framing
+        # parquetmeta.gzip_member_decompress expects.
+        import zlib as _z
+
+        co = _z.compressobj(6, _z.DEFLATED, 31)
+        return co.compress(body) + co.flush()
+    return body
+
+
+def _rle_hybrid_indices(idx: "list[int]", bw: int) -> bytes:
+    """RLE/bit-packed hybrid for dictionary indices at bit width
+    `bw` (data-page framing: no length prefix — the page ends when
+    num_values have been read). Runs of >= 8 equal values become RLE
+    runs (varint run<<1 + ceil(bw/8) value bytes LE); everything
+    else accumulates and flushes as bit-packed groups of 8 values
+    (varint groups<<1|1, LSB-first packing), with any non-multiple-
+    of-8 remainder emitted as length-1 RLE runs — valid anywhere in
+    the page, so no padding ambiguity ever arises."""
+    body = bytearray()
+    vbytes = (bw + 7) // 8
+
+    def varint(v: int) -> None:
+        while v >= 0x80:
+            body.append((v & 0x7F) | 0x80)
+            v >>= 7
+        body.append(v)
+
+    def flush(buf: "list[int]") -> None:
+        groups = len(buf) // 8
+        if groups:
+            varint((groups << 1) | 1)
+            for g in range(groups):
+                acc = 0
+                for t, v in enumerate(buf[g * 8 : g * 8 + 8]):
+                    acc |= v << (t * bw)
+                body.extend(acc.to_bytes(bw, "little"))
+        for v in buf[groups * 8 :]:
+            varint(1 << 1)
+            body.extend(v.to_bytes(vbytes, "little"))
+        buf.clear()
+
+    pending: "list[int]" = []
+    i, n = 0, len(idx)
+    while i < n:
+        j = i
+        while j < n and idx[j] == idx[i]:
+            j += 1
+        run = j - i
+        if run >= 8:
+            flush(pending)
+            varint(run << 1)
+            body.extend(idx[i].to_bytes(vbytes, "little"))
+        else:
+            pending.extend(idx[i:j])
+        i = j
+    flush(pending)
+    return bytes(body)
+
+
 def _rle_def_levels(levels: "list[int]") -> bytes:
     """RLE/bit-packed hybrid at bit width 1, v1-page framing (4-byte
     LE byte-length prefix): plain RLE runs, header varint = run<<1,
@@ -224,12 +295,16 @@ def write_parquet(
     codec: str = "UNCOMPRESSED",
     row_group_size: int | None = None,
     created_by: str = "spark-graft handwriter",
+    dictionary: bool = False,
 ) -> bytes:
     """Serialize `columns` ({name: (type, values)}; type in INT64 /
     DOUBLE / BYTE_ARRAY; None values allowed -> OPTIONAL column with
-    RLE definition levels) into a complete parquet file. `codec`
-    UNCOMPRESSED or ZSTD (pages compressed by the zero-dep RFC 8878
-    encoder). Returns the file bytes."""
+    RLE definition levels) into a complete parquet file. `codec` in
+    UNCOMPRESSED / SNAPPY / GZIP / ZSTD (SNAPPY and ZSTD pages
+    compressed by the engine's own encoders). `dictionary=True`
+    writes each non-empty chunk as a PLAIN dictionary page (first-
+    occurrence order) plus an RLE_DICTIONARY data page — the
+    production parquet-mr default layout. Returns the file bytes."""
     if codec not in _CODEC_IDS:
         raise NotImplementedError(f"parquetwrite: codec {codec}")
     names = list(columns)
@@ -257,42 +332,59 @@ def write_parquet(
             ptype, vals = columns[name]
             sl = vals[start:hi]
             present = [v for v in sl if v is not None]
+            use_dict = dictionary and bool(present)
+            unc_total = comp_total = 0
+            dict_offset = None
+            if use_dict:
+                dvals: list = []
+                dindex: dict = {}
+                for v in present:
+                    if v not in dindex:
+                        dindex[v] = len(dvals)
+                        dvals.append(v)
+                dict_body = _plain_encode(dvals, ptype)
+                dict_paged = _compress_page(dict_body, codec)
+                dh = _TWriter()
+                dh.i32(1, 2)  # DICTIONARY_PAGE
+                dh.i32(2, len(dict_body))
+                dh.i32(3, len(dict_paged))
+                dh.begin_struct(7)  # DictionaryPageHeader
+                dh.i32(1, len(dvals))
+                dh.i32(2, 0)  # PLAIN
+                dh.end_struct()
+                dict_hdr = dh.finish()
+                dict_offset = len(out)
+                out += dict_hdr + dict_paged
+                unc_total += len(dict_hdr) + len(dict_body)
+                comp_total += len(dict_hdr) + len(dict_paged)
             body = b""
             if optional[name]:
                 body += _rle_def_levels(
                     [0 if v is None else 1 for v in sl]
                 )
-            body += _plain_encode(present, ptype)
-            if codec == "ZSTD":
-                from dynamodb_to_datalake_project_spark.llm.zstd import (
-                    zstd_compress,
+            if use_dict:
+                bw = max(1, (len(dvals) - 1).bit_length())
+                body += bytes([bw]) + _rle_hybrid_indices(
+                    [dindex[v] for v in present], bw
                 )
-
-                paged = zstd_compress(body)
-            elif codec == "SNAPPY":
-                paged = snappy_compress(body)
-            elif codec == "GZIP":
-                # RFC 1952 member per page (wbits=31), the framing
-                # parquetmeta.gzip_member_decompress expects.
-                import zlib as _z
-
-                co = _z.compressobj(6, _z.DEFLATED, 31)
-                paged = co.compress(body) + co.flush()
             else:
-                paged = body
+                body += _plain_encode(present, ptype)
+            paged = _compress_page(body, codec)
             ph = _TWriter()
             ph.i32(1, 0)  # DATA_PAGE
             ph.i32(2, len(body))
             ph.i32(3, len(paged))
             ph.begin_struct(5)  # DataPageHeader
             ph.i32(1, len(sl))  # num_values incl. nulls
-            ph.i32(2, 0)  # PLAIN
+            ph.i32(2, 8 if use_dict else 0)  # RLE_DICTIONARY / PLAIN
             ph.i32(3, 3)  # def levels RLE
             ph.i32(4, 3)  # rep levels RLE
             ph.end_struct()
             hdr = ph.finish()
             offset = len(out)
             out += hdr + paged
+            unc_total += len(hdr) + len(body)
+            comp_total += len(hdr) + len(paged)
             # Chunk statistics (parquet-format Statistics struct):
             # min_value/max_value use SIGNED order for INT64/DOUBLE and
             # UNSIGNED byte-wise order for BYTE_ARRAY — exactly Python's
@@ -322,9 +414,11 @@ def write_parquet(
                     {
                         "type": _PHYS[ptype],
                         "num_values": len(sl),
-                        "unc": len(hdr) + len(body),
-                        "comp": len(hdr) + len(paged),
+                        "unc": unc_total,
+                        "comp": comp_total,
                         "offset": offset,
+                        "dict_offset": dict_offset,
+                        "encodings": [0, 3, 8] if use_dict else [0, 3],
                         "nulls": len(sl) - len(present),
                         "stats": stats,
                     },
@@ -363,13 +457,15 @@ def write_parquet(
             cc.i64(2, m["offset"])  # file_offset
             cc.begin_struct(3)  # ColumnMetaData
             cc.i32(1, m["type"])
-            cc.i32_list(2, [0, 3])  # PLAIN, RLE
+            cc.i32_list(2, m["encodings"])  # PLAIN, RLE[, RLE_DICT]
             cc.string_list(3, [name])
             cc.i32(4, _CODEC_IDS[codec])
             cc.i64(5, m["num_values"])
             cc.i64(6, m["unc"])
             cc.i64(7, m["comp"])
             cc.i64(9, m["offset"])  # data_page_offset
+            if m["dict_offset"] is not None:
+                cc.i64(11, m["dict_offset"])
             cc.begin_struct(12)  # Statistics
             cc.i64(3, m["nulls"])  # null_count
             if m["stats"] is not None:
@@ -405,7 +501,8 @@ def handwritten_parquet_stats(docs):
     """Per doc: the words table serialized by the zero-dep WRITER
     (codec rotates UNCOMPRESSED / SNAPPY / GZIP / ZSTD on doc_id%4 —
     the SNAPPY and ZSTD pages compressed by the engine's own
-    encoders — multi row group on id%3), then read back THREE ways
+    encoders — multi row group on id%3, dictionary pages on bit 2 of
+    the id), then read back THREE ways
     in-op — pyarrow (independent parquet implementation), the
     zero-dep reader, and the null mask round-tripped — before the
     word-formula census is emitted. A single malformed byte anywhere
@@ -449,6 +546,7 @@ def handwritten_parquet_stats(docs):
                         did % 4
                     ],
                     row_group_size=max(1, -(-len(words) // (did % 3 + 1))),
+                    dictionary=(did >> 2) % 2 == 1,
                 )
                 pf = pq.ParquetFile(io.BytesIO(payload))
                 t = pf.read()
@@ -493,11 +591,12 @@ def _register() -> None:
         """Zero-dep parquet WRITE: thrift compact footers, PLAIN v1
         pages, multi row group, per-chunk min/max/null statistics,
         codec rotating UNCOMPRESSED/SNAPPY/GZIP/ZSTD on doc_id%4
-        (SNAPPY and ZSTD by the engine's own encoders) — and pyarrow
-        (an independent implementation) plus the zero-dep reader both
-        recover every value in-op. The write direction completes the
-        parquet story the way avro/tiff/npy already are: both
-        directions, no library."""
+        (SNAPPY and ZSTD by the engine's own encoders), dictionary
+        pages + RLE_DICTIONARY indices on bit 2 of the id — and
+        pyarrow (an independent implementation) plus the zero-dep
+        reader both recover every value in-op. The write direction
+        completes the parquet story the way avro/tiff/npy already
+        are: both directions, no library."""
         docs = load_table(spark, sf_dir, "documents")
         return handwritten_parquet_stats(docs)
 

@@ -4198,6 +4198,80 @@ def test_parquet_handwriter_three_readers():
         write_parquet({"a": ("INT64", [1]), "b": ("INT64", [1, 2])})
 
 
+def test_parquet_handwriter_dictionary_pages():
+    """Round-9: dictionary-encoded writes — PLAIN dictionary page in
+    first-occurrence order + RLE_DICTIONARY data pages (1-byte bit
+    width, hybrid runs: bit-packed groups of 8, RLE for runs >= 8,
+    length-1 RLE remainders), dictionary_page_offset in the footer —
+    across all four codecs, multi row group, nullable columns; read
+    back by pyarrow, DuckDB and the zero-dep reader."""
+    import io
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        read_parquet_column_full,
+    )
+    from dynamodb_to_datalake_project_spark.llm.parquetwrite import (
+        write_parquet,
+    )
+
+    words = "pack my box with five dozen liquor jugs".split() * 30
+    idx = list(range(len(words)))
+    rep = [i // 37 for i in idx]  # long runs exercise the RLE branch
+    opt = [w if i % 4 else None for i, w in enumerate(words)]
+    dbl = [float(i % 9) * 0.5 for i in idx]
+    for codec in ("UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"):
+        for rg in (77, None):
+            payload = write_parquet(
+                {
+                    "idx": ("INT64", idx),
+                    "word": ("BYTE_ARRAY", words),
+                    "rep": ("INT64", rep),
+                    "opt": ("BYTE_ARRAY", opt),
+                    "score": ("DOUBLE", dbl),
+                },
+                codec=codec,
+                row_group_size=rg,
+                dictionary=True,
+            )
+            pf = pq.ParquetFile(io.BytesIO(payload))
+            t = pf.read()
+            assert t.column("idx").to_pylist() == idx
+            assert t.column("word").to_pylist() == words
+            assert t.column("rep").to_pylist() == rep
+            assert t.column("opt").to_pylist() == opt
+            assert t.column("score").to_pylist() == dbl
+            assert read_parquet_column_full(payload, "word") == [
+                w.encode() for w in words
+            ]
+            assert read_parquet_column_full(payload, "opt") == [
+                None if v is None else v.encode() for v in opt
+            ]
+            con = duckdb.connect()
+            got = con.execute(
+                "SELECT count(*), sum(idx), count(opt), sum(score) "
+                "FROM read_parquet(?)",
+                [_write_tmp(payload)],
+            ).fetchone()
+            assert got == (
+                len(idx),
+                sum(idx),
+                sum(1 for v in opt if v),
+                sum(dbl),
+            )
+            con.close()
+            st = pf.metadata.row_group(0).column(0).statistics
+            assert st.has_min_max and st.min == 0
+    # dictionary actually shrinks the repetitive table
+    dict_sz = len(
+        write_parquet({"word": ("BYTE_ARRAY", words)}, dictionary=True)
+    )
+    plain_sz = len(write_parquet({"word": ("BYTE_ARRAY", words)}))
+    assert dict_sz < plain_sz / 2, (dict_sz, plain_sz)
+
+
 def test_snappy_encoder_cross_implementations():
     """Round-9: the pure-Python snappy block ENCODER — varint
     preamble, greedy 4-byte-hash matches as 2-byte-offset copies
