@@ -161,6 +161,7 @@ _PRIORITY: list[str] = [
     "linkage_em_weights",
     "tokenizer_wordpiece_greedy",
     "iceberg_bounds_prune",
+    "parquet_v2_delta_scan",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",

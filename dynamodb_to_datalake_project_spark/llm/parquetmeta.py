@@ -561,21 +561,25 @@ def read_parquet_column(payload: bytes, column: str) -> list:
     return values
 
 
-def parquet_scan_stats(docs, compression="NONE", use_dictionary=False):
+def parquet_scan_stats(
+    docs, compression="NONE", use_dictionary=False, v2_delta=False
+):
     """Per doc: the audit fixture's parquet file read BACK through the
     zero-dep column scan — integer sums over idx, byte totals and md5
     over the word column. The in-op assert proves value-level equality
     with the source lists. The default writes uncompressed/PLAIN files
     read by the minimal `read_parquet_column`; any other codec or
     dictionary setting routes through the lake-grade
-    `read_parquet_column_full` (snappy/gzip/LZ4 + dictionary pages)."""
+    `read_parquet_column_full` (snappy/gzip/LZ4 + dictionary pages).
+    `v2_delta=True` writes DataPageV2 pages with DELTA_BINARY_PACKED
+    idx and DELTA_BYTE_ARRAY words — the parquet-mr v2 defaults."""
     import hashlib
     from collections.abc import Iterator as _Iterator
 
     import pandas as _pd
     from pyspark.sql import types as T
 
-    minimal = compression == "NONE" and not use_dictionary
+    minimal = compression == "NONE" and not use_dictionary and not v2_delta
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -605,10 +609,23 @@ def parquet_scan_stats(docs, compression="NONE", use_dictionary=False):
                     }
                 )
                 buf = io.BytesIO()
+                v2_kw = (
+                    {
+                        "version": "2.6",
+                        "data_page_version": "2.0",
+                        "column_encoding": {
+                            "idx": "DELTA_BINARY_PACKED",
+                            "word": "DELTA_BYTE_ARRAY",
+                        },
+                    }
+                    if v2_delta
+                    else {}
+                )
                 pq.write_table(
                     table, buf, compression=compression,
                     use_dictionary=use_dictionary,
                     row_group_size=max(1, -(-len(words) // (did % 3 + 1))),
+                    **v2_kw,
                 )
                 payload = buf.getvalue()
                 idx = reader(payload, "idx")
@@ -695,6 +712,21 @@ def _register_scan() -> None:
         docs = load_table(spark, sf_dir, "documents")
         return parquet_scan_stats(
             docs, compression="ZSTD", use_dictionary=True
+        )
+
+    @query("parquet_v2_delta_scan", oracle=_SCAN_ORACLE)
+    def q_parquet_v2_delta_scan(spark, sf_dir):
+        """Parquet v2 twin of `parquet_column_scan`: the fixtures are
+        written by pyarrow with DataPageV2 pages (levels uncompressed
+        and un-prefixed ahead of the compressed value section) and
+        the v2 default encodings — DELTA_BINARY_PACKED miniblocks for
+        idx, front-coded DELTA_BYTE_ARRAY for words — under SNAPPY,
+        exactly what parquet-mr v2 / modern Spark writers emit. Same
+        codec-independent oracle; the in-op asserts prove
+        element-level equality with the source lists."""
+        docs = load_table(spark, sf_dir, "documents")
+        return parquet_scan_stats(
+            docs, compression="SNAPPY", v2_delta=True
         )
 
 
@@ -784,6 +816,137 @@ def _plain_values(data: bytes, at: int, n: int, ptype: int) -> "tuple[list, int]
     )
 
 
+def _inflate_page(blob: bytes, codec: int, want: int) -> bytes:
+    """Decompress one page section by footer codec id; `want` is the
+    expected uncompressed size from the page header (validated where
+    the codec doesn't self-describe it)."""
+    if codec == 1:
+        return snappy_decompress(blob)
+    if codec == 2:
+        return gzip_member_decompress(blob, want)
+    if codec == 6:
+        from dynamodb_to_datalake_project_spark.llm.zstd import (
+            zstd_decompress,
+        )
+
+        out = zstd_decompress(blob)
+        if len(out) != want:
+            raise ValueError(
+                f"parquet: ZSTD page decoded {len(out)} bytes,"
+                f" header says {want}"
+            )
+        return out
+    if codec == 7:
+        return lz4_block_decompress(blob, want)
+    return blob
+
+
+def _uvarint(data: bytes, at: int) -> "tuple[int, int]":
+    v = s = 0
+    while True:
+        if at >= len(data):
+            raise ValueError("parquet: truncated varint")
+        b = data[at]
+        at += 1
+        v |= (b & 0x7F) << s
+        if b < 0x80:
+            return v, at
+        s += 7
+
+
+def _delta_binary_packed(
+    data: bytes, at: int, n: int
+) -> "tuple[list[int], int]":
+    """DELTA_BINARY_PACKED decode (parquet-format Encodings.md, the
+    v2 default for INT32/INT64): header = <block size> <miniblocks
+    per block> <total count> <first value, zigzag>; each block =
+    <min delta, zigzag> <one bit-width byte per miniblock> <deltas
+    bit-packed LSB-first per miniblock>. Miniblocks are always
+    written full-width (padded), but trailing miniblocks with no
+    values carry no data bytes. Returns (first n values, offset past
+    the encoding) — the offset matters because DELTA_LENGTH/
+    DELTA_BYTE_ARRAY embed this stream ahead of raw bytes."""
+    block, at = _uvarint(data, at)
+    nmini, at = _uvarint(data, at)
+    total, at = _uvarint(data, at)
+    uz, at = _uvarint(data, at)
+    if nmini == 0 or block % nmini or (block // nmini) % 8:
+        raise ValueError("parquet: bad delta-binary-packed header")
+    if total < n:
+        raise ValueError(
+            f"parquet: delta-binary-packed holds {total} values, "
+            f"page header says {n}"
+        )
+    if total == 0:
+        return [], at
+    per_mini = block // nmini
+    out = [(uz >> 1) ^ -(uz & 1)]
+    remaining = total - 1
+    while remaining > 0:
+        uz, at = _uvarint(data, at)
+        min_delta = (uz >> 1) ^ -(uz & 1)
+        widths = data[at : at + nmini]
+        if len(widths) != nmini:
+            raise ValueError("parquet: truncated miniblock widths")
+        at += nmini
+        for w in widths:
+            if remaining <= 0:
+                break
+            take = min(per_mini, remaining)
+            if w:
+                nbytes = per_mini * w // 8
+                if at + nbytes > len(data):
+                    raise ValueError("parquet: truncated miniblock")
+                acc = int.from_bytes(data[at : at + nbytes], "little")
+                at += nbytes
+                mask = (1 << w) - 1
+                prev = out[-1]
+                for t in range(take):
+                    prev += min_delta + ((acc >> (t * w)) & mask)
+                    out.append(prev)
+            else:
+                prev = out[-1]
+                for _ in range(take):
+                    prev += min_delta
+                    out.append(prev)
+            remaining -= take
+    return out[:n], at
+
+
+def _delta_length_byte_array(
+    data: bytes, at: int, n: int
+) -> "tuple[list[bytes], int]":
+    """DELTA_LENGTH_BYTE_ARRAY: a DELTA_BINARY_PACKED stream of the n
+    lengths, then the concatenated value bytes."""
+    lens, at = _delta_binary_packed(data, at, n)
+    out = []
+    for ln in lens:
+        if ln < 0 or at + ln > len(data):
+            raise ValueError("parquet: delta-length value overruns page")
+        out.append(data[at : at + ln])
+        at += ln
+    return out, at
+
+
+def _delta_byte_array(
+    data: bytes, at: int, n: int
+) -> "tuple[list[bytes], int]":
+    """DELTA_BYTE_ARRAY (incremental/front-coded strings, the v2
+    default for BYTE_ARRAY): a DELTA_BINARY_PACKED stream of prefix
+    lengths, then a DELTA_LENGTH_BYTE_ARRAY of suffixes; value[i] =
+    value[i-1][:prefix[i]] + suffix[i]."""
+    prefs, at = _delta_binary_packed(data, at, n)
+    sufs, at = _delta_length_byte_array(data, at, n)
+    out: "list[bytes]" = []
+    prev = b""
+    for p, s in zip(prefs, sufs):
+        if p < 0 or p > len(prev):
+            raise ValueError("parquet: delta prefix exceeds prior value")
+        prev = prev[:p] + s
+        out.append(prev)
+    return out, at
+
+
 def _schema_leaves(raw: dict) -> "dict[str, tuple[int, int, bool]]":
     """DFS over the footer's flat SchemaElement list (parents precede
     children; num_children delimits groups): dotted leaf path ->
@@ -821,10 +984,14 @@ def read_parquet_column_full(payload: bytes, column: str) -> list:
     handles SNAPPY-, GZIP-, ZSTD- and LZ4_RAW-compressed pages,
     dictionary encoding (PLAIN dictionary page + RLE_DICTIONARY/
     PLAIN_DICTIONARY index pages), NULL values (returned as None),
-    and STRUCT-nested leaves addressed by dotted path ("add.path" —
+    STRUCT-nested leaves addressed by dotted path ("add.path" —
     definition levels at the full nesting depth; Delta checkpoints
-    are the motivating file shape). Still honestly gated: repeated
-    columns (lists/maps), v2 pages and other codecs raise."""
+    are the motivating file shape), DATA_PAGE_V2 (uncompressed
+    un-prefixed levels ahead of the value section) and the three
+    v2 DELTA encodings (DELTA_BINARY_PACKED miniblocks,
+    DELTA_LENGTH_BYTE_ARRAY, front-coded DELTA_BYTE_ARRAY). Still
+    honestly gated: repeated columns (lists/maps), BYTE_STREAM_SPLIT
+    and other codecs raise."""
     meta = parse_parquet_footer(payload)
     raw = _Reader(payload, len(payload) - 8
                   - struct.unpack_from("<I", payload, len(payload) - 8)[0]
@@ -867,24 +1034,20 @@ def read_parquet_column_full(payload: bytes, column: str) -> list:
                 data = payload[r.pos : r.pos + size]
                 if len(data) != size:
                     raise ValueError("parquet: truncated page")
-                if codec == 1:
-                    data = snappy_decompress(data)
-                elif codec == 2:
-                    data = gzip_member_decompress(data, ph.get(2))
-                elif codec == 6:
-                    from dynamodb_to_datalake_project_spark.llm.zstd import (
-                        zstd_decompress,
-                    )
-
-                    data = zstd_decompress(data)
-                    if len(data) != ph.get(2):
-                        raise ValueError(
-                            f"parquet: ZSTD page decoded {len(data)} bytes,"
-                            f" header says {ph.get(2)}"
-                        )
-                elif codec == 7:
-                    data = lz4_block_decompress(data, ph.get(2))
-                if ph.get(1) == 2:  # dictionary page
+                page_type = ph.get(1)
+                if page_type == 3:
+                    # DATA_PAGE_V2: rep+def levels lead the page and
+                    # are NEVER compressed; only the value section is
+                    # (field 7, default true).
+                    d2 = ph.get(8) or {}
+                    lv = d2.get(6, 0) + d2.get(5, 0)
+                    body = data[lv:]
+                    if d2.get(7, True):
+                        body = _inflate_page(body, codec, ph.get(2) - lv)
+                    data = data[:lv] + body
+                else:
+                    data = _inflate_page(data, codec, ph.get(2))
+                if page_type == 2:  # dictionary page
                     dph2 = ph.get(7) or {}
                     if dph2.get(2, 0) not in (0, 2):
                         raise NotImplementedError(
@@ -895,23 +1058,37 @@ def read_parquet_column_full(payload: bytes, column: str) -> list:
                     )
                     off = r.pos + size
                     continue
-                if ph.get(1) != 0:
+                if page_type == 0:
+                    dph = ph.get(5) or {}
+                    n = dph.get(1, 0)
+                    enc = dph.get(2, 0)
+                    at = 0
+                    defs = None
+                    n_present = n
+                    if max_def > 0:
+                        (dlen,) = struct.unpack_from("<I", data, 0)
+                        defs = _decode_rle_bitpacked(
+                            data[4 : 4 + dlen], max_def.bit_length(), n
+                        )
+                        n_present = sum(1 for d in defs if d == max_def)
+                        at = 4 + dlen
+                elif page_type == 3:
+                    d2 = ph.get(8) or {}
+                    n = d2.get(1, 0)
+                    enc = d2.get(4, 0)
+                    rl, dl = d2.get(6, 0), d2.get(5, 0)
+                    at = rl + dl  # v2 levels carry no length prefix
+                    defs = None
+                    n_present = n
+                    if max_def > 0 and dl:
+                        defs = _decode_rle_bitpacked(
+                            data[rl : rl + dl], max_def.bit_length(), n
+                        )
+                        n_present = sum(1 for d in defs if d == max_def)
+                else:
                     raise NotImplementedError(
-                        f"parquet: page type {ph.get(1)} not implemented"
+                        f"parquet: page type {page_type} not implemented"
                     )
-                dph = ph.get(5) or {}
-                n = dph.get(1, 0)
-                enc = dph.get(2, 0)
-                at = 0
-                defs = None
-                n_present = n
-                if max_def > 0:
-                    (dlen,) = struct.unpack_from("<I", data, 0)
-                    defs = _decode_rle_bitpacked(
-                        data[4 : 4 + dlen], max_def.bit_length(), n
-                    )
-                    n_present = sum(1 for d in defs if d == max_def)
-                    at = 4 + dlen
                 if enc == 0:
                     vals, _ = _plain_values(data, at, n_present, ptype)
                 elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
@@ -928,6 +1105,25 @@ def read_parquet_column_full(payload: bytes, column: str) -> list:
                     if bad:
                         raise ValueError("parquet: dictionary index OOB")
                     vals = [dict_vals[i] for i in idx]
+                elif enc == 5:  # DELTA_BINARY_PACKED
+                    if ptype not in (1, 2):
+                        raise NotImplementedError(
+                            "parquet: DELTA_BINARY_PACKED only for "
+                            "INT32/INT64"
+                        )
+                    vals, _ = _delta_binary_packed(data, at, n_present)
+                elif enc == 6:  # DELTA_LENGTH_BYTE_ARRAY
+                    if ptype != 6:
+                        raise NotImplementedError(
+                            "parquet: DELTA_LENGTH only for BYTE_ARRAY"
+                        )
+                    vals, _ = _delta_length_byte_array(data, at, n_present)
+                elif enc == 7:  # DELTA_BYTE_ARRAY
+                    if ptype != 6:
+                        raise NotImplementedError(
+                            "parquet: DELTA_BYTE_ARRAY only for BYTE_ARRAY"
+                        )
+                    vals, _ = _delta_byte_array(data, at, n_present)
                 else:
                     raise NotImplementedError(
                         f"parquet: encoding {_ENCODINGS.get(enc)} "
