@@ -947,6 +947,29 @@ def _delta_byte_array(
     return out, at
 
 
+def _byte_stream_split(
+    data: bytes, at: int, n: int, ptype: int
+) -> list:
+    """BYTE_STREAM_SPLIT decode (the v2 float encoding): the value
+    section holds k streams of n bytes each — stream j carries byte
+    j of every value — so same-significance bytes sit together and
+    compress well. Reconstruct by interleaving, then unpack LE."""
+    width, fmt = {1: (4, "i"), 2: (8, "q"), 4: (4, "f"), 5: (8, "d")}.get(
+        ptype, (None, None)
+    )
+    if width is None:
+        raise NotImplementedError(
+            f"parquet: BYTE_STREAM_SPLIT for physical type "
+            f"{_PARQUET_TYPES.get(ptype)} not implemented"
+        )
+    if at + width * n > len(data):
+        raise ValueError("parquet: BYTE_STREAM_SPLIT section truncated")
+    recon = bytearray(width * n)
+    for j in range(width):
+        recon[j::width] = data[at + j * n : at + (j + 1) * n]
+    return list(struct.unpack(f"<{n}{fmt}", bytes(recon)))
+
+
 def _schema_leaves(raw: dict) -> "dict[str, tuple[int, int, bool]]":
     """DFS over the footer's flat SchemaElement list (parents precede
     children; num_children delimits groups): dotted leaf path ->
@@ -989,9 +1012,9 @@ def read_parquet_column_full(payload: bytes, column: str) -> list:
     are the motivating file shape), DATA_PAGE_V2 (uncompressed
     un-prefixed levels ahead of the value section) and the three
     v2 DELTA encodings (DELTA_BINARY_PACKED miniblocks,
-    DELTA_LENGTH_BYTE_ARRAY, front-coded DELTA_BYTE_ARRAY). Still
-    honestly gated: repeated columns (lists/maps), BYTE_STREAM_SPLIT
-    and other codecs raise."""
+    DELTA_LENGTH_BYTE_ARRAY, front-coded DELTA_BYTE_ARRAY) and
+    BYTE_STREAM_SPLIT floats/ints. Still honestly gated: repeated
+    columns (lists/maps), INT96 and other codecs raise."""
     meta = parse_parquet_footer(payload)
     raw = _Reader(payload, len(payload) - 8
                   - struct.unpack_from("<I", payload, len(payload) - 8)[0]
@@ -1124,6 +1147,8 @@ def read_parquet_column_full(payload: bytes, column: str) -> list:
                             "parquet: DELTA_BYTE_ARRAY only for BYTE_ARRAY"
                         )
                     vals, _ = _delta_byte_array(data, at, n_present)
+                elif enc == 9:  # BYTE_STREAM_SPLIT
+                    vals = _byte_stream_split(data, at, n_present, ptype)
                 else:
                     raise NotImplementedError(
                         f"parquet: encoding {_ENCODINGS.get(enc)} "

@@ -4289,6 +4289,58 @@ def test_parquet_v2_pages_and_delta_encodings():
         _delta_byte_array(prefixes + suffixes, 0, 2)
 
 
+def test_parquet_byte_stream_split():
+    """Round-9: BYTE_STREAM_SPLIT decode — stream j carries byte j of
+    every value — over pyarrow-written float64/float32/int64 columns
+    (incl. nulls) across codecs and both page versions; truncated
+    sections raise."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        _byte_stream_split,
+        read_parquet_column_full,
+    )
+
+    n = 2000
+    f64 = [i * 0.125 - 40.0 for i in range(n)]
+    f32 = [float(i % 97) for i in range(n)]
+    of64 = [v if i % 3 else None for i, v in enumerate(f64)]
+    i64 = [i * 11 - 500 for i in range(n)]
+    t = pa.table(
+        {
+            "f64": pa.array(f64, pa.float64()),
+            "f32": pa.array(f32, pa.float32()),
+            "of64": pa.array(of64, pa.float64()),
+            "i64": pa.array(i64, pa.int64()),
+        }
+    )
+    enc = {c: "BYTE_STREAM_SPLIT" for c in t.column_names}
+    for comp in ("NONE", "SNAPPY", "ZSTD"):
+        for dpv in ("1.0", "2.0"):
+            buf = io.BytesIO()
+            pq.write_table(
+                t, buf, use_dictionary=False, version="2.6",
+                compression=comp, data_page_version=dpv,
+                row_group_size=450, column_encoding=enc,
+            )
+            payload = buf.getvalue()
+            assert read_parquet_column_full(payload, "f64") == f64
+            assert read_parquet_column_full(payload, "f32") == f32
+            assert read_parquet_column_full(payload, "of64") == of64
+            assert read_parquet_column_full(payload, "i64") == i64
+    assert _byte_stream_split(
+        bytes([1, 2, 0, 0, 0, 0, 0, 0]), 0, 2, 1
+    ) == [1, 2]
+    with _pt.raises(ValueError, match="truncated"):
+        _byte_stream_split(b"\x00" * 7, 0, 2, 1)
+    with _pt.raises(NotImplementedError, match="BYTE_STREAM_SPLIT"):
+        _byte_stream_split(b"\x00" * 8, 0, 1, 6)
+
+
 def test_parquet_handwriter_dictionary_pages():
     """Round-9: dictionary-encoded writes — PLAIN dictionary page in
     first-occurrence order + RLE_DICTIONARY data pages (1-byte bit
