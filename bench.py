@@ -219,6 +219,7 @@ HEADLINE = [
     "iceberg_equality_delete_read",
     "json_schema_infer",
     "parquet_handwrite_roundtrip",
+    "parquet_v2_delta_scan",
     "roaring_dv_delete_read",
     "arrow_ipc_stream_scan",
     "avro_schema_evolution",

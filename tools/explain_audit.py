@@ -218,6 +218,7 @@ NOTES = {
     "multimodal_aac_stats": "AAC ADTS: header framing + CRC-16 verify + 13-bit frame-length walk, ONE ArrowEvalPython stage - map-only, no shuffle",
     "multimodal_h264_nal_stats": "H.264 Annex-B: start-code NAL walk + EPB strip + exp-Golomb SPS parse to cropped dims, ONE ArrowEvalPython stage - map-only, no shuffle",
     "multimodal_vtt_cues": "WebVTT/SRT: both dialect serializers + cue walk (timing, gaps, text chars), ONE ArrowEvalPython stage - map-only, no shuffle",
+    "parquet_v2_delta_scan": "parquet v2 read: pyarrow-written DataPageV2 + DELTA_BINARY_PACKED/DELTA_BYTE_ARRAY fixtures through the zero-dep reader, ONE ArrowEvalPython stage - map-only, no shuffle",
 }
 
 
