@@ -18,11 +18,11 @@ JSON for exactly this reason) — and the proof that the format
 knowledge in the reader is complete enough to round-trip.
 
 Subset contract: INT64, DOUBLE, BYTE_ARRAY(UTF8) columns; REQUIRED
-or OPTIONAL (None values); PLAIN encoding; all four codecs the
-zero-dep reader decodes — UNCOMPRESSED, SNAPPY (the block encoder
-below, write-dual of `parquetmeta.snappy_decompress`), GZIP
-(RFC 1952 member per page via stdlib zlib) and ZSTD (the engine's
-own RFC 8878 encoder); per-chunk Statistics (min_value/max_value/
+or OPTIONAL (None values); PLAIN encoding; all five codecs the
+zero-dep reader decodes — UNCOMPRESSED, SNAPPY and LZ4_RAW (the
+block encoders below, write-duals of the `parquetmeta` decoders),
+GZIP (RFC 1952 member per page via stdlib zlib) and ZSTD (the
+engine's own RFC 8878 encoder); per-chunk Statistics (min_value/max_value/
 null_count) with TypeDefinedOrder column_orders, so engines
 zone-map-prune row groups in the hand-written files exactly as in
 production ones; optional dictionary encoding (PLAIN dictionary
@@ -39,7 +39,13 @@ _T_I16, _T_I32, _T_I64, _T_DOUBLE = 4, 5, 6, 7
 _T_BINARY, _T_LIST, _T_STRUCT = 8, 9, 12
 
 _PHYS = {"INT64": 2, "DOUBLE": 5, "BYTE_ARRAY": 6}
-_CODEC_IDS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
+_CODEC_IDS = {
+    "UNCOMPRESSED": 0,
+    "SNAPPY": 1,
+    "GZIP": 2,
+    "ZSTD": 6,
+    "LZ4_RAW": 7,
+}
 
 
 def snappy_compress(data: bytes) -> bytes:
@@ -200,6 +206,64 @@ def _plain_encode(vals: list, ptype: str) -> bytes:
     return bytes(out)
 
 
+def lz4_block_compress(data: bytes) -> bytes:
+    """Pure-Python LZ4 block ENCODE — the dual of
+    `parquetmeta.lz4_block_decompress`, from the public LZ4 block
+    format spec: sequences of <token><literal-ext><literals>
+    <2-byte LE offset><match-ext>, minimum match 4, 255-byte length
+    extensions. Honors the spec's end rules — no match starts within
+    the last 12 bytes, matches end at least 5 bytes before the block
+    end, and the final sequence is literals-only. Greedy
+    4-byte-hash matcher like `snappy_compress`; every output is
+    decodable by the engine's own decoder AND pyarrow's lz4_raw
+    (both cross-checked in the tests)."""
+    out = bytearray()
+    n = len(data)
+
+    def seq(lit_lo: int, lit_hi: int, mlen: int = 0, off: int = 0) -> None:
+        lit = lit_hi - lit_lo
+        tok_lit = 15 if lit >= 15 else lit
+        tok_m = 0 if mlen == 0 else min(mlen - 4, 15)
+        out.append((tok_lit << 4) | tok_m)
+        if tok_lit == 15:
+            rem = lit - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.extend(data[lit_lo:lit_hi])
+        if mlen:
+            out.extend(off.to_bytes(2, "little"))
+            if tok_m == 15:
+                rem = mlen - 19
+                while rem >= 255:
+                    out.append(255)
+                    rem -= 255
+                out.append(rem)
+
+    table: dict[bytes, int] = {}
+    i = 0
+    lit_start = 0
+    while i + 4 <= n and i < n - 12:
+        key = data[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or i - cand > 0xFFFF:
+            i += 1
+            continue
+        maxm = (n - 5) - i
+        if maxm < 4:
+            break
+        mlen = 4
+        while mlen < maxm and data[cand + mlen] == data[i + mlen]:
+            mlen += 1
+        seq(lit_start, i, mlen, i - cand)
+        i += mlen
+        lit_start = i
+    seq(lit_start, n)  # final sequence: literals only
+    return bytes(out)
+
+
 def _compress_page(body: bytes, codec: str) -> bytes:
     if codec == "ZSTD":
         from dynamodb_to_datalake_project_spark.llm.zstd import (
@@ -209,6 +273,8 @@ def _compress_page(body: bytes, codec: str) -> bytes:
         return zstd_compress(body)
     if codec == "SNAPPY":
         return snappy_compress(body)
+    if codec == "LZ4_RAW":
+        return lz4_block_compress(body)
     if codec == "GZIP":
         # RFC 1952 member per page (wbits=31), the framing
         # parquetmeta.gzip_member_decompress expects.
@@ -300,8 +366,8 @@ def write_parquet(
     """Serialize `columns` ({name: (type, values)}; type in INT64 /
     DOUBLE / BYTE_ARRAY; None values allowed -> OPTIONAL column with
     RLE definition levels) into a complete parquet file. `codec` in
-    UNCOMPRESSED / SNAPPY / GZIP / ZSTD (SNAPPY and ZSTD pages
-    compressed by the engine's own encoders). `dictionary=True`
+    UNCOMPRESSED / SNAPPY / GZIP / ZSTD / LZ4_RAW (SNAPPY, ZSTD and
+    LZ4 pages compressed by the engine's own encoders). `dictionary=True`
     writes each non-empty chunk as a PLAIN dictionary page (first-
     occurrence order) plus an RLE_DICTIONARY data page — the
     production parquet-mr default layout. Returns the file bytes."""
@@ -499,10 +565,10 @@ def write_parquet(
 
 def handwritten_parquet_stats(docs):
     """Per doc: the words table serialized by the zero-dep WRITER
-    (codec rotates UNCOMPRESSED / SNAPPY / GZIP / ZSTD on doc_id%4 —
-    the SNAPPY and ZSTD pages compressed by the engine's own
-    encoders — multi row group on id%3, dictionary pages on bit 2 of
-    the id), then read back THREE ways
+    (codec rotates UNCOMPRESSED / SNAPPY / GZIP / ZSTD / LZ4_RAW on
+    doc_id%5 — the SNAPPY, ZSTD and LZ4 pages compressed by the
+    engine's own encoders — multi row group on id%3, dictionary
+    pages on bit 2 of the id), then read back THREE ways
     in-op — pyarrow (independent parquet implementation), the
     zero-dep reader, and the null mask round-tripped — before the
     word-formula census is emitted. A single malformed byte anywhere
@@ -542,9 +608,13 @@ def handwritten_parquet_stats(docs):
                         "idx": ("INT64", list(range(len(words)))),
                         "word": ("BYTE_ARRAY", words),
                     },
-                    codec=("UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD")[
-                        did % 4
-                    ],
+                    codec=(
+                        "UNCOMPRESSED",
+                        "SNAPPY",
+                        "GZIP",
+                        "ZSTD",
+                        "LZ4_RAW",
+                    )[did % 5],
                     row_group_size=max(1, -(-len(words) // (did % 3 + 1))),
                     dictionary=(did >> 2) % 2 == 1,
                 )
@@ -590,8 +660,8 @@ def _register() -> None:
     def q_parquet_handwrite_roundtrip(spark, sf_dir):
         """Zero-dep parquet WRITE: thrift compact footers, PLAIN v1
         pages, multi row group, per-chunk min/max/null statistics,
-        codec rotating UNCOMPRESSED/SNAPPY/GZIP/ZSTD on doc_id%4
-        (SNAPPY and ZSTD by the engine's own encoders), dictionary
+        codec rotating UNCOMPRESSED/SNAPPY/GZIP/ZSTD/LZ4_RAW on doc_id%5
+        (SNAPPY, ZSTD and LZ4 by the engine's own encoders), dictionary
         pages + RLE_DICTIONARY indices on bit 2 of the id — and
         pyarrow (an independent implementation) plus the zero-dep
         reader both recover every value in-op. The write direction

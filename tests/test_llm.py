@@ -4131,7 +4131,7 @@ def test_parquet_handwriter_three_readers():
     idx = list(range(len(words)))
     opt = [i if i % 4 else None for i in idx]
     dbl = [i * 0.25 for i in idx]
-    for codec in ("UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"):
+    for codec in ("UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD", "LZ4_RAW"):
         payload = write_parquet(
             {
                 "idx": ("INT64", idx),
@@ -4457,6 +4457,50 @@ def test_snappy_encoder_cross_implementations():
     assert len(snappy_compress(b"abcd" * 500)) < 120
     # max copy element is 64 bytes for 3 tag bytes -> ~4.7k floor
     assert len(snappy_compress(b"x" * 100_000)) < 5000
+
+
+def test_lz4_encoder_cross_implementations():
+    """Round-9: the pure-Python LZ4 block ENCODER — token nibbles,
+    255-byte extensions, 2-byte offsets, spec end rules (no match in
+    the last 12 bytes, matches end 5+ bytes before block end, final
+    sequence literals-only) — decoded back by BOTH the engine's own
+    `lz4_block_decompress` and pyarrow's lz4_raw, over empty/short/
+    repetitive/random/long-run inputs; unbounded match lengths make
+    the 100k run tiny."""
+    import random
+
+    import pyarrow as pa
+
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        lz4_block_decompress,
+    )
+    from dynamodb_to_datalake_project_spark.llm.parquetwrite import (
+        lz4_block_compress,
+    )
+
+    rnd = random.Random(11)
+    cases = [
+        b"",
+        b"a",
+        b"abcd" * 500,
+        b"hello world " * 100,
+        bytes(rnd.randrange(256) for _ in range(5000)),
+        (b"the quick brown fox " * 7 + b"jumps over") * 40,
+        bytes(rnd.randrange(4) for _ in range(70000)),
+        b"x" * 100_000,
+        b"short12bytes",  # too short for any match per the end rule
+        b"abcdabcdabcdabcd",  # matches exist but end rules bind
+    ]
+    for i, d in enumerate(cases):
+        c = lz4_block_compress(d)
+        assert lz4_block_decompress(c, len(d)) == d, i
+        assert (
+            pa.decompress(
+                c, decompressed_size=len(d), codec="lz4_raw", asbytes=True
+            )
+            == d
+        ), i
+    assert len(lz4_block_compress(b"x" * 100_000)) < 500
 
 
 def _write_tmp(payload: bytes) -> str:
