@@ -801,6 +801,14 @@ def _plain_values(data: bytes, at: int, n: int, ptype: int) -> "tuple[list, int]
         return list(struct.unpack_from(f"<{n}i", data, at)), at + 4 * n
     if ptype == 5:
         return list(struct.unpack_from(f"<{n}d", data, at)), at + 8 * n
+    if ptype == 4:
+        return list(struct.unpack_from(f"<{n}f", data, at)), at + 4 * n
+    if ptype == 0:  # BOOLEAN: bit-packed LSB-first
+        nb = (n + 7) // 8
+        if at + nb > len(data):
+            raise ValueError("parquet: BOOLEAN values overrun the page")
+        acc = int.from_bytes(data[at : at + nb], "little")
+        return [bool((acc >> i) & 1) for i in range(n)], at + nb
     if ptype == 6:
         out = []
         for _ in range(n):

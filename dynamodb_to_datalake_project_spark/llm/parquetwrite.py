@@ -1,12 +1,13 @@
 """Zero-dep parquet WRITER — the write direction of `llm.parquetmeta`,
 from the public parquet-format spec: Thrift compact-protocol encoding
-(the writer dual of `parquetmeta._Reader`), PLAIN data pages v1,
-RLE/bit-packed-hybrid definition levels for nullable columns, one or
-more row groups, UNCOMPRESSED or ZSTD pages — the ZSTD path runs the
-engine's own RFC 8878 encoder (`llm.zstd.zstd_compress`), so a file
-can be produced end-to-end with no parquet AND no compression
-library, then opened by pyarrow/DuckDB (both cross-check in the
-tests and in-op).
+(the writer dual of `parquetmeta._Reader`), PLAIN and dictionary
+data pages v1, RLE/bit-packed-hybrid definition levels for nullable
+columns, one or more row groups, pages under any of the five reader
+codecs — SNAPPY, LZ4_RAW and ZSTD run the engine's own encoders
+(`snappy_compress`, `lz4_block_compress`, `llm.zstd.zstd_compress`),
+so a file can be produced end-to-end with no parquet AND no
+compression library, then opened by pyarrow/DuckDB (both cross-check
+in the tests and in-op).
 
 Why a writer: the reference lake is written by a managed engine
 (glue_jobs/initial_load.py:163-179); this engine's parquet sinks
@@ -17,8 +18,9 @@ lambda_functions/dynamodb_stream_consumer.py niche, writes plain
 JSON for exactly this reason) — and the proof that the format
 knowledge in the reader is complete enough to round-trip.
 
-Subset contract: INT64, DOUBLE, BYTE_ARRAY(UTF8) columns; REQUIRED
-or OPTIONAL (None values); PLAIN encoding; all five codecs the
+Subset contract: BOOLEAN (bit-packed), INT32, INT64, FLOAT,
+DOUBLE, BYTE_ARRAY(UTF8) columns; REQUIRED or OPTIONAL (None
+values); PLAIN encoding; all five codecs the
 zero-dep reader decodes — UNCOMPRESSED, SNAPPY and LZ4_RAW (the
 block encoders below, write-duals of the `parquetmeta` decoders),
 GZIP (RFC 1952 member per page via stdlib zlib) and ZSTD (the
@@ -38,7 +40,14 @@ _T_TRUE, _T_FALSE, _T_BYTE = 1, 2, 3
 _T_I16, _T_I32, _T_I64, _T_DOUBLE = 4, 5, 6, 7
 _T_BINARY, _T_LIST, _T_STRUCT = 8, 9, 12
 
-_PHYS = {"INT64": 2, "DOUBLE": 5, "BYTE_ARRAY": 6}
+_PHYS = {
+    "BOOLEAN": 0,
+    "INT32": 1,
+    "INT64": 2,
+    "FLOAT": 4,
+    "DOUBLE": 5,
+    "BYTE_ARRAY": 6,
+}
 _CODEC_IDS = {
     "UNCOMPRESSED": 0,
     "SNAPPY": 1,
@@ -196,9 +205,21 @@ def _plain_encode(vals: list, ptype: str) -> bytes:
     if ptype == "INT64":
         for v in vals:
             out += _s.pack("<q", v)
+    elif ptype == "INT32":
+        for v in vals:
+            out += _s.pack("<i", v)
     elif ptype == "DOUBLE":
         for v in vals:
             out += _s.pack("<d", v)
+    elif ptype == "FLOAT":
+        for v in vals:
+            out += _s.pack("<f", v)
+    elif ptype == "BOOLEAN":  # PLAIN booleans are bit-packed LSB-first
+        acc = 0
+        for i, v in enumerate(vals):
+            if v:
+                acc |= 1 << i
+        out += acc.to_bytes((len(vals) + 7) // 8, "little")
     else:
         for v in vals:
             raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
@@ -363,8 +384,8 @@ def write_parquet(
     created_by: str = "spark-graft handwriter",
     dictionary: bool = False,
 ) -> bytes:
-    """Serialize `columns` ({name: (type, values)}; type in INT64 /
-    DOUBLE / BYTE_ARRAY; None values allowed -> OPTIONAL column with
+    """Serialize `columns` ({name: (type, values)}; type in BOOLEAN /
+    INT32 / INT64 / FLOAT / DOUBLE / BYTE_ARRAY; None values allowed -> OPTIONAL column with
     RLE definition levels) into a complete parquet file. `codec` in
     UNCOMPRESSED / SNAPPY / GZIP / ZSTD / LZ4_RAW (SNAPPY, ZSTD and
     LZ4 pages compressed by the engine's own encoders). `dictionary=True`
@@ -398,7 +419,11 @@ def write_parquet(
             ptype, vals = columns[name]
             sl = vals[start:hi]
             present = [v for v in sl if v is not None]
-            use_dict = dictionary and bool(present)
+            # parquet-mr never dictionary-encodes booleans (PLAIN is
+            # already one bit per value)
+            use_dict = (
+                dictionary and bool(present) and ptype != "BOOLEAN"
+            )
             unc_total = comp_total = 0
             dict_offset = None
             if use_dict:
@@ -461,13 +486,20 @@ def write_parquet(
             if present:
                 import struct as _s
 
-                if ptype == "INT64":
+                if ptype in ("INT64", "INT32"):
+                    fmt = "<q" if ptype == "INT64" else "<i"
                     vmin, vmax = min(present), max(present)
-                    stats = (_s.pack("<q", vmin), _s.pack("<q", vmax))
-                elif ptype == "DOUBLE":
+                    stats = (_s.pack(fmt, vmin), _s.pack(fmt, vmax))
+                elif ptype in ("DOUBLE", "FLOAT"):
+                    fmt = "<d" if ptype == "DOUBLE" else "<f"
                     if not any(v != v for v in present):
                         vmin, vmax = min(present), max(present)
-                        stats = (_s.pack("<d", vmin), _s.pack("<d", vmax))
+                        stats = (_s.pack(fmt, vmin), _s.pack(fmt, vmax))
+                elif ptype == "BOOLEAN":
+                    stats = (
+                        bytes([min(present)]),
+                        bytes([max(present)]),
+                    )
                 else:
                     enc2 = [
                         v.encode("utf-8") if isinstance(v, str) else bytes(v)

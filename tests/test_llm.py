@@ -4193,9 +4193,76 @@ def test_parquet_handwriter_three_readers():
     with _pt.raises(NotImplementedError, match="codec"):
         write_parquet({"a": ("INT64", [1])}, codec="BROTLI")
     with _pt.raises(NotImplementedError, match="type"):
-        write_parquet({"a": ("INT32", [1])})
+        write_parquet({"a": ("INT96", [1])})
     with _pt.raises(ValueError, match="ragged"):
         write_parquet({"a": ("INT64", [1]), "b": ("INT64", [1, 2])})
+
+
+def test_parquet_handwriter_int32_float_boolean():
+    """Round-9: the writer/reader pair over the remaining practical
+    primitives — INT32 (dates), FLOAT (embeddings), BOOLEAN
+    (bit-packed PLAIN, never dictionary-encoded) — incl. nullable
+    columns, across all five codecs and dictionary on/off; pyarrow,
+    DuckDB and the zero-dep reader all agree; INT32 stats trusted."""
+    import io
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        read_parquet_column_full,
+    )
+    from dynamodb_to_datalake_project_spark.llm.parquetwrite import (
+        write_parquet,
+    )
+
+    n = 240
+    i32 = [i - 120 for i in range(n)]
+    f32 = [float(i % 9) * 0.5 for i in range(n)]
+    bl = [i % 3 == 0 for i in range(n)]
+    obl = [bool(i % 2) if i % 5 else None for i in range(n)]
+    oi32 = [i * 2 if i % 4 else None for i in range(n)]
+    for codec in ("UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD", "LZ4_RAW"):
+        for dic in (False, True):
+            payload = write_parquet(
+                {
+                    "i32": ("INT32", i32),
+                    "f32": ("FLOAT", f32),
+                    "b": ("BOOLEAN", bl),
+                    "ob": ("BOOLEAN", obl),
+                    "oi": ("INT32", oi32),
+                },
+                codec=codec,
+                row_group_size=77,
+                dictionary=dic,
+            )
+            pf = pq.ParquetFile(io.BytesIO(payload))
+            t = pf.read()
+            assert t.column("i32").to_pylist() == i32, (codec, dic)
+            assert t.column("f32").to_pylist() == f32
+            assert t.column("b").to_pylist() == bl
+            assert t.column("ob").to_pylist() == obl
+            assert t.column("oi").to_pylist() == oi32
+            assert read_parquet_column_full(payload, "i32") == i32
+            assert read_parquet_column_full(payload, "f32") == f32
+            assert read_parquet_column_full(payload, "b") == bl
+            assert read_parquet_column_full(payload, "ob") == obl
+            con = duckdb.connect()
+            got = con.execute(
+                "SELECT count(*), sum(i32),"
+                " sum(CASE WHEN b THEN 1 ELSE 0 END), count(ob)"
+                " FROM read_parquet(?)",
+                [_write_tmp(payload)],
+            ).fetchone()
+            assert got == (
+                n,
+                sum(i32),
+                sum(bl),
+                sum(1 for v in obl if v is not None),
+            )
+            con.close()
+            st = pf.metadata.row_group(0).column(0).statistics
+            assert st.has_min_max and st.min == -120
 
 
 def test_parquet_v2_pages_and_delta_encodings():
