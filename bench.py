@@ -220,6 +220,7 @@ HEADLINE = [
     "json_schema_infer",
     "parquet_handwrite_roundtrip",
     "parquet_v2_delta_scan",
+    "dedup_prefix_jaccard",
     "roaring_dv_delete_read",
     "arrow_ipc_stream_scan",
     "avro_schema_evolution",

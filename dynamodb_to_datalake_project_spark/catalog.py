@@ -162,6 +162,7 @@ _PRIORITY: list[str] = [
     "tokenizer_wordpiece_greedy",
     "iceberg_bounds_prune",
     "parquet_v2_delta_scan",
+    "dedup_prefix_jaccard",
     # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",

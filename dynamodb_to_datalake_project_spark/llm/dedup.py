@@ -144,6 +144,153 @@ def _jaccard_verify(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    sets: DataFrame, p: int = 4, q: int = 5
+) -> DataFrame:
+    """Exact-threshold set-similarity SELF-join via prefix filtering
+    (the SSJoin/PPJoin family — public algorithms: Chaudhuri et al.
+    ICDE'06, Xiao et al. WWW'08): LOSSLESS candidate generation with
+    no user-supplied blocking key, unlike `blocked_jaccard_pairs`
+    (which drops oversized blocks) and MinHash-LSH (probabilistic).
+    Under ANY global token order, two sets with Jaccard >= t must
+    share a token among each side's first |s| - ceil(t*|s|) + 1
+    tokens, so candidates come from an equi-join on PREFIX tokens
+    only — ordered rarest-first (the classic heuristic: prefixes
+    hold the rare tokens, so join buckets stay small) — never an
+    all-pairs product. Three integer filters run before the verify
+    shuffle:
+      - length: q*sa >= p*sb both ways (Jaccard >= p/q bounds the
+        size ratio);
+      - prefix: the equi-join itself;
+      - position (PPJoin's contribution): a token shared at 0-based
+        positions (pa, pb) bounds the overlap by
+        ub = min(pa,pb) + 1 + min(sa-pa-1, sb-pb-1); require
+        (p+q)*ub >= p*(sa+sb). A pair survives if ANY of its shared
+        prefix tokens passes — the bound is valid per token, so
+        this stays lossless.
+    The verify computes the exact intersection as a COUNT over a
+    composite-key join of xxhash64'd tokens (round-5 shuffle-bytes
+    lesson; thin long rows, never per-pair arrays) and keeps pairs
+    by the INTEGER predicate q*inter >= p*(sa+sb-inter) — no doubles
+    anywhere, so the DuckDB oracle replays the result bit-for-bit
+    from an all-pairs ground truth (prefix filtering must lose
+    nothing for the hashes to match).
+
+    `sets` carries (doc_id, toks: array<string>) — the caller picks
+    the set elements (distinct words, shingles, URLs...); shingle
+    sets are the right choice for text (word sets over a small
+    vocabulary make every pair similar — the minhash entries document
+    the same fixture property). Threshold is the rational p/q
+    (default 4/5). Returns (a_id, b_id, inter, sa, sb, jaccard_ppm)
+    with jaccard_ppm = 1e6 * inter DIV union, integer-exact.
+
+    100 TB shape: one token-frequency agg, one per-doc sort, a
+    bucket equi-join whose volume is Σ|prefix-bucket|² over RARE
+    tokens (the frequency order exists precisely to keep that sum
+    near-linear), and a verify count-join whose volume is the
+    candidate docs' hashed tokens only.
+    """
+    # the DAG below reads `toks` from three consumers (frequency agg,
+    # per-doc ordering, verify) and the prefix table from two (both
+    # join sides) — checkpoint both so set construction runs ONCE,
+    # not 5x (both frames are corpus-linear thin projections; the
+    # graph.py canonical-edge precedent). Deliberately NO
+    # empty-set filter here: a `size(toks) > 0` predicate pushes
+    # through the caller's repartition exchange and re-evaluates the
+    # whole set expression on the (few-task) scan stage — measured
+    # 16s vs 0.5s at sf0.1 — and empty sets are harmless anyway
+    # (they yield no prefix rows, so they can never reach a pair).
+    toks = sets.select(
+        "doc_id", F.array_distinct("toks").alias("toks")
+    ).localCheckpoint(eager=False)
+    flat = toks.select("doc_id", F.explode("toks").alias("tok"))
+    freq = flat.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # rarest-first order carried as a sortable (cnt, tok) struct —
+    # no global rank window needed, any consistent total order works
+    ordered = (
+        flat.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("cnt", "tok"))).alias("o"))
+        .select(
+            "doc_id",
+            F.col("o.tok").alias("sorted_toks"),
+            F.size("o").alias("s"),
+        )
+    )
+    prefix_len = (
+        F.col("s")
+        - ((F.lit(p) * F.col("s") + F.lit(q - 1)) / q).cast("long")
+        + 1
+    ).cast("int")
+    pref = (
+        ordered.select(
+            "doc_id",
+            "s",
+            F.slice("sorted_toks", 1, prefix_len).alias("prefix"),
+        )
+        .select("doc_id", "s", F.posexplode("prefix").alias("pos", "tok"))
+        .localCheckpoint(eager=False)
+    )
+    a = pref.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("s").alias("sa"),
+        F.col("pos").alias("pa"),
+        "tok",
+    )
+    b = pref.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("s").alias("sb"),
+        F.col("pos").alias("pb"),
+        "tok",
+    )
+    ub = (
+        F.least(F.col("pa"), F.col("pb"))
+        + 1
+        + F.least(
+            F.col("sa") - F.col("pa") - 1, F.col("sb") - F.col("pb") - 1
+        )
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            (F.lit(q) * F.col("sa") >= F.lit(p) * F.col("sb"))
+            & (F.lit(q) * F.col("sb") >= F.lit(p) * F.col("sa"))
+        )
+        .filter(F.lit(p + q) * ub >= F.lit(p) * (F.col("sa") + F.col("sb")))
+        .select("a_id", "b_id", "sa", "sb")
+        .distinct()
+    )
+    # COUNT-based intersection: join the candidate pairs against the
+    # hashed token table on each side — only shared tokens survive
+    # the second (composite-key) join, so COUNT(*) per pair IS the
+    # intersection. Thin long rows only; never per-pair arrays (the
+    # array-shipping variant serialized the whole verify into one
+    # AQE-coalesced task — arrays hide bytes from the coalescer).
+    flat_h = flat.select("doc_id", F.xxhash64("tok").alias("h"))
+    fa = flat_h.select(F.col("doc_id").alias("a_id"), "h")
+    fb = flat_h.select(F.col("doc_id").alias("b_id"), "h")
+    return (
+        cand.join(fa, "a_id")
+        .join(fb, ["b_id", "h"])
+        .groupBy("a_id", "b_id", "sa", "sb")
+        .agg(F.count("*").alias("inter"))
+        .filter(
+            F.lit(q) * F.col("inter")
+            >= F.lit(p) * (F.col("sa") + F.col("sb") - F.col("inter"))
+        )
+        .selectExpr(
+            "a_id",
+            "b_id",
+            "CAST(inter AS BIGINT) AS inter",
+            "CAST(sa AS BIGINT) AS sa",
+            "CAST(sb AS BIGINT) AS sb",
+            "CAST((1000000 * inter) DIV (sa + sb - inter) AS BIGINT)"
+            " AS jaccard_ppm",
+        )
+    )
+
+
 def oversized_buckets(
     df: DataFrame, bucket_cols: list[str], max_bucket: int = 1000
 ) -> DataFrame:
@@ -739,6 +886,83 @@ def q_dedup_jaccard(spark, sf_dir):
     unrelated small-vocab docs apart)."""
     docs = load_table(spark, sf_dir, "documents")
     return blocked_jaccard_pairs(docs, F.substring("text", 1, 32), threshold=0.8)
+
+
+_PREFIX_JACCARD_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+corpus AS (
+  SELECT doc_id, ws FROM w
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         ws[1 : len(ws) - len(ws) // 8] AS ws
+  FROM w
+),
+d AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+              ELSE [array_to_string(ws, ' ')] END AS w
+  FROM corpus
+  WHERE len(ws) > 0
+),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_intersect(a.w, b.w)) AS inter,
+         len(a.w) AS sa, len(b.w) AS sb
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+       CAST(sa AS BIGINT) AS sa, CAST(sb AS BIGINT) AS sb,
+       CAST((1000000 * inter) // (sa + sb - inter) AS BIGINT)
+         AS jaccard_ppm
+FROM p
+WHERE 5 * inter >= 4 * (sa + sb - inter)
+"""
+
+
+@query("dedup_prefix_jaccard", oracle=_PREFIX_JACCARD_SQL)
+def q_dedup_prefix_jaccard(spark, sf_dir):
+    """LOSSLESS exact-threshold near-dup join (SSJoin/PPJoin prefix
+    filtering) at Jaccard >= 4/5 over 3-shingle sets, on the fixture
+    ∪ a planted variant of itself (each doc with its last eighth of
+    words trimmed — shingle overlap ≈ 7/8, above threshold). The
+    Spark side only ever joins on rarest-first PREFIX tokens with
+    length/position integer filters; the oracle computes the ground
+    truth from the ALL-PAIRS product, so a single pair lost by the
+    filter chain — or gained by a hash collision in the verify —
+    breaks the hash match. Complements dedup_minhash_md5
+    (probabilistic) and dedup_ngram_jaccard (lossy blocking-key
+    candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    base = docs.select("doc_id", ws.alias("ws"))
+    planted = base.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.slice(
+            "ws",
+            1,
+            (F.size("ws") - F.floor(F.size("ws") / 8)).cast("int"),
+        ).alias("ws"),
+    )
+    corpus = (
+        base.unionByName(planted)
+        .filter(F.size("ws") > 0)
+        # the _shingle_sets barrier: the exchange materializes the
+        # token array so the shingle lambda's 3n element_at calls
+        # read an attribute — without it projection collapse inlines
+        # (and re-executes) the split+slice per shingle, ~20x slower
+        .repartition(par, "doc_id")
+    )
+    sets = corpus.select(
+        "doc_id", shingles_from_tokens(F.col("ws"), 3).alias("toks")
+    )
+    return prefix_filter_jaccard_pairs(sets, p=4, q=5)
 
 
 @query("dedup_minhash_lsh", rows_only_twin="dedup_minhash_md5")  # banding not ANSI-SQL

@@ -129,6 +129,58 @@ def test_blocked_jaccard(spark, corpus):
     assert 0.5 <= got[(1, 2)] < 1.0
 
 
+def test_prefix_filter_jaccard_complete_vs_brute_force(spark):
+    """Round-9: the SSJoin/PPJoin prefix-filter join is LOSSLESS —
+    over a random corpus with planted near-dups, its result equals
+    the brute-force all-pairs answer exactly (same pairs, same
+    integer intersections), at two different rational thresholds;
+    an exactly-at-threshold pair is kept; the plan contains no
+    cartesian product."""
+    import random
+
+    rnd = random.Random(42)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows = []
+    for i in range(50):
+        rows.append((i, rnd.sample(vocab, rnd.randrange(8, 25))))
+    for i in range(10):  # planted near-dup: drop 1-2 elements
+        base_set = rows[i][1]
+        rows.append((100 + i, base_set[: len(base_set) - 1 - (i % 2)]))
+    rows.append((500, ["a", "b", "c", "d", "e"]))
+    rows.append((501, ["a", "b", "c", "d", "x"]))  # jaccard = 4/6 = 2/3
+    sets = spark.createDataFrame(rows, ["doc_id", "toks"])
+
+    def brute(p, q):
+        want = {}
+        for i, (ai, at) in enumerate(rows):
+            for bi, bt in rows[i + 1 :]:
+                a_id, b_id = min(ai, bi), max(ai, bi)
+                sa, sb = set(at), set(bt)
+                inter = len(sa & sb)
+                if q * inter >= p * (len(sa) + len(sb) - inter):
+                    want[(a_id, b_id)] = inter
+        return want
+
+    for p, q in ((4, 5), (2, 3)):
+        got = {
+            (r.a_id, r.b_id): r.inter
+            for r in ldedup.prefix_filter_jaccard_pairs(
+                sets, p=p, q=q
+            ).collect()
+        }
+        assert got == brute(p, q), (p, q)
+    # the 2/3 threshold keeps the exactly-at-threshold (500, 501) pair
+    assert (500, 501) in brute(2, 3)
+    plan = (
+        ldedup.prefix_filter_jaccard_pairs(sets)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_blocked_jaccard_caps_degenerate_block(spark):
     """A boilerplate prefix shared by many docs must NOT expand
     quadratically: with max_block below the degenerate block's size,

@@ -219,6 +219,7 @@ NOTES = {
     "multimodal_h264_nal_stats": "H.264 Annex-B: start-code NAL walk + EPB strip + exp-Golomb SPS parse to cropped dims, ONE ArrowEvalPython stage - map-only, no shuffle",
     "multimodal_vtt_cues": "WebVTT/SRT: both dialect serializers + cue walk (timing, gaps, text chars), ONE ArrowEvalPython stage - map-only, no shuffle",
     "parquet_v2_delta_scan": "parquet v2 read: pyarrow-written DataPageV2 + DELTA_BINARY_PACKED/DELTA_BYTE_ARRAY fixtures through the zero-dep reader, ONE ArrowEvalPython stage - map-only, no shuffle",
+    "dedup_prefix_jaccard": "LOSSLESS exact-threshold near-dup join (SSJoin/PPJoin): rarest-first prefix equi-join + integer length/position filters, count-join verify on hashed tokens - never all-pairs, no cartesian",
 }
 
 
