@@ -192,9 +192,14 @@ def prefix_filter_jaccard_pairs(
     """
     # the DAG below reads `toks` from three consumers (frequency agg,
     # per-doc ordering, verify) and the prefix table from two (both
-    # join sides) — checkpoint both so set construction runs ONCE,
-    # not 5x (both frames are corpus-linear thin projections; the
-    # graph.py canonical-edge precedent). Deliberately NO
+    # join sides) — persist() both so set construction runs ONCE,
+    # not 5x (both frames are corpus-linear thin projections).
+    # persist, NOT localCheckpoint: a lazy checkpoint forces STATIC
+    # physical planning when its RDD is built, and static size
+    # estimates on RDD-backed inputs let the planner broadcast a
+    # side that is actually huge (measured: a 9.2 GiB attempted
+    # broadcast at the x100 probe) — persist defers planning to
+    # action time where AQE sees real sizes. Also deliberately NO
     # empty-set filter here: a `size(toks) > 0` predicate pushes
     # through the caller's repartition exchange and re-evaluates the
     # whole set expression on the (few-task) scan stage — measured
@@ -202,7 +207,7 @@ def prefix_filter_jaccard_pairs(
     # (they yield no prefix rows, so they can never reach a pair).
     toks = sets.select(
         "doc_id", F.array_distinct("toks").alias("toks")
-    ).localCheckpoint(eager=False)
+    ).persist()
     flat = toks.select("doc_id", F.explode("toks").alias("tok"))
     freq = flat.groupBy("tok").agg(F.count("*").alias("cnt"))
     # rarest-first order carried as a sortable (cnt, tok) struct —
@@ -229,7 +234,7 @@ def prefix_filter_jaccard_pairs(
             F.slice("sorted_toks", 1, prefix_len).alias("prefix"),
         )
         .select("doc_id", "s", F.posexplode("prefix").alias("pos", "tok"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     a = pref.select(
         F.col("doc_id").alias("a_id"),

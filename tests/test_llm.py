@@ -4534,6 +4534,51 @@ def test_parquet_handwriter_dictionary_pages():
     assert dict_sz < plain_sz / 2, (dict_sz, plain_sz)
 
 
+def test_parquet_handwriter_read_by_spark(spark):
+    """Round-9: parquet-mr (Spark's JVM reader — a THIRD independent
+    parquet implementation after pyarrow and DuckDB) reads the
+    hand-written files: every codec incl. our-snappy/our-lz4/our-zstd
+    pages, dictionary encoding, bit-packed booleans, nullable
+    columns; values match the source exactly."""
+    import tempfile
+
+    from dynamodb_to_datalake_project_spark.llm.parquetwrite import (
+        write_parquet,
+    )
+
+    n = 180
+    idx = list(range(n))
+    words = [f"w{i % 13}" for i in range(n)]
+    opt = [i if i % 4 else None for i in idx]
+    bl = [i % 3 == 0 for i in range(n)]
+    dbl = [i * 0.25 for i in idx]
+    for codec in ("UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD", "LZ4_RAW"):
+        for dic in (False, True):
+            payload = write_parquet(
+                {
+                    "idx": ("INT64", idx),
+                    "word": ("BYTE_ARRAY", words),
+                    "opt": ("INT64", opt),
+                    "b": ("BOOLEAN", bl),
+                    "score": ("DOUBLE", dbl),
+                },
+                codec=codec,
+                row_group_size=77,
+                dictionary=dic,
+            )
+            d = tempfile.mkdtemp()
+            with open(f"{d}/part-0.parquet", "wb") as f:
+                f.write(payload)
+            rows = sorted(
+                spark.read.parquet(d).collect(), key=lambda r: r.idx
+            )
+            assert [r.idx for r in rows] == idx, (codec, dic)
+            assert [r.word for r in rows] == words
+            assert [r.opt for r in rows] == opt
+            assert [r.b for r in rows] == bl
+            assert [r.score for r in rows] == dbl
+
+
 def test_snappy_encoder_cross_implementations():
     """Round-9: the pure-Python snappy block ENCODER — varint
     preamble, greedy 4-byte-hash matches as 2-byte-offset copies
