@@ -167,10 +167,19 @@ def linkage_em_stats(docs):
 
     def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
         out: dict[str, list] = {f.name: [] for f in schema_t.fields}
+        empty_ids: list[int] = []
         for pdf in batches:
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
                 words = [w for w in text.split(" ") if w]
+                if not words:
+                    # n = 0 makes EM's tot_m / n a 0/0: the DuckDB
+                    # oracle yields NULL parameters there (DOUBLE
+                    # 0/0 -> NULL), and NULL > 0.5 is never true,
+                    # so pred = 0. Emit the same sentinel row
+                    # instead of raising ZeroDivisionError.
+                    empty_ids.append(did)
+                    continue
                 n = len(words)
                 counts = [0] * 8
                 pats = []
@@ -201,6 +210,19 @@ def linkage_em_stats(docs):
                 out["n_pairs"].append(n)
                 out["n_match_pred"].append(pred)
         yield _pd.DataFrame(out)
+        if empty_ids:
+            sent = {
+                "doc_id": _pd.array(empty_ids, dtype="int64"),
+                **{
+                    c: _pd.array([None] * len(empty_ids), dtype=object)
+                    for c in ("lam", "m1", "m2", "m3", "u1", "u2", "u3")
+                },
+                "n_pairs": _pd.array([0] * len(empty_ids), dtype="int64"),
+                "n_match_pred": _pd.array(
+                    [0] * len(empty_ids), dtype="int64"
+                ),
+            }
+            yield _pd.DataFrame(sent)
 
     spark = docs.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -471,7 +471,10 @@ def read_orc_column(payload: bytes, column: str) -> list:
         at = st["offset"] + st["index_length"]
         chunks: "dict[int, bytes]" = {}
         for skind, scol, slen in streams:
-            if skind == 6 or skind == 7:  # ROW_INDEX / BLOOM_FILTER
+            # index-region streams (orc_proto.proto Stream.Kind):
+            # ROW_INDEX=6, BLOOM_FILTER=7, BLOOM_FILTER_UTF8=8 — all
+            # live before offset+index_length, so none advance `at`
+            if skind in (6, 7, 8):
                 continue
             if scol == col and skind in (
                 _K_PRESENT, _K_DATA, _K_LENGTH, _K_DICT,

@@ -120,7 +120,18 @@ def roaring_serialize(values) -> bytes:
 def roaring_deserialize(data: bytes) -> "list[int]":
     """Parse portable bytes back to a sorted uint32 list; every
     structural rule is enforced (cookie, key order, cardinality vs
-    container kind, offset consistency, run overlap)."""
+    container kind, offset consistency, run overlap). Trailing bytes
+    beyond the declared containers are ignored (callers embedding a
+    bitmap use `_deserialize_consumed` to learn the extent)."""
+    return _deserialize_consumed(data)[0]
+
+
+def _deserialize_consumed(data: bytes) -> "tuple[list[int], int]":
+    """Core portable-32 parser: returns (values, bytes consumed).
+    The format is self-delimiting via its own headers — tracking the
+    cursor is exact for ANY valid writer's container choices, unlike
+    canonical re-serialization (which wrongly rejected e.g. Java
+    bitmaps written without runOptimize)."""
     if len(data) < 8:
         raise ValueError("roaring: too short for a cookie")
     cookie = int.from_bytes(data[0:4], "little")
@@ -142,7 +153,7 @@ def roaring_deserialize(data: bytes) -> "list[int]":
     else:
         raise ValueError(f"roaring: bad cookie {cookie}")
     if n == 0:
-        return []
+        return [], at
     if len(data) < at + 4 * n:
         raise ValueError("roaring: truncated descriptive header")
     keys, cards = [], []
@@ -214,7 +225,7 @@ def roaring_deserialize(data: bytes) -> "list[int]":
                     raise ValueError("roaring: array not sorted")
                 prev = v
                 out.append(base + v)
-    return out
+    return out, at
 
 
 def roaring64_serialize(values) -> bytes:
@@ -247,30 +258,16 @@ def roaring64_deserialize(data: bytes) -> "list[int]":
             raise ValueError("roaring64: bucket keys not increasing")
         prev_hi = hi
         at += 4
-        # parse one embedded 32-bit bitmap: find its extent by
-        # re-serializing what we parse (the format is self-delimiting
-        # only via its own structure, so parse incrementally)
-        sub, used = _parse_embedded(data, at)
+        # parse one embedded 32-bit bitmap; its extent is whatever
+        # the cursor-tracking parser consumed — valid for any
+        # writer's container choices (Java Roaring64NavigableMap
+        # without runOptimize picks different containers than ours)
+        sub, used = _deserialize_consumed(data[at:])
         out.extend((hi << 32) | v for v in sub)
         at += used
     if at != len(data):
         raise ValueError("roaring64: trailing bytes")
     return out
-
-
-def _parse_embedded(data: bytes, at: int) -> "tuple[list[int], int]":
-    """Parse a portable-32 bitmap at offset `at`, returning values
-    and bytes consumed (the 32-bit format is self-delimiting given
-    its headers)."""
-    start = at
-    sub = roaring_deserialize(data[at:])
-    # roaring_deserialize consumes exactly the containers its header
-    # declares and ignores trailing bytes; re-serialize to learn the
-    # canonical byte length (this wrapper requires canonical bodies)
-    blob = roaring_serialize(sub)
-    if data[start : start + len(blob)] != blob:
-        raise ValueError("roaring64: embedded bitmap not canonical")
-    return sub, len(blob)
 
 
 def apply_delete_vector(values: list, dv: bytes) -> list:

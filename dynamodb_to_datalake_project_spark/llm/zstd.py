@@ -797,7 +797,9 @@ def _encode_block(data: bytes, lo: int, hi: int) -> "bytes | None":
     elif nseq < 0x7F00:
         seq_hdr = bytes([128 + (nseq >> 8), nseq & 0xFF])
     else:
-        seq_hdr = bytes([255, nseq & 0xFF, (nseq >> 8) & 0xFF])
+        # RFC 8878 §3.1.1.3.2.1: byte0==255 ⇒ the next two LE bytes hold
+        # Number_of_Sequences - 0x7F00 (not the raw count).
+        seq_hdr = bytes([255]) + (nseq - 0x7F00).to_bytes(2, "little")
     seq_hdr += bytes([0])  # all three tables Predefined
 
     # backward pass: choose FSE cells; the i-th update targets the

@@ -6128,3 +6128,88 @@ def test_cdc_chunks_properties():
 
     assert cdc_chunks(b"short") == [b"short"]
     assert cdc_chunks(b"") == []
+
+
+def test_linkage_em_stats_empty_doc(spark):
+    """Round-10 advice fix: a document whose text splits to zero
+    words used to raise ZeroDivisionError inside em_fit and fail the
+    whole stage. It must instead yield the same sentinel row the
+    DuckDB oracle produces (NULL parameters — DOUBLE 0/0 is NULL
+    there — with n_pairs = 0, n_match_pred = 0)."""
+    import duckdb
+    import pandas as _pd
+
+    from dynamodb_to_datalake_project_spark.llm.linkage import (
+        _oracle_sql,
+        linkage_em_stats,
+    )
+
+    pdf = _pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["alpha beta alpha gamma", "", "   "]}
+    )
+    docs = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in linkage_em_stats(docs).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for did in (2, 3):
+        row = got[did]
+        assert all(row[c] is None for c in ("lam", "m1", "u3"))
+        assert row["n_pairs"] == 0 and row["n_match_pred"] == 0
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for doc_id, lam, m1, m2, m3, u1, u2, u3, n_pairs, pred in con.execute(
+        _oracle_sql()
+    ).fetchall():
+        row = got[doc_id]
+        assert row["n_pairs"] == n_pairs and row["n_match_pred"] == pred
+        assert (row["lam"] is None) == (lam is None)
+        if lam is not None:
+            assert abs(row["lam"] - lam) == 0.0  # bit-identical
+
+
+def test_roaring64_noncanonical_embedded_bitmaps():
+    """Round-10 advice fix: roaring64_deserialize used to delimit
+    each embedded 32-bit bitmap by canonical re-serialization, so a
+    valid portable bitmap from a writer with different container
+    choices (Java Roaring64NavigableMap without runOptimize emits an
+    ARRAY where our runOptimize picks a RUN container) was rejected.
+    The extent must come from cursor tracking instead."""
+    from dynamodb_to_datalake_project_spark.llm.roaring import (
+        roaring64_deserialize,
+        roaring_serialize,
+    )
+
+    # 0..99 contiguous: our serializer picks a RUN container (6 bytes
+    # beats a 200-byte array). Hand-write the ARRAY form a
+    # no-runOptimize writer emits: NORUN cookie, 1 container,
+    # key 0 / card-1 = 99, offset header, 100 LE uint16 values.
+    vals = list(range(100))
+    array_form = (
+        (12346).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")
+        + (0).to_bytes(2, "little")
+        + (99).to_bytes(2, "little")
+        + (16).to_bytes(4, "little")
+        + b"".join(v.to_bytes(2, "little") for v in vals)
+    )
+    assert array_form != roaring_serialize(vals)  # truly non-canonical
+
+    # two buckets, the second followed by nothing: both the embedded
+    # extent AND the trailing-bytes check must hold
+    blob = (
+        (2).to_bytes(8, "little")
+        + (0).to_bytes(4, "little") + array_form
+        + (5).to_bytes(4, "little") + array_form
+    )
+    want = vals + [(5 << 32) | v for v in vals]
+    assert roaring64_deserialize(blob) == want
+
+    # truncated / trailing garbage still raise
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        roaring64_deserialize(blob + b"\x00")
+    with _pt.raises(ValueError):
+        roaring64_deserialize(blob[:-1])

@@ -134,3 +134,28 @@ def test_orc_value_scan_stats_spark(spark):
         assert r.n_values == len(words)
         assert r.sum_idx == len(words) * (len(words) - 1) // 2
         assert r.word_bytes == sum(len(w.encode()) for w in words)
+
+
+def test_read_orc_column_with_bloom_filters():
+    """Round-10 advice fix: BLOOM_FILTER_UTF8 (stream kind 8) lives
+    in the stripe's index region like ROW_INDEX/BLOOM_FILTER, so it
+    must not advance the data-region cursor. A file written with
+    bloom filters on both a string and an int column must decode
+    byte-identically to one written without."""
+    from pyarrow import orc
+
+    t, cols, words, nullstr = _fixture_table()
+    buf = io.BytesIO()
+    ncols = len(t.column_names)  # pyarrow wants field indices here
+    orc.write_table(
+        t, buf, bloom_filter_columns=list(range(ncols)),
+        compression="zlib",
+    )
+    p = buf.getvalue()
+    for name, want in cols.items():
+        assert read_orc_column(p, name) == want, name
+    assert [w.decode() for w in read_orc_column(p, "word")] == words
+    assert [
+        x.decode() if x is not None else None
+        for x in read_orc_column(p, "ns")
+    ] == nullstr

@@ -293,3 +293,40 @@ def test_orc_zstd_tail_parse():
     assert d["num_rows"] == n == f.nrows
     assert d["n_stripes"] == f.nstripes
     assert d["field_names"] == ["idx", "word"]
+
+
+def test_encoder_long_form_sequence_count():
+    """Regression (round-10 advice): RFC 8878 §3.1.1.3.2.1 — when a
+    block holds >= 0x7F00 sequences the 3-byte long form must store
+    Number_of_Sequences - 0x7F00 in the trailing LE16, not the raw
+    count. The construction below deterministically packs ~32.6k
+    4-byte matches into a single 128 KiB block (64 four-byte tokens,
+    each block a fresh affine permutation so greedy matches never
+    extend past one token); both our decoder and libzstd must round-
+    trip the frame."""
+    from dynamodb_to_datalake_project_spark.llm.zstd import (
+        _find_sequences,
+        zstd_compress,
+    )
+
+    m = 64
+    pool = [
+        bytes([k, (7 * k + 1) % 256, (13 * k + 5) % 256, 255 - k])
+        for k in range(m)
+    ]
+    units = list(range(1, m, 2))  # multipliers coprime to 64
+    toks = list(range(m))  # block 0: identity permutation
+    t = 0
+    while len(toks) < 32768:
+        a = units[t % len(units)]
+        c = (3 * t + 1) % m
+        toks.extend((a * j + c) % m for j in range(m))
+        t += 1
+    data = b"".join(pool[k] for k in toks)[:131072]
+
+    seqs, _ = _find_sequences(data, 0, len(data))
+    assert len(seqs) >= 0x7F00  # the long-form header is actually hit
+
+    comp = zstd_compress(data)
+    assert zstd_decompress(comp) == data
+    assert bytes(_codec().decompress(comp, len(data))) == data
