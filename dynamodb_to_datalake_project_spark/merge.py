@@ -28,9 +28,15 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dynamodb_to_datalake_project_spark import dedup
+from dynamodb_to_datalake_project_spark import dedup, deltatable
 from dynamodb_to_datalake_project_spark.catalog import query
 from dynamodb_to_datalake_project_spark.lake import load_table
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """Raised when a merge loses the optimistic-concurrency race
+    `max_commit_retries` times in a row (every retry found a commit
+    by another writer overlapping its touched partitions)."""
 
 
 def upsert_dataframes(
@@ -144,20 +150,38 @@ def _apply_commit(table_path: str, commit_id: str) -> None:
                 shutil.rmtree(dst)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(src, dst)
+    delta = manifest.get("delta")
+    if delta:
+        # the log fill is part of the commit replay: marker present +
+        # claim held => this version slot is ours, append idempotently
+        deltatable.append_commit(
+            table_path, delta["version"], delta["actions"], delta["txn"]
+        )
+        deltatable.maybe_write_checkpoint(table_path)
+        deltatable.release_claim(table_path, delta["version"])
     os.remove(marker)
     shutil.rmtree(staging, ignore_errors=True)
 
 
-def recover_pending_commits(table_path: str) -> list[str]:
+def recover_pending_commits(
+    table_path: str, staging_grace_seconds: float = 0.0
+) -> list[str]:
     """Heal a table after a crash: replay every committed-but-unapplied
     merge (marker present), then garbage-collect pre-commit staging
     garbage (staged data with no marker — the merge never committed, the
     table was never touched, the data is safely regenerable from the
     checkpointed batch). Returns the replayed commit ids.
 
-    Called automatically at the start of every `merge_into_parquet`;
-    safe under the pipeline's single-flight discipline (T5 — one merge
-    writer per table, the reference's orchestration lock)."""
+    Called automatically at the start of every `merge_into_parquet`
+    with a staging GRACE PERIOD: with OCC a second writer may be
+    mid-merge right now, its staging written but its marker not yet —
+    GC'ing that would silently drop its batch while its Delta commit
+    still records the adds. Only staging older than the grace window
+    (a crashed writer's leftovers) is collected on the merge path;
+    explicit recovery calls (grace 0, single-flight by contract)
+    collect everything unmarked."""
+    import time
+
     cdir = os.path.join(table_path, "_commits")
     replayed = []
     if os.path.isdir(cdir):
@@ -167,10 +191,136 @@ def recover_pending_commits(table_path: str) -> list[str]:
                 replayed.append(f[: -len(".json")])
     sdir = os.path.join(table_path, "_staging")
     if os.path.isdir(sdir):
+        now = time.time()
         for d in os.listdir(sdir):
             if not os.path.exists(os.path.join(cdir, d + ".json")):
-                shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
+                p = os.path.join(sdir, d)
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue
+                if age >= staging_grace_seconds:
+                    shutil.rmtree(p, ignore_errors=True)
+    # roll back version claims whose writer died before its commit
+    # point (no marker => the table was never touched). Runs under
+    # the same single-flight discipline as the marker replay above.
+    deltatable.stale_claims(table_path, pending_txns=set())
     return replayed
+
+
+def _delta_actions(
+    table_path: str,
+    staging: str,
+    rels: list[str],
+    removed: list[str],
+    root_removed: list[str],
+    partition_cols: list[str],
+    base_version: int,
+    schema_json: str,
+    txn_id: str,
+) -> list[dict]:
+    """The Delta actions of one merge commit. Incremental commits
+    (base_version >= 0) remove the live files of every touched
+    partition and add their staged replacements; a BOOTSTRAP commit
+    (legacy table without a log, base_version < 0) instead records
+    the full post-merge active set — untouched live files plus the
+    staged ones — under protocol + metaData, with no removes (there
+    is no prior log to remove against)."""
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "txnId": txn_id,
+                "operation": "MERGE",
+                "readVersion": base_version,
+            }
+        }
+    ]
+    if base_version < 0:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(deltatable.meta_action(schema_json, partition_cols))
+
+    staged_files: list[str] = []
+    for rel in rels:
+        staged_files += deltatable.data_files_under(staging, rel)
+
+    if base_version >= 0:
+        gone: list[str] = []
+        for rel in rels:
+            if rel == ".":
+                gone += root_removed
+            else:
+                gone += deltatable.data_files_under(table_path, rel)
+        for rel in removed:
+            gone += deltatable.data_files_under(table_path, rel)
+        for f in sorted(set(gone)):
+            actions.append(
+                {"remove": deltatable.build_remove(f, partition_cols)}
+            )
+    else:
+        # bootstrap: live files outside the touched/removed set stay
+        replaced = set()
+        for rel in list(rels) + list(removed):
+            if rel == ".":
+                replaced.update(root_removed)
+            else:
+                replaced.update(
+                    deltatable.data_files_under(table_path, rel)
+                )
+        for f in _all_data_files(table_path):
+            if f not in replaced:
+                actions.append(
+                    {
+                        "add": deltatable.build_add(
+                            table_path, f, partition_cols
+                        )
+                    }
+                )
+    for f in sorted(set(staged_files)):
+        actions.append({"add": deltatable.build_add(staging, f, partition_cols)})
+    return actions
+
+
+def _all_data_files(root: str) -> list[str]:
+    out = []
+    for r, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(
+                    os.path.relpath(os.path.join(r, f), root).replace(os.sep, "/")
+                )
+    return sorted(out)
+
+
+def _claim_tip(
+    table_path: str,
+    base_version: int,
+    ours: "list[dict] | None",
+    partition_cols: list[str],
+    txn_id: str,
+    spins: int = 200,
+) -> "int | None":
+    """OCC commit point: reserve the next log version via CAS. While
+    the returned claim is held the log tip cannot advance, so the
+    subsequent action build sees a frozen table. Returns the claimed
+    version, or None when an intervening commit overlapped our
+    touched partitions (the merge result is stale — caller retries
+    from a fresh read) or the tip stayed contested for `spins`
+    rounds."""
+    import time
+
+    for _spin in range(spins):
+        next_v = deltatable.current_version(table_path) + 1
+        if next_v <= base_version:
+            next_v = base_version + 1
+        if deltatable.claim_version(table_path, next_v, txn_id):
+            committed = deltatable.committed_touched(table_path, base_version)
+            if deltatable.overlaps(committed, ours, partition_cols):
+                deltatable.release_claim(table_path, next_v)
+                return None
+            return next_v
+        time.sleep(0.01)
+    return None
 
 
 def merge_into_parquet(
@@ -183,6 +333,9 @@ def merge_into_parquet(
     max_touched_partitions: int = 2000,
     op_col: str | None = None,
     delete_types: tuple[str, ...] = ("REMOVE",),
+    delta_log: bool = True,
+    max_commit_retries: int = 3,
+    _hook_before_commit=None,
 ) -> None:
     """Merge a batch into a partitioned parquet lake table, rewriting
     only touched partitions, with an ATOMIC commit protocol.
@@ -213,7 +366,7 @@ def merge_into_parquet(
     partitions).
     """
     if os.path.isdir(table_path):
-        recover_pending_commits(table_path)
+        recover_pending_commits(table_path, staging_grace_seconds=3600.0)
     parts = touched_partitions(source, partition_cols)
     if not parts:
         return
@@ -223,115 +376,209 @@ def merge_into_parquet(
         # would bloat analysis and the write rewrites most of the table
         # anyway. Correctness is identical; only pruning is skipped.
         parts = None
+    # our touched set in Delta partitionValues form (None = all)
+    ours = (
+        None
+        if parts is None
+        else [
+            {c: (None if p[c] is None else str(p[c])) for c in partition_cols}
+            for p in parts
+        ]
+    )
     from pyspark.errors import AnalysisException
 
-    try:
-        target = spark.read.parquet(table_path)
-    except AnalysisException as e:
-        # ONLY a missing/uninitialized table means "first batch": write
-        # the deduped batch as the table. Any other failure (transient
-        # IO, permissions, corrupt footer) must propagate — treating it
-        # as first-batch would overwrite real partitions with batch-only
-        # rows.
-        cond = getattr(e, "getErrorClass", lambda: "")() or str(e)
-        if not ("PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond):
-            raise
-        # first batch: nothing to lose, write directly (replayable from
-        # the checkpointed batch if interrupted)
-        cols = [c for c in source.columns if c != op_col]
-        empty = source.select(*cols).limit(0)
-        deduped = upsert_dataframes(
-            empty, source, keys, precombine, op_col=op_col, delete_types=delete_types
+    for _attempt in range(max_commit_retries):
+        base_version = (
+            deltatable.current_version(table_path) if delta_log else -1
         )
-        deduped.write.mode("overwrite").partitionBy(*partition_cols).parquet(table_path)
-        return
-    if parts is None:
-        existing = target
-    else:
-        pred = F.lit(False)
-        for p in parts:
-            clause = F.lit(True)
-            for c in partition_cols:
-                # eqNullSafe: a null partition value (e.g. from an
-                # unparseable timestamp) must still match its existing
-                # partition — plain == excludes those rows and the
-                # dynamic overwrite would then drop them.
-                clause = clause & F.col(c).eqNullSafe(F.lit(p[c]))
-            pred = pred | clause
-        existing = target.filter(pred)
-    src_cols = list(target.columns) + ([op_col] if op_col else [])
-    merged = upsert_dataframes(
-        existing,
-        source.select(*src_cols),
-        keys,
-        precombine,
-        op_col=op_col,
-        delete_types=delete_types,
-    )
-
-    # --- atomic commit: stage, mark, swap ---
-    commit_id = uuid.uuid4().hex[:12]
-    staging = os.path.join(table_path, "_staging", commit_id)
-    writer = merged.write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(staging)
-    rels = sorted(
-        {
-            os.path.relpath(root, staging)
-            for root, _dirs, files in os.walk(staging)
-            if any(f.endswith(".parquet") for f in files)
-        }
-    )
-    removed: list[str] = []
-    if op_col and partition_cols:
-        staged = set(rels)
-        if parts is not None:
-            # hard deletes can empty a touched partition entirely — it
-            # then has no staged replacement and must be dropped at
-            # commit time. Best-effort dir-name reconstruction
-            # (partition values here are pipeline-derived simple
-            # strings, P3); an unmatchable name just leaves the
-            # partition for the next compaction.
-            for p in parts:
-                rel = "/".join(
-                    f"{c}={'__HIVE_DEFAULT_PARTITION__' if p[c] is None else p[c]}"
-                    for c in partition_cols
-                )
-                if rel not in staged and os.path.isdir(os.path.join(table_path, rel)):
-                    removed.append(rel)
+        try:
+            target = spark.read.parquet(table_path)
+        except AnalysisException as e:
+            # ONLY a missing/uninitialized table means "first batch":
+            # write the deduped batch as the table. Any other failure
+            # (transient IO, permissions, corrupt footer) must
+            # propagate — treating it as first-batch would overwrite
+            # real partitions with batch-only rows.
+            cond = getattr(e, "getErrorClass", lambda: "")() or str(e)
+            if not (
+                "PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond
+            ):
+                raise
+            # first batch: nothing to lose, write directly (replayable
+            # from the checkpointed batch if interrupted). Table
+            # CREATION is not concurrency-safe (two creators would race
+            # the overwrite itself, log or no log) — the reference
+            # serializes job starts (MaxConcurrentRuns=1).
+            cols = [c for c in source.columns if c != op_col]
+            empty = source.select(*cols).limit(0)
+            deduped = upsert_dataframes(
+                empty,
+                source,
+                keys,
+                precombine,
+                op_col=op_col,
+                delete_types=delete_types,
+            )
+            deduped.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+                table_path
+            )
+            if delta_log:
+                txn = uuid.uuid4().hex[:12]
+                if not deltatable.claim_version(table_path, 0, txn):
+                    raise ConcurrentWriteConflict(
+                        f"{table_path}: concurrent table creation"
+                    )
+                actions = [
+                    {
+                        "commitInfo": {
+                            "txnId": txn,
+                            "operation": "CREATE TABLE AS SELECT",
+                            "readVersion": -1,
+                        }
+                    },
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                    deltatable.meta_action(
+                        deltatable.schema_string(deduped.schema),
+                        partition_cols,
+                    ),
+                ] + [
+                    {"add": deltatable.build_add(table_path, f, partition_cols)}
+                    for f in _all_data_files(table_path)
+                ]
+                deltatable.append_commit(table_path, 0, actions, txn)
+                deltatable.release_claim(table_path, 0)
+            return
+        if parts is None:
+            existing = target
         else:
-            # full-table merge (touched-partition cap exceeded): the
-            # staged output IS the whole table, so any on-disk leaf
-            # partition without a staged replacement was emptied by
-            # hard deletes and must still be dropped — the cap changes
-            # pruning, never delete semantics.
-            for root, _dirs, files in os.walk(table_path):
-                rel = os.path.relpath(root, table_path)
-                if rel == "." or rel.split(os.sep)[0].startswith(("_", ".")):
-                    continue
-                if any(f.endswith(".parquet") for f in files) and rel not in staged:
-                    removed.append(rel)
-    # unpartitioned tables: record the CURRENT root data files so replay
-    # deletes exactly these and never a freshly-swapped staged file
-    root_removed: list[str] = []
-    if not partition_cols and "." in rels:
-        root_removed = sorted(
-            name
-            for name in os.listdir(table_path)
-            if os.path.isfile(os.path.join(table_path, name))
-            and not name.startswith(("_", "."))
+            pred = F.lit(False)
+            for p in parts:
+                clause = F.lit(True)
+                for c in partition_cols:
+                    # eqNullSafe: a null partition value (e.g. from an
+                    # unparseable timestamp) must still match its
+                    # existing partition — plain == excludes those rows
+                    # and the dynamic overwrite would then drop them.
+                    clause = clause & F.col(c).eqNullSafe(F.lit(p[c]))
+                pred = pred | clause
+            existing = target.filter(pred)
+        src_cols = list(target.columns) + ([op_col] if op_col else [])
+        merged = upsert_dataframes(
+            existing,
+            source.select(*src_cols),
+            keys,
+            precombine,
+            op_col=op_col,
+            delete_types=delete_types,
         )
-    cdir = os.path.join(table_path, "_commits")
-    os.makedirs(cdir, exist_ok=True)
-    marker_tmp = os.path.join(cdir, f".{commit_id}.json.tmp")
-    with open(marker_tmp, "w") as f:
-        json.dump(
-            {"partitions": rels, "removed": removed, "root_removed": root_removed}, f
+
+        # --- atomic commit: stage, claim, mark, swap ---
+        commit_id = uuid.uuid4().hex[:12]
+        staging = os.path.join(table_path, "_staging", commit_id)
+        writer = merged.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(staging)
+        rels = sorted(
+            {
+                os.path.relpath(root, staging)
+                for root, _dirs, files in os.walk(staging)
+                if any(f.endswith(".parquet") for f in files)
+            }
         )
-    # the commit point: a single atomic rename makes the merge durable
-    os.replace(marker_tmp, os.path.join(cdir, f"{commit_id}.json"))
-    _apply_commit(table_path, commit_id)
+        removed: list[str] = []
+        if op_col and partition_cols:
+            staged = set(rels)
+            if parts is not None:
+                # hard deletes can empty a touched partition entirely —
+                # it then has no staged replacement and must be dropped
+                # at commit time. Best-effort dir-name reconstruction
+                # (partition values here are pipeline-derived simple
+                # strings, P3); an unmatchable name just leaves the
+                # partition for the next compaction.
+                for p in parts:
+                    rel = "/".join(
+                        f"{c}={'__HIVE_DEFAULT_PARTITION__' if p[c] is None else p[c]}"
+                        for c in partition_cols
+                    )
+                    if rel not in staged and os.path.isdir(
+                        os.path.join(table_path, rel)
+                    ):
+                        removed.append(rel)
+            else:
+                # full-table merge (touched-partition cap exceeded): the
+                # staged output IS the whole table, so any on-disk leaf
+                # partition without a staged replacement was emptied by
+                # hard deletes and must still be dropped — the cap
+                # changes pruning, never delete semantics.
+                for root, _dirs, files in os.walk(table_path):
+                    rel = os.path.relpath(root, table_path)
+                    if rel == "." or rel.split(os.sep)[0].startswith(("_", ".")):
+                        continue
+                    if any(f.endswith(".parquet") for f in files) and rel not in staged:
+                        removed.append(rel)
+        # unpartitioned tables: record the CURRENT root data files so
+        # replay deletes exactly these and never a freshly-swapped
+        # staged file
+        root_removed: list[str] = []
+        if not partition_cols and "." in rels:
+            root_removed = sorted(
+                name
+                for name in os.listdir(table_path)
+                if os.path.isfile(os.path.join(table_path, name))
+                and not name.startswith(("_", "."))
+            )
+        manifest = {
+            "partitions": rels,
+            "removed": removed,
+            "root_removed": root_removed,
+        }
+        if _hook_before_commit is not None:
+            _hook_before_commit()
+        if delta_log:
+            claimed = _claim_tip(
+                table_path, base_version, ours, partition_cols, commit_id
+            )
+            if claimed is not None and not os.path.isdir(staging):
+                # defense in depth: if anything collected our staging
+                # while we raced (shouldn't happen inside the grace
+                # window), restage rather than commit adds for files
+                # that no longer exist
+                deltatable.release_claim(table_path, claimed)
+                claimed = None
+            if claimed is None:
+                # OCC loss: someone committed over our touched
+                # partitions since our read — the staged merge is
+                # stale. Discard and recompute from the new snapshot.
+                shutil.rmtree(staging, ignore_errors=True)
+                continue
+            manifest["delta"] = {
+                "version": claimed,
+                "txn": commit_id,
+                "actions": _delta_actions(
+                    table_path,
+                    staging,
+                    rels,
+                    removed,
+                    root_removed,
+                    partition_cols,
+                    base_version,
+                    deltatable.schema_string(merged.schema),
+                    commit_id,
+                ),
+            }
+        cdir = os.path.join(table_path, "_commits")
+        os.makedirs(cdir, exist_ok=True)
+        marker_tmp = os.path.join(cdir, f".{commit_id}.json.tmp")
+        with open(marker_tmp, "w") as f:
+            json.dump(manifest, f)
+        # the commit point: one atomic rename makes the merge durable
+        os.replace(marker_tmp, os.path.join(cdir, f"{commit_id}.json"))
+        _apply_commit(table_path, commit_id)
+        return
+    raise ConcurrentWriteConflict(
+        f"{table_path}: lost the commit race {max_commit_retries} times"
+    )
 
 
 @query(

@@ -605,3 +605,303 @@ def test_precombine_comparator_null_safe(spark):
     got = df.withColumn("got", _precombine_newer_or_tie(["u", "v"])).collect()
     for r in got:
         assert r.got == r.expect, (r.s, r.t, r.got, r.expect)
+
+
+# ---------------------------------------------------------------------------
+# Round 10: Delta-protocol log on the merge path + OCC writers
+# ---------------------------------------------------------------------------
+
+
+def test_delta_log_written_and_replayable(spark, tmp_path):
+    """Every merge commit appends a Delta log version; a cold replay
+    of `_delta_log` must name exactly the live data files with exact
+    per-file numRecords — the real-table-format upgrade of S8."""
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+    b0 = spark.createDataFrame(
+        _ts_rows(
+            [("a", "2023-01-01T10:00:00", "v1"),
+             ("b", "2023-01-02T10:00:00", "v1")]
+        ),
+        cols,
+    )
+    merge.merge_into_parquet(spark, path, b0, ["id"], ["update_at"], ["day"])
+    b1 = spark.createDataFrame(
+        _ts_rows([("a", "2023-01-01T12:00:00", "v2")]), cols
+    )
+    merge.merge_into_parquet(spark, path, b1, ["id"], ["update_at"], ["day"])
+    b2 = spark.createDataFrame(
+        _ts_rows([("c", "2023-01-03T09:00:00", "new")]), cols
+    )
+    merge.merge_into_parquet(spark, path, b2, ["id"], ["update_at"], ["day"])
+
+    assert deltatable.list_versions(path) == [0, 1, 2]
+    snap = deltatable.table_snapshot(path)
+    assert snap["version"] == 2
+    assert snap["partition_cols"] == ["day"]
+    assert set(snap["schema_cols"]) == set(cols) | {"ts"} or set(
+        snap["schema_cols"]
+    ) >= {"id", "update_at", "note", "day"}
+    live = set(merge._all_data_files(path))
+    assert set(snap["active_files"]) == live
+    assert snap["total_rows"] == spark.read.parquet(path).count() == 3
+    # per-file numRecords exact, partitionValues present on every add
+    import json as _json
+
+    for v, content in deltatable.read_commits(path):
+        for line in content.splitlines():
+            a = _json.loads(line)
+            if "add" in a:
+                assert a["add"]["partitionValues"].keys() == {"day"}
+    # v1 rewrote day=2023-01-01: it must carry both a remove and an add
+    v1 = dict(deltatable.read_commits(path))[1]
+    kinds = [next(iter(_json.loads(ln))) for ln in v1.splitlines()]
+    assert "remove" in kinds and "add" in kinds
+
+
+def test_delta_log_bootstrap_legacy_table(spark, tmp_path):
+    """A table created before the log existed bootstraps on its first
+    logged merge: version 0 records protocol + metaData + the FULL
+    post-merge active set (untouched live files included)."""
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+    spark.createDataFrame(
+        _ts_rows(
+            [("a", "2023-01-01T10:00:00", "v1"),
+             ("z", "2023-01-09T10:00:00", "keep")]
+        ),
+        cols,
+    ).write.partitionBy("day").parquet(path)
+
+    batch = spark.createDataFrame(
+        _ts_rows([("a", "2023-01-01T12:00:00", "v2")]), cols
+    )
+    merge.merge_into_parquet(spark, path, batch, ["id"], ["update_at"], ["day"])
+    snap = deltatable.table_snapshot(path)
+    assert snap["version"] == 0 and snap["protocol"] == (1, 2)
+    assert set(snap["active_files"]) == set(merge._all_data_files(path))
+    assert snap["total_rows"] == 2
+    # the untouched day=2023-01-09 partition is in the active set
+    assert any("day=2023-01-09" in p for p in snap["active_files"])
+
+
+def test_delta_log_crash_replay_completes_log_fill(spark, tmp_path):
+    """Crash between the commit marker and the log fill: replay must
+    finish the swap AND fill the claimed version file, releasing the
+    claim — the log can never lag a swapped table."""
+    import json as _json
+
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+    b0 = spark.createDataFrame(
+        _ts_rows([("a", "2023-01-01T10:00:00", "old")]), cols
+    )
+    merge.merge_into_parquet(spark, path, b0, ["id"], ["update_at"], ["day"])
+
+    cid = "deadbeef4567"
+    staging = os.path.join(path, "_staging", cid)
+    spark.createDataFrame(
+        _ts_rows([("a", "2023-01-01T12:00:00", "new")]), cols
+    ).write.partitionBy("day").parquet(staging)
+    rel = "day=2023-01-01"
+    actions = [
+        {"commitInfo": {"txnId": cid, "operation": "MERGE", "readVersion": 0}},
+    ] + [
+        {"remove": deltatable.build_remove(f, ["day"])}
+        for f in deltatable.data_files_under(path, rel)
+    ] + [
+        {"add": deltatable.build_add(staging, f, ["day"])}
+        for f in deltatable.data_files_under(staging, rel)
+    ]
+    assert deltatable.claim_version(path, 1, cid)
+    cdir = os.path.join(path, "_commits")
+    os.makedirs(cdir, exist_ok=True)
+    with open(os.path.join(cdir, f"{cid}.json"), "w") as f:
+        _json.dump(
+            {"partitions": [rel], "removed": [], "root_removed": [],
+             "delta": {"version": 1, "txn": cid, "actions": actions}},
+            f,
+        )
+
+    replayed = merge.recover_pending_commits(path)
+    assert replayed == [cid]
+    assert {r.note for r in spark.read.parquet(path).collect()} == {"new"}
+    snap = deltatable.table_snapshot(path)
+    assert snap["version"] == 1
+    assert set(snap["active_files"]) == set(merge._all_data_files(path))
+    assert not os.path.exists(
+        os.path.join(path, "_delta_log", ".claim-" + f"{1:020d}")
+    )
+
+
+def test_delta_precommit_crash_rolls_back_claim(spark, tmp_path):
+    """Crash after claiming a version but before the marker: the next
+    merge's recovery removes the orphan claim so the log tip is free
+    again (the table was never touched)."""
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+    b0 = spark.createDataFrame(
+        _ts_rows([("a", "2023-01-01T10:00:00", "v1")]), cols
+    )
+    merge.merge_into_parquet(spark, path, b0, ["id"], ["update_at"], ["day"])
+    assert deltatable.claim_version(path, 1, "dead000")
+
+    b1 = spark.createDataFrame(
+        _ts_rows([("b", "2023-01-02T10:00:00", "v1")]), cols
+    )
+    merge.merge_into_parquet(spark, path, b1, ["id"], ["update_at"], ["day"])
+    assert deltatable.list_versions(path) == [0, 1]
+    assert deltatable.table_snapshot(path)["total_rows"] == 2
+
+
+def test_merge_occ_conflict_retries_no_lost_rows(spark, tmp_path):
+    """Two writers, SAME partition: writer B stages from a stale read
+    while writer A commits an update into the same partition. B must
+    lose the version CAS conflict check, discard its staging, and
+    recompute from the post-A snapshot — A's update survives alongside
+    B's insert under this worst-case interleaving."""
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+    b0 = spark.createDataFrame(
+        _ts_rows(
+            [("a", "2023-01-01T10:00:00", "v1"),
+             ("b", "2023-01-02T10:00:00", "v1")]
+        ),
+        cols,
+    )
+    merge.merge_into_parquet(spark, path, b0, ["id"], ["update_at"], ["day"])
+
+    batch_a = spark.createDataFrame(
+        _ts_rows([("a", "2023-01-01T12:00:00", "vA")]), cols
+    )
+    batch_b = spark.createDataFrame(
+        _ts_rows([("e", "2023-01-01T11:00:00", "vB")]), cols
+    )
+
+    fired = []
+
+    def interleave_a():
+        if not fired:  # one-shot: only on B's FIRST (stale) attempt
+            fired.append(1)
+            merge.merge_into_parquet(
+                spark, path, batch_a, ["id"], ["update_at"], ["day"]
+            )
+
+    merge.merge_into_parquet(
+        spark, path, batch_b, ["id"], ["update_at"], ["day"],
+        _hook_before_commit=interleave_a,
+    )
+
+    result = {r.id: r.note for r in spark.read.parquet(path).collect()}
+    assert result == {"a": "vA", "b": "v1", "e": "vB"}, (
+        "A's concurrent update must NOT be clobbered by B's stale swap"
+    )
+    # v0 create, v1 = A, v2 = B's retried commit reading version 1
+    assert deltatable.list_versions(path) == [0, 1, 2]
+    snap = deltatable.table_snapshot(path)
+    assert set(snap["active_files"]) == set(merge._all_data_files(path))
+    assert snap["total_rows"] == 3
+    import json as _json
+
+    v2 = dict(deltatable.read_commits(path))[2]
+    ci = next(
+        _json.loads(ln)["commitInfo"]
+        for ln in v2.splitlines()
+        if "commitInfo" in ln
+    )
+    assert ci["readVersion"] == 1, "B must have recomputed from A's commit"
+
+
+def test_merge_occ_disjoint_writers_commit_without_retry(spark, tmp_path):
+    """Two writers, DISJOINT partitions: the interleaved writer keeps
+    its staged result (no recompute) — the conflict check is partition-
+    scoped, not table-global."""
+    import json as _json
+
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+    b0 = spark.createDataFrame(
+        _ts_rows(
+            [("a", "2023-01-01T10:00:00", "v1"),
+             ("b", "2023-01-02T10:00:00", "v1")]
+        ),
+        cols,
+    )
+    merge.merge_into_parquet(spark, path, b0, ["id"], ["update_at"], ["day"])
+
+    batch_a = spark.createDataFrame(  # touches day=02 only
+        _ts_rows([("b", "2023-01-02T12:00:00", "vA")]), cols
+    )
+    batch_b = spark.createDataFrame(  # touches day=01 only
+        _ts_rows([("a", "2023-01-01T12:00:00", "vB")]), cols
+    )
+    fired = []
+
+    def interleave_a():
+        if not fired:
+            fired.append(1)
+            merge.merge_into_parquet(
+                spark, path, batch_a, ["id"], ["update_at"], ["day"]
+            )
+
+    merge.merge_into_parquet(
+        spark, path, batch_b, ["id"], ["update_at"], ["day"],
+        _hook_before_commit=interleave_a,
+    )
+    result = {r.id: r.note for r in spark.read.parquet(path).collect()}
+    assert result == {"a": "vB", "b": "vA"}
+    assert deltatable.list_versions(path) == [0, 1, 2]
+    v2 = dict(deltatable.read_commits(path))[2]
+    ci = next(
+        _json.loads(ln)["commitInfo"]
+        for ln in v2.splitlines()
+        if "commitInfo" in ln
+    )
+    assert ci["readVersion"] == 0, (
+        "disjoint writer must commit its original (stale-base) result"
+    )
+
+
+def test_delta_checkpoint_cold_read_equals_json_fold(spark, tmp_path, monkeypatch):
+    """At the checkpoint interval a parquet checkpoint +
+    `_last_checkpoint` appear; the checkpoint-based cold read must
+    equal the full JSON fold exactly."""
+    from dynamodb_to_datalake_project_spark import deltatable
+    from dynamodb_to_datalake_project_spark.llm.deltalog import (
+        replay_delta_log,
+    )
+
+    monkeypatch.setattr(deltatable, "CHECKPOINT_INTERVAL", 2)
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+    for i, rows in enumerate(
+        [
+            [("a", "2023-01-01T10:00:00", "v1")],
+            [("b", "2023-01-02T10:00:00", "v1")],
+            [("a", "2023-01-01T12:00:00", "v2")],
+        ]
+    ):
+        merge.merge_into_parquet(
+            spark, path, spark.createDataFrame(_ts_rows(rows), cols),
+            ["id"], ["update_at"], ["day"],
+        )
+    lc = os.path.join(path, "_delta_log", "_last_checkpoint")
+    assert os.path.isfile(lc)
+    cold = deltatable.table_snapshot(path)  # checkpoint + tail path
+    fold = replay_delta_log(deltatable.read_commits(path))
+    assert cold["active_files"] == fold["active_files"]
+    assert cold["version"] == fold["version"] == 2
+    assert cold["total_rows"] == fold["total_rows"] == 2
+    assert set(cold["active_files"]) == set(merge._all_data_files(path))
