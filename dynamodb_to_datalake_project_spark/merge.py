@@ -610,6 +610,191 @@ def q_upsert_merge(spark, sf_dir):
     )
 
 
+@query(
+    "delta_write_replay",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_delta_write_replay(spark, sf_dir):
+    """S8 as a real table format: three overlapping CDC batches merge
+    into a date-partitioned lake table via `merge_into_parquet`
+    (version 0 CREATE, then two MERGE commits that remove+add the
+    rewritten partitions), an explicit Delta checkpoint is cut, and
+    the returned census is read COLD from the log alone
+    (`deltatable.table_snapshot` via `_last_checkpoint` + trailing
+    JSON) — per-partition numRecords summed from add-action stats.
+    Internal invariants cross-check the log against the live files
+    and an independent Spark read before anything is returned; the
+    DuckDB oracle recomputes the census from the source table.
+
+    Reference parity: glue_jobs/initial_load.py:163-186 (Hudi table
+    create) + incremental.py:172-194 (upsert commit timeline)."""
+    import tempfile
+
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_write_replay_")
+    table = os.path.join(root, "events_lake")
+    try:
+        batches = [
+            ev.filter(F.col("event_date") <= "2024-01-20"),
+            ev.filter(F.col("event_date").between("2024-01-15", "2024-01-25")),
+            ev.filter(F.col("event_date") >= "2024-01-22"),
+        ]
+        for b in batches:
+            merge_into_parquet(
+                spark, table, b,
+                keys=["event_id"], precombine=["ts"],
+                partition_cols=["event_date"],
+            )
+        deltatable.maybe_write_checkpoint(table, interval=2)
+
+        snap = deltatable.table_snapshot(table)  # checkpoint cold read
+        if snap["version"] != 2:
+            raise AssertionError(f"expected log version 2, got {snap}")
+        live = set(_all_data_files(table))
+        if set(snap["active_files"]) != live:
+            raise AssertionError("delta active set != live parquet files")
+        actual = spark.read.parquet(table).count()
+        if snap["total_rows"] != actual:
+            raise AssertionError(
+                f"log numRecords {snap['total_rows']} != table {actual}"
+            )
+        census: dict[str, int] = {}
+        for path, info in snap["active_files"].items():
+            date = path.split("event_date=")[1].split("/")[0]
+            census[date] = census.get(date, 0) + (info["num_records"] or 0)
+        rows = sorted(census.items())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_date string, n_rows long")
+
+
+@query(
+    "merge_occ_two_writers",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN strftime(ts, '%Y-%m-%d')
+                              BETWEEN '2024-01-08' AND '2024-01-09'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_from_a,
+           CAST(sum(CASE WHEN strftime(ts, '%Y-%m-%d')
+                              BETWEEN '2024-01-10' AND '2024-01-15'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_from_b
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_merge_occ_two_writers(spark, sf_dir):
+    """The OCC guarantee as a checkable query: writer B stages a
+    merge over days 10-15 from a stale snapshot while writer A
+    commits days 08-12 in between; B must lose the version CAS,
+    recompute, and commit on top of A. The census reads the FINAL
+    table: every key in A-only days carries A's update, every key in
+    B's days carries B's (B's precombine is newer), and no row is
+    lost under the interleaving — the oracle knows which writer must
+    own each day without simulating any of the machinery."""
+    import tempfile
+
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    ).filter(F.col("event_date") <= "2024-01-20")
+    root = tempfile.mkdtemp(prefix="merge_occ_")
+    table = os.path.join(root, "events_lake")
+    try:
+        merge_into_parquet(
+            spark, table, ev,
+            keys=["event_id"], precombine=["ts"],
+            partition_cols=["event_date"],
+        )
+        # A: newer versions of days 08-12; B: even newer days 10-15.
+        # event_date stays the ORIGINAL day (immutable partition key);
+        # only the precombine ts advances.
+        batch_a = ev.filter(
+            F.col("event_date").between("2024-01-08", "2024-01-12")
+        ).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+        ).withColumn("event_type", F.concat(F.col("event_type"), F.lit("_A")))
+        batch_b = ev.filter(
+            F.col("event_date").between("2024-01-10", "2024-01-15")
+        ).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 2 HOURS")
+        ).withColumn("event_type", F.concat(F.col("event_type"), F.lit("_B")))
+
+        fired = []
+
+        def interleave_a():
+            if not fired:
+                fired.append(1)
+                merge_into_parquet(
+                    spark, table, batch_a,
+                    keys=["event_id"], precombine=["ts"],
+                    partition_cols=["event_date"],
+                )
+
+        merge_into_parquet(
+            spark, table, batch_b,
+            keys=["event_id"], precombine=["ts"],
+            partition_cols=["event_date"],
+            _hook_before_commit=interleave_a,
+        )
+        if deltatable.list_versions(table) != [0, 1, 2]:
+            raise AssertionError("expected exactly 3 log versions")
+        b_commit = dict(deltatable.read_commits(table))[2]
+        ci = next(
+            json.loads(ln)["commitInfo"]
+            for ln in b_commit.splitlines()
+            if "commitInfo" in ln
+        )
+        if ci["readVersion"] != 1:
+            raise AssertionError(
+                "writer B must have retried on top of A's commit"
+            )
+        final = spark.read.parquet(table)
+        out = (
+            final.groupBy("event_date")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("event_type").endswith("_A"), 1).otherwise(0)
+                ).cast("long").alias("n_from_a"),
+                F.sum(
+                    F.when(F.col("event_type").endswith("_B"), 1).otherwise(0)
+                ).cast("long").alias("n_from_b"),
+            )
+            .orderBy("event_date")
+            .collect()
+        )
+        rows = [tuple(r) for r in out]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_date string, n_rows long, n_from_a long, n_from_b long"
+    )
+
+
 def scd2_merge(
     history: DataFrame,
     batch: DataFrame,
