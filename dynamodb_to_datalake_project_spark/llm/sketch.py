@@ -1000,3 +1000,197 @@ def q_sketch_kmv_source_jaccard(spark, sf_dir):
     test_llm.py."""
     docs = load_table(spark, sf_dir, "documents")
     return kmv_jaccard_sources(docs, k=128)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (Karnin-Lang-Liberty 2016, arXiv:1603.05346) —
+# the rank-error companion to the value-error HDR sketch above
+# ---------------------------------------------------------------------------
+
+
+class _KLL:
+    """One compactor-family quantile sketch (the KLL compactor
+    framework, Karnin-Lang-Liberty 2016, arXiv:1603.05346, with the
+    DETERMINISTIC uniform level capacity of Munro-Paterson/
+    Manku-Rajagopalan-Lindsay): levels of capacity k; when a level
+    fills, sort it and promote every other item to the level above
+    at doubled weight. KLL's geometrically shrinking caps need the
+    randomized coin for their probabilistic bound; uniform caps give
+    the WORST-CASE guarantee a correctness-gated engine wants —
+    each compaction of a level-l buffer perturbs any rank by at most
+    2^l, so err_bound = sum(2^l per compaction) <= n*H/k with
+    H = number of levels ~ log2(n/k). The keep-parity alternates
+    per level (deterministic; consecutive errors largely cancel,
+    observed error is typically ~10x below the bound). Weight is
+    conserved exactly: an odd buffer leaves its maximum behind at
+    the same level before halving."""
+
+    __slots__ = ("k", "levels", "parity", "err_bound")
+
+    def __init__(self, k: int):
+        self.k = max(4, k)
+        self.levels: "list[list]" = [[]]
+        self.parity: dict[int, int] = {}
+        self.err_bound = 0
+
+    def add(self, v: float) -> None:
+        self.levels[0].append(v)
+        lv = 0
+        while lv < len(self.levels) and len(self.levels[lv]) >= self.k:
+            self._compact(lv)
+            lv += 1
+
+    def _compact(self, lv: int) -> None:
+        buf = sorted(self.levels[lv])
+        leftover = []
+        if len(buf) % 2 == 1:
+            leftover = [buf.pop()]  # weight conservation on odd sizes
+        p = self.parity.get(lv, 0)
+        self.parity[lv] = 1 - p
+        if lv + 1 == len(self.levels):
+            self.levels.append([])
+        self.levels[lv + 1].extend(buf[p::2])
+        self.levels[lv] = leftover
+        self.err_bound += 1 << lv
+
+    def items(self) -> "list[tuple[float, int]]":
+        return [
+            (v, 1 << lv)
+            for lv, buf in enumerate(self.levels)
+            for v in buf
+        ]
+
+
+def kll_build_values(values, k: int = 200):
+    """Sequential KLL over an iterable: returns (items, err_bound)
+    with items a list of (value, weight=2^level) pairs."""
+    sk = _KLL(k)
+    for v in values:
+        sk.add(v)
+    return sk.items(), sk.err_bound
+
+
+def kll_sketch_build(
+    items: DataFrame, value_col: str, k: int = 200
+) -> DataFrame:
+    """Distributed KLL: each partition folds its rows into one KLL
+    sketch (Arrow-batched mapInPandas — the sketch state, not the
+    data, lives in memory), emitted as (value, weight) rows. Merging
+    partitions is a plain UNION + groupBy-SUM on value — a union of
+    valid KLL item sets is itself a valid weighted sample whose rank
+    error is the SUM of the parts' bounds (compaction only shrinks
+    state; reading the union directly adds no error), so the merge
+    keeps the relational-sketch discipline of cms/grid/hdr/kmv.
+
+    100 TB shape: state is ~k*log(n_p/k) rows per partition
+    (compaction is local and streaming), one bounded shuffle merges
+    P*k*H rows — never the data. With the lossless configuration
+    (k > partition rows) no compaction fires and the sketch is an
+    exact, order-independent function of the multiset — that twin
+    carries the full hash-match oracle."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    schema_t = T.StructType(
+        [
+            T.StructField("value", T.DoubleType()),
+            T.StructField("weight", T.LongType()),
+        ]
+    )
+
+    def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        sk = _KLL(k)
+        for pdf in batches:
+            for v in pdf[value_col]:
+                if v is None or v != v:  # None/NaN drop
+                    continue
+                sk.add(float(v))
+        its = sk.items()
+        yield _pd.DataFrame(
+            {
+                "value": [v for v, _ in its],
+                "weight": [w for _, w in its],
+            }
+        )
+
+    return (
+        items.filter(F.col(value_col).isNotNull())
+        .select(F.col(value_col).cast("double").alias(value_col))
+        .mapInPandas(op, schema_t)
+        .groupBy("value")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+    )
+
+
+def kll_quantile_read(sketch: DataFrame, qs: "list[float]") -> DataFrame:
+    """Rank reads from a (value, weight) sketch: rank = ceil(q*N)
+    over summed weights, estimate = the smallest value whose
+    cumulative weight reaches it (the grid/hdr read convention —
+    values pass through untouched, so the exact-config read is
+    bit-identical across engines)."""
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "value", F.sum("weight").over(w).cast("long").alias("cum")
+    )
+    n = sketch.agg(F.sum("weight").cast("long").alias("n"))
+    qdf = None
+    for q in qs:
+        rank = n.select(
+            F.lit(q).alias("q"),
+            F.ceil(F.lit(q) * F.col("n")).cast("long").alias("rank"),
+        )
+        pick = (
+            rank.join(cum, cum["cum"] >= rank["rank"])
+            .orderBy("value")
+            .limit(1)
+            .select("q", "rank", F.col("value").alias("est"))
+        )
+        qdf = pick if qdf is None else qdf.unionByName(pick)
+    return qdf.orderBy("q")
+
+
+_KLL_EXACT_SQL = """
+WITH v AS (
+  SELECT value FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1
+), cum AS (
+  SELECT value, CAST(SUM(cnt) OVER (ORDER BY value) AS BIGINT) AS cum
+  FROM g
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+qs AS (SELECT unnest([0.05, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+SELECT CAST(q AS DOUBLE) AS q,
+       CAST(CEIL(q * n.n) AS BIGINT) AS rank,
+       (SELECT MIN(value) FROM cum WHERE cum.cum >= CEIL(q * n.n)) AS est
+FROM qs, n
+ORDER BY q
+"""
+
+
+@query("sketch_kll_quantile", oracle=_KLL_EXACT_SQL)
+def q_sketch_kll_quantile(spark, sf_dir):
+    """Quantiles of the events value column through the KLL pipeline
+    in its LOSSLESS configuration (k far above any partition's row
+    count: zero compactions, every item weight 1) — the sketch is
+    then an exact, partitioning-independent function of the multiset
+    and the read hash-matches DuckDB's rank-quantile recomputation
+    bit-for-bit. The same build/merge/read path with a small k is
+    `sketch_kll_compacted`; its rank-error and merge-additivity
+    guarantees are property-tested in test_llm.py."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = kll_sketch_build(ev, "value", k=1 << 22)
+    return kll_quantile_read(sk, [0.05, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+@query("sketch_kll_compacted", rows_only_twin="sketch_kll_quantile")
+def q_sketch_kll_compacted(spark, sf_dir):
+    """The production KLL configuration (k=128): real compactions,
+    bounded per-partition state, union-merged reads. Rank error is
+    bounded by the sum of per-partition compaction bounds (asserted
+    against the exact quantiles in test_llm.py); the read itself is
+    partition-layout-dependent, hence rows-only here."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = kll_sketch_build(ev, "value", k=128)
+    return kll_quantile_read(sk, [0.05, 0.25, 0.5, 0.75, 0.9, 0.99])

@@ -6213,3 +6213,91 @@ def test_roaring64_noncanonical_embedded_bitmaps():
         roaring64_deserialize(blob + b"\x00")
     with _pt.raises(ValueError):
         roaring64_deserialize(blob[:-1])
+
+
+def test_kll_rank_error_bound_and_merge():
+    """Round-10: KLL sketch guarantees — (1) every quantile read from
+    a compacted sketch is within the accumulated deterministic error
+    bound of the exact rank; (2) the bound is far below n (the sketch
+    is useful); (3) a UNION of two sketches is a valid sketch whose
+    error is within the sum of the parts' bounds; (4) state stays
+    near k*log(n/k), not n."""
+    import random
+
+    from dynamodb_to_datalake_project_spark.llm.sketch import (
+        kll_build_values,
+    )
+
+    rnd = random.Random(10)
+    n = 50_000
+    data = [rnd.uniform(0, 1000) for _ in range(n)]
+    items, bound = kll_build_values(data, k=256)
+    assert bound < n * 0.05, f"bound {bound} too loose to be useful"
+    assert len(items) < 256 * 12, f"state {len(items)} not bounded"
+    assert sum(w for _, w in items) == n, "weight must be conserved"
+
+    exact = sorted(data)
+
+    def read(its, q):
+        total = sum(w for _, w in its)
+        rank = -(-int(q * total) // 1)
+        cum = 0
+        for v, w in sorted(its):
+            cum += w
+            if cum >= max(1, int(q * total + 0.999999)):
+                return v
+        return its and sorted(its)[-1][0]
+
+    def true_rank(v):
+        import bisect
+
+        return bisect.bisect_right(exact, v)
+
+    for q in (0.05, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = read(items, q)
+        r = true_rank(est)
+        target = q * n
+        assert abs(r - target) <= bound + 1, (
+            f"q={q}: rank {r} vs target {target}, bound {bound}"
+        )
+
+    # merge = union of parts; bound adds
+    a_items, a_bound = kll_build_values(data[: n // 2], k=256)
+    b_items, b_bound = kll_build_values(data[n // 2:], k=256)
+    union = a_items + b_items
+    for q in (0.25, 0.5, 0.9):
+        est = read(union, q)
+        r = true_rank(est)
+        assert abs(r - q * n) <= a_bound + b_bound + 2
+
+
+def test_kll_exact_config_is_partition_invariant(spark):
+    """With k above every partition's row count the KLL pipeline
+    never compacts: the read must be the exact rank quantile and
+    identical under any repartitioning."""
+    import random
+
+    from dynamodb_to_datalake_project_spark.llm.sketch import (
+        kll_quantile_read,
+        kll_sketch_build,
+    )
+
+    rnd = random.Random(4)
+    rows = [(rnd.uniform(0, 100),) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "value double")
+    out = {}
+    for parts in (3, 13):
+        sk = kll_sketch_build(df.repartition(parts), "value", k=1 << 20)
+        out[parts] = [
+            (r.q, r.rank, r.est)
+            for r in kll_quantile_read(sk, [0.1, 0.5, 0.9]).collect()
+        ]
+    assert out[3] == out[13]
+    # exact check vs sorted data
+    vals = sorted(v for (v,) in rows)
+    for q, rank, est in out[3]:
+        want = vals[max(0, -(-int(q * 2000)) - 1)]
+        import math
+
+        want = vals[math.ceil(q * 2000) - 1]
+        assert est == want, (q, est, want)
