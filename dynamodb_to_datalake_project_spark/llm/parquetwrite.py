@@ -377,12 +377,77 @@ def _rle_def_levels(levels: "list[int]") -> bytes:
     return len(body).to_bytes(4, "little") + bytes(body)
 
 
+def _uvarint_b(v: int) -> bytes:
+    out = bytearray()
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+def _zigzag_b(v: int) -> bytes:
+    return _uvarint_b((v << 1) ^ (v >> 63) if v < 0 else v << 1)
+
+
+def delta_binary_packed_encode(
+    vals: "list[int]", block: int = 128, nmini: int = 4
+) -> bytes:
+    """DELTA_BINARY_PACKED encode (parquet-format Encodings.md, the
+    v2 default for INT32/INT64): header <block size> <miniblocks/
+    block> <total count> <first value zigzag>, then per block
+    <min delta zigzag> <one width byte per miniblock> <deltas
+    bit-packed LSB-first>. Partially-filled miniblocks are padded
+    with zero-deltas to full width (the layout every reader,
+    including this repo's `parquetmeta._delta_binary_packed` and
+    parquet-mr, expects); trailing empty miniblocks carry width 0
+    and no bytes."""
+    per_mini = block // nmini
+    out = bytearray()
+    out += _uvarint_b(block)
+    out += _uvarint_b(nmini)
+    out += _uvarint_b(len(vals))
+    out += _zigzag_b(vals[0] if vals else 0)
+    if len(vals) <= 1:
+        return bytes(out)
+    deltas = [b - a for a, b in zip(vals, vals[1:])]
+    for bs in range(0, len(deltas), block):
+        chunk = deltas[bs : bs + block]
+        mind = min(chunk)
+        out += _zigzag_b(mind)
+        adj = [d - mind for d in chunk]
+        widths = []
+        for m in range(nmini):
+            mb = adj[m * per_mini : (m + 1) * per_mini]
+            widths.append(max((v.bit_length() for v in mb), default=0))
+        out += bytes(widths)
+        for m, w in enumerate(widths):
+            mb = adj[m * per_mini : (m + 1) * per_mini]
+            if not mb or w == 0:
+                continue
+            mb = mb + [0] * (per_mini - len(mb))  # pad to full width
+            acc = 0
+            for t, v in enumerate(mb):
+                acc |= v << (t * w)
+            out += acc.to_bytes(per_mini * w // 8, "little")
+    return bytes(out)
+
+
+def delta_length_byte_array_encode(vals: "list[bytes]") -> bytes:
+    """DELTA_LENGTH_BYTE_ARRAY: the lengths as DELTA_BINARY_PACKED,
+    then the concatenated value bytes."""
+    return delta_binary_packed_encode([len(v) for v in vals]) + b"".join(
+        vals
+    )
+
+
 def write_parquet(
     columns: "dict[str, tuple[str, list]]",
     codec: str = "UNCOMPRESSED",
     row_group_size: int | None = None,
     created_by: str = "spark-graft handwriter",
     dictionary: bool = False,
+    page_version: int = 1,
 ) -> bytes:
     """Serialize `columns` ({name: (type, values)}; type in BOOLEAN /
     INT32 / INT64 / FLOAT / DOUBLE / BYTE_ARRAY; None values allowed -> OPTIONAL column with
@@ -391,9 +456,17 @@ def write_parquet(
     LZ4 pages compressed by the engine's own encoders). `dictionary=True`
     writes each non-empty chunk as a PLAIN dictionary page (first-
     occurrence order) plus an RLE_DICTIONARY data page — the
-    production parquet-mr default layout. Returns the file bytes."""
+    production parquet-mr default layout. `page_version=2` writes
+    DataPageV2 pages (levels uncompressed ahead of the value
+    section, no 4-byte level prefix) with the parquet-mr v2 default
+    encodings — DELTA_BINARY_PACKED for INT32/INT64,
+    DELTA_LENGTH_BYTE_ARRAY for BYTE_ARRAY, PLAIN for the rest,
+    RLE_DICTIONARY when `dictionary` is set. Returns the file
+    bytes."""
     if codec not in _CODEC_IDS:
         raise NotImplementedError(f"parquetwrite: codec {codec}")
+    if page_version not in (1, 2):
+        raise NotImplementedError(f"parquetwrite: page v{page_version}")
     names = list(columns)
     if not names:
         raise ValueError("parquetwrite: no columns")
@@ -448,34 +521,86 @@ def write_parquet(
                 out += dict_hdr + dict_paged
                 unc_total += len(dict_hdr) + len(dict_body)
                 comp_total += len(dict_hdr) + len(dict_paged)
-            body = b""
-            if optional[name]:
-                body += _rle_def_levels(
-                    [0 if v is None else 1 for v in sl]
-                )
-            if use_dict:
-                bw = max(1, (len(dvals) - 1).bit_length())
-                body += bytes([bw]) + _rle_hybrid_indices(
-                    [dindex[v] for v in present], bw
-                )
+            if page_version == 2:
+                # DataPageV2: rep+def levels lead the page
+                # UNCOMPRESSED with no length prefix; only the value
+                # section runs through the codec.
+                lv_bytes = b""
+                if optional[name]:
+                    lv_bytes = _rle_def_levels(
+                        [0 if v is None else 1 for v in sl]
+                    )[4:]
+                if use_dict:
+                    enc = 8
+                    bw = max(1, (len(dvals) - 1).bit_length())
+                    vbody = bytes([bw]) + _rle_hybrid_indices(
+                        [dindex[v] for v in present], bw
+                    )
+                elif ptype in ("INT32", "INT64") and present:
+                    enc = 5
+                    vbody = delta_binary_packed_encode(present)
+                elif ptype == "BYTE_ARRAY" and present:
+                    enc = 6
+                    vbody = delta_length_byte_array_encode(
+                        [
+                            v.encode("utf-8")
+                            if isinstance(v, str)
+                            else bytes(v)
+                            for v in present
+                        ]
+                    )
+                else:
+                    enc = 0
+                    vbody = _plain_encode(present, ptype)
+                vpaged = _compress_page(vbody, codec)
+                ph = _TWriter()
+                ph.i32(1, 3)  # DATA_PAGE_V2
+                ph.i32(2, len(lv_bytes) + len(vbody))
+                ph.i32(3, len(lv_bytes) + len(vpaged))
+                ph.begin_struct(8)  # DataPageHeaderV2
+                ph.i32(1, len(sl))  # num_values incl. nulls
+                ph.i32(2, len(sl) - len(present))  # num_nulls
+                ph.i32(3, len(sl))  # num_rows (flat schema)
+                ph.i32(4, enc)
+                ph.i32(5, len(lv_bytes))  # definition_levels_byte_length
+                ph.i32(6, 0)  # repetition_levels_byte_length
+                ph.end_struct()
+                hdr = ph.finish()
+                offset = len(out)
+                out += hdr + lv_bytes + vpaged
+                unc_total += len(hdr) + len(lv_bytes) + len(vbody)
+                comp_total += len(hdr) + len(lv_bytes) + len(vpaged)
+                encodings = [0, 3, 8] if use_dict else sorted({3, enc})
             else:
-                body += _plain_encode(present, ptype)
-            paged = _compress_page(body, codec)
-            ph = _TWriter()
-            ph.i32(1, 0)  # DATA_PAGE
-            ph.i32(2, len(body))
-            ph.i32(3, len(paged))
-            ph.begin_struct(5)  # DataPageHeader
-            ph.i32(1, len(sl))  # num_values incl. nulls
-            ph.i32(2, 8 if use_dict else 0)  # RLE_DICTIONARY / PLAIN
-            ph.i32(3, 3)  # def levels RLE
-            ph.i32(4, 3)  # rep levels RLE
-            ph.end_struct()
-            hdr = ph.finish()
-            offset = len(out)
-            out += hdr + paged
-            unc_total += len(hdr) + len(body)
-            comp_total += len(hdr) + len(paged)
+                body = b""
+                if optional[name]:
+                    body += _rle_def_levels(
+                        [0 if v is None else 1 for v in sl]
+                    )
+                if use_dict:
+                    bw = max(1, (len(dvals) - 1).bit_length())
+                    body += bytes([bw]) + _rle_hybrid_indices(
+                        [dindex[v] for v in present], bw
+                    )
+                else:
+                    body += _plain_encode(present, ptype)
+                paged = _compress_page(body, codec)
+                ph = _TWriter()
+                ph.i32(1, 0)  # DATA_PAGE
+                ph.i32(2, len(body))
+                ph.i32(3, len(paged))
+                ph.begin_struct(5)  # DataPageHeader
+                ph.i32(1, len(sl))  # num_values incl. nulls
+                ph.i32(2, 8 if use_dict else 0)  # RLE_DICTIONARY / PLAIN
+                ph.i32(3, 3)  # def levels RLE
+                ph.i32(4, 3)  # rep levels RLE
+                ph.end_struct()
+                hdr = ph.finish()
+                offset = len(out)
+                out += hdr + paged
+                unc_total += len(hdr) + len(body)
+                comp_total += len(hdr) + len(paged)
+                encodings = [0, 3, 8] if use_dict else [0, 3]
             # Chunk statistics (parquet-format Statistics struct):
             # min_value/max_value use SIGNED order for INT64/DOUBLE and
             # UNSIGNED byte-wise order for BYTE_ARRAY — exactly Python's
@@ -516,7 +641,7 @@ def write_parquet(
                         "comp": comp_total,
                         "offset": offset,
                         "dict_offset": dict_offset,
-                        "encodings": [0, 3, 8] if use_dict else [0, 3],
+                        "encodings": encodings,
                         "nulls": len(sl) - len(present),
                         "stats": stats,
                     },
@@ -595,7 +720,7 @@ def write_parquet(
     return bytes(out)
 
 
-def handwritten_parquet_stats(docs):
+def handwritten_parquet_stats(docs, page_version: int = 1):
     """Per doc: the words table serialized by the zero-dep WRITER
     (codec rotates UNCOMPRESSED / SNAPPY / GZIP / ZSTD / LZ4_RAW on
     doc_id%5 — the SNAPPY, ZSTD and LZ4 pages compressed by the
@@ -635,6 +760,7 @@ def handwritten_parquet_stats(docs):
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
                 words = [w for w in text.split(" ") if w]
+                use_dict = (did >> 2) % 2 == 1
                 payload = write_parquet(
                     {
                         "idx": ("INT64", list(range(len(words)))),
@@ -648,7 +774,8 @@ def handwritten_parquet_stats(docs):
                         "LZ4_RAW",
                     )[did % 5],
                     row_group_size=max(1, -(-len(words) // (did % 3 + 1))),
-                    dictionary=(did >> 2) % 2 == 1,
+                    dictionary=use_dict,
+                    page_version=page_version,
                 )
                 pf = pq.ParquetFile(io.BytesIO(payload))
                 t = pf.read()
@@ -660,6 +787,9 @@ def handwritten_parquet_stats(docs):
                     st = pf.metadata.row_group(0).column(0).statistics
                     assert st.has_min_max and st.min == 0
                     assert st.null_count == 0
+                if words and page_version == 2 and not use_dict:
+                    encs = pf.metadata.row_group(0).column(0).encodings
+                    assert "DELTA_BINARY_PACKED" in encs, encs
                 assert read_parquet_column_full(payload, "idx") == list(
                     range(len(words))
                 )
@@ -687,6 +817,19 @@ def _register() -> None:
     from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
         _SCAN_ORACLE,
     )
+
+    @query("parquet_v2_handwrite_roundtrip", oracle=_SCAN_ORACLE)
+    def q_parquet_v2_handwrite_roundtrip(spark, sf_dir):
+        """Zero-dep parquet WRITE, DataPageV2 edition (round-9
+        verdict item 6): levels uncompressed ahead of the value
+        section, DELTA_BINARY_PACKED miniblocks for idx,
+        DELTA_LENGTH_BYTE_ARRAY for words (RLE_DICTIONARY on the
+        dictionary rotation), same codec x row-group x dictionary
+        matrix as the v1 entry — pyarrow and the zero-dep reader
+        both recover every value in-op, and pyarrow's metadata must
+        show the delta encodings actually in use."""
+        docs = load_table(spark, sf_dir, "documents")
+        return handwritten_parquet_stats(docs, page_version=2)
 
     @query("parquet_handwrite_roundtrip", oracle=_SCAN_ORACLE)
     def q_parquet_handwrite_roundtrip(spark, sf_dir):

@@ -6301,3 +6301,88 @@ def test_kll_exact_config_is_partition_invariant(spark):
 
         want = vals[math.ceil(q * 2000) - 1]
         assert est == want, (q, est, want)
+
+
+def test_parquet_v2_write_matrix():
+    """Round-10: DataPageV2 write parity — DELTA_BINARY_PACKED ints
+    (negative deltas, multi-block, padded miniblocks),
+    DELTA_LENGTH_BYTE_ARRAY strings, PLAIN doubles/bools, nullable
+    column (uncompressed v2 levels, no length prefix), dictionary
+    rotation, four codecs, multi row group — read back by BOTH
+    pyarrow and the zero-dep reader, with pyarrow's metadata showing
+    the delta encodings and DuckDB as a third reader."""
+    import io
+    import random
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        read_parquet_column_full,
+    )
+    from dynamodb_to_datalake_project_spark.llm.parquetwrite import (
+        delta_binary_packed_encode,
+        write_parquet,
+    )
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        _delta_binary_packed,
+    )
+
+    # encoder <-> own decoder on nasty int shapes
+    cases = [
+        [],
+        [7],
+        [0, 0, 0],
+        list(range(1000)),
+        [(-1) ** i * (i**3) for i in range(517)],  # sign-alternating
+        [2**62, -(2**62), 0, 2**62 - 1],
+        [random.Random(3).randrange(-(2**40), 2**40) for _ in range(129)],
+    ]
+    for vals in cases:
+        enc = delta_binary_packed_encode(vals)
+        got, _ = _delta_binary_packed(enc, 0, len(vals))
+        assert got == vals
+
+    rnd = random.Random(5)
+    n = 1000
+    cols = {
+        "a": ("INT64", [rnd.randrange(-(10**12), 10**12) for _ in range(n)]),
+        "b": ("INT32", [rnd.randrange(-50000, 50000) for _ in range(n)]),
+        "s": ("BYTE_ARRAY", [f"word-{rnd.randrange(200)}" for _ in range(n)]),
+        "d": ("DOUBLE", [rnd.uniform(-5, 5) for _ in range(n)]),
+        "nl": ("INT64", [i if i % 7 else None for i in range(n)]),
+        "bo": ("BOOLEAN", [bool(i % 3) for i in range(n)]),
+    }
+    for codec in ("UNCOMPRESSED", "SNAPPY", "ZSTD", "GZIP"):
+        for dic in (False, True):
+            blob = write_parquet(
+                cols, codec=codec, row_group_size=300,
+                dictionary=dic, page_version=2,
+            )
+            pf = pq.ParquetFile(io.BytesIO(blob))
+            t = pf.read()
+            for name, (pt, vals) in cols.items():
+                assert t.column(name).to_pylist() == vals, (codec, dic, name)
+                got = read_parquet_column_full(blob, name)
+                if pt == "BYTE_ARRAY":
+                    got = [g.decode() if g is not None else None for g in got]
+                assert got == vals, (codec, dic, name, "own reader")
+            if not dic:
+                encs = pf.metadata.row_group(0).column(0).encodings
+                assert "DELTA_BINARY_PACKED" in encs
+    # DuckDB third-reader check on one representative file
+    import tempfile
+
+    blob = write_parquet(cols, codec="ZSTD", row_group_size=300,
+                         dictionary=False, page_version=2)
+    with tempfile.NamedTemporaryFile(suffix=".parquet") as f:
+        f.write(blob)
+        f.flush()
+        got = duckdb.sql(
+            f"SELECT sum(a), count(*), min(s), sum(CASE WHEN nl IS NULL "
+            f"THEN 1 ELSE 0 END) FROM '{f.name}'"
+        ).fetchone()
+        assert got[0] == sum(cols["a"][1])
+        assert got[1] == n
+        assert got[2] == min(cols["s"][1])
+        assert got[3] == sum(1 for v in cols["nl"][1] if v is None)
