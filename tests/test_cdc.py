@@ -1444,3 +1444,142 @@ def test_zstd_json_cdc_merge_exactly_once(spark, tmp_path):
     }
     run()  # no new drops: checkpoint fence, no re-processing
     assert spark.read.parquet(str(table)).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Round 10: Kinesis-shaped shard-parallel source (S6 hot side)
+# ---------------------------------------------------------------------------
+
+
+def test_kinesis_mock_shard_contract(spark, tmp_path):
+    """The S5-style connector contract for the hot side: records
+    route to shards by MD5(partition_key) (the Kinesis hash-range
+    rule), each shard is read by its OWN Spark task (shard fan-out =
+    InputPartition per shard), per-shard sequence order is total,
+    and the payload parses through the normal schema path."""
+    from dynamodb_to_datalake_project_spark import kinesismock as km
+
+    root = str(tmp_path / "stream")
+    stream = km.MockKinesisStream(root, n_shards=3)
+    put = {}
+    for i in range(60):
+        pk = f"user-{i % 17}"
+        seq = stream.put_record(pk, {"id": i, "v": f"x{i}"})
+        put[seq] = pk
+
+    payload = "id long, v string"
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = km.read_kinesis_stream(
+        spark, root, T._parse_datatype_string(payload), n_shards=3
+    ).withColumn("task", F.spark_partition_id())
+    out_rows = []
+    q = (
+        df.writeStream.format("memory")
+        .queryName("kin_contract")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM kin_contract").collect()
+    assert len(rows) == 60
+    # routing rule holds for every record
+    for r in rows:
+        want = km.shard_for_key(r.partition_key, 3)
+        assert r.shard_id == f"shard-{want}"
+        assert put[r.sequence_number] == r.partition_key
+    # shard fan-out: each shard read by exactly one task, and no task
+    # mixed two shards (within the batch)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, set()).add(r.task)
+    assert all(len(tasks) == 1 for tasks in by_shard.values())
+    tasks_used = [t for s in by_shard.values() for t in s]
+    assert len(tasks_used) == len(set(tasks_used))
+    # payload parsed
+    assert {r.id for r in rows} == set(range(60))
+
+
+def test_kinesis_mock_resume_from_sequence_exactly_once(spark, tmp_path):
+    """Restart contract: a second run with the same checkpoint must
+    consume ONLY records put after the committed per-shard sequence
+    numbers, and the merged table stays exactly-once (the
+    glue-job-retry / Lambda-redelivery case the reference's tracker
+    state machine guards; here Spark's offset log + idempotent merge
+    carry it)."""
+    from dynamodb_to_datalake_project_spark import kinesismock as km
+    from dynamodb_to_datalake_project_spark import merge as merge_mod
+
+    root = str(tmp_path / "stream")
+    table = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    stream = km.MockKinesisStream(root, n_shards=2)
+
+    from pyspark.sql import types as T
+
+    payload_t = T._parse_datatype_string(
+        "id string, update_at string, note string, day string"
+    )
+
+    def run_once():
+        df = km.read_kinesis_stream(spark, root, payload_t, n_shards=2)
+
+        def batch_fn(bdf, epoch_id):
+            src = bdf.select("id", "update_at", "note", "day")
+            if src.isEmpty():
+                return
+            merge_mod.merge_into_parquet(
+                bdf.sparkSession, table, src,
+                keys=["id"], precombine=["update_at"],
+                partition_cols=["day"],
+            )
+
+        q = (
+            df.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+
+    for i in range(10):
+        stream.put_record(
+            f"k{i}", {"id": f"k{i}", "update_at": f"2023-01-01T00:0{i % 10}:00",
+                      "note": "v1", "day": "2023-01-01"},
+        )
+    run_once()
+    got = {r.id: r.note for r in spark.read.parquet(table).collect()}
+    assert len(got) == 10 and set(got.values()) == {"v1"}
+
+    # second wave: updates for half the keys + new keys
+    for i in range(5):
+        stream.put_record(
+            f"k{i}", {"id": f"k{i}", "update_at": "2023-01-02T00:00:00",
+                      "note": "v2", "day": "2023-01-01"},
+        )
+    for i in range(10, 13):
+        stream.put_record(
+            f"k{i}", {"id": f"k{i}", "update_at": "2023-01-02T00:00:00",
+                      "note": "new", "day": "2023-01-02"},
+        )
+    run_once()
+    got = {r.id: r.note for r in spark.read.parquet(table).collect()}
+    assert len(got) == 13
+    assert all(got[f"k{i}"] == "v2" for i in range(5))
+    assert all(got[f"k{i}"] == "v1" for i in range(5, 10))
+    assert all(got[f"k{i}"] == "new" for i in range(10, 13))
+
+    # third run with NOTHING new: no batch merges, table unchanged
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    v_before = deltatable.current_version(table)
+    run_once()
+    assert deltatable.current_version(table) == v_before
