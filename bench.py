@@ -232,6 +232,11 @@ HEADLINE = [
     "linkage_em_weights",
     "tokenizer_wordpiece_greedy",
     "iceberg_bounds_prune",
+    # round 10
+    "sketch_kll_quantile",
+    "parquet_v2_handwrite_roundtrip",
+    "delta_write_replay",
+    "merge_occ_two_writers",
 ]
 
 
@@ -377,6 +382,7 @@ def main():
     # (environment drift, not code) are in PERFDRIFT.md.
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in headline:
         if reset:
             _release_blocks(spark)
@@ -392,13 +398,53 @@ def main():
             runs.append(time.time() - t)
         timings[name] = round(min(runs), 3)
         first_run[name] = round(runs[0], 3)
+        all_runs[name] = [round(r, 3) for r in runs]
         print(
             f"# {name}: {timings[name]}s ({n} rows) "
-            f"runs={[round(r, 3) for r in runs]}",
+            f"runs={all_runs[name]}",
             file=sys.stderr,
         )
 
     total = round(sum(timings.values()), 3)
+    # Round-9 verdict item 4: persist the COMPLETE per-query table
+    # in-repo (every run of every query, cold AND warm), so cross-
+    # round regressions are diagnosable without the driver's
+    # truncated 2000-char tail. The round number is the NEXT one
+    # after the newest recorded BENCH_r{N}.json (the driver records
+    # this run's summary under that number), overridable with
+    # SPARK_GRAFT_ROUND; subset probes (SPARK_GRAFT_BENCH_ONLY) never
+    # overwrite the full-record artifact.
+    if not only:
+        import glob as _glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            seen = [
+                int(m.group(1))
+                for f in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
+            ]
+            rnd = str(max(seen, default=0) + 1)
+        full_path = os.path.join(here, f"bench_full_r{int(rnd):02d}.json")
+        with open(full_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "headline_queries_full",
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "startup_sec": round(startup, 3),
+                    "value": total,
+                    "first_run_total_sec": round(sum(first_run.values()), 3),
+                    "n_queries": len(timings),
+                    "queries": timings,
+                    "first_run": first_run,
+                    "runs": all_runs,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"# full per-query record -> {full_path}", file=sys.stderr)
     # Per-query cold numbers go to STDERR only: round 4's judging defect
     # was the driver's 2000-char tail capture of stdout landing inside a
     # trailing "first_run" dict and being read as steady-state. The ONE

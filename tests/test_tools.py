@@ -231,3 +231,44 @@ def test_bench_streaming_main_smoke(spark, capsys):
     rec = json.loads(out.strip().splitlines()[-1])
     assert rec["metric"] == "streaming_rows_per_sec"
     assert rec["transform_rows"] > 0
+
+
+def test_check_full_record_accepts_and_rejects(tmp_path):
+    """Round-10: the in-repo bench_full_r*.json artifact — internal
+    consistency checks (steady-state = min of runs, cold = first run,
+    totals re-derive) accept a well-formed record and flag each
+    corruption."""
+    from check_bench_tail import check_full_record, check_path
+
+    good = {
+        "metric": "headline_queries_full",
+        "sf": 0.1,
+        "startup_sec": 30.0,
+        "value": 3.0,
+        "first_run_total_sec": 9.0,
+        "n_queries": 2,
+        "queries": {"qa": 1.0, "qb": 2.0},
+        "first_run": {"qa": 4.0, "qb": 5.0},
+        "runs": {"qa": [4.0, 1.5, 1.0], "qb": [5.0, 2.0, 2.5]},
+    }
+    assert check_full_record(good, "good")
+
+    p = tmp_path / "bench_full_r99.json"
+    p.write_text(json.dumps(good))
+    assert check_path(str(p))
+
+    bad_min = json.loads(json.dumps(good))
+    bad_min["queries"]["qa"] = 0.5  # not min(runs)
+    assert not check_full_record(bad_min, "bad_min")
+
+    bad_cold = json.loads(json.dumps(good))
+    bad_cold["first_run"]["qb"] = 2.0  # not runs[0]
+    assert not check_full_record(bad_cold, "bad_cold")
+
+    bad_total = json.loads(json.dumps(good))
+    bad_total["value"] = 2.5
+    assert not check_full_record(bad_total, "bad_total")
+
+    bad_keys = json.loads(json.dumps(good))
+    del bad_keys["runs"]["qb"]
+    assert not check_full_record(bad_keys, "bad_keys")

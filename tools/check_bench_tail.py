@@ -154,8 +154,45 @@ def check_line(line: str, label: str) -> bool:
     return ok
 
 
+def check_full_record(obj: dict, label: str) -> bool:
+    """Validate an in-repo bench_full_r*.json (round-10: the complete
+    per-query table bench.py persists so regressions are diagnosable
+    without the driver's tail window): queries / first_run / runs
+    must share one key set, each steady-state number must be the min
+    of its runs with the cold number the first, and the totals must
+    re-derive from the per-query tables."""
+    ok = True
+    q, fr, runs = obj.get("queries", {}), obj.get("first_run", {}), obj.get("runs", {})
+    if not (set(q) == set(fr) == set(runs)) or not q:
+        print(f"{label}: FAIL — queries/first_run/runs key sets differ or empty")
+        return False
+    for name in q:
+        if abs(q[name] - min(runs[name])) > 1e-9:
+            print(f"{label}: FAIL — {name}: steady-state != min(runs)")
+            ok = False
+        if abs(fr[name] - runs[name][0]) > 1e-9:
+            print(f"{label}: FAIL — {name}: first_run != runs[0]")
+            ok = False
+        if not (3 <= len(runs[name]) <= 5):
+            print(f"{label}: FAIL — {name}: {len(runs[name])} runs (want 3-5)")
+            ok = False
+    if abs(obj.get("value", -1) - round(sum(q.values()), 3)) > 0.01:
+        print(f"{label}: FAIL — value != sum(queries)")
+        ok = False
+    if obj.get("n_queries") != len(q):
+        print(f"{label}: FAIL — n_queries != len(queries)")
+        ok = False
+    if ok:
+        print(
+            f"{label}: OK — full record, {len(q)} queries, "
+            f"total={obj.get('value')}s cold={obj.get('first_run_total_sec')}s"
+        )
+    return ok
+
+
 def check_path(p: str) -> bool:
-    """Check one file: a driver BENCH_r*.json wrapper or raw bench stdout."""
+    """Check one file: a driver BENCH_r*.json wrapper, an in-repo
+    bench_full_r*.json full record, or raw bench stdout."""
     with open(p) as fh:
         text = fh.read()
     base = os.path.basename(p)
@@ -164,6 +201,8 @@ def check_path(p: str) -> bool:
         obj = json.loads(text)
     except json.JSONDecodeError:
         pass
+    if isinstance(obj, dict) and obj.get("metric") == "headline_queries_full":
+        return check_full_record(obj, base)
     if isinstance(obj, dict) and isinstance(obj.get("tail"), str):
         # the driver wrapper: the checks apply to its captured window
         return check_tail(obj["tail"], base)
@@ -183,7 +222,9 @@ def main(argv: list[str] | None = None) -> int:
     paths = list(sys.argv[1:] if argv is None else argv)
     if not paths:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+        paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))) + sorted(
+            glob.glob(os.path.join(root, "bench_full_r*.json"))
+        )
     rc = 0
     for p in paths:
         base = os.path.basename(p)
