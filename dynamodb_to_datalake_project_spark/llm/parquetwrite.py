@@ -441,6 +441,36 @@ def delta_length_byte_array_encode(vals: "list[bytes]") -> bytes:
     )
 
 
+def delta_byte_array_encode(vals: "list[bytes]") -> bytes:
+    """DELTA_BYTE_ARRAY (front-coded strings — parquet-mr's actual
+    v2 default for BYTE_ARRAY): shared-prefix lengths vs the
+    previous value as DELTA_BINARY_PACKED, then the suffixes as
+    DELTA_LENGTH_BYTE_ARRAY."""
+    prefs, sufs = [], []
+    prev = b""
+    for v in vals:
+        p, m = 0, min(len(prev), len(v))
+        while p < m and prev[p] == v[p]:
+            p += 1
+        prefs.append(p)
+        sufs.append(v[p:])
+        prev = v
+    return delta_binary_packed_encode(prefs) + delta_length_byte_array_encode(
+        sufs
+    )
+
+
+def byte_stream_split_encode(vals: list, ptype: str) -> bytes:
+    """BYTE_STREAM_SPLIT (the v2 float encoding): stream j carries
+    byte j of every value, so same-significance bytes sit together
+    and compress well."""
+    import struct as _s
+
+    fmt, k = ("<f", 4) if ptype == "FLOAT" else ("<d", 8)
+    raw = b"".join(_s.pack(fmt, v) for v in vals)
+    return b"".join(raw[j::k] for j in range(k))
+
+
 def write_parquet(
     columns: "dict[str, tuple[str, list]]",
     codec: str = "UNCOMPRESSED",
@@ -448,6 +478,7 @@ def write_parquet(
     created_by: str = "spark-graft handwriter",
     dictionary: bool = False,
     page_version: int = 1,
+    v2_byte_array: str = "delta_length",
 ) -> bytes:
     """Serialize `columns` ({name: (type, values)}; type in BOOLEAN /
     INT32 / INT64 / FLOAT / DOUBLE / BYTE_ARRAY; None values allowed -> OPTIONAL column with
@@ -460,9 +491,11 @@ def write_parquet(
     DataPageV2 pages (levels uncompressed ahead of the value
     section, no 4-byte level prefix) with the parquet-mr v2 default
     encodings — DELTA_BINARY_PACKED for INT32/INT64,
-    DELTA_LENGTH_BYTE_ARRAY for BYTE_ARRAY, PLAIN for the rest,
-    RLE_DICTIONARY when `dictionary` is set. Returns the file
-    bytes."""
+    DELTA_LENGTH_BYTE_ARRAY for BYTE_ARRAY (front-coded
+    DELTA_BYTE_ARRAY with v2_byte_array="delta" — parquet-mr's
+    default), BYTE_STREAM_SPLIT for FLOAT/DOUBLE, PLAIN for
+    booleans, RLE_DICTIONARY when `dictionary` is set. Returns the
+    file bytes."""
     if codec not in _CODEC_IDS:
         raise NotImplementedError(f"parquetwrite: codec {codec}")
     if page_version not in (1, 2):
@@ -540,15 +573,19 @@ def write_parquet(
                     enc = 5
                     vbody = delta_binary_packed_encode(present)
                 elif ptype == "BYTE_ARRAY" and present:
-                    enc = 6
-                    vbody = delta_length_byte_array_encode(
-                        [
-                            v.encode("utf-8")
-                            if isinstance(v, str)
-                            else bytes(v)
-                            for v in present
-                        ]
-                    )
+                    raw = [
+                        v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                        for v in present
+                    ]
+                    if v2_byte_array == "delta":
+                        enc = 7
+                        vbody = delta_byte_array_encode(raw)
+                    else:
+                        enc = 6
+                        vbody = delta_length_byte_array_encode(raw)
+                elif ptype in ("FLOAT", "DOUBLE") and present:
+                    enc = 9
+                    vbody = byte_stream_split_encode(present, ptype)
                 else:
                     enc = 0
                     vbody = _plain_encode(present, ptype)

@@ -6386,3 +6386,68 @@ def test_parquet_v2_write_matrix():
         assert got[1] == n
         assert got[2] == min(cols["s"][1])
         assert got[3] == sum(1 for v in cols["nl"][1] if v is None)
+
+
+def test_parquet_v2_front_coded_and_bss_write():
+    """Round-10 completion of the v2 write family: front-coded
+    DELTA_BYTE_ARRAY strings (parquet-mr's real v2 default) and
+    BYTE_STREAM_SPLIT floats/doubles, cross-read by pyarrow and the
+    zero-dep reader, encodings pinned in the metadata."""
+    import io
+    import random
+    import struct
+
+    import pyarrow.parquet as pq
+
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        read_parquet_column_full,
+    )
+    from dynamodb_to_datalake_project_spark.llm.parquetwrite import (
+        delta_byte_array_encode,
+        write_parquet,
+    )
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        _delta_byte_array,
+    )
+
+    # encoder <-> own decoder on prefix-heavy shapes
+    for vals in (
+        [],
+        [b"a"],
+        [b"", b"", b"x"],
+        sorted(f"common/prefix/{i // 7}/{i}".encode() for i in range(300)),
+        [b"abc", b"abc", b"abcd", b"ab", b"zz"],
+    ):
+        enc = delta_byte_array_encode(vals)
+        got, _ = _delta_byte_array(enc, 0, len(vals))
+        assert got == vals
+
+    rnd = random.Random(11)
+    n = 600
+    floats = [struct.unpack("<f", struct.pack("<f", rnd.uniform(-9, 9)))[0]
+              for _ in range(n)]
+    cols = {
+        "s": ("BYTE_ARRAY",
+              sorted(f"shared-stem-{rnd.randrange(40)}-{i}" for i in range(n))),
+        "f": ("FLOAT", floats),
+        "d": ("DOUBLE", [rnd.uniform(-9, 9) for _ in range(n)]),
+        "nd": ("DOUBLE", [float(i) if i % 5 else None for i in range(n)]),
+    }
+    blob = write_parquet(
+        cols, codec="SNAPPY", row_group_size=200,
+        page_version=2, v2_byte_array="delta",
+    )
+    pf = pq.ParquetFile(io.BytesIO(blob))
+    t = pf.read()
+    for name, (pt, vals) in cols.items():
+        assert t.column(name).to_pylist() == vals, name
+        got = read_parquet_column_full(blob, name)
+        if pt == "BYTE_ARRAY":
+            got = [g.decode() for g in got]
+        assert got == vals, (name, "own reader")
+    md = pf.metadata.row_group(0)
+    names = [md.column(i).path_in_schema for i in range(md.num_columns)]
+    encs = {names[i]: md.column(i).encodings for i in range(md.num_columns)}
+    assert "DELTA_BYTE_ARRAY" in encs["s"]
+    assert "BYTE_STREAM_SPLIT" in encs["f"]
+    assert "BYTE_STREAM_SPLIT" in encs["nd"]
