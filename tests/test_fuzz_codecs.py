@@ -163,3 +163,76 @@ def test_morton_bijective(x, y):
         rx |= ((z >> (2 * i)) & 1) << i
         ry |= ((z >> (2 * i + 1)) & 1) << i
     assert (rx, ry) == (x, y)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(1 << 62), max_value=(1 << 62) - 1),
+        min_size=0,
+        max_size=700,
+    )
+)
+def test_delta_binary_packed_roundtrip_random(vals):
+    """Round-10 write side: DELTA_BINARY_PACKED encode must be read
+    back exactly by the round-9 decoder for any int64 sequence
+    (multi-block, negative min-deltas, padded trailing miniblocks)."""
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        _delta_binary_packed,
+    )
+    from dynamodb_to_datalake_project_spark.llm.parquetwrite import (
+        delta_binary_packed_encode,
+    )
+
+    enc = delta_binary_packed_encode(vals)
+    got, end = _delta_binary_packed(enc, 0, len(vals))
+    assert got == vals
+    assert end == len(enc)  # self-delimiting: exact extent
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=40), min_size=0, max_size=300)
+)
+def test_delta_byte_array_roundtrip_random(vals):
+    """Front-coded strings: any byte-string sequence (shared or no
+    prefixes, empties, repeats) must round-trip through the write
+    encoder and the round-9 decoder."""
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        _delta_byte_array,
+    )
+    from dynamodb_to_datalake_project_spark.llm.parquetwrite import (
+        delta_byte_array_encode,
+    )
+
+    enc = delta_byte_array_encode(vals)
+    got, end = _delta_byte_array(enc, 0, len(vals))
+    assert got == vals
+    assert end == len(enc)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << 32) - 1),
+            min_size=0,
+            max_size=400,
+        ),
+        min_size=0,
+        max_size=4,
+    )
+)
+def test_roaring64_bucket_roundtrip_random(buckets):
+    """roaring64 with cursor-delimited embedded bitmaps (round-10
+    fix): random per-bucket value sets round-trip, including the
+    container-choice variety inside each bucket."""
+    from dynamodb_to_datalake_project_spark.llm.roaring import (
+        roaring64_deserialize,
+        roaring64_serialize,
+    )
+
+    vals = sorted(
+        {(hi << 32) | v for hi, vs in enumerate(buckets) for v in vs}
+    )
+    assert roaring64_deserialize(roaring64_serialize(vals)) == vals
