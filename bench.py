@@ -237,6 +237,7 @@ HEADLINE = [
     "parquet_v2_handwrite_roundtrip",
     "delta_write_replay",
     "merge_occ_two_writers",
+    "delta_time_travel",
 ]
 
 

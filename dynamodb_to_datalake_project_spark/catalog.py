@@ -113,6 +113,7 @@ _PRIORITY: list[str] = [
     "sketch_kll_quantile",
     "parquet_v2_handwrite_roundtrip",
     "merge_occ_two_writers",
+    "delta_time_travel",
     # --- newest driver row r5 (head fills the rest of the r10
     # window; ~16 slots) ---
     "cluster_kmeans_train",

@@ -147,27 +147,32 @@ def _file_num_rows(path: str) -> int:
 
 
 def build_add(
-    root: str, rel_file: str, partition_cols: list[str]
+    root: str, rel_file: str, partition_cols: list[str],
+    data_change: bool = True,
 ) -> dict:
     """One `add` action for a staged/live file, with footer-derived
     numRecords stats (the stats Delta readers use for count(*)
-    pushdown and file skipping)."""
+    pushdown and file skipping). `data_change=False` marks pure
+    rearrangements (OPTIMIZE/compaction) so streaming readers skip
+    them."""
     p = os.path.join(root, rel_file)
     return {
         "path": rel_file,
         "partitionValues": partition_values_of(rel_file, partition_cols),
         "size": os.path.getsize(p),
         "modificationTime": int(os.stat(p).st_mtime * 1000),
-        "dataChange": True,
+        "dataChange": data_change,
         "stats": json.dumps({"numRecords": _file_num_rows(p)}),
     }
 
 
-def build_remove(rel_file: str, partition_cols: list[str]) -> dict:
+def build_remove(
+    rel_file: str, partition_cols: list[str], data_change: bool = True
+) -> dict:
     return {
         "path": rel_file,
         "deletionTimestamp": 0,
-        "dataChange": True,
+        "dataChange": data_change,
         "partitionValues": partition_values_of(rel_file, partition_cols),
     }
 
@@ -455,3 +460,112 @@ def overlaps(
         )
     mine = {norm(p) for p in ours}
     return any(norm(p) in mine for p in committed)
+
+
+# ---------------------------------------------------------------------------
+# log-driven reads: time travel, retained-file scans, vacuum, compaction
+# ---------------------------------------------------------------------------
+
+
+def snapshot_at(table_path: str, version: "int | None" = None) -> dict:
+    """Snapshot as of `version` (None = latest): a pure fold of the
+    JSON commit prefix. Time travel is exact on METADATA always; the
+    DATA files are readable only while they are physically retained
+    (merge `retain_files=True` keeps them; the default swap mode and
+    `vacuum` delete them — the Delta VACUUM-horizon rule)."""
+    from dynamodb_to_datalake_project_spark.llm.deltalog import (
+        replay_delta_log,
+    )
+
+    commits = read_commits(table_path)
+    if version is not None:
+        if version > (commits[-1][0] if commits else -1):
+            raise ValueError(
+                f"delta: version {version} beyond log tip "
+                f"{commits[-1][0] if commits else -1}"
+            )
+        commits = [(v, c) for v, c in commits if v <= version]
+    return replay_delta_log(commits)
+
+
+def read_snapshot_df(
+    spark, table_path: str, version: "int | None" = None
+):
+    """Log-driven scan: the DataFrame of exactly the ACTIVE files of
+    the requested version (the real Delta read path — essential for
+    retained-file tables, where a plain directory scan would see
+    superseded files as duplicates). Partition columns come back via
+    basePath. Raises a clear error when time travel reaches files
+    the table no longer retains."""
+    import os as _os
+
+    snap = snapshot_at(table_path, version)
+    files = sorted(snap["active_files"])
+    missing = [f for f in files if not _os.path.isfile(_os.path.join(table_path, f))]
+    if missing:
+        raise FileNotFoundError(
+            f"delta: version {snap['version']} references "
+            f"{len(missing)} file(s) no longer retained (e.g. "
+            f"{missing[0]}) — time travel past the vacuum horizon; "
+            f"write with retain_files=True to keep history readable"
+        )
+    if not files:
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(
+            __import__("json").loads(
+                _schema_json_of(table_path) or '{"type":"struct","fields":[]}'
+            )
+        )
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.option("basePath", table_path)
+        .parquet(*[_os.path.join(table_path, f) for f in files])
+    )
+
+
+def _schema_json_of(table_path: str) -> "str | None":
+    for _v, content in reversed(read_commits(table_path)):
+        for line in content.splitlines():
+            if '"metaData"' in line:
+                a = json.loads(line)
+                if "metaData" in a:
+                    return a["metaData"]["schemaString"]
+    return None
+
+
+def vacuum(table_path: str, retain_versions: int = 0) -> list[str]:
+    """Physically delete data files not referenced by the active set
+    of any of the last `retain_versions + 1` versions (0 = keep only
+    the current snapshot readable — the aggressive horizon the swap
+    mode enforces implicitly). Returns the deleted relative paths.
+    Single-flight by contract (run it from the maintenance slot, not
+    concurrently with writers — the reference's MaxConcurrentRuns=1)."""
+    cur = current_version(table_path)
+    if cur < 0:
+        return []
+    keep: set = set()
+    for v in range(max(0, cur - retain_versions), cur + 1):
+        keep.update(snapshot_at(table_path, v)["active_files"])
+    deleted = []
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), table_path).replace(
+                os.sep, "/"
+            )
+            if rel not in keep:
+                os.remove(os.path.join(root, f))
+                deleted.append(rel)
+    # prune now-empty partition dirs
+    for root, dirs, files in os.walk(table_path, topdown=False):
+        if root == table_path:
+            continue
+        base = os.path.relpath(root, table_path).split(os.sep)[0]
+        if base.startswith(("_", ".")):
+            continue
+        if not os.listdir(root):
+            os.rmdir(root)
+    return sorted(deleted)

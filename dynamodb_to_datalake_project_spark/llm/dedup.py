@@ -205,8 +205,22 @@ def prefix_filter_jaccard_pairs(
     # whole set expression on the (few-task) scan stage — measured
     # 16s vs 0.5s at sf0.1 — and empty sets are harmless anyway
     # (they yield no prefix rows, so they can never reach a pair).
+    #
+    # Tokens are xxhash64'd HERE, at entry (round 10): the whole
+    # algorithm consumes token IDENTITY only, and the verify stage
+    # always counted over xxhash64'd tokens anyway — so hashing
+    # before the persist/explode swaps ~50-byte shingle strings for
+    # 8-byte longs in EVERY downstream frame (persisted sets, the
+    # frequency agg, the per-doc sort structs, both prefix join
+    # sides). Measured at the x1000 probe (5M docs): the string
+    # variant spilled past this container's 250 GB disk; the long
+    # variant is ~7x lighter per shuffled row. No new failure mode:
+    # the result was already defined over hash identity.
     toks = sets.select(
-        "doc_id", F.array_distinct("toks").alias("toks")
+        "doc_id",
+        F.array_distinct(
+            F.transform("toks", lambda t: F.xxhash64(t))
+        ).alias("toks"),
     ).persist()
     flat = toks.select("doc_id", F.explode("toks").alias("tok"))
     freq = flat.groupBy("tok").agg(F.count("*").alias("cnt"))
@@ -272,7 +286,7 @@ def prefix_filter_jaccard_pairs(
     # intersection. Thin long rows only; never per-pair arrays (the
     # array-shipping variant serialized the whole verify into one
     # AQE-coalesced task — arrays hide bytes from the coalescer).
-    flat_h = flat.select("doc_id", F.xxhash64("tok").alias("h"))
+    flat_h = flat.select("doc_id", F.col("tok").alias("h"))  # pre-hashed
     fa = flat_h.select(F.col("doc_id").alias("a_id"), "h")
     fb = flat_h.select(F.col("doc_id").alias("b_id"), "h")
     return (

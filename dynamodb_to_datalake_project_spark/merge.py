@@ -16,6 +16,23 @@ Two implementations:
   overwrite). At 100 TB the target table is huge but a CDC batch
   touches a handful of time partitions — reading and rewriting just
   those keeps merge cost proportional to the batch, not the table.
+
+Round 10 makes the lake table a REAL Delta-protocol table: every
+commit appends `_delta_log/<v>.json` actions (see `deltatable.py`),
+concurrent writers serialize through a version CAS with partition-
+level conflict detection (the Delta OCC shape; overlapping stale
+writers retry from a fresh snapshot, disjoint writers interleave),
+and two physical modes exist:
+
+- default (swap): replaced files are deleted at commit — plain
+  `spark.read.parquet(table)` always equals the current snapshot;
+  history is metadata-only ("vacuum horizon zero");
+- `retain_files=True`: superseded files stay on disk, the LOG defines
+  the table — read through `deltatable.read_snapshot_df` (any
+  version: real time travel), reclaim space with `deltatable.vacuum`.
+
+`optimize_table` is the Delta OPTIMIZE: small-file compaction
+committed through the same protocol with dataChange=false actions.
 """
 
 from __future__ import annotations
@@ -117,6 +134,36 @@ def _apply_commit(table_path: str, commit_id: str) -> None:
     with open(marker) as f:
         manifest = json.load(f)
     rels = manifest["partitions"]
+    if manifest.get("retain"):
+        # retained-file mode: staged files MOVE IN under their fresh
+        # unique names; nothing is ever deleted (superseded files stay
+        # for time travel — the log, not the directory, defines the
+        # table). Idempotent: an already-moved file is gone from
+        # staging and skipped.
+        for rel in rels:
+            src = staging if rel == "." else os.path.join(staging, rel)
+            if not os.path.isdir(src):
+                continue
+            dst = table_path if rel == "." else os.path.join(table_path, rel)
+            os.makedirs(dst, exist_ok=True)
+            for name in os.listdir(src):
+                sp = os.path.join(src, name)
+                if (
+                    os.path.isfile(sp)
+                    and name.endswith(".parquet")
+                    and not name.startswith(("_", "."))
+                ):
+                    os.rename(sp, os.path.join(dst, name))
+        delta = manifest.get("delta")
+        if delta:
+            deltatable.append_commit(
+                table_path, delta["version"], delta["actions"], delta["txn"]
+            )
+            deltatable.maybe_write_checkpoint(table_path)
+            deltatable.release_claim(table_path, delta["version"])
+        os.remove(marker)
+        shutil.rmtree(staging, ignore_errors=True)
+        return
     for rel in manifest.get("removed", []):
         # hard-deletes emptied this partition: no staged replacement,
         # the commit removes it outright (idempotent: may be gone)
@@ -218,6 +265,9 @@ def _delta_actions(
     base_version: int,
     schema_json: str,
     txn_id: str,
+    retain: bool = False,
+    data_change: bool = True,
+    operation: str = "MERGE",
 ) -> list[dict]:
     """The Delta actions of one merge commit. Incremental commits
     (base_version >= 0) remove the live files of every touched
@@ -230,7 +280,7 @@ def _delta_actions(
         {
             "commitInfo": {
                 "txnId": txn_id,
-                "operation": "MERGE",
+                "operation": operation,
                 "readVersion": base_version,
             }
         }
@@ -245,16 +295,30 @@ def _delta_actions(
 
     if base_version >= 0:
         gone: list[str] = []
-        for rel in rels:
-            if rel == ".":
-                gone += root_removed
-            else:
+        if retain:
+            # retained-file mode: the directory holds superseded
+            # files too — the LOG's active set, restricted to the
+            # touched/removed partitions, is what this commit removes
+            touched_rels = {r for r in list(rels) + list(removed)}
+            for f in deltatable.snapshot_at(table_path)["active_files"]:
+                rel_dir = "/".join(f.split("/")[:-1]) or "."
+                if rel_dir in touched_rels:
+                    gone.append(f)
+        else:
+            for rel in rels:
+                if rel == ".":
+                    gone += root_removed
+                else:
+                    gone += deltatable.data_files_under(table_path, rel)
+            for rel in removed:
                 gone += deltatable.data_files_under(table_path, rel)
-        for rel in removed:
-            gone += deltatable.data_files_under(table_path, rel)
         for f in sorted(set(gone)):
             actions.append(
-                {"remove": deltatable.build_remove(f, partition_cols)}
+                {
+                    "remove": deltatable.build_remove(
+                        f, partition_cols, data_change=data_change
+                    )
+                }
             )
     else:
         # bootstrap: live files outside the touched/removed set stay
@@ -276,7 +340,13 @@ def _delta_actions(
                     }
                 )
     for f in sorted(set(staged_files)):
-        actions.append({"add": deltatable.build_add(staging, f, partition_cols)})
+        actions.append(
+            {
+                "add": deltatable.build_add(
+                    staging, f, partition_cols, data_change=data_change
+                )
+            }
+        )
     return actions
 
 
@@ -334,6 +404,7 @@ def merge_into_parquet(
     op_col: str | None = None,
     delete_types: tuple[str, ...] = ("REMOVE",),
     delta_log: bool = True,
+    retain_files: bool = False,
     max_commit_retries: int = 3,
     _hook_before_commit=None,
 ) -> None:
@@ -365,6 +436,11 @@ def merge_into_parquet(
     per README.rst:137 — exactly so updates can't move a row across
     partitions).
     """
+    if retain_files and not delta_log:
+        raise ValueError(
+            "retain_files needs the delta log: without the active-set "
+            "fold a directory full of superseded files is unreadable"
+        )
     if os.path.isdir(table_path):
         recover_pending_commits(table_path, staging_grace_seconds=3600.0)
     parts = touched_partitions(source, partition_cols)
@@ -392,7 +468,12 @@ def merge_into_parquet(
             deltatable.current_version(table_path) if delta_log else -1
         )
         try:
-            target = spark.read.parquet(table_path)
+            if retain_files and base_version >= 0:
+                # retained-file table: the directory holds superseded
+                # files; only the log's active set is the table
+                target = deltatable.read_snapshot_df(spark, table_path)
+            else:
+                target = spark.read.parquet(table_path)
         except AnalysisException as e:
             # ONLY a missing/uninitialized table means "first batch":
             # write the deduped batch as the table. Any other failure
@@ -532,6 +613,7 @@ def merge_into_parquet(
             "partitions": rels,
             "removed": removed,
             "root_removed": root_removed,
+            "retain": bool(retain_files),
         }
         if _hook_before_commit is not None:
             _hook_before_commit()
@@ -565,6 +647,7 @@ def merge_into_parquet(
                     base_version,
                     deltatable.schema_string(merged.schema),
                     commit_id,
+                    retain=retain_files,
                 ),
             }
         cdir = os.path.join(table_path, "_commits")
@@ -607,6 +690,119 @@ def q_upsert_merge(spark, sf_dir):
     cdc = ev.filter(F.col("ts") >= cutoff)
     return upsert_dataframes(
         snapshot, cdc, keys=["user_id"], precombine=["ts", "event_id"]
+    )
+
+
+def optimize_table(
+    spark: SparkSession,
+    table_path: str,
+    partition_cols: list[str],
+    retain_files: bool = False,
+    max_files_ok: int = 1,
+    max_commit_retries: int = 3,
+) -> int:
+    """OPTIMIZE (small-file compaction): rewrite every partition
+    whose ACTIVE file count exceeds `max_files_ok` into one file per
+    partition, committed through the same claim/marker protocol as a
+    merge — the Delta OPTIMIZE shape, with add/remove actions marked
+    dataChange=false so incremental readers know no rows changed.
+    Runs under OCC: a conflicting writer makes it retry from a fresh
+    snapshot. Returns the number of partitions compacted.
+
+    100 TB shape: streaming merges leave one file per micro-batch
+    per partition; compaction cost is ∝ the selected partitions'
+    bytes (file-level pruning via the log), never the table."""
+    if os.path.isdir(table_path):
+        recover_pending_commits(table_path, staging_grace_seconds=3600.0)
+    for _attempt in range(max_commit_retries):
+        base_version = deltatable.current_version(table_path)
+        if base_version < 0:
+            raise ValueError(
+                f"optimize: {table_path} has no delta log to plan from"
+            )
+        snap = deltatable.snapshot_at(table_path)
+        by_part: dict[str, list[str]] = {}
+        for f in snap["active_files"]:
+            rel = "/".join(f.split("/")[:-1]) or "."
+            by_part.setdefault(rel, []).append(f)
+        todo = {
+            rel: fs for rel, fs in by_part.items() if len(fs) > max_files_ok
+        }
+        if not todo:
+            return 0
+        files = [
+            os.path.join(table_path, f) for fs in todo.values() for f in fs
+        ]
+        df = spark.read.option("basePath", table_path).parquet(*files)
+        if partition_cols:
+            df = df.repartition(
+                max(1, len(todo)), *[F.col(c) for c in partition_cols]
+            )
+        else:
+            df = df.coalesce(1)
+
+        commit_id = uuid.uuid4().hex[:12]
+        staging = os.path.join(table_path, "_staging", commit_id)
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(staging)
+        rels = sorted(
+            {
+                os.path.relpath(root, staging)
+                for root, _dirs, fl in os.walk(staging)
+                if any(f.endswith(".parquet") for f in fl)
+            }
+        )
+        root_removed = sorted(todo.get(".", []))
+        ours = (
+            [
+                deltatable.partition_values_of(rel + "/f", partition_cols)
+                for rel in todo
+            ]
+            if partition_cols
+            else [{}]
+        )
+        claimed = _claim_tip(
+            table_path, base_version, ours, partition_cols, commit_id
+        )
+        if claimed is None:
+            shutil.rmtree(staging, ignore_errors=True)
+            continue
+        manifest = {
+            "partitions": rels,
+            "removed": [],
+            "root_removed": root_removed,
+            "retain": bool(retain_files),
+            "delta": {
+                "version": claimed,
+                "txn": commit_id,
+                "actions": _delta_actions(
+                    table_path,
+                    staging,
+                    rels,
+                    [],
+                    root_removed,
+                    partition_cols,
+                    base_version,
+                    deltatable.schema_string(df.schema),
+                    commit_id,
+                    retain=retain_files,
+                    data_change=False,
+                    operation="OPTIMIZE",
+                ),
+            },
+        }
+        cdir = os.path.join(table_path, "_commits")
+        os.makedirs(cdir, exist_ok=True)
+        marker_tmp = os.path.join(cdir, f".{commit_id}.json.tmp")
+        with open(marker_tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(marker_tmp, os.path.join(cdir, f"{commit_id}.json"))
+        _apply_commit(table_path, commit_id)
+        return len(todo)
+    raise ConcurrentWriteConflict(
+        f"{table_path}: optimize lost the commit race {max_commit_retries} times"
     )
 
 
@@ -793,6 +989,94 @@ def q_merge_occ_two_writers(spark, sf_dir):
     return spark.createDataFrame(
         rows, "event_date string, n_rows long, n_from_a long, n_from_b long"
     )
+
+
+@query(
+    "delta_time_travel",
+    oracle="""
+    WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day FROM events)
+    SELECT 0 AS version,
+           CAST((SELECT count(*) FROM d WHERE day <= '2024-01-10')
+                AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 1, CAST((SELECT count(*) FROM d WHERE day <= '2024-01-15')
+                   AS BIGINT)
+    UNION ALL
+    SELECT 2, CAST((SELECT count(*) FROM d WHERE day <= '2024-01-15')
+                   AS BIGINT)
+    ORDER BY version
+    """,
+)
+def q_delta_time_travel(spark, sf_dir):
+    """The retained-file Delta story end-to-end as a checkable
+    query: two retain-mode merges (v0 create, v1 appends new dates),
+    then OPTIMIZE (v2 — compaction, dataChange=false, row counts
+    unchanged BY CONSTRUCTION and verified by the oracle), each
+    version read back via the log-driven time-travel scan. In-op
+    invariants: optimize leaves one file per partition, vacuum(0)
+    reclaims the superseded files, and post-vacuum time travel
+    raises the documented retention error while metadata time travel
+    survives."""
+    import tempfile
+
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_time_travel_")
+    table = os.path.join(root, "events_lake")
+    try:
+        for b in (
+            ev.filter(F.col("event_date") <= "2024-01-10"),
+            ev.filter(F.col("event_date").between("2024-01-05", "2024-01-15")),
+        ):
+            merge_into_parquet(
+                spark, table, b,
+                keys=["event_id"], precombine=["ts"],
+                partition_cols=["event_date"], retain_files=True,
+            )
+        # max_files_ok=0 => full-rewrite OPTIMIZE of every partition:
+        # at small SFs AQE coalesces each merge to one file per
+        # partition, so a >1-file threshold would make the commit
+        # data-dependent; the genuine multi-file compaction case is
+        # pinned in test_merge.py::test_optimize_compacts_small_files
+        n_compacted = optimize_table(
+            spark, table, ["event_date"], retain_files=True, max_files_ok=0
+        )
+        if n_compacted < 1:
+            raise AssertionError("optimize found nothing to compact")
+        rows = []
+        for v in (0, 1, 2):
+            rows.append(
+                (v, deltatable.read_snapshot_df(spark, table, v).count())
+            )
+        snap = deltatable.snapshot_at(table)
+        per_part: dict[str, int] = {}
+        for f in snap["active_files"]:
+            d = f.split("event_date=")[1].split("/")[0]
+            per_part[d] = per_part.get(d, 0) + 1
+        if any(n > 1 for n in per_part.values()):
+            raise AssertionError(f"optimize left multi-file partitions: {per_part}")
+        deleted = deltatable.vacuum(table, retain_versions=0)
+        if not deleted:
+            raise AssertionError("vacuum reclaimed nothing on a retained table")
+        if deltatable.read_snapshot_df(spark, table).count() != rows[-1][1]:
+            raise AssertionError("vacuum changed the current snapshot")
+        try:
+            deltatable.read_snapshot_df(spark, table, 0)
+            raise AssertionError("post-vacuum time travel must raise")
+        except FileNotFoundError:
+            pass
+        if deltatable.snapshot_at(table, 0)["total_rows"] != rows[0][1]:
+            raise AssertionError("metadata time travel broken")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "version int, n_rows long")
 
 
 def scd2_merge(

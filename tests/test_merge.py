@@ -905,3 +905,132 @@ def test_delta_checkpoint_cold_read_equals_json_fold(spark, tmp_path, monkeypatc
     assert cold["version"] == fold["version"] == 2
     assert cold["total_rows"] == fold["total_rows"] == 2
     assert set(cold["active_files"]) == set(merge._all_data_files(path))
+
+
+def test_retain_mode_time_travel_and_vacuum(spark, tmp_path):
+    """retain_files=True keeps superseded files on disk: the log, not
+    the directory, defines the table. Log-driven reads must see
+    exactly the per-version state (real time travel), plain directory
+    reads would see duplicates (asserted, as the documented hazard),
+    and vacuum(0) collapses the table back to current-snapshot-only
+    with older versions raising the clear retention error."""
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+
+    def m(rows):
+        merge.merge_into_parquet(
+            spark, path, spark.createDataFrame(_ts_rows(rows), cols),
+            ["id"], ["update_at"], ["day"], retain_files=True,
+        )
+
+    m([("a", "2023-01-01T10:00:00", "v1"),
+       ("b", "2023-01-02T10:00:00", "v1")])          # v0 (create)
+    m([("a", "2023-01-01T12:00:00", "v2")])           # v1: supersedes day=01
+    m([("a", "2023-01-01T14:00:00", "v3"),
+       ("c", "2023-01-03T09:00:00", "new")])          # v2
+
+    # time travel: each version reads its exact state
+    def state(version):
+        df = deltatable.read_snapshot_df(spark, path, version)
+        return {r.id: r.note for r in df.collect()}
+
+    assert state(0) == {"a": "v1", "b": "v1"}
+    assert state(1) == {"a": "v2", "b": "v1"}
+    assert state(2) == {"a": "v3", "b": "v1", "c": "new"}
+    assert state(None) == state(2)
+
+    # the documented hazard: a plain directory read sees superseded
+    # duplicates on a retained table (3 'a' versions)
+    plain = spark.read.parquet(path)
+    assert plain.filter(plain.id == "a").count() == 3
+
+    # vacuum to the current snapshot only
+    deleted = deltatable.vacuum(path, retain_versions=0)
+    assert len(deleted) == 2  # the two superseded day=01 files
+    assert state(None) == {"a": "v3", "b": "v1", "c": "new"}
+    assert {r.id: r.note for r in spark.read.parquet(path).collect()} == state(None)
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError, match="vacuum horizon"):
+        deltatable.read_snapshot_df(spark, path, 0)
+    # metadata time travel still works past the horizon
+    assert deltatable.snapshot_at(path, 0)["total_rows"] == 2
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    """OPTIMIZE: many per-batch small files in one partition compact
+    to one file per partition, rows identical, log consistent
+    (dataChange=false adds/removes, OPTIMIZE commitInfo), untouched
+    single-file partitions left alone — in both physical modes."""
+    import json as _json
+
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    for retain in (False, True):
+        path = str(tmp_path / f"lake_{retain}")
+        cols = ["id", "update_at", "note", "day"]
+        # a 4-task write leaves 4 small files inside day=01 (the
+        # many-files-per-partition shape a wide merge produces)
+        spark.createDataFrame(
+            _ts_rows(
+                [(f"k{i}", "2023-01-01T10:00:00", f"v{i}") for i in range(4)]
+            ),
+            cols,
+        ).repartition(4).write.partitionBy("day").parquet(path)
+        # bootstrap the log by merging a DIFFERENT partition
+        merge.merge_into_parquet(
+            spark, path,
+            spark.createDataFrame(
+                _ts_rows([("z", "2023-01-05T10:00:00", "solo")]), cols
+            ),
+            ["id"], ["update_at"], ["day"], retain_files=retain,
+        )
+        snap0 = deltatable.snapshot_at(path)
+        day01 = [f for f in snap0["active_files"] if "day=2023-01-01" in f]
+        assert len(day01) >= 2, (retain, day01)
+        before = {
+            r.id: r.note
+            for r in deltatable.read_snapshot_df(spark, path).collect()
+        }
+
+        n = merge.optimize_table(
+            spark, path, ["day"], retain_files=retain
+        )
+        assert n == 1  # only day=01 was over the file threshold
+        snap1 = deltatable.snapshot_at(path)
+        day01_after = [
+            f for f in snap1["active_files"] if "day=2023-01-01" in f
+        ]
+        assert len(day01_after) == 1
+        solo_after = [
+            f for f in snap1["active_files"] if "day=2023-01-05" in f
+        ]
+        assert solo_after == [
+            f for f in snap0["active_files"] if "day=2023-01-05" in f
+        ]
+        after = {
+            r.id: r.note
+            for r in deltatable.read_snapshot_df(spark, path).collect()
+        }
+        assert after == before
+        assert snap1["total_rows"] == snap0["total_rows"] == 5
+        # physical state matches the mode
+        live = set(merge._all_data_files(path))
+        if retain:
+            assert set(snap1["active_files"]) < live  # history retained
+        else:
+            assert set(snap1["active_files"]) == live
+        # the OPTIMIZE commit is marked dataChange=false throughout
+        top = dict(deltatable.read_commits(path))[snap1["version"]]
+        kinds = []
+        for ln in top.splitlines():
+            a = _json.loads(ln)
+            (k, body), = a.items()
+            kinds.append(k)
+            if k in ("add", "remove"):
+                assert body["dataChange"] is False
+            if k == "commitInfo":
+                assert body["operation"] == "OPTIMIZE"
+        assert "add" in kinds and "remove" in kinds

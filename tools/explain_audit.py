@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = "/root/testdata/sf0.01"
 
 NOTES = {
+    "delta_write_replay": "driver-orchestrated: the builder EXECUTES three partition-pruned merges + a checkpoint, then returns the log census (LocalTableScan) — the merge plan itself is s8_upsert_merge's union+window shape over a partition-pruned scan",
+    "merge_occ_two_writers": "driver-orchestrated OCC interleaving; returned census is a LocalTableScan — the per-merge plan is the s8 shape, the protocol is filesystem-level (claim CAS + marker + swap)",
+    "delta_time_travel": "driver-orchestrated retain-mode merges + OPTIMIZE + vacuum; returned censuses are log-driven file-list scans (basePath parquet reads of exactly the active files)",
+    "sketch_kll_quantile": "one mapInPandas fold per partition -> (value,weight) rows -> ONE bounded shuffle (groupBy value) -> windowed cumulative-rank reads; state ~k*log(n/k) rows per partition, never the data",
     "sft_preference_pairs": "DPO schema gate: one ArrowEvalPython map stage over doc_id+text — zero exchanges beyond the input spread",
     "multimodal_image_dhash": "real BMP encode→decode→dHash/aHash in ONE Arrow stage; signature table is 5 longs/image",
     "multimodal_image_neardup": "banded LSH over dHash: posexplode 8 bands → bucket equi-join (never all-pairs) → bit_count(xor) verify",
