@@ -546,28 +546,28 @@ def quantile_grid_read(
     of the exact quantile."""
     width = (hi - lo) / buckets
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # upper edge is monotone in bucket, so the first bucket whose
+    # cumulative count reaches the rank is MIN(edge | cum >= rank) —
+    # one window + one broadcast rank join + one groupBy for ALL
+    # quantiles (the per-q loop cost 4 exchanges each; round 10)
     cum = grid.select(
-        "bucket", "cnt", F.sum("cnt").over(w).cast("long").alias("cum")
+        (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("edge"),
+        F.sum("cnt").over(w).cast("long").alias("cum"),
     )
     n = grid.agg(F.sum("cnt").cast("long").alias("n"))
-    qdf = None
-    for q in qs:
-        rank = n.select(
-            F.lit(q).alias("q"),
-            F.ceil(F.lit(q) * F.col("n")).cast("long").alias("rank"),
-        )
-        pick = (
-            rank.join(cum, cum["cum"] >= rank["rank"])
-            .orderBy("bucket")
-            .limit(1)
-            .select(
-                "q",
-                "rank",
-                (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("est"),
-            )
-        )
-        qdf = pick if qdf is None else qdf.unionByName(pick)
-    return qdf.orderBy("q")
+    qdf = grid.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    ranks = qdf.crossJoin(n).select(
+        "q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("rank")
+    )
+    return (
+        F.broadcast(ranks)
+        .join(cum, cum["cum"] >= ranks["rank"])
+        .groupBy("q", "rank")
+        .agg(F.min("edge").alias("est"))
+        .orderBy("q")
+    )
 
 
 @query(
@@ -699,24 +699,27 @@ def hdr_sketch_read(
         f" ELSE shiftleft(1L, e)"
         f" + ((sub + 1) * shiftleft(1L, e)) div {1 << s} END"
     )
+    # edge is strictly monotone in (e, sub) — octave boundaries
+    # included — so the first bucket reaching the rank is
+    # MIN(edge | cum >= rank): one window + one broadcast rank join
+    # + one groupBy for ALL quantiles (round 10, was 4 exchanges/q)
     cum = grid.select(
-        edge.alias("edge"), "cnt", F.sum("cnt").over(w).cast("long").alias("cum")
+        edge.alias("edge"), F.sum("cnt").over(w).cast("long").alias("cum")
     )
     n = grid.agg(F.sum("cnt").cast("long").alias("n"))
-    qdf = None
-    for q in qs:
-        rank = n.select(
-            F.lit(q).alias("q"),
-            F.ceil(F.lit(q) * F.col("n")).cast("long").alias("rank"),
-        )
-        pick = (
-            rank.join(cum, cum["cum"] >= rank["rank"])
-            .orderBy("edge")
-            .limit(1)
-            .select("q", "rank", F.col("edge").alias("est_ticks"))
-        )
-        qdf = pick if qdf is None else qdf.unionByName(pick)
-    return qdf.orderBy("q")
+    qdf = grid.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    ranks = qdf.crossJoin(n).select(
+        "q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("rank")
+    )
+    return (
+        F.broadcast(ranks)
+        .join(cum, cum["cum"] >= ranks["rank"])
+        .groupBy("q", "rank")
+        .agg(F.min("edge").alias("est_ticks"))
+        .orderBy("q")
+    )
 
 
 _HDR_SQL = """
@@ -1129,26 +1132,31 @@ def kll_quantile_read(sketch: DataFrame, qs: "list[float]") -> DataFrame:
     over summed weights, estimate = the smallest value whose
     cumulative weight reaches it (the grid/hdr read convention —
     values pass through untouched, so the exact-config read is
-    bit-identical across engines)."""
+    bit-identical across engines).
+
+    Plan shape: ONE window pass over the bounded sketch, one
+    broadcast of the tiny (q, rank) table, one groupBy — the picked
+    value is MIN(value | cum >= rank) because cum is monotone in
+    value, so no per-q union of window+join legs (the naive loop
+    cost 4 exchanges per quantile; this reads any number of
+    quantiles in ~4 total)."""
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     cum = sketch.select(
         "value", F.sum("weight").over(w).cast("long").alias("cum")
     )
     n = sketch.agg(F.sum("weight").cast("long").alias("n"))
-    qdf = None
-    for q in qs:
-        rank = n.select(
-            F.lit(q).alias("q"),
-            F.ceil(F.lit(q) * F.col("n")).cast("long").alias("rank"),
-        )
-        pick = (
-            rank.join(cum, cum["cum"] >= rank["rank"])
-            .orderBy("value")
-            .limit(1)
-            .select("q", "rank", F.col("value").alias("est"))
-        )
-        qdf = pick if qdf is None else qdf.unionByName(pick)
-    return qdf.orderBy("q")
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    ranks = qdf.crossJoin(n).select(
+        "q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("rank")
+    )
+    return (
+        F.broadcast(ranks)
+        .join(cum, cum["cum"] >= ranks["rank"])
+        .groupBy("q", "rank")
+        .agg(F.min("value").alias("est"))
+        .orderBy("q")
+    )
 
 
 _KLL_EXACT_SQL = """
