@@ -1034,3 +1034,88 @@ def test_optimize_compacts_small_files(spark, tmp_path):
             if k == "commitInfo":
                 assert body["operation"] == "OPTIMIZE"
         assert "add" in kinds and "remove" in kinds
+
+
+def test_merge_occ_three_writer_interleavings_no_lost_updates(spark, tmp_path):
+    """OCC stress: three writers with pairwise-overlapping partition
+    sets commit under nested interleavings (C runs inside B's commit
+    window, B runs inside A's). Whatever the retry cascade looks
+    like, the final table must equal the latest-wins merge of all
+    batches, the log must replay to exactly the live files, and
+    every version's readVersion must point at its true base."""
+    import json as _json
+
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+    base = [
+        ("a", "2023-01-01T10:00:00", "v0"),
+        ("b", "2023-01-02T10:00:00", "v0"),
+        ("c", "2023-01-03T10:00:00", "v0"),
+    ]
+    merge.merge_into_parquet(
+        spark, path, spark.createDataFrame(_ts_rows(base), cols),
+        ["id"], ["update_at"], ["day"],
+    )
+
+    batch_a = spark.createDataFrame(  # days 01+02
+        _ts_rows([("a", "2023-01-01T11:00:00", "vA"),
+                  ("b", "2023-01-02T11:00:00", "vA")]), cols
+    )
+    batch_b = spark.createDataFrame(  # days 02+03 (overlaps A on 02)
+        _ts_rows([("b", "2023-01-02T12:00:00", "vB"),
+                  ("c", "2023-01-03T12:00:00", "vB")]), cols
+    )
+    batch_c = spark.createDataFrame(  # days 01+03 (overlaps both)
+        _ts_rows([("a", "2023-01-01T13:00:00", "vC"),
+                  ("c", "2023-01-03T13:00:00", "vC")]), cols
+    )
+
+    fired_b, fired_c = [], []
+
+    def run_c():
+        if not fired_c:
+            fired_c.append(1)
+            merge.merge_into_parquet(
+                spark, path, batch_c, ["id"], ["update_at"], ["day"],
+            )
+
+    def run_b_with_c_inside():
+        if not fired_b:
+            fired_b.append(1)
+            merge.merge_into_parquet(
+                spark, path, batch_b, ["id"], ["update_at"], ["day"],
+                _hook_before_commit=run_c,
+            )
+
+    # A stages first, then B (itself interleaved by C) commits ahead
+    merge.merge_into_parquet(
+        spark, path, batch_a, ["id"], ["update_at"], ["day"],
+        _hook_before_commit=run_b_with_c_inside,
+    )
+
+    # latest-wins truth: every batch's newer ts beat the older ones
+    result = {r.id: r.note for r in spark.read.parquet(path).collect()}
+    assert result == {"a": "vC", "b": "vB", "c": "vC"}, result
+
+    versions = deltatable.list_versions(path)
+    assert versions == [0, 1, 2, 3]
+    snap = deltatable.table_snapshot(path)
+    assert set(snap["active_files"]) == set(merge._all_data_files(path))
+    assert snap["total_rows"] == 3
+    # every commit's readVersion is exactly the version before it
+    # RETRIED against (strictly increasing, < own version)
+    for v, content in deltatable.read_commits(path):
+        ci = next(
+            _json.loads(ln)["commitInfo"]
+            for ln in content.splitlines()
+            if "commitInfo" in ln
+        )
+        assert ci["readVersion"] < v
+    # no residue: no claims, markers, or staging left behind
+    assert not [
+        f for f in os.listdir(os.path.join(path, "_delta_log"))
+        if f.startswith(".claim-")
+    ]
+    assert os.listdir(os.path.join(path, "_staging")) == []
