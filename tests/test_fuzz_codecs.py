@@ -236,3 +236,51 @@ def test_roaring64_bucket_roundtrip_random(buckets):
         {(hi << 32) | v for hi, vs in enumerate(buckets) for v in vs}
     )
     assert roaring64_deserialize(roaring64_serialize(vals)) == vals
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=0,
+        max_size=4000,
+    ),
+    st.sampled_from([8, 32, 128]),
+)
+def test_kll_invariants_random(data, k):
+    """Round-10 KLL compactor invariants under random inputs and
+    capacities: exact weight conservation, bounded state, and every
+    quantile read within the accumulated deterministic rank bound."""
+    import bisect
+    import math
+
+    from dynamodb_to_datalake_project_spark.llm.sketch import (
+        kll_build_values,
+    )
+
+    items, bound = kll_build_values(data, k=k)
+    n = len(data)
+    assert sum(w for _, w in items) == n
+    if n:
+        levels = max(w for _, w in items).bit_length()
+        assert len(items) <= max(k, 4) * (levels + 1)
+    exact = sorted(data)
+    srt = sorted(items)
+    for q in (0.1, 0.5, 0.9):
+        if not n:
+            break
+        rank = math.ceil(q * n)
+        cum = 0
+        est = srt[-1][0]
+        for v, w in srt:
+            cum += w
+            if cum >= rank:
+                est = v
+                break
+        r = bisect.bisect_right(exact, est)
+        lo = bisect.bisect_left(exact, est)
+        # est's rank interval [lo, r] must be within bound of target
+        assert lo - bound - 1 <= rank <= r + bound + 1
