@@ -208,17 +208,45 @@ def schema_string(spark_schema) -> str:
     return spark_schema.json()
 
 
-def meta_action(schema_json: str, partition_cols: list[str]) -> dict:
+def meta_action(
+    schema_json: str,
+    partition_cols: list[str],
+    configuration: "dict[str, str] | None" = None,
+) -> dict:
     return {
         "metaData": {
             "id": uuid.uuid4().hex,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_json,
             "partitionColumns": partition_cols,
-            "configuration": {},
+            "configuration": dict(configuration or {}),
             "createdTime": 0,
         }
     }
+
+
+RETAIN_CONFIG_KEY = "spark_graft.retainFiles"
+
+
+def table_retain_mode(table_path: str) -> "bool | None":
+    """The table's recorded retention mode (latest metaData action's
+    configuration[`spark_graft.retainFiles`]), or None when the log
+    predates the config. Retention is a TABLE property, not a per-call
+    flag: a swap-mode (`retain=False`) commit's `_apply_commit` rmtree
+    physically deletes partition dirs — on a table whose earlier
+    commits retained history, that silently destroys the time travel
+    those commits paid to keep, so writers validate their flag against
+    this record."""
+    for _v, content in reversed(read_commits(table_path)):
+        for line in content.splitlines():
+            if '"metaData"' in line:
+                a = json.loads(line)
+                if "metaData" in a:
+                    val = (a["metaData"].get("configuration") or {}).get(
+                        RETAIN_CONFIG_KEY
+                    )
+                    return None if val is None else val == "true"
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -257,22 +285,40 @@ def release_claim(table_path: str, version: int) -> None:
         pass
 
 
-def stale_claims(table_path: str, pending_txns: set[str]) -> list[str]:
+def stale_claims(
+    table_path: str,
+    pending_txns: set[str],
+    grace_seconds: float = 0.0,
+) -> list[str]:
     """Claims whose txn has no commit marker: the claimant died
     before its commit point — the table was never touched, the claim
-    is rolled back. (Claims of LIVE writers are protected by their
-    marker once committed; pre-marker liveness is out of scope — the
-    recovery path runs under the pipeline's single-flight lock.)"""
+    is rolled back. `grace_seconds` protects LIVE pre-marker writers
+    on the concurrent-merge hot path: a claim is held (markerless)
+    for the whole window between the version CAS and the marker
+    write, so only claims older than the grace window may be rolled
+    back there; the explicit single-flight recovery call passes 0."""
+    import time
+
     d = log_dir(table_path)
     out = []
     if not os.path.isdir(d):
         return out
+    now = time.time()
     for f in os.listdir(d):
         if f.startswith(".claim-"):
-            with open(os.path.join(d, f)) as fh:
-                txn = fh.read().strip()
+            p = os.path.join(d, f)
+            try:
+                if now - os.path.getmtime(p) < grace_seconds:
+                    continue
+                with open(p) as fh:
+                    txn = fh.read().strip()
+            except OSError:
+                continue  # vanished mid-scan: its owner released it
             if txn not in pending_txns:
-                os.remove(os.path.join(d, f))
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    continue
                 out.append(f)
     return out
 
@@ -355,7 +401,15 @@ def maybe_write_checkpoint(
         replay_delta_log,
     )
 
-    snap = replay_delta_log(read_commits(table_path))
+    # Fold ONLY commits <= v: nothing blocks a concurrent writer from
+    # filling v+1 while this runs (our caller's claim covers only v),
+    # and a checkpoint labeled v that embeds v+1's actions would make
+    # cold reads replay v+1 twice — adds/removes are idempotent but
+    # the declared version/counters would lie about the contents.
+    commits_le_v = [
+        (cv, body) for cv, body in read_commits(table_path) if cv <= v
+    ]
+    snap = replay_delta_log(commits_le_v)
     pv_t = pa.map_(pa.string(), pa.string())
     add_t = pa.struct(
         [
@@ -382,7 +436,7 @@ def maybe_write_checkpoint(
     # recover schemaString / partitionValues from the latest commits
     schema_json, meta_id = None, uuid.uuid4().hex
     part_values: dict[str, dict] = {}
-    for _v, content in read_commits(table_path):
+    for _v, content in commits_le_v:
         for line in content.splitlines():
             if not line.strip():
                 continue

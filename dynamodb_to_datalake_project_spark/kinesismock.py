@@ -67,21 +67,49 @@ class MockKinesisStream:
         for s in range(n_shards):
             os.makedirs(os.path.join(root, f"shard-{s}"), exist_ok=True)
         self._seq_file = os.path.join(root, "_next_seq")
+        self._claims_dir = os.path.join(root, "_seq_claims")
+        os.makedirs(self._claims_dir, exist_ok=True)
 
-    def _next_seq(self) -> int:
+    def _next_seq(self, shard: int) -> int:
+        """Atomically allocate the next global sequence number. The
+        O_EXCL claim file (named by sequence, content = shard) is the
+        allocation authority — two concurrent producers can never win
+        the same sequence; `_next_seq` (the counter file) is only a
+        starting-point hint, racy by design and never trusted.
+        Claim files are kept: they double as the in-flight ledger
+        `shard_sequences` uses to hold batch end-offsets below any
+        claimed-but-not-yet-durable record (without that fence a
+        batch boundary passing a pending sequence would skip the
+        record forever)."""
         seq = 0
         if os.path.isfile(self._seq_file):
             with open(self._seq_file) as f:
-                seq = int(f.read())
-        with open(self._seq_file, "w") as f:
+                try:
+                    seq = int(f.read())
+                except ValueError:
+                    seq = 0
+        while True:
+            try:
+                fd = os.open(
+                    os.path.join(self._claims_dir, f"{seq:012d}"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                break
+            except FileExistsError:
+                seq += 1
+        with os.fdopen(fd, "w") as f:
+            f.write(str(shard))
+        tmp = self._seq_file + f".{seq}.tmp"
+        with open(tmp, "w") as f:
             f.write(str(seq + 1))
+        os.replace(tmp, self._seq_file)
         return seq
 
     def put_record(self, partition_key: str, data: dict) -> int:
         """PutRecord: route by MD5(partition_key), assign the next
         sequence number, persist durably. Returns the sequence."""
         shard = shard_for_key(partition_key, self.n_shards)
-        seq = self._next_seq()
+        seq = self._next_seq(shard)
         path = os.path.join(
             self.root, f"shard-{shard}", f"{seq:012d}.json"
         )
@@ -91,16 +119,37 @@ class MockKinesisStream:
         os.replace(tmp, path)
         return seq
 
+    def _pending_floor(self) -> "int | None":
+        """Lowest sequence claimed by a producer whose record is not
+        yet durable (crash-or-in-flight), or None when every claim is
+        backed by a durable record."""
+        floor = None
+        for f in sorted(os.listdir(self._claims_dir)):
+            if not f.isdigit():
+                continue
+            with open(os.path.join(self._claims_dir, f)) as fh:
+                shard = fh.read().strip()
+            rec = os.path.join(self.root, f"shard-{shard}", f + ".json")
+            if not os.path.isfile(rec):
+                floor = int(f)
+                break
+        return floor
+
     def shard_sequences(self) -> "dict[str, int]":
         """Per shard: one past the highest durable sequence number
-        (the exclusive end offset a consumer reads to)."""
+        (the exclusive end offset a consumer reads to) — capped below
+        the pending-claim floor so a sequence claimed but not yet
+        durable when the batch boundary passes is picked up by the
+        NEXT batch instead of skipped forever."""
         out = {}
+        floor = self._pending_floor()
         for s in range(self.n_shards):
             d = os.path.join(self.root, f"shard-{s}")
             seqs = [
                 int(f[:-5])
                 for f in os.listdir(d)
                 if f.endswith(".json")
+                and (floor is None or int(f[:-5]) < floor)
             ]
             out[f"shard-{s}"] = max(seqs) + 1 if seqs else 0
         return out
@@ -126,20 +175,41 @@ class _KinesisMockStreamReader(DataSourceStreamReader):
         self.max_per_shard = int(
             options.get("max_records_per_shard_per_batch", "10000")
         )
+        # last end offset THIS reader returned: anchor for the
+        # per-batch ingestion bound (see latestOffset)
+        self._last_end: "dict | None" = None
 
     def initialOffset(self) -> dict:
         return {f"shard-{s}": 0 for s in range(self.n_shards)}
 
     def latestOffset(self) -> dict:
+        """Next batch's end offsets. The T6 ingestion bound
+        (`max_records_per_shard_per_batch`) is applied HERE, not in
+        `partitions`: Spark commits whatever this returns as the new
+        start, so a `partitions` that reads less than [start, end)
+        would skip the gap forever. Capping is anchored to the end
+        this reader returned last batch; the first batch after a
+        restart is uncapped (the checkpointed start isn't visible
+        here — a pacing knob, never a correctness one)."""
         latest = MockKinesisStream(self.root, self.n_shards).shard_sequences()
-        return {k: int(v) for k, v in latest.items()}
+        end = {k: int(v) for k, v in latest.items()}
+        if self._last_end is not None:
+            end = {
+                k: max(
+                    self._last_end.get(k, 0),
+                    min(v, self._last_end.get(k, 0) + self.max_per_shard),
+                )
+                for k, v in end.items()
+            }
+        self._last_end = end
+        return end
 
     def partitions(self, start: dict, end: dict):
-        out = []
-        for shard, lo in start.items():
-            hi = min(int(end[shard]), int(lo) + self.max_per_shard)
-            out.append(_ShardSlice(self.root, shard, int(lo), hi))
-        return out
+        # must cover EXACTLY [start, end): Spark commits `end`
+        return [
+            _ShardSlice(self.root, shard, int(lo), int(end[shard]))
+            for shard, lo in start.items()
+        ]
 
     def read(self, partition: _ShardSlice):
         d = os.path.join(partition.root, partition.shard)

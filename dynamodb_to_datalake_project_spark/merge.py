@@ -220,39 +220,90 @@ def recover_pending_commits(
     checkpointed batch). Returns the replayed commit ids.
 
     Called automatically at the start of every `merge_into_parquet`
-    with a staging GRACE PERIOD: with OCC a second writer may be
-    mid-merge right now, its staging written but its marker not yet —
-    GC'ing that would silently drop its batch while its Delta commit
-    still records the adds. Only staging older than the grace window
-    (a crashed writer's leftovers) is collected on the merge path;
-    explicit recovery calls (grace 0, single-flight by contract)
-    collect everything unmarked."""
+    with a GRACE PERIOD protecting EVERY piece of a live concurrent
+    writer's in-flight state — OCC invites concurrent merges, so on
+    the merge hot path this routine may only touch leftovers old
+    enough that their writer is provably dead:
+
+    - staging with no marker: the merge never committed; GC'ing a
+      LIVE writer's staging would drop its batch while its upcoming
+      Delta commit still records the adds;
+    - markers: a marker written milliseconds ago is being applied by
+      its owner RIGHT NOW — a second `_apply_commit` of the same
+      commit races the owner's rmtree/rename and can delete a
+      partition's old copy after the owner already swapped the staged
+      copy in, losing both;
+    - version claims: a claim is held (markerless) for the whole
+      window between `_claim_tip` and the marker write, which
+      includes parsing every staged parquet footer in
+      `_delta_actions`; rolling a live claim back lets a third
+      writer claim the same log version and bypass conflict
+      detection (double-commit / lost update).
+
+    Only state older than the grace window is replayed/collected on
+    the merge path; the explicit recovery entry point (grace 0,
+    single-flight by contract) replays and rolls back everything."""
     import time
+
+    now = time.time()
+
+    def _aged(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) >= staging_grace_seconds
+        except OSError:
+            return False
 
     cdir = os.path.join(table_path, "_commits")
     replayed = []
     if os.path.isdir(cdir):
         for f in sorted(os.listdir(cdir)):
-            if f.endswith(".json"):
+            if f.endswith(".json") and _aged(os.path.join(cdir, f)):
                 _apply_commit(table_path, f[: -len(".json")])
                 replayed.append(f[: -len(".json")])
     sdir = os.path.join(table_path, "_staging")
     if os.path.isdir(sdir):
-        now = time.time()
         for d in os.listdir(sdir):
             if not os.path.exists(os.path.join(cdir, d + ".json")):
                 p = os.path.join(sdir, d)
-                try:
-                    age = now - os.path.getmtime(p)
-                except OSError:
-                    continue
-                if age >= staging_grace_seconds:
+                if _aged(p):
                     shutil.rmtree(p, ignore_errors=True)
     # roll back version claims whose writer died before its commit
-    # point (no marker => the table was never touched). Runs under
-    # the same single-flight discipline as the marker replay above.
-    deltatable.stale_claims(table_path, pending_txns=set())
+    # point (no marker => the table was never touched) — same grace:
+    # a markerless claim younger than the window may belong to a live
+    # writer between its CAS and its marker write.
+    deltatable.stale_claims(
+        table_path, pending_txns=set(), grace_seconds=staging_grace_seconds
+    )
     return replayed
+
+
+def _resolve_retain_mode(
+    table_path: str, retain_files: "bool | None", delta_log: bool = True
+) -> bool:
+    """Resolve the caller's `retain_files` flag against the TABLE's
+    recorded mode (metaData.configuration, `deltatable.
+    table_retain_mode`). None = inherit the table's mode (False for
+    new/legacy tables); an explicit flag that CONTRADICTS the record
+    is rejected — a swap-mode commit on a retained-history table
+    would physically rmtree the historical files earlier commits paid
+    to keep (silent time-travel destruction), and a retain commit on
+    a swap table would leave superseded files a plain directory scan
+    double-counts."""
+    recorded = (
+        deltatable.table_retain_mode(table_path)
+        if delta_log and os.path.isdir(table_path)
+        else None
+    )
+    if retain_files is None:
+        return bool(recorded)
+    if recorded is not None and bool(retain_files) != recorded:
+        raise ValueError(
+            f"{table_path}: table records retainFiles={recorded} in its "
+            f"Delta metaData but this call passed "
+            f"retain_files={retain_files}; retention is a table "
+            f"property — pass retain_files=None to inherit it"
+        )
+    return bool(retain_files)
 
 
 def _delta_actions(
@@ -287,7 +338,13 @@ def _delta_actions(
     ]
     if base_version < 0:
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
-        actions.append(deltatable.meta_action(schema_json, partition_cols))
+        actions.append(
+            deltatable.meta_action(
+                schema_json,
+                partition_cols,
+                {deltatable.RETAIN_CONFIG_KEY: "true" if retain else "false"},
+            )
+        )
 
     staged_files: list[str] = []
     for rel in rels:
@@ -404,7 +461,7 @@ def merge_into_parquet(
     op_col: str | None = None,
     delete_types: tuple[str, ...] = ("REMOVE",),
     delta_log: bool = True,
-    retain_files: bool = False,
+    retain_files: "bool | None" = None,
     max_commit_retries: int = 3,
     _hook_before_commit=None,
 ) -> None:
@@ -436,13 +493,14 @@ def merge_into_parquet(
     per README.rst:137 — exactly so updates can't move a row across
     partitions).
     """
+    if os.path.isdir(table_path):
+        recover_pending_commits(table_path, staging_grace_seconds=3600.0)
+    retain_files = _resolve_retain_mode(table_path, retain_files, delta_log)
     if retain_files and not delta_log:
         raise ValueError(
             "retain_files needs the delta log: without the active-set "
             "fold a directory full of superseded files is unreadable"
         )
-    if os.path.isdir(table_path):
-        recover_pending_commits(table_path, staging_grace_seconds=3600.0)
     parts = touched_partitions(source, partition_cols)
     if not parts:
         return
@@ -521,6 +579,11 @@ def merge_into_parquet(
                     deltatable.meta_action(
                         deltatable.schema_string(deduped.schema),
                         partition_cols,
+                        {
+                            deltatable.RETAIN_CONFIG_KEY: (
+                                "true" if retain_files else "false"
+                            )
+                        },
                     ),
                 ] + [
                     {"add": deltatable.build_add(table_path, f, partition_cols)}
@@ -697,7 +760,7 @@ def optimize_table(
     spark: SparkSession,
     table_path: str,
     partition_cols: list[str],
-    retain_files: bool = False,
+    retain_files: "bool | None" = None,
     max_files_ok: int = 1,
     max_commit_retries: int = 3,
 ) -> int:
@@ -714,6 +777,7 @@ def optimize_table(
     bytes (file-level pruning via the log), never the table."""
     if os.path.isdir(table_path):
         recover_pending_commits(table_path, staging_grace_seconds=3600.0)
+    retain_files = _resolve_retain_mode(table_path, retain_files)
     for _attempt in range(max_commit_retries):
         base_version = deltatable.current_version(table_path)
         if base_version < 0:

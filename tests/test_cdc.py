@@ -1583,3 +1583,114 @@ def test_kinesis_mock_resume_from_sequence_exactly_once(spark, tmp_path):
     v_before = deltatable.current_version(table)
     run_once()
     assert deltatable.current_version(table) == v_before
+
+
+def test_kinesis_mock_concurrent_producers_no_lost_sequences(tmp_path):
+    """ADVICE r10: `_next_seq` was a read-modify-write race. The
+    O_EXCL claim makes sequence allocation atomic — N concurrent
+    producers (separate handles, same directory) must produce N×M
+    records with distinct dense sequences and no overwritten files."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dynamodb_to_datalake_project_spark import kinesismock as km
+
+    root = str(tmp_path / "stream")
+    km.MockKinesisStream(root, n_shards=2)
+
+    def produce(i):
+        handle = km.MockKinesisStream(root, n_shards=2)
+        return [
+            handle.put_record(f"key-{i}-{j}", {"p": i, "j": j})
+            for j in range(25)
+        ]
+
+    with ThreadPoolExecutor(8) as ex:
+        seqs = [q for r in ex.map(produce, range(8)) for q in r]
+    assert sorted(seqs) == list(range(200)), "dup or lost sequence"
+    import os as _os
+
+    durable = sum(
+        1
+        for s in range(2)
+        for f in _os.listdir(_os.path.join(root, f"shard-{s}"))
+        if f.endswith(".json")
+    )
+    assert durable == 200
+    ends = km.MockKinesisStream(root, n_shards=2).shard_sequences()
+    # every sequence below each shard's end is readable exactly once
+    assert max(ends.values()) == 200
+
+
+def test_kinesis_mock_pending_claim_fences_batch_end(tmp_path):
+    """ADVICE r10: a sequence claimed but not yet durable when a
+    batch boundary passes must NOT be skipped forever — batch end
+    offsets stay below the pending-claim floor until the record
+    lands (or its producer is declared dead)."""
+    import json as _json
+    import os as _os
+
+    from dynamodb_to_datalake_project_spark import kinesismock as km
+
+    root = str(tmp_path / "stream")
+    s = km.MockKinesisStream(root, n_shards=1)
+    s.put_record("a", {"v": 1})  # seq 0
+    s.put_record("b", {"v": 2})  # seq 1
+    pending = s._next_seq(0)     # seq 2 claimed, record NOT durable
+    assert pending == 2
+    s.put_record("c", {"v": 3})  # seq 3, durable PAST the gap
+
+    # end offset is fenced at the pending claim: 3 is not yet visible
+    assert s.shard_sequences() == {"shard-0": 2}
+
+    # the slow producer's record lands: the fence lifts, nothing lost
+    with open(_os.path.join(root, "shard-0", f"{pending:012d}.json"), "w") as f:
+        _json.dump({"partition_key": "slow", "data": {"v": 9}}, f)
+    assert s.shard_sequences() == {"shard-0": 4}
+
+
+def test_kinesis_mock_batch_cap_paces_without_dropping(tmp_path):
+    """`max_records_per_shard_per_batch` is a PACING knob applied in
+    latestOffset (what Spark commits), never in partitions: capping
+    inside partitions would read less than [start, end) while Spark
+    still commits `end`, skipping the gap forever. Walk the reader
+    protocol by hand and assert the capped batch ends tile the
+    sequence space with no holes."""
+    from dynamodb_to_datalake_project_spark import kinesismock as km
+
+    root = str(tmp_path / "stream")
+    stream = km.MockKinesisStream(root, n_shards=1)
+    for i in range(5):
+        stream.put_record(f"k{i}", {"v": i})
+
+    rd = km._KinesisMockStreamReader(
+        {"path": root, "n_shards": "1", "max_records_per_shard_per_batch": "2"}
+    )
+    start = rd.initialOffset()
+    covered = []
+    prev = start
+    # first batch after (re)start is uncapped by design
+    end1 = rd.latestOffset()
+    assert end1 == {"shard-0": 5}
+    covered += [
+        (p.start, p.end) for p in rd.partitions(prev, end1)
+    ]
+    prev = end1
+    for i in range(5, 10):
+        stream.put_record(f"k{i}", {"v": i})
+    # subsequent batches are paced at <= cap, anchored to last end
+    end2 = rd.latestOffset()
+    assert end2 == {"shard-0": 7}
+    covered += [(p.start, p.end) for p in rd.partitions(prev, end2)]
+    prev = end2
+    end3 = rd.latestOffset()
+    assert end3 == {"shard-0": 9}
+    covered += [(p.start, p.end) for p in rd.partitions(prev, end3)]
+    prev = end3
+    end4 = rd.latestOffset()
+    assert end4 == {"shard-0": 10}
+    covered += [(p.start, p.end) for p in rd.partitions(prev, end4)]
+    # the slices tile [0, 10) exactly: no drops, no overlaps
+    seen = sorted(covered)
+    assert seen[0][0] == 0 and seen[-1][1] == 10
+    for (s0, e0), (s1, _e1) in zip(seen, seen[1:]):
+        assert e0 == s1

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from dynamodb_to_datalake_project_spark import merge
@@ -741,9 +742,15 @@ def test_delta_log_crash_replay_completes_log_fill(spark, tmp_path):
 
 
 def test_delta_precommit_crash_rolls_back_claim(spark, tmp_path):
-    """Crash after claiming a version but before the marker: the next
-    merge's recovery removes the orphan claim so the log tip is free
-    again (the table was never touched)."""
+    """Crash after claiming a version but before the marker: the hot
+    merge path must NOT roll the claim back while it is younger than
+    the grace window (it may belong to a LIVE writer between its CAS
+    and its marker write — rolling it back would let a third writer
+    claim the same version and bypass conflict detection). Once the
+    claim ages past the grace window — or via the explicit grace-0
+    recovery call — it is rolled back and the tip is free again."""
+    import os as _os
+
     from dynamodb_to_datalake_project_spark import deltatable
 
     path = str(tmp_path / "lake")
@@ -757,9 +764,29 @@ def test_delta_precommit_crash_rolls_back_claim(spark, tmp_path):
     b1 = spark.createDataFrame(
         _ts_rows([("b", "2023-01-02T10:00:00", "v1")]), cols
     )
+    # fresh markerless claim = presumed live: the concurrent merge
+    # must refuse to steal it (spins out, then conflict)
+    with pytest.raises(merge.ConcurrentWriteConflict):
+        merge.merge_into_parquet(
+            spark, path, b1, ["id"], ["update_at"], ["day"]
+        )
+    claim = _os.path.join(path, "_delta_log", ".claim-" + "1".zfill(20))
+    assert _os.path.exists(claim), "live-window claim must survive"
+
+    # age the claim past the merge path's grace window: now it is a
+    # crashed writer's leftover and the next merge rolls it back
+    old = _os.path.getmtime(claim) - 7200
+    _os.utime(claim, (old, old))
     merge.merge_into_parquet(spark, path, b1, ["id"], ["update_at"], ["day"])
     assert deltatable.list_versions(path) == [0, 1]
     assert deltatable.table_snapshot(path)["total_rows"] == 2
+
+    # explicit recovery entry point (grace 0) rolls back immediately
+    assert deltatable.claim_version(path, 2, "dead111")
+    merge.recover_pending_commits(path)
+    assert not _os.path.exists(
+        _os.path.join(path, "_delta_log", ".claim-" + "2".zfill(20))
+    )
 
 
 def test_merge_occ_conflict_retries_no_lost_rows(spark, tmp_path):
@@ -1119,3 +1146,155 @@ def test_merge_occ_three_writer_interleavings_no_lost_updates(spark, tmp_path):
         if f.startswith(".claim-")
     ]
     assert os.listdir(os.path.join(path, "_staging")) == []
+
+
+def test_retain_mode_is_a_table_property(spark, tmp_path):
+    """The retention mode is recorded in the Delta metaData at table
+    creation (ADVICE r10): a later call may inherit it
+    (retain_files=None) but never silently flip it — a swap-mode
+    commit's rmtree on a retained-history table would physically
+    destroy the files earlier commits paid to keep."""
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    cols = ["id", "update_at", "note", "day"]
+
+    def m(path, rows, **kw):
+        merge.merge_into_parquet(
+            spark, path, spark.createDataFrame(_ts_rows(rows), cols),
+            ["id"], ["update_at"], ["day"], **kw,
+        )
+
+    # retained table: creation records the mode; None inherits it
+    rpath = str(tmp_path / "retained")
+    m(rpath, [("a", "2023-01-01T10:00:00", "v1")], retain_files=True)
+    assert deltatable.table_retain_mode(rpath) is True
+    m(rpath, [("a", "2023-01-01T12:00:00", "v2")])  # default None inherits
+    # superseded file retained => time travel to v0 still works
+    df0 = deltatable.read_snapshot_df(spark, rpath, 0)
+    assert {r.note for r in df0.collect()} == {"v1"}
+    # an explicit contradictory flag is rejected before any damage
+    with pytest.raises(ValueError, match="retainFiles"):
+        m(rpath, [("a", "2023-01-01T14:00:00", "v3")], retain_files=False)
+    with pytest.raises(ValueError, match="retainFiles"):
+        merge.optimize_table(
+            spark, rpath, ["day"], retain_files=False, max_files_ok=0
+        )
+    # and the history is intact after the rejections
+    assert deltatable.read_snapshot_df(spark, rpath, 0).count() == 1
+
+    # swap table: the reverse flip is rejected too
+    spath = str(tmp_path / "swap")
+    m(spath, [("a", "2023-01-01T10:00:00", "v1")], retain_files=False)
+    assert deltatable.table_retain_mode(spath) is False
+    with pytest.raises(ValueError, match="retainFiles"):
+        m(spath, [("b", "2023-01-02T10:00:00", "v1")], retain_files=True)
+    m(spath, [("b", "2023-01-02T10:00:00", "v1")])  # None inherits swap
+
+
+def test_live_marker_and_staging_protected_by_grace(spark, tmp_path):
+    """A commit marker written milliseconds ago belongs to a LIVE
+    writer mid-apply: the hot-path recovery must leave it (and its
+    staging) alone inside the grace window — replaying it would race
+    the owner's rmtree/rename and can lose a partition. Once aged, it
+    is a crashed writer's leftover and replay heals it (ADVICE r10)."""
+    import json as _json
+
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+    merge.merge_into_parquet(
+        spark, path,
+        spark.createDataFrame(
+            _ts_rows([("a", "2023-01-01T10:00:00", "v1")]), cols
+        ),
+        ["id"], ["update_at"], ["day"], delta_log=False,
+    )
+
+    # hand-build a committed-but-unapplied state (marker + staging)
+    cid = "deadbeef0001"
+    rel = "day=2023-01-09"
+    sdir = os.path.join(path, "_staging", cid, rel)
+    os.makedirs(sdir)
+    spark.createDataFrame(
+        [("z", "2023-01-09T10:00:00", "vz")], ["id", "update_at", "note"]
+    ).coalesce(1).write.mode("overwrite").parquet(sdir)
+    cdir = os.path.join(path, "_commits")
+    os.makedirs(cdir, exist_ok=True)
+    with open(os.path.join(cdir, f"{cid}.json"), "w") as f:
+        _json.dump(
+            {"partitions": [rel], "removed": [], "root_removed": []}, f
+        )
+
+    # fresh marker: hot path (grace) must not touch it
+    assert (
+        merge.recover_pending_commits(path, staging_grace_seconds=3600.0)
+        == []
+    )
+    assert os.path.isfile(os.path.join(cdir, f"{cid}.json"))
+    assert os.path.isdir(sdir)
+
+    # aged marker: hot path replays it
+    for p in (os.path.join(cdir, f"{cid}.json"),):
+        old = os.path.getmtime(p) - 7200
+        os.utime(p, (old, old))
+    assert merge.recover_pending_commits(
+        path, staging_grace_seconds=3600.0
+    ) == [cid]
+    assert not os.path.exists(os.path.join(cdir, f"{cid}.json"))
+    assert os.path.isdir(os.path.join(path, rel))
+
+
+def test_checkpoint_bounded_to_labeled_version(spark, tmp_path, monkeypatch):
+    """A checkpoint labeled v must fold ONLY commits <= v (ADVICE
+    r10): nothing stops a concurrent writer filling v+1 while the
+    checkpoint is being written, and embedding v+1's adds under label
+    v corrupts the cold read's version accounting."""
+    import json as _json
+
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    monkeypatch.setattr(deltatable, "CHECKPOINT_INTERVAL", 2)
+    path = str(tmp_path / "lake")
+    cols = ["id", "update_at", "note", "day"]
+    for rows in (
+        [("a", "2023-01-01T10:00:00", "v1")],
+        [("b", "2023-01-02T10:00:00", "v1")],
+        [("c", "2023-01-03T10:00:00", "v1")],
+    ):
+        merge.merge_into_parquet(
+            spark, path, spark.createDataFrame(_ts_rows(rows), cols),
+            ["id"], ["update_at"], ["day"],
+        )
+    # remove the checkpoint v2's own merge wrote so we can re-trigger
+    # it manually AFTER a racing v3 commit lands in the log
+    ld = os.path.join(path, "_delta_log")
+    for f in os.listdir(ld):
+        if "checkpoint" in f or f == "_last_checkpoint":
+            os.remove(os.path.join(ld, f))
+    racing = {
+        "add": {
+            "path": "day=2099-01-01/part-racing.parquet",
+            "partitionValues": {"day": "2099-01-01"},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": _json.dumps({"numRecords": 1}),
+        }
+    }
+    with open(os.path.join(ld, f"{3:020d}.json"), "w") as f:
+        f.write(
+            _json.dumps({"commitInfo": {"txnId": "racer", "readVersion": 2}})
+            + "\n" + _json.dumps(racing) + "\n"
+        )
+    # the checkpointing writer believes the tip is 2 (its own claim)
+    monkeypatch.setattr(deltatable, "current_version", lambda p: 2)
+    assert deltatable.maybe_write_checkpoint(path) == 2
+    monkeypatch.undo()
+
+    import pyarrow.parquet as pq
+
+    cp = pq.read_table(
+        os.path.join(ld, f"{2:020d}.checkpoint.parquet")
+    ).to_pylist()
+    paths = {r["add"]["path"] for r in cp if r["add"] is not None}
+    assert "day=2099-01-01/part-racing.parquet" not in paths
+    assert len(paths) == 3  # exactly v0..v2's three partitions
