@@ -285,6 +285,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.graph  # noqa: F401
     import dynamodb_to_datalake_project_spark.skew  # noqa: F401
     import dynamodb_to_datalake_project_spark.layout  # noqa: F401
+    import dynamodb_to_datalake_project_spark.icebergtable  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.text  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.dedup  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.similarity  # noqa: F401

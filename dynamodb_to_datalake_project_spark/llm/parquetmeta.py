@@ -187,6 +187,7 @@ def parse_parquet_footer(payload: bytes) -> dict:
             md = cc.get(3)
             if not isinstance(md, dict):
                 raise ValueError("parquet: column chunk missing metadata")
+            st = md.get(12)
             cols.append(
                 {
                     "path": b".".join(md.get(3) or []).decode("utf-8"),
@@ -198,6 +199,20 @@ def parse_parquet_footer(payload: bytes) -> dict:
                     "num_values": md.get(5, 0),
                     "compressed_bytes": md.get(7, 0),
                     "uncompressed_bytes": md.get(6, 0),
+                    # Statistics struct (raw min_value/max_value bytes,
+                    # decoded by physical type at the consumer —
+                    # parquet.thrift Statistics ids 3/5/6): the chunk
+                    # stats Iceberg manifests and Delta adds derive
+                    # their file bounds from. None when absent.
+                    "statistics": (
+                        {
+                            "null_count": st.get(3),
+                            "max_value": st.get(5),
+                            "min_value": st.get(6),
+                        }
+                        if isinstance(st, dict)
+                        else None
+                    ),
                 }
             )
         row_groups.append(

@@ -270,7 +270,15 @@ def resolve_iceberg_snapshot(
         n_deleted += len(by_status.get(_DELETED, []))
         for f in by_status.get(_ADDED, []) + by_status.get(_EXISTING, []):
             live.append(f)
-            partitions.add(f["partition"]["dt"])
+            # partition tuple, schema-agnostic: the writer's spec names
+            # the fields (fixtures use {"dt": ...}; written tables use
+            # their real partition column)
+            pv = f.get("partition")
+            partitions.add(
+                json.dumps(pv, sort_keys=True, default=str)
+                if isinstance(pv, dict)
+                else str(pv)
+            )
 
     live_records = sum(f["record_count"] for f in live)
     summary = cur.get("summary", {})

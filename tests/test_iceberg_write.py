@@ -1,0 +1,194 @@
+"""Iceberg v2 snapshot writer (`icebergtable`): metadata chain,
+manifest reuse, partition-replacement commits, bounds, and the cold
+read-back through the in-repo resolver (`llm.tablemeta`) — the
+symmetric closure of the Iceberg READ path (round-10 verdict item 1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamodb_to_datalake_project_spark import icebergtable as it
+from dynamodb_to_datalake_project_spark.llm.avrofile import parse_avro
+from dynamodb_to_datalake_project_spark.llm.tablemeta import (
+    iceberg_scan_plan,
+    parse_iceberg_metadata,
+    resolve_iceberg_snapshot,
+)
+
+
+def _mk(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .withColumn("day", (F.col("id") / 100).cast("int").cast("string"))
+        .withColumn("payload", F.concat(F.lit("p"), F.col("id")))
+    )
+
+
+def _ml_paths(table, snapshot_meta):
+    with open(os.path.join(table, snapshot_meta["manifest-list"]), "rb") as f:
+        return [r["manifest_path"] for r in parse_avro(f.read())["records"]]
+
+
+def test_append_then_resolve_cold(spark, tmp_path):
+    """One append: the resolver (cross-checking every redundant count
+    the format carries) agrees with a live Spark read, and
+    parse_iceberg_metadata sees the schema/spec/summary."""
+    t = str(tmp_path / "tbl")
+    sid = it.append(_mk(spark, 0, 500), t, "day")
+    assert sid == 1 and it.current_version(t) == 1
+
+    res = resolve_iceberg_snapshot(it.metadata_text(t), it.storage_files(t))
+    assert res["live_records"] == 500
+    assert res["n_partitions"] == 5
+    assert res["deleted_files"] == 0
+    assert it.read_table_df(spark, t).count() == 500
+
+    meta = parse_iceberg_metadata(it.metadata_text(t))
+    assert meta["schema_cols"] == ["id", "day", "payload"]
+    assert meta["partition_fields"] == ["day"]
+    assert meta["total_records"] == 500
+    assert meta["operation"] == "append"
+
+
+def test_append_reuses_prior_manifests(spark, tmp_path):
+    """The scale property: a second append's manifest list carries the
+    first commit's manifest file UNCHANGED (same path, same bytes) —
+    append cost is O(new files), never O(table)."""
+    t = str(tmp_path / "tbl")
+    it.append(_mk(spark, 0, 300), t, "day")
+    ml1 = _ml_paths(t, it.read_metadata(t, 1)["snapshots"][0])
+    it.append(_mk(spark, 1000, 1300), t, "day")
+    meta2 = it.read_metadata(t)
+    cur2 = next(
+        s
+        for s in meta2["snapshots"]
+        if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    ml2 = _ml_paths(t, cur2)
+    assert set(ml1) < set(ml2), "prior manifest must be carried forward"
+    assert len(ml2) == len(ml1) + 1
+    res = resolve_iceberg_snapshot(it.metadata_text(t), it.storage_files(t))
+    assert res["live_records"] == 600
+
+
+def test_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    """Partition replacement: days in the batch are replaced
+    wholesale (old files DELETED this snapshot), other days'
+    files survive as EXISTING; final content equals latest-write-wins
+    per day."""
+    t = str(tmp_path / "tbl")
+    it.append(_mk(spark, 0, 500), t, "day")  # days 0-4, 100 rows each
+    # replace days 2-3 with HALF the rows (50-99 of each hundred)
+    b2 = _mk(spark, 0, 500).filter(
+        F.col("day").isin("2", "3") & (F.col("id") % 100 >= 50)
+    )
+    it.overwrite_partitions(b2, t, "day")
+
+    res = resolve_iceberg_snapshot(it.metadata_text(t), it.storage_files(t))
+    assert res["live_records"] == 300 + 100  # days 0,1,4 full + 2,3 half
+    assert res["deleted_files"] > 0
+    df = it.read_table_df(spark, t)
+    assert df.count() == 400
+    per_day = {r["day"]: r["cnt"] for r in
+               df.groupBy("day").agg(F.count("*").alias("cnt")).collect()}
+    assert per_day == {"0": 100, "1": 100, "2": 50, "3": 50, "4": 100}
+    assert it.partition_census(t, "day") == {
+        "0": 100, "1": 100, "2": 50, "3": 50, "4": 100
+    }
+
+
+def test_deleted_entries_compacted_on_next_commit(spark, tmp_path):
+    """Spec rule: DELETED entries are visible only in the snapshot
+    that deleted them. The commit AFTER an overwrite must carry the
+    affected manifest with its deletes dropped (and the resolver must
+    see deleted_files == 0 again)."""
+    t = str(tmp_path / "tbl")
+    it.append(_mk(spark, 0, 300), t, "day")
+    it.overwrite_partitions(
+        _mk(spark, 0, 300).filter(F.col("day") == "1"), t, "day"
+    )
+    res = resolve_iceberg_snapshot(it.metadata_text(t), it.storage_files(t))
+    assert res["deleted_files"] > 0  # the overwrite snapshot shows them
+    it.append(_mk(spark, 5000, 5100), t, "day")
+    res2 = resolve_iceberg_snapshot(it.metadata_text(t), it.storage_files(t))
+    assert res2["deleted_files"] == 0
+    assert res2["live_records"] == 400
+
+
+def test_time_travel_via_metadata_versions(spark, tmp_path):
+    """Each vN.metadata.json resolves to its exact historical state;
+    files are never deleted by commits, so old snapshots stay
+    readable."""
+    t = str(tmp_path / "tbl")
+    it.append(_mk(spark, 0, 200), t, "day")
+    it.overwrite_partitions(
+        _mk(spark, 0, 200).filter(
+            (F.col("day") == "0") & (F.col("id") < 10)
+        ),
+        t,
+        "day",
+    )
+    files = it.storage_files(t)
+    v1 = resolve_iceberg_snapshot(it.metadata_text(t, 1), files)
+    v2 = resolve_iceberg_snapshot(it.metadata_text(t, 2), files)
+    assert v1["live_records"] == 200
+    assert v2["live_records"] == 110
+    assert v1["snapshot_id"] == 1 and v2["snapshot_id"] == 2
+    m = it.read_metadata(t)
+    cur = next(
+        s
+        for s in m["snapshots"]
+        if s["snapshot-id"] == m["current-snapshot-id"]
+    )
+    assert cur["parent-snapshot-id"] == 1
+    assert m["last-sequence-number"] == 2
+
+
+def test_manifest_bounds_prune_narrow_scan(spark, tmp_path):
+    """Footer statistics become manifest column_bounds: a narrow id
+    probe scans ~1 file and skips the rest; a probe below the domain
+    skips everything."""
+    t = str(tmp_path / "tbl")
+    it.append(_mk(spark, 0, 1000), t, "day")  # monotone id per day
+    files = it.storage_files(t)
+    meta_txt = it.metadata_text(t)
+    fid = next(
+        f["id"]
+        for f in json.loads(meta_txt)["schemas"][0]["fields"]
+        if f["name"] == "id"
+    )
+    total = iceberg_scan_plan(meta_txt, files, fid, -(10**9), 10**9)
+    narrow = iceberg_scan_plan(meta_txt, files, fid, 250, 260)
+    below = iceberg_scan_plan(meta_txt, files, fid, -100, -1)
+    assert total["scanned"] == total["total"] > 0
+    assert narrow["skipped"] >= total["total"] - 2
+    assert narrow["scanned_rows"] < 1000
+    assert below["skipped"] == below["total"]
+
+
+def test_string_columns_ship_no_long_bounds(spark, tmp_path):
+    """Bounds are emitted only for columns whose physical type
+    decodes to a long; string columns carry none and the planner must
+    scan files for them (conservative missing-stats rule)."""
+    t = str(tmp_path / "tbl")
+    it.append(_mk(spark, 0, 100), t, "day")
+    for df in it.live_files(t):
+        ids = {b["field_id"] for b in df["column_bounds"]}
+        assert ids == {1}, "only the long `id` column has bounds"
+
+
+def test_corrupted_manifest_length_rejected(spark, tmp_path):
+    """The resolver's cross-checks are real: tampering with a
+    manifest blob makes the cold read fail loudly."""
+    t = str(tmp_path / "tbl")
+    it.append(_mk(spark, 0, 100), t, "day")
+    files = it.storage_files(t)
+    mf = next(k for k in files if "/mf-" in k)
+    files[mf] = files[mf] + b"x"
+    with pytest.raises(ValueError, match="bytes"):
+        resolve_iceberg_snapshot(it.metadata_text(t), files)
