@@ -563,23 +563,36 @@ def read_snapshot_df(
             f"{missing[0]}) — time travel past the vacuum horizon; "
             f"write with retain_files=True to keep history readable"
         )
-    if not files:
-        from pyspark.sql import types as T
+    from pyspark.sql import types as T
 
+    schema_json = _schema_json_of(table_path, snap["version"])
+    if not files:
         schema = T.StructType.fromJson(
             __import__("json").loads(
-                _schema_json_of(table_path) or '{"type":"struct","fields":[]}'
+                schema_json or '{"type":"struct","fields":[]}'
             )
         )
         return spark.createDataFrame([], schema)
-    return (
-        spark.read.option("basePath", table_path)
-        .parquet(*[_os.path.join(table_path, f) for f in files])
-    )
+    reader = spark.read.option("basePath", table_path)
+    if schema_json:
+        # the LOG's schema as of this version, not a sampled footer's:
+        # post-evolution snapshots must NULL-backfill old files'
+        # missing columns; pre-evolution time travel must NOT grow
+        # the later columns
+        reader = reader.schema(T.StructType.fromJson(json.loads(schema_json)))
+    return reader.parquet(*[_os.path.join(table_path, f) for f in files])
 
 
-def _schema_json_of(table_path: str) -> "str | None":
+def _schema_json_of(
+    table_path: str, version: "int | None" = None
+) -> "str | None":
+    """The schemaString of the latest metaData action at or before
+    `version` (None = tip) — time travel reads the schema AS OF the
+    snapshot, so pre-evolution versions come back without the later
+    columns."""
     for _v, content in reversed(read_commits(table_path)):
+        if version is not None and _v > version:
+            continue
         for line in content.splitlines():
             if '"metaData"' in line:
                 a = json.loads(line)

@@ -113,6 +113,80 @@ def upsert_dataframes(
     return merged
 
 
+#: (narrow, wide) numeric widenings the merge may apply (Spark
+#: simpleString names) — the Delta type-widening set that is always
+#: lossless
+_WIDENINGS = {
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def _align_schemas(
+    target: DataFrame,
+    source: DataFrame,
+    op_col: "str | None",
+    partition_cols: list[str],
+) -> "tuple[DataFrame, DataFrame, bool]":
+    """Merge-time schema evolution (Delta `mergeSchema` semantics,
+    round-10 verdict item 4): columns the batch ADDS are appended to
+    the target as NULLs (old partitions backfill to NULL on read),
+    and numeric types widen losslessly in either direction — a wider
+    SOURCE widens the table (a real schema change, committed via a
+    new metaData action), a narrower source is up-cast in flight (no
+    schema change). Evolution never drops columns (a batch missing a
+    table column is an error, not an implicit drop — README.rst:137's
+    mutable-field rule generalized) and never touches partition
+    columns (old partitions cannot grow a partition dir). Returns
+    (target', source', table_schema_changed)."""
+    s_fields = {
+        f.name: f.dataType
+        for f in source.schema.fields
+        if f.name != op_col
+    }
+    t_fields = {f.name: f.dataType for f in target.schema.fields}
+    missing = [c for c in t_fields if c not in s_fields]
+    if missing:
+        raise ValueError(
+            f"schema evolution adds columns, never drops: the batch is "
+            f"missing table column(s) {missing}"
+        )
+    changed = False
+    for name, t_dt in t_fields.items():
+        s_dt = s_fields[name]
+        ts, ss = t_dt.simpleString(), s_dt.simpleString()
+        if ts == ss:
+            continue
+        if (ts, ss) in _WIDENINGS:
+            if name in partition_cols:
+                raise ValueError(
+                    f"cannot widen partition column {name!r}"
+                )
+            target = target.withColumn(name, F.col(name).cast(s_dt))
+            changed = True
+        elif (ss, ts) in _WIDENINGS:
+            source = source.withColumn(name, F.col(name).cast(t_dt))
+        else:
+            raise ValueError(
+                f"incompatible evolution for column {name!r}: table "
+                f"{ts}, batch {ss} (only {sorted(_WIDENINGS)} widen)"
+            )
+    for name, s_dt in s_fields.items():
+        if name not in t_fields:
+            if name in partition_cols:
+                raise ValueError(
+                    f"new column {name!r} cannot be a partition column"
+                )
+            target = target.withColumn(name, F.lit(None).cast(s_dt))
+            changed = True
+    return target, source, changed
+
+
 def touched_partitions(source: DataFrame, partition_cols: list[str]) -> list[dict]:
     """Distinct partition tuples present in the incoming batch.
 
@@ -319,6 +393,7 @@ def _delta_actions(
     retain: bool = False,
     data_change: bool = True,
     operation: str = "MERGE",
+    schema_changed: bool = False,
 ) -> list[dict]:
     """The Delta actions of one merge commit. Incremental commits
     (base_version >= 0) remove the live files of every touched
@@ -338,6 +413,18 @@ def _delta_actions(
     ]
     if base_version < 0:
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(
+            deltatable.meta_action(
+                schema_json,
+                partition_cols,
+                {deltatable.RETAIN_CONFIG_KEY: "true" if retain else "false"},
+            )
+        )
+    elif schema_changed:
+        # schema evolution: this commit's metaData replaces the
+        # table's current metadata (the Delta protocol rule) — the
+        # retention config rides along so table_retain_mode keeps
+        # reading the latest metaData
         actions.append(
             deltatable.meta_action(
                 schema_json,
@@ -462,6 +549,7 @@ def merge_into_parquet(
     delete_types: tuple[str, ...] = ("REMOVE",),
     delta_log: bool = True,
     retain_files: "bool | None" = None,
+    evolve_schema: bool = False,
     max_commit_retries: int = 3,
     _hook_before_commit=None,
 ) -> None:
@@ -531,7 +619,21 @@ def merge_into_parquet(
                 # files; only the log's active set is the table
                 target = deltatable.read_snapshot_df(spark, table_path)
             else:
-                target = spark.read.parquet(table_path)
+                reader = spark.read
+                if delta_log and base_version >= 0:
+                    # read with the LOG's schema, not one sampled
+                    # footer's: after schema evolution old partitions
+                    # lack the new columns and a footer-inferred read
+                    # could silently drop them (NULL-backfill needs
+                    # the full schema)
+                    sj = deltatable._schema_json_of(table_path)
+                    if sj:
+                        from pyspark.sql import types as T
+
+                        reader = reader.schema(
+                            T.StructType.fromJson(json.loads(sj))
+                        )
+                target = reader.parquet(table_path)
         except AnalysisException as e:
             # ONLY a missing/uninitialized table means "first batch":
             # write the deduped batch as the table. Any other failure
@@ -592,6 +694,11 @@ def merge_into_parquet(
                 deltatable.append_commit(table_path, 0, actions, txn)
                 deltatable.release_claim(table_path, 0)
             return
+        schema_changed = False
+        if evolve_schema:
+            target, source, schema_changed = _align_schemas(
+                target, source, op_col, partition_cols
+            )
         if parts is None:
             existing = target
         else:
@@ -711,6 +818,7 @@ def merge_into_parquet(
                     deltatable.schema_string(merged.schema),
                     commit_id,
                     retain=retain_files,
+                    schema_changed=schema_changed,
                 ),
             }
         cdir = os.path.join(table_path, "_commits")
@@ -1141,6 +1249,106 @@ def q_delta_time_travel(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, "version int, n_rows long")
+
+
+@query(
+    "merge_schema_evolution",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-15'
+                              AND value IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_value,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_merge_schema_evolution(spark, sf_dir):
+    """Merge-time schema evolution as a checkable query (round-10
+    verdict item 4): the table is created WITHOUT `value` and with
+    `user_id` narrowed to int; a second batch arrives WITH `value`
+    (add-column) and bigint `user_id` (type widening) under
+    `evolve_schema=True`. The merged table must carry the evolved
+    schema in a new metaData action, rows last written by the
+    pre-evolution batch must read `value` as NULL (old partitions
+    backfill — no rewrite), and the widened `user_id` must survive
+    exactly. The oracle recomputes the per-day census from the source
+    table: `value` is non-null exactly where the post-evolution batch
+    owns the row (days >= 15 — overlap days tie on precombine and the
+    source wins).
+
+    Reference anchor: README.rst:137's mutable-field note is the
+    narrow version of this (fields may appear over a table's life);
+    the reference's Hudi path relies on the connector's own
+    mergeSchema."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    )
+    root = tempfile.mkdtemp(prefix="merge_schema_evo_")
+    table = os.path.join(root, "events_lake")
+    try:
+        b1 = (
+            ev.filter(F.col("event_date") <= "2024-01-20")
+            .drop("value")
+            .withColumn("user_id", F.col("user_id").cast("int"))
+        )
+        b2 = ev.filter(F.col("event_date") >= "2024-01-15")
+        merge_into_parquet(
+            spark, table, b1,
+            keys=["event_id"], precombine=["ts"],
+            partition_cols=["event_date"],
+        )
+        merge_into_parquet(
+            spark, table, b2,
+            keys=["event_id"], precombine=["ts"],
+            partition_cols=["event_date"], evolve_schema=True,
+        )
+        sj = deltatable._schema_json_of(table)
+        fields = {
+            f["name"]: f["type"] for f in _json.loads(sj)["fields"]
+        }
+        if "value" not in fields:
+            raise AssertionError(f"evolved schema lacks value: {fields}")
+        if fields["user_id"] != "long":
+            raise AssertionError(
+                f"user_id not widened to long: {fields['user_id']}"
+            )
+        out = (
+            spark.read.schema(T.StructType.fromJson(_json.loads(sj)))
+            .parquet(table)
+        )
+        # materialize before the finally deletes the table (the
+        # returned frame must not scan a removed directory)
+        rows = (
+            out.groupBy("event_date")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("value").alias("n_value"),
+                F.sum("user_id").alias("sum_uid"),
+            )
+            .orderBy("event_date")
+            .collect()
+        )
+        rows = [tuple(r) for r in rows]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_date string, n_rows long, n_value long, sum_uid long"
+    )
 
 
 def scd2_merge(

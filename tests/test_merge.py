@@ -1298,3 +1298,124 @@ def test_checkpoint_bounded_to_labeled_version(spark, tmp_path, monkeypatch):
     paths = {r["add"]["path"] for r in cp if r["add"] is not None}
     assert "day=2099-01-01/part-racing.parquet" not in paths
     assert len(paths) == 3  # exactly v0..v2's three partitions
+
+
+def test_schema_evolution_add_column_and_widen(spark, tmp_path):
+    """evolve_schema=True: a batch may ADD columns (old rows read
+    NULL, no partition rewrite) and WIDEN numeric types; the commit
+    carries a new metaData action and later merges read the table
+    with the log's schema, not a sampled footer's."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    path = str(tmp_path / "lake")
+    b0 = spark.createDataFrame(
+        [("a", "2023-01-01T10:00:00", 1, "2023-01-01")],
+        "id string, update_at string, n int, day string",
+    )
+    merge.merge_into_parquet(spark, path, b0, ["id"], ["update_at"], ["day"])
+
+    b1 = spark.createDataFrame(
+        [("b", "2023-01-02T10:00:00", 2, "2023-01-02", 0.5)],
+        "id string, update_at string, n bigint, day string, score double",
+    )
+    merge.merge_into_parquet(
+        spark, path, b1, ["id"], ["update_at"], ["day"], evolve_schema=True
+    )
+    sj = deltatable._schema_json_of(path)
+    fields = {f["name"]: f["type"] for f in _json.loads(sj)["fields"]}
+    assert fields["n"] == "long" and fields["score"] == "double"
+    out = spark.read.schema(T.StructType.fromJson(_json.loads(sj))).parquet(
+        path
+    )
+    got = {r.id: (r.n, r.score) for r in out.collect()}
+    assert got == {"a": (1, None), "b": (2, 0.5)}
+
+    # narrower LATER batch up-casts in flight, no new schema change
+    v_before = deltatable.current_version(path)
+    b2 = spark.createDataFrame(
+        [("c", "2023-01-03T10:00:00", 3, "2023-01-03", None)],
+        "id string, update_at string, n int, day string, score double",
+    )
+    merge.merge_into_parquet(
+        spark, path, b2, ["id"], ["update_at"], ["day"], evolve_schema=True
+    )
+    v2 = deltatable.current_version(path)
+    assert v2 == v_before + 1
+    metas = [
+        ln
+        for _v, content in deltatable.read_commits(path)
+        for ln in content.splitlines()
+        if '"metaData"' in ln
+    ]
+    assert len(metas) == 2  # create + the one evolution, not three
+
+
+def test_schema_evolution_rejections(spark, tmp_path):
+    """Evolution never drops columns, never touches partition
+    columns, never narrows or rewrites incompatible types."""
+    path = str(tmp_path / "lake")
+    b0 = spark.createDataFrame(
+        [("a", "2023-01-01T10:00:00", 1, "2023-01-01")],
+        "id string, update_at string, n int, day string",
+    )
+    merge.merge_into_parquet(spark, path, b0, ["id"], ["update_at"], ["day"])
+
+    dropped = spark.createDataFrame(
+        [("b", "2023-01-02T10:00:00", "2023-01-02")],
+        "id string, update_at string, day string",
+    )
+    with pytest.raises(ValueError, match="never drops"):
+        merge.merge_into_parquet(
+            spark, path, dropped, ["id"], ["update_at"], ["day"],
+            evolve_schema=True,
+        )
+    incompatible = spark.createDataFrame(
+        [("b", "2023-01-02T10:00:00", "x", "2023-01-02")],
+        "id string, update_at string, n string, day string",
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        merge.merge_into_parquet(
+            spark, path, incompatible, ["id"], ["update_at"], ["day"],
+            evolve_schema=True,
+        )
+    new_part = spark.createDataFrame(
+        [("b", "2023-01-02T10:00:00", 2, "2023-01-02", "h1")],
+        "id string, update_at string, n int, day string, hour string",
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        merge.merge_into_parquet(
+            spark, path, new_part, ["id"], ["update_at"], ["day", "hour"],
+            evolve_schema=True,
+        )
+
+
+def test_schema_evolution_time_travel_pre_evolution(spark, tmp_path):
+    """On a retained table, time travel to a pre-evolution version
+    reads the schema AS OF that version (no later columns), and the
+    post-evolution snapshot NULL-backfills old files."""
+    from dynamodb_to_datalake_project_spark import deltatable
+
+    path = str(tmp_path / "lake")
+    b0 = spark.createDataFrame(
+        [("a", "2023-01-01T10:00:00", "2023-01-01")],
+        "id string, update_at string, day string",
+    )
+    merge.merge_into_parquet(
+        spark, path, b0, ["id"], ["update_at"], ["day"], retain_files=True
+    )
+    b1 = spark.createDataFrame(
+        [("b", "2023-01-02T10:00:00", "2023-01-02", 9)],
+        "id string, update_at string, day string, rank bigint",
+    )
+    merge.merge_into_parquet(
+        spark, path, b1, ["id"], ["update_at"], ["day"],
+        evolve_schema=True,
+    )
+    v0 = deltatable.read_snapshot_df(spark, path, 0)
+    assert "rank" not in v0.columns
+    v1 = deltatable.read_snapshot_df(spark, path, 1)
+    assert {r.id: r["rank"] for r in v1.collect()} == {"a": None, "b": 9}
