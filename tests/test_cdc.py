@@ -1694,3 +1694,192 @@ def test_kinesis_mock_batch_cap_paces_without_dropping(tmp_path):
     assert seen[0][0] == 0 and seen[-1][1] == 10
     for (s0, e0), (s1, _e1) in zip(seen, seen[1:]):
         assert e0 == s1
+
+
+def test_kinesis_mock_reshard_split_routing_and_registry(tmp_path):
+    """SplitShard closes the parent at its durable end and opens two
+    children over its hash-range halves; subsequent puts for keys in
+    the parent's range land in the children, never the closed parent."""
+    from dynamodb_to_datalake_project_spark import kinesismock as km
+
+    root = str(tmp_path / "stream")
+    s = km.MockKinesisStream(root, n_shards=2)
+    keys = [f"k{i}" for i in range(40)]
+    for k in keys:
+        s.put_record(k, {"k": k})
+    parent = "shard-0"
+    pre_end = s._durable_end(parent)
+    c1, c2 = s.split_shard(parent)
+    assert s.registry["shards"][parent]["status"] == "CLOSED"
+    assert s.registry["shards"][parent]["final_seq_end"] == pre_end
+    for kid in (c1, c2):
+        assert s.registry["shards"][kid]["parents"] == [parent]
+
+    for k in keys:
+        seq = s.put_record(k, {"k": k})
+        sid = s.route(k)
+        assert sid != parent or km.key_hash(k) >= s.registry[
+            "shards"
+        ][parent]["range"][1], "closed parent must receive nothing"
+    # parent dir gained no records past its final end
+    assert s._durable_end(parent) == pre_end
+    # children partition the parent's range exactly
+    pr = km._load_registry(root, 2)["shards"]
+    assert pr[c1]["range"][1] == pr[c2]["range"][0]
+    assert (
+        pr[c1]["range"][0] == pr[parent]["range"][0]
+        and pr[c2]["range"][1] == pr[parent]["range"][1]
+    )
+
+
+def test_kinesis_reshard_resume_exactly_once_parent_before_child(
+    spark, tmp_path
+):
+    """The real DynamoDB-Streams contract the Lambda seam hides
+    (round-10 verdict item 3): restart across a SPLIT boundary. The
+    checkpointed consumer must (a) resume without re-consuming
+    pre-split records, (b) drain the closed parent to final_seq_end
+    BEFORE committing any child batch, and (c) end exactly-once in
+    the merged table."""
+    import json as _json
+    import os as _os
+
+    from dynamodb_to_datalake_project_spark import kinesismock as km
+    from dynamodb_to_datalake_project_spark import merge as merge_mod
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "stream")
+    table = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    stream = km.MockKinesisStream(root, n_shards=2)
+    payload_t = T._parse_datatype_string(
+        "id string, update_at string, note string, day string"
+    )
+
+    def put(i, note):
+        stream.put_record(
+            f"k{i}",
+            {"id": f"k{i}", "update_at": f"2023-01-01T00:{i:02d}:00",
+             "note": note, "day": "2023-01-01"},
+        )
+
+    def run_once():
+        df = km.read_kinesis_stream(spark, root, payload_t, n_shards=2)
+
+        def batch_fn(bdf, epoch_id):
+            src = bdf.select("id", "update_at", "note", "day")
+            if src.isEmpty():
+                return
+            merge_mod.merge_into_parquet(
+                bdf.sparkSession, table, src,
+                keys=["id"], precombine=["update_at"],
+                partition_cols=["day"],
+            )
+
+        q = (
+            df.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+
+    for i in range(10):
+        put(i, "v1")
+    run_once()
+    assert spark.read.parquet(table).count() == 10
+
+    # SPLIT shard-0 between runs, then produce post-split records
+    stream.split_shard("shard-0")
+    for i in range(10, 20):
+        put(i, "v2")
+    # one restarted run suffices: the closed parent's tail and the
+    # children drain (parent never AFTER child — see latestOffset)
+    run_once()
+
+    got = {r.id: r.note for r in spark.read.parquet(table).collect()}
+    assert len(got) == 20
+    assert all(got[f"k{i}"] == "v1" for i in range(10))
+    assert all(got[f"k{i}"] == "v2" for i in range(10, 20))
+
+    # offset-log audit: in every committed batch, any child progress
+    # implies its parent was already at final_seq_end in that SAME
+    # batch's end offsets (parent-before-child, exactly the KCL rule)
+    reg = km._load_registry(root, 2)["shards"]
+    odir = _os.path.join(ckpt, "offsets")
+    for fname in sorted(_os.listdir(odir)):
+        if fname.startswith("."):
+            continue
+        lines = open(_os.path.join(odir, fname)).read().splitlines()
+        payload = _json.loads(lines[-1])
+        if not isinstance(payload, dict) or "version" in payload.get("", {}):
+            pass
+        try:
+            offsets = payload
+        except Exception:
+            continue
+        if not isinstance(offsets, dict):
+            continue
+        for sid, pos in offsets.items():
+            info = reg.get(sid)
+            if not info or not info["parents"] or not pos:
+                continue
+            for p in info["parents"]:
+                fin = reg[p]["final_seq_end"]
+                assert offsets.get(p, 0) >= (fin or 0), (
+                    f"batch {fname}: child {sid} advanced before "
+                    f"parent {p} drained"
+                )
+
+
+def test_kinesis_reshard_strict_parent_drain_in_steady_state(tmp_path):
+    """Manual protocol walk of the steady-state rule: a child shard
+    is exposed only after a PRIOR batch drained its parent to
+    final_seq_end — with the per-batch cap slowing the parent, the
+    child waits exactly until the parent catches up."""
+    from dynamodb_to_datalake_project_spark import kinesismock as km
+
+    root = str(tmp_path / "stream")
+    s = km.MockKinesisStream(root, n_shards=1)
+    for i in range(20):
+        s.put_record(f"k{i}", {"i": i})
+
+    rd = km._KinesisMockStreamReader(
+        {"path": root, "n_shards": "1",
+         "max_records_per_shard_per_batch": "10"}
+    )
+    start = rd.initialOffset()
+    e1 = rd.latestOffset()  # first batch: uncapped -> parent at 20
+    assert e1["shard-0"] == 20
+    # split AFTER batch 1; evidence says parent drained (20 >= 20)
+    c1, c2 = s.split_shard("shard-0")
+    for i in range(20, 30):
+        s.put_record(f"k{i}", {"i": i})
+    e2 = rd.latestOffset()
+    assert c1 in e2 and c2 in e2, "drained parent frees the children"
+
+    # now the slow-parent case: fresh stream, cap forces two batches
+    root2 = str(tmp_path / "stream2")
+    s2 = km.MockKinesisStream(root2, n_shards=1)
+    for i in range(20):
+        s2.put_record(f"k{i}", {"i": i})
+    rd2 = km._KinesisMockStreamReader(
+        {"path": root2, "n_shards": "1",
+         "max_records_per_shard_per_batch": "10"}
+    )
+    rd2.initialOffset()
+    b1 = rd2.latestOffset()          # 20 (first batch uncapped)
+    s2.put_record("late", {"i": 99})  # parent grows to 21
+    c1, c2 = s2.split_shard("shard-0")  # final_seq_end = 21
+    for i in range(30, 35):
+        s2.put_record(f"k{i}", {"i": i})
+    b2 = rd2.latestOffset()
+    # parent capped at 20+10 >= 21 -> reaches final; children gated
+    # because the PRIOR batch (b1=20) had not drained it
+    assert b2["shard-0"] == 21
+    assert c1 not in b2 and c2 not in b2
+    b3 = rd2.latestOffset()
+    assert c1 in b3 and c2 in b3, "drain evidence from b2 frees them"
