@@ -64,21 +64,104 @@ def query(name: str, oracle: str | None = None, rows_only_twin: str | None = Non
 
 
 # Catalog iteration order. External harnesses that sample a bounded
-# prefix of the catalog (exactly 50 entries/round, observed r1-r9)
+# prefix of the catalog (exactly 50 entries/round, observed r1-r10)
 # should see the queries with the LEAST independent-correctness
-# coverage first. Round-10 order (round-9 verdict item 1): the 26
-# round-9 additions the driver has never sampled LEAD, followed by
-# `a1_count_preview`/`a2_distinct` (newest driver row r4 — the only
-# two entries older than r5), then any round-10 additions (no driver
-# row yet), then the r5-green block, whose head fills the remaining
-# window slots. The freshly-resampled r9 window (old r3/r4 parity
-# set) and the r8 block trail, freshest last; rows-only entries
-# (annotated with their oracle-checked twins in ROWS_ONLY_TWIN) sort
-# to the very end: sampling one only re-records `err: no_oracle`,
-# which is an annotation, not information. The set is identical
-# either way — only iteration order changes.
+# coverage first. Round-11 order (round-10 verdict item 6): the
+# never-sampled `sketch_kll_compacted` LEADS (rows-only — its driver
+# row will read `err: no_oracle` with the hash-matched twin
+# `sketch_kll_quantile` green, which is the annotation the rotation
+# exists to record), followed by the 33-query r5 sampling floor
+# (minus its one rows-only member), the round-11 additions
+# (`iceberg_write_replay`, `merge_schema_evolution`,
+# `sim_bitext_ann_fullprobe`), then the r6 floor — together lifting
+# the minimum driver-side recency to r6 and giving every new
+# operator a first-round row. The remainder keeps the r10 order;
+# rows-only entries (ROWS_ONLY_TWIN) still sort to the very end
+# unless explicitly led. The set is identical either way — only
+# iteration order changes.
 _PRIORITY: list[str] = [
-    # --- new in round 9, never driver-sampled (26 entries) ---
+    # --- never driver-sampled (rows-only by design; leads per r10 verdict item 6) ---
+    "sketch_kll_compacted",
+    # --- r5 sampling floor (32 oracle-checked entries) ---
+    "a9_approx_aggs",
+    "agg_argmax_family",
+    "agg_array_funcs",
+    "asof_last_click",
+    "bigram_top20",
+    "column_profile",
+    "corpus_clean",
+    "corpus_vocab_stats",
+    "decontaminate_ngrams",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_per_source_best",
+    "doc_curriculum_buckets",
+    "doc_embedding_coverage",
+    "doc_length_histogram",
+    "embed_centroid_assign",
+    "embed_dim_stats",
+    "embed_pq_codes",
+    "embed_quality_gate",
+    "embed_quantize_int8",
+    "heavy_hitter_tokens",
+    "lang_id_heuristic",
+    "multimodal_features",
+    "pii_scrub",
+    "pmi_top_bigrams",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "text_fingerprint",
+    "text_quality_filter",
+    "text_stats",
+    "text_tfidf_top_terms",
+    # --- new in round 11 (no driver row yet) ---
+    "iceberg_write_replay",
+    "merge_schema_evolution",
+    "sim_bitext_ann_fullprobe",
+    # --- r6 sampling floor ---
+    "cluster_kmeans_parallel_init",
+    "funnel_conversion",
+    "graph_bfs_levels",
+    "graph_kcore",
+    "graph_label_propagation",
+    "graph_modularity",
+    "multimodal_fmp4_stats",
+    "multimodal_mp3_stats",
+    "multimodal_mp4_stats",
+    "multimodal_ogg_stats",
+    "multimodal_webm_stats",
+    "q12_late_priority_count",
+    "q13_order_distribution",
+    "q20_stock_promotion",
+    "q2_min_cost_supplier",
+    "q4_priority_late_ship",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "range_join_follow_events",
+    "referential_audit",
+    "retention_cohorts",
+    "rollup_incremental",
+    "sample_hash_bucket",
+    "sample_stratified_exact",
+    "session_basket_lift",
+    "session_paths_topk",
+    "sessionization",
+    "sim_knn_bruteforce",
+    "sim_label_norm_stats",
+    "sketch_cms_estimate",
+    "sketch_hll_overlap_exact",
+    "sketch_kmv_distinct",
+    "sketch_kmv_source_jaccard",
+    "sketch_quantile_grid",
+    "stats_corr_matrix",
+    "stats_linear_fit",
+    "text_bm25_topk",
+    "text_novelty_score",
+    "token_count_bpe",
+    "w5_sliding_time_window",
+    # --- freshest r7+ blocks, r10 order preserved ---
     "parquet_gzip_value_scan",
     "iceberg_manifest_audit",
     "sketch_hdr_quantile",
@@ -105,17 +188,13 @@ _PRIORITY: list[str] = [
     "iceberg_bounds_prune",
     "parquet_v2_delta_scan",
     "dedup_prefix_jaccard",
-    # --- newest driver row r4 (spilled from the r9 window) ---
     "a1_count_preview",
     "a2_distinct",
-    # --- new in round 10 (no driver row yet) ---
     "delta_write_replay",
     "sketch_kll_quantile",
     "parquet_v2_handwrite_roundtrip",
     "merge_occ_two_writers",
     "delta_time_travel",
-    # --- newest driver row r5 (head fills the rest of the r10
-    # window; ~16 slots) ---
     "cluster_kmeans_train",
     "cluster_kmeans_maximin",
     "cluster_silhouette",
@@ -133,39 +212,6 @@ _PRIORITY: list[str] = [
     "rollup_timeseries",
     "sessionize_events",
     "set_intersect_except",
-    "lang_id_heuristic",
-    "text_fingerprint",
-    "text_quality_filter",
-    "text_stats",
-    "text_tfidf_top_terms",
-    "a9_approx_aggs",
-    "agg_argmax_family",
-    "agg_array_funcs",
-    "asof_last_click",
-    "bigram_top20",
-    "column_profile",
-    "corpus_clean",
-    "corpus_vocab_stats",
-    "decontaminate_ngrams",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_per_source_best",
-    "doc_curriculum_buckets",
-    "doc_embedding_coverage",
-    "doc_length_histogram",
-    "embed_centroid_assign",
-    "embed_dim_stats",
-    "embed_pq_codes",
-    "embed_quality_gate",
-    "embed_quantize_int8",
-    "heavy_hitter_tokens",
-    "multimodal_features",
-    "pii_scrub",
-    "pmi_top_bigrams",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    # --- newest driver row r8 ---
     "sft_preference_pairs",
     "doc_markdown_strip",
     "dataset_mix_temperature",
@@ -216,8 +262,6 @@ _PRIORITY: list[str] = [
     "doc_packing",
     "doc_repetition_stats",
     "doc_rare_bigram_filter",
-    # --- newest driver row r9 (the resampled core §2 parity set;
-    # freshest, trails everything) ---
     "text_collapse_repeats",
     "lm_perplexity_score",
     "quality_nb_score",
