@@ -238,6 +238,11 @@ HEADLINE = [
     "delta_write_replay",
     "merge_occ_two_writers",
     "delta_time_travel",
+    # round 11
+    "iceberg_write_replay",
+    "merge_schema_evolution",
+    "sim_bitext_ann_fullprobe",
+    "sim_bitext_ann",
 ]
 
 

@@ -1606,21 +1606,53 @@ def bitext_mine_ann(
         .select("src_id", "tgt_id")
         .distinct()
     )
-    pairs = (
-        cand.join(s, "src_id")
-        .join(t, "tgt_id")
-        .select(
-            "src_id",
-            "tgt_id",
-            F.round(
-                dot(F.col("sv"), F.col("tv"))
-                / (norm(F.col("sv")) * norm(F.col("tv")))
-                * F.lit(1_000_000.0)
-            )
-            .cast("long")
-            .alias("cos_ppm"),
-        )
+    with_vecs = cand.join(s, "src_id").join(t, "tgt_id")
+
+    # Candidate scoring is an Arrow/numpy stage, not a per-pair HOF
+    # fold — the same lesson `bitext_mine`'s docstring records (the
+    # interpreted zip_with lambda costs ~64 evaluator ops per pair;
+    # one einsum per Arrow batch does the identical arithmetic at
+    # memory-bandwidth speed). Rounding is the shared HALF-AWAY rule
+    # (sign * floor(|x| + 0.5)) so the lossless config stays
+    # bit-equal to the baseline and its oracle.
+    import numpy as _np
+    import pandas as _pd
+    from collections.abc import Iterator as _Iterator
+    from pyspark.sql import types as _T
+
+    pair_schema = _T.StructType(
+        [
+            _T.StructField("src_id", _T.LongType()),
+            _T.StructField("tgt_id", _T.LongType()),
+            _T.StructField("cos_ppm", _T.LongType()),
+        ]
     )
+
+    def _score_op(
+        batches: "_Iterator[_pd.DataFrame]",
+    ) -> "_Iterator[_pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = _np.array(pdf["sv"].tolist(), dtype=_np.float64)
+            b = _np.array(pdf["tv"].tolist(), dtype=_np.float64)
+            cos = _np.einsum("ij,ij->i", a, b) / (
+                _np.sqrt((a * a).sum(axis=1))
+                * _np.sqrt((b * b).sum(axis=1))
+            )
+            scaled = cos * 1_000_000.0
+            ppm = (
+                _np.sign(scaled) * _np.floor(_np.abs(scaled) + 0.5)
+            ).astype(_np.int64)
+            yield _pd.DataFrame(
+                {
+                    "src_id": pdf["src_id"].to_numpy(dtype=_np.int64),
+                    "tgt_id": pdf["tgt_id"].to_numpy(dtype=_np.int64),
+                    "cos_ppm": ppm,
+                }
+            )
+
+    pairs = with_vecs.mapInPandas(_score_op, pair_schema)
     return _margin_pipeline(pairs, k, threshold_ppm)
 
 

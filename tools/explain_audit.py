@@ -224,6 +224,10 @@ NOTES = {
     "multimodal_vtt_cues": "WebVTT/SRT: both dialect serializers + cue walk (timing, gaps, text chars), ONE ArrowEvalPython stage - map-only, no shuffle",
     "parquet_v2_delta_scan": "parquet v2 read: pyarrow-written DataPageV2 + DELTA_BINARY_PACKED/DELTA_BYTE_ARRAY fixtures through the zero-dep reader, ONE ArrowEvalPython stage - map-only, no shuffle",
     "dedup_prefix_jaccard": "LOSSLESS exact-threshold near-dup join (SSJoin/PPJoin): rarest-first prefix equi-join + integer length/position filters, count-join verify on hashed tokens - never all-pairs, no cartesian",
+    "iceberg_write_replay": "driver-orchestrated: three Spark-written commits (append + two partition overwrites) into a v2 metadata chain; returned census is a LocalTableScan read COLD from Avro manifests - data moves only through Spark's parquet writer",
+    "merge_schema_evolution": "driver-orchestrated: two merges (second adds a column + widens a type under evolve_schema); final read uses the LOG's schema so old partitions NULL-backfill; census is the s8 shape over the evolved table",
+    "sim_bitext_ann_fullprobe": "bitext shortlist in its lossless config: bucket equi-join (single bucket = full pair set), JVM zip_with cosine, 2-exchange margin windows - bit-equal to the broadcast baseline",
+    "sim_bitext_ann": "banded 8x6 bitext shortlist: map-only LSH signatures both sides, (tbl,bucket) equi-join candidates (never all-pairs), zip_with cosine on the sparse shortlist, same 2-exchange margin tail",
 }
 
 
