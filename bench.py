@@ -243,6 +243,7 @@ HEADLINE = [
     "merge_schema_evolution",
     "sim_bitext_ann_fullprobe",
     "sim_bitext_ann",
+    "hudi_write_replay",
 ]
 
 

@@ -119,6 +119,7 @@ _PRIORITY: list[str] = [
     "iceberg_write_replay",
     "merge_schema_evolution",
     "sim_bitext_ann_fullprobe",
+    "hudi_write_replay",
     # --- r6 sampling floor ---
     "cluster_kmeans_parallel_init",
     "funnel_conversion",
@@ -330,6 +331,7 @@ def load_all() -> None:
     import dynamodb_to_datalake_project_spark.skew  # noqa: F401
     import dynamodb_to_datalake_project_spark.layout  # noqa: F401
     import dynamodb_to_datalake_project_spark.icebergtable  # noqa: F401
+    import dynamodb_to_datalake_project_spark.huditable  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.text  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.dedup  # noqa: F401
     import dynamodb_to_datalake_project_spark.llm.similarity  # noqa: F401
