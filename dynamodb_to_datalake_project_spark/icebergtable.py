@@ -75,24 +75,83 @@ _SPARK_TO_ICEBERG = {
 }
 
 
+def _ice_type(spark_field) -> str:
+    dt = spark_field.dataType.simpleString()
+    if dt.startswith("decimal"):
+        return dt.replace(",", ", ")
+    ice = _SPARK_TO_ICEBERG.get(dt)
+    if ice is None:
+        raise NotImplementedError(
+            f"iceberg: no type mapping for spark type {dt!r}"
+        )
+    return ice
+
+
 def iceberg_schema(spark_schema) -> dict:
     """Spark StructType -> Iceberg schema JSON with field-ids 1..n
     (the id assignment a fresh table gets)."""
-    fields = []
-    for i, f in enumerate(spark_schema.fields, start=1):
-        dt = f.dataType.simpleString()
-        if dt.startswith("decimal"):
-            ice = dt.replace("decimal", "decimal").replace(",", ", ")
-        else:
-            ice = _SPARK_TO_ICEBERG.get(dt)
-        if ice is None:
-            raise NotImplementedError(
-                f"iceberg: no type mapping for spark type {dt!r}"
-            )
-        fields.append(
-            {"id": i, "name": f.name, "required": False, "type": ice}
-        )
+    fields = [
+        {"id": i, "name": f.name, "required": False, "type": _ice_type(f)}
+        for i, f in enumerate(spark_schema.fields, start=1)
+    ]
     return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+#: Iceberg's safe type promotions (spec: Schema Evolution)
+_ICE_WIDENINGS = {("int", "long"), ("float", "double")}
+
+
+def evolve_schema(prior: dict, spark_schema) -> "tuple[dict, bool]":
+    """Iceberg schema evolution with STABLE field ids (the property
+    the whole format hangs on — bounds, deletes and column projection
+    resolve by id, never by name): existing columns keep their ids,
+    `int->long` / `float->double` widen per the spec's safe
+    promotions (a narrower batch keeps the table's wider type), new
+    columns get fresh ids past the table's last-column-id, dropped
+    columns are rejected (mirroring the Delta leg's never-drops
+    contract). Returns (schema-fields-or-new-schema, changed)."""
+    by_name = {f["name"]: f for f in prior["fields"]}
+    next_id = max(f["id"] for f in prior["fields"]) + 1
+    missing = set(by_name) - {f.name for f in spark_schema.fields}
+    if missing:
+        raise ValueError(
+            f"iceberg: schema evolution adds columns, never drops: "
+            f"batch is missing {sorted(missing)}"
+        )
+    fields = []
+    changed = False
+    for f in spark_schema.fields:
+        ice_t = _ice_type(f)
+        pf = by_name.get(f.name)
+        if pf is None:
+            fields.append(
+                {
+                    "id": next_id,
+                    "name": f.name,
+                    "required": False,
+                    "type": ice_t,
+                }
+            )
+            next_id += 1
+            changed = True
+        elif pf["type"] == ice_t:
+            fields.append(dict(pf))
+        elif (pf["type"], ice_t) in _ICE_WIDENINGS:
+            fields.append({**pf, "type": ice_t})
+            changed = True
+        elif (ice_t, pf["type"]) in _ICE_WIDENINGS:
+            fields.append(dict(pf))  # narrower batch: table type wins
+        else:
+            raise ValueError(
+                f"iceberg: incompatible evolution for {f.name!r}: "
+                f"table {pf['type']}, batch {ice_t}"
+            )
+    new_schema = {
+        "type": "struct",
+        "schema-id": prior["schema-id"] + 1 if changed else prior["schema-id"],
+        "fields": fields,
+    }
+    return new_schema, changed
 
 
 def _manifest_schemas(partition_field: str) -> "tuple[dict, dict]":
@@ -369,12 +428,11 @@ def commit_files(
     )
 
     mlist_schema, manifest_schema = _manifest_schemas(partition_field)
-    ice_schema = iceberg_schema(spark_schema)
-    field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
-    part_source_id = field_ids[partition_field]
 
     v = current_version(table_path)
     if v < 0:
+        ice_schema = iceberg_schema(spark_schema)
+        prior_schemas: list = []
         table_uuid = uuid.uuid4().hex
         prior_snapshots: list = []
         prior_ml_rows: list = []
@@ -384,6 +442,15 @@ def commit_files(
         os.makedirs(os.path.join(table_path, META_DIR), exist_ok=True)
     else:
         meta = read_metadata(table_path)
+        prior_schemas = meta.get("schemas", [])
+        prior_cur_schema = next(
+            sc
+            for sc in prior_schemas
+            if sc["schema-id"] == meta["current-schema-id"]
+        )
+        # evolution with STABLE field ids: existing columns keep
+        # their ids so prior manifests' bounds still resolve
+        ice_schema, _changed = evolve_schema(prior_cur_schema, spark_schema)
         table_uuid = meta["table-uuid"]
         prior_snapshots = meta.get("snapshots", [])
         cur = next(
@@ -396,6 +463,9 @@ def commit_files(
         snapshot_id = meta["current-snapshot-id"] + 1
         sequence_number = meta.get("last-sequence-number", 0) + 1
         parent = meta["current-snapshot-id"]
+
+    field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    part_source_id = field_ids[partition_field]
 
     # new manifest: the files this commit adds
     new_entries = [
@@ -488,7 +558,7 @@ def commit_files(
         "sequence-number": sequence_number,
         "timestamp-ms": snapshot_id,  # deterministic chain order
         "manifest-list": ml_rel,
-        "schema-id": 0,
+        "schema-id": ice_schema["schema-id"],
         "summary": {
             "operation": operation,
             "added-data-files": str(len(new_entries)),
@@ -508,8 +578,12 @@ def commit_files(
         "last-sequence-number": sequence_number,
         "last-updated-ms": snapshot_id,
         "last-column-id": max(field_ids.values()),
-        "current-schema-id": 0,
-        "schemas": [ice_schema],
+        "current-schema-id": ice_schema["schema-id"],
+        "schemas": (
+            [sc for sc in prior_schemas
+             if sc["schema-id"] != ice_schema["schema-id"]]
+            + [ice_schema]
+        ),
         "default-spec-id": 0,
         "partition-specs": [
             {
@@ -640,18 +714,60 @@ def partition_census(
     return census
 
 
+_ICEBERG_TO_SPARK = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": "date",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+    "binary": "binary",
+}
+
+
+def spark_schema_of(table_path: str, version: "int | None" = None):
+    """The snapshot's CURRENT Iceberg schema as a Spark StructType —
+    what a post-evolution read must use (a footer-inferred read from
+    a pre-evolution file would drop the later columns)."""
+    from pyspark.sql import types as T
+
+    meta = read_metadata(table_path, version)
+    cur = next(
+        sc
+        for sc in meta["schemas"]
+        if sc["schema-id"] == meta["current-schema-id"]
+    )
+    fields = []
+    for f in cur["fields"]:
+        t = f["type"]
+        ddl = t if t.startswith("decimal") else _ICEBERG_TO_SPARK.get(t)
+        if ddl is None:
+            raise NotImplementedError(f"iceberg: spark type for {t!r}")
+        fields.append(
+            T.StructField(f["name"], T._parse_datatype_string(ddl), True)
+        )
+    return T.StructType(fields)
+
+
 def read_table_df(spark, table_path: str):
-    """Scan exactly the live snapshot's files (the Iceberg read
-    path: the log defines the table, the directory is storage)."""
+    """Scan exactly the live snapshot's files with the snapshot's
+    schema (the Iceberg read path: the log defines the table AND its
+    schema; the directory is storage). Old files NULL-backfill
+    columns a later evolution added."""
     files = [
         os.path.join(table_path, f["file_path"])
         for f in live_files(table_path)
     ]
     if not files:
         raise ValueError(f"iceberg: {table_path} snapshot has no files")
-    return spark.read.option(
-        "basePath", os.path.join(table_path, DATA_DIR)
-    ).parquet(*files)
+    return (
+        spark.read.schema(spark_schema_of(table_path))
+        .option("basePath", os.path.join(table_path, DATA_DIR))
+        .parquet(*files)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -192,3 +192,79 @@ def test_corrupted_manifest_length_rejected(spark, tmp_path):
     files[mf] = files[mf] + b"x"
     with pytest.raises(ValueError, match="bytes"):
         resolve_iceberg_snapshot(it.metadata_text(t), files)
+
+
+def test_schema_evolution_stable_field_ids(spark, tmp_path):
+    """An append with a new column + a widened type evolves the
+    schema: existing columns KEEP their field ids (bounds in prior
+    manifests stay resolvable), the new column gets a fresh id, the
+    metadata chain accumulates both schemas with current-schema-id
+    bumped, and reads NULL-backfill old files."""
+    t = str(tmp_path / "tbl")
+    b1 = (
+        spark.range(0, 200)
+        .withColumn("day", (F.col("id") / 100).cast("int").cast("string"))
+        .withColumn("n", F.col("id").cast("int"))
+    )
+    it.append(b1, t, "day")
+    meta1 = it.read_metadata(t)
+    ids1 = {
+        f["name"]: f["id"] for f in meta1["schemas"][0]["fields"]
+    }
+
+    b2 = (
+        spark.range(1000, 1100)
+        .withColumn("day", F.lit("9"))
+        .withColumn("n", F.col("id"))          # int -> long widening
+        .withColumn("score", F.lit(0.5))       # new column
+    )
+    it.append(b2, t, "day")
+    meta2 = it.read_metadata(t)
+    assert len(meta2["schemas"]) == 2
+    assert meta2["current-schema-id"] == 1
+    cur = next(
+        sc for sc in meta2["schemas"] if sc["schema-id"] == 1
+    )
+    by_name = {f["name"]: f for f in cur["fields"]}
+    for name, fid in ids1.items():
+        assert by_name[name]["id"] == fid, "existing ids must be stable"
+    assert by_name["n"]["type"] == "long"
+    assert by_name["score"]["id"] == max(ids1.values()) + 1
+    assert meta2["last-column-id"] == by_name["score"]["id"]
+
+    df = it.read_table_df(spark, t)
+    assert df.schema["n"].dataType.simpleString() == "bigint"
+    got = df.groupBy(F.isnull("score").alias("no_score")).count().collect()
+    counts = {r.no_score: r["count"] for r in got}
+    assert counts == {True: 200, False: 100}
+
+    # resolver still green across the evolution
+    res = resolve_iceberg_snapshot(it.metadata_text(t), it.storage_files(t))
+    assert res["live_records"] == 300
+
+    # rejections mirror the Delta leg
+    dropped = spark.range(0, 5).withColumn("day", F.lit("1"))
+    with pytest.raises(ValueError, match="never drops"):
+        it.append(dropped, t, "day")
+    bad = (
+        spark.range(0, 5)
+        .withColumn("day", F.lit("1"))
+        .withColumn("n", F.lit("x"))
+        .withColumn("score", F.lit(0.5))
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        it.append(bad, t, "day")
+
+
+def test_schema_evolution_time_travel_schema(spark, tmp_path):
+    """Pre-evolution metadata versions keep the old schema (schemas
+    list + current-schema-id are per-version files)."""
+    t = str(tmp_path / "tbl")
+    it.append(_mk(spark, 0, 100), t, "day")
+    b2 = _mk(spark, 1000, 1100).withColumn("extra", F.lit(1))
+    it.append(b2, t, "day")
+    m1 = it.read_metadata(t, 1)
+    m2 = it.read_metadata(t, 2)
+    assert m1["current-schema-id"] == 0 and len(m1["schemas"]) == 1
+    assert m2["current-schema-id"] == 1 and len(m2["schemas"]) == 2
+    assert it.spark_schema_of(t, 1).fieldNames() == ["id", "day", "payload"]

@@ -1006,3 +1006,77 @@ def test_snappy_never_misdecodes(buf):
     # if it decoded, the length invariant held by construction; check
     # determinism too
     assert snappy_decompress(buf) == out
+
+
+@settings(
+    max_examples=40, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(st.sampled_from(["split", "merge"]), st.integers(0, 10**9)),
+        max_size=12,
+    ),
+    n_shards=st.integers(1, 5),
+    keys=st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=20),
+)
+def test_kinesis_reshard_registry_invariants(tmp_path_factory, ops, n_shards, keys):
+    """Under ANY sequence of splits and merges the registry must keep
+    the Kinesis contract: OPEN shards' hash ranges exactly partition
+    [0, 2^128) (every key routes to exactly one open shard), closed
+    shards carry a recorded final end, children's ranges reconstruct
+    their parents', and routing never lands on a closed shard."""
+    from dynamodb_to_datalake_project_spark import kinesismock as km
+
+    root = str(tmp_path_factory.mktemp("reshard") / "stream")
+    s = km.MockKinesisStream(root, n_shards=n_shards)
+
+    for kind, pick in ops:
+        reg = s.registry["shards"]
+        open_ids = sorted(
+            sid for sid, info in reg.items() if info["status"] == "OPEN"
+        )
+        if kind == "split":
+            sid = open_ids[pick % len(open_ids)]
+            lo, hi = reg[sid]["range"]
+            if hi - lo < 2:
+                continue  # unsplittable sliver
+            s.split_shard(sid)
+        else:
+            # merge needs two ADJACENT open shards
+            by_lo = sorted(open_ids, key=lambda x: reg[x]["range"][0])
+            adj = [
+                (a, b)
+                for a, b in zip(by_lo, by_lo[1:])
+                if reg[a]["range"][1] == reg[b]["range"][0]
+            ]
+            if not adj:
+                continue
+            a, b = adj[pick % len(adj)]
+            s.merge_shards(a, b)
+
+    reg = s.registry["shards"]
+    open_ranges = sorted(
+        info["range"] for info in reg.values() if info["status"] == "OPEN"
+    )
+    # exact partition of the hash space: contiguous, gapless, total
+    assert open_ranges[0][0] == 0
+    assert open_ranges[-1][1] == km._HASH_SPACE
+    for (l0, h0), (l1, _h1) in zip(open_ranges, open_ranges[1:]):
+        assert h0 == l1, "gap or overlap between open shards"
+    # closed shards recorded their final end; children name real parents
+    for sid, info in reg.items():
+        if info["status"] == "CLOSED":
+            assert info["final_seq_end"] is not None
+        for p in info["parents"]:
+            assert p in reg and reg[p]["status"] == "CLOSED"
+    # routing totality: every key lands on exactly one OPEN shard
+    for k in keys:
+        sid = s.route(k)
+        info = reg[sid]
+        assert info["status"] == "OPEN"
+        h = km.key_hash(k)
+        assert info["range"][0] <= h < info["range"][1]
+    # registry reload from disk agrees (persistence round-trip)
+    reloaded = km._load_registry(root, n_shards)["shards"]
+    assert reloaded == reg
