@@ -1559,6 +1559,70 @@ def _margin_pipeline(
     )
 
 
+def _lsh_buckets_arrow(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str = "v",
+) -> DataFrame:
+    """`lsh_buckets` as ONE Arrow stage: all n_tables×n_planes
+    projections per batch via a single matmul against the same
+    deterministic ±1 coefficient matrix. Semantically the bucket rule
+    is identical (sign of the plane projection folded into a bucket
+    int per table); physically it avoids the literal-array HOF form's
+    Catalyst cost — 48 plane folds × 64 literals each made the
+    PLANNING of the expression tree the dominant wall-clock at small
+    corpus sizes (measured ~8 s to bucket 2,000 vectors). Used by the
+    bitext shortlist; `lsh_buckets` remains the plan-pinned pure-
+    Catalyst form the ann_lsh family oracles."""
+    import numpy as _np
+    import pandas as _pd
+    from collections.abc import Iterator as _Iterator
+    from pyspark.sql import types as _T
+
+    coefs = _np.array(
+        [p for tbl in _lsh_coefs(dim, n_planes, n_tables) for p in tbl],
+        dtype=_np.float64,
+    ).reshape(n_tables * n_planes, dim)
+    out_schema = _T.StructType(
+        [
+            _T.StructField(id_col, _T.LongType()),
+            _T.StructField("tbl", _T.LongType()),
+            _T.StructField("bucket", _T.LongType()),
+        ]
+    )
+    weights = (1 << _np.arange(n_planes, dtype=_np.int64))
+
+    def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vs = _np.array(pdf[vec_col].tolist(), dtype=_np.float64)
+            if vs.shape[1] != dim:
+                raise ValueError(
+                    f"lsh: vector width {vs.shape[1]} != declared {dim}"
+                )
+            proj = vs @ coefs.T  # (n, tables*planes)
+            bits = (proj > 0).astype(_np.int64).reshape(
+                len(vs), n_tables, n_planes
+            )
+            buckets = (bits * weights).sum(axis=2)  # (n, tables)
+            ids = pdf[id_col].to_numpy(dtype=_np.int64)
+            yield _pd.DataFrame(
+                {
+                    id_col: _np.repeat(ids, n_tables),
+                    "tbl": _np.tile(
+                        _np.arange(n_tables, dtype=_np.int64), len(vs)
+                    ),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(op, out_schema)
+
+
 def bitext_mine_ann(
     src: DataFrame,
     tgt: DataFrame,
@@ -1593,14 +1657,28 @@ def bitext_mine_ann(
     oracle twin, same pattern as `ann_lsh` full-probe."""
     s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("sv"))
     t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tv"))
-    sb = lsh_buckets(
-        s.withColumnRenamed("sv", "v"), dim, n_planes, n_tables,
-        id_col="src_id", vec_col="v",
-    )
-    tb = lsh_buckets(
-        t.withColumnRenamed("tv", "v"), dim, n_planes, n_tables,
-        id_col="tgt_id", vec_col="v",
-    )
+    if n_planes > 0:
+        sb = _lsh_buckets_arrow(
+            s.withColumnRenamed("sv", "v"), dim, n_planes, n_tables,
+            id_col="src_id",
+        )
+        tb = _lsh_buckets_arrow(
+            t.withColumnRenamed("tv", "v"), dim, n_planes, n_tables,
+            id_col="tgt_id",
+        )
+    else:
+        # lossless full-probe: a single constant bucket, no signatures
+        sb = s.select(
+            "src_id", F.lit(0).alias("tbl"), F.lit(0).alias("bucket")
+        )
+        tb = t.select(
+            "tgt_id", F.lit(0).alias("tbl"), F.lit(0).alias("bucket")
+        )
+    # the distinct both dedups cross-table collisions AND
+    # redistributes the bucket join's output — in the single-bucket
+    # full-probe config the join key is constant, so without this
+    # shuffle every pair lands in ONE task and the einsum stage runs
+    # single-threaded (measured 8 s -> 18 s when dropped)
     cand = (
         sb.join(tb, ["tbl", "bucket"])
         .select("src_id", "tgt_id")
