@@ -212,14 +212,22 @@ def upsert(
         n_updates = {
             (r["__hud_pv"], r["__hud_fg"]): r["n_upd"] for r in n_updates_df
         }
+        # key scope is (partition, key) — Hudi's DEFAULT non-global
+        # index: a key reappearing in another partition is a fresh
+        # insert there and its old-partition copy stays. A global
+        # key would resolve differently depending on which file
+        # groups a batch coincidentally touched (the inconsistency
+        # the writer property test caught); the reference's table
+        # partitions by immutable create_at exactly so the case
+        # cannot arise (README.rst:137).
         merged = merge_mod.upsert_dataframes(
             existing, batch.select(*existing.columns),
-            [record_key], [precombine],
+            [record_key, "__hud_pv"], [precombine],
         )
     else:
         n_updates = {}
         merged = merge_mod.upsert_dataframes(
-            batch.limit(0), batch, [record_key], [precombine]
+            batch.limit(0), batch, [record_key, "__hud_pv"], [precombine]
         )
 
     # meta columns, computed in-plan; seqno = instant_<group-ordinal>
