@@ -244,6 +244,7 @@ HEADLINE = [
     "sim_bitext_ann_fullprobe",
     "sim_bitext_ann",
     "hudi_write_replay",
+    "iceberg_delete_write",
 ]
 
 

@@ -120,6 +120,7 @@ _PRIORITY: list[str] = [
     "merge_schema_evolution",
     "sim_bitext_ann_fullprobe",
     "hudi_write_replay",
+    "iceberg_delete_write",
     # --- r6 sampling floor ---
     "cluster_kmeans_parallel_init",
     "funnel_conversion",

@@ -389,6 +389,7 @@ def _manifest_list_row(
     entries: "list[dict]",
     snapshot_id: int,
     sequence_number: int,
+    content: int = 0,
 ) -> dict:
     by = {EXISTING: [], ADDED: [], DELETED: []}
     for e in entries:
@@ -397,7 +398,7 @@ def _manifest_list_row(
         "manifest_path": rel,
         "manifest_length": length,
         "partition_spec_id": 0,
-        "content": 0,
+        "content": content,
         "sequence_number": sequence_number,
         "added_snapshot_id": snapshot_id,
         "added_files_count": len(by[ADDED]),
@@ -500,6 +501,41 @@ def commit_files(
         with open(os.path.join(table_path, row["manifest_path"]), "rb") as f:
             entries = parse_avro(f.read())["records"]
         live = [e for e in entries if e["status"] != DELETED]
+        if row.get("content", 0) != 0:
+            # DELETE manifest (content=1): its entries reference data
+            # files. A partition overwrite removes the referenced
+            # files, so the partition's delete entries must go with
+            # them (a carried dangling reference would fail the MOR
+            # read); untouched delete manifests carry as-is.
+            if operation != "overwrite":
+                ml_rows.append(row)
+                continue
+            kept = [
+                e for e in live
+                if e["data_file"]["partition"].get(partition_field)
+                not in replaced
+            ]
+            if len(kept) == len(live):
+                ml_rows.append(row)
+                continue
+            if not kept:
+                continue
+            kept = [
+                {
+                    "status": EXISTING,
+                    "snapshot_id": e.get("snapshot_id"),
+                    "data_file": e["data_file"],
+                }
+                for e in kept
+            ]
+            rel, length = _write_manifest(table_path, kept, manifest_schema)
+            ml_rows.append(
+                _manifest_list_row(
+                    rel, length, kept, snapshot_id,
+                    row["sequence_number"], content=1,
+                )
+            )
+            continue
         touched = operation == "overwrite" and any(
             e["data_file"]["partition"].get(partition_field) in replaced
             for e in live
@@ -546,12 +582,17 @@ def commit_files(
         f.write(ml_blob)
 
     # live census for the snapshot summary (cross-checked by the
-    # resolver): fold the manifest-list rows, no data reads
+    # resolver): fold the DATA manifest-list rows, no data reads —
+    # delete manifests (content=1) are not data
     total_files = sum(
-        r["added_files_count"] + r["existing_files_count"] for r in ml_rows
+        r["added_files_count"] + r["existing_files_count"]
+        for r in ml_rows
+        if r.get("content", 0) == 0
     )
     total_rows = sum(
-        r["added_rows_count"] + r["existing_rows_count"] for r in ml_rows
+        r["added_rows_count"] + r["existing_rows_count"]
+        for r in ml_rows
+        if r.get("content", 0) == 0
     )
     snapshot = {
         "snapshot-id": snapshot_id,
@@ -679,10 +720,23 @@ def overwrite_partitions(spark_df, table_path: str, partition_col: str) -> int:
 # ---------------------------------------------------------------------------
 
 
-def live_files(table_path: str, version: "int | None" = None) -> "list[dict]":
-    """The live `data_file` records of a snapshot, straight from the
+def live_files(
+    table_path: str,
+    version: "int | None" = None,
+    content: int = 0,
+) -> "list[dict]":
+    """The live file records of a snapshot for one manifest content
+    kind (0 = data, 1 = position deletes), straight from the
     metadata chain (no data reads): manifest list -> manifests ->
     ADDED + EXISTING entries."""
+    return [df for df, _seq in live_files_with_seq(table_path, version, content)]
+
+
+def live_files_with_seq(
+    table_path: str,
+    version: "int | None" = None,
+    content: int = 0,
+) -> "list[tuple[dict, int]]":
     from dynamodb_to_datalake_project_spark.llm.avrofile import parse_avro
 
     meta = read_metadata(table_path, version)
@@ -695,10 +749,12 @@ def live_files(table_path: str, version: "int | None" = None) -> "list[dict]":
     with open(os.path.join(table_path, cur["manifest-list"]), "rb") as f:
         rows = parse_avro(f.read())["records"]
     for row in rows:
+        if row.get("content", 0) != content:
+            continue
         with open(os.path.join(table_path, row["manifest_path"]), "rb") as f:
             for e in parse_avro(f.read())["records"]:
                 if e["status"] != DELETED:
-                    out.append(e["data_file"])
+                    out.append((e["data_file"], row["sequence_number"]))
     return out
 
 
@@ -767,6 +823,241 @@ def read_table_df(spark, table_path: str):
         spark.read.schema(spark_schema_of(table_path))
         .option("basePath", os.path.join(table_path, DATA_DIR))
         .parquet(*files)
+    )
+
+
+# ---------------------------------------------------------------------------
+# row-level deletes (v2 position deletes) — the write dual of
+# llm.tablemeta.read_iceberg_with_deletes
+# ---------------------------------------------------------------------------
+
+
+def delete_where(
+    spark, table_path: str, column: str, values, partition_field: str
+) -> "int | None":
+    """DELETE FROM t WHERE column IN (values), written as v2
+    POSITION DELETES — no data file is rewritten (the merge-on-read
+    contract): each affected data file's matching row positions are
+    found executor-side (one pyarrow scan per file, physical order),
+    one sorted (file_path, pos) delete parquet is written per
+    affected partition via the in-repo writer, and the commit adds a
+    content=1 delete manifest whose sequence number makes the
+    deletes apply to every CURRENT data file (seq <= delete seq)
+    while future appends (higher seq) are untouched — exactly the
+    spec rule `read_iceberg_with_deletes` enforces.
+
+    `values` is a bounded key set (it travels in the task closure —
+    the same envelope every broadcast-hash-join build side has).
+    Returns the new snapshot id, or None when nothing matched."""
+    import pandas as _pd
+    from collections.abc import Iterator as _Iterator
+    from pyspark.sql import types as _T
+
+    from dynamodb_to_datalake_project_spark.llm.parquetwrite import (
+        write_parquet,
+    )
+
+    live = live_files(table_path)
+    file_meta = [
+        (f["file_path"], f["partition"].get(partition_field))
+        for f in live
+    ]
+    vals = set(values)
+    schema = _T.StructType(
+        [
+            _T.StructField("file_path", _T.StringType()),
+            _T.StructField("pos", _T.LongType()),
+            _T.StructField("pv", _T.StringType()),
+        ]
+    )
+
+    def _find(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for rel, pv in zip(pdf["file_path"], pdf["pv"]):
+                col = pq.read_table(
+                    os.path.join(table_path, rel), columns=[column]
+                ).column(0).to_pylist()
+                hits = [i for i, v in enumerate(col) if v in vals]
+                if hits:
+                    yield _pd.DataFrame(
+                        {
+                            "file_path": [rel] * len(hits),
+                            "pos": hits,
+                            "pv": [pv] * len(hits),
+                        }
+                    )
+
+    files_df = spark.createDataFrame(file_meta, "file_path string, pv string")
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = (
+        files_df.repartition(min(par, max(1, len(file_meta))))
+        .mapInPandas(_find, schema)
+        .collect()
+    )
+    if not pairs:
+        return None
+
+    # one sorted delete file per affected partition (spec sort rule:
+    # (file_path, pos) ascending), written by the in-repo writer
+    by_pv: "dict[str, list]" = {}
+    for r in pairs:
+        by_pv.setdefault(r["pv"], []).append((r["file_path"], r["pos"]))
+    delete_entries = []
+    mlist_schema, manifest_schema = _manifest_schemas(partition_field)
+    for pv, pp in sorted(by_pv.items()):
+        pp.sort()
+        blob = write_parquet(
+            {
+                "file_path": (
+                    "BYTE_ARRAY",
+                    [p.encode() for p, _ in pp],
+                ),
+                "pos": ("INT64", [int(x) for _, x in pp]),
+            }
+        )
+        rel = f"{DATA_DIR}/{partition_field}={pv}/delete-{uuid.uuid4().hex}.parquet"
+        full = os.path.join(table_path, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "wb") as f:
+            f.write(blob)
+        delete_entries.append(
+            {
+                "status": ADDED,
+                "snapshot_id": None,
+                "data_file": {
+                    "content": 1,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {partition_field: pv},
+                    "record_count": len(pp),
+                    "file_size_in_bytes": len(blob),
+                    "column_bounds": [],
+                },
+            }
+        )
+
+    # commit: carry every prior manifest row untouched + one new
+    # content=1 manifest at the NEW sequence number
+    from dynamodb_to_datalake_project_spark.llm.avrofile import (
+        encode_avro,
+        parse_avro,
+    )
+
+    meta = read_metadata(table_path)
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    with open(os.path.join(table_path, cur["manifest-list"]), "rb") as f:
+        ml_rows = list(parse_avro(f.read())["records"])
+    snapshot_id = meta["current-snapshot-id"] + 1
+    sequence_number = meta.get("last-sequence-number", 0) + 1
+    rel, length = _write_manifest(table_path, delete_entries, manifest_schema)
+    ml_rows.append(
+        _manifest_list_row(
+            rel, length, delete_entries, snapshot_id,
+            sequence_number, content=1,
+        )
+    )
+    ml_rel = f"{META_DIR}/snap-{snapshot_id}.avro"
+    with open(os.path.join(table_path, ml_rel), "wb") as f:
+        f.write(encode_avro(ml_rows, mlist_schema))
+
+    n_deleted = len(pairs)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": sequence_number,
+        "timestamp-ms": snapshot_id,
+        "manifest-list": ml_rel,
+        "schema-id": meta["current-schema-id"],
+        "parent-snapshot-id": meta["current-snapshot-id"],
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": str(len(delete_entries)),
+            "added-position-deletes": str(n_deleted),
+            "total-records": cur["summary"]["total-records"],
+            "total-data-files": cur["summary"]["total-data-files"],
+        },
+    }
+    meta_out = dict(meta)
+    meta_out["last-sequence-number"] = sequence_number
+    meta_out["last-updated-ms"] = snapshot_id
+    meta_out["current-snapshot-id"] = snapshot_id
+    meta_out["snapshots"] = meta["snapshots"] + [snapshot]
+    _write_metadata(table_path, current_version(table_path) + 1, meta_out)
+    return snapshot_id
+
+
+def read_table_df_mor(spark, table_path: str):
+    """Merge-on-read scan: live data files minus position deletes.
+    Delete pairs are driver-collected and shipped in the task closure
+    (bounded by deleted-row count — the broadcast-build-side
+    envelope; a delete-heavy table compacts via overwrite); each data
+    file is read executor-side in physical order so positions line
+    up, with the partition column re-attached from the manifest."""
+    import pandas as _pd
+    from collections.abc import Iterator as _Iterator
+
+    st = spark_schema_of(table_path)
+    meta = read_metadata(table_path)
+    spec_fields = [
+        f["name"]
+        for spec in meta["partition-specs"]
+        if spec["spec-id"] == meta["default-spec-id"]
+        for f in spec["fields"]
+    ]
+    partition_field = spec_fields[0]
+
+    drops: "dict[str, set]" = {}
+    for df, dseq in live_files_with_seq(table_path, content=1):
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(os.path.join(table_path, df["file_path"]))
+        paths = [
+            p.decode() if isinstance(p, bytes) else p
+            for p in t.column("file_path").to_pylist()
+        ]
+        for p, pos in zip(paths, t.column("pos").to_pylist()):
+            drops.setdefault(p, set()).add(int(pos))
+
+    data = live_files_with_seq(table_path, content=0)
+    # sequence rule: a delete applies to data files with seq <= its
+    # own. All current deletes postdate current data (enforced at
+    # write: delete commits use a fresh sequence), so the per-file
+    # filter below is exact for tables this module writes.
+    rows_meta = [
+        (f["file_path"], f["partition"].get(partition_field))
+        for f, _seq in data
+    ]
+
+    def _read(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for rel, pv in zip(pdf["file_path"], pdf["pv"]):
+                t = pq.read_table(os.path.join(table_path, rel))
+                out = {}
+                n = t.num_rows
+                gone = drops.get(rel, set())
+                keep = [i for i in range(n) if i not in gone]
+                for f in st.fields:
+                    if f.name in t.column_names:
+                        col = t.column(f.name).to_pylist()
+                        out[f.name] = [col[i] for i in keep]
+                    elif f.name == partition_field:
+                        out[f.name] = [pv] * len(keep)
+                    else:
+                        out[f.name] = [None] * len(keep)
+                yield _pd.DataFrame(out)
+
+    files_df = spark.createDataFrame(rows_meta, "file_path string, pv string")
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        files_df.repartition(min(par, max(1, len(rows_meta))))
+        .mapInPandas(_read, st)
     )
 
 
@@ -867,4 +1158,112 @@ def _register() -> None:
         )
 
 
+def _register_delete() -> None:
+    from pyspark.sql import functions as F
+
+    from dynamodb_to_datalake_project_spark.catalog import query
+    from dynamodb_to_datalake_project_spark.lake import load_table
+
+    @query(
+        "iceberg_delete_write",
+        oracle="""
+        SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+               CAST(sum(CASE WHEN user_id % 7 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_live,
+               CAST(sum(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_deleted
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+        """,
+    )
+    def q_iceberg_delete_write(spark, sf_dir):
+        """Row-level DELETE written as v2 position deletes (the write
+        dual of the round-9 delete READ path): an events snapshot is
+        appended, every row of users divisible by 7 is deleted via
+        `delete_where` (no data file rewritten — content=1 manifests
+        + sorted (file_path,pos) parquet delete files from the
+        in-repo writer), and the per-day live/deleted census comes
+        from the MERGE-ON-READ scan. In-op invariants: the
+        independent `read_iceberg_with_deletes` walk (which enforces
+        the spec's sort + sequence + dangling-reference rules) agrees
+        with the Spark-side MOR scan row-for-row, and the PHYSICAL
+        census (plain resolver) still counts every original row —
+        deletes are metadata, not rewrites."""
+        import shutil as _shutil
+        import tempfile
+
+        from dynamodb_to_datalake_project_spark.llm.tablemeta import (
+            read_iceberg_with_deletes,
+            resolve_iceberg_snapshot,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        )
+        root = tempfile.mkdtemp(prefix="iceberg_delete_write_")
+        table = os.path.join(root, "events_ice")
+        try:
+            append(ev, table, "event_date")
+            doomed = {
+                r[0]
+                for r in ev.select("user_id")
+                .filter(F.col("user_id") % 7 == 0)
+                .distinct()
+                .collect()
+            }
+            n_total = ev.count()
+            if doomed:
+                delete_where(spark, table, "user_id", doomed, "event_date")
+            mor = read_table_df_mor(spark, table)
+            rows = [
+                (r["event_date"], r["n_live"])
+                for r in mor.groupBy("event_date")
+                .agg(F.count(F.lit(1)).alias("n_live"))
+                .collect()
+            ]
+            live_total = sum(n for _d, n in rows)
+
+            res = resolve_iceberg_snapshot(
+                metadata_text(table), storage_files(table)
+            )
+            if res["live_records"] != n_total:
+                raise AssertionError(
+                    "physical census changed: deletes must be metadata"
+                )
+            files = storage_files(table)
+            for f in live_files(table, content=0) + live_files(
+                table, content=1
+            ):
+                with open(os.path.join(table, f["file_path"]), "rb") as fh:
+                    files[f["file_path"]] = fh.read()
+            indep = read_iceberg_with_deletes(
+                metadata_text(table), files, "user_id"
+            )
+            if sum(len(v) for v in indep.values()) != live_total:
+                raise AssertionError(
+                    "independent MOR walk disagrees with the Spark scan"
+                )
+            # per-day deleted counts from the physical-vs-live gap
+            phys = {
+                pp: n for pp, n in partition_census(
+                    table, "event_date"
+                ).items()
+            }
+            out = sorted(
+                (d, n, phys[d] - n) for d, n in rows
+            )
+        finally:
+            _shutil.rmtree(root, ignore_errors=True)
+        return spark.createDataFrame(
+            out, "event_date string, n_live long, n_deleted long"
+        )
+
+
 _register()
+_register_delete()

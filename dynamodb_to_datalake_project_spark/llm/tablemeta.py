@@ -231,6 +231,12 @@ def resolve_iceberg_snapshot(
     n_deleted = 0
     partitions: "set[str]" = set()
     for mrow in manifest_rows:
+        if mrow.get("content", 0) != 0:
+            # delete manifests (content 1/2) are not data: the plain
+            # census counts physical data rows (the summary's
+            # total-records contract); row-level deletes apply at
+            # read time via read_iceberg_with_deletes
+            continue
         path = mrow["manifest_path"]
         if path not in files:
             raise ValueError(f"iceberg: manifest {path!r} missing")

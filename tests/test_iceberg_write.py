@@ -268,3 +268,72 @@ def test_schema_evolution_time_travel_schema(spark, tmp_path):
     assert m1["current-schema-id"] == 0 and len(m1["schemas"]) == 1
     assert m2["current-schema-id"] == 1 and len(m2["schemas"]) == 2
     assert it.spark_schema_of(t, 1).fieldNames() == ["id", "day", "payload"]
+
+
+def test_position_delete_write_and_mor_read(spark, tmp_path):
+    """delete_where writes v2 position deletes (content=1 manifest +
+    sorted delete parquet, NO data rewrite): the MOR scan drops
+    exactly the matching rows, the independent tablemeta walk agrees,
+    the plain resolver still counts every physical row, a LATER
+    append is untouched by the older delete (sequence rule), and an
+    overwrite drops the replaced partition's now-dangling deletes."""
+    from dynamodb_to_datalake_project_spark.llm.tablemeta import (
+        read_iceberg_with_deletes,
+        resolve_iceberg_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 500).withColumn(
+        "day", (F.col("id") / 100).cast("int").cast("string")
+    )
+    it.append(df, t, "day")
+    sid = it.delete_where(spark, t, "id", set(range(0, 500, 7)), "day")
+    assert sid == 2
+    expect = 500 - len(range(0, 500, 7))
+
+    mor = it.read_table_df_mor(spark, t)
+    assert mor.count() == expect
+    assert mor.filter(F.col("id") % 7 == 0).count() == 0
+
+    # physical census unchanged — deletes are metadata
+    res = resolve_iceberg_snapshot(it.metadata_text(t), it.storage_files(t))
+    assert res["live_records"] == 500
+
+    # the independent spec-rule walk agrees row-for-row
+    files = it.storage_files(t)
+    for f in it.live_files(t, content=0) + it.live_files(t, content=1):
+        with open(os.path.join(t, f["file_path"]), "rb") as fh:
+            files[f["file_path"]] = fh.read()
+    out = read_iceberg_with_deletes(it.metadata_text(t), files, "id")
+    assert sum(len(v) for v in out.values()) == expect
+    assert all(v % 7 != 0 for vals in out.values() for v in vals)
+
+    # sequence rule: a post-delete append is NOT affected
+    it.append(spark.range(0, 14).withColumn("day", F.lit("9")), t, "day")
+    mor2 = it.read_table_df_mor(spark, t)
+    assert mor2.count() == expect + 14
+    assert mor2.filter(
+        (F.col("day") == "9") & (F.col("id") % 7 == 0)
+    ).count() == 2
+
+    # overwrite drops the replaced partition's dangling deletes; the
+    # strict tablemeta walk (which REJECTS dangling refs) stays green
+    it.overwrite_partitions(
+        spark.range(0, 50).withColumn("day", F.lit("0")), t, "day"
+    )
+    files3 = it.storage_files(t)
+    for f in it.live_files(t, content=0) + it.live_files(t, content=1):
+        with open(os.path.join(t, f["file_path"]), "rb") as fh:
+            files3[f["file_path"]] = fh.read()
+    out3 = read_iceberg_with_deletes(it.metadata_text(t), files3, "id")
+    assert it.read_table_df_mor(spark, t).count() == sum(
+        len(v) for v in out3.values()
+    )
+
+
+def test_delete_where_no_match_is_noop(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    it.append(_mk(spark, 0, 100), t, "day")
+    v = it.current_version(t)
+    assert it.delete_where(spark, t, "id", {10**9}, "day") is None
+    assert it.current_version(t) == v

@@ -227,6 +227,7 @@ NOTES = {
     "iceberg_write_replay": "driver-orchestrated: three Spark-written commits (append + two partition overwrites) into a v2 metadata chain; returned census is a LocalTableScan read COLD from Avro manifests - data moves only through Spark's parquet writer",
     "merge_schema_evolution": "driver-orchestrated: two merges (second adds a column + widens a type under evolve_schema); final read uses the LOG's schema so old partitions NULL-backfill; census is the s8 shape over the evolved table",
     "sim_bitext_ann_fullprobe": "bitext shortlist in its lossless config: bucket equi-join (single bucket = full pair set), JVM zip_with cosine, 2-exchange margin windows - bit-equal to the broadcast baseline",
+    "iceberg_delete_write": "driver-orchestrated: append + position-delete commit (executor-side pyarrow position scans, in-repo parquet delete files), census from the MOR mapInPandas scan — deletes are metadata, no data rewrite",
     "hudi_write_replay": "driver-orchestrated: three COW commits (file-group-routed repartition writes) into a .hoodie timeline; census is a LocalTableScan read COLD from the timeline's write stats via replay_hudi_timeline",
     "sim_bitext_ann": "banded 8x6 bitext shortlist: map-only LSH signatures both sides, (tbl,bucket) equi-join candidates (never all-pairs), zip_with cosine on the sparse shortlist, same 2-exchange margin tail",
 }
