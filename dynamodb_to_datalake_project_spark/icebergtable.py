@@ -991,6 +991,115 @@ def delete_where(
     return snapshot_id
 
 
+def delete_equal(
+    spark,
+    table_path: str,
+    column: str,
+    values,
+    partition_field: str,
+) -> int:
+    """DELETE FROM t WHERE column IN (values), written as a v2
+    EQUALITY delete: ONE tiny parquet file holding just the doomed
+    values (no data scan at all — the cheapest delete the format
+    offers), committed as a content=2 manifest. Spec semantics:
+    an equality delete applies STRICTLY to data files with a lower
+    sequence number, so rows for a deleted value re-inserted by a
+    LATER append survive — the natural tombstone for key-based CDC.
+    Returns the new snapshot id."""
+    from dynamodb_to_datalake_project_spark.llm.avrofile import (
+        encode_avro,
+        parse_avro,
+    )
+    from dynamodb_to_datalake_project_spark.llm.parquetwrite import (
+        write_parquet,
+    )
+
+    st = spark_schema_of(table_path)
+    dt = st[column].dataType.simpleString()
+    vals = sorted(values)
+    if dt in ("int", "bigint", "smallint", "tinyint"):
+        cols = {column: ("INT64" if dt == "bigint" else "INT32", vals)}
+    elif dt == "string":
+        cols = {column: ("BYTE_ARRAY", [v.encode() for v in vals])}
+    elif dt == "double":
+        cols = {column: ("DOUBLE", [float(v) for v in vals])}
+    else:
+        raise NotImplementedError(
+            f"iceberg: equality delete on {dt} column"
+        )
+    blob = write_parquet(cols)
+    rel = f"{DATA_DIR}/eq-delete-{uuid.uuid4().hex}.parquet"
+    with open(os.path.join(table_path, rel), "wb") as f:
+        f.write(blob)
+
+    meta = read_metadata(table_path)
+    spec_fields = [
+        f["name"]
+        for spec in meta["partition-specs"]
+        if spec["spec-id"] == meta["default-spec-id"]
+        for f in spec["fields"]
+    ]
+    mlist_schema, manifest_schema = _manifest_schemas(spec_fields[0])
+    entries = [
+        {
+            "status": ADDED,
+            "snapshot_id": None,
+            "data_file": {
+                "content": 2,
+                "file_path": rel,
+                "file_format": "PARQUET",
+                # global (partition-spanning) delete: sentinel empty
+                # partition value — the delete readers never consult
+                # a delete entry's partition
+                "partition": {partition_field: ""},
+                "record_count": len(vals),
+                "file_size_in_bytes": len(blob),
+                "column_bounds": [],
+            },
+        }
+    ]
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    with open(os.path.join(table_path, cur["manifest-list"]), "rb") as f:
+        ml_rows = list(parse_avro(f.read())["records"])
+    snapshot_id = meta["current-snapshot-id"] + 1
+    sequence_number = meta.get("last-sequence-number", 0) + 1
+    mrel, mlength = _write_manifest(table_path, entries, manifest_schema)
+    ml_rows.append(
+        _manifest_list_row(
+            mrel, mlength, entries, snapshot_id, sequence_number, content=2
+        )
+    )
+    ml_rel = f"{META_DIR}/snap-{snapshot_id}.avro"
+    with open(os.path.join(table_path, ml_rel), "wb") as f:
+        f.write(encode_avro(ml_rows, mlist_schema))
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": sequence_number,
+        "timestamp-ms": snapshot_id,
+        "manifest-list": ml_rel,
+        "schema-id": meta["current-schema-id"],
+        "parent-snapshot-id": meta["current-snapshot-id"],
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": "1",
+            "added-equality-deletes": str(len(vals)),
+            "total-records": cur["summary"]["total-records"],
+            "total-data-files": cur["summary"]["total-data-files"],
+        },
+    }
+    meta_out = dict(meta)
+    meta_out["last-sequence-number"] = sequence_number
+    meta_out["last-updated-ms"] = snapshot_id
+    meta_out["current-snapshot-id"] = snapshot_id
+    meta_out["snapshots"] = meta["snapshots"] + [snapshot]
+    _write_metadata(table_path, current_version(table_path) + 1, meta_out)
+    return snapshot_id
+
+
 def read_table_df_mor(spark, table_path: str):
     """Merge-on-read scan: live data files minus position deletes.
     Delete pairs are driver-collected and shipped in the task closure
@@ -1011,10 +1120,10 @@ def read_table_df_mor(spark, table_path: str):
     ]
     partition_field = spec_fields[0]
 
+    import pyarrow.parquet as _pq
+
     drops: "dict[str, set]" = {}
     for df, dseq in live_files_with_seq(table_path, content=1):
-        import pyarrow.parquet as _pq
-
         t = _pq.read_table(os.path.join(table_path, df["file_path"]))
         paths = [
             p.decode() if isinstance(p, bytes) else p
@@ -1023,37 +1132,78 @@ def read_table_df_mor(spark, table_path: str):
         for p, pos in zip(paths, t.column("pos").to_pylist()):
             drops.setdefault(p, set()).add(int(pos))
 
+    # equality deletes: (column, value-set, sequence) — apply
+    # STRICTLY to older data files (the spec's < rule)
+    eq_sets: "list[tuple[str, set, int]]" = []
+    for df, dseq in live_files_with_seq(table_path, content=2):
+        t = _pq.read_table(os.path.join(table_path, df["file_path"]))
+        col = t.column_names[0]
+        vals = {
+            v.decode() if isinstance(v, bytes) else v
+            for v in t.column(col).to_pylist()
+        }
+        eq_sets.append((col, vals, int(dseq)))
+
     data = live_files_with_seq(table_path, content=0)
-    # sequence rule: a delete applies to data files with seq <= its
-    # own. All current deletes postdate current data (enforced at
-    # write: delete commits use a fresh sequence), so the per-file
-    # filter below is exact for tables this module writes.
+    # position-delete sequence rule: applies to data seq <= delete
+    # seq — exact for tables this module writes (delete commits use
+    # a fresh sequence); equality deletes carry their seq per file.
     rows_meta = [
-        (f["file_path"], f["partition"].get(partition_field))
-        for f, _seq in data
+        (f["file_path"], f["partition"].get(partition_field), int(seq))
+        for f, seq in data
     ]
 
     def _read(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
         import pyarrow.parquet as pq
 
         for pdf in batches:
-            for rel, pv in zip(pdf["file_path"], pdf["pv"]):
+            for rel, pv, dseq in zip(
+                pdf["file_path"], pdf["pv"], pdf["seq"]
+            ):
                 t = pq.read_table(os.path.join(table_path, rel))
-                out = {}
                 n = t.num_rows
                 gone = drops.get(rel, set())
-                keep = [i for i in range(n) if i not in gone]
+                cols_raw = {
+                    f.name: (
+                        t.column(f.name).to_pylist()
+                        if f.name in t.column_names
+                        else None
+                    )
+                    for f in st.fields
+                }
+                live_eq = [
+                    (c, vs) for c, vs, es in eq_sets if int(dseq) < es
+                ]
+                keep = []
+                for i in range(n):
+                    if i in gone:
+                        continue
+                    hit = False
+                    for c, vs in live_eq:
+                        cv = (
+                            cols_raw[c][i]
+                            if cols_raw.get(c) is not None
+                            else (pv if c == partition_field else None)
+                        )
+                        if cv in vs:
+                            hit = True
+                            break
+                    if not hit:
+                        keep.append(i)
+                out = {}
                 for f in st.fields:
-                    if f.name in t.column_names:
-                        col = t.column(f.name).to_pylist()
-                        out[f.name] = [col[i] for i in keep]
+                    raw = cols_raw[f.name]
+                    if raw is not None:
+                        out[f.name] = [raw[i] for i in keep]
                     elif f.name == partition_field:
                         out[f.name] = [pv] * len(keep)
                     else:
                         out[f.name] = [None] * len(keep)
                 yield _pd.DataFrame(out)
 
-    files_df = spark.createDataFrame(rows_meta, "file_path string, pv string")
+    files_df = spark.createDataFrame(
+        rows_meta, "file_path string, pv string, seq long"
+    )
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
         files_df.repartition(min(par, max(1, len(rows_meta))))

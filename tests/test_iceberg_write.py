@@ -337,3 +337,66 @@ def test_delete_where_no_match_is_noop(spark, tmp_path):
     v = it.current_version(t)
     assert it.delete_where(spark, t, "id", {10**9}, "day") is None
     assert it.current_version(t) == v
+
+
+def test_equality_delete_write_strictly_older_rule(spark, tmp_path):
+    """delete_equal writes a content=2 equality delete (just the
+    doomed values — no data scan at all): rows with those values in
+    OLDER data files disappear from the MOR scan, a LATER append
+    re-inserting a deleted value survives (the spec's strictly-<
+    rule — the CDC tombstone semantics), and the independent
+    tablemeta walk agrees."""
+    from dynamodb_to_datalake_project_spark.llm.tablemeta import (
+        read_iceberg_with_deletes,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 300).withColumn(
+        "day", (F.col("id") / 100).cast("int").cast("string")
+    )
+    it.append(df, t, "day")
+    sid = it.delete_equal(spark, t, "id", {5, 105, 205, 250}, "day")
+    assert sid == 2
+    mor = it.read_table_df_mor(spark, t)
+    assert mor.count() == 296
+    assert mor.filter(F.col("id").isin(5, 105, 205, 250)).count() == 0
+
+    # re-insert two deleted values in a LATER append: they survive
+    it.append(
+        spark.createDataFrame([(5, "9"), (205, "9")], "id long, day string"),
+        t,
+        "day",
+    )
+    mor2 = it.read_table_df_mor(spark, t)
+    assert mor2.count() == 298
+    assert mor2.filter(F.col("id") == 5).count() == 1
+    got_days = {
+        r.day for r in mor2.filter(F.col("id") == 5).collect()
+    }
+    assert got_days == {"9"}, "only the post-delete copy survives"
+
+    # independent walk agrees
+    files = it.storage_files(t)
+    for f in (
+        it.live_files(t, content=0)
+        + it.live_files(t, content=1)
+        + it.live_files(t, content=2)
+    ):
+        with open(os.path.join(t, f["file_path"]), "rb") as fh:
+            files[f["file_path"]] = fh.read()
+    out = read_iceberg_with_deletes(it.metadata_text(t), files, "id")
+    assert sum(len(v) for v in out.values()) == 298
+
+
+def test_position_and_equality_deletes_compose(spark, tmp_path):
+    """Both delete kinds on one table: positions drop specific rows,
+    equality drops a value everywhere older — the MOR scan applies
+    both with their distinct sequence rules."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 100).withColumn("day", F.lit("d"))
+    it.append(df, t, "day")
+    it.delete_where(spark, t, "id", {1, 2, 3}, "day")
+    it.delete_equal(spark, t, "id", {50, 51}, "day")
+    mor = it.read_table_df_mor(spark, t)
+    assert mor.count() == 95
+    assert mor.filter(F.col("id").isin(1, 2, 3, 50, 51)).count() == 0
