@@ -99,6 +99,15 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=512m",
         )
+        # Python-worker connect-back accept timeout (default 15 s).
+        # On a slow/virtualized host a cold simple-worker fork (the
+        # streaming-source runner path forks one per query start) can
+        # exceed it and the whole query dies with "Python worker
+        # failed to connect back" — observed as a one-off
+        # test_kinesis_mock_shard_contract failure that passed on
+        # rerun. Worker startup is not on any measured path, so a
+        # generous accept window costs nothing.
+        .config("spark.python.authenticate.socketTimeout", "120s")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
