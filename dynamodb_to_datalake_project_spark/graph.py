@@ -779,21 +779,32 @@ def kcore(
     Scale shape per round: one node-keyed degree aggregation (node-
     sized output) and two LEFT SEMI joins filtering the edge list by
     the survivor set — O(edges)+O(nodes) shuffle, no driver state, no
-    windows; each round's shrunken edge set is EAGERLY checkpointed.
-    The checkpoint is load-bearing, not an optimization: every round
-    references the previous round's edges TWICE (degree agg + the
-    survivor semi-joins), so an unmaterialized 8-round plan contains
-    2^8 copies of round 0 and Catalyst analysis alone takes minutes
-    (measured: the lazy form ran 12 min on a 3k-edge graph; eager,
-    seconds) — the same exponential re-expansion the DuckDB oracle
-    avoids with MATERIALIZED CTEs. All arithmetic integral."""
+    windows; each round's shrunken edge set is checkpointed and
+    materialized by its count. The checkpoint is load-bearing, not an
+    optimization: every round references the previous round's edges
+    TWICE (degree agg + the survivor semi-joins), so an
+    UNCHECKPOINTED 8-round plan contains 2^8 copies of round 0 and
+    Catalyst analysis alone takes minutes (measured: that form ran
+    12 min on a 3k-edge graph; checkpointed, seconds) — the same
+    exponential re-expansion the DuckDB oracle avoids with
+    MATERIALIZED CTEs. All arithmetic integral."""
     if k < 1 or n_rounds < 1:
         raise ValueError(f"kcore: need k >= 1 and n_rounds >= 1, got {k=} {n_rounds=}")
+    # Per-round materialization is still load-bearing (see above), but
+    # each round's count() IS the materialization job of its lazy
+    # checkpoint — one job per round instead of an eager-checkpoint
+    # job, and the count is the FIXPOINT TEST: the peel only ever
+    # removes edges (e_i ⊆ e_{i-1}, every present node has degree ≥ 1
+    # on a symmetric list), so an unchanged count means an unchanged
+    # edge set and every remaining round is a no-op — stop paying for
+    # them. Output is bit-identical to the fixed-round unroll by
+    # monotonicity; the oracle still replays all n_rounds.
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    prev_n = e.count()
     for _ in range(n_rounds):
         keep = (
             e.groupBy("src")
@@ -803,7 +814,11 @@ def kcore(
         )
         e = e.join(keep, "src", "left_semi").join(
             keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        n = e.count()
+        if n == prev_n:
+            break
+        prev_n = n
     return (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").cast("long").alias("core_degree"))
@@ -887,21 +902,26 @@ def bfs_levels(
     Scale shape per round: the CURRENT FRONTIER (not the visited set)
     joins the edge list, then one min-agg and one anti-join against
     visited — O(frontier-edges) + O(nodes) per round, the textbook
-    frontier-BFS cost; visited/frontier tables are eagerly
-    checkpointed per round (multi-consumer, same rationale as
-    `kcore`). All integer."""
+    frontier-BFS cost; visited/frontier tables are checkpointed per
+    round (multi-consumer, same rationale as `kcore`). All integer."""
     if n_rounds < 1:
         raise ValueError(f"bfs_levels: need n_rounds >= 1, got {n_rounds}")
+    # Lazy checkpoints: lineage is truncated for Catalyst immediately
+    # (each table is multi-consumer, same rationale as `kcore`), but
+    # the ONLY job per round is the frontier count — which both
+    # materializes the round's checkpoint and answers the
+    # frontier-exhausted early exit (was: eager-checkpoint job +
+    # limit(1) probe job + eager visited-union job per round).
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     visited = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()
         .withColumn("level", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = visited
     for lvl in range(1, n_rounds + 1):
@@ -911,11 +931,11 @@ def bfs_levels(
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("level", F.lit(lvl).cast("long"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if not nxt.limit(1).collect():
+        if nxt.count() == 0:
             break  # frontier exhausted — deeper rounds are no-ops
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited.orderBy("node")
 
