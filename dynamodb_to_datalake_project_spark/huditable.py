@@ -168,11 +168,18 @@ def upsert(
         .withColumn("__hud_fg", fg)
     )
 
-    # touched (partition, group) pairs — bounded by the batch spread
-    touched = [
-        (r["__hud_pv"], r["__hud_fg"])
-        for r in batch.select("__hud_pv", "__hud_fg").distinct().collect()
-    ]
+    # touched (partition, group) pairs — bounded by the batch spread.
+    # ONE aggregation job also carries the per-group distinct-key
+    # count, which turns the update accounting below into pure
+    # arithmetic (old slice keys + batch keys − merged keys) instead
+    # of a second Spark job semi-joining batch against the slices.
+    batch_keys: "dict[tuple[str, int], int]" = {
+        (r["__hud_pv"], r["__hud_fg"]): r["bk"]
+        for r in batch.groupBy("__hud_pv", "__hud_fg")
+        .agg(F.count_distinct(F.col(record_key)).alias("bk"))
+        .collect()
+    }
+    touched = list(batch_keys)
     state = table_state(table_path)
     live = state["live_files"]
 
@@ -196,22 +203,14 @@ def upsert(
             .withColumn("__hud_pp", part_path)
             .withColumn("__hud_fg", fg)
         )
-        # updates per touched group: batch keys already present in the
-        # group's current slice (a bounded per-group count aggregate)
-        n_updates_df = (
-            batch.select("__hud_pv", "__hud_fg", record_key)
-            .join(
-                existing.select("__hud_pv", "__hud_fg", record_key),
-                ["__hud_pv", "__hud_fg", record_key],
-                "left_semi",
-            )
-            .groupBy("__hud_pv", "__hud_fg")
-            .agg(F.count_distinct(record_key).alias("n_upd"))
-            .collect()
-        )
-        n_updates = {
-            (r["__hud_pv"], r["__hud_fg"]): r["n_upd"] for r in n_updates_df
-        }
+        # updates per touched group = |batch keys ∩ slice keys|,
+        # derived AFTER the write from |old| + |batch| − |merged|
+        # (inclusion-exclusion over distinct keys: slices hold exactly
+        # one row per key, so the merged slice's parquet row count IS
+        # its key count). This removed the per-commit semi-join job
+        # the previous shape paid (batch × existing slices) — the
+        # same numbers now come from the timeline + the staged
+        # footers, both already in hand.
         # key scope is (partition, key) — Hudi's DEFAULT non-global
         # index: a key reappearing in another partition is a fresh
         # insert there and its old-partition copy stays. A global
@@ -225,7 +224,6 @@ def upsert(
             [record_key, "__hud_pv"], [precombine],
         )
     else:
-        n_updates = {}
         merged = merge_mod.upsert_dataframes(
             batch.limit(0), batch, [record_key, "__hud_pv"], [precombine]
         )
@@ -310,7 +308,13 @@ def upsert(
         full = os.path.join(dst_dir, fname)
         with open(full, "rb") as fh:
             n_rows = parse_parquet_footer(fh.read())["num_rows"]
-        upd = int(n_updates.get((pv, g), 0))
+        # |batch ∩ old slice| by inclusion-exclusion over distinct
+        # keys (see the batch_keys aggregation above)
+        upd = (
+            _prev_rows(table_path, live, fid)
+            + int(batch_keys.get((pv, g), 0))
+            - n_rows
+        )
         prev = prev_commit.get(fid)
         stats_by_partition.setdefault(pp, []).append(
             {
@@ -442,20 +446,31 @@ def _register() -> None:
                     n_file_groups=2,
                 )
             census = partition_census(table)
-            actual = read_table_df(spark, table).count()
-            if sum(census.values()) != actual:
+            # ONE verification job: total row count and broken-meta
+            # count off the same scan of the live slices (was two
+            # full reads — count, then a filtered count)
+            meta = read_table_df(spark, table, with_meta=True)
+            chk = meta.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (
+                        F.col("_hoodie_commit_time").isNull()
+                        | (
+                            F.col("_hoodie_record_key")
+                            != F.col("event_id").cast("string")
+                        )
+                    ).cast("long")
+                ).alias("bad"),
+            ).collect()[0]
+            if sum(census.values()) != chk["n"]:
                 raise AssertionError(
                     f"timeline census {sum(census.values())} != live "
-                    f"slice read {actual}"
+                    f"slice read {chk['n']}"
                 )
-            # meta columns present with a completed instant
-            meta = read_table_df(spark, table, with_meta=True)
-            bad = meta.filter(
-                F.col("_hoodie_commit_time").isNull()
-                | (F.col("_hoodie_record_key") != F.col("event_id").cast("string"))
-            ).count()
-            if bad:
-                raise AssertionError(f"{bad} rows with broken meta columns")
+            if chk["bad"]:
+                raise AssertionError(
+                    f"{chk['bad']} rows with broken meta columns"
+                )
             rows = sorted(
                 (pp.split("=", 1)[1], n) for pp, n in census.items()
             )
