@@ -699,12 +699,17 @@ def append(spark_df, table_path: str, partition_col: str) -> int:
 def overwrite_partitions(spark_df, table_path: str, partition_col: str) -> int:
     """Partition-replacement commit: every partition present in the
     batch is replaced wholesale by the batch's files (dynamic
-    partition overwrite — the idempotent backfill/upsert shape)."""
-    replaced = {
-        str(r[0])
-        for r in spark_df.select(partition_col).distinct().collect()
-    }
+    partition overwrite — the idempotent backfill/upsert shape).
+
+    The replaced-partition set is read off the STAGED WRITE's
+    directory names (a partition is present in the batch iff the
+    partitioned write produced its directory) — the same
+    `partition_col=value` convention `commit_files` itself derives
+    partition values from — instead of a separate
+    `select(partition_col).distinct().collect()` pass over the batch,
+    which cost one full extra Spark job per commit."""
     rels = _stage_data(spark_df, table_path, partition_col)
+    replaced = {_partition_value_of(rel, partition_col) for rel in rels}
     return commit_files(
         table_path,
         rels,
@@ -876,10 +881,23 @@ def delete_where(
 
         for pdf in batches:
             for rel, pv in zip(pdf["file_path"], pdf["pv"]):
+                import numpy as _np
+
                 col = pq.read_table(
                     os.path.join(table_path, rel), columns=[column]
-                ).column(0).to_pylist()
-                hits = [i for i, v in enumerate(col) if v in vals]
+                ).column(0)
+                try:
+                    # vectorized membership over the Arrow column —
+                    # the per-row Python `in` loop was the hot path
+                    arr = col.to_numpy(zero_copy_only=False)
+                    hits = _np.nonzero(
+                        _np.isin(arr, _np.array(sorted(vals)))
+                    )[0].tolist()
+                except (TypeError, ValueError):
+                    # non-numeric columns fall back to the exact loop
+                    hits = [
+                        i for i, v in enumerate(col.to_pylist()) if v in vals
+                    ]
                 if hits:
                     yield _pd.DataFrame(
                         {
@@ -1360,14 +1378,17 @@ def _register_delete() -> None:
         table = os.path.join(root, "events_ice")
         try:
             append(ev, table, "event_date")
-            doomed = {
-                r[0]
-                for r in ev.select("user_id")
-                .filter(F.col("user_id") % 7 == 0)
-                .distinct()
-                .collect()
-            }
-            n_total = ev.count()
+            # one job: total row count + the doomed key set (bounded:
+            # distinct user ids divisible by 7), instead of a distinct
+            # collect AND a separate count over the same scan
+            agg = ev.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(
+                    F.when(F.col("user_id") % 7 == 0, F.col("user_id"))
+                ).alias("doomed"),
+            ).collect()[0]
+            doomed = set(agg["doomed"])
+            n_total = agg["n"]
             if doomed:
                 delete_where(spark, table, "user_id", doomed, "event_date")
             mor = read_table_df_mor(spark, table)
