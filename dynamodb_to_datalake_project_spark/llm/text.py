@@ -2453,13 +2453,25 @@ def bradley_terry(
     pair_counts = matches.groupBy(a_col, b_col).agg(
         F.count("*").alias("n")
     )
-    pairs = pair_counts.select(
-        F.col(a_col).alias("i"), F.col(b_col).alias("j"), "n"
-    ).unionByName(
+    # The symmetric pair table is MODEL-sized (≤ items², vs the
+    # comparison stream it folds) and is consumed by every MM round
+    # plus the games report — materialize it ONCE. Previously it was
+    # rebuilt from the raw matches scan by each round's eager
+    # checkpoint job (cross-job plans share no exchanges), so the
+    # dominant aggregation ran iters+1 times.
+    pairs = (
         pair_counts.select(
-            F.col(b_col).alias("i"), F.col(a_col).alias("j"), "n"
+            F.col(a_col).alias("i"), F.col(b_col).alias("j"), "n"
         )
-    ).groupBy("i", "j").agg(F.sum("n").alias("n"))
+        .unionByName(
+            pair_counts.select(
+                F.col(b_col).alias("i"), F.col(a_col).alias("j"), "n"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     wins = matches.groupBy(winner_col).agg(F.count("*").alias("w")).select(
         F.col(winner_col).alias("i"), "w"
     )
@@ -2485,11 +2497,16 @@ def bradley_terry(
             .groupBy("i")
             .agg(F.sum(F.col("n") / (F.col("wi") + F.col("wj"))).alias("d"))
         )
+        # lazy checkpoint: Catalyst lineage is truncated immediately
+        # (w_df is referenced twice per round — eager per-round jobs
+        # are NOT needed for that), but all `iters` rounds execute as
+        # one pipelined DAG at the final action instead of one job
+        # per round (the pagerank lesson, measured 2.6× there)
         w_df = (
             w_df.drop("wgt")
             .join(denom, "i")
             .select("i", "w", (F.col("w") / F.col("d")).alias("wgt"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     total = w_df.agg(F.sum("wgt").alias("t"))
     return (
