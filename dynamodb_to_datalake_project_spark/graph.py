@@ -320,10 +320,18 @@ def pagerank(
     planning cost over the growing DAG starts to bite) pass
     `checkpoint_every` to truncate periodically.
     """
+    # The edge table is consumed TWICE by separate JOBS (the deg
+    # checkpoint, then the ew checkpoint) — without materialization
+    # the full upstream edge plan (for the catalog queries: a
+    # lineitem⋈orders join + distinct + union) executes once per job,
+    # and cross-job plans share no exchanges. One eager checkpoint
+    # runs that plan once; the two downstream jobs read stored blocks.
     if weight is None:
-        e = edges.select(
-            F.col(src).alias("src"), F.col(dst).alias("dst")
-        ).distinct()
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         deg = e.groupBy("src").agg(F.count("*").alias("deg"))
         deg = deg.localCheckpoint(eager=True)
     else:
@@ -331,7 +339,7 @@ def pagerank(
             F.col(src).alias("src"),
             F.col(dst).alias("dst"),
             F.col(weight).alias("w"),
-        )
+        ).localCheckpoint(eager=True)
         # Fail fast on the two contract violations the docstring used to
         # merely describe (ADVICE r5): non-positive/null weights poison
         # the out-strength divisor, and duplicate (src, dst) rows double
@@ -753,6 +761,12 @@ def q_graph_modularity(spark, sf_dir):
     sym = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
+    # ONE materialization of the symmetric edge list shared by the
+    # propagation rounds AND the scoring joins: label_propagation and
+    # modularity each checkpoint their own edge derivative, and
+    # without this the lineitem⋈orders+distinct edge plan — the
+    # query's dominant exchange — executed once per consumer job.
+    sym = sym.localCheckpoint(eager=True)
     return modularity(sym, label_propagation(sym, n_iter=4))
 
 
