@@ -489,9 +489,16 @@ def kmeans_train(
         raise ValueError(f"kmeans_train: need k >= 1 and n_iters >= 1, got {k=} {n_iters=}")
     if init not in ("md5", "maximin", "parallel"):
         raise ValueError(f"kmeans_train: unknown init {init!r}")
+    # The (id, v) frame is scanned once per init round / Lloyd
+    # iteration (each phi agg, coin filter, weighting pass, and
+    # assignment is its own job, and cross-job plans share nothing),
+    # so materialize the decoded vectors ONCE — every subsequent scan
+    # reads stored blocks instead of re-reading parquet and re-running
+    # the as_double_vec conversion. Values are unchanged: the
+    # checkpoint stores exactly the rows the scans would recompute.
     emb = embeddings.select(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
-    )
+    ).localCheckpoint(eager=True)
     if init == "maximin":
         cents = maximin_seeds(emb, k)
     elif init == "parallel":
