@@ -73,13 +73,21 @@ def lm_score_docs(docs: DataFrame, k: float = LM_K) -> DataFrame:
     — is materialized with `localCheckpoint` so the scoring join's
     build side doesn't re-run the corpus pipeline (Spark recomputes
     un-materialized lineage per plan branch; a production run writes
-    the model to a table here). Scoring then costs one more corpus
-    pass joined against the materialized model — AQE
-    broadcast-upgrades it when the observed vocabulary is small.
+    the model to a table here). The doc-bigram frame is ALSO staged
+    once (see the in-code note), so scoring reads stored rows joined
+    against the materialized model — AQE broadcast-upgrades it when
+    the observed vocabulary is small.
     """
     from pyspark.sql import Window
 
-    bd = doc_bigrams(docs)
+    # bd is consumed by TWO separate jobs (the model checkpoint and
+    # the scoring join), and cross-job plans share no exchanges — the
+    # tokenize + bigram-explode + per-doc aggregation used to run
+    # twice. Staging it once (the curate.py "stage to temp table"
+    # form; block store spills to disk at scale) makes both consumers
+    # read stored rows, trading one write of the doc-bigram table for
+    # a full second corpus tokenization pass.
+    bd = doc_bigrams(docs).localCheckpoint(eager=True)
     model = (
         bd.groupBy("bigram")
         .agg(F.sum("m").alias("c_xy"))
@@ -380,7 +388,8 @@ def kn_score_docs(docs: DataFrame) -> DataFrame:
     where c_xy·N1+(··) < 2^63 — beyond that, promote to DECIMAL."""
     from pyspark.sql import Window
 
-    bd = doc_bigrams(docs)
+    # staged once for the same two-consumer reason as `lm_score_docs`
+    bd = doc_bigrams(docs).localCheckpoint(eager=True)
     gb = (
         bd.groupBy("bigram")
         .agg(F.sum("m").alias("c_xy"))
