@@ -173,12 +173,18 @@ def banded_hamming_pairs(
             for k in range(half, n_bands)
         ],
     )
+    # materialized ONCE: the self-join consumes `sig` on both sides,
+    # and without the checkpoint the whole upstream signature plan —
+    # for the catalog queries a REAL per-row codec encode→decode→hash
+    # Arrow stage — executes twice (plan audit: two MapInPandas
+    # subtrees, no cross-branch reuse). The signature table is 5 longs
+    # per (doc, band): bounded, cheap to store.
     sig = hashes.select(
         F.col(id_col).alias("id"),
         F.col(hi_col).alias("sig_hi"),
         F.col(lo_col).alias("sig_lo"),
         F.posexplode(bands).alias("band_idx", "band_val"),
-    )
+    ).localCheckpoint(eager=True)
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (
         a.join(
