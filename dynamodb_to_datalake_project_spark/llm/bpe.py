@@ -470,15 +470,27 @@ _WP_LENS = (2, 3, 4)
 def wordpiece_vocab(docs) -> "list[str]":
     """Top-K substrings (lengths 2-4, occurrence-weighted, count
     DESC then piece ASC) of the corpus words — pure Catalyst explode
-    + count + rank; only the K final strings reach the driver."""
-    from pyspark.sql import Window
-
+    + count + top-K; only the K final strings reach the driver."""
+    # Two execution-shape rules applied here (results identical):
+    # 1. substrings explode per DISTINCT word, weighted by the word's
+    #    occurrence count, instead of per occurrence — Σ_w freq(w) ×
+    #    substr_multiplicity(w) equals the per-occurrence count, and
+    #    natural text repeats words heavily, so the explode and its
+    #    shuffle shrink by the dedup factor;
+    # 2. the global top-K is orderBy+limit — Spark plans
+    #    TakeOrderedAndProject (distributed per-partition top-K, then
+    #    a K-row merge) — instead of a row_number window over an
+    #    Exchange SinglePartition, which sorted the ENTIRE distinct
+    #    piece table in one task. The (cnt DESC, piece ASC) order is
+    #    total (piece is unique), so limit K picks exactly the rows
+    #    rk <= K did.
     words = docs.select(
         F.explode(
             F.filter(F.split("text", " "), lambda w: w != F.lit(""))
         ).alias("w")
-    )
+    ).groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     subs = words.select(
+        "freq",
         F.explode(
             F.flatten(
                 F.array(*[
@@ -493,18 +505,13 @@ def wordpiece_vocab(docs) -> "list[str]":
                     for L in _WP_LENS
                 ])
             )
-        ).alias("piece")
+        ).alias("piece"),
     )
     ranked = (
         subs.groupBy("piece")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
-            ),
-        )
-        .filter(F.col("rk") <= _WP_TOPK)
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(_WP_TOPK)
     )
     return [r.piece for r in ranked.collect()]
 
