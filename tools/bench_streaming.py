@@ -59,8 +59,21 @@ def _events(spark, rows_per_second: int):
 
 
 def _drain(q, seconds: float) -> tuple[float, int]:
-    """Let the query run `seconds`, then return (rows_per_sec, rows)
-    from its progress history (input rows / trigger wall time)."""
+    """Let the query run `seconds` of STEADY streaming, then return
+    (rows_per_sec, rows) from its progress history (input rows /
+    trigger wall time). Startup — Python-worker forks plus the first
+    micro-batch's planning — is excluded by waiting (bounded) for the
+    first completed non-empty trigger before the measured window
+    starts: on a slow or stolen host that cold path alone can exceed
+    a short window and the old fixed sleep then measured zero
+    triggers (observed as a test failure on a host where cold
+    `spark.range(1).count()` takes ~10 s). Same principle as
+    bench.py's excluded `startup_sec`."""
+    deadline = time.time() + 120.0
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.5)
     time.sleep(seconds)
     prog = list(q.recentProgress)
     q.stop()
