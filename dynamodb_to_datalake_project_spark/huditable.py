@@ -265,13 +265,17 @@ def upsert(
         .select(*META_COLS, *data_cols, "__hud_pv", "__hud_fg")
     )
 
-    # one task per (partition, group) -> one staged file per slice
+    # one staged file per slice WITHOUT a dedicated repartition: the
+    # seqno window above already forced Exchange hashpartitioning on
+    # exactly (__hud_pv, __hud_fg), so every slice's rows sit wholly
+    # in one task (AQE coalescing merges whole partitions and keeps
+    # that property) and the partitionBy write emits exactly one file
+    # per slice. The previous explicit repartition(len(touched)) on
+    # the SAME keys re-shuffled the full payload a second time for
+    # nothing (guide §2.4) — one Exchange removed per commit.
     staging = os.path.join(table_path, ".hoodie_staging_" + instant)
     (
-        out.repartition(
-            max(1, len(touched)), F.col("__hud_pv"), F.col("__hud_fg")
-        )
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .partitionBy("__hud_pv", "__hud_fg")
         .parquet(staging)
     )

@@ -5,10 +5,13 @@ read/write and input bytes. These counts are invariant under CPU steal
 and host noise, so they are the primary A/B evidence channel on noisy
 hosts (wall-clock best-of-N is the secondary).
 
-Usage: python tools/job_probe.py <query> [query ...] [--sf SF_DIR]
+Usage: python tools/job_probe.py <query> [query ...] [--sf SF_DIR] [--detail]
 Prints one JSON line per query:
   {"query": ..., "jobs": N, "stages": N, "shuffle_write": B,
    "shuffle_read": B, "input_bytes": B, "sec": wall}
+With --detail, additionally prints one line per job (description, task
+count, per-job shuffle/input bytes) so a protocol-heavy query's job
+budget can be attributed to its phases.
 """
 
 from __future__ import annotations
@@ -30,6 +33,9 @@ def _api(base: str, path: str):
 def main() -> None:
     args = list(sys.argv[1:])
     sf_dir = "/root/testdata/sf0.1"
+    detail = "--detail" in args
+    if detail:
+        args.remove("--detail")
     if "--sf" in args:
         i = args.index("--sf")
         sf_dir = args[i + 1]
@@ -71,6 +77,34 @@ def main() -> None:
             "sec": round(sec, 3),
         }
         print(json.dumps(rec), flush=True)
+        if detail:
+            by_stage = {s["stageId"]: s for s in stages}
+            for j in sorted(jobs, key=lambda j: j["jobId"]):
+                js = [
+                    by_stage[sid]
+                    for sid in j.get("stageIds", [])
+                    if sid in by_stage
+                ]
+                print(
+                    json.dumps(
+                        {
+                            "job": j["jobId"],
+                            "desc": (j.get("description") or j.get("name", ""))[
+                                :120
+                            ],
+                            "tasks": sum(
+                                s.get("numCompleteTasks", 0) for s in js
+                            ),
+                            "shuffle_write": sum(
+                                s.get("shuffleWriteBytes", 0) for s in js
+                            ),
+                            "input_bytes": sum(
+                                s.get("inputBytes", 0) for s in js
+                            ),
+                        }
+                    ),
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":
