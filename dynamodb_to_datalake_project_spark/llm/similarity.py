@@ -1441,9 +1441,21 @@ def bitext_mine(
     Everything after the cosine is INTEGER-exact: cosines land as
     ppm BIGINTs (round(cos·1e6)), top-k sums and the margin use
     integer arithmetic only — so an independent SQL engine reproduces
-    every output bit. Window order is arranged so the src-keyed rank
-    and sum share one exchange, the tgt-keyed pair the other: 2
-    shuffles total over the pair set.
+    every output bit.
+
+    Execution shape (r11): the previous form materialized the FULL
+    n_src×n_tgt pair table and shuffled it TWICE (src-keyed and
+    tgt-keyed rank/sum windows — 102 MB at sf0.1 for a 1,105-row
+    result). But the Arrow matmul stage already holds each src row's
+    ENTIRE cosine row, so the forward rank-1 pick and top-k sum are
+    computed IN-STAGE (zero shuffle), and the backward direction
+    ships only each batch's per-tgt local top-k candidates — the
+    map-side partial top-k (guide §2.3): selecting the global top-k
+    from merged local top-ks under the same total order
+    (cos_ppm desc, src_id asc) is lossless, so best_src, sum_tgt and
+    every surviving pair are bit-identical to the window form.
+    Shuffled bytes drop from O(n_src·n_tgt) to
+    O(n_src + P·n_tgt·k) (P = batch count).
 
     Returns (src_id, tgt_id, cos_ppm, margin_ppm) with margin_ppm >
     threshold_ppm (1.05 margin ≈ 1_050_000)."""
@@ -1465,17 +1477,24 @@ def bitext_mine(
     tgt_rows = tgt.select(id_col, vec_col).collect()
     t_ids = _np.array([r[0] for r in tgt_rows], dtype=_np.int64)
     t_mat = _np.array([list(r[1]) for r in tgt_rows], dtype=_np.float64)
+    # tgt side sorted by id once: a stable argsort on -ppm then ties
+    # fall in tgt_id-ascending order — the windows' exact tie policy
+    t_order = _np.argsort(t_ids, kind="stable")
+    t_ids = t_ids[t_order]
+    t_mat = t_mat[t_order]
     t_norm = _np.sqrt((t_mat * t_mat).sum(axis=1))
 
-    pair_schema = _T.StructType(
+    stage_schema = _T.StructType(
         [
+            _T.StructField("kind", _T.IntegerType()),
             _T.StructField("src_id", _T.LongType()),
             _T.StructField("tgt_id", _T.LongType()),
             _T.StructField("cos_ppm", _T.LongType()),
+            _T.StructField("sum_src", _T.LongType()),
         ]
     )
 
-    def _pairs_op(
+    def _stage_op(
         batches: "_Iterator[_pd.DataFrame]",
     ) -> "_Iterator[_pd.DataFrame]":
         for pdf in batches:
@@ -1485,6 +1504,11 @@ def bitext_mine(
             s_mat = _np.array(
                 [list(v) for v in pdf["_bt_v"]], dtype=_np.float64
             )
+            # rows sorted by src_id so the backward stable argsort's
+            # ties fall in src_id-ascending order
+            s_order = _np.argsort(s_ids, kind="stable")
+            s_ids = s_ids[s_order]
+            s_mat = s_mat[s_order]
             s_norm = _np.sqrt((s_mat * s_mat).sum(axis=1))
             cos = (s_mat @ t_mat.T) / (
                 s_norm[:, None] * t_norm[None, :]
@@ -1493,25 +1517,98 @@ def bitext_mine(
             ppm = (
                 _np.sign(scaled) * _np.floor(_np.abs(scaled) + 0.5)
             ).astype(_np.int64)
-            n_t = len(t_ids)
-            yield _pd.DataFrame(
+            n_s, n_t = ppm.shape
+            # forward: rank-1 tgt and top-k ppm sum per src row —
+            # the full cosine row is local, no shuffle needed
+            kk = min(k, n_t)
+            fwd_ord = _np.argsort(-ppm, axis=1, kind="stable")
+            top = _np.take_along_axis(ppm, fwd_ord[:, :kk], axis=1)
+            fwd = _pd.DataFrame(
                 {
-                    "src_id": _np.repeat(s_ids, n_t),
-                    "tgt_id": _np.tile(t_ids, len(s_ids)),
-                    "cos_ppm": ppm.ravel(),
+                    "kind": _np.zeros(n_s, dtype=_np.int32),
+                    "src_id": s_ids,
+                    "tgt_id": t_ids[fwd_ord[:, 0]],
+                    "cos_ppm": top[:, 0],
+                    "sum_src": top.sum(axis=1),
                 }
             )
+            # backward: this batch's per-tgt local top-k candidates
+            # (the global top-k is a subset of merged local top-ks)
+            kb = min(k, n_s)
+            bwd_ord = _np.argsort(-ppm, axis=0, kind="stable")[:kb]
+            cand = _pd.DataFrame(
+                {
+                    "kind": _np.ones(kb * n_t, dtype=_np.int32),
+                    "src_id": s_ids[bwd_ord].ravel(order="F"),
+                    "tgt_id": _np.repeat(t_ids, kb),
+                    "cos_ppm": _np.take_along_axis(
+                        ppm, bwd_ord, axis=0
+                    ).ravel(order="F"),
+                    "sum_src": _np.zeros(kb * n_t, dtype=_np.int64),
+                }
+            )
+            yield _pd.concat([fwd, cand], ignore_index=True)
 
     spark = src.sparkSession
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pairs = (
+    # eager checkpoint: the stage output is model-sized (n_src forward
+    # rows + batches·k·n_tgt candidates) and has TWO consumers below —
+    # without it the matmul subtree would execute once per branch
+    stage = (
         src.select(
             F.col(id_col).alias("_bt_id"), F.col(vec_col).alias("_bt_v")
         )
         .repartition(par)
-        .mapInPandas(_pairs_op, pair_schema)
+        .mapInPandas(_stage_op, stage_schema)
+        .localCheckpoint(eager=True)
     )
-    return _margin_pipeline(pairs, k, threshold_ppm)
+    fwd = stage.filter(F.col("kind") == 0).select(
+        "src_id", "tgt_id", "cos_ppm", "sum_src"
+    )
+    cand = stage.filter(F.col("kind") == 1).select(
+        "src_id", "tgt_id", "cos_ppm"
+    )
+    # global per-tgt top-k from the merged local top-ks: struct
+    # (-cos_ppm, src_id) sorts ascending = (cos desc, src asc), the
+    # exact rnk_b order; slice handles n < k like the when()-sum did
+    bwd = (
+        cand.groupBy("tgt_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cos_ppm")).alias("n"),
+                        F.col("src_id").alias("s"),
+                    )
+                )
+            ).alias("c")
+        )
+        .select(
+            F.col("tgt_id").alias("b_tgt"),
+            F.element_at("c", 1)["s"].alias("best_src"),
+            F.aggregate(
+                F.slice("c", 1, k),
+                F.lit(0).cast("long"),
+                lambda a, x: a - x["n"],
+            ).alias("sum_tgt"),
+        )
+    )
+    return (
+        fwd.join(
+            bwd,
+            (F.col("tgt_id") == F.col("b_tgt"))
+            & (F.col("src_id") == F.col("best_src")),
+        )
+        .filter(F.col("sum_src") + F.col("sum_tgt") > 0)
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_ppm",
+            F.expr(f"cos_ppm * {2 * k} * 1000000 div (sum_src + sum_tgt)")
+            .alias("margin_ppm"),
+        )
+        .filter(F.col("margin_ppm") > threshold_ppm)
+    )
 
 
 def _margin_pipeline(
