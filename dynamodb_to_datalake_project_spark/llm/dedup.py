@@ -1430,23 +1430,37 @@ def novel_against(
     history is scanned once for hashes and once for the touched-block
     shingles (Catalyst prunes both scans to the needed columns).
     """
-    spark = existing.sparkSession
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ex_hash = existing.select(F.md5(F.col("text")).alias("text_hash")).distinct()
     inc1 = incoming.withColumn("text_hash", F.md5(F.col("text"))).join(
         ex_hash, "text_hash", "left_anti"
     )
 
+    spark = existing.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
     def side(df: DataFrame) -> DataFrame:
+        # ONE exchange per side, keyed by blk — the key the cap window
+        # and the candidate join below need anyway, so both reuse this
+        # partitioning and the shingle arrays never cross the network:
+        # raw text shuffles once, tokenize+shingle run post-shuffle
+        # across all partitions. The previous shape repartitioned by
+        # doc_id first (parallelism for the shingle compute — the
+        # fixture parquet is a single scan split) and then paid a
+        # SECOND exchange of the heavier shingle arrays for the
+        # blk window (guide §2.4).
         return (
             df.select(
                 "doc_id",
                 F.substring("text", 1, 32).alias("blk"),
-                tokens(F.col("text")).alias("toks"),
+                F.col("text"),
             )
-            .repartition(par, "doc_id")
+            .repartition(par, "blk")
             .select(
-                "doc_id", "blk", shingles_from_tokens(F.col("toks"), shingle_n).alias("w")
+                "doc_id",
+                "blk",
+                shingles_from_tokens(
+                    tokens(F.col("text")), shingle_n
+                ).alias("w"),
             )
         )
 
