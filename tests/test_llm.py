@@ -820,6 +820,54 @@ def test_jpeg_corrupt_and_unsupported_fail_cleanly():
         multimodal.decode_jpeg_array(b"\x00\x01rubbish")
 
 
+def _mini_restart_jpeg(entropy: bytes) -> bytes:
+    """Hand-built 16x8 grayscale baseline JPEG with DRI=1 (restart
+    after every MCU) and trivial tables: quant all-ones, DC table =
+    single 1-bit code '0' -> category 0, AC table = single 1-bit code
+    '0' -> EOB. Each MCU is the 2 bits '00' padded to byte 0x3F; the
+    caller supplies the entropy bytes so the restart-marker error
+    paths can be pinned too."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 16, 1)
+    out += struct.pack("BBB", 1, 0x11, 0)
+    dc_bits = [1] + [0] * 15
+    out += b"\xff\xc4" + struct.pack(">HB", 20, 0x00)
+    out += bytes(dc_bits) + bytes([0])
+    out += b"\xff\xc4" + struct.pack(">HB", 20, 0x10)
+    out += bytes(dc_bits) + bytes([0x00])
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI = 1 MCU
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += struct.pack("BB", 1, 0x00) + b"\x00\x3f\x00"
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_restart_interval_decode_and_errors():
+    """Restart-marker handling of the segment-based entropy decoder
+    (r11): a DRI=1 stream decodes across RST0 with DC prediction
+    resets (all-zero coefficients -> exact mid-gray), a stream whose
+    restart marker is missing fails with the documented error, and a
+    marker hit mid-entropy-segment fails cleanly."""
+    import numpy as np
+
+    good = _mini_restart_jpeg(b"\x3f\xff\xd0\x3f")
+    d = multimodal.decode_jpeg_array(good)
+    assert (d["width"], d["height"]) == (16, 8)
+    assert d["px"].shape == (8, 16, 3)
+    assert int(np.abs(d["px"].astype(int) - 128).max()) == 0
+
+    # data where the RST0 should be: restart() must fail
+    with pytest.raises(ValueError, match="restart"):
+        multimodal.decode_jpeg_array(_mini_restart_jpeg(b"\x3f\x3f\x3f"))
+    # marker arrives EARLY (mid-MCU): read crosses the segment end
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_array(_mini_restart_jpeg(b"\xff\xd0\x3f"))
+
+
 class _VP8LWriter:
     """Spec bit writer for hand-building golden VP8L streams — LSB
     first within bytes, prefix codes MSB-first — kept independent of
