@@ -826,8 +826,24 @@ _JPEG_HUFF_AC_CHROM = (
 )
 
 
+#: table-derivation caches — an MJPEG stream (and most wild corpora
+#: from one encoder) reuses identical DHT/DQT bytes for every frame,
+#: so the canonical-Huffman walk, the peek-16 flat tables, and the
+#: de-zigzagged quant matrices are built once per process, not per
+#: frame. All caches are size-capped; cached arrays are never mutated
+#: by callers.
+_JPEG_HUFF_CACHE: "dict[bytes, dict]" = {}
+_JPEG_DQT_CACHE: "dict[tuple, object]" = {}
+_JPEG_IDCT_A = None
+
+
 def _jpeg_huff_lut(bits: "list[int]", values: "list[int]") -> dict:
-    """Canonical Huffman: {(code_length, code): value}."""
+    """Canonical Huffman: {(code_length, code): value}, cached on the
+    raw (bits, values) bytes."""
+    key = bytes(bits) + bytes(values)
+    hit = _JPEG_HUFF_CACHE.get(key)
+    if hit is not None:
+        return hit
     lut, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -835,20 +851,25 @@ def _jpeg_huff_lut(bits: "list[int]", values: "list[int]") -> dict:
             k += 1
             code += 1
         code <<= 1
+    if len(_JPEG_HUFF_CACHE) < 256:
+        _JPEG_HUFF_CACHE[key] = lut
     return lut
 
 
 def _jpeg_idct_matrix():
-    import math
+    global _JPEG_IDCT_A
+    if _JPEG_IDCT_A is None:
+        import math
 
-    import numpy as np
+        import numpy as np
 
-    a = np.zeros((8, 8))
-    for u in range(8):
-        c = math.sqrt(0.5) if u == 0 else 1.0
-        for x in range(8):
-            a[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
-    return a
+        a = np.zeros((8, 8))
+        for u in range(8):
+            c = math.sqrt(0.5) if u == 0 else 1.0
+            for x in range(8):
+                a[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+        _JPEG_IDCT_A = a
+    return _JPEG_IDCT_A
 
 
 def _jpeg_extend(v: int, t: int) -> int:
@@ -862,8 +883,12 @@ def _jpeg_entropy_segments(
     """Split the entropy-coded stream into UNSTUFFED segments:
     0xFF00 → literal 0xFF; an RSTn marker ends a segment (rst=True)
     and starts the next; EOI or buffer end terminates (rst=False).
-    Any other 0xFF+x pair is kept verbatim as data — byte-for-byte
-    the read sequence of the original incremental bit reader."""
+    Any other 0xFF+x pair is kept verbatim as data — the read sequence
+    of the original incremental bit reader on well-formed streams.
+    (Two malformed-stream edges drift from that reader: a bare
+    trailing 0xFF is kept as 8 data bits instead of raising, and a
+    read crossing an EOI-terminated segment reports "truncated"
+    rather than "hit marker".)"""
     segs: "list[tuple[bytes, bool]]" = []
     out = bytearray()
     d, n = data, len(data)
@@ -900,17 +925,16 @@ def _jpeg_entropy_segments(
 
 
 #: (value, length) flat peek-16 tables per canonical Huffman table —
-#: keyed by the table's (length, code) -> value items so identical
-#: tables (the hot case: every frame of an MJPEG stream, every image
-#: from one encoder) build the 65,536-slot arrays once per process.
-_JPEG_FASTLUT_CACHE: "dict[tuple, tuple[list, list]]" = {}
+#: keyed by id() of the lut dict (entries pin the dict, so ids cannot
+#: be recycled); `_jpeg_huff_lut`'s own cache makes the id key hit for
+#: every frame of an MJPEG stream / image from one encoder.
+_JPEG_FASTLUT_CACHE: "dict[int, tuple]" = {}
 
 
 def _jpeg_fast_lut(lut: dict) -> "tuple[list, list]":
-    key = tuple(sorted(lut.items()))
-    hit = _JPEG_FASTLUT_CACHE.get(key)
+    hit = _JPEG_FASTLUT_CACHE.get(id(lut))
     if hit is not None:
-        return hit
+        return hit[1], hit[2]
     import numpy as np
 
     val = np.zeros(65536, np.int32)
@@ -920,25 +944,51 @@ def _jpeg_fast_lut(lut: dict) -> "tuple[list, list]":
         hi = lo + (1 << (16 - length))
         val[lo:hi] = v
         ln[lo:hi] = length
-    ent = (val.tolist(), ln.tolist())
+    ent = (lut, val.tolist(), ln.tolist())
     if len(_JPEG_FASTLUT_CACHE) < 256:
-        _JPEG_FASTLUT_CACHE[key] = ent
-    return ent
+        _JPEG_FASTLUT_CACHE[id(lut)] = ent
+    return ent[1], ent[2]
 
 
-def _jpeg_bit_windows(seg: bytes) -> "list[int]":
-    """W[p] = the 16 bits starting at bit p of `seg` (zero-padded past
-    the end), as a plain list for fast scalar indexing — the whole
-    segment's bit stream becomes one O(1)-peek table."""
+#: bytes of entropy segment windowed per chunk: bounds the transient
+#: Python-list window table to O(chunk), not O(segment) — a multi-MB
+#: restartless scan no longer materializes ~36 bytes per BIT at once.
+_JPEG_WIN_CHUNK = 1 << 16
+
+#: upper bound on the bits one 8x8 block can consume: DC 16+11, AC
+#: 63 x (16+10) — used to decide when the window chunk must slide
+_JPEG_MAX_BLOCK_BITS = 1700
+
+#: decoded blocks buffered per component before the batched IDCT runs
+_JPEG_IDCT_BATCH = 4096
+
+_JPEG_WIN_SHIFTS = None
+
+
+def _jpeg_bit_windows(seg: bytes, start: int = 0, nbytes=None) -> "list[int]":
+    """W[p - 8*start] = the 16 bits starting at bit p of `seg`
+    (zero-padded past the segment end), for p in
+    [8*start, 8*(start+nbytes)], as a plain list for fast scalar
+    indexing. Lookahead past the chunk reads real segment bytes, so a
+    chunk's windows are identical to the whole-segment table's."""
+    global _JPEG_WIN_SHIFTS
     import numpy as np
 
-    u = np.unpackbits(np.frombuffer(seg, np.uint8))
-    up = np.concatenate([u, np.zeros(16, np.uint8)]).astype(np.uint32)
-    n = len(u) + 1
-    w = np.zeros(n, np.uint32)
-    for j in range(16):
-        w += up[j : j + n] << (15 - j)
-    return w.tolist()
+    if nbytes is None:
+        nbytes = len(seg) - start
+    chunk = seg[start : start + nbytes + 3]
+    u = np.frombuffer(chunk, np.uint8).astype(np.uint32)
+    pad = nbytes + 3 - len(chunk)
+    if pad:
+        u = np.concatenate([u, np.zeros(pad, np.uint32)])
+    # per-byte 32-bit windows, then the 8 intra-byte shifts at once
+    b32 = (u[:-3] << 24) | (u[1:-2] << 16) | (u[2:-1] << 8) | u[3:]
+    if _JPEG_WIN_SHIFTS is None:
+        _JPEG_WIN_SHIFTS = (16 - np.arange(8, dtype=np.uint32))[None, :]
+    w = (b32[:, None] >> _JPEG_WIN_SHIFTS) & np.uint32(0xFFFF)
+    out = w.ravel().tolist()
+    out.append(int(u[nbytes] << 8 | u[nbytes + 1]) & 0xFFFF)
+    return out
 
 
 def decode_jpeg_array(payload: bytes) -> dict:
@@ -978,14 +1028,19 @@ def decode_jpeg_array(payload: bytes) -> dict:
                 raw = seg[i : i + n]
                 if len(raw) < n:
                     raise ValueError("truncated JPEG DQT")
-                vals = (
-                    np.frombuffer(raw, ">u2").astype(np.int64)
-                    if prec
-                    else np.frombuffer(raw, np.uint8).astype(np.int64)
-                )
-                tbl = np.zeros(64, np.int64)
-                tbl[np.array(_JPEG_ZIGZAG)] = vals  # de-zigzag
-                qt[tid] = tbl.reshape(8, 8)
+                hit = _JPEG_DQT_CACHE.get((prec, raw))
+                if hit is None:
+                    vals = (
+                        np.frombuffer(raw, ">u2").astype(np.int64)
+                        if prec
+                        else np.frombuffer(raw, np.uint8).astype(np.int64)
+                    )
+                    tbl = np.zeros(64, np.int64)
+                    tbl[np.array(_JPEG_ZIGZAG)] = vals  # de-zigzag
+                    hit = tbl.reshape(8, 8)
+                    if len(_JPEG_DQT_CACHE) < 256:
+                        _JPEG_DQT_CACHE[(prec, raw)] = hit
+                qt[tid] = hit
                 i += n
         elif marker == 0xC4:  # DHT
             i = 0
@@ -1063,15 +1118,37 @@ def _jpeg_decode_scan(
         per_comp.append(
             (c, _jpeg_fast_lut(dlut), _jpeg_fast_lut(alut), q)
         )
+    # W covers one chunk of the segment; bp and every bit-count below
+    # are RELATIVE to wb (the chunk's byte-aligned bit offset), so the
+    # single-chunk case (any segment <= _JPEG_WIN_CHUNK bytes — every
+    # sane frame) runs the exact per-peek op sequence of a whole-
+    # segment table, and only multi-chunk scans pay the slide.
     si = 0
-    W = _jpeg_bit_windows(segs[0][0])
-    nbits = len(segs[0][0]) * 8
+    seg0 = segs[0][0]
+    cb = min(_JPEG_WIN_CHUNK, len(seg0))
+    W = _jpeg_bit_windows(seg0, 0, cb)
+    wb = 0  # absolute bit offset of W[0] (multiple of 8)
+    wlen = cb * 8  # valid relative window indices: 0..wlen
+    nbits = len(seg0) * 8 - wb  # segment bits REMAINING from wb
     bp = 0
     pred = {c["id"]: 0 for c, _, _ in scan}
     zz = list(_JPEG_ZIGZAG)
     n_mcu = 0
     blocks: "dict[int, list]" = {c["id"]: [] for c, _, _ in scan}
     spots_by: "dict[int, list]" = {c["id"]: [] for c, _, _ in scan}
+
+    def _flush(cid, coefs, spots, q):
+        # batched dequantize + IDCT: one (n, 8, 8) stack — elementwise
+        # dequant and the broadcasted A.T @ block @ A run the SAME 8x8
+        # kernel per slice as the former per-block form (verified
+        # bit-identical on the A/B corpus) regardless of batch size;
+        # flushing every <= _JPEG_IDCT_BATCH blocks bounds the Python
+        # coefficient buffer to O(1) instead of O(image)
+        deq = np.asarray(coefs).reshape(-1, 8, 8) * q[None, :, :]
+        spatial = A.T @ deq @ A + 128.0
+        plane = planes[cid]
+        for i, (y0, x0) in enumerate(spots):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[i]
 
     def _starved():
         # reading past the segment: a marker ended it (the incremental
@@ -1088,8 +1165,12 @@ def _jpeg_decode_scan(
                 if bp != nbits or not segs[si][1]:
                     raise ValueError("missing JPEG restart marker")
                 si += 1
-                W = _jpeg_bit_windows(segs[si][0])
-                nbits = len(segs[si][0]) * 8
+                seg0 = segs[si][0]
+                cb = min(_JPEG_WIN_CHUNK, len(seg0))
+                W = _jpeg_bit_windows(seg0, 0, cb)
+                wb = 0
+                wlen = cb * 8
+                nbits = len(seg0) * 8
                 bp = 0
                 pred = {k: 0 for k in pred}
             for c, (dval, dlen), (aval, alen), q in per_comp:
@@ -1097,6 +1178,17 @@ def _jpeg_decode_scan(
                 spots = spots_by[c["id"]]
                 for by in range(c["vs"]):
                     for bx in range(c["hs"]):
+                        if wlen < nbits and bp + _JPEG_MAX_BLOCK_BITS > wlen:
+                            # slide the window chunk: one block never
+                            # consumes more than _JPEG_MAX_BLOCK_BITS,
+                            # so W always covers the whole block
+                            b0 = (wb + bp) >> 3
+                            cb = min(_JPEG_WIN_CHUNK, len(seg0) - b0)
+                            W = _jpeg_bit_windows(seg0, b0, cb)
+                            bp = wb + bp - b0 * 8
+                            wb = b0 * 8
+                            wlen = cb * 8
+                            nbits = len(seg0) * 8 - wb
                         coef = [0.0] * 64
                         w16 = W[bp]
                         t = dlen[w16]
@@ -1165,21 +1257,15 @@ def _jpeg_decode_scan(
                                 (mx * c["hs"] + bx) * 8,
                             )
                         )
+                        if len(coefs) >= _JPEG_IDCT_BATCH:
+                            _flush(c["id"], coefs, spots, q)
+                            coefs.clear()
+                            spots.clear()
             n_mcu += 1
-    # batched dequantize + IDCT per component: one (n, 8, 8) stack —
-    # elementwise dequant and the broadcasted A.T @ block @ A run the
-    # SAME 8x8 kernel per slice as the former per-block form (verified
-    # bit-identical on the A/B corpus), without 3 numpy dispatches per
-    # block
     for c, _, _, q in per_comp:
         coefs = blocks[c["id"]]
-        if not coefs:
-            continue
-        deq = np.asarray(coefs).reshape(-1, 8, 8) * q[None, :, :]
-        spatial = A.T @ deq @ A + 128.0
-        plane = planes[c["id"]]
-        for i, (y0, x0) in enumerate(spots_by[c["id"]]):
-            plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[i]
+        if coefs:
+            _flush(c["id"], coefs, spots_by[c["id"]], q)
     # upsample each plane to full grid, crop, color-convert
     full = []
     for c, _, _ in scan:
@@ -1209,18 +1295,45 @@ def decode_jpeg(payload: bytes) -> dict:
     return {"width": d["width"], "height": d["height"], "pixels": pixels}
 
 
+_JPEG_QUANT_CACHE: "dict[tuple, object]" = {}
+
+
 def _jpeg_scaled_quant(base: "list[int]", quality: int):
     import numpy as np
 
+    key = (id(base), quality)
+    hit = _JPEG_QUANT_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
     quality = min(100, max(1, quality))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     t = (np.array(base, np.int64) * scale + 50) // 100
-    return np.clip(t, 1, 255)
+    t = np.clip(t, 1, 255)
+    if len(_JPEG_QUANT_CACHE) < 256:
+        # pin `base` in the entry so its id cannot be recycled
+        _JPEG_QUANT_CACHE[key] = (base, t)
+    return t
+
+
+_JPEG_ENCODE_CODES_CACHE: "dict[bytes, dict]" = {}
+
+#: SOI..SOS byte prefix per (width, height, quality) — every frame of
+#: an MJPEG stream writes the identical header
+_JPEG_HEADER_CACHE: "dict[tuple, bytes]" = {}
 
 
 def _jpeg_encode_codes(bits, values):
-    """value -> (code, length) for the encoder side."""
-    return {v: (c, l) for (l, c), v in _jpeg_huff_lut(bits, values).items()}
+    """value -> (code, length) for the encoder side (cached on the
+    raw table bytes — the Annex K tables in practice)."""
+    key = bytes(bits) + bytes(values)
+    hit = _JPEG_ENCODE_CODES_CACHE.get(key)
+    if hit is None:
+        hit = {
+            v: (c, l) for (l, c), v in _jpeg_huff_lut(bits, values).items()
+        }
+        if len(_JPEG_ENCODE_CODES_CACHE) < 256:
+            _JPEG_ENCODE_CODES_CACHE[key] = hit
+    return hit
 
 
 def encode_jpeg(px: "object", width: int, height: int, quality: int = 85) -> bytes:
@@ -1241,9 +1354,12 @@ def encode_jpeg(px: "object", width: int, height: int, quality: int = 85) -> byt
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
     # pad to 8x8 multiples by edge replication
     ph, pw = -height % 8, -width % 8
-    chans = [
-        np.pad(ch, ((0, ph), (0, pw)), mode="edge") for ch in (y, cb, cr)
-    ]
+    if ph or pw:
+        chans = [
+            np.pad(ch, ((0, ph), (0, pw)), mode="edge") for ch in (y, cb, cr)
+        ]
+    else:
+        chans = [y, cb, cr]
     qlum = _jpeg_scaled_quant(_JPEG_QUANT_LUM, quality)
     qchr = _jpeg_scaled_quant(_JPEG_QUANT_CHROM, quality)
     A = _jpeg_idct_matrix()
@@ -1330,51 +1446,72 @@ def encode_jpeg(px: "object", width: int, height: int, quality: int = 85) -> byt
                     sym_l.append(ln)
     # pack: scatter each code's bits into a 1-padded bit array (spec
     # pads the final byte with 1-bits), MSB-first packbits, then the
-    # 0xFF00 byte stuffing — identical bytes to the incremental writer
-    codes_a = np.array(sym_c, np.int64)
-    lens_a = np.array(sym_l, np.int64)
-    ends = np.cumsum(lens_a)
-    starts = ends - lens_a
-    total = int(ends[-1]) if len(ends) else 0
-    bits = np.ones((total + 7) & ~7, np.uint8)
-    for j in range(16):
-        m = lens_a > j
-        if not m.any():
-            break
-        bits[starts[m] + j] = (codes_a[m] >> (lens_a[m] - 1 - j)) & 1
-    packed = np.packbits(bits)
-    ffs = np.nonzero(packed == 0xFF)[0]
-    if len(ffs):
-        packed = np.insert(packed, ffs + 1, 0)
-    entropy = packed.tobytes()
+    # 0xFF00 byte stuffing — identical bytes to the incremental writer.
+    # Small symbol streams (tiny frames) pack via one big-int shift
+    # accumulator instead: same bit sequence, none of the ~70 fixed
+    # numpy dispatches the scatter path costs.
+    if len(sym_c) < 512:
+        acc = 1  # sentinel top bit, dropped by the to_bytes length
+        total = 0
+        for code, ln in zip(sym_c, sym_l):
+            acc = (acc << ln) | code
+            total += ln
+        padn = -total % 8
+        acc = (acc << padn) | ((1 << padn) - 1)
+        entropy = acc.to_bytes((total + padn) // 8 + 1, "big")[1:].replace(
+            b"\xff", b"\xff\x00"
+        )
+    else:
+        codes_a = np.array(sym_c, np.int64)
+        lens_a = np.array(sym_l, np.int64)
+        ends = np.cumsum(lens_a)
+        starts = ends - lens_a
+        total = int(ends[-1]) if len(ends) else 0
+        bits = np.ones((total + 7) & ~7, np.uint8)
+        for j in range(16):
+            m = lens_a > j
+            if not m.any():
+                break
+            bits[starts[m] + j] = (codes_a[m] >> (lens_a[m] - 1 - j)) & 1
+        packed = np.packbits(bits)
+        ffs = np.nonzero(packed == 0xFF)[0]
+        if len(ffs):
+            packed = np.insert(packed, ffs + 1, 0)
+        entropy = packed.tobytes()
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += (
-        b"\xff\xe0"
-        + struct.pack(">H", 16)
-        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    )
-    for tid, q in ((0, qlum), (1, qchr)):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
-        out += bytes(int(q[i]) for i in _JPEG_ZIGZAG)  # zigzag order
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += struct.pack("BBB", cid, 0x11, tq)  # 4:4:4
-    for cls, tid, (hb, hv) in (
-        (0, 0, _JPEG_HUFF_DC_LUM),
-        (1, 0, _JPEG_HUFF_AC_LUM),
-        (0, 1, _JPEG_HUFF_DC_CHROM),
-        (1, 1, _JPEG_HUFF_AC_CHROM),
-    ):
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(hv), (cls << 4) | tid)
-        out += bytes(hb) + bytes(hv)
-    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
-    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
-        out += struct.pack("BB", cid, tabs)
-    out += b"\x00\x3f\x00"  # Ss/Se/Ah-Al for sequential
-    out += entropy
-    out += b"\xff\xd9"  # EOI
-    return bytes(out)
+    hkey = (width, height, quality)
+    header = _JPEG_HEADER_CACHE.get(hkey)
+    if header is None:
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += (
+            b"\xff\xe0"
+            + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        )
+        for tid, q in ((0, qlum), (1, qchr)):
+            out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+            out += bytes(int(q[i]) for i in _JPEG_ZIGZAG)  # zigzag order
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+        for cid, tq in ((1, 0), (2, 1), (3, 1)):
+            out += struct.pack("BBB", cid, 0x11, tq)  # 4:4:4
+        for cls, tid, (hb, hv) in (
+            (0, 0, _JPEG_HUFF_DC_LUM),
+            (1, 0, _JPEG_HUFF_AC_LUM),
+            (0, 1, _JPEG_HUFF_DC_CHROM),
+            (1, 1, _JPEG_HUFF_AC_CHROM),
+        ):
+            out += b"\xff\xc4" + struct.pack(
+                ">HB", 19 + len(hv), (cls << 4) | tid
+            )
+            out += bytes(hb) + bytes(hv)
+        out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+        for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+            out += struct.pack("BB", cid, tabs)
+        out += b"\x00\x3f\x00"  # Ss/Se/Ah-Al for sequential
+        header = bytes(out)
+        if len(_JPEG_HEADER_CACHE) < 1024:
+            _JPEG_HEADER_CACHE[hkey] = header
+    return header + entropy + b"\xff\xd9"
 
 
 def _tiff_ifd(entries, base: int, endian: str) -> bytes:
