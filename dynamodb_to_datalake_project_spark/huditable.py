@@ -141,8 +141,6 @@ def upsert(
     The merge contract is the reference's exactly
     (incremental.py:172-194): record key + precombine, newer
     precombine wins, idempotent on replay."""
-    from dynamodb_to_datalake_project_spark import merge as merge_mod
-
     spark = source.sparkSession
     os.makedirs(_hoodie_path(table_path), exist_ok=True)
     _write_properties(table_path, table_name)
@@ -196,37 +194,64 @@ def upsert(
 
     data_cols = [c for c in source.columns]
     if existing_files:
-        existing = (
+        base = (
             spark.read.parquet(*existing_files)
             .select(*data_cols)
             .withColumn("__hud_pv", F.col(partition_col).cast("string"))
             .withColumn("__hud_pp", part_path)
             .withColumn("__hud_fg", fg)
         )
-        # updates per touched group = |batch keys ∩ slice keys|,
-        # derived AFTER the write from |old| + |batch| − |merged|
-        # (inclusion-exclusion over distinct keys: slices hold exactly
-        # one row per key, so the merged slice's parquet row count IS
-        # its key count). This removed the per-commit semi-join job
-        # the previous shape paid (batch × existing slices) — the
-        # same numbers now come from the timeline + the staged
-        # footers, both already in hand.
-        # key scope is (partition, key) — Hudi's DEFAULT non-global
-        # index: a key reappearing in another partition is a fresh
-        # insert there and its old-partition copy stays. A global
-        # key would resolve differently depending on which file
-        # groups a batch coincidentally touched (the inconsistency
-        # the writer property test caught); the reference's table
-        # partitions by immutable create_at exactly so the case
-        # cannot arise (README.rst:137).
-        merged = merge_mod.upsert_dataframes(
-            existing, batch.select(*existing.columns),
-            [record_key, "__hud_pv"], [precombine],
-        )
     else:
-        merged = merge_mod.upsert_dataframes(
-            batch.limit(0), batch, [record_key, "__hud_pv"], [precombine]
+        base = batch.limit(0)
+    # updates per touched group = |batch keys ∩ slice keys|,
+    # derived AFTER the write from |old| + |batch| − |merged|
+    # (inclusion-exclusion over distinct keys: slices hold exactly
+    # one row per key, so the merged slice's parquet row count IS
+    # its key count). This removed the per-commit semi-join job
+    # the previous shape paid (batch × existing slices) — the
+    # same numbers now come from the timeline + the staged
+    # footers, both already in hand.
+    # key scope is (partition, key) — Hudi's DEFAULT non-global
+    # index: a key reappearing in another partition is a fresh
+    # insert there and its old-partition copy stays. A global
+    # key would resolve differently depending on which file
+    # groups a batch coincidentally touched (the inconsistency
+    # the writer property test caught); the reference's table
+    # partitions by immutable create_at exactly so the case
+    # cannot arise (README.rst:137).
+    #
+    # Latest-wins dedup FUSED into the seqno exchange (r12): the
+    # file-group id is a pure function of the record key, so ONE
+    # Exchange hashpartitioning(__hud_pv, __hud_fg) co-locates every
+    # (partition, key) group. Within it, one sort by (key, precombine
+    # DESC, __src DESC, row-hash DESC) makes each key run lead with
+    # exactly the row `merge.upsert_dataframes` would pick (same total
+    # order: precombine ties break toward the batch, then the stable
+    # content hash), and the seqno row_number's required ordering
+    # (key ASC) is a PREFIX of that sort — the previous shape paid a
+    # second full payload exchange on (record_key, __hud_pv) for the
+    # windowed dedup before re-shuffling on (__hud_pv, __hud_fg).
+    cols = base.columns
+    tagged = (
+        base.select(*cols).withColumn("__src", F.lit(0))
+        .unionByName(batch.select(*cols).withColumn("__src", F.lit(1)))
+    )
+    key_str = F.col(record_key).cast("string")
+    wded = Window.partitionBy("__hud_pv", "__hud_fg").orderBy(
+        key_str.asc(),
+        F.col(precombine).desc(),
+        F.col("__src").desc(),
+        F.xxhash64(*[F.col(c) for c in tagged.columns]).desc(),
+    )
+    merged = (
+        tagged.withColumn("__rn1", F.row_number().over(wded))
+        .withColumn("__kprev", F.lag(key_str).over(wded))
+        .filter(
+            (F.col("__rn1") == 1)
+            | ~key_str.eqNullSafe(F.col("__kprev"))
         )
+        .drop("__rn1", "__kprev", "__src")
+    )
 
     # meta columns, computed in-plan; seqno = instant_<group-ordinal>
     fid_expr = F.md5(
@@ -280,27 +305,30 @@ def upsert(
         .parquet(staging)
     )
 
-    # move staged slices into the COW layout + build write stats
-    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
-        parse_parquet_footer,
-    )
-
-    stats_by_partition: "dict[str, list[dict]]" = {}
-    for pv, g in sorted(touched):
+    # move staged slices into the COW layout + build write stats.
+    # Per-slice work is pure local-filesystem metadata (listdir,
+    # rename, a TAIL-ONLY footer read — never the data pages, a merge
+    # can stage GB-sized slices) and runs on a thread pool: at real
+    # scale a commit touches thousands of slices and the walk was the
+    # driver's serial wall (guide §1.2 driver work / §2.6 overlap).
+    def _slice_stat(pv_g):
+        pv, g = pv_g
         pp = f"{partition_col}={pv}"
         src_dir = os.path.join(staging, f"__hud_pv={pv}", f"__hud_fg={g}")
         if not os.path.isdir(src_dir):
-            continue
+            return None
         files = [
             f for f in os.listdir(src_dir)
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         ]
         if not files:
-            continue
+            return None
         if len(files) != 1:
             raise AssertionError(
                 f"hudi: slice ({pp}, {g}) staged {len(files)} files; "
-                f"the (partition, group) repartition guarantees one"
+                f"the seqno window's hash exchange on (__hud_pv, "
+                f"__hud_fg) guarantees one task (and so one file) "
+                f"per slice"
             )
         fid = _file_id(pp, g)
         fname = f"{fid}_{WRITE_TOKEN}_{instant}.parquet"
@@ -310,8 +338,7 @@ def upsert(
             os.path.join(src_dir, files[0]), os.path.join(dst_dir, fname)
         )
         full = os.path.join(dst_dir, fname)
-        with open(full, "rb") as fh:
-            n_rows = parse_parquet_footer(fh.read())["num_rows"]
+        n_rows = _footer_num_rows(full)
         # |batch ∩ old slice| by inclusion-exclusion over distinct
         # keys (see the batch_keys aggregation above)
         upd = (
@@ -320,21 +347,32 @@ def upsert(
             - n_rows
         )
         prev = prev_commit.get(fid)
-        stats_by_partition.setdefault(pp, []).append(
-            {
-                "fileId": fid,
-                "path": f"{pp}/{fname}",
-                "prevCommit": prev,
-                "numWrites": n_rows,
-                "numDeletes": 0,
-                # new slice rows = old slice rows + inserts (every old
-                # key survives a COW rewrite, updated or not)
-                "numInserts": n_rows - _prev_rows(table_path, live, fid),
-                "numUpdateWrites": upd,
-                "totalWriteBytes": os.path.getsize(full),
-                "fileSizeInBytes": os.path.getsize(full),
-            }
-        )
+        return pp, {
+            "fileId": fid,
+            "path": f"{pp}/{fname}",
+            "prevCommit": prev,
+            "numWrites": n_rows,
+            "numDeletes": 0,
+            # new slice rows = old slice rows + inserts (every old
+            # key survives a COW rewrite, updated or not)
+            "numInserts": n_rows - _prev_rows(table_path, live, fid),
+            "numUpdateWrites": upd,
+            "totalWriteBytes": os.path.getsize(full),
+            "fileSizeInBytes": os.path.getsize(full),
+        }
+
+    ordered = sorted(touched)
+    if len(ordered) > 4:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(ordered))) as pool:
+            results = list(pool.map(_slice_stat, ordered))
+    else:
+        results = [_slice_stat(t) for t in ordered]
+    stats_by_partition: "dict[str, list[dict]]" = {}
+    for res in results:
+        if res is not None:
+            stats_by_partition.setdefault(res[0], []).append(res[1])
     shutil.rmtree(staging, ignore_errors=True)
 
     commit_body = {
@@ -349,6 +387,27 @@ def upsert(
         json.dump(commit_body, f, indent=2)
     os.replace(tmp, cpath)
     return instant
+
+
+def _footer_num_rows(path: str) -> int:
+    """num_rows from the parquet footer alone — tail read, never the
+    data pages (the previous shape read the WHOLE slice into memory
+    per footer parse)."""
+    from dynamodb_to_datalake_project_spark.llm.parquetmeta import (
+        parse_parquet_footer,
+    )
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(max(0, size - 8))
+        tail8 = f.read(8)
+        flen = int.from_bytes(tail8[:4], "little")
+        take = min(size, flen + 8)
+        f.seek(size - take)
+        blob = f.read(take)
+    if take < size:
+        blob = b"PAR1" + blob  # parse wants the leading magic too
+    return int(parse_parquet_footer(blob)["num_rows"])
 
 
 def _prev_rows(table_path: str, live: dict, fid: str) -> int:
