@@ -50,26 +50,51 @@ _SAMPLE_RATE_TABLE = {
 _SAMPLE_SIZE_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
+def _crc_table(poly: int, width: int) -> "list[int]":
+    top, mask = 1 << (width - 1), (1 << width) - 1
+    tbl = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        tbl.append(crc)
+    return tbl
+
+
+#: table-driven CRCs (identical values to the former per-bit loops —
+#: the table entry IS the 8-bit-unrolled loop for that input byte)
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0."""
-    crc = 0
+    crc, tbl = 0, _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = tbl[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0."""
-    crc = 0
+    crc, tbl = 0, _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
-            )
+        crc = ((crc << 8) & 0xFFFF) ^ tbl[(crc >> 8) ^ b]
     return crc
+
+
+def _pcm_bytes_le(samples: "list[int]", nbytes: int) -> bytes:
+    """Little-endian two's-complement PCM byte stream — numpy fast
+    path for the common 1/2-byte widths, exact per-value fallback
+    otherwise (identical bytes: int8/int16 casts ARE v & mask in
+    two's complement)."""
+    if nbytes in (1, 2):
+        import numpy as np
+
+        dt = "<i1" if nbytes == 1 else "<i2"
+        return np.asarray(samples, np.int64).astype(dt).tobytes()
+    mask = (1 << (8 * nbytes)) - 1
+    return b"".join((v & mask).to_bytes(nbytes, "little") for v in samples)
 
 
 def _utf8_number_encode(n: int) -> bytes:
@@ -96,15 +121,21 @@ class _Reader:
         self.bit = 0  # bits consumed within d[pos]
 
     def read(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            if self.pos >= len(self.d):
-                raise ValueError("truncated FLAC bitstream")
-            v = (v << 1) | ((self.d[self.pos] >> (7 - self.bit)) & 1)
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
+        # all n bits in one int.from_bytes + shift (the former per-bit
+        # loop paid ~5 Python ops per BIT); same bytes touched, same
+        # truncation condition, identical value by MSB-first order
+        if n == 0:
+            return 0
+        need = self.bit + n
+        nby = (need + 7) >> 3
+        chunk = self.d[self.pos : self.pos + nby]
+        if len(chunk) < nby:
+            raise ValueError("truncated FLAC bitstream")
+        v = (int.from_bytes(chunk, "big") >> (nby * 8 - need)) & (
+            (1 << n) - 1
+        )
+        self.pos += need >> 3
+        self.bit = need & 7
         return v
 
     def signed(self, n: int) -> int:
@@ -112,11 +143,30 @@ class _Reader:
         return v - (1 << n) if v >> (n - 1) else v
 
     def unary(self) -> int:
-        q = 0
-        while self.read(1) == 0:
-            q += 1
+        # scan whole bytes for the terminating 1-bit instead of
+        # reading bit-by-bit; value and end position are identical
+        d, pos, bit, q = self.d, self.pos, self.bit, 0
+        nd = len(d)
+        while True:
+            if pos >= nd:
+                raise ValueError("truncated FLAC bitstream")
+            cur = d[pos] & (0xFF >> bit)
+            if cur:
+                hb = cur.bit_length()  # 1..8; the 1-bit is at 8-hb
+                q += (8 - hb) - bit
+                bit = 9 - hb
+                if bit == 8:
+                    bit = 0
+                    pos += 1
+                break
+            q += 8 - bit
+            bit = 0
+            pos += 1
             if q > 1 << 24:
                 raise ValueError("corrupt Rice quotient")
+        if q > 1 << 24:
+            raise ValueError("corrupt Rice quotient")
+        self.pos, self.bit = pos, bit
         return q
 
     def align(self) -> None:
@@ -143,27 +193,33 @@ class _Reader:
 
 
 class _Writer:
-    """MSB-first bit writer."""
+    """MSB-first bit writer. Bits accumulate in an int and flush to
+    `out` whole bytes at a time (the former per-bit appender paid ~5
+    Python ops per BIT); `out` always holds every completed byte, so
+    the encoder's byte-aligned CRC reads over `out` see identical
+    bytes."""
 
     def __init__(self):
         self.out = bytearray()
-        self.bit = 0
+        self.acc = 0
+        self.bit = 0  # bits pending in acc (0..7 after write())
 
     def write(self, v: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            if self.bit == 0:
-                self.out.append(0)
-            if (v >> i) & 1:
-                self.out[-1] |= 1 << (7 - self.bit)
-            self.bit = (self.bit + 1) % 8
+        acc = (self.acc << n) | (v & ((1 << n) - 1))
+        nb = self.bit + n
+        if nb >= 8:
+            flush = nb & ~7
+            nb -= flush
+            self.out += (acc >> nb).to_bytes(flush >> 3, "big")
+            acc &= (1 << nb) - 1
+        self.acc = acc
+        self.bit = nb
 
     def signed(self, v: int, n: int) -> None:
         self.write(v & ((1 << n) - 1), n)
 
     def unary(self, q: int) -> None:
-        for _ in range(q):
-            self.write(0, 1)
-        self.write(1, 1)
+        self.write(1, q + 1)
 
     def align(self) -> None:
         if self.bit:
@@ -219,10 +275,26 @@ def _read_subframe(r: _Reader, block_size: int, bps: int) -> "list[int]":
         order = ftype - 8
         out = [r.signed(bps) for _ in range(order)]
         res = _read_residual(r, block_size, order)
-        coefs = _FIXED_COEFS[order]
-        for e in res:
-            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
-            out.append(e + pred)
+        # order-specialized reconstruction (the generic genexpr-sum
+        # paid 2 calls per SAMPLE; the coefficient algebra is
+        # identical — _FIXED_COEFS[order] written out)
+        if order == 0:
+            out = res if not out else out + res
+        elif order == 1:
+            a = out[-1]
+            for e in res:
+                a += e
+                out.append(a)
+        elif order == 2:
+            a, b = out[-1], out[-2]
+            for e in res:
+                a, b = e + 2 * a - b, a
+                out.append(a)
+        else:
+            coefs = _FIXED_COEFS[order]
+            for e in res:
+                pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+                out.append(e + pred)
     elif ftype >= 32:  # LPC, order 1-32
         order = ftype - 31
         out = [r.signed(bps) for _ in range(order)]
@@ -356,16 +428,13 @@ def decode_flac_samples(payload: bytes) -> dict:
         pos = r.pos
     if decoded != total:
         raise ValueError("FLAC frame sizes disagree with STREAMINFO total")
-    interleaved: "list[int]" = []
-    for i in range(total):
-        for ch in range(n_channels):
-            interleaved.append(channels[ch][i])
+    if n_channels == 1:
+        interleaved = channels[0]
+    else:
+        interleaved = [v for tup in zip(*channels) for v in tup]
     if md5 != b"\x00" * 16:
         nbytes = (bps + 7) // 8
-        raw = b"".join(
-            (v & ((1 << (8 * nbytes)) - 1)).to_bytes(nbytes, "little")
-            for v in interleaved
-        )
+        raw = _pcm_bytes_le(interleaved, nbytes)
         if hashlib.md5(raw).digest() != md5:
             raise ValueError("FLAC MD5 mismatch: decoded audio is damaged")
     return {
@@ -419,11 +488,13 @@ def _write_residual(w: _Writer, res: "list[int]") -> None:
     while (len(res) << (k + 1)) < total and k < 14:
         k += 1
     w.write(k, 4)
+    # one write per sample: the unary quotient (q zeros + a 1) and the
+    # k low bits pack into a single ((q+1)+k)-bit value whose bit
+    # pattern is exactly unary(q) followed by write(low, k)
+    kmask = (1 << k) - 1
     for v in res:
         u = (v << 1) ^ (v >> 63)
-        w.unary(u >> k)
-        if k:
-            w.write(u & ((1 << k) - 1), k)
+        w.write((1 << k) | (u & kmask), (u >> k) + 1 + k)
 
 
 def _write_subframe(w: _Writer, sub: "list[int]", bps: int) -> None:
@@ -464,12 +535,7 @@ def encode_flac(
     if any(v < lo or v > hi for v in samples):
         raise ValueError("sample out of range for bits_per_sample")
     nbytes = (bits_per_sample + 7) // 8
-    md5 = hashlib.md5(
-        b"".join(
-            (v & ((1 << (8 * nbytes)) - 1)).to_bytes(nbytes, "little")
-            for v in samples
-        )
-    ).digest()
+    md5 = hashlib.md5(_pcm_bytes_le(samples, nbytes)).digest()
     si = _Writer()
     si.write(block_size, 16); si.write(block_size, 16)
     si.write(0, 24); si.write(0, 24)  # frame sizes unknown
