@@ -134,7 +134,14 @@ def parse_tfrecord(payload: bytes) -> "list[bytes]":
 # --- minimal protobuf wire codec (public encoding spec) ---------------
 
 
+#: single-byte varints (values 0..127 — tags, small lengths, small
+#: ints: the overwhelming majority of TFRecord varints) preencoded
+_PB_VARINT1 = [bytes((v,)) for v in range(0x80)]
+
+
 def _pb_varint(v: int) -> bytes:
+    if 0 <= v < 0x80:
+        return _PB_VARINT1[v]
     out = bytearray()
     while True:
         b = v & 0x7F
@@ -160,6 +167,12 @@ class _PbReader:
         self.pos = 0
 
     def varint(self) -> int:
+        buf, pos = self.buf, self.pos
+        if pos < len(buf):  # 1-byte fast path
+            b = buf[pos]
+            if not b & 0x80:
+                self.pos = pos + 1
+                return b
         out = shift = 0
         while True:
             if self.pos >= len(self.buf):
@@ -235,26 +248,99 @@ def encode_tf_example(features: "dict[str, object]") -> bytes:
     return _pb_len(1, bytes(feats))  # Example.features
 
 
+def _pb_walk(buf: bytes):
+    """(field, wire, value) triples of one message as a list — the
+    same walk `_PbReader.fields` yields, without per-level generator
+    and reader objects (the tf.Example parser visits 5 nested
+    messages per tiny record; object setup dominated the decode)."""
+    out = []
+    pos, n = 0, len(buf)
+    while pos < n:
+        tag = buf[pos]
+        if tag & 0x80:
+            tag = shift = 0
+            while True:
+                if pos >= n:
+                    raise ValueError("protobuf: truncated varint")
+                b = buf[pos]
+                pos += 1
+                tag |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+                if shift > 70:
+                    raise ValueError("protobuf: varint too long")
+        else:
+            pos += 1
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v = shift = 0
+            while True:
+                if pos >= n:
+                    raise ValueError("protobuf: truncated varint")
+                b = buf[pos]
+                pos += 1
+                v |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+                if shift > 70:
+                    raise ValueError("protobuf: varint too long")
+            out.append((field, 0, v))
+        elif wire == 2:
+            ln = shift = 0
+            while True:
+                if pos >= n:
+                    raise ValueError("protobuf: truncated varint")
+                b = buf[pos]
+                pos += 1
+                ln |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+                if shift > 70:
+                    raise ValueError("protobuf: varint too long")
+            if pos + ln > n:
+                raise ValueError("protobuf: truncated bytes field")
+            out.append((field, 2, buf[pos : pos + ln]))
+            pos += ln
+        elif wire == 5:
+            if pos + 4 > n:
+                raise ValueError("protobuf: truncated fixed32")
+            out.append((field, 5, struct.unpack_from("<I", buf, pos)[0]))
+            pos += 4
+        elif wire == 1:
+            if pos + 8 > n:
+                raise ValueError("protobuf: truncated fixed64")
+            out.append((field, 1, struct.unpack_from("<Q", buf, pos)[0]))
+            pos += 8
+        else:
+            raise NotImplementedError(
+                f"protobuf: wire type {wire} not implemented"
+            )
+    return out
+
+
 def parse_tf_example(payload: bytes) -> "dict[str, object]":
     """Decode a tf.train.Example back to {name: bytes | list[int] |
     list[float]} — handles packed AND unpacked repeated encodings
     (both are legal protobuf for the same schema)."""
     out: "dict[str, object]" = {}
-    for f1, w1, features in _PbReader(payload).fields():
+    for f1, w1, features in _pb_walk(payload):
         if f1 != 1 or w1 != 2:
             raise ValueError("tf.Example: expected features field 1")
-        for fe, we, entry in _PbReader(features).fields():
+        for fe, we, entry in _pb_walk(features):
             if fe != 1 or we != 2:
                 raise ValueError("tf.Example: expected feature map entry")
             name = None
             value: object = None
-            for fk, wk, v in _PbReader(entry).fields():
+            for fk, wk, v in _pb_walk(entry):
                 if fk == 1 and wk == 2:
                     name = v.decode("utf-8")
                 elif fk == 2 and wk == 2:
-                    for kf, kw, kv in _PbReader(v).fields():
+                    for kf, kw, kv in _pb_walk(v):
                         if kf == 1 and kw == 2:  # bytes_list
-                            for bf, bw, bv in _PbReader(kv).fields():
+                            for bf, bw, bv in _pb_walk(kv):
                                 if bf != 1 or bw != 2:
                                     raise ValueError(
                                         "tf.Example: bad bytes_list"
@@ -262,8 +348,7 @@ def parse_tf_example(payload: bytes) -> "dict[str, object]":
                                 value = bv
                         elif kf == 3 and kw == 2:  # int64_list
                             vals: "list[int]" = []
-                            r = _PbReader(kv)
-                            for lf, lw, lv in r.fields():
+                            for lf, lw, lv in _pb_walk(kv):
                                 if lf == 1 and lw == 2:  # packed
                                     pr = _PbReader(lv)
                                     while pr.pos < len(lv):
@@ -284,7 +369,7 @@ def parse_tf_example(payload: bytes) -> "dict[str, object]":
                             value = vals
                         elif kf == 2 and kw == 2:  # float_list
                             fl: "list[float]" = []
-                            for lf, lw, lv in _PbReader(kv).fields():
+                            for lf, lw, lv in _pb_walk(kv):
                                 if lf == 1 and lw == 2:  # packed
                                     if len(lv) % 4:
                                         raise ValueError(
