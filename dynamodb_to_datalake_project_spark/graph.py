@@ -1063,6 +1063,28 @@ def triangle_count(
     arithmetic."""
     if und is None:
         und = canonical_undirected(edges, src, dst)
+
+    # Size-adaptive closure (r12, guide §3.1/§8): when the undirected
+    # edge set fits a broadcast-relation budget, ship the oriented
+    # adjacency ONCE to every task and close wedges by vectorized
+    # binary search against it — the Σ out-degree(apex) wedge stream
+    # then never exists as rows at all (neither shuffled nor
+    # materialized), the per-wedge cost drops from a JVM join-row
+    # cycle to one numpy searchsorted lane, and the degree aggregation
+    # + both orientation joins + the oriented checkpoint disappear
+    # (degrees and orientation are a bincount over the broadcast
+    # relation). Decision input is the MEASURED edge count off the
+    # checkpoint — the same size-based call AQE makes for broadcast
+    # joins; past the budget the distributed degree-orientation +
+    # wedge-join path below runs unchanged. Identical enumeration
+    # either way: every triangle found exactly once at its apex edge
+    # pair.
+    n_edges = und.count()
+    if n_edges <= _TRI_BROADCAST_EDGES:
+        out = _triangle_count_broadcast(und, n_edges)
+        if out is not None:
+            return out
+
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -1101,6 +1123,114 @@ def triangle_count(
         )
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+#: broadcast-closure budget for triangle counting: edges up to this
+#: fit the same relation class Spark broadcasts for joins (64 MB
+#: session threshold — 4M edges ≈ 64 MB of packed adjacency);
+#: overridable for cluster profiles
+_TRI_BROADCAST_EDGES = int(
+    __import__("os").environ.get("SPARK_GRAFT_TRI_BROADCAST_EDGES", 4_000_000)
+)
+
+
+def _triangle_count_broadcast(und: DataFrame, n_edges: int):
+    """Per-node triangle counts by broadcast adjacency + vectorized
+    wedge closure. Degrees and the (degree, node)-rank orientation are
+    one bincount/compare over the collected edge relation (u < v holds
+    canonically, so a degree tie orients u→v exactly like the join
+    path's (du = dv AND u < v) arm). For each oriented edge (a, b),
+    the triangles whose apex edge pair lies at (a, b) are exactly the
+    common out-neighbors N+(a) ∩ N+(b) — each triangle {a, b, c} with
+    a→b, a→c, b→c is found ONCE (at edge (a, b); the other two edges
+    fail the both-out-edges test), which is the same enumeration the
+    wedge join performs. Credits: a and b each count the intersection
+    size, every common neighbor c counts 1. Integer-exact. Returns
+    None when the node table is too wide for the offsets array budget
+    (caller falls back to the distributed join)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = und.sparkSession
+    pdf = und.select("u", "v").toPandas()
+    uu = pdf["u"].to_numpy(np.int64)
+    vv = pdf["v"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([uu, vv])) if len(uu) else np.zeros(0, np.int64)
+    K = len(nodes)
+    if K > 8_000_000:  # offsets/bincount arrays would exceed the budget
+        return None
+    ui = np.searchsorted(nodes, uu).astype(np.int64)
+    vi = np.searchsorted(nodes, vv).astype(np.int64)
+    degarr = np.bincount(
+        np.concatenate([ui, vi]), minlength=K
+    ).astype(np.int64)
+    # orientation: lower-(degree, node) endpoint first; u < v breaks
+    # degree ties (relabeling is monotone, so index order = id order)
+    u_first = degarr[ui] <= degarr[vi]
+    li = np.where(u_first, ui, vi)
+    hj = np.where(u_first, vi, ui)
+    order = np.lexsort((hj, li))
+    s_i, d_i = li[order], hj[order]
+    offs = np.searchsorted(s_i, np.arange(K + 1))
+    keys = s_i * K + d_i  # sorted (lexsort) — global binary-search table
+    bc = spark.sparkContext.broadcast((nodes, keys, d_i, offs, degarr))
+
+    schema = "node long, cnt long"
+
+    def op(batches):
+        nodes_b, keys_b, dvals, offs_b, deg_r = bc.value
+        Kb = len(nodes_b)
+        deg = offs_b[1:] - offs_b[:-1]
+        cnt = np.zeros(Kb, np.int64)
+        for pdf_b in batches:
+            if not len(pdf_b):
+                continue
+            u_b = np.searchsorted(nodes_b, pdf_b["u"].to_numpy(np.int64))
+            v_b = np.searchsorted(nodes_b, pdf_b["v"].to_numpy(np.int64))
+            ufirst = deg_r[u_b] <= deg_r[v_b]
+            a = np.where(ufirst, u_b, v_b)
+            b = np.where(ufirst, v_b, u_b)
+            # expand the smaller adjacency, search for the larger's key
+            swap = deg[b] < deg[a]
+            qa = np.where(swap, b, a)
+            qb = np.where(swap, a, b)
+            ln = deg[qa]
+            tot = int(ln.sum())
+            if not tot:
+                continue
+            eids = np.repeat(np.arange(len(qa)), ln)
+            flat = (
+                np.arange(tot)
+                - np.repeat(np.cumsum(ln) - ln, ln)
+                + np.repeat(offs_b[qa], ln)
+            )
+            vals = dvals[flat]
+            q = qb[eids] * Kb + vals
+            idx = np.searchsorted(keys_b, q)
+            idx[idx == len(keys_b)] = 0
+            hit = keys_b[idx] == q
+            k_edge = np.bincount(eids[hit], minlength=len(qa))
+            np.add.at(cnt, a, k_edge)
+            np.add.at(cnt, b, k_edge)
+            cnt += np.bincount(vals[hit], minlength=Kb)
+        nz = np.nonzero(cnt)[0]
+        if len(nz):
+            yield pd.DataFrame(
+                {"node": nodes_b[nz], "cnt": cnt[nz]}
+            )
+
+    # spread the edge stream across cores: the checkpointed edge set
+    # arrives AQE-coalesced to a few ~64 MB partitions, which would
+    # starve the kernel's parallelism (3 tasks on a 32-core session);
+    # the repartition moves only 16 B/edge
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        und.select("u", "v")
+        .repartition(par)
+        .mapInPandas(op, schema)
+        .groupBy("node")
+        .agg(F.sum("cnt").cast("long").alias("n_triangles"))
     )
 
 
