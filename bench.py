@@ -282,6 +282,7 @@ def main():
     # measurement that standardized it. Set SPARK_GRAFT_BENCH_RESET=0
     # to reproduce the round-4..8 protocol exactly.
     reset = os.environ.get("SPARK_GRAFT_BENCH_RESET", "1") != "0"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
     t0 = time.time()
     from pyspark.sql import functions as F
@@ -391,22 +392,26 @@ def main():
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    run_at: dict[str, list[float]] = {}
     for name in headline:
         if reset:
             _release_blocks(spark)
         builder = catalog.QUERIES[name]
-        runs, n = [], 0
+        runs, starts, n = [], [], 0
         for _ in range(3):
             t = time.time()
             n = builder(spark, sf_dir).count()
+            starts.append(t)
             runs.append(time.time() - t)
         while len(runs) < 5 and runs[-1] < 0.93 * min(runs[:-1]):
             t = time.time()
             n = builder(spark, sf_dir).count()
+            starts.append(t)
             runs.append(time.time() - t)
         timings[name] = round(min(runs), 3)
         first_run[name] = round(runs[0], 3)
         all_runs[name] = [round(r, 3) for r in runs]
+        run_at[name] = [round(t, 2) for t in starts]
         print(
             f"# {name}: {timings[name]}s ({n} rows) "
             f"runs={all_runs[name]}",
@@ -445,6 +450,14 @@ def main():
                     "value": total,
                     "first_run_total_sec": round(sum(first_run.values()), 3),
                     "n_queries": len(timings),
+                    # r11 verdict item 8: a full record must be
+                    # self-sufficient — the core count distinguishes
+                    # the driver's scaling legs, and per-run epoch
+                    # start stamps let a future judge separate host
+                    # CPU-steal windows from plan changes post hoc.
+                    # The stdout contract is untouched.
+                    "cpus": cpus,
+                    "run_started_epoch": run_at,
                     "queries": timings,
                     "first_run": first_run,
                     "runs": all_runs,
