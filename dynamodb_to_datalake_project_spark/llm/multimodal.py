@@ -4705,6 +4705,17 @@ def _syncsafe(n: int) -> bytes:
     return bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
 
 
+_MP3_RAMP = bytes(range(256)) * 8
+
+
+def _mp3_ramp(need: int) -> bytes:
+    """Repeating 0..255 byte ramp of at least `need` bytes."""
+    global _MP3_RAMP
+    if len(_MP3_RAMP) < need:
+        _MP3_RAMP = bytes(range(256)) * (-(-need // 256) + 1)
+    return _MP3_RAMP
+
+
 def encode_mp3_stream(
     frames: "list[tuple[int, int, bytes]]",
     sr_idx: int,
@@ -4732,7 +4743,13 @@ def encode_mp3_stream(
         b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
         # 0xFB = sync low bits + MPEG-1 (11) + Layer III (01) + no-CRC (1)
         hdr = _struct.pack(">BBBB", 0xFF, 0xFB, b2, 0x40)
-        body = head + bytes((len(head) + i) % 256 for i in range(flen - 4 - len(head)))
+        # filler bytes are the cyclic ramp (len(head) + i) % 256 — a
+        # slice of the precomputed repeating 0..255 ramp (identical
+        # bytes to the former per-byte genexpr, which dominated the
+        # encode profile)
+        start = len(head) % 256
+        n_fill = flen - 4 - len(head)
+        body = head + _mp3_ramp(start + n_fill)[start : start + n_fill]
         assert len(body) == flen - 4
         out += hdr + body
     if id3v1:
@@ -5349,8 +5366,37 @@ def _ogg_crc_table():
 
 _OGG_CRC = _ogg_crc_table()
 
+#: per-byte bit reversal (for the zlib mapping below)
+_BITREV8 = bytes(int(f"{i:08b}"[::-1], 2) for i in range(256))
+_BITREV32 = None
+
 
 def ogg_crc(data: bytes) -> int:
+    """Ogg's unreflected CRC-32 via C-speed zlib: CRC with an
+    unreflected polynomial P over message M equals the bit-reversed
+    reflected-P CRC of the byte-bit-reversed message (the standard
+    reflection identity), and zlib's polynomial 0xEDB88320 IS
+    bitrev32(0x04C11DB7). zlib's init/final-xor conditioning is undone
+    algebraically (raw(0, m) = ~crc32(m, 0xFFFFFFFF)). Verified
+    value-identical to the table loop on random buffers; the loop
+    remains as `_ogg_crc_ref` for the property test."""
+    global _BITREV32
+    import zlib
+
+    if _BITREV32 is None:
+        _BITREV32 = [int(f"{x:08b}"[::-1], 2) for x in range(256)]
+    raw = ~zlib.crc32(data.translate(_BITREV8), 0xFFFFFFFF) & 0xFFFFFFFF
+    br = _BITREV32
+    return (
+        br[raw >> 24]
+        | (br[(raw >> 16) & 0xFF] << 8)
+        | (br[(raw >> 8) & 0xFF] << 16)
+        | (br[raw & 0xFF] << 24)
+    )
+
+
+def _ogg_crc_ref(data: bytes) -> int:
+    """Reference table-driven form (RFC 3533 §6 literal)."""
     crc = 0
     for b in data:
         crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((crc >> 24) & 0xFF) ^ b]

@@ -1213,6 +1213,88 @@ def _flac_frame_header(w, n_channels_code, block_size):
     w.w(_flac_crc8(bytes(w.b)), 8)
 
 
+def test_flac_bit_primitives_match_references():
+    """The r12 vectorized bit primitives (table CRCs, multi-bit
+    reader, int-accumulator writer) are value-identical to literal
+    per-bit references on random streams — the internals-changed
+    regression gate for the codec rewrite."""
+    import random
+
+    from dynamodb_to_datalake_project_spark.llm import flac
+
+    rng = random.Random(12)
+
+    def crc8_ref(data):
+        crc = 0
+        for b in data:
+            crc ^= b
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        return crc
+
+    def crc16_ref(data):
+        crc = 0
+        for b in data:
+            crc ^= b << 8
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        return crc
+
+    for _ in range(50):
+        d = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+        assert flac._crc8(d) == crc8_ref(d)
+        assert flac._crc16(d) == crc16_ref(d)
+
+    # writer/reader round-trip over random (value, width) sequences,
+    # byte-compared against a per-bit reference writer
+    for _ in range(30):
+        fields = [
+            (rng.randrange(1 << n), n)
+            for n in (rng.randrange(1, 24) for _ in range(rng.randrange(1, 60)))
+        ]
+        w = flac._Writer()
+        ref_bits = []
+        for v, n in fields:
+            w.write(v, n)
+            ref_bits.extend((v >> i) & 1 for i in range(n - 1, -1, -1))
+        w.align()
+        while len(ref_bits) % 8:
+            ref_bits.append(0)
+        ref = bytes(
+            sum(bit << (7 - j) for j, bit in enumerate(ref_bits[i : i + 8]))
+            for i in range(0, len(ref_bits), 8)
+        )
+        assert bytes(w.out) == ref
+        r = flac._Reader(bytes(w.out))
+        for v, n in fields:
+            assert r.read(n) == v
+    # unary scan across byte boundaries + truncation behavior
+    w = flac._Writer()
+    for q in (0, 1, 7, 8, 9, 30):
+        w.unary(q)
+    w.align()
+    r = flac._Reader(bytes(w.out))
+    assert [r.unary() for _ in range(6)] == [0, 1, 7, 8, 9, 30]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="truncated"):
+        flac._Reader(b"\x01").read(9)
+    with _pt.raises(ValueError, match="truncated"):
+        flac._Reader(b"\x00").unary()
+
+
+def test_ogg_crc_zlib_mapping_matches_reference():
+    """The zlib-mapped ogg_crc (r12) equals the literal RFC 3533
+    table loop on random buffers and the empty buffer."""
+    import random
+
+    rng = random.Random(33)
+    assert multimodal.ogg_crc(b"") == multimodal._ogg_crc_ref(b"") == 0
+    for _ in range(60):
+        d = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 1200)))
+        assert multimodal.ogg_crc(d) == multimodal._ogg_crc_ref(d)
+
+
 def test_flac_roundtrip_lossless():
     """encode_flac -> decode is exact across random, smooth (FIXED
     predictors engage), constant, stereo, multi-frame, and empty
