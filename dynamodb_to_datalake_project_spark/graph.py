@@ -23,6 +23,8 @@ executors, swap for reliable `checkpoint()` to survive node loss.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -107,6 +109,20 @@ def connected_components(
     # (SCALING.md, pairing-probe finding 5).
     e = e.localCheckpoint(eager=False)
     sig = _signature(e)
+    # Size-adaptive resolution (r12, same budget logic as the triangle
+    # closure): the signature aggregation already materialized the
+    # checkpoint AND returned the exact edge count. When the canonical
+    # edge set fits a broadcast-relation budget — near-dup pair sets
+    # are pair-detector output, orders of magnitude smaller than the
+    # corpus — the alternating-star loop's ~8 AQE stage jobs PER ROUND
+    # collapse into one vectorized min-propagation over the collected
+    # relation (identical result by definition: component = min node
+    # id, algorithm-independent). Past the budget, or for non-integral
+    # node ids, the distributed star loop below runs unchanged.
+    if sig[0] <= _CC_LOCAL_EDGES:
+        local = _connected_components_local(e)
+        if local is not None:
+            return local
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig2 = _signature(e2)
@@ -120,6 +136,61 @@ def connected_components(
     members = e.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
     centers = e.select(F.col("lo").alias("node"), F.col("lo").alias("component"))
     return members.unionAll(centers).distinct()
+
+
+#: broadcast-relation budget for local component resolution (edges)
+_CC_LOCAL_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", 2_000_000)
+)
+
+
+def _connected_components_local(e: DataFrame):
+    """(node, component-min) by vectorized min-label propagation with
+    pointer jumping over the collected canonical edge set. Returns
+    None for non-integral node ids (numpy's string order need not
+    match SQL's) — the caller falls back to the star loop."""
+    import numpy as np
+
+    spark = e.sparkSession
+    pdf = e.toPandas()
+    if len(pdf) and not (
+        str(pdf["hi"].dtype).startswith("int")
+        and str(pdf["lo"].dtype).startswith("int")
+    ):
+        return None
+    hi = pdf["hi"].to_numpy(np.int64) if len(pdf) else np.zeros(0, np.int64)
+    lo = pdf["lo"].to_numpy(np.int64) if len(pdf) else np.zeros(0, np.int64)
+    nodes = np.unique(np.concatenate([hi, lo]))
+    K = len(nodes)
+    if K == 0:
+        return spark.createDataFrame([], "node long, component long")
+    ui = np.searchsorted(nodes, hi)
+    vi = np.searchsorted(nodes, lo)
+    # min-label propagation: parent starts as self; each sweep pushes
+    # the smaller endpoint label across every edge, then pointer-jumps
+    # (parent = parent[parent]) until fixpoint — O(log diameter)
+    # vectorized sweeps, exact min-of-component by monotonicity
+    # (labels only decrease, bounded below by the component minimum,
+    # and a fixpoint where some node exceeds its component minimum
+    # would leave a decreasable edge).
+    parent = np.arange(K, dtype=np.int64)
+    while True:
+        before = parent
+        m = np.minimum(parent[ui], parent[vi])
+        parent = parent.copy()
+        np.minimum.at(parent, ui, m)
+        np.minimum.at(parent, vi, m)
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        if np.array_equal(parent, before):
+            break
+    import pandas as pd
+
+    out = pd.DataFrame({"node": nodes, "component": nodes[parent]})
+    return spark.createDataFrame(out, schema="node long, component long")
 
 
 def dedup_clusters(
@@ -1131,7 +1202,7 @@ def triangle_count(
 #: session threshold — 4M edges ≈ 64 MB of packed adjacency);
 #: overridable for cluster profiles
 _TRI_BROADCAST_EDGES = int(
-    __import__("os").environ.get("SPARK_GRAFT_TRI_BROADCAST_EDGES", 4_000_000)
+    os.environ.get("SPARK_GRAFT_TRI_BROADCAST_EDGES", 4_000_000)
 )
 
 
