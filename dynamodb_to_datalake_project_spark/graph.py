@@ -143,6 +143,24 @@ _CC_LOCAL_EDGES = int(
     os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", 2_000_000)
 )
 
+#: broadcast-relation budget for the NODE-SIZED side of the iterative
+#: graph operators' per-round joins (labels / ranks / frontier /
+#: survivor sets). localCheckpoint scans surface as
+#: UnknownPartitioning, so without the hint every round re-plans a
+#: SortMergeJoin that re-exchanges AND re-sorts the full EDGE table;
+#: broadcasting the side that is one row per node (guide §3.1) leaves
+#: the edge stream untouched per round. Catalyst cannot see these
+#: sizes (no stats behind an RDD scan) — the guard uses the measured
+#: node/edge count the operator already holds.
+_GRAPH_BC_NODES = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_BROADCAST_NODES", 4_000_000)
+)
+
+
+def _bc_if_small(df: DataFrame, n_rows_bound: int) -> DataFrame:
+    """Broadcast-hint `df` when its row bound fits the budget."""
+    return F.broadcast(df) if n_rows_bound <= _GRAPH_BC_NODES else df
+
 
 def _connected_components_local(e: DataFrame):
     """(node, component-min) by vectorized min-label propagation with
@@ -472,8 +490,13 @@ def pagerank(
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("pr"))
     for it in range(n_iter):
         # ranks descends from deg/ew, so qualify the self-joinish
-        # column references through explicit aliases
-        r, w = ranks.alias("r"), ew.alias("w")
+        # column references through explicit aliases. The rank table
+        # is ONE ROW PER NODE — broadcast it (size-guarded) so the
+        # edge table is never re-exchanged/re-sorted per round (the
+        # checkpointed edge scan is UnknownPartitioning to Catalyst,
+        # so the former SortMergeJoin paid both, every round).
+        r = _bc_if_small(ranks, n_nodes).alias("r")
+        w = ew.alias("w")
         contrib = (
             F.col("r.pr") / F.col("w.deg")
             if weight is None
@@ -650,10 +673,17 @@ def label_propagation(
     labels = e.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
     )
-    if not labels.limit(1).collect():
+    n_nodes = labels.count()  # also the former emptiness check
+    if n_nodes == 0:
         raise ValueError("label_propagation: empty edge list (no nodes)")
     for _ in range(n_iter):
-        l, w = labels.alias("l"), e.alias("w")
+        # the label table is one row per node — broadcast it
+        # (size-guarded) so the edge table is never re-exchanged or
+        # re-sorted per round (the checkpoint scan carries
+        # UnknownPartitioning, so the SortMergeJoin otherwise pays
+        # both, every round, despite the one-time src repartition)
+        l = _bc_if_small(labels, n_nodes).alias("l")
+        w = e.alias("w")
         labels = (
             l.join(w, F.col("l.node") == F.col("w.src"))
             .groupBy(F.col("w.dst").alias("node"))
@@ -748,7 +778,13 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     scoring joins)."""
     e = edges.select("src", "dst").localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
-    la, lb = labels.alias("la"), labels.alias("lb")
+    # one row per node: broadcast the label table (size-guarded) into
+    # all three scoring joins so the edge table streams through the
+    # `within` count without the two per-side exchange+sort passes the
+    # SortMergeJoin otherwise plans against the stats-less checkpoint
+    n_nodes = labels.count()
+    la = _bc_if_small(labels, n_nodes).alias("la")
+    lb = _bc_if_small(labels, n_nodes).alias("lb")
     within = (
         e.join(la, F.col("src") == F.col("la.node"))
         .join(lb, F.col("dst") == F.col("lb.node"))
@@ -756,8 +792,9 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("long").alias("within_edges"))
     )
     deg = e.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    lbl = _bc_if_small(labels, n_nodes)
     degc = (
-        deg.join(labels, deg["src"] == labels["node"])
+        deg.join(lbl, deg["src"] == lbl["node"])
         .groupBy("label")
         .agg(F.sum("d").cast("long").alias("dc"))
     )
@@ -897,6 +934,11 @@ def kcore(
             .filter(F.col("d") >= k)
             .select("src")
         )
+        # survivor set is one row per node (≤ edge count on a
+        # symmetric list): broadcast it (size-guarded) so the two
+        # semi-joins stream the edge table instead of exchanging and
+        # sorting it twice per round against the stats-less checkpoint
+        keep = _bc_if_small(keep, prev_n)
         e = e.join(keep, "src", "left_semi").join(
             keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
         ).localCheckpoint(eager=False)
@@ -1008,13 +1050,19 @@ def bfs_levels(
         .withColumn("level", F.lit(0).cast("long"))
         .localCheckpoint(eager=False)
     )
+    n_edges = e.count()  # materializes the edge checkpoint; bounds nodes
     frontier = visited
     for lvl in range(1, n_rounds + 1):
+        # frontier and visited are node-sized (≤ edge count on a
+        # symmetric list): broadcast them (size-guarded) so the edge
+        # table and the new-frontier stream are never exchanged/sorted
+        # against the stats-less checkpoints
         nxt = (
-            frontier.join(e, frontier["node"] == e["src"])
+            _bc_if_small(frontier, n_edges)
+            .join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(_bc_if_small(visited, n_edges), "node", "left_anti")
             .withColumn("level", F.lit(lvl).cast("long"))
             .localCheckpoint(eager=False)
         )
