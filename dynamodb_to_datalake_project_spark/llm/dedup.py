@@ -1448,6 +1448,17 @@ def novel_against(
         # fixture parquet is a single scan split) and then paid a
         # SECOND exchange of the heavier shingle arrays for the
         # blk window (guide §2.4).
+        # Documented tradeoff (r11 ADVICE): keying COMPUTE by blk means
+        # a degenerate prefix block (boilerplate headers sharing one
+        # 32-char prefix) serializes that block's shingle work into one
+        # task, where the doc_id shape kept compute balanced and only
+        # the cheap cap window skewed. The cap window right below
+        # bounds how much of such a block is ever COMPARED
+        # (max_block), and corpora where degenerate prefixes dominate
+        # should be screened with `oversized_buckets` first (module
+        # docstring) — that screen, not a salt, is this pipeline's
+        # skew valve, because a salted blk would split the very groups
+        # the window must see whole.
         return (
             df.select(
                 "doc_id",
