@@ -392,9 +392,11 @@ def pagerank(
 
     Scale path: degrees and the degree-annotated edge list are
     materialized ONCE (eager localCheckpoint — consumed `n_iter`
-    times), pre-partitioned by src so each iteration's rank join
-    reuses the layout and only the rank table (one row per node)
-    shuffles. Each iteration is join → per-edge contribution →
+    times). Each iteration's rank join BROADCASTS the rank table (one
+    row per node, size-guarded — checkpoint scans carry no
+    partitioning info for Catalyst, so a sort-merge join would
+    re-exchange and re-sort the edges every round; r12) and streams
+    the edge table. Each iteration is join → per-edge contribution →
     per-node aggregation; contributions are cast to DECIMAL(28,18) and
     summed EXACTLY so the result is independent of accumulation order
     (the catalog's float-determinism policy: per-row double ops are
@@ -649,9 +651,12 @@ def label_propagation(
     Contract: pass the symmetric closure (every node appears as both
     src and dst), as with `pagerank`. Raises on an empty edge list.
 
-    Scale path: the deduped edge list is materialized ONCE
-    (pre-partitioned by src, eager checkpoint, consumed every round);
-    each iteration is one join against the node-sized label table and
+    Scale path: the deduped edge list is materialized ONCE (eager
+    checkpoint, consumed every round); each iteration BROADCASTS the
+    node-sized label table into the join (size-guarded — the
+    checkpoint scan carries no partitioning info for Catalyst, so a
+    sort-merge join would re-exchange and re-sort the edges every
+    round; r12) and runs
     ONE node-keyed `mode(label, deterministic=true)` aggregation —
     Spark's deterministic mode returns the lowest value among
     equally-frequent ones, which is exactly this operator's tie-break,
